@@ -1,0 +1,839 @@
+"""Batch relational core — SURVEY §2.2 (row ops), §2.3 (joins),
+§2.4 (aggregations), §2.6 (sort/limit), §2.7 (set ops).
+
+Every query here is pure built-in DataFrame API (no Python UDFs), so it
+runs entirely inside Tungsten/WholeStageCodegen and hash-matches the
+DuckDB oracle deterministically (SURVEY §4.3). Double aggregates are
+ROUNDed per SURVEY §5.1; every computed column is aliased identically
+in the Spark plan and the oracle SQL.
+
+Flink surface each family re-expresses is cited per-query ([F] tags —
+the reference checkout is empty, see SURVEY §0 citation policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hello_flink_spark.operators.joins import asof_join, lookup_join
+from hello_flink_spark.registry import register
+from hello_flink_spark.sources.readers import load_table as t
+
+
+# ---------------------------------------------------------------------------
+# Flagship (M0): TPC-H Q1-style pricing summary.
+# Exercises scan → pushed filter → partial+final hash agg → sort.
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
+       ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+       COUNT(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("flagship_pricing_summary", oracle=FLAGSHIP_ORACLE, tags=("flagship", "agg"))
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] the canonical batch aggregate: KeyedStream#sum / SQL GROUP BY."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projection / filter / row ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "project",
+    oracle="""
+    SELECT c_custkey, UPPER(c_name) AS name_upper,
+           ROUND(c_acctbal * 1.1, 2) AS boosted_bal
+    FROM customer
+    """,
+)
+def project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] DataStream#map / Table#select: compute + rename columns."""
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.round(F.col("c_acctbal") * 1.1, 2).alias("boosted_bal"),
+    )
+
+
+@register(
+    "filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'R'
+    """,
+)
+def filter_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] DataStream#filter / SQL WHERE. Predicate reaches the parquet scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "flatmap",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] DataStream#flatMap — THE hello-flink op (WordCount tokenizer).
+
+    1→N row expansion via explode(split(...)), then keyed count.
+    """
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "case_when",
+    oracle="""
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
+                ELSE 'cold' END AS priority_class,
+           COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY priority_class
+    """,
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL CASE: conditional projection."""
+    o = t(spark, sf_dir, "orders")
+    cls = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "warm")
+        .otherwise("cold")
+        .alias("priority_class")
+    )
+    return o.groupBy(cls).agg(
+        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL SELECT DISTINCT: duplicate elimination (hash agg, partial-combined)."""
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register("sample", oracle=None)
+def sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] DataSet#sample. Nondeterministic across engines → rows-only check."""
+    return t(spark, sf_dir, "customer").sample(fraction=0.5, seed=42)
+
+
+@register(
+    "repartition_ops",
+    oracle="SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey",
+)
+def repartition_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] DataStream#rebalance/rescale/shuffle: physical re-distribution.
+
+    Result content is invariant under repartitioning, so this IS
+    oracle-checkable — the op under test is the exchange, the agg just
+    makes the output stable.
+    """
+    c = t(spark, sf_dir, "customer").repartition(8, "c_nationkey")
+    return c.groupBy("c_nationkey").agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS order_cnt, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Table#join / SQL JOIN — equi inner join, Catalyst picks the strategy."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("order_cnt"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL LEFT OUTER JOIN — customers keep their row with 0 orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT n_name, COUNT(s_suppkey) AS supp_cnt
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL RIGHT OUTER JOIN — every nation appears even with no supplier."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("supp_cnt"))
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS cust_cnt FROM customer GROUP BY nk),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS supp_cnt FROM supplier GROUP BY nk)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(cust_cnt, 0) AS cust_cnt,
+           COALESCE(supp_cnt, 0) AS supp_cnt
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL FULL OUTER JOIN over two pre-aggregated sides."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("cust_cnt"))
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("supp_cnt"))
+    )
+    j = cust.join(supp, "nk", "full")  # USING-style join merges the key column
+    return j.select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("cust_cnt", F.lit(0)).alias("cust_cnt"),
+        F.coalesce("supp_cnt", F.lit(0)).alias("supp_cnt"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL WHERE EXISTS → semi join (Calcite rewrite; Spark left_semi)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL NOT EXISTS → anti join (Spark left_anti)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT p_brand, ROUND(SUM(l_quantity), 2) AS total_qty, COUNT(*) AS line_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] broadcast join (Blink BroadcastHashJoin) — explicit broadcast hint
+    pins the map-side plan: at 100 TB the fact table never shuffles for
+    a dim this small."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"), F.count("*").alias("line_cnt"))
+    )
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT n1.n_name AS left_nation, COUNT(*) AS bigger_cnt
+    FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
+    GROUP BY n1.n_name
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] non-equi join predicate → BroadcastNestedLoopJoin (tiny sides only;
+    at scale a theta join must be banded/bucketed first)."""
+    n1 = t(spark, sf_dir, "nation").alias("n1")
+    n2 = t(spark, sf_dir, "nation").alias("n2")
+    return (
+        n1.join(n2, F.col("n1.n_nationkey") < F.col("n2.n_nationkey"))
+        .groupBy(F.col("n1.n_name").alias("left_nation"))
+        .agg(F.count("*").alias("bigger_cnt"))
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT s_suppkey, COUNT(c_custkey) AS near_cnt
+    FROM supplier LEFT JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+    GROUP BY s_suppkey
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] band/range-predicate join."""
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    cond = (c.c_acctbal >= s.s_acctbal - 100) & (c.c_acctbal <= s.s_acctbal + 100)
+    return (
+        s.join(c, cond, "left")
+        .groupBy("s_suppkey")
+        .agg(F.count("c_custkey").alias("near_cnt"))
+    )
+
+
+@register(
+    "join_interval_batch",
+    oracle="""
+    SELECT c.user_id, COUNT(*) AS pair_cnt
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def join_interval_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] KeyedStream#intervalJoin(...).between(0, 30min) — batch shadow.
+
+    Equi key (user_id) + time band; the streaming twin is in
+    streaming/jobs.py with watermarks on both sides.
+    """
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return clicks.join(purchases, cond).groupBy("user_id").agg(F.count("*").alias("pair_cnt"))
+
+
+ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts AS purchase_ts, value AS purchase_value
+  FROM (SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1
+)
+SELECT c.click_id, c.user_id, c.click_ts, p.purchase_ts, p.purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND p.purchase_ts <= c.click_ts
+"""
+
+
+@register("join_asof", oracle=ASOF_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] temporal table join FOR SYSTEM_TIME AS OF — for each click, the
+    user's latest purchase at or before the click.
+
+    Implemented with the cogroup + merge_asof operator (operators/joins.py):
+    one shuffle per side, no range-join blowup. Right side is deduped to
+    one row per (user, ts) so the as-of pick is deterministic.
+    """
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("purchase_ts"), F.col("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        schema="click_id bigint, user_id bigint, click_ts timestamp, "
+        "purchase_ts timestamp, purchase_value double",
+    )
+
+
+@register(
+    "join_lookup",
+    oracle="""
+    SELECT e.event_type, SUM(w.weight) AS weighted_cnt
+    FROM events e
+    JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 10),
+                 ('signup', 5), ('error', 0)) AS w(event_type, weight)
+      ON e.event_type = w.event_type
+    GROUP BY e.event_type
+    """,
+)
+def join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] lookup join (LookupTableSource): per-record dim enrichment →
+    broadcast hash join against the dim snapshot."""
+    e = t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 10), ("signup", 5), ("error", 0)],
+        "event_type string, weight int",
+    )
+    return (
+        lookup_join(e, dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.sum("weight").alias("weighted_cnt"))
+    )
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] DataSet#cross: Cartesian product (tiny sides only)."""
+    return t(spark, sf_dir, "region").crossJoin(t(spark, sf_dir, "nation")).select(
+        "r_name", "n_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS row_cnt,
+           ROUND(SUM(l_quantity), 2) AS total_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] AllWindowedStream#aggregate / SQL agg without GROUP BY."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("row_cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@register(
+    "agg_keyed",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] KeyedStream#sum/reduce / SQL GROUP BY — partial+final hash agg."""
+    return t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "agg_multi_key",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] keyBy(k1, k2): composite grouping key."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS uniq_custs
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL COUNT(DISTINCT) (Blink split-distinct agg; Spark expands
+    distinct aggregates into a two-stage plan automatically)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("uniq_custs"))
+    )
+
+
+@register("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] approximate distinct agg (HyperLogLog++). Approx ≠ exact oracle →
+    rows-only check here; tests/test_relational.py bounds the error vs exact."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_uniq_custs"))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS cust_cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink SQL GROUP BY ROLLUP — hierarchical subtotals region→nation→grand."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("cust_cnt"))
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink SQL GROUP BY CUBE — all grouping combinations."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink SQL GROUPING SETS — explicit subtotal combinations."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS order_cnt
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL HAVING: post-aggregation filter."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("order_cnt"))
+        .filter(F.col("order_cnt") >= 15)
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT n_name, list_sort(list(s_name)) AS supplier_names
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] ListState accumulation / SQL COLLECT — array sorted for determinism."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.array_sort(F.collect_list("s_name")).alias("supplier_names"))
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS qty_stddev,
+           ROUND(VAR_SAMP(l_quantity), 4) AS qty_var,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Table aggregate functions: stddev/variance/correlation."""
+    return t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+    )
+
+
+@register(
+    "agg_reduce",
+    oracle="""
+    SELECT user_id, COUNT(*) AS event_cnt, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] KeyedStream#reduce / AggregateFunction: per-key running fold.
+
+    The fold here (count + sum) is expressible as built-in aggregates, so
+    it compiles to partial+final hash agg — the streaming twin
+    (update-mode running agg) is in streaming/jobs.py.
+    """
+    return t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("event_cnt"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort",
+    oracle="""
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+           ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+    FROM customer
+    """,
+)
+def sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL ORDER BY (total order). The driver's hash is order-insensitive,
+    so the rank column materializes the order into checkable content."""
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.col("acctbal").desc(), F.col("c_custkey"))))
+        .orderBy(F.col("acctbal").desc(), F.col("c_custkey"))
+    )
+
+
+@register(
+    "limit",
+    oracle="SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey LIMIT 10",
+)
+def limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL LIMIT — deterministic because ordered by the unique key."""
+    return t(spark, sf_dir, "orders").orderBy("o_orderkey").select("o_orderkey", "o_orderdate").limit(10)
+
+
+@register(
+    "topk",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] global Top-N. orderBy+limit compiles to TakeOrderedAndProject —
+    no full sort, each partition keeps k rows then the driver merges."""
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .limit(10)
+    )
+
+
+@register(
+    "sort_within_partitions",
+    oracle="SELECT l_orderkey, l_linenumber FROM lineitem",
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] DataSet#sortPartition — partition-local order; content invariant,
+    so the oracle checks the (order-insensitive) multiset."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .sortWithinPartitions("l_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_all",
+    oracle="""
+    SELECT 'customer' AS side, c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT 'supplier' AS side, s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] DataStream#union / SQL UNION ALL (bag union, no shuffle)."""
+    c = t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("side"), F.col("c_nationkey").alias("nationkey")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"), F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL UNION (set union = union all + distinct)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL INTERSECT."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL EXCEPT ALL (multiset difference — keeps surplus duplicates)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)

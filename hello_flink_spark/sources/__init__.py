@@ -1,0 +1,3 @@
+from hello_flink_spark.sources.readers import TABLES, load_table, register_views
+
+__all__ = ["TABLES", "load_table", "register_views"]

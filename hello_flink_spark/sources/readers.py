@@ -1,0 +1,57 @@
+"""Batch sources (SURVEY §2.1).
+
+The Flink reference surface here is the ``filesystem`` table connector
+and ``FileSource`` [F]; in Spark these are ``spark.read.*`` one-liners.
+Schema comes from the parquet footer (SURVEY §1.1), so scans get
+vectorized reading, predicate pushdown, and column pruning for free.
+
+``load_table`` is the single entry point every declared query uses; it
+never caches, never collects, and keeps the scan lazy so Catalyst can
+push filters/projections from downstream operators into the reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one test-bed table (``{sf_dir}/{name}.parquet``).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as
+    raw int64 (``nanosAsLong``) and truncate to microseconds — exactly
+    what DuckDB does when it coerces ns → its µs TIMESTAMP — so both
+    engines see identical values.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so declared queries can use ``spark.sql`` with
+    the same unqualified table names the DuckDB oracle sees."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
