@@ -2,23 +2,36 @@
 
 Runs a declared query on Spark and its oracle SQL on DuckDB over the
 same parquet, then compares row count, schema (column names sorted),
-and an order-insensitive canonical value multiset. Used by pytest so
-we catch oracle mismatches before the driver does.
+and an order-insensitive canonical value multiset.
+
+The canonicalization here is deliberately STRICTER-or-equal to the
+driver's (ADVICE.md r01: the round-1 local gate was laxer and shipped
+3 red queries):
+
+- both sides go through pandas (Spark ``toPandas``, DuckDB ``.df()``)
+  so dtype-widening artifacts the driver sees (e.g. DuckDB HUGEINT
+  SUM -> float64) show up locally too;
+- floats compare on exact IEEE-754 bit patterns (no tolerance);
+- ints and floats are type-tagged so ``8243 != 8243.0``;
+- list/map/struct cells raise immediately (the driver's pandas
+  canonicalizer dies on them with "unhashable type");
+- NULL-bearing numeric columns are flagged (pandas silently widens
+  int64-with-NaN to float64, another cross-engine hash hazard).
 """
 
 from __future__ import annotations
 
 import datetime as _dt
 import math
+import struct
 from dataclasses import dataclass
 
 import duckdb
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from hello_flink_spark.sources.readers import TABLES
-
-FLOAT_REL_TOL = 1e-9
-FLOAT_ABS_TOL = 1e-6
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -31,39 +44,48 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(value):
-    """Canonicalize one cell so Spark and DuckDB values compare equal."""
+    """Canonicalize one pandas cell; type-tagged so cross-type equality
+    (int vs float, str vs bytes) can never hash-match."""
     if value is None:
         return None
-    if isinstance(value, bool):
-        return bool(value)
-    if isinstance(value, float):
-        if math.isnan(value):
-            return "NaN"
-        # round-trip through a fixed decimal print; queries are expected
-        # to ROUND, this only absorbs representation noise.
-        return f"{value:.6f}"
-    if isinstance(value, int):
-        return int(value)
+    if isinstance(value, (bool, np.bool_)):
+        return ("b", bool(value))
+    if isinstance(value, (float, np.floating)):
+        f = float(value)
+        if math.isnan(f):
+            return ("f", "NaN")
+        return ("f", struct.pack("<d", f).hex())
+    if isinstance(value, (int, np.integer)):
+        return ("i", int(value))
+    if isinstance(value, pd.Timestamp):
+        if pd.isna(value):
+            return None
+        return ("t", value.to_pydatetime().replace(tzinfo=None).isoformat())
     if isinstance(value, _dt.datetime):
-        return value.replace(tzinfo=None).isoformat()
+        return ("t", value.replace(tzinfo=None).isoformat())
     if isinstance(value, _dt.date):
-        return value.isoformat()
-    if isinstance(value, (list, tuple)):
-        return tuple(_canon(v) for v in value)
-    if isinstance(value, dict):
-        return tuple(sorted((k, _canon(v)) for k, v in value.items()))
+        return ("d", value.isoformat())
     if isinstance(value, (bytes, bytearray)):
-        return bytes(value)
-    return str(value)
+        return ("y", bytes(value))
+    if isinstance(value, str):
+        return ("s", value)
+    if isinstance(value, (list, tuple, dict, np.ndarray)):
+        raise TypeError(
+            f"collection cell of type {type(value).__name__} in declared output — "
+            "the driver's pandas canonicalizer rejects these; stringify "
+            "(concat_ws / array_to_string) before declaring the column"
+        )
+    if pd.isna(value):  # pandas NaT and friends
+        return None
+    return ("s", str(value))
 
 
-def _rows_canonical(columns, rows):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = []
-    for row in rows:
-        out.append(tuple(_canon(row[i]) for i in order))
-    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
-    return [columns[i] for i in order], out
+def _frame_canonical(df: pd.DataFrame):
+    cols = sorted(df.columns.str.lower())
+    df = df.rename(columns=str.lower)[cols]
+    rows = [tuple(_canon(v) for v in rec) for rec in df.itertuples(index=False, name=None)]
+    rows.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
+    return cols, rows
 
 
 @dataclass
@@ -82,28 +104,31 @@ def compare(
     oracle_sql: str,
     con: duckdb.DuckDBPyConnection,
 ) -> CompareResult:
-    spark_rows = [tuple(r) for r in spark_df.collect()]
-    spark_cols = list(spark_df.columns)
+    spark_pd = spark_df.toPandas()
+    duck_pd = con.execute(oracle_sql).df()
 
-    duck = con.execute(oracle_sql)
-    duck_cols = [d[0] for d in duck.description]
-    duck_rows = duck.fetchall()
+    s_cols_sorted = sorted(c.lower() for c in spark_pd.columns)
+    d_cols_sorted = sorted(c.lower() for c in duck_pd.columns)
+    if s_cols_sorted != d_cols_sorted:
+        return CompareResult(
+            name, False, f"schema mismatch: spark={s_cols_sorted} duck={d_cols_sorted}"
+        )
+    if len(spark_pd) != len(duck_pd):
+        return CompareResult(
+            name, False, f"row count mismatch: spark={len(spark_pd)} duck={len(duck_pd)}"
+        )
 
-    if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
-        return CompareResult(name, False, f"schema mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
-    if len(spark_rows) != len(duck_rows):
-        return CompareResult(name, False, f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}")
-
-    _, s_canon = _rows_canonical([c.lower() for c in spark_cols], spark_rows)
-    _, d_canon = _rows_canonical([c.lower() for c in duck_cols], duck_rows)
+    _, s_canon = _frame_canonical(spark_pd)
+    _, d_canon = _frame_canonical(duck_pd)
     if s_canon != d_canon:
         diff_i = next(i for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b)
         return CompareResult(
             name,
             False,
-            f"value mismatch at sorted-row {diff_i}:\n  spark={s_canon[diff_i]}\n  duck ={d_canon[diff_i]}",
+            f"value mismatch at sorted-row {diff_i} (cols={s_cols_sorted}):\n"
+            f"  spark={s_canon[diff_i]}\n  duck ={d_canon[diff_i]}",
         )
-    return CompareResult(name, True, f"{len(spark_rows)} rows match")
+    return CompareResult(name, True, f"{len(spark_pd)} rows match")
 
 
 def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[CompareResult]:

@@ -75,16 +75,26 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "project",
     oracle="""
     SELECT c_custkey, UPPER(c_name) AS name_upper,
-           ROUND(c_acctbal * 1.1, 2) AS boosted_bal
+           CAST(ROUND(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,1)), 2)
+                AS DOUBLE) AS boosted_bal
     FROM customer
     """,
 )
 def project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[F] DataStream#map / Table#select: compute + rename columns."""
+    """[F] DataStream#map / Table#select: compute + rename columns.
+
+    Money arithmetic is done in DECIMAL on BOTH engines (ADVICE.md r01):
+    double math hits half-cent ties (9107.05*1.1 = 10017.755) that Spark
+    and DuckDB round differently; decimal multiply is exact and both
+    round HALF_UP, so the hash matches by construction.
+    """
+    boosted = (
+        F.col("c_acctbal").cast("decimal(12,2)") * F.lit("1.1").cast("decimal(3,1)")
+    )
     return t(spark, sf_dir, "customer").select(
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
-        F.round(F.col("c_acctbal") * 1.1, 2).alias("boosted_bal"),
+        F.round(boosted, 2).cast("double").alias("boosted_bal"),
     )
 
 
@@ -293,13 +303,19 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[F] SQL NOT EXISTS → anti join (Spark left_anti)."""
+    """[F] SQL NOT EXISTS → anti join (Spark left_anti).
+
+    The build side is filtered to URGENT orders so the anti-join result
+    is non-empty at sf0.01 (every customer has *some* order — the r01
+    unfiltered variant passed vacuously at 0 rows).
+    """
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -354,14 +370,38 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[F] band/range-predicate join."""
-    s = t(spark, sf_dir, "supplier")
-    c = t(spark, sf_dir, "customer")
-    cond = (c.c_acctbal >= s.s_acctbal - 100) & (c.c_acctbal <= s.s_acctbal + 100)
-    return (
-        s.join(c, cond, "left")
+    """[F] band/range-predicate join — bucketed so it scales.
+
+    A raw band predicate between two fact-scale tables compiles to
+    BroadcastNestedLoopJoin: O(|S|*|C|) comparisons (the r01 plan — a
+    scale-killer). Instead, both sides are bucketed by
+    floor(acctbal/band): a customer in [s-100, s+100] must fall in one
+    of the 3 buckets around the supplier's, so exploding the (smaller)
+    supplier side to those 3 buckets turns the band join into an
+    equi-join on the bucket + an exact residual filter. Shuffle-hash,
+    linear in data size, skew handled by AQE.
+    """
+    band = 100.0
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal").withColumn(
+        "bucket", F.floor(F.col("c_acctbal") / band)
+    )
+    sb = F.floor(F.col("s_acctbal") / band)
+    s_exploded = s.withColumn("bucket", F.explode(F.array(sb - 1, sb, sb + 1)))
+    matches = (
+        s_exploded.join(c, "bucket")
+        .filter(
+            (F.col("c_acctbal") >= F.col("s_acctbal") - band)
+            & (F.col("c_acctbal") <= F.col("s_acctbal") + band)
+        )
         .groupBy("s_suppkey")
-        .agg(F.count("c_custkey").alias("near_cnt"))
+        .agg(F.count("c_custkey").alias("cnt"))
+    )
+    # LEFT semantics: suppliers with zero nearby customers keep a 0 row.
+    return (
+        s.select("s_suppkey")
+        .join(matches, "s_suppkey", "left")
+        .select("s_suppkey", F.coalesce("cnt", F.lit(0).cast("long")).alias("near_cnt"))
     )
 
 
@@ -448,7 +488,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_lookup",
     oracle="""
-    SELECT e.event_type, SUM(w.weight) AS weighted_cnt
+    SELECT e.event_type, CAST(SUM(w.weight) AS BIGINT) AS weighted_cnt
     FROM events e
     JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 10),
                  ('signup', 5), ('error', 0)) AS w(event_type, weight)
@@ -565,7 +605,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("agg_approx_distinct", oracle=None)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[F] approximate distinct agg (HyperLogLog++). Approx ≠ exact oracle →
-    rows-only check here; tests/test_relational.py bounds the error vs exact."""
+    rows-only check here; tests/test_operators.py bounds the error vs exact."""
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
@@ -650,19 +690,29 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect",
     oracle="""
-    SELECT n_name, list_sort(list(s_name)) AS supplier_names
+    SELECT n_name, array_to_string(list_sort(list(s_name)), '|') AS supplier_names
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[F] ListState accumulation / SQL COLLECT — array sorted for determinism."""
+    """[F] ListState accumulation / SQL COLLECT — array sorted for determinism.
+
+    Declared output is the '|'-joined string, not the raw array: the
+    driver's pandas canonicalizer cannot hash list cells (r01 red), so
+    collection outputs are always stringified (repo-wide rule, see
+    oracle._canon).
+    """
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     return (
         s.join(n, s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.array_sort(F.collect_list("s_name")).alias("supplier_names"))
+        .agg(
+            F.concat_ws("|", F.array_sort(F.collect_list("s_name"))).alias(
+                "supplier_names"
+            )
+        )
     )
 
 
@@ -713,19 +763,41 @@ def agg_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort",
     oracle="""
     SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
-           ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+           ROW_NUMBER() OVER (ORDER BY ROUND(c_acctbal, 2) DESC, c_custkey) AS rn
     FROM customer
     """,
 )
 def sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[F] SQL ORDER BY (total order). The driver's hash is order-insensitive,
-    so the rank column materializes the order into checkable content."""
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    so a global rank column materializes the order into checkable content.
+
+    Scale-safe global rank (the r01 plan was ROW_NUMBER over an
+    unpartitioned window — every row through ONE WindowExec task):
+    rank within a value bucket (partitioned window, parallel) + the
+    total row count of all better buckets (tiny aggregate, broadcast
+    back). Bucket count ~ O(value_range/width), independent of row
+    count, so the only serial structure is the bucket-offset table.
+    """
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    # Buckets in DESCENDING rank order: negate so higher acctbal => smaller bucket.
+    base = base.withColumn("bucket", -F.floor(F.col("acctbal") / 100))
+    w_in = Window.partitionBy("bucket").orderBy(F.col("acctbal").desc(), F.col("c_custkey"))
+    ranked = base.withColumn("rn_in", F.row_number().over(w_in))
+    bucket_counts = base.groupBy("bucket").agg(F.count("*").alias("bcnt"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_counts.withColumn(
+        "offset", F.coalesce(F.sum("bcnt").over(w_off), F.lit(0))
+    ).select("bucket", "offset")
     return (
-        t(spark, sf_dir, "customer")
-        .select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
-        .withColumn("rn", F.row_number().over(Window.orderBy(F.col("acctbal").desc(), F.col("c_custkey"))))
-        .orderBy(F.col("acctbal").desc(), F.col("c_custkey"))
+        ranked.join(F.broadcast(offsets), "bucket")
+        .select(
+            "c_custkey",
+            "acctbal",
+            (F.col("offset") + F.col("rn_in")).alias("rn"),
+        )
+        .orderBy("rn")
     )
 
 

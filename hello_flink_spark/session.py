@@ -38,6 +38,10 @@ def get_spark(app_name: str = "hello-flink-spark", cpus: str | None = None) -> S
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # -- determinism vs the DuckDB oracle ------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
+        # rejects; read nanos as int64 once, session-wide (readers.load_table
+        # truncates to µs — exactly DuckDB's ns→µs coercion).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # -- Python boundary ------------------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -33,16 +33,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test-bed table (``{sf_dir}/{name}.parquet``).
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as
-    raw int64 (``nanosAsLong``) and truncate to microseconds — exactly
-    what DuckDB does when it coerces ns → its µs TIMESTAMP — so both
-    engines see identical values.
+    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). The session
+    factory sets ``spark.sql.legacy.parquet.nanosAsLong`` once
+    (session.get_spark), so nanos arrive as raw int64 here and we
+    truncate to microseconds — exactly what DuckDB does when it coerces
+    ns → its µs TIMESTAMP — so both engines see identical values.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            # Session built outside get_spark (e.g. the driver's own): the
+            # flag is read at scan time, so setting it here still works.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
