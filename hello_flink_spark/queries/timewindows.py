@@ -1,1 +1,245 @@
-"""Placeholder — filled in by a later milestone."""
+"""Streaming time-window batch shadows — SURVEY §2.9 (+ the dedup/CEP
+batch shadows of §2.10).
+
+Spark's ``F.window``/``F.session_window`` work identically over batch
+DataFrames, so every streaming window op gets an oracle-checkable
+batch shadow here; the streaming twins (same grouping over a
+file-replayed stream with watermarks) live in
+``hello_flink_spark/streaming/jobs.py`` and are golden-tested in
+``tests/test_streaming.py``.
+
+Oracle-side window starts are computed with pure ``epoch_us``
+arithmetic (no ``time_bucket``/``to_timestamp``), which sidesteps
+DuckDB's TIMESTAMPTZ session-timezone coercions entirely — both
+engines bucket the same integer microseconds.
+
+[F] Flink `TumblingEventTimeWindows` / `SlidingEventTimeWindows` /
+`EventTimeSessionWindows` / `CUMULATE` TVF / `countWindow` — empty
+reference checkout (SURVEY §0); anchors are SURVEY.md §2.9–2.10 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hello_flink_spark.registry import register
+from hello_flink_spark.sources.readers import load_table as t
+
+
+@register(
+    "window_tumbling",
+    oracle="""
+    SELECT ts - to_microseconds(epoch_us(ts) % 600000000) AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] TumblingEventTimeWindows.of(10 min) / SQL TUMBLE — batch shadow.
+
+    Streaming twin: streaming/jobs.py::tumbling_counts (same grouping +
+    watermark, append mode).
+    """
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "cnt", "total_value"
+        )
+    )
+
+
+@register(
+    "window_sliding",
+    oracle="""
+    WITH hop AS (
+      SELECT ts - to_microseconds(epoch_us(ts) % 300000000) AS wstart, event_type, value
+      FROM events
+      UNION ALL
+      SELECT ts - to_microseconds(epoch_us(ts) % 300000000) - INTERVAL 5 MINUTE,
+             event_type, value
+      FROM events
+    )
+    SELECT wstart AS window_start, event_type,
+           COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+    FROM hop
+    GROUP BY wstart, event_type
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SlidingEventTimeWindows.of(10 min, 5 min) / SQL HOP — batch
+    shadow. Each event lands in exactly size/slide = 2 windows; the
+    oracle materializes both hops per event and re-groups."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "cnt", "total_value"
+        )
+    )
+
+
+@register(
+    "window_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessioned AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+    FROM sessioned
+    GROUP BY user_id, sid
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] EventTimeSessionWindows.withGap(30 min) / SQL SESSION — batch
+    shadow of session_window. The oracle rebuilds sessions with the
+    classic gaps-and-islands (lag + cumulative flag); Spark starts a
+    new session when the gap is >= the timeout, mirrored in the flag.
+    """
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "cnt", "total_value"
+        )
+    )
+
+
+@register(
+    "window_cumulate",
+    oracle="""
+    SELECT ts - to_microseconds(epoch_us(ts) % 3600000000)
+             + to_microseconds(k * 900000000) AS window_end,
+           event_type, COUNT(*) AS cnt
+    FROM events,
+         UNNEST(generate_series(
+             CAST((epoch_us(ts) % 3600000000) // 900000000 AS BIGINT) + 1, 4)) AS u(k)
+    GROUP BY window_end, event_type
+    """,
+)
+def window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink SQL CUMULATE TVF (span 1 h, step 15 min) — no native
+    Spark equivalent: an event at offset o in its hour belongs to every
+    expanding window [hour, hour + k*15min) with k*15min > o, built by
+    exploding the k range. Fully epoch-based, so timezone-independent.
+    """
+    e = t(spark, sf_dir, "events")
+    ep = F.col("ts").cast("long")  # epoch seconds (truncation == floor for 2024 data)
+    hour_start = ep - (ep % 3600)
+    first_k = ((ep % 3600) / 900).cast("long") + 1
+    return (
+        e.withColumn("k", F.explode(F.sequence(first_k, F.lit(4))))
+        .withColumn("window_end", F.timestamp_seconds(hour_start + F.col("k") * 900))
+        .groupBy("window_end", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "window_count",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, CAST((rn - 1) // 5 AS BIGINT) AS chunk,
+           COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+    FROM numbered
+    GROUP BY user_id, chunk
+    """,
+)
+def window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] countWindow(5) — count-based windows have no Structured
+    Streaming native; batch shadow buckets each user's event sequence
+    into chunks of 5 via a partitioned row_number (trailing partial
+    chunk kept, mirroring Flink's final partial window on EOF). The
+    streaming twin (stateful counter) is streaming/jobs.py."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("chunk", ((F.col("rn") - 1) / 5).cast("long"))
+        .groupBy("user_id", "chunk")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "dedup_stream_batch",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts
+    FROM (SELECT user_id, event_type, event_id, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink SQL deduplication (ROW_NUMBER()=1 over proctime/rowtime)
+    — batch shadow: first event per (user, type). Streaming twin:
+    dropDuplicatesWithinWatermark in streaming/jobs.py."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@register(
+    "cep_pattern_batch",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           MIN(p.ts) AS first_purchase_ts
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id, c.event_id, c.ts
+    """,
+)
+def cep_pattern_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink CEP `A followedBy B within(t)` — batch shadow: each
+    click matched to its earliest purchase within 30 min. Equi-key
+    (user_id) + residual time band → shuffle-hash join, linear per key;
+    the streaming NFA twin is streaming/jobs.py::cep_click_purchase."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts > clicks.click_ts)
+        & (purchases.p_ts <= clicks.click_ts + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return (
+        clicks.join(purchases, cond)
+        .groupBy("user_id", "click_id", "click_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+    )
