@@ -1,1 +1,579 @@
-"""Placeholder — filled in by a later milestone."""
+"""LLM-data-pipeline operators — SURVEY §2.12 (mandated by the north
+star: dedup, similarity search, multimodal columns, text analysis over
+``documents`` / ``embeddings``).
+
+Scale design notes (the 100 TB contract):
+
+- near-dup candidate generation NEVER does all-pairs: Jaccard pairs
+  come from an equi-join on shared shingles, SimHash pairs from an
+  equi-join on 16-bit bands, MinHash pairs from LSH
+  ``approxSimilarityJoin`` — all linear-ish in corpus size;
+- kNN broadcasts the (small) query set against the corpus — one pass,
+  no corpus self-join; the approximate path is
+  BucketedRandomProjectionLSH (sub-linear probe);
+- SimHash aggregates per (doc, bit) with a plain hash aggregation —
+  vocabulary-independent, single shuffle, no Python;
+- all text ops are built-in expressions (codegen); Python appears only
+  in the multimodal decode stub (Arrow-batched ``mapInPandas``).
+
+[F] no Flink-tutorial equivalent — these extend the surface per
+BASELINE.json:6; anchors are SURVEY.md §2.12 rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hello_flink_spark.registry import register
+from hello_flink_spark.sources.readers import load_table as t
+
+STOPWORDS = ("the", "a")
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.lower(F.trim(F.col(col))), " ")
+
+
+def _as_double(arr):
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(lower(trim(text))) AS norm_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_cnt
+    FROM documents
+    GROUP BY norm_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash: hash-groupBy, keep the
+    smallest doc_id per group. The sf0.01 fixture has 0 exact duplicate
+    texts (FIXTURES.md), so this verifies identity preservation; the
+    positive near-dup signal is covered by dedup_ngram_jaccard /
+    dedup_minhash / dedup_simhash. One shuffle on the 256-bit key —
+    uniformly distributed, skew-free at any scale."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_cnt"))
+    )
+
+
+NGRAM_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id,
+           tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+    FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens FROM documents),
+         UNNEST(generate_series(1, GREATEST(len(tokens) - 2, 0))) AS u(i)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({NGRAM_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_cnt
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(both_cnt AS DOUBLE) / (sa.n + sb.n - both_cnt), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(both_cnt AS DOUBLE) / (sa.n + sb.n - both_cnt) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via 3-gram shingle Jaccard. Candidate pairs
+    come from an equi-join on shared shingles (docs with zero overlap
+    never meet — no all-pairs), then |A∩B| / |A∪B| >= 0.5. This IS the
+    scalable shape: shuffle on shingle, combine-side distinct, skew on
+    hot shingles handled by AQE."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("tokens"))
+    shingles = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("tokens") - 2, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("tokens"), i),
+                        F.element_at(F.col("tokens"), i + 1),
+                        F.element_at(F.col("tokens"), i + 2),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("both_cnt"))
+    )
+    jac = F.col("both_cnt").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("both_cnt"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register("dedup_minhash", oracle=None)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via MinHash + LSH banding: token set → HashingTF binary
+    vector → MinHashLSH(seed) → approxSimilarityJoin at Jaccard
+    distance <= 0.5. LSH buckets make candidate generation sub-
+    quadratic (the 100 TB path). Nondeterministic across engines →
+    rows-only at the gate; invariant tests in tests/test_llm.py."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(_tokens()).alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True)
+    feats = tf.transform(toks)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = mh.fit(feats)
+    # distance <= 0.3 ⇔ token-set Jaccard similarity >= 0.7: actual
+    # near-dups, not the broad vocab overlap of the synthetic corpus.
+    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via 64-bit SimHash + banded Hamming join.
+
+    Per doc: signed sum of each token-hash bit (xxhash64, Spark-only →
+    rows-only at the gate), sign → bit, pack to one BIGINT. Candidate
+    pairs share one of four 16-bit bands (pigeonhole: hamming <= 12
+    pairs are guaranteed to collide on some band for <= 3 flipped bits
+    per band on average); exact bit_count(XOR) filter after. All
+    built-in expressions: explode → hash-agg → band equi-join."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("word"))
+    # shift amounts are columns → expression strings (the F.shiftleft/
+    # shiftrightunsigned Python helpers only take int literals).
+    bits = (
+        tok.withColumn("h", F.xxhash64("word"))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(63))))
+        .withColumn(
+            "contrib", F.expr("(shiftrightunsigned(h, CAST(j AS INT)) & 1) * 2 - 1")
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    sim = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("simhash")
+    )
+    banded = sim.withColumn("band_idx", F.explode(F.sequence(F.lit(0), F.lit(3)))).withColumn(
+        "band_val",
+        F.expr("shiftrightunsigned(simhash, CAST(band_idx * 16 AS INT)) & 65535"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ).filter(F.col("hamming") <= 12).select("doc_a", "doc_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_cosine_pairs",
+    oracle="""
+    SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+           ROUND(
+             list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+             6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id % 50 = 0 AND b.vec_id > a.vec_id
+    """,
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine similarity, probe set × corpus — pure array lambdas
+    (zip_with + aggregate), JVM-side, no Python. The probe side is tiny
+    and broadcast; the corpus side streams — linear, no self-shuffle."""
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), _as_double(F.col("embedding")).alias("pvec")
+    )
+    cands = e.select(F.col("vec_id").alias("cand_id"), _as_double(F.col("embedding")).alias("cvec"))
+    return (
+        cands.join(F.broadcast(probes), F.col("cand_id") > F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(_cosine(F.col("pvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "sim_knn",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(
+               list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+               6) AS cos_sim
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id % 100 = 0 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors for a small query set:
+    broadcast queries × corpus scan + partitioned Top-N — the exact
+    baseline the approximate path (sim_lsh_knn) is measured against.
+    Ranking uses the ROUNDED similarity with neighbor_id tiebreak so
+    cross-engine float noise below 1e-6 cannot reorder the cut."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qvec")
+    )
+    cands = e.select(F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cvec"))
+    scored = cands.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@register("sim_lsh_knn", oracle=None)
+def sim_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN at scale: BucketedRandomProjectionLSH buckets the
+    corpus (seeded → deterministic) and probes only nearby buckets —
+    the sub-linear ANN path for 100 TB. Recall-vs-brute-force bound is
+    asserted in tests/test_llm.py; rows-only at the gate."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", array_to_vector(_as_double(F.col("embedding"))).alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    )
+    model = lsh.fit(vecs)
+    key = vecs.filter(F.col("vec_id") == 0).head()
+    if key is None:  # pragma: no cover — fixture always has vec_id 0
+        raise ValueError("embeddings fixture missing vec_id 0")
+    nn = model.approxNearestNeighbors(vecs, key.features, 10, distCol="l2_dist")
+    return nn.select("vec_id", F.round("l2_dist", 6).alias("l2_dist"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokenize",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS word
+          FROM documents)
+    WHERE word NOT IN {STOPWORDS!r}
+    GROUP BY word
+    """,
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization + stopword removal + corpus term/document counts —
+    the WordCount of the LLM pipeline (explode → hash agg, partial
+    combine on both counters)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_tokens()).alias("word"))
+        .filter(~F.col("word").isin(*STOPWORDS))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"), F.countDistinct("doc_id").alias("doc_freq"))
+    )
+
+
+@register(
+    "text_lang_filter",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS doc_cnt, ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    GROUP BY lang, source
+    """,
+)
+def text_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language filtering on the lang metadata column — the pushdown-
+    friendly shape (predicate reaches the parquet scan)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("doc_cnt"), F.round(F.avg("n_chars"), 2).alias("avg_chars"))
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang,
+           ROUND(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                                      x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                 / len(string_split(lower(trim(text)), ' ')), 6) AS marker_ratio,
+           CASE WHEN CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                                          x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                     / len(string_split(lower(trim(text)), ' ')) >= 0.08
+                THEN 'en_like' ELSE 'other' END AS guess
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: ratio of English marker tokens ('the','a')
+    per document — the n-gram-heuristic shape (real corpora swap in a
+    char-trigram profile; the fixture vocabulary is synthetic)."""
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    markers = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a")))
+    ratio = markers.cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("marker_ratio"),
+        F.when(ratio >= 0.08, "en_like").otherwise("other").alias("guess"),
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(len(string_split(lower(trim(text)), ' '))), 4) AS avg_words,
+           ROUND(AVG(length(text)), 2) AS avg_chars,
+           MAX(len(string_split(lower(trim(text)), ' '))) AS max_words,
+           CAST(SUM(len(list_distinct(string_split(lower(trim(text)), ' ')))) AS BIGINT)
+             AS total_uniq_words
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality stats: doc/word/char counts, vocabulary size —
+    the quality-scoring aggregate of a training-data pipeline."""
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_words = F.size(toks)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(n_words), 4).alias("avg_words"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+        F.max(n_words).cast("long").alias("max_words"),
+        F.sum(F.size(F.array_distinct(toks))).alias("total_uniq_words"),
+    )
+
+
+@register(
+    "text_tfidf_sql",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS word FROM documents
+    ),
+    doc_len AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+    tfs AS (SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY doc_id, word),
+    dfs AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word),
+    n_total AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.word, dfs.df,
+           ROUND((CAST(t.cnt AS DOUBLE) / doc_len.n) * ln(CAST(n_docs AS DOUBLE) / dfs.df), 6)
+             AS tfidf
+    FROM tfs t
+    JOIN doc_len USING (doc_id)
+    JOIN dfs USING (word)
+    CROSS JOIN n_total
+    """,
+)
+def text_tfidf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF by explicit formula (tf = cnt/len, idf = ln(N/df)) —
+    three hash aggregations + a broadcast of the tiny df table; the
+    ml-pipeline variant (HashingTF+IDF) is intentionally not used so
+    the oracle can mirror the math exactly."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_tokens()).alias("word"))
+    doc_len = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    tfs = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    dfs = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar query parameter, not a driver-side loop
+    tfidf = (F.col("cnt").cast("double") / F.col("n")) * F.log(
+        F.lit(float(n_docs)) / F.col("df")
+    )
+    return (
+        tfs.join(doc_len, "doc_id")
+        .join(F.broadcast(dfs), "word")
+        .select("doc_id", "word", "df", F.round(tfidf, 6).alias("tfidf"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH sh AS ({NGRAM_SHINGLES_SQL})
+    SELECT doc_id, MIN(md5(shingle)) AS fingerprint
+    FROM sh GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: minimum shingle hash per doc (a k=1
+    MinHash signature / winnowing-style representative) — an
+    order-invariant near-dup key computable in one pass."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("tokens"))
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("tokens") - 2, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("tokens"), i),
+                    F.element_at(F.col("tokens"), i + 1),
+                    F.element_at(F.col("tokens"), i + 2),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    return shingles.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_SCHEMA = "doc_id long, n_bytes long, fake_width long, fake_height long, n_frames long"
+
+
+def _decode_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'decode' of the opaque binary payload.
+
+    Real image/audio decode would go here (PIL / torchaudio are not in
+    this container — the real path is gated below and raises
+    NotImplementedError); the deterministic fake derives metadata from
+    the byte length so the full Spark plumbing (binary column → Arrow
+    batch → pandas → typed rows) is exercised and oracle-checkable.
+    """
+    try:  # pragma: no cover — decode libs absent by design
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        if have_pil:  # pragma: no cover
+            raise NotImplementedError("real image decode not wired; see docstring")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "fake_width": n_bytes % 640,
+                "fake_height": (n_bytes * 7) % 480,
+                "n_frames": n_bytes % 16 + 1,
+            }
+        )
+
+
+@register(
+    "multimodal_load",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           octet_length(encode(text)) % 640 AS fake_width,
+           (octet_length(encode(text)) * 7) % 480 AS fake_height,
+           octet_length(encode(text)) % 16 + 1 AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column handling: an opaque BinaryType payload column
+    plus a mapInPandas decode/feature-extract stub. The payload here is
+    the utf-8 encoding of text (no binary fixtures exist); with real
+    blobs the same plan applies — binaryFile source, partition by size,
+    Arrow batches into the Python decoder."""
+    d = t(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return payload.mapInPandas(_decode_stub, schema=MULTIMODAL_SCHEMA)
