@@ -1,1 +1,138 @@
-"""Placeholder — filled in by a later milestone."""
+"""UDF / UDAF / UDTF surface — SURVEY §2.11.
+
+[F] Flink `ScalarFunction` / `AggregateFunction` (UDAGG) /
+`TableFunction` + LATERAL — empty reference checkout (SURVEY §0);
+anchors are SURVEY.md §2.11 rows.
+
+Every UDF here is a pure function of its inputs with a SQL-mirrorable
+definition, so the DuckDB oracle re-implements the logic and the gate
+checks the whole Python boundary (Arrow serialization included).
+Perf tiering per SURVEY §4.3: pandas_udf (Arrow-vectorized) is the
+default; row-at-a-time ``F.udf`` appears once, Arrow-enabled, for API
+parity — never in a hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hello_flink_spark.registry import register
+from hello_flink_spark.sources.readers import load_table as t
+
+
+@F.pandas_udf("string")
+def _tier(value: pd.Series) -> pd.Series:
+    """Vectorized scalar: bucket a double into named tiers."""
+    return pd.cut(
+        value,
+        bins=[float("-inf"), 10.0, 100.0, float("inf")],
+        labels=["low", "mid", "high"],
+        right=False,
+    ).astype(str)
+
+
+@register(
+    "udf_scalar",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value < 10 THEN 'low'
+                WHEN value < 100 THEN 'mid'
+                ELSE 'high' END AS tier,
+           UPPER(event_type) AS type_up
+    FROM events
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] ScalarFunction: a pandas_udf tier bucketer (Arrow-vectorized,
+    the 100 TB path) plus one Arrow-enabled row UDF for API parity."""
+    upper_udf = F.udf(lambda s: s.upper() if s is not None else None, "string", useArrow=True)
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        _tier(F.col("value")).alias("tier"),
+        upper_udf(F.col("event_type")).alias("type_up"),
+    )
+
+
+@F.pandas_udf("double")
+def _weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+    """GROUPED_AGG pandas_udf: quantity-weighted mean price."""
+    q = qty.sum()
+    return float((price * qty).sum() / q) if q else float("nan")
+
+
+@register(
+    "udaf",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] AggregateFunction (UDAGG): grouped-agg pandas_udf computing a
+    weighted average per key — Arrow batches per group, no row loop."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(_weighted_avg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
+    )
+
+
+@register(
+    "udtf",
+    oracle="""
+    SELECT doc_id, tokens[i] AS word, CAST(i AS BIGINT) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         UNNEST(generate_series(1, LEAST(len(tokens), 5))) AS u(i)
+    """,
+)
+def udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] TableFunction + LATERAL TABLE: Python UDTF (Spark 4.x) that
+    explodes each document into its first 5 (word, position) rows,
+    joined laterally in SQL."""
+    from pyspark.sql.functions import udtf as udtf_decorator
+
+    @udtf_decorator(returnType="word string, pos long")
+    class SplitWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, word in enumerate(text.split(" ")[:5], start=1):
+                yield word, i
+
+    spark.udtf.register("split_words", SplitWords)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word, s.pos
+        FROM documents d, LATERAL split_words(d.text) s
+        """
+    )
+
+
+@F.pandas_udf("double")
+def _l2_norm(embedding: pd.Series) -> pd.Series:
+    """Vectorized over the whole Arrow batch: one numpy call, no per-row
+    Python — the 10-100x-over-row-UDF tier (SURVEY §2.11 udf_vectorized)."""
+    import numpy as np
+
+    mat = np.stack(embedding.to_numpy())
+    return pd.Series(np.sqrt((mat.astype("float64") ** 2).sum(axis=1)))
+
+
+@register(
+    "udf_vectorized",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 6) AS l2
+    FROM embeddings
+    """,
+)
+def udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] n/a in row-at-a-time Flink — the Spark-native vectorized
+    tier: batch numpy L2 norm over the embedding column."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.round(_l2_norm("embedding"), 6).alias("l2"))
