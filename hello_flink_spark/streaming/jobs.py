@@ -1,0 +1,278 @@
+"""Structured Streaming topologies — SURVEY §2.9 (time windows) and
+§2.10 (watermarks, late data, dedup, joins) streaming twins, plus the
+streaming sources/sinks of §2.1 (rate, socket, kafka stub, console,
+memory, parquet, foreachBatch).
+
+Each builder takes an (unbounded) DataFrame and returns the
+transformed streaming DataFrame; sink helpers attach a writer. Golden
+tests in tests/test_streaming.py replay the events fixture through
+these with ``Trigger.AvailableNow`` and compare against the batch
+shadows declared in queries/timewindows.py — same grouping
+expressions, so batch == final streaming state by construction
+(SURVEY §5.3).
+
+[F] Flink surface per topology in docstrings — empty reference
+checkout (SURVEY §0); anchors are SURVEY.md §2.9–2.10 rows.
+
+100 TB notes: every stateful op carries a watermark so state is
+bounded (SURVEY §4.2); state lives in RocksDB (session factory);
+stream-static joins broadcast the dim side; stream-stream joins carry
+watermarks + a time band on BOTH sides so join state evicts.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+DEFAULT_WATERMARK = "30 minutes"
+
+
+# ---------------------------------------------------------------------------
+# §2.9 windowed aggregations (streaming twins of the batch shadows)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """[F] TumblingEventTimeWindows.of(10 min) — watermark_bounded +
+    late_drop come with the watermark: rows older than it never reach
+    the window state. Twin of queries/timewindows.py::window_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """[F] SlidingEventTimeWindows.of(10 min, 5 min). Twin of window_sliding."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """[F] EventTimeSessionWindows.withGap(30 min). Twin of window_session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "cnt", "total_value")
+    )
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """[F] unbounded group-agg on a dynamic table (retract stream) —
+    SURVEY §2.4 agg_incremental: per-user running count/sum, update
+    output mode re-emits changed keys each micro-batch."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("event_cnt"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 dedup / joins
+# ---------------------------------------------------------------------------
+
+
+def dedup_events(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """[F] Flink SQL dedup (ROW_NUMBER()=1 over rowtime) →
+    dropDuplicatesWithinWatermark: exactly-once per event_id within the
+    watermark horizon; state for seen ids evicts with the watermark
+    (bounded — the 100 TB requirement)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def stream_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """[F] lookup join (LookupTableSource): per-record enrichment against
+    a static dim snapshot — broadcast hash join per micro-batch."""
+    return events.join(F.broadcast(dim), "event_type")
+
+
+def stream_stream_interval_join(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """[F] KeyedStream#intervalJoin(...).between(0, 30 min): clicks
+    joined to same-user purchases within the next 30 minutes. Both
+    sides watermarked + both-sided time band → join state evicts.
+    Twin of queries/relational.py::join_interval_batch."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return clicks.join(purchases, cond).select("user_id", "c_ts", "p_ts")
+
+
+def late_split_foreach_batch(
+    events: DataFrame,
+    on_time_dir: str,
+    late_dir: str,
+    allowed_lateness: str = "30 minutes",
+) -> Callable[[DataFrame, int], None]:
+    """[F] sideOutputLateData(OutputTag) — Spark has no native late-data
+    side output (SURVEY §4.4), so this is the documented foreachBatch
+    approximation: track the max event time seen across batches and
+    fan each micro-batch out to on-time/late parquet sinks. Returns
+    the foreachBatch function; attach with ``to_foreach_batch``."""
+    state = {"max_ts": None}
+    lateness = F.expr(f"INTERVAL {allowed_lateness}")
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        prev_max = state["max_ts"]
+        stats = batch.agg(F.max("ts").alias("m")).head()
+        if prev_max is None:
+            tagged = batch.withColumn("is_late", F.lit(False))
+        else:
+            tagged = batch.withColumn("is_late", F.col("ts") < (F.lit(prev_max) - lateness))
+        tagged.filter(~F.col("is_late")).drop("is_late").write.mode("append").parquet(on_time_dir)
+        tagged.filter(F.col("is_late")).drop("is_late").write.mode("append").parquet(late_dir)
+        if stats.m is not None and (prev_max is None or stats.m > prev_max):
+            state["max_ts"] = stats.m
+
+    return handle
+
+
+# ---------------------------------------------------------------------------
+# §2.1 streaming sources
+# ---------------------------------------------------------------------------
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """[F] datagen connector / DataGeneratorSource: synthetic ticking
+    source (timestamp, value) for demos and load tests."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .withColumn("bucket", F.col("value") % 10)
+    )
+
+
+def socket_source(spark: SparkSession, host: str = "localhost", port: int = 9999) -> DataFrame:
+    """[F] env.socketTextStream — the canonical Flink WordCount source.
+    Builder only (no socket server in the test environment); the
+    returned plan is start()-able wherever a server exists."""
+    return spark.readStream.format("socket").option("host", host).option("port", port).load()
+
+
+def kafka_source_stub(
+    spark: SparkSession, bootstrap_servers: str, topic: str, starting_offsets: str = "earliest"
+) -> DataFrame:
+    """[F] KafkaSource — interface-compatible stub (SURVEY §2.1: no
+    broker in this environment, and the kafka-sql connector jar is not
+    bundled). Builds the canonical reader; raises with a clear message
+    if the connector is genuinely unavailable at analysis time."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    try:
+        df = reader.load()
+    except Exception as exc:  # noqa: BLE001 — connector jar absent
+        raise NotImplementedError(
+            "kafka connector not available in this environment; "
+            "ship spark-sql-kafka-0-10 with the real deployment"
+        ) from exc
+    return df.select(
+        F.col("key").cast("string"), F.col("value").cast("string"), "topic", "timestamp"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 streaming sinks
+# ---------------------------------------------------------------------------
+
+
+def to_memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append", available_now: bool = True
+) -> StreamingQuery:
+    """[F] CollectSink (test sink): memory table, the golden-test basis."""
+    writer = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def to_console_sink(df: DataFrame, output_mode: str = "append") -> StreamingQuery:
+    """[F] DataStream#print — the tutorial console sink."""
+    return (
+        df.writeStream.format("console")
+        .outputMode(output_mode)
+        .option("numRows", 20)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def to_parquet_sink(df: DataFrame, path: str, checkpoint: str) -> StreamingQuery:
+    """[F] FileSink: append-mode partitioned parquet with a checkpoint —
+    the exactly-once file sink (offset WAL + atomic file manifest)."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def to_foreach_batch(
+    df: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """[F] retract/upsert sinks (JdbcSink.upsert): per-batch custom sink —
+    the fidelity path for changelog semantics (SURVEY §4.4: Spark has
+    no retractions; foreachBatch + MERGE emulates keyed upserts)."""
+    return (
+        df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def upsert_by_key_foreach_batch(target_dir: str, key: str = "user_id") -> Callable[[DataFrame, int], None]:
+    """foreachBatch upsert: keep only the latest row per key in a
+    parquet 'table' (full-file MERGE emulation — a real deployment
+    would target Delta/Iceberg MERGE INTO)."""
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.dropDuplicates([key])
+        if os.path.exists(target_dir):
+            existing = spark.read.parquet(target_dir)
+            merged = (
+                existing.join(batch.select(key), on=key, how="left_anti").unionByName(batch)
+            )
+        else:
+            merged = batch
+        # localCheckpoint materializes BEFORE the overwrite truncates the
+        # input files (classic read-overwrite hazard).
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+
+    return handle

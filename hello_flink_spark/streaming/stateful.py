@@ -1,0 +1,235 @@
+"""Arbitrary keyed-state processors — SURVEY §2.10 stateful_running_agg,
+stateful_timer, stateful_sessionize, cep_pattern, and the streaming
+twin of window_count (§2.9).
+
+[F] KeyedProcessFunction + ValueState/ListState + event-time timers /
+org.apache.flink.cep.CEP.pattern — re-expressed as
+``applyInPandasWithState`` processors: per-key state rows in the
+state store (RocksDB via session factory), Arrow-batched per-group
+Python, event-time timeouts driven by the query watermark. State is a
+flat tuple per key — bounded, evictable, 100 TB-safe (SURVEY §4.2).
+
+Ordering contract: each processor sorts its per-key batch by event
+time; the replay harness delivers chunks in time order, so cross-batch
+order matches event order (the same assumption Flink tutorials make
+with ascending-timestamp sources).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+CEP_WINDOW_US = 30 * 60 * 1_000_000
+COUNT_WINDOW_SIZE = 5
+
+
+def _sorted_concat(pdfs: Iterator[pd.DataFrame], by: list[str]) -> pd.DataFrame:
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    return pdf.sort_values(by, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# stateful_running_agg — [F] KeyedProcessFunction + ValueState
+# ---------------------------------------------------------------------------
+
+
+def _running_agg(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    cnt, total = state.get if state.exists else (0, 0.0)
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    cnt += len(pdf)
+    total += float(pdf["value"].sum())
+    state.update((cnt, total))
+    yield pd.DataFrame({"user_id": [key[0]], "event_cnt": [cnt], "total_value": [round(total, 2)]})
+
+
+def stateful_running_agg(events: DataFrame) -> DataFrame:
+    """Per-key running fold with explicit ValueState — the arbitrary-
+    state twin of jobs.running_totals (which Catalyst handles natively;
+    this one demonstrates the KeyedProcessFunction escape hatch)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_agg,
+        outputStructType="user_id long, event_cnt long, total_value double",
+        stateStructType="cnt long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# stateful_sessionize + stateful_timer — [F] MapState + event-time timers
+# ---------------------------------------------------------------------------
+
+
+def _sessionize(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom sessionization: emit a (user, session_start, cnt, total)
+    row when a session closes — either because a later event arrived
+    past the gap (in-order closure) or because the event-time timer
+    fired (watermark passed start+gap with no successor: the
+    stateful_timer path)."""
+    out: list[dict] = []
+
+    def close(sess):
+        out.append(
+            {
+                "user_id": key[0],
+                # integer µs → exactly representable in Arrow timestamp[us]
+                "session_start": pd.Timestamp(int(sess[0]), unit="us"),
+                "cnt": int(sess[2]),
+                "total_value": round(float(sess[3]), 2),
+            }
+        )
+
+    if state.hasTimedOut:
+        if state.exists:
+            close(state.get)
+            state.remove()
+        yield pd.DataFrame(out)
+        return
+
+    pdf = _sorted_concat(pdfs, ["ts", "event_id"])
+    sess = list(state.get) if state.exists else None  # [start_us, last_us, cnt, total]
+    for ts, value in zip(pdf["ts"], pdf["value"]):
+        ts_us = ts.value // 1000  # pd.Timestamp ns → µs, exact
+        if sess is None:
+            sess = [ts_us, ts_us, 0, 0.0]
+        elif ts_us - sess[1] >= SESSION_GAP_US:
+            close(sess)
+            sess = [ts_us, ts_us, 0, 0.0]
+        sess[1] = ts_us
+        sess[2] += 1
+        sess[3] += float(value)
+    state.update(tuple(sess))
+    # [F] timerService().registerEventTimeTimer(last_ts + gap)
+    state.setTimeoutTimestamp((sess[1] + SESSION_GAP_US) // 1000)
+    yield pd.DataFrame(out)
+
+
+def stateful_sessionize(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Sessionization with explicit state + event-time timers (the
+    custom path; F.session_window covers the declarative case)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType="user_id long, session_start timestamp, cnt long, total_value double",
+            stateStructType="start_us long, last_us long, cnt long, total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cep_pattern — [F] CEP.pattern(click followedBy purchase, within 30 min)
+# ---------------------------------------------------------------------------
+
+
+def _cep(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Minimal 2-step NFA per user: pending 'click' partial matches;
+    a 'purchase' within CEP_WINDOW_S completes every pending click
+    (each click matches its FIRST subsequent purchase — the semantics
+    of the batch shadow queries/timewindows.py::cep_pattern_batch)."""
+    if state.hasTimedOut:  # no successor events: drop expired partials
+        state.remove()
+        yield pd.DataFrame([])
+        return
+
+    pending: list[int] = list(state.get[0]) if state.exists else []
+    pdf = _sorted_concat(pdfs, ["ts", "event_id"])
+    out: list[dict] = []
+    for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+        ts_us = ts.value // 1000
+        pending = [c for c in pending if ts_us - c <= CEP_WINDOW_US]
+        if etype == "click":
+            pending.append(ts_us)
+        elif etype == "purchase" and pending:
+            matched = [c for c in pending if ts_us > c]
+            for c in matched:
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "click_ts": pd.Timestamp(int(c), unit="us"),
+                        "purchase_ts": pd.Timestamp(int(ts_us), unit="us"),
+                    }
+                )
+            pending = [c for c in pending if ts_us <= c]
+    if pending:
+        state.update((pending,))
+        state.setTimeoutTimestamp((max(pending) + CEP_WINDOW_US) // 1000)
+    elif state.exists:
+        state.remove()
+    yield pd.DataFrame(out)
+
+
+def cep_click_purchase(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """CEP 'A followedBy B within t' — no MATCH_RECOGNIZE in Spark
+    (SURVEY §2.10): a hand-rolled NFA over keyed state, partial matches
+    expired by event-time timers so state stays bounded."""
+    return (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cep,
+            outputStructType="user_id long, click_ts timestamp, purchase_ts timestamp",
+            stateStructType="pending array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window_count streaming twin — [F] countWindow(n)
+# ---------------------------------------------------------------------------
+
+
+def _count_window(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    chunk_idx, buf_cnt, buf_sum = state.get if state.exists else (0, 0, 0.0)
+    pdf = _sorted_concat(pdfs, ["ts", "event_id"])
+    out: list[dict] = []
+    for value in pdf["value"]:
+        buf_cnt += 1
+        buf_sum += float(value)
+        if buf_cnt == COUNT_WINDOW_SIZE:
+            out.append(
+                {
+                    "user_id": key[0],
+                    "chunk": chunk_idx,
+                    "cnt": COUNT_WINDOW_SIZE,
+                    "total_value": round(buf_sum, 2),
+                }
+            )
+            chunk_idx += 1
+            buf_cnt, buf_sum = 0, 0.0
+    state.update((chunk_idx, buf_cnt, buf_sum))
+    yield pd.DataFrame(out)
+
+
+def count_window_stream(events: DataFrame) -> DataFrame:
+    """Count-based windows (every N events per key) — no Structured
+    Streaming native (SURVEY §2.9): a stateful counter emitting a row
+    per completed chunk; the trailing partial stays in state (a stream
+    never ends — the batch shadow window_count emits it on EOF)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _count_window,
+        outputStructType="user_id long, chunk long, cnt long, total_value double",
+        stateStructType="chunk_idx long, buf_cnt long, buf_sum double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

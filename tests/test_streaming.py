@@ -1,0 +1,364 @@
+"""Streaming golden tests (SURVEY §5.3): replay the events fixture as a
+chunked file stream (one micro-batch per chunk via maxFilesPerTrigger)
+and compare final streaming results against the batch shadows — same
+grouping expressions, so batch == streaming-final by construction.
+
+Covers the S rows of SURVEY §2.1/§2.9/§2.10: source_filestream,
+source_rate, source_socket, source_kafka stub, sink_memory,
+sink_console, sink_parquet (streaming), sink_foreach_batch,
+watermark_bounded, late_drop, late_side_output, dedup_stream,
+agg_incremental, stream_static_join, stream_stream_join,
+stateful_running_agg, stateful_timer, stateful_sessionize,
+cep_pattern, window_count streaming.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from hello_flink_spark.registry import get_spec
+from hello_flink_spark.sources.readers import load_table
+from hello_flink_spark.streaming import jobs, replay, stateful
+
+WM = "30 minutes"
+
+
+def run_to_memory(df, name: str, mode: str = "append"):
+    q = jobs.to_memory_sink(df, name, output_mode=mode)
+    q.awaitTermination()
+    return q
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_replay"))
+    info = replay.chunk_events(spark, sf_dir, d, n_chunks=4)
+    return d, info
+
+
+@pytest.fixture(scope="module")
+def late_replay_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_replay_late"))
+    info = replay.chunk_events(spark, sf_dir, d, n_chunks=4, late_tail=True)
+    assert info["late_ids"], "late-tail fixture produced no late events"
+    return d, info
+
+
+def _stream(spark, replay_dir):
+    return replay.read_stream(spark, replay_dir[0])
+
+
+# ---------------------------------------------------------------------------
+# windows + watermark
+# ---------------------------------------------------------------------------
+
+
+def test_tumbling_complete_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """window_tumbling streaming twin == its declared batch shadow."""
+    run_to_memory(jobs.tumbling_counts(_stream(spark, replay_dir), WM), "t_tumble", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.cnt, r.total_value)
+        for r in spark.table("t_tumble").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.cnt, r.total_value)
+        for r in get_spec("window_tumbling").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sliding_complete_equals_batch_shadow(spark, sf_dir, replay_dir):
+    run_to_memory(jobs.sliding_counts(_stream(spark, replay_dir), WM), "t_slide", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.cnt, r.total_value)
+        for r in spark.table("t_slide").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.cnt, r.total_value)
+        for r in get_spec("window_sliding").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_session_append_subset_of_batch_shadow(spark, sf_dir, replay_dir):
+    """Append-mode session windows: every finalized session matches the
+    batch shadow; trailing sessions (watermark never passes them after
+    the last chunk) are legitimately withheld."""
+    run_to_memory(jobs.session_counts(_stream(spark, replay_dir), WM), "t_sess", "append")
+    got = {
+        (r.user_id, r.session_start): (r.cnt, r.total_value)
+        for r in spark.table("t_sess").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.cnt, r.total_value)
+        for r in get_spec("window_session").fn(spark, sf_dir).collect()
+    }
+    assert got, "no sessions finalized"
+    assert all(want.get(k) == v for k, v in got.items()), "finalized session != batch shadow"
+
+
+def test_late_rows_dropped(spark, sf_dir, late_replay_dir):
+    """late_drop / watermark_bounded: events replayed after the watermark
+    passed their window must not appear in append-mode output."""
+    d, info = late_replay_dir
+    run_to_memory(jobs.tumbling_counts(replay.read_stream(spark, d), WM), "t_late", "append")
+    emitted = spark.table("t_late").collect()
+    assert emitted, "no windows finalized"
+    # batch shadow over ON-TIME events only
+    late_ids = info["late_ids"]
+    on_time = (
+        load_table(spark, sf_dir, "events")
+        .filter(~F.col("event_id").isin(late_ids))
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "total_value")
+    )
+    want = {
+        (r.window_start, r.event_type): (r.cnt, r.total_value) for r in on_time.collect()
+    }
+    for r in emitted:
+        assert want.get((r.window_start, r.event_type)) == (r.cnt, r.total_value), (
+            f"late rows leaked into window {r.window_start}/{r.event_type}"
+        )
+
+
+def test_late_side_output_foreach_batch(spark, late_replay_dir, tmp_path):
+    """late_side_output approximation: foreachBatch fan-out routes the
+    withheld tail to the late sink."""
+    d, info = late_replay_dir
+    on_time_dir = str(tmp_path / "on_time")
+    late_dir = str(tmp_path / "late")
+    fn = jobs.late_split_foreach_batch(
+        replay.read_stream(spark, d).select("event_id", "ts"),
+        on_time_dir,
+        late_dir,
+        allowed_lateness=WM,
+    )
+    q = jobs.to_foreach_batch(
+        replay.read_stream(spark, d).select("event_id", "ts"),
+        fn,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    late_rows = spark.read.parquet(late_dir).collect()
+    late_got = {r.event_id for r in late_rows}
+    assert late_got, "no late rows routed"
+    assert late_got <= set(info["late_ids"]), "on-time rows misrouted as late"
+
+
+# ---------------------------------------------------------------------------
+# dedup / joins / incremental agg
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """dedup_stream: duplicated chunk replayed within the watermark
+    horizon → dropDuplicatesWithinWatermark keeps one row per event_id."""
+    d = str(tmp_path / "dup_replay")
+    events = load_table(spark, sf_dir, "events").orderBy("ts").limit(300)
+    events.coalesce(1).write.parquet(os.path.join(d, "chunk_000"))
+    events.coalesce(1).write.parquet(os.path.join(d, "chunk_001"))  # exact duplicates
+    run_to_memory(jobs.dedup_events(replay.read_stream(spark, d), WM), "t_dedup", "append")
+    got = spark.table("t_dedup").select("event_id").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)) == 300
+
+
+def test_stream_static_join(spark, sf_dir, replay_dir):
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 10), ("signup", 5), ("error", 0)],
+        "event_type string, weight int",
+    )
+    run_to_memory(
+        jobs.stream_static_join(_stream(spark, replay_dir), dim).select(
+            "event_id", "event_type", "weight"
+        ),
+        "t_ssj",
+    )
+    got = spark.table("t_ssj")
+    want = load_table(spark, sf_dir, "events").join(dim, "event_type")
+    assert got.count() == want.count()
+    assert got.agg(F.sum("weight")).head()[0] == want.agg(F.sum("weight")).head()[0]
+
+
+def test_stream_stream_interval_join(spark, sf_dir, replay_dir):
+    run_to_memory(
+        jobs.stream_stream_interval_join(_stream(spark, replay_dir), WM), "t_ssij"
+    )
+    got = spark.table("t_ssij").count()
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter("event_type = 'click'").select("user_id", F.col("ts").alias("c_ts"))
+    purchases = e.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    want = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 30 MINUTES")),
+    ).count()
+    assert got == want
+
+
+def test_running_totals_update_mode(spark, sf_dir, replay_dir):
+    """agg_incremental: update-mode running agg; the LAST emission per
+    key equals the batch aggregate."""
+    run_to_memory(jobs.running_totals(_stream(spark, replay_dir)), "t_run", "update")
+    emitted = spark.table("t_run")
+    final = (
+        emitted.groupBy("user_id").agg(F.max("event_cnt").alias("event_cnt")).collect()
+    )
+    got = {r.user_id: r.event_cnt for r in final}
+    want = {
+        r.user_id: r.event_cnt
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("event_cnt"))
+        .collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# stateful processors
+# ---------------------------------------------------------------------------
+
+
+def test_stateful_running_agg(spark, sf_dir, replay_dir):
+    run_to_memory(
+        stateful.stateful_running_agg(_stream(spark, replay_dir)), "t_srun", "update"
+    )
+    final = (
+        spark.table("t_srun")
+        .groupBy("user_id")
+        .agg(F.max("event_cnt").alias("event_cnt"))
+        .collect()
+    )
+    got = {r.user_id: r.event_cnt for r in final}
+    want = {
+        r.user_id: r.event_cnt
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("event_cnt"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stateful_sessionize_matches_batch_shadow(spark, sf_dir, replay_dir):
+    """Emitted sessions (closed in-order or by event-time timer) must
+    match the batch gaps-and-islands shadow row-for-row."""
+    run_to_memory(
+        stateful.stateful_sessionize(_stream(spark, replay_dir), WM), "t_sess2", "append"
+    )
+    got = {
+        (r.user_id, r.session_start): (r.cnt, r.total_value)
+        for r in spark.table("t_sess2").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.cnt, r.total_value)
+        for r in get_spec("window_session").fn(spark, sf_dir).collect()
+    }
+    assert got, "no sessions emitted"
+    mismatches = {k: (v, want.get(k)) for k, v in got.items() if want.get(k) != v}
+    assert not mismatches, f"sessions diverge from batch shadow: {list(mismatches.items())[:3]}"
+
+
+def test_cep_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """The streaming NFA must produce exactly the batch-shadow matches
+    (every click paired with its first subsequent purchase <= 30 min)."""
+    run_to_memory(stateful.cep_click_purchase(_stream(spark, replay_dir), WM), "t_cep")
+    got = sorted(
+        (r.user_id, r.click_ts, r.purchase_ts) for r in spark.table("t_cep").collect()
+    )
+    want = sorted(
+        (r.user_id, r.click_ts, r.first_purchase_ts)
+        for r in get_spec("cep_pattern_batch").fn(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
+def test_count_window_stream(spark, sf_dir, replay_dir):
+    """Completed count-window chunks must match the batch shadow's
+    full chunks (the trailing partial stays in state)."""
+    run_to_memory(stateful.count_window_stream(_stream(spark, replay_dir)), "t_cw")
+    got = {
+        (r.user_id, r.chunk): (r.cnt, r.total_value) for r in spark.table("t_cw").collect()
+    }
+    full_chunks = (
+        get_spec("window_count")
+        .fn(spark, sf_dir)
+        .filter(F.col("cnt") == stateful.COUNT_WINDOW_SIZE)
+    )
+    want = {(r.user_id, r.chunk): (r.cnt, r.total_value) for r in full_chunks.collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# sources & sinks
+# ---------------------------------------------------------------------------
+
+
+def test_rate_source_produces_rows(spark):
+    df = jobs.rate_source(spark, rows_per_second=50)
+    q = df.writeStream.format("memory").queryName("t_rate").outputMode("append").start()
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline and spark.table("t_rate").count() == 0:
+            time.sleep(0.5)
+        assert spark.table("t_rate").count() > 0
+    finally:
+        q.stop()
+
+
+def test_socket_source_builder(spark):
+    df = jobs.socket_source(spark)
+    assert df.isStreaming and df.columns == ["value"]
+
+
+def test_kafka_stub_raises_cleanly(spark):
+    with pytest.raises(NotImplementedError, match="kafka connector"):
+        jobs.kafka_source_stub(spark, "localhost:9092", "events")
+
+
+def test_parquet_sink_streaming(spark, sf_dir, replay_dir, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = jobs.to_parquet_sink(
+        _stream(spark, replay_dir).select("event_id", "ts", "user_id"), out, ckpt
+    )
+    q.awaitTermination()
+    n = spark.read.parquet(out).count()
+    assert n == load_table(spark, sf_dir, "events").count()
+
+
+def test_console_sink_smoke(spark, replay_dir):
+    q = jobs.to_console_sink(_stream(spark, replay_dir).limit(5))
+    q.awaitTermination()
+
+
+def test_foreach_batch_upsert(spark, sf_dir, replay_dir, tmp_path):
+    """sink_foreach_batch: keyed upsert — final table holds exactly the
+    latest running total per user == the batch aggregate."""
+    target = str(tmp_path / "upsert_target")
+    fn = jobs.upsert_by_key_foreach_batch(target, key="user_id")
+    q = jobs.to_foreach_batch(
+        jobs.running_totals(_stream(spark, replay_dir)),
+        fn,
+        checkpoint=str(tmp_path / "ckpt"),
+        output_mode="update",
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(target)
+    got = {r.user_id: r.event_cnt for r in final.collect()}
+    want = {
+        r.user_id: r.event_cnt
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("event_cnt"))
+        .collect()
+    }
+    assert got == want
