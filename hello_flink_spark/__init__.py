@@ -17,12 +17,14 @@ The engine is:
 - :mod:`hello_flink_spark.operators` — composable DataFrame→DataFrame
   combinators for every operator family in SURVEY §2;
 - :mod:`hello_flink_spark.streaming` — Structured Streaming job
-  templates, stateful processors, CEP;
-- :mod:`hello_flink_spark.llm` — LLM-data-pipeline operators (dedup,
-  similarity search, text analysis, multimodal plumbing);
+  templates (replay harness, watermarked windows, joins, sinks) and
+  stateful processors (running agg, sessionization, timers, CEP NFA,
+  count windows);
 - :mod:`hello_flink_spark.queries` — the declared-query registry that
   backs ``__spark_entry__.py`` (one entry per SURVEY §2 "O" row, each
-  paired with DuckDB oracle SQL).
+  paired with DuckDB oracle SQL; ``queries.llm`` holds the
+  LLM-data-pipeline operators — dedup, similarity search, text
+  analysis, multimodal plumbing).
 """
 
 from hello_flink_spark.registry import all_queries, all_oracles, get_spec

@@ -11,12 +11,19 @@ Spark lacks natively:
 
 Scale notes (100 TB): the naive formulation (range join + ROW_NUMBER)
 explodes to O(|L|·|R|/keys) intermediate rows before the rank filter.
-We instead cogroup both sides by key and run ``pandas.merge_asof``
-per key partition — shuffle is one exchange per side on the join key
-(exactly what a sort-merge join would do), memory is bounded by the
-per-key group, and there is no intermediate blowup. Skewed keys can be
-salted upstream with ``repartition``; AQE skew handling does not apply
-inside cogroup, so extremely hot keys are the caller's responsibility.
+Two linear formulations instead:
+
+- ``asof_join_window`` (default): union both sides, per-key window,
+  carry the latest right values forward with last(ignorenulls) — one
+  shuffle total, all JVM (no Python boundary). Measured ~7x faster
+  than the cogroup path at sf0.1 (BASELINE.md).
+- ``asof_join`` (cogroup + ``pandas.merge_asof``): one exchange per
+  side, vectorized per group — the escape hatch when per-key logic
+  outgrows what a window can express.
+
+Skewed keys can be salted upstream with ``repartition``; AQE skew
+handling does not apply inside cogroup, so extremely hot keys are the
+caller's responsibility.
 """
 
 from __future__ import annotations
@@ -24,6 +31,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def asof_join(
@@ -69,6 +77,52 @@ def asof_join(
         .cogroup(right.groupBy(key))
         .applyInPandas(merge, schema=schema)
     )
+
+
+def asof_join_window(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """As-of (backward) join, JVM-only: union both sides tagged, order
+    per key by event time, and fill each left row with the latest
+    preceding right values via last(..., ignorenulls=True) over a
+    running row frame. One shuffle, whole-stage codegen throughout.
+
+    Tie handling at equal timestamps: right rows sort before left rows
+    when ``allow_exact_matches`` (a right row AT the probe time
+    matches), after them otherwise.
+
+    Caveat vs merge_asof: carry-forward is per right COLUMN — a right
+    row with NULL in one attached column would inherit that column from
+    an older row. Right rows must be NULL-free in attached columns
+    (dedup/clean upstream), which the declared queries guarantee.
+    """
+    right_cols = [c for c in right.columns if c != key and c != right_ts]
+    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__left", F.lit(1))
+    for c in [right_ts, *right_cols]:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    r_tagged = right.withColumn("__ts", F.col(right_ts)).withColumn("__left", F.lit(0))
+    for c in left.columns:
+        if c != key:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
+
+    tie = F.col("__left").asc() if allow_exact_matches else F.col("__left").desc()
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts"), tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in left.columns],
+        F.col("__left"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in [right_ts, *right_cols]],
+    )
+    return filled.filter(F.col("__left") == 1).drop("__left")
 
 
 def lookup_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hello_flink_spark.operators.joins import asof_join, lookup_join
+from hello_flink_spark.operators.joins import asof_join, asof_join_window, lookup_join
 from hello_flink_spark.registry import register
 from hello_flink_spark.sources.readers import load_table as t
 
@@ -454,15 +454,10 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
-@register("join_asof", oracle=ASOF_ORACLE)
-def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[F] temporal table join FOR SYSTEM_TIME AS OF — for each click, the
-    user's latest purchase at or before the click.
-
-    Implemented with the cogroup + merge_asof operator (operators/joins.py):
-    one shuffle per side, no range-join blowup. Right side is deduped to
-    one row per (user, ts) so the as-of pick is deterministic.
-    """
+def _asof_sides(spark: SparkSession, sf_dir: str):
+    """Shared click/purchase sides for both as-of formulations. Right
+    side deduped to one row per (user, ts) so the as-of pick is
+    deterministic."""
     e = t(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
@@ -474,6 +469,32 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("ts").alias("purchase_ts"), F.col("value").alias("purchase_value"))
     )
+    return clicks, purchases
+
+
+@register("join_asof", oracle=ASOF_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] temporal table join FOR SYSTEM_TIME AS OF — for each click,
+    the user's latest purchase at or before the click.
+
+    Default formulation: union + per-key carry-forward window
+    (operators/joins.py::asof_join_window) — one shuffle, all JVM,
+    ~7x faster than the Arrow cogroup path at sf0.1 (BASELINE.md).
+    """
+    clicks, purchases = _asof_sides(spark, sf_dir)
+    joined = asof_join_window(
+        clicks, purchases, key="user_id", left_ts="click_ts", right_ts="purchase_ts"
+    )
+    return joined.select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+
+
+@register("join_asof_pandas", oracle=ASOF_ORACLE)
+def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics through the cogroup + pandas.merge_asof
+    escape hatch (operators/joins.py::asof_join) — kept declared so the
+    Python path stays correctness-gated; use when per-key logic
+    outgrows a window expression."""
+    clicks, purchases = _asof_sides(spark, sf_dir)
     return asof_join(
         clicks,
         purchases,
@@ -909,3 +930,51 @@ def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.exceptAll(s)
+
+
+@register(
+    "intersect_all",
+    oracle="""
+    SELECT o_orderstatus AS status FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_orderstatus FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL INTERSECT ALL (multiset intersection — keeps min
+    multiplicity per value, unlike the set variant)."""
+    o = t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderstatus").alias("status")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_orderstatus").alias("status")
+    )
+    return urgent.intersectAll(low)
+
+
+@register(
+    "except_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+)
+def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL EXCEPT (set difference): nations with BUILDING customers
+    but no high-balance supplier. (Supplier side filtered so the result
+    is non-empty at sf0.01 — 5 rows; an unfiltered variant passes
+    vacuously at 0, the r01 join_anti trap.)"""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)

@@ -22,8 +22,13 @@ from hello_flink_spark.registry import register
 from hello_flink_spark.sources.readers import load_table as t
 
 
-@F.pandas_udf("string")
-def _tier(value: pd.Series) -> pd.Series:
+# NOTE: pandas_udf wrapping happens INSIDE each query function —
+# F.pandas_udf parses the DDL return type, which needs a live
+# SparkContext, and the registry imports this module before any
+# session exists.
+
+
+def _tier_fn(value: pd.Series) -> pd.Series:
     """Vectorized scalar: bucket a double into named tiers."""
     return pd.cut(
         value,
@@ -47,18 +52,18 @@ def _tier(value: pd.Series) -> pd.Series:
 def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[F] ScalarFunction: a pandas_udf tier bucketer (Arrow-vectorized,
     the 100 TB path) plus one Arrow-enabled row UDF for API parity."""
+    tier = F.pandas_udf(_tier_fn, "string")
     upper_udf = F.udf(lambda s: s.upper() if s is not None else None, "string", useArrow=True)
     e = t(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        _tier(F.col("value")).alias("tier"),
+        tier(F.col("value")).alias("tier"),
         upper_udf(F.col("event_type")).alias("type_up"),
     )
 
 
-@F.pandas_udf("double")
-def _weighted_avg(price: pd.Series, qty: pd.Series) -> float:
-    """GROUPED_AGG pandas_udf: quantity-weighted mean price."""
+def _weighted_avg_fn(price: pd.Series, qty: pd.Series) -> float:
+    """GROUPED_AGG pandas_udf body: quantity-weighted mean price."""
     q = qty.sum()
     return float((price * qty).sum() / q) if q else float("nan")
 
@@ -74,9 +79,10 @@ def _weighted_avg(price: pd.Series, qty: pd.Series) -> float:
 def udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[F] AggregateFunction (UDAGG): grouped-agg pandas_udf computing a
     weighted average per key — Arrow batches per group, no row loop."""
+    weighted_avg = F.pandas_udf(_weighted_avg_fn, "double")
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(_weighted_avg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
     )
 
 
@@ -112,8 +118,7 @@ def udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@F.pandas_udf("double")
-def _l2_norm(embedding: pd.Series) -> pd.Series:
+def _l2_norm_fn(embedding: pd.Series) -> pd.Series:
     """Vectorized over the whole Arrow batch: one numpy call, no per-row
     Python — the 10-100x-over-row-UDF tier (SURVEY §2.11 udf_vectorized)."""
     import numpy as np
@@ -134,5 +139,6 @@ def _l2_norm(embedding: pd.Series) -> pd.Series:
 def udf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[F] n/a in row-at-a-time Flink — the Spark-native vectorized
     tier: batch numpy L2 norm over the embedding column."""
+    l2_norm = F.pandas_udf(_l2_norm_fn, "double")
     e = t(spark, sf_dir, "embeddings")
-    return e.select("vec_id", F.round(_l2_norm("embedding"), 6).alias("l2"))
+    return e.select("vec_id", F.round(l2_norm("embedding"), 6).alias("l2"))

@@ -131,6 +131,53 @@ def stateful_sessionize(events: DataFrame, watermark: str = "30 minutes") -> Dat
 
 
 # ---------------------------------------------------------------------------
+# stateful_timer — [F] Context#timerService().registerEventTimeTimer
+# ---------------------------------------------------------------------------
+
+INACTIVITY_US = 60 * 60 * 1_000_000
+
+
+def _inactivity(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        last_us, cnt = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_seen": [pd.Timestamp(int(last_us), unit="us")],
+                "events_before_idle": [int(cnt)],
+            }
+        )
+        return
+    pdf = _sorted_concat(pdfs, ["ts", "event_id"])
+    last_us = int(pdf["ts"].iloc[-1].value // 1000)
+    cnt = (state.get[1] if state.exists else 0) + len(pdf)
+    state.update((last_us, cnt))
+    # pure timer semantics: the ONLY output is timer-driven (the alert)
+    state.setTimeoutTimestamp((last_us + INACTIVITY_US) // 1000)
+    yield pd.DataFrame([])
+
+
+def inactivity_alerts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Per-key event-time timer callback in isolation: emit an alert row
+    when a user goes quiet for INACTIVITY_US of event time — every event
+    re-registers the timer; only the timeout path produces output."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _inactivity,
+            outputStructType="user_id long, last_seen timestamp, events_before_idle long",
+            stateStructType="last_us long, cnt long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # cep_pattern — [F] CEP.pattern(click followedBy purchase, within 30 min)
 # ---------------------------------------------------------------------------
 

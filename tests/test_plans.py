@@ -1,0 +1,64 @@
+"""Physical-plan quality guards (VERDICT r01 "Performance" findings,
+SURVEY §4.2): catch scale-killers at plan time, before any bench run.
+
+- No BroadcastNestedLoopJoin except where a side is a true constant-
+  size input (dims that don't grow with scale factor, or an explicitly
+  broadcast probe set) — each exemption justified below.
+- No unpartitioned per-row window (ROW_NUMBER over a global ORDER BY
+  funnels every row through one WindowExec task) except over inputs
+  whose size is independent of the scale factor.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hello_flink_spark.registry import all_specs
+
+SPECS = all_specs()
+
+# BNLJ allowed: both sides constant-size (nation 25 rows, region 5) or
+# the broadcast side is a fixed probe/query set that does not grow with
+# the corpus (sim_* broadcast probes).
+BNLJ_OK = {
+    "join_theta",      # nation x nation — true dims, documented
+    "join_cross",      # region x nation — true dims
+    "sim_cosine_pairs",  # broadcast fixed probe set x corpus scan
+    "sim_knn",           # broadcast fixed query set x corpus scan
+}
+
+# Unpartitioned windows allowed only over scale-independent inputs:
+# sort's bucket-offset table is O(value_range/bucket) rows, not O(n).
+GLOBAL_WINDOW_OK = {"sort"}
+
+WINDOW_SPEC = re.compile(r"windowspecdefinition\(([^)]*)\)")
+
+
+def _plan(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, "/root/testdata/sf0.001")
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# streaming-less declared queries only (plans of rows-only ML ops like
+# MinHashLSH materialize models at fit time — skip the two LSH fits).
+PLAN_NAMES = sorted(n for n in SPECS if n not in {"dedup_minhash", "sim_lsh_knn"})
+
+
+@pytest.mark.parametrize("name", PLAN_NAMES)
+def test_no_scale_killer_in_plan(spark, name):
+    plan = _plan(spark, name)
+
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+        pytest.fail(f"{name}: BroadcastNestedLoopJoin between scaling tables\n{plan[:1500]}")
+
+    if name not in GLOBAL_WINDOW_OK:
+        for spec in WINDOW_SPEC.finditer(plan):
+            inner = spec.group(1)
+            first_arg = inner.split(",")[0].strip()
+            # A partitioned spec starts with partition columns; an
+            # unpartitioned one starts directly with an ordering like
+            # "col#12 ASC NULLS FIRST".
+            if re.search(r"(ASC|DESC)", first_arg):
+                pytest.fail(f"{name}: unpartitioned window: {inner[:200]}")

@@ -298,6 +298,27 @@ def test_count_window_stream(spark, sf_dir, replay_dir):
     assert got == want
 
 
+def test_stateful_timer_inactivity_alerts(spark, sf_dir, replay_dir):
+    """stateful_timer: alerts fire only via event-time timers; every
+    alerted (user, last_seen) must be a real >=1h-idle point — i.e. the
+    next event for that user in the batch data is >1h later or absent."""
+    run_to_memory(
+        stateful.inactivity_alerts(_stream(spark, replay_dir), WM), "t_idle", "append"
+    )
+    alerts = spark.table("t_idle").collect()
+    assert alerts, "no inactivity alerts fired"
+    events = (
+        load_table(spark, sf_dir, "events").select("user_id", "ts").orderBy("ts").collect()
+    )
+    by_user: dict = {}
+    for r in events:
+        by_user.setdefault(r.user_id, []).append(r.ts)
+    for a in alerts:
+        later = [ts for ts in by_user[a.user_id] if ts > a.last_seen]
+        gap_ok = not later or (later[0] - a.last_seen).total_seconds() >= 3600
+        assert gap_ok, f"alert at {a.last_seen} for user {a.user_id} but next event {later[:1]}"
+
+
 # ---------------------------------------------------------------------------
 # sources & sinks
 # ---------------------------------------------------------------------------
