@@ -1,0 +1,143 @@
+"""Property-based invariants (SURVEY §5.4) over generated data —
+things the fixture-based oracle can't prove:
+
+- window partition completeness: every event lands in exactly one
+  tumbling window / exactly size/slide sliding windows;
+- session windows: counts partition the input, intra-session gaps are
+  below the timeout;
+- dedup idempotence;
+- the two as-of join implementations (JVM window vs pandas merge_asof)
+  agree on arbitrary inputs;
+- semi/anti joins partition the left side.
+
+Examples are deliberately few (Spark job per example); the generators
+aim at edge cases — equal timestamps, boundary-aligned timestamps,
+empty sides.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hello_flink_spark.operators.joins import asof_join, asof_join_window
+
+BASE = dt.datetime(2024, 1, 1)
+
+# seconds offsets; multiples of 60 land exactly on window boundaries
+ts_offsets = st.lists(
+    st.integers(min_value=0, max_value=3600).map(lambda s: s * 10), min_size=1, max_size=40
+)
+
+SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+def _events_df(spark, offsets):
+    rows = [
+        (i, BASE + dt.timedelta(seconds=off), i % 3, float(i))
+        for i, off in enumerate(offsets)
+    ]
+    return spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+
+
+@given(offsets=ts_offsets)
+@SETTINGS
+def test_tumbling_partition_completeness(spark, offsets):
+    df = _events_df(spark, offsets)
+    win = df.groupBy(F.window("ts", "10 minutes").alias("w")).agg(F.count("*").alias("cnt"))
+    rows = win.collect()
+    assert sum(r.cnt for r in rows) == len(offsets)
+    for r in rows:
+        assert (r.w.end - r.w.start).total_seconds() == 600
+        # epoch-aligned starts
+        assert r.w.start.timestamp() % 600 == 0
+
+
+@given(offsets=ts_offsets)
+@SETTINGS
+def test_sliding_each_event_in_exactly_size_over_slide_windows(spark, offsets):
+    df = _events_df(spark, offsets)
+    win = df.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w")).agg(
+        F.count("*").alias("cnt")
+    )
+    assert sum(r.cnt for r in win.collect()) == 2 * len(offsets)
+
+
+@given(offsets=ts_offsets)
+@SETTINGS
+def test_session_windows_partition_and_respect_gap(spark, offsets):
+    gap_s = 300
+    df = _events_df(spark, offsets)
+    sess = df.groupBy(F.session_window("ts", f"{gap_s} seconds").alias("w"), "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    rows = sess.collect()
+    assert sum(r.cnt for r in rows) == len(offsets)
+    # per user: session windows don't overlap and are separated by >= gap
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.w.start, r.w.end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert (s2 - e1).total_seconds() >= 0, "overlapping sessions"
+
+
+@given(texts=st.lists(st.sampled_from(["a b c", "a b c ", "A b C", "x y", "x  y"]), min_size=1, max_size=20))
+@SETTINGS
+def test_dedup_exact_idempotent(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    key = F.sha2(F.lower(F.trim("text")), 256).alias("h")
+    once = df.select(key, "doc_id").groupBy("h").agg(F.min("doc_id").alias("keep"))
+    kept = df.join(once.select(F.col("keep").alias("doc_id")), "doc_id")
+    twice = kept.select(key, "doc_id").groupBy("h").agg(F.min("doc_id").alias("keep"))
+    assert sorted(r.keep for r in once.collect()) == sorted(r.keep for r in twice.collect())
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=25),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=0, max_size=25),
+)
+@SETTINGS
+def test_asof_implementations_agree(spark, left, right):
+    """The JVM window formulation and pandas merge_asof must agree on
+    arbitrary keyed/timestamped inputs (incl. equal timestamps and
+    empty right sides). Right side deduped per (key, ts) first — the
+    documented determinism precondition."""
+    ldf = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)],
+        "lid long, k long, lts timestamp",
+    )
+    rdf = (
+        spark.createDataFrame(
+            [(k, BASE + dt.timedelta(seconds=s), float(i)) for i, (k, s) in enumerate(right)],
+            "k long, rts timestamp, rval double",
+        )
+        .groupBy("k", "rts")
+        .agg(F.max("rval").alias("rval"))
+    )
+    a = asof_join_window(ldf, rdf, key="k", left_ts="lts", right_ts="rts")
+    b = asof_join(
+        ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+        schema="lid long, k long, lts timestamp, rts timestamp, rval double",
+    )
+    ka = sorted(map(tuple, a.select("lid", "k", "lts", "rts", "rval").collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb
+
+
+@given(keys=st.lists(st.integers(0, 5), min_size=1, max_size=30))
+@SETTINGS
+def test_semi_anti_partition_left(spark, keys):
+    left = spark.createDataFrame([(k,) for k in keys], "k long")
+    right = spark.createDataFrame([(k,) for k in {0, 2, 4}], "k long")
+    semi = left.join(right, "k", "left_semi").count()
+    anti = left.join(right, "k", "left_anti").count()
+    assert semi + anti == len(keys)
