@@ -342,6 +342,134 @@ def sim_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nn.select("vec_id", F.round("l2_dist", 6).alias("l2_dist"))
 
 
+IVF_C = 16      # centroid count (deterministic: first C vectors)
+IVF_NPROBE = 2  # centroid buckets probed per query
+IVF_COS_SQL = (
+    "ROUND(list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_inner_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_inner_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+)
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < {IVF_C}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, c_id AS bucket FROM (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {IVF_COS_SQL.format(a='e.embedding', b='c.c_vec')} DESC, c.c_id) AS rn
+        FROM embeddings e CROSS JOIN centroids c)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, c_id AS bucket FROM (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {IVF_COS_SQL.format(a='e.embedding', b='c.c_vec')} DESC, c.c_id) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+        WHERE e.vec_id % 100 = 0)
+      WHERE rn <= {IVF_NPROBE}
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {IVF_COS_SQL.format(a='p.q_vec', b='a.embedding')} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+               ORDER BY {IVF_COS_SQL.format(a='p.q_vec', b='a.embedding')} DESC, a.vec_id) AS rk
+      FROM probes p JOIN assign a ON a.bucket = p.bucket AND a.vec_id != p.query_id)
+    WHERE rk <= 5
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN — the bucketed scale path for similarity search:
+    assign every vector to its nearest of C centroids (broadcast
+    centroid table), probe only the query's NPROBE nearest buckets, do
+    exact cosine inside them. Corpus-side cost is one broadcast-join
+    pass (assignment) + per-bucket scans — sub-linear probing at scale.
+
+    Centroids here are the first C vectors (deterministic, so the
+    DuckDB oracle can replay the exact math); a real deployment trains
+    them offline (k-means) and broadcasts the trained table — the plan
+    shape is identical. Ranking uses ROUNDED cosine + id tiebreak so
+    cross-engine float noise can't reorder the cut (sim_knn precedent).
+    """
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < IVF_C).select(
+        F.col("vec_id").alias("c_id"), _as_double(F.col("embedding")).alias("c_vec")
+    )
+    vecs = e.select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+
+    def nearest_buckets(side: DataFrame, id_col: str, n: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(centroids)).select(
+            id_col,
+            "vec",
+            "c_id",
+            F.round(_cosine(F.col("vec"), F.col("c_vec")), 6).alias("c_sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("c_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select(id_col, "vec", F.col("c_id").alias("bucket"))
+        )
+
+    assign = nearest_buckets(vecs, "vec_id", 1)
+    probes = nearest_buckets(
+        vecs.filter(F.col("vec_id") % 100 == 0), "vec_id", IVF_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"), "bucket")
+
+    cand = probes.join(
+        assign.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("n_vec"), "bucket"),
+        "bucket",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(F.col("rk") <= 5)
+
+
+EMB_NEAR_DUP_COS = 0.35  # calibrated: max pairwise cosine in the synthetic
+# corpus is ~0.51 (near-random 64-dim vectors), so the classic 0.9+
+# near-dup bar can never fire; 0.35 selects the genuine top tail. With
+# real embedding corpora raise this back to 0.9+.
+
+
+@register("dedup_embedding_cosine", oracle=None)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: unit-normalize vectors, LSH-bucket
+    with BucketedRandomProjectionLSH, approxSimilarityJoin at the L2
+    radius equivalent to cosine >= EMB_NEAR_DUP_COS (||a-b||² = 2-2cos
+    on unit vectors) — candidate pairs come from shared LSH buckets,
+    never all-pairs. Seeded → deterministic; rows-only at the gate with
+    an exactness invariant in tests/test_llm.py."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", array_to_vector(_as_double(F.col("embedding"))).alias("raw"))
+    unit = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(vecs)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(unit)
+    radius = (2.0 - 2.0 * EMB_NEAR_DUP_COS) ** 0.5
+    pairs = model.approxSimilarityJoin(unit, unit, radius, distCol="l2_dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round(1 - F.col("l2_dist") * F.col("l2_dist") / 2, 6).alias("cos_sim"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

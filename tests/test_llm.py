@@ -78,6 +78,44 @@ def test_approx_count_distinct_error_bound(spark, sf_dir_mid):
         assert abs(approx[k] - ex) / ex <= 0.06, f"{k}: approx={approx[k]} exact={ex}"
 
 
+def test_embedding_near_dup_pairs_are_exact(spark, sf_dir_mid):
+    """dedup_embedding_cosine: non-empty, ordered pairs, and every
+    returned pair really has cosine >= the calibrated threshold
+    (exact numpy recompute — LSH may MISS pairs, never fabricate)."""
+    import numpy as np
+
+    from hello_flink_spark.queries.llm import EMB_NEAR_DUP_COS
+
+    pairs = get_spec("dedup_embedding_cosine").fn(spark, sf_dir_mid).collect()
+    assert pairs, "no near-dup candidates at the calibrated threshold"
+    emb = load_table(spark, sf_dir_mid, "embeddings").toPandas()
+    mat = np.array(emb["embedding"].tolist(), dtype=float)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    idx = {v: i for i, v in enumerate(emb["vec_id"])}
+    for p in pairs:
+        assert p.vec_a < p.vec_b
+        cos = float(mat[idx[p.vec_a]] @ mat[idx[p.vec_b]])
+        assert cos >= EMB_NEAR_DUP_COS - 1e-6, f"pair ({p.vec_a},{p.vec_b}) cos={cos}"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir_mid):
+    """sim_ann_ivf (nprobe=2 of 16 buckets) must recover a reasonable
+    fraction of the exact top-5 from sim_knn for the shared queries."""
+    ivf = get_spec("sim_ann_ivf").fn(spark, sf_dir_mid).collect()
+    exact = get_spec("sim_knn").fn(spark, sf_dir_mid).collect()
+    ivf_sets: dict = {}
+    for r in ivf:
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(ivf_sets.get(q, set()) & n) / len(n) for q, n in exact_sets.items()
+    ]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.2, f"IVF recall collapsed: {avg} ({recalls})"
+
+
 def test_knn_is_consistent_with_cosine_pairs(spark, sf_dir_mid):
     """sim_knn rank-1 neighbor similarity must equal the max cos_sim
     among that query's sim_cosine_pairs candidates (where comparable)."""
