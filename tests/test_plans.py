@@ -27,6 +27,7 @@ BNLJ_OK = {
     "join_cross",      # region x nation — true dims
     "sim_cosine_pairs",  # broadcast fixed probe set x corpus scan
     "sim_knn",           # broadcast fixed query set x corpus scan
+    "sim_ann_ivf",       # broadcast C=16 centroid table x corpus scan
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
