@@ -1,0 +1,70 @@
+"""Scale-out helpers (SURVEY §4.2, the 100 TB toolbox): key-salting
+for skewed joins and bucketed table writes for co-located (shuffle-
+free) joins.
+
+These complement, not replace, the built-ins: AQE skew-join splitting
+handles moderate skew automatically; salting is for the pathological
+hot key (one key = a significant fraction of the table) where even a
+split partition overwhelms an executor. Bucketing pre-pays the shuffle
+at write time — worth it when a large table is joined on the same key
+by many downstream queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    replicated: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with the skewed (large) side salted into ``salt``
+    sub-keys and the replicated (smaller) side exploded to all salts —
+    a hot key's rows spread over ``salt`` partitions instead of one.
+
+    Deterministic salting (hash of the whole row via monotonically
+    unstable columns is NOT used): the salt is ``xxhash64`` of every
+    skewed-side column, mod ``salt`` — stable across retries, which
+    exactly-once sinks require.
+
+    Join type support: 'inner' and 'left' (the skewed side is
+    preserved); for right/full outer the roles must be flipped first.
+    Result equals ``skewed.join(replicated, key, how)`` row-for-row
+    (property-tested in tests/test_scale.py).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt))
+    )
+    exploded = replicated.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return salted.join(exploded, [key, "__salt"], how).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, num_buckets: int = 8, sort_by: str | None = None
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) catalog
+    table: rows are hash-partitioned into ``num_buckets`` files by
+    ``key`` at WRITE time, so a later join/aggregation on ``key``
+    between tables with matching bucketing needs NO exchange (and no
+    sort, when sorted) — the pre-paid-shuffle layout for fact tables
+    that are repeatedly joined on the same key."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Join two identically-bucketed catalog tables on the bucket key —
+    compiles to a shuffle-free sort-merge join (asserted in
+    tests/test_scale.py)."""
+    return spark.table(left_table).join(spark.table(right_table), key)

@@ -47,6 +47,30 @@ def _plan(spark, name: str) -> str:
 PLAN_NAMES = sorted(n for n in SPECS if n not in {"dedup_minhash", "sim_lsh_knn"})
 
 
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """Predicates must reach the scan (PushedFilters), not evaluate
+    post-scan only — the prompt's 'push down and prune' requirement."""
+    plan = _plan(spark, "filter")
+    # (plan toString truncates long filter lists — substring checks)
+    assert "GreaterThan(l_quantity" in plan, plan[:1200]
+    assert "EqualTo(l_returnfl" in plan, plan[:1200]
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    """scan_parquet projects 1 of 11 lineitem columns; ReadSchema must
+    show the pruned schema, not the full table."""
+    plan = _plan(spark, "scan_parquet")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:1200]
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert cols == ["l_extendedprice"], f"scan reads {cols}, expected pruned single column"
+
+
+def test_lang_filter_pushdown(spark):
+    plan = _plan(spark, "text_lang_filter")
+    assert re.search(r"PushedFilters: \[[^\]]*In\(lang", plan), plan[:1200]
+
+
 @pytest.mark.parametrize("name", PLAN_NAMES)
 def test_no_scale_killer_in_plan(spark, name):
     plan = _plan(spark, name)

@@ -1,0 +1,64 @@
+"""Scale-toolbox tests (SURVEY §4.2): salting preserves join semantics
+under pathological skew; bucketed tables join with NO exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hello_flink_spark.operators.scale import bucketed_join, salted_join, write_bucketed
+from hello_flink_spark.sources.readers import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    # manufacture pathological skew: 80% of rows onto one key
+    skewed = orders.withColumn(
+        "o_custkey", F.when(F.rand(7) < 0.8, F.lit(1)).otherwise(F.col("o_custkey"))
+    )
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = skewed.join(dim, skewed.o_custkey == dim.c_custkey).groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(
+            skewed.withColumnRenamed("o_custkey", "c_custkey"), dim, key="c_custkey"
+        )
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_preserves_left(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    dim = load_table(spark, sf_dir, "customer").filter("c_custkey % 2 = 0").select(
+        "c_custkey", "c_mktsegment"
+    )
+    got = salted_join(orders, dim, key="c_custkey", how="left").count()
+    want = orders.join(dim, "c_custkey", "left").count()
+    assert got == want
+
+
+def test_salted_join_rejects_unsupported_how(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(orders, orders, key="o_orderkey", how="full")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Two tables bucketed identically on the join key must sort-merge
+    join with no Exchange (the pre-paid shuffle)."""
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    write_bucketed(orders, "orders_b", "custkey", num_buckets=8, sort_by="custkey")
+    write_bucketed(cust, "customer_b", "custkey", num_buckets=8, sort_by="custkey")
+    try:
+        # force the SMJ path: a broadcast would hide the bucketing
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "orders_b", "customer_b", "custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:1500]}"
+        assert joined.count() == orders.join(cust, "custkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
