@@ -9,6 +9,17 @@ state store (RocksDB via session factory), Arrow-batched per-group
 Python, event-time timeouts driven by the query watermark. State is a
 flat tuple per key — bounded, evictable, 100 TB-safe (SURVEY §4.2).
 
+API note: Spark 4.x also ships ``transformWithStateInPandas``
+(StatefulProcessor + named ValueState/ListState/MapState + timers —
+the closest 1:1 of Flink's keyed-state API). Probed in this
+environment (2026-08-13): its driver↔worker state protocol imports
+``google.protobuf``, whose install is broken here ("cannot import
+name 'descriptor'"), so every TWS query crashes at the first batch;
+package installs are out of scope for this container. The processors
+below therefore use the stable ``applyInPandasWithState`` API, which
+expresses the same state machines (value state = the state tuple,
+list state = an array column in it, timers = setTimeoutTimestamp).
+
 Ordering contract: each processor sorts its per-key batch by event
 time; the replay harness delivers chunks in time order, so cross-batch
 order matches event order (the same assumption Flink tutorials make
