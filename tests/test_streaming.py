@@ -361,6 +361,36 @@ def test_console_sink_smoke(spark, replay_dir):
     q.awaitTermination()
 
 
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once across restarts: run to a parquet sink with a
+    checkpoint, add more input files, restart the query from the SAME
+    checkpoint — the offset WAL must skip already-committed files and
+    the final sink holds every event exactly once."""
+    d = str(tmp_path / "replay")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).head()
+    cut = lo + (hi - lo) / 2
+
+    first = events.filter(F.col("ts") < cut)
+    second = events.filter(F.col("ts") >= cut)
+    first.coalesce(1).write.parquet(os.path.join(d, "chunk_000"))
+
+    q1 = jobs.to_parquet_sink(replay.read_stream(spark, d).select("event_id", "ts"), out, ckpt)
+    q1.awaitTermination()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == first.count()
+
+    second.coalesce(1).write.parquet(os.path.join(d, "chunk_001"))
+    q2 = jobs.to_parquet_sink(replay.read_stream(spark, d).select("event_id", "ts"), out, ckpt)
+    q2.awaitTermination()
+
+    final = spark.read.parquet(out)
+    assert final.count() == events.count(), "lost or duplicated events across restart"
+    ids = final.select("event_id").collect()
+    assert len({r.event_id for r in ids}) == len(ids), "duplicate event after recovery"
+
+
 def test_foreach_batch_upsert(spark, sf_dir, replay_dir, tmp_path):
     """sink_foreach_batch: keyed upsert — final table holds exactly the
     latest running total per user == the batch aggregate."""
