@@ -34,6 +34,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _require_disjoint_columns(
+    left: DataFrame, right: DataFrame, key: str, left_ts: str, right_ts: str
+) -> None:
+    """Both as-of implementations require the two sides to share ONLY the
+    key column. A shared non-key name would be silently overwritten with
+    NULLs by the union/carry-forward path while the merge_asof path would
+    suffix it — diverging results. Fail loudly instead (ADVICE r02);
+    callers rename collisions up front.
+    """
+    if left_ts == right_ts:
+        raise ValueError(
+            f"asof join: left_ts and right_ts must differ (both {left_ts!r}); "
+            "rename one side before joining"
+        )
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap:
+        raise ValueError(
+            f"asof join: sides share non-key columns {sorted(overlap)}; "
+            "rename them before joining (only the key may be shared)"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -49,6 +71,7 @@ def asof_join(
     right columns to attach (right columns other than ``key`` are kept).
     Unmatched left rows keep nulls on the right side (LEFT ASOF).
     """
+    _require_disjoint_columns(left, right, key, left_ts, right_ts)
     left_cols = left.columns
     right_cols = [c for c in right.columns if c != key]
 
@@ -101,6 +124,7 @@ def asof_join_window(
     an older row. Right rows must be NULL-free in attached columns
     (dedup/clean upstream), which the declared queries guarantee.
     """
+    _require_disjoint_columns(left, right, key, left_ts, right_ts)
     right_cols = [c for c in right.columns if c != key and c != right_ts]
     l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__left", F.lit(1))
     for c in [right_ts, *right_cols]:

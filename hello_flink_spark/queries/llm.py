@@ -81,12 +81,59 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NGRAM_SHINGLES_SQL = """
-    SELECT DISTINCT doc_id,
-           tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
-    FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens FROM documents),
-         UNNEST(generate_series(1, GREATEST(len(tokens) - 2, 0))) AS u(i)
+SHINGLE_DF_CAP = 50  # drop shingles shared by more docs than this before
+# candidate generation: a shingle in k docs emits k² candidate pairs, so
+# boilerplate n-grams (headers, common trigrams) turn the equi-join
+# quadratic on real corpora. Standard near-dup practice is to exclude
+# them from the shingle representation. Fixture max df is 25 (sf0.1),
+# 9 (sf0.001) — the cap is above both, so oracle results are unchanged;
+# the cap itself is mirrored in the oracle SQL, so semantics agree at
+# any scale factor.
+
+NGRAM_SHINGLES_SQL = f"""
+    SELECT doc_id, shingle FROM (
+      SELECT DISTINCT doc_id,
+             tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens FROM documents),
+           UNNEST(generate_series(1, GREATEST(len(tokens) - 2, 0))) AS u(i)
+    ) QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {SHINGLE_DF_CAP}
 """
+
+
+def _shingle_df(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, 3-gram shingle) pairs, document-frequency-capped.
+
+    Guards the index range for docs with < 3 tokens: ``sequence(1, 0)``
+    in Spark is the DESCENDING [1, 0], which would drive element_at out
+    of bounds — such docs legitimately have zero shingles (matching
+    DuckDB's empty generate_series(1, 0)).
+    """
+    toks = d.select("doc_id", _tokens().alias("tokens"))
+    idx = F.when(
+        F.size("tokens") >= 3, F.sequence(F.lit(1), F.size("tokens") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("tokens"), i),
+                    F.element_at(F.col("tokens"), i + 1),
+                    F.element_at(F.col("tokens"), i + 2),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    # df-cap via a window on shingle: one shuffle, and the downstream
+    # self-join keys on shingle too, so the partitioning is reused.
+    w = Window.partitionBy("shingle")
+    return (
+        shingles.withColumn("df", F.count("*").over(w))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .drop("df")
+    )
 
 
 @register(
@@ -110,28 +157,12 @@ NGRAM_SHINGLES_SQL = """
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection via 3-gram shingle Jaccard. Candidate pairs
     come from an equi-join on shared shingles (docs with zero overlap
-    never meet — no all-pairs), then |A∩B| / |A∪B| >= 0.5. This IS the
-    scalable shape: shuffle on shingle, combine-side distinct, skew on
-    hot shingles handled by AQE."""
+    never meet — no all-pairs), then |A∩B| / |A∪B| >= 0.5 over the
+    df-capped shingle sets (SHINGLE_DF_CAP bounds the k² pair blow-up
+    from hot boilerplate shingles). This IS the scalable shape: shuffle
+    on shingle, combine-side distinct, residual skew handled by AQE."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _tokens().alias("tokens"))
-    shingles = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size("tokens") - 2, F.lit(0))),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("tokens"), i),
-                        F.element_at(F.col("tokens"), i + 1),
-                        F.element_at(F.col("tokens"), i + 2),
-                    ),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
+    shingles = _shingle_df(d)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -242,10 +273,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
+PROBE_ID_MAX = 2000  # probe/query ids are drawn from vec_id < 2000 only,
+# so the broadcast side is a CONSTANT-size set (≤ 40 probes at % 50,
+# ≤ 20 queries at % 100) no matter how large the corpus grows — the
+# corpus-side scan stays the only term that scales. Covers every vec_id
+# in the fixtures (max 1999 at sf0.1), so fixture results are unchanged;
+# mirrored in the oracle SQL.
+
 
 @register(
     "sim_cosine_pairs",
-    oracle="""
+    oracle=f"""
     SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
            ROUND(
              list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
@@ -253,15 +291,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
              6) AS cos_sim
     FROM embeddings a JOIN embeddings b
-      ON a.vec_id % 50 = 0 AND b.vec_id > a.vec_id
+      ON a.vec_id % 50 = 0 AND a.vec_id < {PROBE_ID_MAX} AND b.vec_id > a.vec_id
     """,
 )
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine similarity, probe set × corpus — pure array lambdas
-    (zip_with + aggregate), JVM-side, no Python. The probe side is tiny
-    and broadcast; the corpus side streams — linear, no self-shuffle."""
+    (zip_with + aggregate), JVM-side, no Python. The probe side is a
+    constant-size set (PROBE_ID_MAX bound) and broadcast; the corpus
+    side streams — linear in corpus size, no self-shuffle."""
     e = t(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+    probes = e.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < PROBE_ID_MAX)
+    ).select(
         F.col("vec_id").alias("probe_id"), _as_double(F.col("embedding")).alias("pvec")
     )
     cands = e.select(F.col("vec_id").alias("cand_id"), _as_double(F.col("embedding")).alias("cvec"))
@@ -277,7 +318,7 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_knn",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              ROUND(
@@ -286,7 +327,7 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
                6) AS cos_sim
       FROM embeddings q JOIN embeddings c
-        ON q.vec_id % 100 = 0 AND c.vec_id != q.vec_id
+        ON q.vec_id % 100 = 0 AND q.vec_id < {PROBE_ID_MAX} AND c.vec_id != q.vec_id
     )
     SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -296,13 +337,16 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact top-k cosine neighbors for a small query set:
-    broadcast queries × corpus scan + partitioned Top-N — the exact
-    baseline the approximate path (sim_lsh_knn) is measured against.
-    Ranking uses the ROUNDED similarity with neighbor_id tiebreak so
-    cross-engine float noise below 1e-6 cannot reorder the cut."""
+    """Brute-force exact top-k cosine neighbors for a constant-size
+    query set (PROBE_ID_MAX bound): broadcast queries × corpus scan +
+    partitioned Top-N — the exact baseline the approximate path
+    (sim_lsh_knn) is measured against. Ranking uses the ROUNDED
+    similarity with neighbor_id tiebreak so cross-engine float noise
+    below 1e-6 cannot reorder the cut."""
     e = t(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+    queries = e.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PROBE_ID_MAX)
+    ).select(
         F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qvec")
     )
     cands = e.select(F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cvec"))
@@ -371,7 +415,7 @@ IVF_COS_SQL = (
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY {IVF_COS_SQL.format(a='e.embedding', b='c.c_vec')} DESC, c.c_id) AS rn
         FROM embeddings e CROSS JOIN centroids c
-        WHERE e.vec_id % 100 = 0)
+        WHERE e.vec_id % 100 = 0 AND e.vec_id < {PROBE_ID_MAX})
       WHERE rn <= {IVF_NPROBE}
     )
     SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk FROM (
@@ -418,7 +462,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assign = nearest_buckets(vecs, "vec_id", 1)
     probes = nearest_buckets(
-        vecs.filter(F.col("vec_id") % 100 == 0), "vec_id", IVF_NPROBE
+        vecs.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PROBE_ID_MAX)),
+        "vec_id",
+        IVF_NPROBE,
     ).select(F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"), "bucket")
 
     cand = probes.join(
@@ -628,24 +674,14 @@ def text_tfidf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: minimum shingle hash per doc (a k=1
     MinHash signature / winnowing-style representative) — an
-    order-invariant near-dup key computable in one pass."""
+    order-invariant near-dup key. Computed over the df-capped shingle
+    set (_shingle_df): fingerprints from boilerplate shingles collide
+    across unrelated docs, so hot shingles are excluded — same cap,
+    mirrored in the oracle SQL."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _tokens().alias("tokens"))
-    shingles = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("tokens") - 2, F.lit(0))),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("tokens"), i),
-                    F.element_at(F.col("tokens"), i + 1),
-                    F.element_at(F.col("tokens"), i + 2),
-                ),
-            )
-        ).alias("shingle"),
-    ).distinct()
-    return shingles.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+    return _shingle_df(d).groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fingerprint")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -8,8 +8,9 @@ Every UDF here is a pure function of its inputs with a SQL-mirrorable
 definition, so the DuckDB oracle re-implements the logic and the gate
 checks the whole Python boundary (Arrow serialization included).
 Perf tiering per SURVEY §4.3: pandas_udf (Arrow-vectorized) is the
-default; row-at-a-time ``F.udf`` appears once, Arrow-enabled, for API
-parity — never in a hot path.
+default; row-at-a-time ``F.udf`` appears once, Arrow-enabled, on logic
+with no built-in equivalent (iterative Roman-numeral encoding) — never
+in a hot path, never where a built-in exists.
 """
 
 from __future__ import annotations
@@ -38,27 +39,56 @@ def _tier_fn(value: pd.Series) -> pd.Series:
     ).astype(str)
 
 
+_ROMAN_VALUES = (
+    (1000, "M"), (900, "CM"), (500, "D"), (400, "CD"), (100, "C"),
+    (90, "XC"), (50, "L"), (40, "XL"), (10, "X"), (9, "IX"),
+    (5, "V"), (4, "IV"), (1, "I"),
+)
+
+
+def _roman_fn(n: int | None) -> str | None:
+    """Greedy Roman-numeral encoding (1..3999) — genuinely iterative
+    row logic with no pyspark.sql.functions equivalent; this is what
+    the row-UDF tier exists for."""
+    if n is None:
+        return None
+    out = []
+    for value, symbol in _ROMAN_VALUES:
+        while n >= value:
+            out.append(symbol)
+            n -= value
+    return "".join(out)
+
+
 @register(
     "udf_scalar",
     oracle="""
+    WITH base AS (
+      SELECT event_id, value, ((event_id % 3999) + 1) AS n FROM events
+    )
     SELECT event_id,
            CASE WHEN value < 10 THEN 'low'
                 WHEN value < 100 THEN 'mid'
                 ELSE 'high' END AS tier,
-           UPPER(event_type) AS type_up
-    FROM events
+           (['','M','MM','MMM'])[(n // 1000) + 1]
+           || (['','C','CC','CCC','CD','D','DC','DCC','DCCC','CM'])[((n // 100) % 10) + 1]
+           || (['','X','XX','XXX','XL','L','LX','LXX','LXXX','XC'])[((n // 10) % 10) + 1]
+           || (['','I','II','III','IV','V','VI','VII','VIII','IX'])[(n % 10) + 1] AS roman
+    FROM base
     """,
 )
 def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[F] ScalarFunction: a pandas_udf tier bucketer (Arrow-vectorized,
-    the 100 TB path) plus one Arrow-enabled row UDF for API parity."""
+    the 100 TB path) plus one Arrow-enabled row UDF demonstrating the
+    row tier on logic with NO built-in equivalent (greedy Roman-numeral
+    encoding — the oracle mirrors it with positional lookup tables)."""
     tier = F.pandas_udf(_tier_fn, "string")
-    upper_udf = F.udf(lambda s: s.upper() if s is not None else None, "string", useArrow=True)
+    roman = F.udf(_roman_fn, "string", useArrow=True)
     e = t(spark, sf_dir, "events")
     return e.select(
         "event_id",
         tier(F.col("value")).alias("tier"),
-        upper_udf(F.col("event_type")).alias("type_up"),
+        roman((F.col("event_id") % 3999 + 1).cast("int")).alias("roman"),
     )
 
 

@@ -28,6 +28,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
 
 DEFAULT_WATERMARK = "30 minutes"
 
@@ -132,11 +133,24 @@ def late_split_foreach_batch(
     side output (SURVEY §4.4), so this is the documented foreachBatch
     approximation: track the max event time seen across batches and
     fan each micro-batch out to on-time/late parquet sinks. Returns
-    the foreachBatch function; attach with ``to_foreach_batch``."""
-    state = {"max_ts": None}
+    the foreachBatch function; attach with ``to_foreach_batch``.
+
+    Restart safety: the max-event-time watermark lives driver-side, not
+    in the streaming checkpoint, so on the first batch after a (re)start
+    it is rehydrated from max(ts) of whatever the on-time/late sinks
+    already hold — recovered runs keep tagging late rows instead of
+    resetting to "everything is on time" (ADVICE r02)."""
+    state: dict = {"max_ts": None, "rehydrated": False}
     lateness = F.expr(f"INTERVAL {allowed_lateness}")
 
     def handle(batch: DataFrame, _batch_id: int) -> None:
+        if not state["rehydrated"]:
+            state["rehydrated"] = True
+            for path in (on_time_dir, late_dir):
+                if os.path.exists(path):
+                    row = batch.sparkSession.read.parquet(path).agg(F.max("ts").alias("m")).head()
+                    if row.m is not None and (state["max_ts"] is None or row.m > state["max_ts"]):
+                        state["max_ts"] = row.m
         prev_max = state["max_ts"]
         stats = batch.agg(F.max("ts").alias("m")).head()
         if prev_max is None:
@@ -256,14 +270,35 @@ def to_foreach_batch(
     )
 
 
-def upsert_by_key_foreach_batch(target_dir: str, key: str = "user_id") -> Callable[[DataFrame, int], None]:
+def upsert_by_key_foreach_batch(
+    target_dir: str, key: str = "user_id", version_col: str | None = None
+) -> Callable[[DataFrame, int], None]:
     """foreachBatch upsert: keep only the latest row per key in a
     parquet 'table' (full-file MERGE emulation — a real deployment
-    would target Delta/Iceberg MERGE INTO)."""
+    would target Delta/Iceberg MERGE INTO).
+
+    "Latest" must be deterministic (ADVICE r02): pass ``version_col``
+    to pick the max-version row per key within a batch. Without it the
+    batch must carry at most ONE row per key — true for update-mode
+    aggregations, which emit one changed row per key per micro-batch —
+    and the handler raises if that precondition is violated rather than
+    upserting an arbitrary row.
+    """
 
     def handle(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
-        batch = batch.dropDuplicates([key])
+        if version_col is not None:
+            w = Window.partitionBy(key).orderBy(F.col(version_col).desc())
+            batch = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        elif not batch.groupBy(key).count().filter(F.col("count") > 1).isEmpty():
+            raise ValueError(
+                f"upsert batch has multiple rows per {key!r} and no version_col; "
+                "pass version_col to define which row wins"
+            )
         if os.path.exists(target_dir):
             existing = spark.read.parquet(target_dir)
             merged = (

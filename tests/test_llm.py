@@ -116,6 +116,31 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir_mid):
     assert avg >= 0.2, f"IVF recall collapsed: {avg} ({recalls})"
 
 
+def test_shingle_guard_short_docs_and_df_cap(spark):
+    """_shingle_df (shared by dedup_ngram_jaccard / text_fingerprint):
+    docs with < 3 tokens produce ZERO shingles instead of the descending
+    sequence(1, 0) crash (ADVICE r02), and shingles whose document
+    frequency exceeds SHINGLE_DF_CAP are dropped before candidate
+    generation (the k² hot-shingle pair blow-up)."""
+    from hello_flink_spark.queries.llm import SHINGLE_DF_CAP, _shingle_df
+
+    hot = "alpha beta gamma"
+    rows = [(1, "solo"), (2, "two tokens"), (3, "exactly three tokens")]
+    rows += [(100 + i, f"{hot} filler{i}") for i in range(SHINGLE_DF_CAP + 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = _shingle_df(df).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    assert 1 not in by_doc and 2 not in by_doc, "short docs must yield no shingles"
+    assert by_doc[3] == {"exactly three tokens"}
+    shingles = {r.shingle for r in out}
+    assert hot not in shingles, "hot shingle above df cap must be dropped"
+    assert any(s.startswith("beta gamma filler") for s in shingles), (
+        "rare shingles of hot-shingle docs must survive the cap"
+    )
+
+
 def test_knn_is_consistent_with_cosine_pairs(spark, sf_dir_mid):
     """sim_knn rank-1 neighbor similarity must equal the max cos_sim
     among that query's sim_cosine_pairs candidates (where comparable)."""

@@ -20,13 +20,16 @@ from hello_flink_spark.registry import all_specs
 SPECS = all_specs()
 
 # BNLJ allowed: both sides constant-size (nation 25 rows, region 5) or
-# the broadcast side is a fixed probe/query set that does not grow with
-# the corpus (sim_* broadcast probes).
+# the broadcast side is bounded by a CONSTANT independent of corpus
+# size: sim_* probe/query sets are restricted to vec_id < PROBE_ID_MAX
+# (llm.py) — at most 40 probes (% 50) / 20 queries (% 100) no matter
+# how large the embeddings table grows, so the BNLJ cost stays linear
+# in the corpus-side scan.
 BNLJ_OK = {
     "join_theta",      # nation x nation — true dims, documented
     "join_cross",      # region x nation — true dims
-    "sim_cosine_pairs",  # broadcast fixed probe set x corpus scan
-    "sim_knn",           # broadcast fixed query set x corpus scan
+    "sim_cosine_pairs",  # broadcast <=40-probe set x corpus scan
+    "sim_knn",           # broadcast <=20-query set x corpus scan
     "sim_ann_ivf",       # broadcast C=16 centroid table x corpus scan
 }
 
