@@ -126,14 +126,16 @@ def _shingle_df(d: DataFrame) -> DataFrame:
             )
         ).alias("shingle"),
     ).distinct()
-    # df-cap via a window on shingle: one shuffle, and the downstream
-    # self-join keys on shingle too, so the partitioning is reused.
-    w = Window.partitionBy("shingle")
-    return (
-        shingles.withColumn("df", F.count("*").over(w))
-        .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .drop("df")
+    # df-cap via hot-list + broadcast anti-join: the hot list (shingles
+    # above the cap) is tiny by construction, so the filter is map-side;
+    # a window over shingle would add a full sort of the shingle set.
+    hot = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
     )
+    return shingles.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 @register(
