@@ -141,6 +141,9 @@ def window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark equivalent: an event at offset o in its hour belongs to every
     expanding window [hour, hour + k*15min) with k*15min > o, built by
     exploding the k range. Fully epoch-based, so timezone-independent.
+
+    Streaming twin: streaming/jobs.py::cumulate_counts (same expansion
+    + 15-min tumbling agg over a synthetic step timestamp).
     """
     e = t(spark, sf_dir, "events")
     ep = F.col("ts").cast("long")  # epoch seconds (truncation == floor for 2024 data)

@@ -70,6 +70,33 @@ def session_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Dat
     )
 
 
+def cumulate_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """[F] Flink SQL CUMULATE TVF (span 1 h, step 15 min) — streaming
+    twin of queries/timewindows.py::window_cumulate.
+
+    No native cumulate in Structured Streaming; union-of-k-tumbling
+    fails for the 45-min step (not hour-aligned as a tumbling size).
+    Instead each event is exploded STATELESSLY into its expanding
+    windows at ingest: for step k the event gets a synthetic step_ts
+    one second before that window's end, so a plain 15-minute tumbling
+    aggregation over step_ts yields w.end == the cumulate window_end.
+    State cost is the same as tumbling (per-open-window aggregates);
+    the ≤4x row expansion happens before the shuffle where map-side
+    partial aggregation absorbs it.
+    """
+    ep = F.col("ts").cast("long")
+    hour_start = ep - (ep % 3600)
+    first_k = ((ep % 3600) / 900).cast("long") + 1
+    return (
+        events.withColumn("k", F.explode(F.sequence(first_k, F.lit(4))))
+        .withColumn("step_ts", F.timestamp_seconds(hour_start + F.col("k") * 900 - 1))
+        .withWatermark("step_ts", watermark)
+        .groupBy(F.window("step_ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.end").alias("window_end"), "event_type", "cnt")
+    )
+
+
 def running_totals(events: DataFrame) -> DataFrame:
     """[F] unbounded group-agg on a dynamic table (retract stream) —
     SURVEY §2.4 agg_incremental: per-user running count/sum, update

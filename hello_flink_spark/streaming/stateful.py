@@ -11,14 +11,21 @@ flat tuple per key — bounded, evictable, 100 TB-safe (SURVEY §4.2).
 
 API note: Spark 4.x also ships ``transformWithStateInPandas``
 (StatefulProcessor + named ValueState/ListState/MapState + timers —
-the closest 1:1 of Flink's keyed-state API). Probed in this
-environment (2026-08-13): its driver↔worker state protocol imports
-``google.protobuf``, whose install is broken here ("cannot import
-name 'descriptor'"), so every TWS query crashes at the first batch;
-package installs are out of scope for this container. The processors
-below therefore use the stable ``applyInPandasWithState`` API, which
+the closest 1:1 of Flink's keyed-state API). Probed twice in this
+environment: round 2 (2026-08-13 a.m.) found ``google.protobuf``
+present but broken ("cannot import name 'descriptor'"); the round-3
+re-probe (2026-08-13 p.m.) found NO protobuf runtime on the machine
+at all (``import google`` → ModuleNotFoundError;
+``pyspark.sql.streaming.proto.StateMessage_pb2`` fails on it; a
+filesystem sweep found only typeshed stubs, no descriptor_pb2.py
+anywhere, no cached wheel), so the driver↔worker state protocol
+cannot start and vendoring is not possible without a package install,
+which is out of scope for this container. The processors below
+therefore use the stable ``applyInPandasWithState`` API, which
 expresses the same state machines (value state = the state tuple,
-list state = an array column in it, timers = setTimeoutTimestamp).
+list state = an array column in it, timers = setTimeoutTimestamp);
+port one processor to TWS with named states + TTL when protobuf
+exists in the deployment image.
 
 Ordering contract: each processor sorts its per-key batch by event
 time; the replay harness delivers chunks in time order, so cross-batch

@@ -84,6 +84,20 @@ def test_sliding_complete_equals_batch_shadow(spark, sf_dir, replay_dir):
     assert got == want
 
 
+def test_cumulate_complete_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """window_cumulate streaming twin (stateless step expansion +
+    15-min tumbling agg) == its declared batch shadow."""
+    run_to_memory(jobs.cumulate_counts(_stream(spark, replay_dir), WM), "t_cumul", "complete")
+    got = {
+        (r.window_end, r.event_type): r.cnt for r in spark.table("t_cumul").collect()
+    }
+    want = {
+        (r.window_end, r.event_type): r.cnt
+        for r in get_spec("window_cumulate").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_session_append_subset_of_batch_shadow(spark, sf_dir, replay_dir):
     """Append-mode session windows: every finalized session matches the
     batch shadow; trailing sessions (watermark never passes them after
