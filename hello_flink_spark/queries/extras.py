@@ -1,0 +1,265 @@
+"""Round-3 extension operators beyond the SURVEY §2 core inventory.
+
+Registered LAST (registry._QUERY_MODULES) on purpose: the driver's
+correctness window prioritizes never-verified queries in registration
+order, and the 45 queries declared in round 2 must clear the gate
+before these newcomers take slots.
+
+Families:
+- reshaping: ``agg_pivot`` / ``agg_unpivot`` (wide<->long, the
+  feature-matrix shape of a training-data pipeline);
+- text analysis (BASELINE.json north star): ``text_token_count``
+  (whitespace + BPE-ish regex tokenization), ``text_quality_score``
+  (length / punctuation / stopword-ratio composite with a keep flag);
+- sources: ``scan_orc`` (the third first-class columnar format);
+- multimodal: ``multimodal_frame_sample`` (1→N frame sampling through
+  Arrow-batched mapInPandas — the video-pipeline plumbing shape);
+- functions: ``fn_bitwise`` (shift/and/or/xor/bit_count family).
+
+[F] no Flink-tutorial equivalent for the text/multimodal rows — they
+extend the surface per BASELINE.json:6; pivot/ORC/bitwise mirror
+Flink SQL capabilities (PIVOT via CASE aggregation, orc format,
+bit functions). Empty reference checkout (SURVEY §0).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hello_flink_spark.queries.sources import _ensure, _fixture_dir
+from hello_flink_spark.registry import register
+from hello_flink_spark.sources.readers import load_table as t
+
+ORDER_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+# marks — the GPT-2-style split classes without the byte-level merge
+# table (space class spelled literally so the regex is identical in
+# Java regex and RE2).
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+_PIVOT_COLS_SQL = ", ".join(
+    "COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS \"{p}\"".format(p=p)
+    for p in ORDER_PRIORITIES
+)
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+    SELECT o_orderstatus, {_PIVOT_COLS_SQL}
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide reshaping: order counts by status x priority. Explicit pivot
+    values (no discovery pass over the data) keep this a single shuffle
+    with map-side partial aggregation — the same cost as agg_multi_key.
+    Absent combinations are 0 (not NULL) to match COUNT FILTER."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ORDER_PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ORDER_PRIORITIES)
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long reshaping (melt): part metrics to (key, metric, val) rows —
+    stateless projection, no shuffle; columns unified to DOUBLE as
+    unpivot requires one value type."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    )
+    return p.unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "val")
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(trim(text)), '{BPE_ISH_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for budget/packing decisions: whitespace tokens
+    and a BPE-ish regex pre-tokenization (letter runs / digit runs /
+    punctuation marks) per document — pure JVM expressions, one pass,
+    no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    low = F.lower(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.size(F.split(low, " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             lower(trim(text)) AS low,
+             string_split(lower(trim(text)), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           ROUND(CAST(length(low) - length(regexp_replace(low, '[^a-z0-9 ]', '', 'g'))
+                      AS DOUBLE) / length(low), 6) AS punct_ratio,
+           ROUND(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'and')))
+                      AS DOUBLE) / len(toks), 6) AS stop_ratio,
+           ROUND(LEAST(CAST(len(toks) AS DOUBLE) / 50, 1.0) * 0.5
+                 + CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'and')))
+                       AS DOUBLE) / len(toks) * 0.3
+                 + (1 - CAST(length(low) - length(regexp_replace(low, '[^a-z0-9 ]', '', 'g'))
+                             AS DOUBLE) / length(low)) * 0.2, 6) AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (training-data filtering): word count,
+    punctuation ratio, stopword ratio, and a weighted composite in
+    [0, 1] — 0.5·min(words/50, 1) + 0.3·stop_ratio + 0.2·(1−punct).
+    All built-in expressions, one pass; at scale this runs as a
+    pushdown-friendly projection feeding a threshold filter."""
+    d = t(spark, sf_dir, "documents")
+    low = F.lower(F.trim(F.col("text")))
+    toks = F.split(low, " ")
+    stops = ("the", "a", "of", "to", "and")
+    n_words = F.size(toks)
+    punct = (F.length(low) - F.length(F.regexp_replace(low, "[^a-z0-9 ]", ""))).cast(
+        "double"
+    ) / F.length(low)
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*stops))).cast("double") / n_words
+    quality = (
+        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + (1 - punct) * 0.2
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@register(
+    "scan_orc",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS supp_cnt,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] filesystem connector, orc format — the third first-class
+    columnar format (vectorized reader, predicate pushdown, column
+    pruning, same as parquet). Fixture = supplier round-tripped through
+    our own ORC write; the oracle runs on the original parquet view, so
+    the hash also proves the ORC round-trip is lossless."""
+    path = _ensure(
+        _fixture_dir(sf_dir, "supplier_orc"),
+        lambda p: t(spark, sf_dir, "supplier").write.mode("overwrite").orc(p),
+    )
+    return (
+        spark.read.orc(path)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("supp_cnt"), F.round(F.sum("s_acctbal"), 2).alias("total_bal"))
+    )
+
+
+FRAME_STRIDE = 4
+FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx long, frame_feat long"
+
+
+def _frame_sample_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1→N frame sampling over the opaque binary payload: every
+    FRAME_STRIDE-th frame of the payload's n_frames (= n_bytes%16+1,
+    the deterministic fake of llm.py::_decode_stub) emits one row with
+    a deterministic per-frame feature. Real video decode (stride
+    sampling via PyAV/decord) is absent in this container by design;
+    the Spark plumbing — binary column in, Arrow batch, row expansion,
+    typed rows out — is the real, tested part."""
+    for pdf in batches:
+        doc_ids, idxs, feats = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_bytes = len(payload)
+            n_frames = n_bytes % 16 + 1
+            for k in range(0, n_frames, FRAME_STRIDE):
+                doc_ids.append(doc_id)
+                idxs.append(k)
+                feats.append((n_bytes * 31 + k) % 997)
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "frame_idx": idxs, "frame_feat": feats}
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id, k AS frame_idx, (n_bytes * 31 + k) % 997 AS frame_feat
+    FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                 octet_length(encode(text)) % 16 + 1 AS n_frames
+          FROM documents),
+         UNNEST(generate_series(0, n_frames - 1, {FRAME_STRIDE})) AS u(k)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1→N row expansion: sample every FRAME_STRIDE-th frame
+    from each binary payload through Arrow-batched mapInPandas — the
+    video-frame-sampling pipeline shape (decode stubbed, plumbing
+    real). Partitioning carries over from the scan; no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return payload.mapInPandas(_frame_sample_stub, schema=FRAME_SAMPLE_SCHEMA)
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id & 255 AS BIGINT) AS low_byte,
+           CAST(xor(event_id, 21845) AS BIGINT) AS xored,
+           CAST(event_id << 2 AS BIGINT) AS shl2,
+           CAST(event_id >> 3 AS BIGINT) AS shr3,
+           CAST(bit_count(event_id) AS BIGINT) AS popcnt
+    FROM events
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink SQL bit functions: and/xor/shifts/bit_count on the
+    event id — pure codegen expressions."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.expr("shiftleft(event_id, 2)").alias("shl2"),
+        F.expr("shiftright(event_id, 3)").alias("shr3"),
+        F.bit_count("event_id").cast("long").alias("popcnt"),
+    )
