@@ -240,6 +240,114 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_time_rollup",
+    oracle="""
+    SELECT 'hour' AS grain,
+           ts - to_microseconds(epoch_us(ts) % 3600000000) AS bucket_start,
+           event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY bucket_start, event_type
+    UNION ALL
+    SELECT 'day' AS grain,
+           ts - to_microseconds(epoch_us(ts) % 86400000000) AS bucket_start,
+           event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY bucket_start, event_type
+    """,
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hourly AND daily
+    aggregates of the event stream in one declared op — the
+    continuous-aggregate shape of a time-series store. Computed as the
+    hourly hash-aggregate (the expensive pass over the raw events)
+    re-aggregated into days, so the raw table is scanned ONCE and the
+    daily tier reduces ~24:1 pre-shuffled data — at 100 TB the second
+    tier is negligible vs a second scan. Buckets are epoch-arithmetic
+    (timezone-independent, matches the window_* oracles)."""
+    e = t(spark, sf_dir, "events")
+    ep = F.col("ts").cast("long")
+    hourly = (
+        e.withColumn("hour_start", F.timestamp_seconds(ep - (ep % 3600)))
+        .groupBy("hour_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("raw_value"))
+    )
+    hour_tier = hourly.select(
+        F.lit("hour").alias("grain"),
+        F.col("hour_start").alias("bucket_start"),
+        "event_type",
+        "cnt",
+        F.round("raw_value", 2).alias("total_value"),
+    )
+    dep = F.col("hour_start").cast("long")
+    day_tier = (
+        hourly.withColumn("day_start", F.timestamp_seconds(dep - (dep % 86400)))
+        .groupBy("day_start", "event_type")
+        .agg(F.sum("cnt").alias("cnt"), F.round(F.sum("raw_value"), 2).alias("total_value"))
+        .select(
+            F.lit("day").alias("grain"),
+            F.col("day_start").alias("bucket_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+    return hour_tier.unionByName(day_tier)
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both exact linear interpolation — unlike
+    the sketch-based agg_stats percentile_approx row). Exact
+    percentiles buffer each group's values: at 100 TB prefer
+    percentile_approx (bounded-memory sketch, also declared); this op
+    is the accuracy-tier escape hatch."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS line_cnt,
+           ROUND(SUM(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew toolbox (operators/scale.py::salted_join) as a declared
+    query: lineitem salted into 16 sub-keys, orders exploded to all
+    salts, then the usual aggregate. Salting is PHYSICAL only — the
+    oracle is the plain join, proving result equivalence — and is the
+    manual escape hatch for the pathological hot key that AQE's
+    skew-join splitting can't fix (one key ~ one executor's worth).
+    """
+    from hello_flink_spark.operators.scale import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, key="l_orderkey", salt=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("line_cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+@register(
     "fn_bitwise",
     oracle="""
     SELECT event_id,

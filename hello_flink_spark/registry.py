@@ -91,8 +91,16 @@ def _driver_verified_rounds() -> dict[str, int]:
             continue
         if not isinstance(data, dict):
             continue
-        for name in data:
-            rounds[name] = max(rounds.get(name, 0), rnd)
+        for name, row in data.items():
+            # only GREEN rows count as verified: a failed row must rank
+            # like never-verified so the driver re-checks it right after
+            # the fix lands.
+            ok = isinstance(row, dict) and (
+                row.get("hash_match") is True
+                or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
+            )
+            if ok:
+                rounds[name] = max(rounds.get(name, 0), rnd)
     return rounds
 
 
