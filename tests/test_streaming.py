@@ -164,6 +164,52 @@ def test_late_side_output_foreach_batch(spark, late_replay_dir, tmp_path):
     assert late_got <= set(info["late_ids"]), "on-time rows misrouted as late"
 
 
+def test_late_split_rehydrates_after_restart(spark, tmp_path):
+    """ADVICE r02: the late-split watermark lives driver-side, outside
+    the checkpoint. After a 'restart' (a fresh handler over sinks that
+    already hold data), genuinely late rows must still be routed to the
+    late sink — the handler rehydrates max(ts) from the written dirs."""
+    on_time_dir = str(tmp_path / "on_time")
+    late_dir = str(tmp_path / "late")
+    pre = spark.createDataFrame(
+        [(1, "2024-06-01 12:00:00"), (2, "2024-06-01 13:00:00")],
+        "event_id long, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    pre.write.parquet(on_time_dir)
+
+    # fresh handler = restarted query; its in-memory watermark is empty
+    fn = jobs.late_split_foreach_batch(None, on_time_dir, late_dir, "30 minutes")
+    batch = spark.createDataFrame(
+        [(3, "2024-06-01 10:00:00"), (4, "2024-06-01 12:50:00")],
+        "event_id long, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    fn(batch, 0)
+
+    late_ids = {r.event_id for r in spark.read.parquet(late_dir).collect()}
+    on_time_ids = {r.event_id for r in spark.read.parquet(on_time_dir).collect()}
+    assert late_ids == {3}, "pre-restart watermark not rehydrated"
+    assert {1, 2, 4} <= on_time_ids
+
+
+def test_upsert_version_col_and_multi_row_guard(spark, tmp_path):
+    """ADVICE r02: 'latest row per key' must be deterministic — with
+    version_col the max-version row wins; without it a multi-row-per-key
+    batch raises instead of upserting an arbitrary row."""
+    target = str(tmp_path / "upsert_v")
+    batch = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")],
+        "user_id long, version long, tag string",
+    )
+    fn = jobs.upsert_by_key_foreach_batch(target, key="user_id", version_col="version")
+    fn(batch, 0)
+    got = {r.user_id: r.tag for r in spark.read.parquet(target).collect()}
+    assert got == {1: "new", 2: "only"}
+
+    fn_unversioned = jobs.upsert_by_key_foreach_batch(target, key="user_id")
+    with pytest.raises(ValueError, match="version_col"):
+        fn_unversioned(batch, 0)
+
+
 # ---------------------------------------------------------------------------
 # dedup / joins / incremental agg
 # ---------------------------------------------------------------------------
