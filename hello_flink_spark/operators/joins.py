@@ -64,13 +64,18 @@ def asof_join(
     right_ts: str,
     schema: str,
     allow_exact_matches: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward) join: latest right row with right_ts <= left_ts per key.
+    """As-of join: per key, the latest right row with right_ts <=
+    left_ts (``direction='backward'``, the temporal-join default) or
+    the earliest with right_ts >= left_ts (``'forward'``).
 
     ``schema`` is the output schema DDL: all left columns followed by the
     right columns to attach (right columns other than ``key`` are kept).
     Unmatched left rows keep nulls on the right side (LEFT ASOF).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     _require_disjoint_columns(left, right, key, left_ts, right_ts)
     left_cols = left.columns
     right_cols = [c for c in right.columns if c != key]
@@ -83,7 +88,7 @@ def asof_join(
             right_pdf.drop(columns=[key]),
             left_on=left_ts,
             right_on=right_ts,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=allow_exact_matches,
         )
         out = out[left_cols + right_cols]
@@ -109,21 +114,26 @@ def asof_join_window(
     left_ts: str,
     right_ts: str,
     allow_exact_matches: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward) join, JVM-only: union both sides tagged, order
-    per key by event time, and fill each left row with the latest
-    preceding right values via last(..., ignorenulls=True) over a
-    running row frame. One shuffle, whole-stage codegen throughout.
+    """As-of join, JVM-only: union both sides tagged, order per key by
+    event time, and fill each left row with the latest preceding right
+    values via last(..., ignorenulls=True) over a running row frame
+    (``direction='backward'``) or the earliest following values via
+    first(...) over the mirrored frame (``'forward'``). One shuffle,
+    whole-stage codegen throughout.
 
-    Tie handling at equal timestamps: right rows sort before left rows
-    when ``allow_exact_matches`` (a right row AT the probe time
-    matches), after them otherwise.
+    Tie handling at equal timestamps (backward): right rows sort before
+    left rows when ``allow_exact_matches`` (a right row AT the probe
+    time matches), after them otherwise; forward mirrors this.
 
     Caveat vs merge_asof: carry-forward is per right COLUMN — a right
     row with NULL in one attached column would inherit that column from
     an older row. Right rows must be NULL-free in attached columns
     (dedup/clean upstream), which the declared queries guarantee.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     _require_disjoint_columns(left, right, key, left_ts, right_ts)
     right_cols = [c for c in right.columns if c != key and c != right_ts]
     l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__left", F.lit(1))
@@ -135,16 +145,26 @@ def asof_join_window(
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
 
-    tie = F.col("__left").asc() if allow_exact_matches else F.col("__left").desc()
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col("__ts"), tie)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        tie = F.col("__left").asc() if allow_exact_matches else F.col("__left").desc()
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col("__ts"), tie)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        tie = F.col("__left").desc() if allow_exact_matches else F.col("__left").asc()
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col("__ts"), tie)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     filled = unioned.select(
         *[c for c in left.columns],
         F.col("__left"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in [right_ts, *right_cols]],
+        *[fill(c).alias(c) for c in [right_ts, *right_cols]],
     )
     return filled.filter(F.col("__left") == 1).drop("__left")
 

@@ -348,6 +348,75 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts AS purchase_ts, value AS purchase_value
+      FROM (SELECT user_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1
+    ), cand AS (
+      SELECT c.click_id, c.user_id, c.click_ts, p.purchase_ts, p.purchase_value,
+             ROW_NUMBER() OVER (PARTITION BY c.click_id ORDER BY p.purchase_ts) AS rn
+      FROM clicks c LEFT JOIN purchases p
+        ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+    )
+    SELECT click_id, user_id, click_ts, purchase_ts, purchase_value
+    FROM cand WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, FORWARD direction: for each click, the user's
+    earliest purchase at or after the click (the "time-to-next-event"
+    shape). Same JVM window formulation as join_asof with the frame
+    mirrored (operators/joins.py::asof_join_window direction='forward')
+    — one shuffle, no range-join blow-up; the oracle replays it as a
+    rank-1 filter over the forward candidates."""
+    from hello_flink_spark.operators.joins import asof_join_window
+    from hello_flink_spark.queries.relational import _asof_sides
+
+    clicks, purchases = _asof_sides(spark, sf_dir)
+    joined = asof_join_window(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        direction="forward",
+    )
+    return joined.select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT event_id, user_id AS rec_user, upper(event_type) AS rec_type_up,
+           ROUND(value * 2, 2) AS rec_value2
+    FROM events
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] ROW<...> type (SURVEY §1.2): build a nested struct column,
+    then project typed fields back out — the nested-record round-trip
+    (declared output is scalars only, per the gate's no-collection-cell
+    rule; the struct lives mid-plan)."""
+    e = t(spark, sf_dir, "events")
+    rec = F.struct(
+        F.col("user_id").alias("u"), F.col("event_type").alias("t"), F.col("value").alias("v")
+    )
+    return e.select("event_id", rec.alias("rec")).select(
+        "event_id",
+        F.col("rec.u").alias("rec_user"),
+        F.upper(F.col("rec.t")).alias("rec_type_up"),
+        F.round(F.col("rec.v") * 2, 2).alias("rec_value2"),
+    )
+
+
+@register(
     "fn_bitwise",
     oracle="""
     SELECT event_id,

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -101,16 +102,17 @@ def test_dedup_exact_idempotent(spark, texts):
     assert sorted(r.keep for r in once.collect()) == sorted(r.keep for r in twice.collect())
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
 @given(
     left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=25),
     right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=0, max_size=25),
 )
 @SETTINGS
-def test_asof_implementations_agree(spark, left, right):
+def test_asof_implementations_agree(spark, direction, left, right):
     """The JVM window formulation and pandas merge_asof must agree on
     arbitrary keyed/timestamped inputs (incl. equal timestamps and
-    empty right sides). Right side deduped per (key, ts) first — the
-    documented determinism precondition."""
+    empty right sides), in BOTH directions. Right side deduped per
+    (key, ts) first — the documented determinism precondition."""
     ldf = spark.createDataFrame(
         [(i, k, BASE + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)],
         "lid long, k long, lts timestamp",
@@ -123,10 +125,13 @@ def test_asof_implementations_agree(spark, left, right):
         .groupBy("k", "rts")
         .agg(F.max("rval").alias("rval"))
     )
-    a = asof_join_window(ldf, rdf, key="k", left_ts="lts", right_ts="rts")
+    a = asof_join_window(
+        ldf, rdf, key="k", left_ts="lts", right_ts="rts", direction=direction
+    )
     b = asof_join(
         ldf, rdf, key="k", left_ts="lts", right_ts="rts",
         schema="lid long, k long, lts timestamp, rts timestamp, rval double",
+        direction=direction,
     )
     ka = sorted(map(tuple, a.select("lid", "k", "lts", "rts", "rval").collect()))
     kb = sorted(map(tuple, b.collect()))
