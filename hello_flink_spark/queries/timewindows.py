@@ -188,6 +188,46 @@ def window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_global_trigger_batch",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_total
+      FROM events
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS fire_at,
+           ROUND(run_total, 2) AS total_value
+    FROM numbered WHERE rn % 5 = 0
+    """,
+)
+def window_global_trigger_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] GlobalWindows + CountTrigger.of(5) — batch shadow: the
+    running per-user aggregate sampled at every 5th event, exactly the
+    rows the count trigger would have fired. Streaming twin:
+    streaming/stateful.py::global_count_trigger_stream (golden-tested).
+    Closes SURVEY §2.9's last row (previously out of scope; the
+    processing-time trigger half remains query-level
+    Trigger.ProcessingTime, SEMANTICS §3)."""
+    from hello_flink_spark.streaming.stateful import GLOBAL_TRIGGER_EVERY
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("run_total", running)
+        .filter(F.col("rn") % GLOBAL_TRIGGER_EVERY == 0)
+        .select(
+            "user_id",
+            F.col("rn").cast("long").alias("fire_at"),
+            F.round("run_total", 2).alias("total_value"),
+        )
+    )
+
+
+@register(
     "dedup_stream_batch",
     oracle="""
     SELECT user_id, event_type, event_id, ts

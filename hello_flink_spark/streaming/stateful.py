@@ -286,6 +286,45 @@ def _count_window(
     yield pd.DataFrame(out)
 
 
+GLOBAL_TRIGGER_EVERY = 5
+
+
+def _global_count_trigger(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    cnt, total = state.get if state.exists else (0, 0.0)
+    pdf = _sorted_concat(pdfs, ["ts", "event_id"])
+    out: list[dict] = []
+    for value in pdf["value"]:
+        cnt += 1
+        total += float(value)
+        if cnt % GLOBAL_TRIGGER_EVERY == 0:
+            out.append(
+                {"user_id": key[0], "fire_at": cnt, "total_value": round(total, 2)}
+            )
+    state.update((cnt, total))
+    yield pd.DataFrame(out)
+
+
+def global_count_trigger_stream(events: DataFrame) -> DataFrame:
+    """[F] GlobalWindows.create() + CountTrigger.of(N): one unbounded
+    window per key whose trigger fires a running-aggregate snapshot
+    every N records — SURVEY §2.9's last row, previously documented out
+    of scope. Spark has no custom-trigger surface, but the COUNT
+    trigger is a keyed state machine: a counter + running sum emitting
+    at each N-boundary (the processing-time trigger variant is the
+    query-level Trigger.ProcessingTime, see docs/SEMANTICS.md §3).
+    State is two scalars per key — bounded without eviction, unlike a
+    buffering global window."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _global_count_trigger,
+        outputStructType="user_id long, fire_at long, total_value double",
+        stateStructType="cnt long, total double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def count_window_stream(events: DataFrame) -> DataFrame:
     """Count-based windows (every N events per key) — no Structured
     Streaming native (SURVEY §2.9): a stateful counter emitting a row

@@ -358,6 +358,24 @@ def test_count_window_stream(spark, sf_dir, replay_dir):
     assert got == want
 
 
+def test_global_count_trigger_stream(spark, sf_dir, replay_dir):
+    """window_global_trigger: the keyed count-trigger state machine's
+    firings must match the batch shadow's every-5th-event snapshots
+    exactly (the stream's pending tail below the next boundary is
+    legitimately unfired)."""
+    run_to_memory(
+        stateful.global_count_trigger_stream(_stream(spark, replay_dir)), "t_gct"
+    )
+    got = {
+        (r.user_id, r.fire_at): r.total_value for r in spark.table("t_gct").collect()
+    }
+    want = {
+        (r.user_id, r.fire_at): r.total_value
+        for r in get_spec("window_global_trigger_batch").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_stateful_timer_inactivity_alerts(spark, sf_dir, replay_dir):
     """stateful_timer: alerts fire only via event-time timers; every
     alerted (user, last_seen) must be a real >=1h-idle point — i.e. the
