@@ -59,6 +59,10 @@ HEADLINE = [
     "text_tfidf_sql",
     "udaf",
     "udf_vectorized",
+    # round-3 extensions (SURVEY §2.13)
+    "agg_pivot",
+    "agg_time_rollup",
+    "text_quality_score",
 ]
 
 
