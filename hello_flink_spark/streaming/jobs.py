@@ -151,7 +151,6 @@ def stream_stream_interval_join(
 
 
 def late_split_foreach_batch(
-    events: DataFrame,
     on_time_dir: str,
     late_dir: str,
     allowed_lateness: str = "30 minutes",

@@ -146,12 +146,7 @@ def test_late_side_output_foreach_batch(spark, late_replay_dir, tmp_path):
     d, info = late_replay_dir
     on_time_dir = str(tmp_path / "on_time")
     late_dir = str(tmp_path / "late")
-    fn = jobs.late_split_foreach_batch(
-        replay.read_stream(spark, d).select("event_id", "ts"),
-        on_time_dir,
-        late_dir,
-        allowed_lateness=WM,
-    )
+    fn = jobs.late_split_foreach_batch(on_time_dir, late_dir, allowed_lateness=WM)
     q = jobs.to_foreach_batch(
         replay.read_stream(spark, d).select("event_id", "ts"),
         fn,
@@ -178,7 +173,7 @@ def test_late_split_rehydrates_after_restart(spark, tmp_path):
     pre.write.parquet(on_time_dir)
 
     # fresh handler = restarted query; its in-memory watermark is empty
-    fn = jobs.late_split_foreach_batch(None, on_time_dir, late_dir, "30 minutes")
+    fn = jobs.late_split_foreach_batch(on_time_dir, late_dir, "30 minutes")
     batch = spark.createDataFrame(
         [(3, "2024-06-01 10:00:00"), (4, "2024-06-01 12:50:00")],
         "event_id long, ts_s string",
