@@ -348,6 +348,60 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_fingerprint_levenshtein",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT DISTINCT doc_id, tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens FROM documents),
+             UNNEST(generate_series(1, GREATEST(len(tokens) - 2, 0))) AS u(i)
+      ) QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50
+    ),
+    fp AS (SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+    FROM cand
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+    WHERE levenshtein(da.text, db.text)
+          <= CAST(0.2 * GREATEST(length(da.text), length(db.text)) AS BIGINT)
+    """,
+)
+def dedup_fingerprint_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup with bucketed candidates: pairs come from
+    EQUALITY on the min-shingle-hash fingerprint (text_fingerprint's
+    key — an equi-join, never all-pairs), then the O(len²) Levenshtein
+    runs only on those candidates, keeping pairs within 20% relative
+    edit distance. This is the verify-stage shape for expensive
+    pairwise measures at 100 TB: cheap banded candidate generation,
+    exact confirmation on the survivors (same pattern as
+    dedup_simhash's bit_count filter)."""
+    from hello_flink_spark.queries.llm import _shingle_df
+
+    d = t(spark, sf_dir, "documents")
+    fp = _shingle_df(d).groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+    cand = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    texts = d.select("doc_id", "text")
+    lev = F.levenshtein(F.col("da.text"), F.col("db.text"))
+    bound = (0.2 * F.greatest(F.length("da.text"), F.length("db.text"))).cast("long")
+    return (
+        cand.join(texts.alias("da"), F.col("doc_a") == F.col("da.doc_id"))
+        .join(texts.alias("db"), F.col("doc_b") == F.col("db.doc_id"))
+        .filter(lev <= bound)
+        .select("doc_a", "doc_b", lev.cast("long").alias("edit_dist"))
+    )
+
+
+@register(
     "join_asof_forward",
     oracle="""
     WITH clicks AS (
