@@ -471,6 +471,60 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_boolean",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_huge
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink SQL boolean aggregates (COUNT_IF / EVERY / SOME) —
+    count_if, bool_and, bool_or per group; codegen expressions, one
+    shuffle with partial aggregation."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+    )
+
+
+@register("sample_stratified", oracle=None)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by stratum key (training-data rebalancing):
+    seeded `sampleBy` with a per-source fraction map — each stratum is
+    Bernoulli-sampled at its own rate in one scan, no shuffle.
+    Nondeterministic across engines → rows-only at the gate; per-
+    stratum rate bounds asserted in tests/test_llm.py."""
+    d = t(spark, sf_dir, "documents")
+    # keep even-numbered sources whole, downsample odd ones 4x — the
+    # "rebalance over-represented strata" move (fixture sources are
+    # src0..src19 at every SF).
+    fractions = {f"src{i}": (1.0 if i % 2 == 0 else 0.25) for i in range(20)}
+    return d.sampleBy("source", fractions, seed=42)
+
+
+@register("split_train_test", oracle=None)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split — the reproducible-pipeline
+    alternative to randomSplit (whose split depends on partitioning):
+    hash the stable doc_id with a seed salt, mod 100, <90 = train.
+    Pure expressions, one scan, rerunnable with identical assignment
+    on any cluster layout. Rows-only at the gate (xxhash64 is
+    Spark-specific); disjoint+complete invariant in tests/test_llm.py."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(42)), F.lit(100))
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 90, "train").otherwise("test").alias("split"),
+    )
+
+
+@register(
     "fn_bitwise",
     oracle="""
     SELECT event_id,

@@ -141,6 +141,36 @@ def test_shingle_guard_short_docs_and_df_cap(spark):
     )
 
 
+def test_stratified_sample_rates(spark, sf_dir_mid):
+    """sample_stratified: every even source keeps all rows (fraction
+    1.0), odd sources land near the 0.25 rate (Bernoulli bounds)."""
+    got = get_spec("sample_stratified").fn(spark, sf_dir_mid).groupBy("source").count()
+    got = {r.source: r["count"] for r in got.collect()}
+    full = load_table(spark, sf_dir_mid, "documents").groupBy("source").count()
+    full = {r.source: r["count"] for r in full.collect()}
+    for src, n in full.items():
+        i = int(src.removeprefix("src"))
+        if i % 2 == 0:
+            assert got[src] == n, f"{src}: whole stratum must be kept"
+        else:
+            assert 0 < got.get(src, 0) < n, f"{src}: expected a proper subsample"
+
+
+def test_train_test_split_disjoint_complete(spark, sf_dir_mid):
+    """split_train_test: every doc gets exactly one split tag, the
+    assignment is deterministic across runs, and the train share is
+    near 90%."""
+    a = get_spec("split_train_test").fn(spark, sf_dir_mid)
+    b = get_spec("split_train_test").fn(spark, sf_dir_mid)
+    rows_a = {r.doc_id: r.split for r in a.collect()}
+    rows_b = {r.doc_id: r.split for r in b.collect()}
+    assert rows_a == rows_b, "split must be deterministic"
+    total = load_table(spark, sf_dir_mid, "documents").count()
+    assert len(rows_a) == total, "every doc must be assigned"
+    train = sum(1 for s in rows_a.values() if s == "train")
+    assert 0.8 <= train / total <= 0.97, f"train share off: {train / total}"
+
+
 def test_knn_is_consistent_with_cosine_pairs(spark, sf_dir_mid):
     """sim_knn rank-1 neighbor similarity must equal the max cos_sim
     among that query's sim_cosine_pairs candidates (where comparable)."""
