@@ -524,6 +524,29 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_hll_mergeable", oracle=None)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via Spark built-ins)
+    — THE 100 TB distinct-counting architecture: build one sketch per
+    group in a single pass, then UNION the group sketches to get the
+    global cardinality without rescanning (sketches merge
+    associatively across partitions, days, or clusters). Per-type
+    estimates + an 'ALL' union row. Sketch bytes are engine-specific →
+    rows-only at the gate; error-vs-exact invariant in
+    tests/test_llm.py."""
+    e = t(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    estimates = per_type.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    union_row = per_type.agg(
+        F.hll_union_agg("sk").alias("sk")
+    ).select(F.lit("ALL").alias("event_type"), F.hll_sketch_estimate("sk").alias("approx_users"))
+    return estimates.unionByName(union_row)
+
+
 @register(
     "fn_bitwise",
     oracle="""

@@ -141,6 +141,28 @@ def test_shingle_guard_short_docs_and_df_cap(spark):
     )
 
 
+def test_hll_mergeable_error_bounds(spark, sf_dir_mid):
+    """agg_hll_mergeable: per-type estimates AND the merged-union 'ALL'
+    estimate must sit within HLL error of the exact distinct counts —
+    the union must behave like a sketch over the union of inputs, not
+    a sum of estimates."""
+    got = {
+        r.event_type: r.approx_users
+        for r in get_spec("agg_hll_mergeable").fn(spark, sf_dir_mid).collect()
+    }
+    e = load_table(spark, sf_dir_mid, "events")
+    exact = {
+        r.event_type: r.exact
+        for r in e.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact")
+        ).collect()
+    }
+    exact["ALL"] = e.select("user_id").distinct().count()
+    assert got.keys() == exact.keys()
+    for k, ex in exact.items():
+        assert abs(got[k] - ex) / ex <= 0.05, f"{k}: approx={got[k]} exact={ex}"
+
+
 def test_stratified_sample_rates(spark, sf_dir_mid):
     """sample_stratified: every even source keeps all rows (fraction
     1.0), odd sources land near the 0.25 rate (Bernoulli bounds)."""
