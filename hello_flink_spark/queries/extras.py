@@ -347,6 +347,11 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FP_BUCKET_CAP = 32  # max docs per fingerprint bucket before the bucket
+# is excluded from Levenshtein candidate generation (k² pairs per
+# bucket; fixture max is 19 at sf0.1, so results are unchanged)
+
+
 @register(
     "dedup_fingerprint_levenshtein",
     oracle="""
@@ -357,7 +362,9 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
              UNNEST(generate_series(1, GREATEST(len(tokens) - 2, 0))) AS u(i)
       ) QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50
     ),
-    fp AS (SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id),
+    fp0 AS (SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id),
+    fp AS (SELECT doc_id, fingerprint FROM fp0
+           QUALIFY COUNT(*) OVER (PARTITION BY fingerprint) <= 32),
     cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
@@ -376,11 +383,25 @@ def dedup_fingerprint_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame
     edit distance. This is the verify-stage shape for expensive
     pairwise measures at 100 TB: cheap banded candidate generation,
     exact confirmation on the survivors (same pattern as
-    dedup_simhash's bit_count filter)."""
+    dedup_simhash's bit_count filter).
+
+    Hot buckets are capped (FP_BUCKET_CAP, same hot-list + broadcast
+    anti-join as the shingle df-cap, mirrored in the oracle): a
+    fingerprint shared by k docs emits k² candidates, and mass-
+    duplicated boilerplate belongs to dedup_exact, which runs first in
+    a real pipeline. Fixture max bucket is 19 (sf0.1) — results
+    unchanged."""
     from hello_flink_spark.queries.llm import _shingle_df
 
     d = t(spark, sf_dir, "documents")
-    fp = _shingle_df(d).groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+    fp0 = _shingle_df(d).groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+    hot = (
+        fp0.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > FP_BUCKET_CAP)
+        .select("fingerprint")
+    )
+    fp = fp0.join(F.broadcast(hot), "fingerprint", "left_anti")
     cand = (
         fp.alias("a")
         .join(

@@ -9,7 +9,8 @@ sink_console, sink_parquet (streaming), sink_foreach_batch,
 watermark_bounded, late_drop, late_side_output, dedup_stream,
 agg_incremental, stream_static_join, stream_stream_join,
 stateful_running_agg, stateful_timer, stateful_sessionize,
-cep_pattern, window_count streaming.
+cep_pattern, window_count, window_cumulate, and the global-window
+count trigger (window_global_trigger) streaming twins.
 """
 
 from __future__ import annotations
