@@ -29,6 +29,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hello_flink_spark.queries.sources import _ensure, _fixture_dir
 from hello_flink_spark.registry import register
@@ -566,6 +567,72 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_union_agg("sk").alias("sk")
     ).select(F.lit("ALL").alias("event_type"), F.hll_sketch_estimate("sk").alias("approx_users"))
     return estimates.unionByName(union_row)
+
+
+@register(
+    "pipeline_training_corpus",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, lower(trim(text)) AS low,
+             string_split(lower(trim(text)), ' ') AS toks
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, lang, low, len(toks) AS n_words,
+             LEAST(CAST(len(toks) AS DOUBLE) / 50, 1.0) * 0.5
+             + CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'and')))
+                   AS DOUBLE) / len(toks) * 0.3
+             + (1 - CAST(length(low) - length(regexp_replace(low, '[^a-z0-9 ]', '', 'g'))
+                         AS DOUBLE) / length(low)) * 0.2 AS q
+      FROM scored
+    ),
+    kept AS (SELECT * FROM quality WHERE q >= 0.5),
+    deduped AS (
+      SELECT * FROM kept
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY sha256(low) ORDER BY doc_id) = 1
+    )
+    SELECT CASE WHEN doc_id % 10 < 9 THEN 'train' ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM deduped GROUP BY split, lang
+    """,
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation as ONE declarative plan —
+    the composition story: quality-score filter (text_quality_score's
+    formula) → exact dedup (dedup_exact's normalized hash, keep lowest
+    doc_id) → deterministic 90/10 split (doc_id % 10, oracle-mirrorable
+    unlike the xxhash split) → per-(split, lang) corpus stats. Catalyst
+    fuses the filter+projection into the scan, the dedup is one
+    shuffle on the hash, the final rollup one more — no intermediate
+    materialization, which is exactly why the operators are DataFrame
+    combinators rather than scripts."""
+    d = t(spark, sf_dir, "documents")
+    low = F.lower(F.trim(F.col("text")))
+    toks = F.split(low, " ")
+    stops = ("the", "a", "of", "to", "and")
+    n_words = F.size(toks)
+    punct = (F.length(low) - F.length(F.regexp_replace(low, "[^a-z0-9 ]", ""))).cast(
+        "double"
+    ) / F.length(low)
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*stops))).cast("double") / n_words
+    quality = (
+        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + (1 - punct) * 0.2
+    )
+    kept = d.select(
+        "doc_id", "lang", low.alias("low"), n_words.alias("n_words"), quality.alias("q")
+    ).filter(F.col("q") >= 0.5)
+    w = Window.partitionBy(F.sha2(F.col("low"), 256)).orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.withColumn(
+            "split", F.when(F.col("doc_id") % 10 < 9, "train").otherwise("test")
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_words").alias("total_words"))
+    )
 
 
 @register(
