@@ -24,6 +24,7 @@ bit functions). Empty reference checkout (SURVEY §0).
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -632,6 +633,70 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_words").alias("total_words"))
+    )
+
+
+@register(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS nation_cnt
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on ingest: a CSV fixture of the nation
+    table with garbage lines appended (wrong arity, unparseable ints)
+    read in DROPMALFORMED mode with an explicit schema — only the
+    well-formed rows survive, so the oracle over the clean nation view
+    proves exactly the garbage was dropped. The PERMISSIVE +
+    _corrupt_record variant is the capture-don't-drop alternative
+    (same reader, mode flag)."""
+    def write(p: str) -> None:
+        t(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(p)
+        import glob
+
+        part = glob.glob(os.path.join(p, "part-*.csv"))[0]
+        with open(part, "a") as f:
+            f.write("BROKEN LINE WITHOUT COMMAS\n")
+            f.write("not_an_int,garbage_name,also_not_int\n")
+            f.write("1,too,many,fields,here,extra\n")
+
+    path = _ensure(_fixture_dir(sf_dir, "nation_csv_malformed"), write)
+    df = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    return df.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("nation_cnt"))
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price
+    FROM orders
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] OVER NTH_VALUE: each customer's second-ever order price as
+    of each row (NULL until two orders seen) — completes the
+    first/last/nth value family of §2.5."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
 
 
