@@ -188,6 +188,51 @@ def window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_session_dynamic",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts,
+             ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS reach
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, reach,
+             CASE WHEN MAX(reach) OVER wprev IS NULL
+                  OR ts >= MAX(reach) OVER wprev
+                  THEN 1 ELSE 0 END AS new_s
+      FROM base
+      WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, reach
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sessioned AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, reach
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt
+    FROM sessioned GROUP BY user_id, sid
+    """,
+)
+def window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] dynamic session gap (SessionWindowTimeGapExtractor): the gap
+    depends on the event — 60 min after a purchase, 30 min otherwise.
+    Spark expresses this natively: session_window accepts a COLUMN gap
+    expression evaluated per event, merging each event's [ts, ts+gap)
+    interval into sessions. The oracle mirrors the UNION-of-intervals
+    semantics (session end = running max of ts+gap — a long-gap event
+    bridges over a short-gap successor; plain chain-adjacent
+    gaps-and-islands would split 2 sessions differently on this
+    fixture)."""
+    e = t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", "60 minutes").otherwise("30 minutes")
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("user_id", F.col("w.start").alias("session_start"), "cnt")
+    )
+
+
+@register(
     "window_global_trigger_batch",
     oracle="""
     WITH numbered AS (

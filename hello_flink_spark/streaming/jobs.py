@@ -70,6 +70,22 @@ def session_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Dat
     )
 
 
+def session_counts_dynamic(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """[F] SessionWindowTimeGapExtractor: dynamic per-event session gap
+    (60 min after a purchase, 30 min otherwise) — session_window takes
+    a Column gap in streaming too. Twin of
+    queries/timewindows.py::window_session_dynamic."""
+    gap = F.when(F.col("event_type") == "purchase", "60 minutes").otherwise("30 minutes")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("user_id", F.col("w.start").alias("session_start"), "cnt")
+    )
+
+
 def cumulate_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """[F] Flink SQL CUMULATE TVF (span 1 h, step 15 min) — streaming
     twin of queries/timewindows.py::window_cumulate.

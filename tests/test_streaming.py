@@ -116,6 +116,24 @@ def test_session_append_subset_of_batch_shadow(spark, sf_dir, replay_dir):
     assert all(want.get(k) == v for k, v in got.items()), "finalized session != batch shadow"
 
 
+def test_session_dynamic_append_subset_of_batch_shadow(spark, sf_dir, replay_dir):
+    """Dynamic-gap session windows in streaming: every finalized
+    session matches the batch shadow (trailing sessions legitimately
+    withheld by the watermark)."""
+    run_to_memory(
+        jobs.session_counts_dynamic(_stream(spark, replay_dir), WM), "t_sess_dyn", "append"
+    )
+    got = {
+        (r.user_id, r.session_start): r.cnt for r in spark.table("t_sess_dyn").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): r.cnt
+        for r in get_spec("window_session_dynamic").fn(spark, sf_dir).collect()
+    }
+    assert got, "no dynamic sessions finalized"
+    assert all(want.get(k) == v for k, v in got.items())
+
+
 def test_late_rows_dropped(spark, sf_dir, late_replay_dir):
     """late_drop / watermark_bounded: events replayed after the watermark
     passed their window must not appear in append-mode output."""
