@@ -127,6 +127,25 @@ def running_totals(events: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def json_payload_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """[F] the canonical Kafka-consumer pattern: a JSON string payload
+    parsed with an explicit schema mid-stream (`from_json`), then a
+    watermarked windowed aggregation on a parsed field. Here the
+    payload is events.props ('{"k": N}') → bucket k % 10 → 30-min
+    tumbling counts. Malformed payloads become NULL structs (from_json
+    PERMISSIVE default) and land in the NULL bucket rather than
+    killing the query."""
+    parsed = events.withColumn(
+        "payload", F.from_json(F.col("props"), "k long")
+    ).withColumn("k_bucket", F.pmod(F.col("payload.k"), F.lit(10)))
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "30 minutes").alias("w"), "k_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "k_bucket", "cnt")
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """[F] Flink SQL dedup (ROW_NUMBER()=1 over rowtime) →
     dropDuplicatesWithinWatermark: exactly-once per event_id within the

@@ -134,6 +134,27 @@ def test_session_dynamic_append_subset_of_batch_shadow(spark, sf_dir, replay_dir
     assert all(want.get(k) == v for k, v in got.items())
 
 
+def test_json_payload_counts_equals_batch(spark, sf_dir, replay_dir):
+    """Streaming from_json parse + windowed agg == the same expression
+    over the batch table (the Kafka payload pattern end-to-end)."""
+    run_to_memory(
+        jobs.json_payload_counts(_stream(spark, replay_dir), WM), "t_json", "complete"
+    )
+    got = {
+        (r.window_start, r.k_bucket): r.cnt for r in spark.table("t_json").collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    want_df = (
+        e.withColumn("payload", F.from_json(F.col("props"), "k long"))
+        .withColumn("k_bucket", F.pmod(F.col("payload.k"), F.lit(10)))
+        .groupBy(F.window("ts", "30 minutes").alias("w"), "k_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "k_bucket", "cnt")
+    )
+    want = {(r.window_start, r.k_bucket): r.cnt for r in want_df.collect()}
+    assert got == want
+
+
 def test_late_rows_dropped(spark, sf_dir, late_replay_dir):
     """late_drop / watermark_bounded: events replayed after the watermark
     passed their window must not appear in append-mode output."""
