@@ -701,6 +701,37 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_scrub",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(trim(text)),
+                                              '[0-9]{4,}', '<NUM>', 'g'),
+                               ' +', ' ', 'g')) AS scrubbed,
+           CAST(len(regexp_extract_all(lower(trim(text)), '[0-9]{4,}')) AS BIGINT)
+             AS n_redactions
+    FROM documents
+    """,
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing pass (training-data hygiene): redact long
+    digit runs (IDs, phone-ish numbers) to a <NUM> sentinel, collapse
+    whitespace, and count redactions per doc — pure regexp expressions,
+    one scan, the shape a real pipeline extends with email/SSN/URL
+    patterns."""
+    d = t(spark, sf_dir, "documents")
+    low = F.lower(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.regexp_replace(low, "[0-9]{4,}", "<NUM>"), " +", " ")
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all(low, F.lit("[0-9]{4,}"), F.lit(0)))
+        .cast("long")
+        .alias("n_redactions"),
+    )
+
+
+@register(
     "fn_bitwise",
     oracle="""
     SELECT event_id,
