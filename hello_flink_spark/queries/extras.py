@@ -732,6 +732,40 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS cust_cnt,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    GROUP BY c_nationkey
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning end-to-end: customer written partitioned by
+    c_mktsegment (hive-style directories), then read back with an
+    equality filter on the partition column — the scan must touch ONE
+    directory, not five (PartitionFilters asserted in
+    tests/test_plans.py). At 100 TB this is the difference between
+    reading 20 TB and reading 4 TB before the first filter runs."""
+    src = _ensure(
+        _fixture_dir(sf_dir, "customer_by_segment"),
+        lambda p: t(spark, sf_dir, "customer")
+        .write.mode("overwrite")
+        .partitionBy("c_mktsegment")
+        .parquet(p),
+    )
+    return (
+        spark.read.parquet(src)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("cust_cnt"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
     "fn_bitwise",
     oracle="""
     SELECT event_id,

@@ -127,6 +127,19 @@ def running_totals(events: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def with_observed_metrics(df: DataFrame, name: str = "metrics") -> DataFrame:
+    """[F] Flink operator metrics (numRecordsIn / custom counters) →
+    Spark's `observe`: named aggregate metrics evaluated per
+    micro-batch and surfaced in StreamingQueryProgress.observedMetrics
+    — the monitoring hook a production job wires to its metrics sink.
+    Zero extra passes: the aggregates ride the existing plan."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
 def json_payload_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """[F] the canonical Kafka-consumer pattern: a JSON string payload
     parsed with an explicit schema mid-stream (`from_json`), then a

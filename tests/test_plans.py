@@ -74,6 +74,15 @@ def test_lang_filter_pushdown(spark):
     assert re.search(r"PushedFilters: \[[^\]]*In\(lang", plan), plan[:1200]
 
 
+def test_partition_pruning_reaches_scan(spark):
+    """scan_partition_pruned: the partition-column equality must appear
+    as a PartitionFilter (directory pruning), not a post-scan filter."""
+    plan = _plan(spark, "scan_partition_pruned")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan[:1500]
+    assert "c_mktsegment" in m.group(1), f"no partition filter: {m.group(1)}"
+
+
 @pytest.mark.parametrize("name", PLAN_NAMES)
 def test_no_scale_killer_in_plan(spark, name):
     plan = _plan(spark, name)

@@ -134,6 +134,20 @@ def test_session_dynamic_append_subset_of_batch_shadow(spark, sf_dir, replay_dir
     assert all(want.get(k) == v for k, v in got.items())
 
 
+def test_observed_metrics_cover_all_rows(spark, sf_dir, replay_dir):
+    """observe(): per-micro-batch custom metrics must account for every
+    replayed row across the run (the monitoring-hook contract)."""
+    obs = jobs.with_observed_metrics(_stream(spark, replay_dir))
+    q = jobs.to_memory_sink(obs.select("event_id", "value"), "t_obs")
+    q.awaitTermination()
+    seen = 0
+    for p in q.recentProgress:
+        om = p.observedMetrics if hasattr(p, "observedMetrics") else p["observedMetrics"]
+        if om and "metrics" in om:
+            seen += om["metrics"]["rows"]
+    assert seen == load_table(spark, sf_dir, "events").count()
+
+
 def test_json_payload_counts_equals_batch(spark, sf_dir, replay_dir):
     """Streaming from_json parse + windowed agg == the same expression
     over the batch table (the Kafka payload pattern end-to-end)."""
