@@ -639,7 +639,9 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scan_csv_malformed",
     oracle="""
-    SELECT n_regionkey, COUNT(*) AS nation_cnt
+    SELECT n_regionkey, COUNT(*) AS nation_cnt,
+           MIN(n_name) AS first_name,
+           MIN(n_nationkey) AS min_key
     FROM nation GROUP BY n_regionkey
     """,
 )
@@ -650,7 +652,14 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     well-formed rows survive, so the oracle over the clean nation view
     proves exactly the garbage was dropped. The PERMISSIVE +
     _corrupt_record variant is the capture-don't-drop alternative
-    (same reader, mode flag)."""
+    (same reader, mode flag).
+
+    Caveat this query deliberately exercises: CSV malformed detection
+    only sees the columns the plan actually reads (column pruning), so
+    a pruned single-column aggregate would let a short row slip
+    through as NULL. The aggregate therefore touches every schema
+    column — full-row validation — which is the pattern (or disable
+    spark.sql.csv.parser.columnPruning.enabled) for strict ingest."""
     def write(p: str) -> None:
         t(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option(
             "header", True
@@ -662,6 +671,10 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("BROKEN LINE WITHOUT COMMAS\n")
             f.write("not_an_int,garbage_name,also_not_int\n")
             f.write("1,too,many,fields,here,extra\n")
+        # the out-of-band append invalidates Hadoop's local-FS .crc
+        # sidecars -> ChecksumException on read; drop them.
+        for crc in glob.glob(os.path.join(p, ".*.crc")):
+            os.remove(crc)
 
     path = _ensure(_fixture_dir(sf_dir, "nation_csv_malformed"), write)
     df = (
@@ -670,7 +683,11 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "DROPMALFORMED")
         .csv(path)
     )
-    return df.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("nation_cnt"))
+    return df.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("nation_cnt"),
+        F.min("n_name").alias("first_name"),
+        F.min("n_nationkey").alias("min_key"),
+    )
 
 
 @register(
