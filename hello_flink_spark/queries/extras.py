@@ -424,6 +424,100 @@ def dedup_fingerprint_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+MINHASH_SQL_K = 8  # signature length; 4 bands x 2 rows
+
+
+@register(
+    "dedup_minhash_sql",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT DISTINCT doc_id, tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens FROM documents),
+             UNNEST(generate_series(1, GREATEST(len(tokens) - 2, 0))) AS u(i)
+      ) QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50
+    ),
+    hashed AS (
+      SELECT doc_id, s.seed, MIN(substr(md5(s.seed || ':' || shingle), 1, 16)) AS mh
+      FROM sh, (SELECT UNNEST(generate_series(0, 7)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             string_agg(seed || ':' || mh, '|' ORDER BY seed) AS band_val
+      FROM hashed GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / 8.0, 3) AS est_jaccard
+    FROM cand c
+    JOIN hashed ha ON ha.doc_id = c.doc_a
+    JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.seed = ha.seed
+    GROUP BY c.doc_a, c.doc_b
+    """,
+)
+def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding as pure deterministic expressions — the
+    fully oracle-checkable twin of dedup_minhash (whose ml MinHashLSH
+    signatures are engine-specific, rows-only). Per doc: 8 MinHash
+    components (min md5 over seed-salted shingles), packed into 4
+    bands of 2; candidate pairs share a band (equi-join — the
+    sub-quadratic LSH shape); output the signature-agreement Jaccard
+    estimate. Every stage is a hash aggregate or equi-join with
+    map-side combine — linear in corpus size plus banded pair output.
+    """
+    d = t(spark, sf_dir, "documents")
+    from hello_flink_spark.queries.llm import _shingle_df
+
+    sh = _shingle_df(d)
+    hashed = (
+        sh.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_SQL_K - 1))))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))), 1, 16)
+            ).alias("mh")
+        )
+    )
+    bands = (
+        hashed.withColumn("band", (F.col("seed") / 2).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("seed"), F.col("mh"))))
+            ).alias("band_val")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        cand.join(hashed.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
+        .join(
+            hashed.alias("hb"),
+            (F.col("doc_b") == F.col("hb.doc_id")) & (F.col("hb.seed") == F.col("ha.seed")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("ha.mh") == F.col("hb.mh"), 1).otherwise(0)) / 8.0, 3
+            ).alias("est_jaccard")
+        )
+    )
+
+
 @register(
     "join_asof_forward",
     oracle="""
