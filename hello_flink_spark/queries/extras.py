@@ -876,6 +876,75 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_cluster", oracle=None)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the
+    dedup_ngram_jaccard pair graph via iterative min-label propagation
+    (the Pregel shape as DataFrame joins — what GraphX/GraphFrames
+    would run; neither ships here). Each doc starts labeled by itself;
+    5 rounds of 'adopt the smallest label among neighbors' — enough
+    for the shallow components near-dup graphs produce (real pipelines
+    iterate to fixpoint with large-star/small-star). Output: one row
+    per clustered doc with its cluster representative (min doc_id).
+    Iterative → not single-SQL-expressible → rows-only; invariants in
+    tests/test_llm.py."""
+    from hello_flink_spark.queries.llm import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # undirected edge list, deduplicated
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(5):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        labels = labels.localCheckpoint(eager=False)  # truncate the growing lineage
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS cnt,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values (profiling primitive):
+    bucket arithmetic + hash agg — one shuffle of (bucket, partials),
+    never the raw rows."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("bucket", F.floor(F.col("o_totalprice") / 50000).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
 @register(
     "fn_bitwise",
     oracle="""

@@ -141,6 +141,25 @@ def test_shingle_guard_short_docs_and_df_cap(spark):
     )
 
 
+def test_dedup_cluster_labels_consistent(spark, sf_dir_mid):
+    """dedup_cluster: every jaccard pair's endpoints share a cluster
+    label, every label is a member of its own cluster (a valid
+    representative), and labels are min-ids."""
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in get_spec("dedup_cluster").fn(spark, sf_dir_mid).collect()
+    }
+    assert labels, "no clustered docs on the near-dup fixture"
+    pairs = get_spec("dedup_ngram_jaccard").fn(spark, sf_dir_mid).collect()
+    for p in pairs:
+        assert labels[p.doc_a] == labels[p.doc_b], (
+            f"edge ({p.doc_a},{p.doc_b}) split across clusters"
+        )
+    for doc, lab in labels.items():
+        assert labels[lab] == lab, f"representative {lab} not canonical"
+        assert lab <= doc, "label must be the min doc_id of the component"
+
+
 def test_hll_mergeable_error_bounds(spark, sf_dir_mid):
     """agg_hll_mergeable: per-type estimates AND the merged-union 'ALL'
     estimate must sit within HLL error of the exact distinct counts —
