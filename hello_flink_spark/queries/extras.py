@@ -946,6 +946,60 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_expectations",
+    oracle="""
+    SELECT 'lineitem_nonpositive_qty' AS expectation,
+           CAST(count_if(l_quantity <= 0) AS BIGINT) AS violations,
+           COUNT(*) AS checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_negative_price',
+           CAST(count_if(l_extendedprice < 0) AS BIGINT), COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           CAST(count_if(l_discount < 0 OR l_discount > 1) AS BIGINT), COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           COUNT(*)
+    FROM lineitem
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (the expectations pattern): violation counts
+    for column constraints (non-positive quantity, negative price,
+    discount out of [0,1]) and referential integrity (lineitem rows whose
+    orderkey has no parent order — left-anti join). Column checks fold
+    into ONE scan via conditional aggregation; the RI check is a
+    broadcast/shuffled anti-join — at 100 TB this runs as the
+    admission gate before a partition is published."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    total = li.count()
+    col_checks = li.agg(
+        F.count_if(F.col("l_quantity") <= 0).alias("lineitem_nonpositive_qty"),
+        F.count_if(F.col("l_extendedprice") < 0).alias("lineitem_negative_price"),
+        F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "lineitem_discount_out_of_range"
+        ),
+    )
+    melted = col_checks.unpivot([], list(col_checks.columns), "expectation", "violations")
+    orphans = (
+        li.select("l_orderkey")
+        .join(o.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti")
+        .count()
+    )
+    ri_row = spark.createDataFrame(
+        [("lineitem_orphan_orderkey", orphans)], "expectation string, violations long"
+    )
+    return melted.unionByName(ri_row).withColumn("checked", F.lit(total))
+
+
+@register(
     "fn_bitwise",
     oracle="""
     SELECT event_id,

@@ -518,6 +518,51 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     assert len({r.event_id for r in ids}) == len(ids), "duplicate event after recovery"
 
 
+def test_windowed_state_recovers_across_restart(spark, sf_dir, tmp_path):
+    """Stateful-operator recovery: a tumbling aggregation run in two
+    availableNow sessions over the SAME checkpoint must merge events
+    from both runs into single window rows — the window spanning the
+    input cut is emitted once with the full count, and every emitted
+    window matches the full-data batch shadow."""
+    d = str(tmp_path / "replay")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).head()
+    cut = lo + (hi - lo) / 2
+
+    events.filter(F.col("ts") < cut).coalesce(1).write.parquet(os.path.join(d, "chunk_000"))
+    q1 = jobs.to_parquet_sink(
+        jobs.tumbling_counts(replay.read_stream(spark, d), WM), out, ckpt
+    )
+    q1.awaitTermination()
+
+    events.filter(F.col("ts") >= cut).coalesce(1).write.parquet(os.path.join(d, "chunk_001"))
+    q2 = jobs.to_parquet_sink(
+        jobs.tumbling_counts(replay.read_stream(spark, d), WM), out, ckpt
+    )
+    q2.awaitTermination()
+
+    emitted = spark.read.parquet(out).collect()
+    keys = [(r.window_start, r.event_type) for r in emitted]
+    assert len(keys) == len(set(keys)), "window emitted twice across restart"
+    want = {
+        (r.window_start, r.event_type): (r.cnt, r.total_value)
+        for r in get_spec("window_tumbling").fn(spark, sf_dir).collect()
+    }
+    for r in emitted:
+        assert want[(r.window_start, r.event_type)] == (r.cnt, r.total_value), (
+            f"window {r.window_start}/{r.event_type} differs from full-data shadow"
+        )
+    import datetime as dt
+
+    cut_window = cut - dt.timedelta(
+        minutes=cut.minute % 10, seconds=cut.second, microseconds=cut.microsecond
+    )
+    assert any(r.window_start == cut_window for r in emitted), (
+        "cut-spanning window never finalized — state did not merge across restart"
+    )
+
+
 def test_foreach_batch_upsert(spark, sf_dir, replay_dir, tmp_path):
     """sink_foreach_batch: keyed upsert — final table holds exactly the
     latest running total per user == the batch aggregate."""
