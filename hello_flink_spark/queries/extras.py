@@ -1000,6 +1000,70 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS idx,
+             UNNEST(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS c_label, idx, AVG(x) AS c FROM ex GROUP BY c_label, idx
+    ),
+    scores AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             SUM(e.x * c.c) AS dot
+      FROM ex e JOIN cent c ON c.idx = e.idx
+      GROUP BY e.vec_id, e.label, c.c_label
+    ),
+    pred AS (
+      SELECT vec_id, label, c_label AS predicted FROM (
+        SELECT vec_id, label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ROUND(dot, 6) DESC, c_label) AS rn
+        FROM scores)
+      WHERE rn = 1
+    )
+    SELECT label, predicted, COUNT(*) AS cnt
+    FROM pred GROUP BY label, predicted
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification over the labeled embeddings —
+    the prototype-based classifier a curation pipeline uses for cheap
+    label propagation: element-wise per-label mean vectors (explode →
+    hash agg; the centroid table is labels x dims = tiny), every
+    vector scored against every centroid via a broadcast join on the
+    dimension index, argmax by rounded dot product (id tiebreak — the
+    sim_knn float-noise precedent). Output: the label x predicted
+    confusion counts. Corpus-side cost is one explode + two hash
+    aggregations — linear; the centroid side never grows with the
+    corpus."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("idx0", "x"),
+    ).withColumn("idx", F.col("idx0") + 1)
+    cent = ex.groupBy(F.col("label").alias("c_label"), "idx").agg(F.avg("x").alias("c"))
+    scores = (
+        ex.join(F.broadcast(cent), "idx")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("dot", 6).desc(), F.col("c_label"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("predicted"))
+    )
+    return pred.groupBy("label", "predicted").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
     "fn_bitwise",
     oracle="""
     SELECT event_id,
