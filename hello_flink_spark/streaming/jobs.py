@@ -344,6 +344,31 @@ def to_foreach_batch(
     )
 
 
+def windowed_topn_foreach_batch(
+    target_dir: str, n: int = 3
+) -> Callable[[DataFrame, int], None]:
+    """[F] Flink SQL windowed Top-N (rank over window aggregate,
+    continuously maintained): Structured Streaming forbids rank
+    functions on a streaming aggregate, so the pattern is complete-mode
+    aggregation + foreachBatch — each micro-batch holds the FULL
+    aggregate state, rank it per window, overwrite the materialized
+    top-N. The sink always shows the current top-N per window, exactly
+    like Flink's retractable Top-N view."""
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("cnt").desc(), F.col("event_type")
+        )
+        top = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+        top.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+
+    return handle
+
+
 def upsert_by_key_foreach_batch(
     target_dir: str, key: str = "user_id", version_col: str | None = None
 ) -> Callable[[DataFrame, int], None]:

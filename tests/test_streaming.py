@@ -20,6 +20,7 @@ import time
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hello_flink_spark.registry import get_spec
 from hello_flink_spark.sources.readers import load_table
@@ -516,6 +517,35 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     assert final.count() == events.count(), "lost or duplicated events across restart"
     ids = final.select("event_id").collect()
     assert len({r.event_id for r in ids}) == len(ids), "duplicate event after recovery"
+
+
+def test_windowed_topn_materialization(spark, sf_dir, replay_dir, tmp_path):
+    """Windowed Top-N (Flink SQL's continuous rank view): complete-mode
+    tumbling counts + foreachBatch rank-overwrite must end exactly at
+    the batch shadow's top-3 per window."""
+    target = str(tmp_path / "topn")
+    q = jobs.to_foreach_batch(
+        jobs.tumbling_counts(_stream(spark, replay_dir), WM),
+        jobs.windowed_topn_foreach_batch(target, n=3),
+        checkpoint=str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.event_type): r.cnt
+        for r in spark.read.parquet(target).collect()
+    }
+    shadow = get_spec("window_tumbling").fn(spark, sf_dir)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    want = {
+        (r.window_start, r.event_type): r.cnt
+        for r in shadow.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    assert got == want
 
 
 def test_windowed_state_recovers_across_restart(spark, sf_dir, tmp_path):
