@@ -1064,6 +1064,52 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_quantized_cosine",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> FLOOR(x * 127.0 / list_max(list_transform(
+                                   CAST(embedding AS DOUBLE[]), y -> abs(y))) + 0.5))
+               AS qv
+      FROM embeddings
+    )
+    SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+           ROUND(list_inner_product(a.qv, b.qv)
+                 / (sqrt(list_inner_product(a.qv, a.qv))
+                    * sqrt(list_inner_product(b.qv, b.qv))), 6) AS q_cos
+    FROM q a JOIN q b
+      ON a.vec_id % 50 = 0 AND a.vec_id < 2000 AND b.vec_id > a.vec_id
+    """,
+)
+def sim_quantized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine similarity — the memory-side scale lever
+    for embedding search: per-vector symmetric quantization
+    (floor(x*127/maxabs + 0.5); floor-based so both engines round
+    identically) shrinks the corpus 4x vs float32 and the cosine
+    survives quantization (~1e-2 error at 64 dims). Same bounded
+    broadcast-probe shape as sim_cosine_pairs; at 100 TB the
+    quantized corpus is what stays resident while exact rescoring
+    touches only the top candidates."""
+    from hello_flink_spark.queries.llm import PROBE_ID_MAX, _cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    maxabs = F.array_max(F.transform(dbl, lambda v: F.abs(v)))
+    qv = F.transform(dbl, lambda v: F.floor(v * 127.0 / maxabs + 0.5).cast("double"))
+    q = e.select("vec_id", qv.alias("qv"))
+    probes = q.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < PROBE_ID_MAX)
+    ).select(F.col("vec_id").alias("probe_id"), F.col("qv").alias("pv"))
+    cands = q.select(F.col("vec_id").alias("cand_id"), F.col("qv").alias("cv"))
+    return cands.join(F.broadcast(probes), F.col("cand_id") > F.col("probe_id")).select(
+        "probe_id",
+        "cand_id",
+        F.round(_cosine(F.col("pv"), F.col("cv")), 6).alias("q_cos"),
+    )
+
+
+@register(
     "fn_bitwise",
     oracle="""
     SELECT event_id,

@@ -141,6 +141,22 @@ def test_shingle_guard_short_docs_and_df_cap(spark):
     )
 
 
+def test_quantized_cosine_error_bound(spark, sf_dir_mid):
+    """sim_quantized_cosine: int8 quantization must stay within 0.05
+    of the exact cosine on every probe pair (64-dim corpus)."""
+    exact = {
+        (r.probe_id, r.cand_id): r.cos_sim
+        for r in get_spec("sim_cosine_pairs").fn(spark, sf_dir_mid).collect()
+    }
+    quant = {
+        (r.probe_id, r.cand_id): r.q_cos
+        for r in get_spec("sim_quantized_cosine").fn(spark, sf_dir_mid).collect()
+    }
+    assert quant.keys() == exact.keys()
+    worst = max(abs(quant[k] - exact[k]) for k in exact)
+    assert worst <= 0.05, f"quantization error too high: {worst}"
+
+
 def test_dedup_cluster_labels_consistent(spark, sf_dir_mid):
     """dedup_cluster: every jaccard pair's endpoints share a cluster
     label, every label is a member of its own cluster (a valid
