@@ -63,6 +63,8 @@ HEADLINE = [
     "agg_pivot",
     "agg_time_rollup",
     "text_quality_score",
+    "dedup_minhash_sql",
+    "quality_expectations",
 ]
 
 
