@@ -138,6 +138,57 @@ def test_asof_implementations_agree(spark, direction, left, right):
     assert ka == kb
 
 
+def test_roman_numeral_roundtrip_full_range():
+    """udf_scalar's row-UDF body: every n in 1..3999 encodes to a
+    numeral that parses back to n (independent greedy parser), uses
+    only valid symbols, and never repeats a subtractive pair."""
+    from hello_flink_spark.queries.udfs import _roman_fn
+
+    values = {"M": 1000, "CM": 900, "D": 500, "CD": 400, "C": 100, "XC": 90,
+              "L": 50, "XL": 40, "X": 10, "IX": 9, "V": 5, "IV": 4, "I": 1}
+
+    def parse(s: str) -> int:
+        total, i = 0, 0
+        while i < len(s):
+            if s[i : i + 2] in values:
+                total += values[s[i : i + 2]]
+                i += 2
+            else:
+                total += values[s[i]]
+                i += 1
+        return total
+
+    assert _roman_fn(None) is None
+    for n in range(1, 4000):
+        r = _roman_fn(n)
+        assert parse(r) == n, f"{n} -> {r}"
+
+
+@given(rows=st.lists(st.tuples(st.sampled_from("FOP"), st.integers(1, 5)),
+                     min_size=1, max_size=30))
+@SETTINGS
+def test_pivot_unpivot_roundtrip(spark, rows):
+    """pivot → unpivot recovers the original (status, priority) counts."""
+    df = spark.createDataFrame(rows, "status string, prio int")
+    prios = [str(p) for p in range(1, 6)]
+    wide = (
+        df.groupBy("status")
+        .pivot("prio", prios)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, prios)
+    )
+    back = (
+        wide.unpivot(["status"], prios, "prio", "cnt")
+        .filter(F.col("cnt") > 0)
+        .withColumn("prio", F.col("prio").cast("int"))
+    )
+    got = {(r.status, r.prio): r.cnt for r in back.collect()}
+    want: dict = {}
+    for s, p in rows:
+        want[(s, p)] = want.get((s, p), 0) + 1
+    assert got == want
+
+
 @given(keys=st.lists(st.integers(0, 5), min_size=1, max_size=30))
 @SETTINGS
 def test_semi_anti_partition_left(spark, keys):
