@@ -1110,6 +1110,77 @@ def sim_quantized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_table",
+    oracle="""
+    SELECT 'o_custkey' AS col, COUNT(*) - COUNT(o_custkey) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           ROUND(MIN(o_totalprice), 2) AS price_min, ROUND(MAX(o_totalprice), 2) AS price_max
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           ROUND(MIN(o_totalprice), 2), ROUND(MAX(o_totalprice), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           ROUND(MIN(o_totalprice), 2), ROUND(MAX(o_totalprice), 2)
+    FROM orders
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the auto-stats primitive behind data catalogs):
+    null count and distinct count per profiled column plus table-level
+    min/max, all folded into ONE scan with conditional aggregation —
+    the profile of a 100 TB table costs one pass, not one pass per
+    column. (At scale swap countDistinct for approx_count_distinct —
+    exact here so the oracle can hash-match.)"""
+    o = t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    aggs += [
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+    ]
+    wide = o.agg(*aggs).head()
+    rows = [
+        (c, wide[f"{c}__null"], wide[f"{c}__distinct"], wide.price_min, wide.price_max)
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        rows, "col string, n_null long, n_distinct long, price_min double, price_max double"
+    )
+
+
+@register(
+    "fn_encoding",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(substr(text, 1, 12))) AS b64,
+           hex(encode(substr(text, 1, 4))) AS hx,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink SQL TO_BASE64 / encode functions: base64 and hex of
+    text prefixes plus byte length — the binary-payload codec family
+    (codegen expressions)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.encode(F.substring("text", 1, 12), "utf-8")).alias("b64"),
+        F.hex(F.encode(F.substring("text", 1, 4), "utf-8")).alias("hx"),
+        F.length(F.encode(F.col("text"), "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+@register(
     "fn_bitwise",
     oracle="""
     SELECT event_id,
