@@ -31,6 +31,7 @@ BNLJ_OK = {
     "sim_cosine_pairs",  # broadcast <=40-probe set x corpus scan
     "sim_knn",           # broadcast <=20-query set x corpus scan
     "sim_ann_ivf",       # broadcast C=16 centroid table x corpus scan
+    "sim_quantized_cosine",  # broadcast <=40-probe set (PROBE_ID_MAX), quantized
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
