@@ -167,6 +167,23 @@ def dedup_events(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataF
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def dedup_documents_stream(
+    docs: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Streaming exact dedup for a document firehose (the ingest edge
+    of the LLM pipeline): key = sha2 of normalized text, kept
+    exactly-once within the watermark horizon via
+    dropDuplicatesWithinWatermark — state holds one hash per UNIQUE
+    document and evicts with the watermark, so an unbounded crawl
+    stream cannot grow state without bound. Expects an event-time
+    column ``ingest_ts`` on the stream."""
+    return (
+        docs.withColumn("norm_hash", F.sha2(F.lower(F.trim(F.col("text"))), 256))
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["norm_hash"])
+    )
+
+
 def stream_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
     """[F] lookup join (LookupTableSource): per-record enrichment against
     a static dim snapshot — broadcast hash join per micro-batch."""

@@ -278,6 +278,37 @@ def test_dedup_within_watermark(spark, sf_dir, tmp_path):
     assert len(ids) == len(set(ids)) == 300
 
 
+def test_dedup_documents_stream(spark, sf_dir, tmp_path):
+    """Document-firehose dedup: the same crawl batch replayed twice
+    (second pass inside the watermark horizon) must yield each unique
+    normalized text exactly once."""
+    d = str(tmp_path / "docs_replay")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .limit(200)
+        .withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 600),
+        )
+        .select("doc_id", "text", "ingest_ts")
+    )
+    docs.coalesce(1).write.parquet(os.path.join(d, "chunk_000"))
+    docs.coalesce(1).write.parquet(os.path.join(d, "chunk_001"))  # the re-crawl
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "chunk_*", "*.parquet"))
+    )
+    run_to_memory(jobs.dedup_documents_stream(stream, WM), "t_docdedup", "append")
+    got = spark.table("t_docdedup").select("norm_hash").collect()
+    hashes = [r.norm_hash for r in got]
+    n_unique_texts = (
+        docs.select(F.sha2(F.lower(F.trim("text")), 256).alias("h")).distinct().count()
+    )
+    assert len(hashes) == len(set(hashes)) == n_unique_texts
+
+
 def test_stream_static_join(spark, sf_dir, replay_dir):
     dim = spark.createDataFrame(
         [("click", 1), ("view", 2), ("purchase", 10), ("signup", 5), ("error", 0)],
