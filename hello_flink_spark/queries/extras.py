@@ -979,7 +979,6 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     admission gate before a partition is published."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
-    total = li.count()
     col_checks = li.agg(
         F.count_if(F.col("l_quantity") <= 0).alias("lineitem_nonpositive_qty"),
         F.count_if(F.col("l_extendedprice") < 0).alias("lineitem_negative_price"),
@@ -988,15 +987,16 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     melted = col_checks.unpivot([], list(col_checks.columns), "expectation", "violations")
-    orphans = (
+    ri_row = (
         li.select("l_orderkey")
         .join(o.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti")
-        .count()
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("lineitem_orphan_orderkey").alias("expectation"), "violations")
     )
-    ri_row = spark.createDataFrame(
-        [("lineitem_orphan_orderkey", orphans)], "expectation string, violations long"
-    )
-    return melted.unionByName(ri_row).withColumn("checked", F.lit(total))
+    total = li.agg(F.count(F.lit(1)).alias("checked"))
+    # one declarative plan, no driver-side actions: scalar 'checked'
+    # attaches via a 1x1 cross join (broadcast).
+    return melted.unionByName(ri_row).crossJoin(F.broadcast(total))
 
 
 @register(

@@ -32,6 +32,7 @@ BNLJ_OK = {
     "sim_knn",           # broadcast <=20-query set x corpus scan
     "sim_ann_ivf",       # broadcast C=16 centroid table x corpus scan
     "sim_quantized_cosine",  # broadcast <=40-probe set (PROBE_ID_MAX), quantized
+    "quality_expectations",  # 4-row expectations x broadcast 1-row total scalar
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
