@@ -1180,6 +1180,37 @@ def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBQUERY_SQL = """
+SELECT o.o_orderkey,
+       ROUND(o.o_totalprice, 2) AS totalprice,
+       (SELECT COUNT(*)
+        FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+       (SELECT ROUND(MAX(l.l_extendedprice), 2)
+        FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS max_item_price,
+       EXISTS (SELECT 1 FROM lineitem l
+               WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+         AS has_bulk_item
+FROM orders o
+WHERE o.o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.5
+"""
+
+
+@register("subquery_correlated", oracle=SUBQUERY_SQL)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Calcite subquery decorrelation (SURVEY §4.1) — the Catalyst
+    side demonstrated live: correlated SCALAR subqueries (per-order
+    item count and max price → rewritten to aggregates + outer joins),
+    a correlated EXISTS (→ existence join), and an uncorrelated scalar
+    filter (→ one-row broadcast). Same SQL text runs on both engines —
+    the declared query IS the oracle string. Aggregates are COUNT/MAX
+    (accumulation-order-free) so no float boundary can flip a row
+    between engines."""
+    from hello_flink_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(SUBQUERY_SQL)
+
+
 @register(
     "fn_bitwise",
     oracle="""
