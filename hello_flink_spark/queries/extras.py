@@ -1212,6 +1212,53 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_dynamic_pruned",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS cust_cnt
+    FROM customer c
+    JOIN (VALUES ('BUILDING', 'prime'), ('MACHINERY', 'prime'),
+                 ('AUTOMOBILE', 'standard'), ('HOUSEHOLD', 'standard'),
+                 ('FURNITURE', 'standard')) AS seg(c_mktsegment, tier)
+      ON c.c_mktsegment = seg.c_mktsegment
+    WHERE seg.tier = 'prime'
+    GROUP BY c.c_nationkey
+    """,
+)
+def scan_dynamic_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning (SURVEY §4.1): the fact side is the
+    hive-partitioned customer fixture joined on its partition column
+    to a dim filtered at runtime — Catalyst injects the dim's
+    surviving keys as a partition filter (dynamicpruning expression,
+    asserted in tests/test_plans.py), so only the 'prime' segment
+    directories are read even though the pruning set isn't known until
+    the dim is evaluated. The static-filter variant is
+    scan_partition_pruned."""
+    src = _ensure(
+        _fixture_dir(sf_dir, "customer_by_segment"),
+        lambda p: t(spark, sf_dir, "customer")
+        .write.mode("overwrite")
+        .partitionBy("c_mktsegment")
+        .parquet(p),
+    )
+    fact = spark.read.parquet(src)
+    seg = spark.createDataFrame(
+        [
+            ("BUILDING", "prime"),
+            ("MACHINERY", "prime"),
+            ("AUTOMOBILE", "standard"),
+            ("HOUSEHOLD", "standard"),
+            ("FURNITURE", "standard"),
+        ],
+        "c_mktsegment string, tier string",
+    )
+    return (
+        fact.join(seg.filter(F.col("tier") == "prime"), "c_mktsegment")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+    )
+
+
+@register(
     "fn_bitwise",
     oracle="""
     SELECT event_id,

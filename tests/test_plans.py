@@ -85,6 +85,14 @@ def test_partition_pruning_reaches_scan(spark):
     assert "c_mktsegment" in m.group(1), f"no partition filter: {m.group(1)}"
 
 
+def test_dynamic_partition_pruning_injected(spark):
+    """scan_dynamic_pruned: joining the partitioned fact on its
+    partition column against a runtime-filtered dim must inject a
+    dynamicpruning expression into the scan."""
+    plan = _plan(spark, "scan_dynamic_pruned")
+    assert re.search(r"dynamicpruning", plan, re.IGNORECASE), plan[:1500]
+
+
 @pytest.mark.parametrize("name", PLAN_NAMES)
 def test_no_scale_killer_in_plan(spark, name):
     plan = _plan(spark, name)
