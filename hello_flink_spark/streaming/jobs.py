@@ -215,6 +215,40 @@ def stream_stream_interval_join(
     return clicks.join(purchases, cond).select("user_id", "c_ts", "p_ts")
 
 
+def stream_stream_left_outer_join(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """[F] Table API windowed LEFT OUTER stream-stream join: every click
+    paired with same-user purchases in the next 30 minutes, clicks with
+    no purchase emitted with NULL p_ts once the watermark has passed
+    their match window (so the engine can prove no match will arrive).
+    Same state-eviction bounds as the inner variant; the extra
+    capability is the watermark-gated NULL emission.
+
+    Caveat (documented Spark semantics): a click's NULL row is emitted
+    only after a later micro-batch advances the watermark past
+    ``c_ts + 30 min``; clicks near the end of a bounded replay stay in
+    state when the stream ends. The golden test asserts exactly that
+    split: matched rows equal the batch join, emitted NULL rows are
+    precisely the batch anti-join rows old enough to be closed."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return clicks.join(purchases, cond, "leftOuter").select("user_id", "c_ts", "p_ts")
+
+
 def late_split_foreach_batch(
     on_time_dir: str,
     late_dir: str,

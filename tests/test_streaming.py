@@ -345,6 +345,57 @@ def test_stream_stream_interval_join(spark, sf_dir, replay_dir):
     assert got == want
 
 
+def test_stream_stream_left_outer_join(spark, sf_dir, replay_dir):
+    """Outer stream-stream join: matched rows == batch inner join;
+    NULL-extended rows are exactly the batch anti-join rows whose match
+    window closed under the final watermark (later clicks legitimately
+    remain in state when a bounded replay ends)."""
+    run_to_memory(
+        jobs.stream_stream_left_outer_join(_stream(spark, replay_dir), WM), "t_ssloj"
+    )
+    got = spark.table("t_ssloj")
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter("event_type = 'click'").select("user_id", F.col("ts").alias("c_ts"))
+    purchases = e.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 30 MINUTES"))
+    )
+    want_matched = clicks.join(purchases, cond).count()
+    assert got.filter("p_ts IS NOT NULL").count() == want_matched
+
+    # A click's NULL row is due once the watermark passes c_ts + 30 min.
+    # The watermark that batch N acts on derives from data through batch
+    # N-1, so the guaranteed-flushed horizon is max(ts) of all chunks
+    # but the last, minus the 30-min watermark delay.
+    wm_base = spark.read.parquet(
+        *[os.path.join(replay_dir[0], f"chunk_{i:03d}") for i in range(3)]
+    ).agg(F.max("ts")).head()[0]
+    closed_before = F.lit(wm_base) - F.expr("INTERVAL 30 MINUTES") - F.expr("INTERVAL 30 MINUTES")
+    p2 = purchases.withColumnRenamed("p_user_id", "u2")
+    unmatched = clicks.join(
+        p2,
+        (clicks.user_id == p2.u2)
+        & (p2.p_ts >= clicks.c_ts)
+        & (p2.p_ts <= clicks.c_ts + F.expr("INTERVAL 30 MINUTES")),
+        "left_anti",
+    )
+    must_emit = unmatched.filter(F.col("c_ts") < closed_before).count()
+    got_nulls = got.filter("p_ts IS NULL").count()
+    assert got_nulls >= must_emit and must_emit > 0
+    # and every NULL row really is unmatched in batch
+    assert (
+        got.filter("p_ts IS NULL")
+        .join(clicks.join(purchases, cond).select("user_id", "c_ts"), ["user_id", "c_ts"], "left_semi")
+        .count()
+        == 0
+    )
+
+
 def test_running_totals_update_mode(spark, sf_dir, replay_dir):
     """agg_incremental: update-mode running agg; the LAST emission per
     key equals the batch aggregate."""
