@@ -93,6 +93,42 @@ def test_dynamic_partition_pruning_injected(spark):
     assert re.search(r"dynamicpruning", plan, re.IGNORECASE), plan[:1500]
 
 
+def test_runtime_bloom_filter_injected(spark):
+    """Runtime row-level filtering (SURVEY §4.1): when a selectively
+    filtered dim feeds a shuffle join too large to broadcast, Catalyst
+    builds a bloom filter from the dim keys and injects might_contain
+    on the fact side — rows drop BEFORE the shuffle exchange, the
+    at-scale analog of dynamic partition pruning for non-partition
+    keys. Production thresholds (10 GB application-side scan) are
+    lowered to demonstrate the mechanism on fixture data."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from hello_flink_spark.sources.readers import load_table
+
+        sf = "/root/testdata/sf0.001"
+        fact = load_table(spark, sf, "lineitem")
+        dim = load_table(spark, sf, "orders").filter("o_totalprice > 400000").select(
+            "o_orderkey"
+        )
+        plan = (
+            fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 @pytest.mark.parametrize("name", PLAN_NAMES)
 def test_no_scale_killer_in_plan(spark, name):
     plan = _plan(spark, name)
