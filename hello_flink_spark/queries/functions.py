@@ -322,3 +322,51 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("1995-06-17 12:30:00").cast("timestamp").alias("str_to_ts"),
         (F.col("o_totalprice") > 100000).cast("long").alias("big_flag"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+        SELECT c_custkey,
+               'https://n' || CAST(c_nationkey AS VARCHAR)
+                   || '.example.com/seg/' || lower(c_mktsegment)
+                   || '?cust=' || CAST(c_custkey AS VARCHAR)
+                   || '&bal=' || CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END
+                   AS url
+        FROM customer
+    )
+    SELECT c_custkey,
+           url,
+           regexp_extract(url, '^https?://([^/]+)', 1)      AS url_host,
+           regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS url_path,
+           regexp_extract(url, '\\?([^#]*)', 1)              AS url_query,
+           regexp_extract(url, '[?&]cust=([^&#]*)', 1)       AS cust_param
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink SQL PARSE_URL — URL decomposition (host/path/query and
+    a named query parameter). URLs are synthesized from customer
+    columns so both engines parse identical inputs; the DuckDB oracle
+    mirrors Java's parse_url componentization with anchored regexes
+    (exact on these well-formed URLs)."""
+    c = t(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://n"),
+        F.col("c_nationkey").cast("string"),
+        F.lit(".example.com/seg/"),
+        F.lower("c_mktsegment"),
+        F.lit("?cust="),
+        F.col("c_custkey").cast("string"),
+        F.lit("&bal="),
+        F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos"),
+    )
+    return c.select(
+        "c_custkey",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("url_host"),
+        F.parse_url(url, F.lit("PATH")).alias("url_path"),
+        F.parse_url(url, F.lit("QUERY")).alias("url_query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("cust")).alias("cust_param"),
+    )
