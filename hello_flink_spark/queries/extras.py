@@ -1282,3 +1282,61 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(event_id, 3)").alias("shr3"),
         F.bit_count("event_id").cast("long").alias("popcnt"),
     )
+
+
+SCD2_SQL = """
+WITH changes AS (
+    SELECT o_custkey, o_orderdate AS ts, o_orderkey,
+           o_orderstatus AS status,
+           lag(o_orderstatus) OVER w AS prev_status
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), transitions AS (
+    SELECT o_custkey, ts, o_orderkey, status
+    FROM changes
+    WHERE prev_status IS NULL OR status <> prev_status
+)
+SELECT o_custkey                 AS cust_key,
+       status,
+       ts                        AS valid_from,
+       lead(ts) OVER w2          AS valid_to,
+       CAST(lead(ts) OVER w2 IS NULL AS BIGINT) AS is_current
+FROM transitions
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY ts, o_orderkey)
+"""
+
+
+@register("dim_scd2_build", oracle=SCD2_SQL)
+def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build — the batch
+    form of the CDC changelog materialization Flink users run against
+    dynamic tables ([F] Table API temporal tables / upsert changelogs;
+    empty reference checkout, SURVEY §0). Treats each customer's order
+    stream as an attribute-change feed: collapse consecutive repeats of
+    o_orderstatus, then assign validity intervals [valid_from,
+    valid_to) via lead(), open interval = current row.
+
+    Scale shape: two windows over the SAME (o_custkey, ts, key)
+    partitioning — one shuffle total, no self-join, AQE-safe; ties
+    broken by o_orderkey so the history is deterministic on any
+    cluster layout."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    )
+    transitions = changes.filter(
+        F.col("prev_status").isNull() | (F.col("status") != F.col("prev_status"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    return transitions.select(
+        F.col("o_custkey").alias("cust_key"),
+        "status",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().cast("long").alias("is_current"),
+    )
