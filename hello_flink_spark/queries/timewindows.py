@@ -331,3 +331,64 @@ def cep_pattern_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "click_id", "click_ts")
         .agg(F.min("p_ts").alias("first_purchase_ts"))
     )
+
+
+@register(
+    "cep3_pattern_batch",
+    oracle="""
+    WITH vc AS (
+        SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+               MIN(c.ts) AS click_ts
+        FROM events v
+        JOIN events c
+          ON c.user_id = v.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+        GROUP BY v.user_id, v.event_id, v.ts
+    )
+    SELECT vc.user_id, vc.view_id, vc.view_ts, vc.click_ts,
+           MIN(p.ts) AS purchase_ts
+    FROM vc
+    JOIN events p
+      ON p.user_id = vc.user_id AND p.event_type = 'purchase'
+     AND p.ts > vc.click_ts AND p.ts <= vc.click_ts + INTERVAL 4 HOUR
+    GROUP BY vc.user_id, vc.view_id, vc.view_ts, vc.click_ts
+    """,
+)
+def cep3_pattern_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink CEP 3-step `A followedBy B followedBy C within(t)` —
+    batch shadow: each view matched to its first click within 4 h,
+    that pair matched to the click's first purchase within 4 h.
+    Two equi-key joins + min-aggregations — shuffle on user_id reused,
+    linear per key; the streaming NFA twin is
+    streaming/stateful.py::cep3_view_click_purchase."""
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+    )
+    vc = (
+        views.join(
+            clicks,
+            (views.user_id == clicks.c_user_id)
+            & (clicks.c_ts > views.view_ts)
+            & (clicks.c_ts <= views.view_ts + F.expr("INTERVAL 4 HOURS")),
+        )
+        .groupBy("user_id", "view_id", "view_ts")
+        .agg(F.min("c_ts").alias("click_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    return (
+        vc.join(
+            purchases,
+            (vc.user_id == purchases.p_user_id)
+            & (purchases.p_ts > vc.click_ts)
+            & (purchases.p_ts <= vc.click_ts + F.expr("INTERVAL 4 HOURS")),
+        )
+        .groupBy("user_id", "view_id", "view_ts", "click_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )

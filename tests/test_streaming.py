@@ -474,6 +474,24 @@ def test_cep_equals_batch_shadow(spark, sf_dir, replay_dir):
     assert got == want
 
 
+def test_cep3_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """The 3-step NFA (view → click → purchase) must produce exactly
+    the batch-shadow triples (view's first click within 30 min, that
+    click's first purchase within 30 min)."""
+    run_to_memory(
+        stateful.cep3_view_click_purchase(_stream(spark, replay_dir), WM), "t_cep3"
+    )
+    got = sorted(
+        (r.user_id, r.view_ts, r.click_ts, r.purchase_ts)
+        for r in spark.table("t_cep3").collect()
+    )
+    want = sorted(
+        (r.user_id, r.view_ts, r.click_ts, r.purchase_ts)
+        for r in get_spec("cep3_pattern_batch").fn(spark, sf_dir).collect()
+    )
+    assert got and got == want
+
+
 def test_count_window_stream(spark, sf_dir, replay_dir):
     """Completed count-window chunks must match the batch shadow's
     full chunks (the trailing partial stays in state)."""
