@@ -249,6 +249,40 @@ def stream_stream_left_outer_join(
     return clicks.join(purchases, cond, "leftOuter").select("user_id", "c_ts", "p_ts")
 
 
+def dynamic_rules_foreach_batch(
+    rules_path: str, out_dir: str
+) -> Callable[[DataFrame, int], None]:
+    """[F] Broadcast state pattern (`MapStateDescriptor` +
+    `BroadcastProcessFunction`): a control stream of rules broadcast to
+    every task so the data stream is evaluated against the CURRENT
+    rule set. Spark has no broadcast-state primitive; the micro-batch
+    expression re-snapshots the (small) rules table at every batch and
+    broadcast-joins it, so a rule update takes effect at the next
+    micro-batch boundary (batch-quantized control propagation, same
+    class of delta as SURVEY §4.4 #3/#4).
+
+    Rules schema: ``event_type string, min_value double, rule_rev
+    long``. Emits matching events tagged with the applied rule_rev and
+    batch_id, appended to ``out_dir`` — so tests (and audits) can prove
+    WHICH revision filtered each batch. Attach with
+    ``to_foreach_batch``; checkpoint-resume keeps exactly-once over
+    rule changes."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        rules = spark.read.parquet(rules_path)
+        (
+            batch.join(F.broadcast(rules), "event_type")
+            .filter(F.col("value") >= F.col("min_value"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .select("event_id", "event_type", "value", "rule_rev", "batch_id")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return fn
+
+
 def late_split_foreach_batch(
     on_time_dir: str,
     late_dir: str,

@@ -474,6 +474,62 @@ def test_cep_equals_batch_shadow(spark, sf_dir, replay_dir):
     assert got == want
 
 
+def test_dynamic_rules_broadcast_state(spark, sf_dir, tmp_path):
+    """Broadcast state pattern: the rules snapshot read per micro-batch
+    governs that batch — after a rules update + checkpoint resume, new
+    chunks are filtered by the NEW revision (and tagged with it), old
+    output stays as filtered by the old revision."""
+    import shutil
+
+    src = str(tmp_path / "all_chunks")
+    replay.chunk_events(spark, sf_dir, src, n_chunks=4)
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    rules, out, ckpt = (str(tmp_path / p) for p in ("rules", "out", "ckpt"))
+
+    def stage(*idx):
+        for i in idx:
+            shutil.copytree(
+                os.path.join(src, f"chunk_{i:03d}"),
+                os.path.join(stream_dir, f"chunk_{i:03d}"),
+            )
+
+    def write_rules(rows):
+        spark.createDataFrame(
+            rows, "event_type string, min_value double, rule_rev long"
+        ).coalesce(1).write.mode("overwrite").parquet(rules)
+
+    def run_once():
+        jobs.to_foreach_batch(
+            replay.read_stream(spark, stream_dir),
+            jobs.dynamic_rules_foreach_batch(rules, out),
+            ckpt,
+        ).awaitTermination()
+
+    write_rules([("click", 0.0, 1)])
+    stage(0, 1)
+    run_once()
+    write_rules([("purchase", 0.0, 2)])
+    stage(2, 3)
+    run_once()
+
+    got = spark.read.parquet(out)
+    chunks01 = spark.read.parquet(
+        os.path.join(src, "chunk_000"), os.path.join(src, "chunk_001")
+    )
+    chunks23 = spark.read.parquet(
+        os.path.join(src, "chunk_002"), os.path.join(src, "chunk_003")
+    )
+    rev1, rev2 = got.filter("rule_rev = 1"), got.filter("rule_rev = 2")
+    want1 = chunks01.filter("event_type = 'click'").count()
+    want2 = chunks23.filter("event_type = 'purchase'").count()
+    assert rev1.count() == want1 > 0
+    assert rev2.count() == want2 > 0
+    assert got.count() == want1 + want2
+    assert rev1.select("event_type").distinct().collect()[0][0] == "click"
+    assert rev2.select("event_type").distinct().collect()[0][0] == "purchase"
+
+
 def test_cep3_equals_batch_shadow(spark, sf_dir, replay_dir):
     """The 3-step NFA (view → click → purchase) must produce exactly
     the batch-shadow triples (view's first click within 30 min, that
