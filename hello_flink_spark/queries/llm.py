@@ -743,3 +743,68 @@ def multimodal_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     payload = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return payload.mapInPandas(_decode_stub, schema=MULTIMODAL_SCHEMA)
+
+
+# Decontamination bench set: a constant-bounded id slice (same scaling
+# contract as PROBE_ID_MAX): at most BENCH_ID_MAX/101 benchmark docs no
+# matter how large the corpus grows, so the bench shingle table stays
+# broadcastable at any scale factor.
+BENCH_ID_MAX = 2000
+BENCH_PRED_SQL = "doc_id % 101 = 0 AND doc_id < 2000"
+CONTAM_MIN_SHARED = 2
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH sh AS ({NGRAM_SHINGLES_SQL}),
+    bench AS (SELECT * FROM sh WHERE {BENCH_PRED_SQL}),
+    train AS (SELECT * FROM sh WHERE NOT ({BENCH_PRED_SQL})),
+    bsizes AS (SELECT doc_id, COUNT(*) AS n FROM bench GROUP BY doc_id)
+    SELECT b.doc_id AS bench_id, a.doc_id AS train_id,
+           COUNT(*) AS shared_shingles,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(bs.n), 6) AS containment
+    FROM bench b
+    JOIN train a ON a.shingle = b.shingle
+    JOIN bsizes bs ON bs.doc_id = b.doc_id
+    GROUP BY bench_id, train_id
+    HAVING COUNT(*) >= {CONTAM_MIN_SHARED}
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark decontamination — the standard n-gram containment
+    sweep an LLM training pipeline runs before training: flag every
+    (benchmark doc, training doc) pair sharing >= CONTAM_MIN_SHARED
+    3-gram shingles, with containment = shared / |bench shingles|.
+
+    Scale shape: the bench side is a CONSTANT-bounded id slice
+    (BENCH_ID_MAX — broadcastable forever); the corpus side is one
+    df-capped shingle scan (shared _shingle_df helper, so hot
+    boilerplate shingles can't go quadratic). Equi-join on shingle +
+    two hash aggs — no all-pairs anywhere."""
+    d = t(spark, sf_dir, "documents")
+    shingles = _shingle_df(d)
+    bench_pred = (F.col("doc_id") % 101 == 0) & (F.col("doc_id") < BENCH_ID_MAX)
+    bench = shingles.filter(bench_pred)
+    train = shingles.filter(~bench_pred)
+    bsizes = bench.groupBy("doc_id").agg(F.count("*").alias("n"))
+    joined = (
+        bench.alias("b")
+        .join(train.alias("a"), F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("b.doc_id").alias("bench_id"), F.col("a.doc_id").alias("train_id")
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= CONTAM_MIN_SHARED)
+    )
+    return (
+        joined.join(F.broadcast(bsizes.alias("bs")), F.col("bench_id") == F.col("bs.doc_id"))
+        .select(
+            "bench_id",
+            "train_id",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles").cast("double") / F.col("bs.n"), 6
+            ).alias("containment"),
+        )
+    )
