@@ -46,7 +46,10 @@ def main() -> None:
         "| query | joins | exch | wsc | pushdown |",
         "|---|---|---|---|---|",
     ]
-    for name in HEADLINE:
+    # headline queries + the late-round additions worth plan evidence
+    extra = ["dim_scd2_build", "cep3_pattern_batch", "text_decontaminate",
+             "subquery_correlated", "scan_dynamic_pruned"]
+    for name in HEADLINE + [e for e in extra if e in specs]:
         df = specs[name].fn(spark, sf_dir)
         df.collect()  # materialize so AQE finalizes and codegen stages exist
         plan = df._jdf.queryExecution().executedPlan().toString()
