@@ -370,3 +370,37 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("url_query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("cust")).alias("cust_param"),
     )
+
+
+@register(
+    "fn_try",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_quantity - 1, 0)           AS safe_ratio,
+           TRY_CAST(l_returnflag AS INTEGER)                     AS flag_as_int,
+           TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT)       AS key_roundtrip,
+           string_split(CAST(l_shipdate AS VARCHAR), '-')[l_linenumber] AS date_part
+    FROM lineitem
+    """,
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] error-safe expression tier (Flink SQL TRY_CAST): Spark 4
+    ANSI mode makes divide-by-zero / bad casts / out-of-bounds access
+    runtime ERRORS unless the try_* forms are used — at 100 TB one
+    poison row must degrade to NULL, not kill the job. DuckDB oracle:
+    TRY_CAST + NULLIF-guarded division + native NULL list indexing."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 1).alias(
+            "safe_ratio"
+        ),
+        F.try_to_number(F.col("l_returnflag"), F.lit("9")).cast("int").alias(
+            "flag_as_int"
+        ),
+        F.col("l_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.try_element_at(
+            F.split(F.col("l_shipdate").cast("string"), "-"), F.col("l_linenumber")
+        ).alias("date_part"),
+    )
