@@ -192,3 +192,43 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("o_orderkey bigint, totalprice double").option(
         "header", True
     ).csv(out)
+
+
+@register(
+    "scan_parquet_evolving",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority,
+           COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def scan_parquet_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] filesystem connector schema evolution: a dataset written in
+    two generations — the older files lack a column added later — read
+    as ONE table via mergeSchema (footer union; old rows surface NULL
+    for the new column). The at-scale ingestion reality: 100 TB of
+    history is never rewritten when the producer adds a field.
+    Fixture = orders split by key parity; even keys written WITHOUT
+    o_orderpriority (generation 1), odd keys with it (generation 2)."""
+    o = t(spark, sf_dir, "orders")
+    gen1 = _ensure(
+        _fixture_dir(sf_dir, "orders_gen1"),
+        lambda p: o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    gen2 = _ensure(
+        _fixture_dir(sf_dir, "orders_gen2"),
+        lambda p: o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    merged = spark.read.option("mergeSchema", True).parquet(gen1, gen2)
+    return merged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
