@@ -31,6 +31,9 @@ PROBES = [
     ("text_tfidf_sql", "documents"),
     ("sim_knn", "embeddings"),
     ("pipeline_training_corpus", "documents"),
+    ("text_decontaminate", "documents"),
+    ("dim_scd2_build", "orders"),
+    ("cep3_pattern_batch", "events"),
 ]
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
