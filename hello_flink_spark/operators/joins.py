@@ -115,6 +115,7 @@ def asof_join_window(
     right_ts: str,
     allow_exact_matches: bool = True,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join, JVM-only: union both sides tagged, order per key by
     event time, and fill each left row with the latest preceding right
@@ -166,7 +167,22 @@ def asof_join_window(
         F.col("__left"),
         *[fill(c).alias(c) for c in [right_ts, *right_cols]],
     )
-    return filled.filter(F.col("__left") == 1).drop("__left")
+    out = filled.filter(F.col("__left") == 1).drop("__left")
+    if tolerance is not None:
+        # bounded staleness (merge_asof's tolerance): a match older
+        # (backward) / further ahead (forward) than the tolerance is as
+        # good as no match — null the attached columns, keep the row.
+        tol = F.expr(f"INTERVAL {tolerance}")
+        fresh = (
+            F.col(right_ts) >= F.col(left_ts) - tol
+            if direction == "backward"
+            else F.col(right_ts) <= F.col(left_ts) + tol
+        )
+        out = out.select(
+            *[c for c in left.columns],
+            *[F.when(fresh, F.col(c)).alias(c) for c in [right_ts, *right_cols]],
+        )
+    return out
 
 
 def lookup_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:

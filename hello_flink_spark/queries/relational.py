@@ -506,6 +506,51 @@ def join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_ORACLE = """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts AS purchase_ts, value AS purchase_value
+  FROM (SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+  WHERE rn = 1
+), cand AS (
+  SELECT c.click_id, p.purchase_ts, p.purchase_value,
+         ROW_NUMBER() OVER (PARTITION BY c.click_id
+                            ORDER BY p.purchase_ts DESC) AS rn
+  FROM clicks c
+  JOIN purchases p
+    ON p.user_id = c.user_id
+   AND p.purchase_ts <= c.click_ts
+   AND p.purchase_ts >= c.click_ts - INTERVAL 60 MINUTE
+)
+SELECT c.click_id, c.user_id, c.click_ts, x.purchase_ts, x.purchase_value
+FROM clicks c
+LEFT JOIN (SELECT * FROM cand WHERE rn = 1) x ON x.click_id = c.click_id
+"""
+
+
+@register("join_asof_tolerance", oracle=ASOF_TOLERANCE_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] temporal join with bounded staleness (pandas merge_asof
+    `tolerance`): the latest purchase at or before each click, but a
+    match older than 60 minutes is as good as none — stale quotes
+    null out instead of silently enriching. Same one-shuffle window
+    plan as join_asof; the tolerance is a post-fill column mask."""
+    clicks, purchases = _asof_sides(spark, sf_dir)
+    joined = asof_join_window(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        tolerance="60 minutes",
+    )
+    return joined.select("click_id", "user_id", "click_ts", "purchase_ts", "purchase_value")
+
+
 @register(
     "join_lookup",
     oracle="""
