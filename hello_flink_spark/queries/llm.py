@@ -808,3 +808,58 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@register(
+    "sim_maxsim",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.label,
+             MAX(ROUND(
+               list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+               6)) AS maxsim
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id % 100 = 0 AND q.vec_id < {PROBE_ID_MAX} AND c.vec_id != q.vec_id
+      GROUP BY query_id, c.label
+    )
+    SELECT query_id, label, maxsim, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY maxsim DESC, label) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval (the multi-vector pooling of
+    ColBERT-style scoring): each label's vector set is a multi-vector
+    document; score(query, label) = MAX cosine over the label's
+    vectors (max-pooling, vs sim_label_centroids' mean-pooling), top-3
+    labels per probe. Same bounded-broadcast-probe scale shape as
+    sim_knn (PROBE_ID_MAX), one hash agg + partitioned Top-N on top;
+    ranking uses ROUNDED similarities so sub-1e-6 float noise cannot
+    reorder the cut."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PROBE_ID_MAX)
+    ).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qvec")
+    )
+    cands = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        _as_double(F.col("embedding")).alias("cvec"),
+    )
+    scored = (
+        cands.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "label")
+        .agg(
+            F.max(F.round(_cosine(F.col("qvec"), F.col("cvec")), 6)).alias("maxsim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("maxsim").desc(), F.col("label"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )

@@ -30,6 +30,7 @@ BNLJ_OK = {
     "join_cross",      # region x nation — true dims
     "sim_cosine_pairs",  # broadcast <=40-probe set x corpus scan
     "sim_knn",           # broadcast <=20-query set x corpus scan
+    "sim_maxsim",        # broadcast <=20-query set x corpus scan (max-pool agg)
     "sim_ann_ivf",       # broadcast C=16 centroid table x corpus scan
     "sim_quantized_cosine",  # broadcast <=40-probe set (PROBE_ID_MAX), quantized
     "quality_expectations",  # 4-row expectations x broadcast 1-row total scalar
