@@ -1023,3 +1023,28 @@ def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.subtract(s)
+
+
+@register(
+    "agg_argmax",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order_key,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order_key,
+           ROUND(MAX(o_totalprice), 2)       AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] SQL MAX_BY/MIN_BY (argmax/argmin — 'which row holds the
+    extreme', the agg that otherwise costs a self-join or a window):
+    per priority, the order keys carrying the highest and lowest
+    price. o_totalprice is duplicate-free per group at every SF
+    (continuous doubles), so the pick is deterministic cross-engine."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order_key"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order_key"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )

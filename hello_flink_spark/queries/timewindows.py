@@ -392,3 +392,27 @@ def cep3_pattern_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "view_id", "view_ts", "click_ts")
         .agg(F.min("p_ts").alias("purchase_ts"))
     )
+
+
+@register(
+    "window_tumbling_offset",
+    oracle="""
+    SELECT ts - to_microseconds((epoch_us(ts) - 300000000) % 600000000)
+             + INTERVAL 10 MINUTE AS window_end,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1
+    """,
+)
+def window_tumbling_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] TumblingEventTimeWindows.of(size, offset) — offset-aligned
+    tumbling windows (the mechanism behind timezone-aligned daily
+    windows: a +5-min offset here stands in for a +8h TZ shift). The
+    oracle shifts epoch arithmetic by the offset; Spark's window()
+    takes it natively as startTime."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.end").alias("window_end"), "cnt")
+    )
