@@ -1340,3 +1340,53 @@ def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().cast("long").alias("is_current"),
     )
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*)                        AS line_cnt,
+           ROUND(SUM(l_extendedprice), 2)  AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (shuffle-free) join via bucketed catalog tables
+    (operators/scale.py::write_bucketed as a declared query, like
+    join_skew_salted for salting): both sides hash-bucketed by the
+    join key at WRITE time, so the join itself needs no Exchange —
+    the pre-paid-shuffle layout for a fact table joined on the same
+    key by many downstream queries. Result == the plain join (that is
+    the oracle); the shuffle-free plan property is asserted in
+    tests/test_scale.py over these helpers."""
+    from hello_flink_spark.operators.scale import write_bucketed
+
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    lt, ot = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    # The default catalog is in-memory: managed-table FILES survive the
+    # session but the metadata doesn't. A location without catalog
+    # metadata is stale — clear it before (re)writing.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl, src, cols, key in (
+        (lt, "lineitem", ["l_orderkey", "l_extendedprice"], "l_orderkey"),
+        (ot, "orders", ["o_orderkey", "o_orderstatus"], "o_orderkey"),
+    ):
+        if not spark.catalog.tableExists(tbl):
+            loc = os.path.join(wh, tbl)
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
+            write_bucketed(t(spark, sf_dir, src).select(*cols), tbl, key)
+    # bucketed_join() joins on a shared key name; these sides keep their
+    # TPC-H column names, so join on the explicit equality instead.
+    joined = spark.table(lt).join(
+        spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("line_cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
