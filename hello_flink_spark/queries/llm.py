@@ -863,3 +863,39 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "text_langid_eval",
+    oracle="""
+    WITH pred AS (
+      SELECT lang AS truth,
+             CASE WHEN CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                                            x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                       / len(string_split(lower(trim(text)), ' ')) >= 0.08
+                  THEN 'en_like' ELSE 'other' END AS guess
+      FROM documents
+    )
+    SELECT truth, guess, COUNT(*) AS cnt
+    FROM pred GROUP BY truth, guess
+    """,
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation over the corpus: confusion counts of the
+    text_lang_id heuristic against the fixture's ground-truth ``lang``
+    column — the eval aggregate every pipeline runs before trusting a
+    filter (precision/recall derive from these four cells). One scan +
+    one hash agg."""
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    ratio = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a"))).cast(
+        "double"
+    ) / F.size(toks)
+    return (
+        d.select(
+            F.col("lang").alias("truth"),
+            F.when(ratio >= 0.08, "en_like").otherwise("other").alias("guess"),
+        )
+        .groupBy("truth", "guess")
+        .agg(F.count("*").alias("cnt"))
+    )
