@@ -1,0 +1,70 @@
+"""Driver-artifact contract guards: the per-round BENCH json and the
+__spark_entry__ surface must never silently drift — a missing HEADLINE
+query or a renamed entry-point would fail at driver time, after the
+round's work is frozen.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_headline_queries_all_declared():
+    sys.path.insert(0, str(REPO))
+    from bench import HEADLINE
+
+    from hello_flink_spark.registry import all_specs
+
+    specs = all_specs()
+    missing = [n for n in HEADLINE if n not in specs]
+    assert not missing, f"bench HEADLINE names not in registry: {missing}"
+    assert len(HEADLINE) == len(set(HEADLINE)), "duplicate HEADLINE entries"
+
+
+def test_entry_module_contract():
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as E
+
+    qs, osql = E.queries(), E.oracle_sql()
+    assert callable(E.entry)
+    # every oracle belongs to a declared query, never the reverse gap
+    orphans = set(osql) - set(qs)
+    assert not orphans, f"oracle_sql entries without queries(): {orphans}"
+    # driver compare is column-name-keyed: every oracle is a non-empty string
+    bad = [k for k, v in osql.items() if not (isinstance(v, str) and v.strip())]
+    assert not bad, f"empty oracle SQL: {bad}"
+
+
+def test_correctness_window_prioritizes_unverified():
+    """The first 50 registry entries (the driver's observed correctness
+    window) must contain every declared query that has never appeared
+    green in a CORRECTNESS_r*.json — unless there are more unverified
+    queries than slots, in which case all 50 slots must hold
+    unverified queries (oldest-registered first)."""
+    import json
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as E
+
+    order = list(E.queries())
+    verified: set[str] = set()
+    for f in REPO.glob("CORRECTNESS_r*.json"):
+        data = json.loads(f.read_text())
+        verified |= {
+            k
+            for k, v in data.items()
+            if isinstance(v, dict) and (v.get("hash_match") or v.get("err") == "no_oracle")
+        }
+    unverified = [q for q in order if q not in verified]
+    window = set(order[:50])
+    if len(unverified) <= 50:
+        missing = [q for q in unverified if q not in window]
+        assert not missing, f"unverified queries outside the 50-window: {missing}"
+    else:
+        not_unverified = [q for q in order[:50] if q in verified]
+        assert not not_unverified, (
+            f"verified queries occupying scarce window slots: {not_unverified}"
+        )
