@@ -876,7 +876,48 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_cluster", oracle=None)
+def _cluster_oracle_sql() -> str:
+    """DuckDB replay of dedup_cluster's EXACT algorithm: the jaccard
+    pair graph (same shingle SQL as dedup_ngram_jaccard's oracle),
+    symmetrized, then the same 5 unrolled min-label rounds — the
+    iteration is deterministic, so the 'iterative → rows-only' excuse
+    doesn't actually apply and the op is hash-checkable."""
+    from hello_flink_spark.queries.llm import NGRAM_SHINGLES_SQL
+
+    ctes = [
+        f"sh AS ({NGRAM_SHINGLES_SQL})",
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)",
+        """inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_cnt
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY doc_a, doc_b)""",
+        """pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(both_cnt AS DOUBLE) / (sa.n + sb.n - both_cnt) >= 0.5)""",
+        """edges AS (
+          SELECT doc_a, doc_b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs)""",
+        "l0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges)",
+    ]
+    for i in range(1, 6):
+        p = i - 1
+        ctes.append(
+            f"""l{i} AS (
+          SELECT l.doc_id,
+                 LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+          FROM l{p} l
+          LEFT JOIN edges e ON e.doc_a = l.doc_id
+          LEFT JOIN l{p} n ON n.doc_id = e.doc_b
+          GROUP BY l.doc_id, l.label)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT doc_id, label AS cluster_id FROM l5"
+    )
+
+
+@register("dedup_cluster", oracle=_cluster_oracle_sql())
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: connected components over the
     dedup_ngram_jaccard pair graph via iterative min-label propagation
@@ -886,8 +927,9 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the shallow components near-dup graphs produce (real pipelines
     iterate to fixpoint with large-star/small-star). Output: one row
     per clustered doc with its cluster representative (min doc_id).
-    Iterative → not single-SQL-expressible → rows-only; invariants in
-    tests/test_llm.py."""
+    The iteration is deterministic, so the oracle replays the SAME 5
+    rounds as unrolled SQL CTEs (hash-checked); structural invariants
+    stay in tests/test_llm.py."""
     from hello_flink_spark.queries.llm import dedup_ngram_jaccard
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
