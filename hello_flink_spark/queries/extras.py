@@ -1432,3 +1432,39 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("line_cnt"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+TPCH_Q5_SQL = """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS line_cnt
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("flagship_regional_revenue", oracle=TPCH_Q5_SQL)
+def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style regional revenue: the classic 6-table join
+    (customer-orders-lineitem-supplier-nation-region with the
+    local-supplier correlation c_nationkey = s_nationkey) — the
+    join-REORDERING stress shape of SURVEY §4.1: Catalyst broadcasts
+    the three true dims, reorders the fact joins, and pushes the date
+    band to the orders scan. Same SQL text on both engines; the money
+    sum is ROUNDed per §5.1."""
+    from hello_flink_spark.sources.readers import register_views
+
+    register_views(
+        spark, sf_dir,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+    return spark.sql(TPCH_Q5_SQL)
