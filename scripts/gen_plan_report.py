@@ -48,7 +48,8 @@ def main() -> None:
     ]
     # headline queries + the late-round additions worth plan evidence
     extra = ["dim_scd2_build", "cep3_pattern_batch", "text_decontaminate",
-             "subquery_correlated", "scan_dynamic_pruned"]
+             "subquery_correlated", "scan_dynamic_pruned",
+             "flagship_regional_revenue", "join_bucketed"]
     for name in HEADLINE + [e for e in extra if e in specs]:
         df = specs[name].fn(spark, sf_dir)
         df.collect()  # materialize so AQE finalizes and codegen stages exist
