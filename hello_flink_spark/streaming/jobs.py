@@ -50,6 +50,20 @@ def tumbling_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> Da
     )
 
 
+def tumbling_offset_counts(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """[F] TumblingEventTimeWindows.of(size, offset) — streaming twin of
+    queries/timewindows.py::window_tumbling_offset (same 10-min windows
+    shifted +5 min; the timezone-alignment mechanism under watermarks)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.end").alias("window_end"), "cnt")
+    )
+
+
 def sliding_counts(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """[F] SlidingEventTimeWindows.of(10 min, 5 min). Twin of window_sliding."""
     return (

@@ -73,6 +73,22 @@ def test_tumbling_complete_equals_batch_shadow(spark, sf_dir, replay_dir):
     assert got == want
 
 
+def test_tumbling_offset_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """window_tumbling_offset streaming twin == its declared batch
+    shadow (offset-aligned windows under watermarks)."""
+    run_to_memory(
+        jobs.tumbling_offset_counts(_stream(spark, replay_dir), WM),
+        "t_tumble_off",
+        "complete",
+    )
+    got = {r.window_end: r.cnt for r in spark.table("t_tumble_off").collect()}
+    want = {
+        r.window_end: r.cnt
+        for r in get_spec("window_tumbling_offset").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_sliding_complete_equals_batch_shadow(spark, sf_dir, replay_dir):
     run_to_memory(jobs.sliding_counts(_stream(spark, replay_dir), WM), "t_slide", "complete")
     got = {
