@@ -68,6 +68,21 @@ def _load() -> None:
         importlib.import_module(mod)
 
 
+def is_green(row: object) -> bool:
+    """True iff a CORRECTNESS_r*.json row counts as driver-verified.
+
+    Single source of truth shared by the registry's rotation ordering
+    and tests/test_bench_contract.py's window guard — the two must never
+    disagree about which queries are verified. Green means the oracle
+    hash matched, or the query is declared rows-only (``no_oracle``) and
+    the driver actually produced a row count for it.
+    """
+    return isinstance(row, dict) and (
+        row.get("hash_match") is True
+        or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
+    )
+
+
 def _driver_verified_rounds() -> dict[str, int]:
     """Latest round in which the driver's correctness gate saw each query.
 
@@ -95,11 +110,7 @@ def _driver_verified_rounds() -> dict[str, int]:
             # only GREEN rows count as verified: a failed row must rank
             # like never-verified so the driver re-checks it right after
             # the fix lands.
-            ok = isinstance(row, dict) and (
-                row.get("hash_match") is True
-                or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
-            )
-            if ok:
+            if is_green(row):
                 rounds[name] = max(rounds.get(name, 0), rnd)
     return rounds
 

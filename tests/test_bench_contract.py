@@ -49,15 +49,13 @@ def test_correctness_window_prioritizes_unverified():
     sys.path.insert(0, str(REPO))
     import __spark_entry__ as E
 
+    from hello_flink_spark.registry import is_green
+
     order = list(E.queries())
     verified: set[str] = set()
     for f in REPO.glob("CORRECTNESS_r*.json"):
         data = json.loads(f.read_text())
-        verified |= {
-            k
-            for k, v in data.items()
-            if isinstance(v, dict) and (v.get("hash_match") or v.get("err") == "no_oracle")
-        }
+        verified |= {k for k, v in data.items() if is_green(v)}
     unverified = [q for q in order if q not in verified]
     window = set(order[:50])
     if len(unverified) <= 50:
