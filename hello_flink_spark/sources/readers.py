@@ -32,12 +32,15 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test-bed table (``{sf_dir}/{name}.parquet``).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). The session
-    factory sets ``spark.sql.legacy.parquet.nanosAsLong`` once
-    (session.get_spark), so nanos arrive as raw int64 here and we
-    truncate to microseconds — exactly what DuckDB does when it coerces
-    ns → its µs TIMESTAMP — so both engines see identical values.
+    ``events.ts`` normalization: the generated parquet has shipped both
+    as TIMESTAMP(NANOS) (vectorized reader rejects it; read via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and truncate ns → µs, the
+    same coercion DuckDB applies) and as naive TIMESTAMP(MICROS) (Spark
+    4 infers TIMESTAMP_NTZ, which rejects ``cast(... as long)`` and the
+    epoch arithmetic every time-bucketing operator uses). Either way we
+    emit one canonical type — TIMESTAMP (LTZ) under a UTC session — so
+    the 142 declared queries see identical epoch values across formats
+    and bit-identical buckets to the DuckDB oracle.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -48,8 +51,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # flag is read at scan time, so setting it here still works.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # NTZ→LTZ cast goes through the session timezone; pin UTC so
+            # the stored wall clock and the epoch agree (DuckDB semantics
+            # for naive parquet timestamps).
+            if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(path)
 
