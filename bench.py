@@ -65,6 +65,14 @@ HEADLINE = [
     "text_quality_score",
     "dedup_minhash_sql",
     "quality_expectations",
+    # round-5 extensions (VERDICT r03 #4): cover the join-reordering,
+    # bucketed-join, SCD2-window, correlated-subquery and
+    # decontamination paths under the 2x gate.
+    "flagship_regional_revenue",
+    "join_bucketed",
+    "dim_scd2_build",
+    "subquery_correlated",
+    "text_decontaminate",
 ]
 
 
@@ -92,22 +100,33 @@ def main() -> int:
 
     from hello_flink_spark.sources.readers import TABLES, load_table
 
-    specs["flagship_pricing_summary"].fn(spark, sf_dir).collect()
-    for table in TABLES:
-        # full-column scan into the noop sink: count() prunes to zero
-        # columns and leaves data pages cold (dedup_exact's first read
-        # of documents.text was still billed 3.4 s).
-        load_table(spark, sf_dir, table).write.mode("overwrite").format("noop").save()
-    noop = F.pandas_udf(lambda s: s, "long")
-    spark.range(1000).select(noop("id").alias("id")).collect()
+    # A warm-up failure must not kill the bench (r04: one AnalysisException
+    # in a single query zeroed the whole round's JSON); errors are reported
+    # per-query below instead.
+    errors: dict[str, str] = {}
+    try:
+        specs["flagship_pricing_summary"].fn(spark, sf_dir).collect()
+        for table in TABLES:
+            # full-column scan into the noop sink: count() prunes to zero
+            # columns and leaves data pages cold (dedup_exact's first read
+            # of documents.text was still billed 3.4 s).
+            load_table(spark, sf_dir, table).write.mode("overwrite").format("noop").save()
+        noop = F.pandas_udf(lambda s: s, "long")
+        spark.range(1000).select(noop("id").alias("id")).collect()
+    except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
+        errors["__warmup__"] = f"{type(exc).__name__}: {exc}"[:300]
 
     timings: dict[str, float] = {}
     for name in names:
         runs = []
-        for _ in range(max(args.repeat, 1)):
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).collect()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(max(args.repeat, 1)):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — isolate per-query failures
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         timings[name] = round(min(runs), 3)
 
     result = {
@@ -117,7 +136,12 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
+    # rc stays 0 even with per-query errors: the JSON line (with its
+    # "errors" key) is the report; a nonzero rc risks the driver
+    # discarding the successful queries' numbers.
     return 0
 
 

@@ -83,18 +83,18 @@ def is_green(row: object) -> bool:
     )
 
 
-def _driver_verified_rounds() -> dict[str, int]:
-    """Latest round in which the driver's correctness gate saw each query.
+def iter_correctness_rows(repo_root: Path | None = None):
+    """Yield ``(round_number, query_name, row)`` from every readable
+    ``CORRECTNESS_r{N}.json`` driver artifact at the repo root.
 
-    The driver evaluates at most the first ~50 entries of ``queries()``
-    per round (observed: CORRECTNESS_r02.json held exactly the first 50
-    registered names). To route every declared query through that window
-    over successive rounds, ``all_specs`` orders never-verified queries
-    first and least-recently-verified next. The CORRECTNESS_r*.json
-    artifacts the driver writes at the repo root are the history.
+    Single source of truth for artifact discovery and decoding (ADVICE
+    r04): skips non-``_r{N}``-suffixed names, unreadable files, invalid
+    JSON, and non-dict payloads identically everywhere it is used —
+    the rotation ordering below and tests/test_bench_contract.py's
+    window guard must never disagree about what the history says.
     """
-    rounds: dict[str, int] = {}
-    repo_root = Path(__file__).resolve().parent.parent
+    if repo_root is None:
+        repo_root = Path(__file__).resolve().parent.parent
     for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path.name)
         if not m:
@@ -107,11 +107,26 @@ def _driver_verified_rounds() -> dict[str, int]:
         if not isinstance(data, dict):
             continue
         for name, row in data.items():
-            # only GREEN rows count as verified: a failed row must rank
-            # like never-verified so the driver re-checks it right after
-            # the fix lands.
-            if is_green(row):
-                rounds[name] = max(rounds.get(name, 0), rnd)
+            yield rnd, name, row
+
+
+def _driver_verified_rounds() -> dict[str, int]:
+    """Latest round in which the driver's correctness gate saw each query.
+
+    The driver evaluates at most the first ~50 entries of ``queries()``
+    per round (observed: CORRECTNESS_r02.json held exactly the first 50
+    registered names). To route every declared query through that window
+    over successive rounds, ``all_specs`` orders never-verified queries
+    first and least-recently-verified next. The CORRECTNESS_r*.json
+    artifacts the driver writes at the repo root are the history.
+    """
+    rounds: dict[str, int] = {}
+    for rnd, name, row in iter_correctness_rows():
+        # only GREEN rows count as verified: a failed row must rank
+        # like never-verified so the driver re-checks it right after
+        # the fix lands.
+        if is_green(row):
+            rounds[name] = max(rounds.get(name, 0), rnd)
     return rounds
 
 

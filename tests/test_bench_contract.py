@@ -44,18 +44,16 @@ def test_correctness_window_prioritizes_unverified():
     green in a CORRECTNESS_r*.json — unless there are more unverified
     queries than slots, in which case all 50 slots must hold
     unverified queries (oldest-registered first)."""
-    import json
-
     sys.path.insert(0, str(REPO))
     import __spark_entry__ as E
 
-    from hello_flink_spark.registry import is_green
+    from hello_flink_spark.registry import is_green, iter_correctness_rows
 
     order = list(E.queries())
     verified: set[str] = set()
-    for f in REPO.glob("CORRECTNESS_r*.json"):
-        data = json.loads(f.read_text())
-        verified |= {k for k, v in data.items() if is_green(v)}
+    for _rnd, name, row in iter_correctness_rows(REPO):
+        if is_green(row):
+            verified.add(name)
     unverified = [q for q in order if q not in verified]
     window = set(order[:50])
     if len(unverified) <= 50:
