@@ -877,88 +877,59 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cluster_oracle_sql() -> str:
-    """DuckDB replay of dedup_cluster's EXACT algorithm: the jaccard
-    pair graph (same shingle SQL as dedup_ngram_jaccard's oracle),
-    symmetrized, then the same 5 unrolled min-label rounds — the
-    iteration is deterministic, so the 'iterative → rows-only' excuse
-    doesn't actually apply and the op is hash-checkable."""
+    """DuckDB twin of dedup_cluster: the jaccard pair graph (same
+    shingle SQL as dedup_ngram_jaccard's oracle) then TRUE connected
+    components via a recursive transitive closure. Exact components
+    are algorithm-independent, so the oracle no longer replays the
+    Spark side's iteration schedule — any correct CC implementation
+    hash-matches it (near-dup components are tiny, so the closure is
+    cheap on the oracle's scale)."""
     from hello_flink_spark.queries.llm import NGRAM_SHINGLES_SQL
 
-    ctes = [
-        f"sh AS ({NGRAM_SHINGLES_SQL})",
-        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)",
-        """inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_cnt
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY doc_a, doc_b)""",
-        """pairs AS (
-          SELECT doc_a, doc_b FROM inter
-          JOIN sizes sa ON sa.doc_id = doc_a
-          JOIN sizes sb ON sb.doc_id = doc_b
-          WHERE CAST(both_cnt AS DOUBLE) / (sa.n + sb.n - both_cnt) >= 0.5)""",
-        """edges AS (
-          SELECT doc_a, doc_b FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs)""",
-        "l0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges)",
-    ]
-    for i in range(1, 6):
-        p = i - 1
-        ctes.append(
-            f"""l{i} AS (
-          SELECT l.doc_id,
-                 LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
-          FROM l{p} l
-          LEFT JOIN edges e ON e.doc_a = l.doc_id
-          LEFT JOIN l{p} n ON n.doc_id = e.doc_b
-          GROUP BY l.doc_id, l.label)"""
-        )
-    return (
-        "WITH " + ",\n".join(ctes) + "\nSELECT doc_id, label AS cluster_id FROM l5"
-    )
+    return f"""
+    WITH RECURSIVE
+    sh AS ({NGRAM_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_cnt
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(both_cnt AS DOUBLE) / (sa.n + sb.n - both_cnt) >= 0.5),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc_id, r) AS (
+      SELECT doc_a, doc_a FROM edges
+      UNION
+      SELECT rc.doc_id, e.doc_b FROM reach rc JOIN edges e ON e.doc_a = rc.r)
+    SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+    """
 
 
 @register("dedup_cluster", oracle=_cluster_oracle_sql())
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERING: connected components over the
-    dedup_ngram_jaccard pair graph via iterative min-label propagation
-    (the Pregel shape as DataFrame joins — what GraphX/GraphFrames
-    would run; neither ships here). Each doc starts labeled by itself;
-    5 rounds of 'adopt the smallest label among neighbors' — enough
-    for the shallow components near-dup graphs produce (real pipelines
-    iterate to fixpoint with large-star/small-star). Output: one row
-    per clustered doc with its cluster representative (min doc_id).
-    The iteration is deterministic, so the oracle replays the SAME 5
-    rounds as unrolled SQL CTEs (hash-checked); structural invariants
-    stay in tests/test_llm.py."""
+    """Near-dup CLUSTERING: exact connected components over the
+    dedup_ngram_jaccard pair graph via alternating large-star /
+    small-star rounds to a checked fixed point
+    (operators/graph.py::connected_components — the Kiveris et al.
+    MapReduce CC algorithm GraphX-class systems use). Round count is
+    O(log² n), independent of component diameter, so deep chain
+    components that broke the old 5-round min-label unroll (VERDICT
+    r03) converge too — property-tested on a diameter-6 chain in
+    tests/test_properties.py. Output: one row per clustered doc with
+    its cluster representative (min doc_id)."""
+    from hello_flink_spark.operators.graph import connected_components
     from hello_flink_spark.queries.llm import dedup_ngram_jaccard
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # undirected edge list, deduplicated
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
-    for _ in range(5):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-        labels = labels.localCheckpoint(eager=False)  # truncate the growing lineage
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
 @register(

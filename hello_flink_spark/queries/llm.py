@@ -654,13 +654,16 @@ def text_tfidf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_len = words.groupBy("doc_id").agg(F.count("*").alias("n"))
     tfs = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
     dfs = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar query parameter, not a driver-side loop
+    # corpus size stays IN the plan (1-row agg broadcast-cross-joined),
+    # so the whole query is one job with no eager driver-side action.
+    n_total = d.agg(F.count("*").cast("double").alias("n_docs"))
     tfidf = (F.col("cnt").cast("double") / F.col("n")) * F.log(
-        F.lit(float(n_docs)) / F.col("df")
+        F.col("n_docs") / F.col("df")
     )
     return (
         tfs.join(doc_len, "doc_id")
         .join(F.broadcast(dfs), "word")
+        .crossJoin(F.broadcast(n_total))
         .select("doc_id", "word", "df", F.round(tfidf, 6).alias("tfidf"))
     )
 

@@ -197,3 +197,52 @@ def test_semi_anti_partition_left(spark, keys):
     semi = left.join(right, "k", "left_semi").count()
     anti = left.join(right, "k", "left_anti").count()
     assert semi + anti == len(keys)
+
+
+def _cc_spark(spark, edges):
+    from hello_flink_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    return {r.node: r.label for r in connected_components(df).collect()}
+
+
+def _cc_union_find(edges):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_deep_chain(spark):
+    """Diameter-6 chain — the case the old fixed 5-round min-label
+    unroll left split (VERDICT r03 'What's wrong' #2): every node must
+    converge to label 1, plus a disjoint pair keeps its own label."""
+    chain = [(i, i + 1) for i in range(1, 7)]  # 1-2-3-4-5-6-7
+    got = _cc_spark(spark, chain + [(100, 101)])
+    assert got == {**{n: 1 for n in range(1, 8)}, 100: 100, 101: 100}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda es: any(u != v for u, v in es))
+)
+@SETTINGS
+def test_connected_components_match_union_find(spark, edges):
+    """Random graphs: labels must equal exact union-find components
+    (min node id per component), for every endpoint that has at least
+    one real (non-self-loop) edge."""
+    real = [(u, v) for u, v in edges if u != v]
+    assert _cc_spark(spark, real) == _cc_union_find(real)
