@@ -34,6 +34,8 @@ BNLJ_OK = {
     "sim_ann_ivf",       # broadcast C=16 centroid table x corpus scan
     "sim_quantized_cosine",  # broadcast <=40-probe set (PROBE_ID_MAX), quantized
     "quality_expectations",  # 4-row expectations x broadcast 1-row total scalar
+    "text_tfidf_sql",  # broadcast 1-row corpus-count scalar x tf rows (the
+    #                    in-plan replacement for the old driver-side count())
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
