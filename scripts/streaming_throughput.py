@@ -48,14 +48,22 @@ def main() -> None:
     progress = list(q.recentProgress)
     q.stop()
 
-    rates = [
-        p["processedRowsPerSecond"]
+    active = [
+        p
         for p in progress
         if p.get("processedRowsPerSecond") and p["numInputRows"] > 0
     ]
+    rates = [p["processedRowsPerSecond"] for p in active]
+    latencies = [
+        p["durationMs"]["triggerExecution"]
+        for p in active
+        if p.get("durationMs", {}).get("triggerExecution") is not None
+    ]
     # drop the warm-up batches (first quarter)
     steady = rates[max(1, len(rates) // 4):] or rates
+    steady_lat = latencies[max(1, len(latencies) // 4):] or latencies
     med = statistics.median(steady)
+    med_lat = statistics.median(steady_lat) if steady_lat else float("nan")
     batches = len(steady)
 
     doc = Path(__file__).resolve().parent.parent / "docs" / "STREAMING.md"
@@ -67,7 +75,9 @@ def main() -> None:
         "store) on local[32]:\n\n"
         f"- sustained throughput (median of {batches} steady-state "
         f"micro-batches over ~{RUN_S} s): **{med:,.0f} rows/s**\n"
-        f"- peak micro-batch rate: {max(steady):,.0f} rows/s\n\n"
+        f"- peak micro-batch rate: {max(steady):,.0f} rows/s\n"
+        f"- median micro-batch latency (triggerExecution): "
+        f"**{med_lat:,.0f} ms**\n\n"
         "Scale note: this is ONE machine saturating its Python-free\n"
         "JVM pipeline; the same plan distributes by window/key shuffle,\n"
         "so cluster throughput scales with executors until the state\n"
@@ -75,7 +85,10 @@ def main() -> None:
         "(SURVEY §4.4) — this probe measures throughput, not per-event\n"
         "latency.\n"
     )
-    print(f"median={med:,.0f} rows/s over {batches} steady batches -> {doc}")
+    print(
+        f"median={med:,.0f} rows/s, latency={med_lat:,.0f} ms "
+        f"over {batches} steady batches -> {doc}"
+    )
 
 
 if __name__ == "__main__":

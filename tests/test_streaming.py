@@ -257,6 +257,71 @@ def test_late_split_rehydrates_after_restart(spark, tmp_path):
     assert {1, 2, 4} <= on_time_ids
 
 
+def test_late_split_boundary_delta_vs_per_event_watermark(spark, tmp_path):
+    """Quantifies (not just documents) the one-micro-batch boundary
+    delta of the late-split approximation vs Flink's per-event
+    watermark (SURVEY §4.4): the handler judges lateness against the
+    max event time of PREVIOUS batches, so the only divergence is an
+    event that is late relative to its OWN batch's running max but not
+    relative to the previous batches' max. The approximation must only
+    ever UNDER-tag (handler-late ⊆ per-event-late), never over-tag,
+    and the under-tagged set must be exactly the formal delta."""
+    import datetime as dt
+
+    lateness = dt.timedelta(minutes=30)
+
+    def ts(h, m):
+        return dt.datetime(2024, 6, 1, h, m)
+
+    batches = [
+        [(1, ts(12, 0)), (2, ts(12, 10))],
+        # e3 advances the in-batch running max to 14:00; e5 is late only
+        # against that in-batch max (13:00 < 13:30) — the delta event.
+        [(3, ts(14, 0)), (4, ts(13, 45)), (5, ts(13, 0)), (6, ts(11, 30))],
+    ]
+
+    # Flink-style reference: per-event running max in arrival order.
+    per_event_late: set = set()
+    run_max = None
+    for batch in batches:
+        for eid, t in batch:
+            if run_max is not None and t < run_max - lateness:
+                per_event_late.add(eid)
+            run_max = t if run_max is None or t > run_max else run_max
+
+    # formal delta: late vs own batch's running max, on-time vs the
+    # previous batches' max.
+    expected_delta: set = set()
+    prev_max = None
+    for batch in batches:
+        bmax = prev_max
+        for eid, t in batch:
+            own_late = bmax is not None and t < bmax - lateness
+            prev_late = prev_max is not None and t < prev_max - lateness
+            if own_late and not prev_late:
+                expected_delta.add(eid)
+            bmax = t if bmax is None or t > bmax else bmax
+        prev_max = bmax
+
+    on_time_dir = str(tmp_path / "on_time")
+    late_dir = str(tmp_path / "late")
+    fn = jobs.late_split_foreach_batch(on_time_dir, late_dir, "30 minutes")
+    for i, batch in enumerate(batches):
+        fn(spark.createDataFrame(batch, "event_id long, ts timestamp"), i)
+
+    handler_late = {r.event_id for r in spark.read.parquet(late_dir).collect()}
+    handler_on_time = {r.event_id for r in spark.read.parquet(on_time_dir).collect()}
+    all_ids = {eid for b in batches for eid, _ in b}
+
+    assert handler_late | handler_on_time == all_ids, "events lost in fan-out"
+    assert not (handler_late & handler_on_time), "event routed to both sinks"
+    assert handler_late <= per_event_late, "approximation over-tagged late"
+    assert per_event_late - handler_late == expected_delta, (
+        "boundary delta is not exactly the within-batch stragglers"
+    )
+    assert expected_delta == {5} and handler_late == {6}, "fixture drifted"
+
+
 def test_upsert_version_col_and_multi_row_guard(spark, tmp_path):
     """ADVICE r02: 'latest row per key' must be deterministic — with
     version_col the max-version row wins; without it a multi-row-per-key
