@@ -1,0 +1,601 @@
+"""Round-5 declared queries: analytics flagships, product analytics
+over the event stream, and additional training-data-pipeline
+operators (SURVEY §2.13/§2.12 extensions).
+
+Registered after ``extras`` (registry module order) so the driver's
+correctness-window rotation verifies older queries first.
+
+Scale notes (the 100 TB contract) are per-op; the recurring shapes:
+multi-way equi-joins left to Catalyst (broadcast dims, AQE), hash
+aggregations with partial combine, windows partitioned by a real key
+(never a global sort), 1-row scalar aggregates broadcast-cross-joined
+into the plan instead of eager driver-side ``count()`` actions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hello_flink_spark.registry import register
+from hello_flink_spark.sources.readers import load_table as t
+
+
+# ---------------------------------------------------------------------------
+# Analytics flagships (TPC-H Q3 / Q10 shapes — join-order stress)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def flagship_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two fact joins → hash agg
+    → top-N. Catalyst broadcasts the filtered customer side and pushes
+    both date predicates into the parquet scans; the top-10 is a
+    TakeOrderedAndProject (per-partition heap + driver merge), never a
+    full sort. Tie-break on l_orderkey keeps the LIMIT deterministic."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "flagship_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def flagship_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue-from-returns ranking. Four-way
+    join where the 25-row nation dim broadcasts for free; the
+    returnflag and date-range predicates push into the fact scans so
+    only the relevant year's returned lines shuffle."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates & window variants
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) + 0.0 AS qty_price_covar,
+           ROUND(covar_pop(l_discount, l_tax), 6) + 0.0 AS disc_tax_covar_pop
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group (corr / covar_samp / covar_pop) —
+    single-pass partial-aggregable moments, one shuffle of tiny
+    (group, moment-tuple) rows regardless of input size. The ``+ 0.0``
+    after each ROUND (both engines) canonicalizes IEEE negative zero:
+    a statistic whose true value is ±1e-9 otherwise rounds to -0.0 in
+    one engine and +0.0 in the other and fails the bit-exact hash."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0.0).alias(
+            "qty_price_corr"
+        ),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + 0.0).alias(
+            "qty_price_covar"
+        ),
+        (F.round(F.covar_pop("l_discount", "l_tax"), 6) + 0.0).alias(
+            "disc_tax_covar_pop"
+        ),
+    )
+
+
+@register(
+    "win_percent_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(percent_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice), 6) AS pct_rk,
+           ROUND(cume_dist() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice), 6) AS cume
+    FROM orders
+    """,
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank / cume_dist):
+    value-determined (ties share a rank), so deterministic across
+    engines without a row tiebreak. Partitioned by priority — no
+    global sort."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rk"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "win_ratio_to_report",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(o_totalprice / SUM(o_totalprice)
+                 OVER (PARTITION BY o_custkey), 6) AS price_share
+    FROM orders
+    """,
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order's share of its customer's total spend — the classic
+    RATIO_TO_REPORT, expressed as value / unordered partition SUM
+    (no ORDER BY → no per-partition sort, just a windowed hash agg)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") / F.sum("o_totalprice").over(w), 6).alias(
+            "price_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product analytics over the event stream (batch shadows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, active_day) AS BIGINT) AS day_offset,
+           COUNT(*) AS active_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted per day-offset of later activity. Two hash aggs + one
+    equi-join on user_id — the join key is the natural partitioner, so
+    at scale both sides co-shuffle once and nothing is quadratic."""
+    e = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = e.select("user_id", day.alias("active_day")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("active_day"), F.to_date("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT COUNT(t_view) AS viewed,
+           CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+             AS clicked_after_view,
+           CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS purchased_after_funnel
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel as conditional MIN-per-step
+    aggregation (one shuffle keyed by user) followed by a global
+    1-row reduce — the set-semantics funnel every product-analytics
+    store offers, with no per-user sorting or CEP state needed."""
+    e = t(spark, sf_dir, "events")
+
+    def step(evt: str):
+        return F.min(F.when(F.col("event_type") == evt, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        step("view").alias("t_view"),
+        step("click").alias("t_click"),
+        step("purchase").alias("t_purchase"),
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return per_user.agg(
+        F.count("t_view").alias("viewed"),
+        one_if(F.col("t_click") > F.col("t_view")).alias("clicked_after_view"),
+        one_if(
+            (F.col("t_purchase") > F.col("t_click"))
+            & (F.col("t_click") > F.col("t_view"))
+        ).alias("purchased_after_funnel"),
+    )
+
+
+@register(
+    "attribution_first_touch",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type AS first_touch FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) WHERE rn = 1),
+    purchases AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+    SELECT first_touch, COUNT(*) AS purchases
+    FROM purchases JOIN firsts USING (user_id)
+    GROUP BY first_touch
+    """,
+)
+def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credited to the user's
+    earliest event type (event_id tiebreak for determinism). The
+    per-user window is partitioned by user_id — scales with users, no
+    global ordering."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        purchases.join(firsts, "user_id")
+        .groupBy("first_touch")
+        .agg(F.count(F.lit(1)).alias("purchases"))
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, hour_start),
+    stats AS (
+      SELECT event_type, AVG(cnt) AS mu, stddev_samp(cnt) AS sigma
+      FROM hourly GROUP BY event_type)
+    SELECT h.event_type, hour_start, cnt,
+           ROUND((cnt - mu) / sigma, 4) AS z
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    WHERE ABS((cnt - mu) / sigma) >= 2.0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts z-scored against
+    each type's own mean/stddev; |z| ≥ 2 flags the anomalous hours.
+    The stats side is one row per event type — broadcast back over the
+    hourly aggregate, so the heavy pass over raw events happens
+    exactly once."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sigma")
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) >= 2.0)
+        .select("event_type", "hour_start", "cnt", F.round(z, 4).alias("z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions (SURVEY §2.12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(tokens) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - CAST(len(list_distinct(tokens)) AS DOUBLE)
+                 / len(tokens), 6) AS repetition
+    FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens
+          FROM documents)
+    WHERE len(tokens) > 0
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (1 − distinct/total tokens): highly
+    repetitive documents are a standard LLM-pretraining filter. Pure
+    per-row array expressions — embarrassingly parallel, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    out = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.round(
+            1.0 - F.size(F.array_distinct(toks)) / F.size(toks).cast("double"), 6
+        ).alias("repetition"),
+    )
+    return out.filter(F.col("n_tokens") > 0)
+
+
+@register(
+    "text_passage_dedup",
+    oracle="""
+    WITH chunks AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(tokens[(i - 1) * 5 + 1 : i * 5], ' ') AS chunk
+      FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens
+            FROM documents),
+           UNNEST(generate_series(1, CAST(floor(len(tokens) / 5) AS BIGINT)))
+             AS u(i))
+    SELECT md5(chunk) AS chunk_hash, COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM chunks
+    GROUP BY chunk HAVING COUNT(*) > 1
+    """,
+)
+def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: documents chunked into consecutive
+    5-token passages; passages appearing in more than one document are
+    reported with their md5 key and earliest doc. The scalable shape —
+    explode to (passage, doc), distinct, hash-agg on the passage — is
+    the same single-shuffle plan exact doc-dedup uses, just at passage
+    granularity (how large corpora de-boilerplate)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    n_chunks = F.floor(F.size(toks) / 5).cast("int")
+    idx = F.when(n_chunks >= 1, F.sequence(F.lit(1), n_chunks)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = (
+        d.select("doc_id", toks.alias("tokens"), idx.alias("idx"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.col("idx"),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("tokens"), (i - 1) * 5 + 1, 5)
+                    ),
+                )
+            ).alias("chunk"),
+        )
+        .distinct()
+    )
+    return (
+        chunks.groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+        .select(F.md5("chunk").alias("chunk_hash"), "n_docs", "first_doc")
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS word
+      FROM documents),
+    vocab AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+    total AS (SELECT COUNT(*) AS n FROM words)
+    SELECT doc_id, ROUND(AVG(ln(CAST(cnt AS DOUBLE) / n)), 4) AS avg_logprob
+    FROM words JOIN vocab USING (word) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (perplexity proxy): corpus word
+    frequencies → per-token ln p(w) → per-document average. The
+    quality-scoring tier above heuristics: cheap, corpus-calibrated,
+    and fully expression-based. Vocabulary joins by word (shuffle on
+    the token key scales with vocabulary, not corpus); the 1-row
+    corpus total rides the plan as a broadcast scalar."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = words.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        words.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("cnt").cast("double") / F.col("n"))), 4).alias(
+                "avg_logprob"
+            )
+        )
+    )
+
+
+@register(
+    "docs_pack_batches",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_chars) / 8000.0) AS BIGINT) AS batch_id
+    FROM documents
+    """,
+)
+def docs_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget batch packing: docs fill sequential ~8000-char
+    batches per source (batch = the cumulative start offset's bucket —
+    the deterministic greedy-fill used to pack training shards).
+    The running sum is partitioned by source, so the sort is per-key,
+    never global; at 100 TB each source packs independently in
+    parallel."""
+    d = t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start_offset = F.sum("n_chars").over(w) - F.col("n_chars")
+    return d.select(
+        "doc_id",
+        "source",
+        F.floor(start_offset / 8000.0).cast("long").alias("batch_id"),
+    )
+
+
+@register(
+    "data_mixture_balanced",
+    oracle="""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    quota AS (SELECT MIN(n) AS q FROM counts),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source FROM ranked CROSS JOIN quota WHERE rn <= q
+    """,
+)
+def data_mixture_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-balanced mixture plan: every source contributes exactly
+    the smallest source's document count (deterministic doc_id order,
+    not random — reproducible training mixes). The per-source quota is
+    a 1-row broadcast scalar in the plan; the window is partitioned by
+    source. Swap the MIN quota for per-source weight targets and the
+    plan shape is unchanged."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    quota = counts.agg(F.min("n").alias("q"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("q"))
+        .select("doc_id", "source")
+    )
+
+
+def _containment_oracle_sql() -> str:
+    from hello_flink_spark.queries.llm import NGRAM_SHINGLES_SQL
+
+    return f"""
+    WITH sh AS ({NGRAM_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_cnt
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(both_cnt AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(both_cnt AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8
+    """
+
+
+@register("dedup_containment", oracle=_containment_oracle_sql())
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT detection: |A∩B| / min(|A|,|B|) ≥ 0.8 over the
+    df-capped 3-gram shingle sets — catches a document embedded inside
+    a larger one, which symmetric Jaccard misses (a ⊂ b with |b|≫|a|
+    has low Jaccard but containment ≈ 1). Same sub-quadratic
+    shingle-equi-join skeleton as dedup_ngram_jaccard, different
+    denominator."""
+    from hello_flink_spark.queries.llm import _shingle_df
+
+    d = t(spark, sf_dir, "documents")
+    shingles = _shingle_df(d)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    containment = F.col("both_cnt").cast("double") / F.least(
+        F.col("sa.n"), F.col("sb.n")
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(containment >= 0.8)
+        .select("doc_a", "doc_b", F.round(containment, 6).alias("containment"))
+    )

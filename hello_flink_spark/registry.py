@@ -44,10 +44,11 @@ _QUERY_MODULES = [
     "hello_flink_spark.queries.udfs",
     "hello_flink_spark.queries.llm",
     "hello_flink_spark.queries.sources",
-    # extras register last: never-driver-verified queries rank by
-    # registration order, and the round-2 declared set must clear the
-    # driver window before these take slots.
+    # later modules register last: never-driver-verified queries rank by
+    # registration order, so earlier rounds' declared sets clear the
+    # driver window before newer ones take slots.
     "hello_flink_spark.queries.extras",
+    "hello_flink_spark.queries.round5",
 ]
 
 

@@ -36,6 +36,8 @@ BNLJ_OK = {
     "quality_expectations",  # 4-row expectations x broadcast 1-row total scalar
     "text_tfidf_sql",  # broadcast 1-row corpus-count scalar x tf rows (the
     #                    in-plan replacement for the old driver-side count())
+    "text_unigram_logprob",   # broadcast 1-row corpus-total scalar x words
+    "data_mixture_balanced",  # broadcast 1-row quota scalar x ranked docs
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
