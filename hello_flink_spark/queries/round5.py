@@ -599,3 +599,241 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(containment >= 0.8)
         .select("doc_a", "doc_b", F.round(containment, 6).alias("containment"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch 2: statistical / dedup-reporting / corpus-calibration ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT event_type, user_id AS modal_user, cnt FROM (
+      SELECT event_type, user_id, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY COUNT(*) DESC, user_id) AS rn
+      FROM events GROUP BY event_type, user_id)
+    WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE with pinned tie-break: the most frequent value per group
+    (here: each event type's most active user), ties resolved by min
+    value — engines disagree on bare mode()'s tie order, so the
+    deterministic formulation is count-agg → partitioned rank-1.
+    Two shuffles of already-aggregated rows; never the raw stream."""
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.col("cnt").desc(), "user_id")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("modal_user"), "cnt")
+    )
+
+
+@register(
+    "dedup_exact_keep_best",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars, sha256(lower(trim(text))) AS norm_hash
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, n_chars, norm_hash,
+             ROW_NUMBER() OVER (PARTITION BY norm_hash
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY norm_hash) AS n_copies
+      FROM h)
+    SELECT norm_hash, n_copies, doc_id AS kept_doc
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup that keeps the BEST copy per content group, not the
+    first: rank within each content-hash group by a quality key
+    (n_chars here; source priority / quality score in a real corpus)
+    with doc_id tie-break, and emit the full keep-list (n_copies > 1
+    marks the groups that actually had duplicates). One shuffle on the
+    hash key; the window is partitioned by that same key, so rank +
+    group-count share it."""
+    d = t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", "n_chars", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("norm_hash")
+    )
+    w = Window.partitionBy("norm_hash").orderBy(F.col("n_chars").desc(), "doc_id")
+    wc = Window.partitionBy("norm_hash")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select("norm_hash", "n_copies", F.col("doc_id").alias("kept_doc"))
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+             AS qty_weighted_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount))
+                 / SUM(l_extendedprice), 6) AS effective_price_ratio
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted averages per group (sum(w·x)/sum(w)) — the aggregate
+    plain AVG silently gets wrong; expressed as two partial-aggregable
+    SUMs so the map side combines before the shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            4,
+        ).alias("qty_weighted_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            / F.sum("l_extendedprice"),
+            6,
+        ).alias("effective_price_ratio"),
+    )
+
+
+@register(
+    "vocab_coverage",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS word
+      FROM documents),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rn
+        FROM words GROUP BY word)
+      WHERE rn <= 100)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_ratio
+    FROM words w LEFT JOIN vocab v USING (word)
+    GROUP BY doc_id
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer/vocabulary coverage: per-document out-of-vocabulary
+    ratio against the corpus top-100 words — the calibration step
+    before committing a tokenizer to a corpus. The top-K rank runs
+    over the DISTINCT VOCABULARY (bounded by language, not corpus
+    rows), so the unpartitioned window is scale-independent; the
+    resulting vocab list broadcasts into the word-level left join."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word")
+    )
+    wv = Window.orderBy(F.col("cnt").desc(), "word")
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= 100)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    joined = words.join(F.broadcast(vocab), "word", "left")
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        oov.cast("long").alias("n_oov"),
+        F.round(oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_ratio"),
+    )
+
+
+@register(
+    "docs_length_percentile_filter",
+    oracle="""
+    WITH bounds AS (
+      SELECT quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents)
+    SELECT doc_id, n_chars FROM documents CROSS JOIN bounds
+    WHERE n_chars >= lo AND n_chars <= hi
+    """,
+)
+def docs_length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier filtering: keep documents inside the corpus's own
+    [p5, p95] length band — the self-calibrating version of fixed
+    min/max length cutoffs. The two exact percentiles are a 1-row
+    aggregate broadcast back over the scan (same in-plan-scalar shape
+    as text_tfidf_sql); swap in percentile_approx at 100 TB for a
+    bounded-memory sketch."""
+    d = t(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "n_chars")
+    )
+
+
+@register(
+    "agg_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY yr)
+    SELECT yr, revenue,
+           ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY yr))
+                 / LAG(revenue) OVER (ORDER BY yr), 4) AS yoy_pct
+    FROM yearly
+    """,
+)
+def agg_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: yearly revenue rollup + LAG ratio. The
+    unpartitioned LAG runs over the YEARLY aggregate (a handful of
+    rows regardless of input size — scale-independent input, like
+    sort's bucket table), never the raw orders."""
+    o = t(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").cast("long").alias("yr")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "yr",
+        "revenue",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("yoy_pct"),
+    )
+
+
+@register(
+    "agg_json_props",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+             AS k_avg,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation: numeric field extracted from the
+    JSON props payload, aggregated per event type — the
+    parse-then-aggregate shape of schemaless telemetry. Extraction is
+    a JVM expression (get_json_object), so the scan stays codegen'd;
+    at 100 TB prefer materializing hot JSON fields to columns at
+    ingest (the documents/events tables model exactly that)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("k_avg"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )

@@ -38,11 +38,14 @@ BNLJ_OK = {
     #                    in-plan replacement for the old driver-side count())
     "text_unigram_logprob",   # broadcast 1-row corpus-total scalar x words
     "data_mixture_balanced",  # broadcast 1-row quota scalar x ranked docs
+    "docs_length_percentile_filter",  # broadcast 1-row [p5,p95] bounds scalar
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
-# sort's bucket-offset table is O(value_range/bucket) rows, not O(n).
-GLOBAL_WINDOW_OK = {"sort"}
+# sort's bucket-offset table is O(value_range/bucket) rows, not O(n);
+# vocab_coverage ranks the DISTINCT VOCABULARY (bounded by language);
+# agg_yoy_growth lags over the yearly rollup (a handful of rows).
+GLOBAL_WINDOW_OK = {"sort", "vocab_coverage", "agg_yoy_growth"}
 
 WINDOW_SPEC = re.compile(r"windowspecdefinition\(([^)]*)\)")
 
