@@ -73,6 +73,13 @@ HEADLINE = [
     "dim_scd2_build",
     "subquery_correlated",
     "text_decontaminate",
+    # round-5 additions: Q3-shape multi-join, event analytics, corpus
+    # scoring, containment dedup, vocabulary calibration.
+    "flagship_shipping_priority",
+    "retention_cohorts",
+    "text_unigram_logprob",
+    "dedup_containment",
+    "vocab_coverage",
 ]
 
 
