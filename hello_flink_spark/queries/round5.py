@@ -837,3 +837,234 @@ def agg_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("k_min"),
         F.max(k).alias("k_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch 3: semantics-gap fillers (null-safe join, by-name union,
+# running distinct, regex family, JSON sink, dedup reporting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_nullsafe",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END
+               AS status_key
+      FROM orders),
+    r AS (
+      SELECT DISTINCT
+             CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END
+               AS status_key,
+             o_orderstatus AS matched_status
+      FROM orders)
+    SELECT matched_status, COUNT(*) AS cnt
+    FROM l JOIN r ON l.status_key IS NOT DISTINCT FROM r.status_key
+    GROUP BY matched_status
+    """,
+)
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics a
+    plain join loses (here the 'O' status is nulled on both sides and
+    still joins). Spark plans eqNullSafe as a regular hash join on the
+    null-safe key, so the scale shape is identical to join_inner."""
+    o = t(spark, sf_dir, "orders")
+    null_key = F.when(F.col("o_orderstatus") == "O", None).otherwise(
+        F.col("o_orderstatus")
+    )
+    left = o.select("o_orderkey", null_key.alias("status_key"))
+    right = (
+        o.select(
+            null_key.alias("r_status_key"),
+            F.col("o_orderstatus").alias("matched_status"),
+        )
+        .distinct()
+    )
+    return (
+        left.join(right, F.col("status_key").eqNullSafe(F.col("r_status_key")))
+        .groupBy("matched_status")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "union_by_name_missing",
+    oracle="""
+    SELECT id, name, acctbal, origin FROM (
+      SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+             'customer' AS origin
+      FROM customer
+      UNION ALL BY NAME
+      SELECT s_suppkey AS id, s_name AS name, 'supplier' AS origin
+      FROM supplier)
+    """,
+)
+def union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two sources with different column sets
+    combined BY NAME, absent columns NULL-filled
+    (unionByName(allowMissingColumns=True) == DuckDB UNION ALL BY
+    NAME) — how a pipeline appends a feed that gained or lost columns
+    without positional breakage."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("origin"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("origin"),
+    )
+    return c.unionByName(s, allowMissingColumns=True).select(
+        "id", "name", "acctbal", "origin"
+    )
+
+
+@register(
+    "win_distinct_running",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, event_type, ts,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events)
+    SELECT event_id, event_type,
+           CAST(SUM(is_new) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS distinct_users_so_far
+    FROM flagged
+    """,
+)
+def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — unsupported directly in
+    both engines, expressed exactly: flag each (type, user)'s first
+    event via a fine-partitioned row_number, then a running SUM of
+    flags per type. EXACT semantics demo: the per-type running sum is
+    sequential by construction, so at 100 TB the production substitute
+    is the mergeable-sketch tier (agg_hll_mergeable) over windowed
+    buckets; the flag pass itself scales fine (partitioned by
+    type × user)."""
+    e = t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.sum("is_new").over(w_run).cast("long").alias("distinct_users_so_far"),
+    )
+
+
+@register(
+    "fn_regex",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', 'x', 'g') AS masked,
+           CAST(len(regexp_extract_all(c_name, '[0-9]')) AS BIGINT) AS digit_cnt,
+           regexp_matches(c_name, '00') AS has_double_zero,
+           string_split_regex(c_name, '[#0-9]+')[1] AS stem
+    FROM customer
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family beyond extract (covered in fn_string):
+    replace-all, match-count, boolean match (rlike), regex split.
+    All JVM expressions inside codegen — the text-wrangling workhorses
+    of ingest pipelines."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]", "x").alias("masked"),
+        F.size(F.regexp_extract_all("c_name", F.lit("[0-9]"), 0)).cast("long").alias(
+            "digit_cnt"
+        ),
+        F.col("c_name").rlike("00").alias("has_double_zero"),
+        F.split("c_name", "[#0-9]+").getItem(0).alias("stem"),
+    )
+
+
+@register(
+    "sink_json",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200
+    """,
+)
+def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] FileSink, JSON-lines format (completes the sink family next
+    to parquet/csv): filtered projection written as JSONL, read back
+    with an explicit schema — checks the text round-trip of nested-free
+    records the way streaming sinks emit them."""
+    from hello_flink_spark.queries.sources import _ensure, _fixture_dir
+
+    out = _ensure(
+        _fixture_dir(sf_dir, "sink_json_out"),
+        lambda p: t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 200)
+        .select("doc_id", "lang", "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(p),
+    )
+    return spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(out)
+
+
+def _cluster_stats_oracle_sql() -> str:
+    from hello_flink_spark.queries.llm import NGRAM_SHINGLES_SQL
+
+    return f"""
+    WITH RECURSIVE
+    sh AS ({NGRAM_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_cnt
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(both_cnt AS DOUBLE) / (sa.n + sb.n - both_cnt) >= 0.5),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc_id, r) AS (
+      SELECT doc_a, doc_a FROM edges
+      UNION
+      SELECT rc.doc_id, e.doc_b FROM reach rc JOIN edges e ON e.doc_a = rc.r),
+    labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+               FROM labels GROUP BY cluster_id)
+    SELECT cluster_size, COUNT(*) AS n_clusters
+    FROM csizes GROUP BY cluster_size
+    """
+
+
+@register("dedup_cluster_stats", oracle=_cluster_stats_oracle_sql())
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup REPORTING: the cluster-size distribution of the near-dup
+    component graph (how much of the corpus is duplicated, and in what
+    clump sizes — the first chart any dedup run is judged by).
+    Composes dedup_cluster's convergent connected components with two
+    tiny hash aggs over the label table."""
+    from hello_flink_spark.queries.extras import dedup_cluster
+
+    labels = dedup_cluster(spark, sf_dir)
+    csizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return csizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
