@@ -1068,3 +1068,342 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch 4: TPC-H-shape flagships (Q4/Q14/Q18/Q19/Q22) + corpus
+# and event analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4)
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-03-01'
+    """,
+)
+def flagship_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share — a conditional
+    aggregate over a fact × dim join with a tight date band. The date
+    predicate pushes into the lineitem scan; part broadcasts; the
+    whole query is one broadcast join + one 1-row agg."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01").cast("timestamp_ntz"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "flagship_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def flagship_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts per priority where EXISTS a
+    qualifying line — the date band prunes the orders scan, the EXISTS
+    becomes a left-semi hash join (each order tested once, no
+    multiplicity blow-up), then a tiny hash agg."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "flagship_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    SELECT c_name, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+           ROUND(total_qty, 2) AS total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def flagship_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — pre-aggregate lineitem to
+    per-order quantity (map-side combine does most of the work), HAVING
+    filter shrinks it to the big tail, then two equi-joins pull in the
+    order and customer attributes. The agg-before-join ordering is the
+    scale decision: joining first would shuffle every line."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "flagship_disjunctive",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS line_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def flagship_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicates spanning both join sides.
+    Catalyst extracts the common join key (equi hash join survives the
+    disjunction) and pushes the per-side disjuncts (brand/size on part,
+    quantity on lineitem) below the join as partial filters."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("line_cnt"),
+    )
+
+
+@register(
+    "flagship_idle_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer CROSS JOIN avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cntry
+    """,
+)
+def flagship_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers gone IDLE (no order since
+    2000 — this fixture gives nearly every customer some order, so the
+    original never-ordered criterion is empty) — 1-row average-balance
+    scalar broadcast into the plan, NOT EXISTS as a left-anti hash
+    join against the date-pruned recent orders, then a per-nation
+    rollup. Anti join + in-plan scalar are the two shapes this
+    flagship pins under the bench gate."""
+    c = t(spark, sf_dir, "customer")
+    recent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "events_heatmap_dow_hour",
+    oracle="""
+    SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY dow, hr
+    """,
+)
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: event volume by day-of-week × hour-of-day —
+    the seasonality profile behind capacity planning. One hash agg
+    over derived calendar keys (Spark dayofweek is 1=Sunday, DuckDB
+    dow is 0=Sunday — normalized by subtracting 1)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), mx) AS recency,
+             COUNT(*) AS freq,
+             SUM(o_totalprice) AS monetary
+      FROM orders CROSS JOIN maxd GROUP BY o_custkey, mx),
+    cuts AS (
+      SELECT quantile_cont(recency, 0.25) AS r1, quantile_cont(recency, 0.5) AS r2,
+             quantile_cont(recency, 0.75) AS r3,
+             quantile_cont(freq, 0.25) AS f1, quantile_cont(freq, 0.5) AS f2,
+             quantile_cont(freq, 0.75) AS f3,
+             quantile_cont(monetary, 0.25) AS m1, quantile_cont(monetary, 0.5) AS m2,
+             quantile_cont(monetary, 0.75) AS m3
+      FROM cust)
+    SELECT CAST(1 + CAST(recency > r1 AS INT) + CAST(recency > r2 AS INT)
+                + CAST(recency > r3 AS INT) AS BIGINT) AS r,
+           CAST(1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+                + CAST(freq > f3 AS INT) AS BIGINT) AS f,
+           CAST(1 + CAST(monetary > m1 AS INT) + CAST(monetary > m2 AS INT)
+                + CAST(monetary > m3 AS INT) AS BIGINT) AS m,
+           COUNT(*) AS n_customers
+    FROM cust CROSS JOIN cuts
+    GROUP BY r, f, m
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation with SCALABLE quartile assignment:
+    instead of three global NTILE sorts (unpartitioned windows — the
+    anti-pattern), the quartile cut points are one 1-row percentile
+    aggregate broadcast back over the per-customer table, and each
+    dimension buckets by comparison. Value-based cuts are also
+    cross-engine deterministic where NTILE's positional ties are not."""
+    o = t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("mx"))
+    cust = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey", "mx")
+        .agg(
+            F.datediff(F.to_date("mx"), F.to_date(F.max("o_orderdate")))
+            .alias("recency"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+    )
+    cuts = cust.agg(
+        *[
+            F.expr(f"percentile({col}, {q})").alias(f"{col[0]}{i}")
+            for col in ("recency", "freq", "monetary")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+    def bucket(col: str):
+        v = F.col(col)
+        k = col[0]
+        return (
+            1
+            + (v > F.col(f"{k}1")).cast("int")
+            + (v > F.col(f"{k}2")).cast("int")
+            + (v > F.col(f"{k}3")).cast("int")
+        ).cast("long")
+
+    return (
+        cust.crossJoin(F.broadcast(cuts))
+        .groupBy(
+            bucket("recency").alias("r"),
+            bucket("freq").alias("f"),
+            bucket("monetary").alias("m"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "text_zipf_profile",
+    oracle="""
+    WITH words AS (
+      SELECT UNNEST(string_split(lower(trim(text)), ' ')) AS word
+      FROM documents),
+    vocab AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word)
+    SELECT word, CAST(rn AS BIGINT) AS rank, cnt,
+           ROUND(ln(CAST(rn AS DOUBLE)), 6) AS ln_rank,
+           ROUND(ln(CAST(cnt AS DOUBLE)), 6) AS ln_cnt
+    FROM (SELECT word, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rn
+          FROM vocab)
+    WHERE rn <= 20
+    """,
+)
+def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf profile of the corpus: top-20 word frequencies with log-log
+    coordinates (the sanity plot of any tokenization run — natural text
+    is near-linear, word-soup fixtures are flat). The rank window runs
+    over the distinct VOCABULARY, not corpus rows — scale-independent
+    like vocab_coverage."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), "word")
+    return (
+        vocab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "word",
+            F.col("rn").cast("long").alias("rank"),
+            "cnt",
+            F.round(F.log(F.col("rn").cast("double")), 6).alias("ln_rank"),
+            F.round(F.log(F.col("cnt").cast("double")), 6).alias("ln_cnt"),
+        )
+    )

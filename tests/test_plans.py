@@ -39,13 +39,15 @@ BNLJ_OK = {
     "text_unigram_logprob",   # broadcast 1-row corpus-total scalar x words
     "data_mixture_balanced",  # broadcast 1-row quota scalar x ranked docs
     "docs_length_percentile_filter",  # broadcast 1-row [p5,p95] bounds scalar
+    "flagship_idle_customers",  # broadcast 1-row avg-balance scalar
+    "orders_rfm_segments",      # broadcast 1-row max-date + quartile-cut scalars
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
 # sort's bucket-offset table is O(value_range/bucket) rows, not O(n);
 # vocab_coverage ranks the DISTINCT VOCABULARY (bounded by language);
 # agg_yoy_growth lags over the yearly rollup (a handful of rows).
-GLOBAL_WINDOW_OK = {"sort", "vocab_coverage", "agg_yoy_growth"}
+GLOBAL_WINDOW_OK = {"sort", "vocab_coverage", "agg_yoy_growth", "text_zipf_profile"}
 
 WINDOW_SPEC = re.compile(r"windowspecdefinition\(([^)]*)\)")
 
