@@ -80,6 +80,10 @@ HEADLINE = [
     "text_unigram_logprob",
     "dedup_containment",
     "vocab_coverage",
+    # batch-4 flagships: agg-before-join, anti-join + scalar, RFM cuts.
+    "flagship_large_orders",
+    "flagship_idle_customers",
+    "orders_rfm_segments",
 ]
 
 
