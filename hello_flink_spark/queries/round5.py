@@ -1407,3 +1407,209 @@ def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.col("cnt").cast("double")), 6).alias("ln_cnt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch 5: sequence, basket, embedding-QA, keyword analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6) AS p
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the sequence-modeling prep step): LAG within each
+    user's timeline, pair counts, row-normalized into transition
+    probabilities. The LAG window is partitioned by user; the
+    normalizing window runs over the TRANSITION-MATRIX aggregate
+    (|event types|² rows — scale-independent)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.sum("cnt").over(wp), 6).alias("p"),
+    )
+
+
+@register(
+    "orders_basket_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS cooccur
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 3
+    """,
+)
+def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in
+    ≥ 3 orders (the frequent-itemset candidate pass). The self-join is
+    keyed on l_orderkey, so the fan-out per key is bounded by BASKET
+    SIZE squared (a handful of lines per order), never corpus²; the
+    pair counts hash-aggregate with map-side combine."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cooccur"))
+        .filter(F.col("cooccur") >= 3)
+    )
+
+
+@register(
+    "embeddings_norm_stats",
+    oracle="""
+    SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+           ROUND(AVG(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[])))), 6)
+             AS mean_norm,
+           ROUND(stddev_samp(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                     CAST(embedding AS DOUBLE[])))), 6)
+             AS std_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality monitoring: L2-norm mean/std per label —
+    collapsed or exploding norms are the first sign of a bad encoder
+    batch. Pure array-lambda dot product (JVM, no Python) + one hash
+    agg."""
+    from hello_flink_spark.queries.llm import _as_double, _dot
+
+    e = t(spark, sf_dir, "embeddings")
+    vec = _as_double(F.col("embedding"))
+    norm = F.sqrt(_dot(vec, vec))
+    return (
+        e.select(F.col("label").cast("long").alias("label"), norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 6).alias("mean_norm"),
+            F.round(F.stddev_samp("nrm"), 6).alias("std_norm"),
+        )
+    )
+
+
+@register(
+    "text_keyword_extract",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS word
+      FROM documents),
+    doc_len AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+    tfs AS (SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY doc_id, word),
+    dfs AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word),
+    n_total AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.word,
+             ROUND((CAST(t.cnt AS DOUBLE) / doc_len.n)
+                   * ln(CAST(n_docs AS DOUBLE) / dfs.df), 6) AS tfidf
+      FROM tfs t
+      JOIN doc_len USING (doc_id)
+      JOIN dfs USING (word)
+      CROSS JOIN n_total)
+    SELECT doc_id, word, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, word) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-3 most distinctive words
+    by TF-IDF (the summarization/tagging primitive on top of
+    text_tfidf_sql's scoring). Ranking uses the ROUNDED score with a
+    word tie-break, so sub-1e-6 float noise between engines cannot
+    reorder the cut (the sim_knn rule). The rank window is partitioned
+    per document."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word")
+    )
+    doc_len = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    tfs = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    dfs = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_total = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tfs.join(doc_len, "doc_id")
+        .join(F.broadcast(dfs), "word")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("n"))
+                * F.log(F.col("n_docs") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "events_value_ecdf",
+    oracle="""
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           ROUND(q, 4) AS value_at
+    FROM (
+      SELECT event_type,
+             UNNEST(quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                          0.6, 0.7, 0.8, 0.9])) AS q,
+             UNNEST(generate_series(1, 9)) AS decile
+      FROM events GROUP BY event_type)
+    """,
+)
+def events_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value distribution profile: the nine deciles of each
+    event type's value, computed as ONE percentile-vector aggregate
+    per group then exploded to (type, decile, value) rows — one pass
+    over the data for the whole ECDF sketch instead of nine."""
+    e = t(spark, sf_dir, "events")
+    qs = ", ".join(str(q / 10) for q in range(1, 10))
+    deciles = e.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({qs}))").alias("qarr")
+    )
+    return deciles.select(
+        "event_type",
+        F.posexplode("qarr").alias("pos", "q"),
+    ).select(
+        "event_type",
+        (F.col("pos") + 1).cast("long").alias("decile"),
+        F.round("q", 4).alias("value_at"),
+    )

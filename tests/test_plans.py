@@ -41,6 +41,7 @@ BNLJ_OK = {
     "docs_length_percentile_filter",  # broadcast 1-row [p5,p95] bounds scalar
     "flagship_idle_customers",  # broadcast 1-row avg-balance scalar
     "orders_rfm_segments",      # broadcast 1-row max-date + quartile-cut scalars
+    "text_keyword_extract",     # broadcast 1-row corpus-count scalar (tfidf)
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
