@@ -1613,3 +1613,157 @@ def events_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("long").alias("decile"),
         F.round("q", 4).alias("value_at"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch 6: datetime arithmetic, inter-event gaps, dedup reporting
+# by source, user activity profiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_datetime_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due_30d,
+           o_orderdate + INTERVAL 2 MONTH AS plus_2mo,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01')
+                AS BIGINT) AS days_to_2002
+    FROM orders
+    """,
+)
+def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime ARITHMETIC family (fn_date covers extraction): interval
+    addition (day and calendar-aware month), month-end snapping, and
+    day distance to a fixed horizon — all JVM expressions; both engines
+    clamp month-overflow (Jan 31 + 1 month → Feb 28) identically."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_30d"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 MONTH")).alias("plus_2mo"),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")
+        ).cast("long").alias("days_to_2002"),
+    )
+
+
+@register(
+    "events_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id))
+               AS gap_us
+      FROM events)
+    SELECT user_id, COUNT(gap_us) AS n_gaps,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           ROUND(AVG(gap_us), 2) AS avg_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user (the sessionization design
+    input: gap distributions justify the session timeout). Epoch-micro
+    subtraction, NOT second-truncated casts — DuckDB's
+    date_diff('second') and a cast-to-long each truncate differently
+    around sub-second boundaries; micros agree exactly. One
+    user-partitioned LAG + one hash agg."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = e.select(
+        "user_id", (us - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.round(F.avg("gap_us"), 2).alias("avg_gap_us"),
+    )
+
+
+def _dup_rate_oracle_sql() -> str:
+    from hello_flink_spark.queries.llm import NGRAM_SHINGLES_SQL
+
+    return f"""
+    WITH sh AS ({NGRAM_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_cnt
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(both_cnt AS DOUBLE) / (sa.n + sb.n - both_cnt) >= 0.5),
+    dup_docs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION SELECT doc_b AS doc_id FROM pairs))
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(COUNT(d.doc_id) AS BIGINT) AS n_dup,
+           ROUND(CAST(COUNT(d.doc_id) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+    FROM documents LEFT JOIN dup_docs d USING (doc_id)
+    GROUP BY source
+    """
+
+
+@register("docs_near_dup_rate_by_source", oracle=_dup_rate_oracle_sql())
+def docs_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup reporting by SOURCE: which feeds contribute the near-dups
+    (the metric that drives dropping or down-weighting a source).
+    Composes the jaccard pair graph with a doc→source rollup: the
+    duplicated-doc id set is tiny relative to the corpus, so its join
+    back to documents broadcasts."""
+    from hello_flink_spark.queries.llm import dedup_ngram_jaccard
+
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        d.join(F.broadcast(dup_docs), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_dup").cast("long").alias("n_dup"),
+            F.round(F.count("is_dup").cast("double") / F.count(F.lit(1)), 6).alias(
+                "dup_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "events_user_activity_profile",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS active_days,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime profile (the feature table behind churn /
+    engagement models): event volume, distinct active days, behavioral
+    breadth, monetary total — one hash aggregation keyed by user, the
+    natural partitioner at any scale."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.date_trunc("day", F.col("ts"))).cast("long").alias(
+            "active_days"
+        ),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
