@@ -34,6 +34,13 @@ PROBES = [
     ("text_decontaminate", "documents"),
     ("dim_scd2_build", "orders"),
     ("cep3_pattern_batch", "events"),
+    # round-5 ops whose scaling terms deserve a direct check: the
+    # shingle self-joins (containment), the basket self-join, the
+    # iterative connected components, and the chunk-explode dedup.
+    ("dedup_containment", "documents"),
+    ("orders_basket_pairs", "lineitem"),
+    ("dedup_cluster", "documents"),
+    ("text_passage_dedup", "documents"),
 ]
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
