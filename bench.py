@@ -84,6 +84,8 @@ HEADLINE = [
     "flagship_large_orders",
     "flagship_idle_customers",
     "orders_rfm_segments",
+    # the fused five-stage corpus pipeline (round-5 capstone).
+    "pipeline_training_corpus_v2",
 ]
 
 

@@ -1767,3 +1767,150 @@ def events_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").cast("long").alias("n_types"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 capstone: the fused corpus pipeline v2
+# ---------------------------------------------------------------------------
+
+
+def _corpus_v2_oracle_sql() -> str:
+    from hello_flink_spark.queries.llm import SHINGLE_DF_CAP
+
+    return f"""
+    WITH bounds AS (
+      SELECT quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents),
+    f1 AS (
+      SELECT doc_id, source, n_chars, text FROM documents CROSS JOIN bounds
+      WHERE n_chars >= lo AND n_chars <= hi),
+    f2 AS (
+      SELECT doc_id, source, n_chars, text FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY sha256(lower(trim(text)))
+          ORDER BY n_chars DESC, doc_id) AS rn
+        FROM f1) WHERE rn = 1),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT DISTINCT doc_id,
+               tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens
+              FROM f2),
+             UNNEST(generate_series(1, GREATEST(len(tokens) - 2, 0))) AS u(i)
+      ) QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {SHINGLE_DF_CAP}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_cnt
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b),
+    drops AS (
+      SELECT DISTINCT doc_b AS doc_id FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(both_cnt AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8),
+    f3 AS (
+      SELECT f2.doc_id, f2.source, f2.n_chars FROM f2
+      WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = f2.doc_id)),
+    counts AS (SELECT source, COUNT(*) AS n FROM f3 GROUP BY source),
+    quota AS (SELECT MIN(n) AS q FROM counts),
+    f4 AS (
+      SELECT doc_id, source, n_chars FROM (
+        SELECT f3.*, ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+        FROM f3) CROSS JOIN quota WHERE rn <= q),
+    packed AS (
+      SELECT doc_id, source, n_chars,
+             CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_chars) / 8000.0) AS BIGINT) AS batch_id
+      FROM f4)
+    SELECT source, batch_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM packed GROUP BY source, batch_id
+    """
+
+
+@register("pipeline_training_corpus_v2", oracle=_corpus_v2_oracle_sql())
+def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 capstone: the training-corpus pipeline rebuilt from this
+    round's operators as ONE declarative plan — self-calibrating
+    [p5,p95] length band (broadcast percentile scalars) → exact dedup
+    keeping the best copy (content-hash window) → near-CONTAINMENT
+    drop (df-capped shingle equi-join, larger doc_id of each ≥0.8 pair
+    dropped) → source-balanced mixture (broadcast min-quota) →
+    per-source token-budget batch packing → per-(source, batch)
+    rollup. Five conceptual stages, zero intermediate
+    materializations: Catalyst sees one tree, fuses the scans, and
+    every shuffle is keyed (content hash, shingle, source) — the
+    composition argument for operators as DataFrame combinators."""
+    from hello_flink_spark.queries.llm import _shingle_df
+
+    d = t(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    f1 = (
+        d.crossJoin(F.broadcast(bounds))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "source", "n_chars", "text")
+    )
+    w_best = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    f2 = (
+        f1.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    shingles = _shingle_df(f2.select("doc_id", "text"))
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    containment = F.col("both_cnt").cast("double") / F.least(
+        F.col("sa.n"), F.col("sb.n")
+    )
+    drops = (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(containment >= 0.8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    f3 = f2.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+    counts = f3.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    quota = counts.agg(F.min("n").alias("q"))
+    w_rank = Window.partitionBy("source").orderBy("doc_id")
+    f4 = (
+        f3.withColumn("rn", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("q"))
+        .select("doc_id", "source", "n_chars")
+    )
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = f4.withColumn(
+        "batch_id",
+        F.floor((F.sum("n_chars").over(w_pack) - F.col("n_chars")) / 8000.0).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("source", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

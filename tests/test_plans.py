@@ -42,6 +42,7 @@ BNLJ_OK = {
     "flagship_idle_customers",  # broadcast 1-row avg-balance scalar
     "orders_rfm_segments",      # broadcast 1-row max-date + quartile-cut scalars
     "text_keyword_extract",     # broadcast 1-row corpus-count scalar (tfidf)
+    "pipeline_training_corpus_v2",  # broadcast 1-row length-band + quota scalars
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
