@@ -430,3 +430,47 @@ def count_window_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful_markov_transitions — [F] KeyedProcessFunction + ValueState
+# (streaming twin of queries/round5.py::events_markov_transitions)
+# ---------------------------------------------------------------------------
+
+
+def _markov(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user last-event-type ValueState; each micro-batch emits the
+    transition-pair count DELTAS it observed (append mode) — the sink
+    aggregates deltas into the transition matrix, so state stays one
+    string per user no matter how long the stream runs."""
+    prev = state.get[0] if state.exists else None
+    pdf = _sorted_concat(pdfs, ["ts", "event_id"])
+    pairs: dict = {}
+    for nxt in pdf["event_type"]:
+        if prev is not None:
+            pairs[(prev, nxt)] = pairs.get((prev, nxt), 0) + 1
+        prev = nxt
+    state.update((prev,))
+    if pairs:
+        yield pd.DataFrame(
+            [
+                {"user_id": key[0], "prev_type": a, "next_type": b, "cnt": c}
+                for (a, b), c in sorted(pairs.items())
+            ]
+        )
+
+
+def stateful_markov_transitions(events: DataFrame) -> DataFrame:
+    """Streaming first-order Markov transition counting: the batch
+    shadow is queries/round5.py::events_markov_transitions; the golden
+    test sums the emitted per-batch deltas and compares against it.
+    Bounded state (one last-event string per user) — 100 TB-safe."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _markov,
+        outputStructType="user_id long, prev_type string, next_type string, cnt long",
+        stateStructType="prev string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -852,3 +852,28 @@ def test_foreach_batch_upsert(spark, sf_dir, replay_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_markov_matches_batch_shadow(spark, sf_dir, replay_dir):
+    """Summed per-batch transition deltas must equal the batch
+    shadow's transition counts exactly (state carries the last event
+    type across micro-batch boundaries, so cross-chunk transitions
+    are counted too)."""
+    run_to_memory(
+        stateful.stateful_markov_transitions(_stream(spark, replay_dir)),
+        "t_markov",
+        "append",
+    )
+    got = {
+        (r.prev_type, r.next_type): r.total
+        for r in spark.table("t_markov")
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("cnt").alias("total"))
+        .collect()
+    }
+    want = {
+        (r.prev_type, r.next_type): r.cnt
+        for r in get_spec("events_markov_transitions").fn(spark, sf_dir).collect()
+    }
+    assert got, "no transitions emitted"
+    assert got == want
