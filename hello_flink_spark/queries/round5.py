@@ -1914,3 +1914,121 @@ def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch 7: window-packing trio — nearest as-of, geometric mean,
+# gaps-and-islands streaks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+      WHERE event_type = 'click'),
+    cand AS (
+      SELECT p.event_id, p.user_id, c.click_id,
+             ABS(epoch_us(p.ts) - epoch_us(c.click_ts)) AS dist_us,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY ABS(epoch_us(p.ts) - epoch_us(c.click_ts)),
+                                         c.click_id) AS rk
+      FROM purchases p JOIN clicks c ON p.user_id = c.user_id)
+    SELECT event_id, user_id, click_id, CAST(dist_us AS BIGINT) AS dist_us
+    FROM cand WHERE rk = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (pandas merge_asof
+    direction='nearest'): each purchase matched to the temporally
+    closest click either side — completes the backward/forward family
+    (join_asof / join_asof_forward) with the third direction. Candidates
+    come from the user-keyed equi-join (bounded per-user fan-out), the
+    winner from a per-purchase rank on |Δt| with click_id tiebreak —
+    exact micro distances, so both engines cut identically."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    dist = F.abs(F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts")))
+    cand = purchases.join(clicks, F.col("user_id") == F.col("c_user")).select(
+        "event_id", "user_id", "click_id", dist.alias("dist_us")
+    )
+    w = Window.partitionBy("event_id").orderBy("dist_us", "click_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_id", "user_id", "click_id", F.col("dist_us").cast("long"))
+    )
+
+
+@register(
+    "agg_geometric_mean",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(EXP(AVG(LN(l_extendedprice))), 4) AS geo_mean_price,
+           ROUND(AVG(l_extendedprice), 4) AS arith_mean_price
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    """,
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean per group via exp(avg(ln x)) — the
+    multiplicative-average aggregate (rates, ratios, skewed prices)
+    that plain AVG overstates; paired with the arithmetic mean so the
+    gap is visible. Log-sum is partial-aggregable: one shuffle of
+    (group, partial) rows."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.exp(F.avg(F.log("l_extendedprice"))), 4).alias("geo_mean_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("arith_mean_price"),
+    )
+
+
+@register(
+    "win_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events),
+    islands AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM days),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS len FROM islands GROUP BY user_id, island)
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands: distinct active days, island key = day minus
+    row_number (constant within a consecutive run), then two hash
+    aggs. The window is user-partitioned; everything else is keyed
+    aggregation — the engagement-streak feature at any scale."""
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
