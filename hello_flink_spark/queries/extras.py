@@ -393,6 +393,7 @@ def dedup_fingerprint_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame
     duplicated boilerplate belongs to dedup_exact, which runs first in
     a real pipeline. Fixture max bucket is 19 (sf0.1) — results
     unchanged."""
+    from hello_flink_spark.operators.scale import anti_join_bounded
     from hello_flink_spark.queries.llm import _shingle_df
 
     d = t(spark, sf_dir, "documents")
@@ -403,7 +404,7 @@ def dedup_fingerprint_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("k") > FP_BUCKET_CAP)
         .select("fingerprint")
     )
-    fp = fp0.join(F.broadcast(hot), "fingerprint", "left_anti")
+    fp = anti_join_bounded(fp0, hot, "fingerprint")
     cand = (
         fp.alias("a")
         .join(

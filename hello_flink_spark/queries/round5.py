@@ -1092,8 +1092,10 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promotion revenue share — a conditional
     aggregate over a fact × dim join with a tight date band. The date
-    predicate pushes into the lineitem scan; part broadcasts; the
-    whole query is one broadcast join + one 1-row agg."""
+    predicate pushes into the lineitem scan. `part` SCALES with the
+    data (SF·200k rows — billions at 100 TB), so the join carries no
+    broadcast hint: AQE broadcasts at small SF and shuffle-joins at
+    scale, both correct."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-03-01").cast("timestamp_ntz"))
@@ -1102,7 +1104,7 @@ def flagship_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
         )
@@ -1195,10 +1197,11 @@ def flagship_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs predicates spanning both join sides.
     Catalyst extracts the common join key (equi hash join survives the
     disjunction) and pushes the per-side disjuncts (brand/size on part,
-    quantity on lineitem) below the join as partial filters."""
+    quantity on lineitem) below the join as partial filters. `part`
+    scales with the data, so no broadcast hint — AQE decides."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    joined = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -1552,7 +1555,8 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_tfidf_sql's scoring). Ranking uses the ROUNDED score with a
     word tie-break, so sub-1e-6 float noise between engines cannot
     reorder the cut (the sim_knn rule). The rank window is partitioned
-    per document."""
+    per document. The vocabulary-sized df table joins without a
+    broadcast hint — AQE decides from runtime stats (VERDICT r05)."""
     d = t(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("word")
@@ -1563,7 +1567,7 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
         tfs.join(doc_len, "doc_id")
-        .join(F.broadcast(dfs), "word")
+        .join(dfs, "word")
         .crossJoin(F.broadcast(n_total))
         .select(
             "doc_id",
@@ -1717,9 +1721,12 @@ def _dup_rate_oracle_sql() -> str:
 def docs_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup reporting by SOURCE: which feeds contribute the near-dups
     (the metric that drives dropping or down-weighting a source).
-    Composes the jaccard pair graph with a doc→source rollup: the
-    duplicated-doc id set is tiny relative to the corpus, so its join
-    back to documents broadcasts."""
+    Composes the jaccard pair graph with a doc→source rollup. The
+    duplicated-doc id set grows WITH the corpus (millions of ids at
+    100 TB), so its join back to documents is a plain keyed equi-join —
+    AQE broadcasts it only when runtime stats show it is genuinely
+    small (VERDICT r05 "What's wrong #1": no forced broadcast of a
+    corpus-dependent set)."""
     from hello_flink_spark.queries.llm import dedup_ngram_jaccard
 
     d = t(spark, sf_dir, "documents")
@@ -1731,7 +1738,7 @@ def docs_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_dup", F.lit(1))
     )
     return (
-        d.join(F.broadcast(dup_docs), "doc_id", "left")
+        d.join(dup_docs, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1887,7 +1894,10 @@ def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    f3 = f2.join(F.broadcast(drops), "doc_id", "left_anti").select(
+    # `drops` is corpus-dependent (near-dup id set grows with the data):
+    # no broadcast hint — the anti-join shuffles on doc_id and AQE may
+    # still broadcast at runtime when the set is actually small.
+    f3 = f2.join(drops, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"
     )
     counts = f3.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
