@@ -381,8 +381,11 @@ def sim_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     demo probe VERDICT r03 flagged. On unit vectors L2 order equals
     cosine order (||a-b||² = 2−2·cos), so each query's measured
     ``recall_at_5`` vs the exact cosine top-5 rides along as a result
-    column; the ≥0.5 floor is asserted in tests/test_llm.py. Rows-only
-    at the gate (LSH bucketing is engine-specific by design)."""
+    column. Per ADVICE r05 the recall is TRUE recall@5 — computed over
+    the approximate rank ≤ 5 rows only, not top-5-within-top-10 — and
+    the floor asserted in tests/test_llm.py is 0.8 (measured 1.000 at
+    sf0.001/0.01/0.1 with numHashTables=10). Rows-only at the gate
+    (LSH bucketing is engine-specific by design)."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector
 
@@ -397,7 +400,7 @@ def sim_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = vecs.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PROBE_ID_MAX))
     lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=1.0, numHashTables=5, seed=42
+        inputCol="features", outputCol="hashes", bucketLength=1.0, numHashTables=10, seed=42
     )
     model = lsh.fit(vecs)
     # threshold 1.3 ≈ cos 0.155: generously covers the exact top-5 band
@@ -419,10 +422,12 @@ def sim_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact5 = sim_knn(spark, sf_dir).select(
         F.col("query_id").alias("eq_id"), F.col("neighbor_id").alias("exact_nbr")
     )
+    # true recall@5: only the approximate rank<=5 rows count as found
+    top5 = topk.filter(F.col("rk") <= 5)
     recall = (
-        topk.join(
+        top5.join(
             exact5,
-            (topk.query_id == exact5.eq_id) & (topk.neighbor_id == exact5.exact_nbr),
+            (top5.query_id == exact5.eq_id) & (top5.neighbor_id == exact5.exact_nbr),
         )
         .groupBy("query_id")
         .agg((F.count(F.lit(1)) / F.lit(5.0)).alias("recall_at_5"))

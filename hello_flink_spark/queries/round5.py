@@ -334,7 +334,8 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT h.event_type, hour_start, cnt,
            ROUND((cnt - mu) / sigma, 4) AS z
     FROM hourly h JOIN stats s ON h.event_type = s.event_type
-    WHERE ABS((cnt - mu) / sigma) >= 2.0
+    WHERE sigma IS NOT NULL AND sigma > 0
+      AND ABS((cnt - mu) / sigma) >= 2.0
     """,
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,7 +343,14 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     each type's own mean/stddev; |z| ≥ 2 flags the anomalous hours.
     The stats side is one row per event type — broadcast back over the
     hourly aggregate, so the heavy pass over raw events happens
-    exactly once."""
+    exactly once.
+
+    sigma=0 guard (ADVICE r05): a type with CONSTANT hourly counts has
+    stddev 0 — Spark's double 0/0 is NaN and `NaN >= 2.0` is TRUE in
+    Spark's total ordering (row kept, z=NaN) while DuckDB's 0/0 is
+    NULL (row dropped). Both engines now filter sigma > 0 explicitly,
+    and a degenerate type yields no anomaly rows — the statistically
+    honest answer (a constant series has no z-score)."""
     e = t(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
@@ -353,7 +361,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("cnt") - F.col("mu")) / F.col("sigma")
     return (
         hourly.join(F.broadcast(stats), "event_type")
-        .filter(F.abs(z) >= 2.0)
+        .filter(F.col("sigma").isNotNull() & (F.col("sigma") > 0) & (F.abs(z) >= 2.0))
         .select("event_type", "hour_start", "cnt", F.round(z, 4).alias("z"))
     )
 

@@ -12,6 +12,8 @@ push filters/projections from downstream operators into the reader.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,8 +41,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     4 infers TIMESTAMP_NTZ, which rejects ``cast(... as long)`` and the
     epoch arithmetic every time-bucketing operator uses). Either way we
     emit one canonical type — TIMESTAMP (LTZ) under a UTC session — so
-    the 142 declared queries see identical epoch values across formats
-    and bit-identical buckets to the DuckDB oracle.
+    the declared queries see identical epoch values across formats and
+    bit-identical buckets to the DuckDB oracle.
+
+    Session contract (ADVICE r05): the NTZ→LTZ cast REQUIRES a UTC
+    session, so ``load_table`` enforces ``spark.sql.session.timeZone =
+    UTC`` for the NTZ-events path. ``get_spark`` sessions already pin
+    UTC; an externally-supplied session with a different timezone is
+    switched to UTC with an explicit ``UserWarning`` (not silently),
+    because the change affects every later timestamp expression in
+    that session.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -58,7 +68,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # NTZ→LTZ cast goes through the session timezone; pin UTC so
             # the stored wall clock and the epoch agree (DuckDB semantics
             # for naive parquet timestamps).
-            if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz != "UTC":
+                warnings.warn(
+                    f"load_table('events'): switching session timeZone "
+                    f"{tz!r} -> 'UTC' (required for the TIMESTAMP_NTZ->LTZ "
+                    f"normalization); other timestamp queries in this "
+                    f"session now evaluate under UTC",
+                    UserWarning,
+                    stacklevel=2,
+                )
                 spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df.select("event_id", "ts", "user_id", "event_type", "value", "props")

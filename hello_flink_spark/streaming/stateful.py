@@ -466,7 +466,19 @@ def stateful_markov_transitions(events: DataFrame) -> DataFrame:
     """Streaming first-order Markov transition counting: the batch
     shadow is queries/round5.py::events_markov_transitions; the golden
     test sums the emitted per-batch deltas and compares against it.
-    Bounded state (one last-event string per user) — 100 TB-safe."""
+    Bounded state (one last-event string per user) — 100 TB-safe.
+
+    IN-ORDER-ARRIVAL ASSUMPTION (ADVICE r05, same approximation class
+    as the late-split note): rows are ordered by (ts, event_id) only
+    WITHIN each micro-batch; the carried ``prev`` state links batches
+    in ARRIVAL order. An event that arrives in a later batch with an
+    earlier timestamp produces transition pairs that differ from the
+    batch shadow's global (ts, event_id) ordering. Equality with the
+    shadow therefore holds exactly for in-order replays (what the
+    golden test feeds); for out-of-order sources, either accept
+    arrival-order transitions (the usual production choice — Flink's
+    ValueState twin behaves identically) or pre-sort with a watermark
+    buffer upstream."""
     return events.groupBy("user_id").applyInPandasWithState(
         _markov,
         outputStructType="user_id long, prev_type string, next_type string, cnt long",

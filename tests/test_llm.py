@@ -23,7 +23,9 @@ def test_lsh_knn_recall_vs_brute_force(spark, sf_dir_mid):
     assert set(approx.columns) == {"query_id", "neighbor_id", "l2_dist", "rk", "recall_at_5"}
     exact = get_spec("sim_knn").fn(spark, sf_dir_mid).toPandas()
     exact_top = exact.groupby("query_id")["neighbor_id"].apply(set).to_dict()
-    got_top = approx.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    # TRUE recall@5 (ADVICE r05): only approximate rank<=5 rows count
+    top5 = approx[approx["rk"] <= 5]
+    got_top = top5.groupby("query_id")["neighbor_id"].apply(set).to_dict()
     reported = approx.groupby("query_id")["recall_at_5"].first().to_dict()
     assert got_top, "no probes produced candidates"
     recalls = []
@@ -34,7 +36,7 @@ def test_lsh_knn_recall_vs_brute_force(spark, sf_dir_mid):
             f"recall_at_5 column disagrees with recomputation for query {q}"
         )
     mean_recall = sum(recalls) / len(recalls)
-    assert mean_recall >= 0.5, f"LSH mean recall too low: {mean_recall}"
+    assert mean_recall >= 0.8, f"LSH mean recall too low: {mean_recall}"
 
 
 def test_minhash_finds_high_jaccard_pairs(spark, sf_dir_mid):
