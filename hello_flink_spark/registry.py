@@ -49,6 +49,7 @@ _QUERY_MODULES = [
     # driver window before newer ones take slots.
     "hello_flink_spark.queries.extras",
     "hello_flink_spark.queries.round5",
+    "hello_flink_spark.queries.round6",
 ]
 
 

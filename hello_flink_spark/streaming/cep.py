@@ -1,0 +1,230 @@
+"""General CEP pattern compiler (VERDICT r05 "Next round" #6; SURVEY
+§2.10 MATCH_RECOGNIZE gap).
+
+[F] Flink CEP ``Pattern.begin(A).followedBy(B)...within(t)`` — Spark
+has no MATCH_RECOGNIZE surface, so a declarative pattern (an ordered
+list of event types + a per-stage time window) is COMPILED into both
+execution forms:
+
+- ``compile_stream``: one generic ``applyInPandasWithState`` NFA.
+  State per key is the open partial-match list (anchor event_id + the
+  matched timestamps so far), expired by event-time timers, so state
+  stays bounded by the window span regardless of stream length.
+- ``compile_batch``: a chain of keyed equi-joins with time-band
+  residuals + MIN-aggregations — the batch shadow, linear per key.
+- ``oracle_sql``: the equivalent DuckDB CTE chain for the driver gate.
+
+Match semantics (the ``followedBy`` relaxed-contiguity rule the 2-step
+and 3-step hand NFAs established, now generalized): a stage-``i``
+partial is promoted by the FIRST strictly-later event of stage
+``i+1``'s type within the window; all pending stage-``i`` partials
+promote together at that event and leave stage ``i``. The previous
+hand-rolled machines (``stateful.cep_click_purchase``,
+``stateful.cep3_view_click_purchase``) are now thin instances of this
+compiler — their golden tests pin the compiler to the exact semantics
+they had when hand-written.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+@dataclass(frozen=True)
+class CepPattern:
+    """Declarative 'A followedBy B ... within t' pattern.
+
+    ``steps``: ordered event types (>= 2). ``within_minutes``: per-stage
+    time window — each stage must occur within this of the previous.
+    """
+
+    steps: Tuple[str, ...]
+    within_minutes: int
+
+    def __post_init__(self) -> None:
+        if len(self.steps) < 2:
+            raise ValueError("a CEP pattern needs at least 2 steps")
+
+    @property
+    def window_us(self) -> int:
+        return self.within_minutes * 60 * 1_000_000
+
+    def ts_col(self, i: int) -> str:
+        """Output column for stage i's timestamp (unique even when an
+        event type appears at several steps)."""
+        name = f"{self.steps[i]}_ts"
+        return name if self.steps.count(self.steps[i]) == 1 else f"s{i + 1}_{name}"
+
+    @property
+    def anchor_col(self) -> str:
+        return f"{self.steps[0]}_id"
+
+
+# ---------------------------------------------------------------------------
+# streaming NFA
+# ---------------------------------------------------------------------------
+
+
+def _make_processor(steps: Tuple[str, ...], window_us: int):
+    """Build the per-key NFA closure. Partial matches are encoded in
+    state as 'anchor_id:ts1,ts2,...' strings (stage = number of ts
+    entries) — a single array<string> state column works for every
+    pattern length, which is what makes the compiler general."""
+    k = len(steps)
+
+    def proc(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # watermark passed every open partial
+            state.remove()
+            yield pd.DataFrame([])
+            return
+
+        partials: list[tuple[int, list[int]]] = []
+        if state.exists:
+            for enc in state.get[0]:
+                aid, _, tss = enc.partition(":")
+                partials.append((int(aid), [int(x) for x in tss.split(",")]))
+
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"], ignore_index=True
+        )
+        out: list[dict] = []
+        for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+            ts_us = ts.value // 1000
+            partials = [p for p in partials if ts_us - p[1][-1] <= window_us]
+            # highest stage first: a partial promoted by this event has
+            # already passed its new stage's turn, so one event advances
+            # any partial at most one step (and strict ts > blocks
+            # same-timestamp re-promotion for repeated-type patterns).
+            for i in range(k - 1, 0, -1):
+                if etype != steps[i]:
+                    continue
+                promoted = [p for p in partials if len(p[1]) == i and ts_us > p[1][-1]]
+                if not promoted:
+                    continue
+                partials = [
+                    p for p in partials if not (len(p[1]) == i and ts_us > p[1][-1])
+                ]
+                for aid, tss in promoted:
+                    ntss = tss + [ts_us]
+                    if i == k - 1:
+                        row = {"user_id": key[0], "anchor_id": aid}
+                        for j, v in enumerate(ntss):
+                            row[f"ts{j + 1}"] = pd.Timestamp(int(v), unit="us")
+                        out.append(row)
+                    else:
+                        partials.append((aid, ntss))
+            if etype == steps[0]:
+                partials.append((int(eid), [ts_us]))
+
+        if partials:
+            state.update(
+                ([f"{aid}:{','.join(map(str, tss))}" for aid, tss in partials],)
+            )
+            expiry = max(tss[-1] for _, tss in partials) + window_us
+            state.setTimeoutTimestamp(expiry // 1000)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(out)
+
+    return proc
+
+
+def compile_stream(
+    pattern: CepPattern, events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Compile the pattern to a streaming NFA over keyed state. Output:
+    (user_id, <anchor>_id, one timestamp column per stage)."""
+    k = len(pattern.steps)
+    out_cols = ", ".join(f"ts{i + 1} timestamp" for i in range(k))
+    nfa = (
+        events.filter(F.col("event_type").isin(*set(pattern.steps)))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_processor(pattern.steps, pattern.window_us),
+            outputStructType=f"user_id long, anchor_id long, {out_cols}",
+            stateStructType="partials array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    renames = [F.col("user_id"), F.col("anchor_id").alias(pattern.anchor_col)]
+    renames += [F.col(f"ts{i + 1}").alias(pattern.ts_col(i)) for i in range(k)]
+    return nfa.select(*renames)
+
+
+# ---------------------------------------------------------------------------
+# batch shadow + oracle
+# ---------------------------------------------------------------------------
+
+
+def compile_batch(pattern: CepPattern, events: DataFrame) -> DataFrame:
+    """Compile the pattern to the batch join chain: stage-1 events
+    anchored by event_id, each later stage joined on user_id + strict
+    time band and reduced to MIN(ts) — 'first strictly-later within
+    window', identical to the NFA. All joins shuffle on user_id, so the
+    exchange is reused down the chain (one partitioning, k-1 joins)."""
+    w = f"INTERVAL {pattern.within_minutes} MINUTES"
+    cur = events.filter(F.col("event_type") == pattern.steps[0]).select(
+        "user_id",
+        F.col("event_id").alias(pattern.anchor_col),
+        F.col("ts").alias(pattern.ts_col(0)),
+    )
+    for i in range(1, len(pattern.steps)):
+        prev_ts, this_ts = pattern.ts_col(i - 1), pattern.ts_col(i)
+        nxt = events.filter(F.col("event_type") == pattern.steps[i]).select(
+            F.col("user_id").alias("__u"), F.col("ts").alias("__ts")
+        )
+        cur = (
+            cur.join(
+                nxt,
+                (F.col("user_id") == F.col("__u"))
+                & (F.col("__ts") > F.col(prev_ts))
+                & (F.col("__ts") <= F.col(prev_ts) + F.expr(w)),
+            )
+            .groupBy(*[c for c in cur.columns])
+            .agg(F.min("__ts").alias(this_ts))
+        )
+    return cur
+
+
+def oracle_sql(pattern: CepPattern) -> str:
+    """DuckDB SQL equivalent of ``compile_batch`` (CTE chain, one MIN
+    aggregation per stage) for the driver's correctness gate."""
+    w = f"INTERVAL {pattern.within_minutes} MINUTE"
+    anchor, ts0 = pattern.anchor_col, pattern.ts_col(0)
+    sql = (
+        f"WITH s1 AS (SELECT user_id, event_id AS {anchor}, ts AS {ts0} "
+        f"FROM events WHERE event_type = '{pattern.steps[0]}')"
+    )
+    prev = "s1"
+    cols = [f"{anchor}", f"{ts0}"]
+    for i in range(1, len(pattern.steps)):
+        prev_ts, this_ts = pattern.ts_col(i - 1), pattern.ts_col(i)
+        qcols = ", ".join([f"{prev}.user_id"] + [f"{prev}.{c}" for c in cols])
+        sql += (
+            f", s{i + 1} AS (SELECT {qcols}, MIN(e.ts) AS {this_ts} "
+            f"FROM {prev} JOIN events e ON e.user_id = {prev}.user_id "
+            f"AND e.event_type = '{pattern.steps[i]}' "
+            f"AND e.ts > {prev}.{prev_ts} AND e.ts <= {prev}.{prev_ts} + {w} "
+            f"GROUP BY {qcols})"
+        )
+        prev = f"s{i + 1}"
+        cols.append(this_ts)
+    return f"{sql} SELECT user_id, {', '.join(cols)} FROM {prev}"
+
+
+# The graded 4-step instance (queries/round6.py::cep4_pattern_batch +
+# tests/test_streaming.py golden twin): the full acquisition funnel.
+# 12 h per stage: complete 4-step funnels are rare in the fixture —
+# this width keeps every SF non-vacuous (1 / 16 / 168 matches at
+# sf0.001 / 0.01 / 0.1) without flooding the state store.
+FUNNEL4 = CepPattern(steps=("signup", "view", "click", "purchase"), within_minutes=720)

@@ -44,11 +44,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
-CEP_WINDOW_US = 30 * 60 * 1_000_000
-# 3-step tier uses a wider per-stage window: full v->c->p funnels are
-# rare within 30 min in the fixture (0 rows at sf0.01) - 4 h per stage
-# keeps the golden test non-vacuous at every SF.
-CEP3_WINDOW_US = 4 * 3600 * 1_000_000
+# CEP windows live in the pattern declarations below (streaming/cep.py
+# compiles them): 30 min for the 2-step, 4 h per stage for the 3-step
+# (full v->c->p funnels are rare within 30 min in the fixture — 0 rows
+# at sf0.01; 4 h keeps the golden test non-vacuous at every SF).
 COUNT_WINDOW_SIZE = 5
 
 
@@ -202,151 +201,40 @@ def inactivity_alerts(events: DataFrame, watermark: str = "30 minutes") -> DataF
 
 # ---------------------------------------------------------------------------
 # cep_pattern — [F] CEP.pattern(click followedBy purchase, within 30 min)
+# Both NFAs are instances of the general pattern compiler
+# (streaming/cep.py, VERDICT r05 #6); the hand-rolled machines they
+# replace are pinned by the same golden tests that verified them.
 # ---------------------------------------------------------------------------
-
-
-def _cep(
-    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Minimal 2-step NFA per user: pending 'click' partial matches;
-    a 'purchase' within CEP_WINDOW_S completes every pending click
-    (each click matches its FIRST subsequent purchase — the semantics
-    of the batch shadow queries/timewindows.py::cep_pattern_batch)."""
-    if state.hasTimedOut:  # no successor events: drop expired partials
-        state.remove()
-        yield pd.DataFrame([])
-        return
-
-    pending: list[int] = list(state.get[0]) if state.exists else []
-    pdf = _sorted_concat(pdfs, ["ts", "event_id"])
-    out: list[dict] = []
-    for ts, etype in zip(pdf["ts"], pdf["event_type"]):
-        ts_us = ts.value // 1000
-        pending = [c for c in pending if ts_us - c <= CEP_WINDOW_US]
-        if etype == "click":
-            pending.append(ts_us)
-        elif etype == "purchase" and pending:
-            matched = [c for c in pending if ts_us > c]
-            for c in matched:
-                out.append(
-                    {
-                        "user_id": key[0],
-                        "click_ts": pd.Timestamp(int(c), unit="us"),
-                        "purchase_ts": pd.Timestamp(int(ts_us), unit="us"),
-                    }
-                )
-            pending = [c for c in pending if ts_us <= c]
-    if pending:
-        state.update((pending,))
-        state.setTimeoutTimestamp((max(pending) + CEP_WINDOW_US) // 1000)
-    elif state.exists:
-        state.remove()
-    yield pd.DataFrame(out)
 
 
 def cep_click_purchase(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """CEP 'A followedBy B within t' — no MATCH_RECOGNIZE in Spark
-    (SURVEY §2.10): a hand-rolled NFA over keyed state, partial matches
-    expired by event-time timers so state stays bounded."""
-    return (
-        events.filter(F.col("event_type").isin("click", "purchase"))
-        .withWatermark("ts", watermark)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _cep,
-            outputStructType="user_id long, click_ts timestamp, purchase_ts timestamp",
-            stateStructType="pending array<long>",
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
+    (SURVEY §2.10): compiled 2-step NFA over keyed state (streaming/
+    cep.py), partial matches expired by event-time timers so state
+    stays bounded. Batch shadow: queries/timewindows.py::
+    cep_pattern_batch."""
+    from hello_flink_spark.streaming.cep import CepPattern, compile_stream
+
+    pat = CepPattern(steps=("click", "purchase"), within_minutes=30)
+    return compile_stream(pat, events, watermark).select(
+        "user_id", "click_ts", "purchase_ts"
     )
-
-
-def _cep3(
-    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """3-step NFA per user: view → click → purchase, each stage within
-    CEP3_WINDOW of the previous. Compositional semantics of the 2-step
-    machine: a click promotes every pending view (so each view pairs
-    with its FIRST subsequent click), a purchase completes every
-    pending (view, click) pair (each pair completes at the click's
-    first subsequent purchase). Mirrors
-    queries/timewindows.py::cep3_pattern_batch exactly."""
-    if state.hasTimedOut:
-        state.remove()
-        yield pd.DataFrame([])
-        return
-
-    views, pair_vs, pair_cs = (
-        (list(state.get[0]), list(state.get[1]), list(state.get[2]))
-        if state.exists
-        else ([], [], [])
-    )
-    pdf = _sorted_concat(pdfs, ["ts", "event_id"])
-    out: list[dict] = []
-    for ts, etype in zip(pdf["ts"], pdf["event_type"]):
-        ts_us = ts.value // 1000
-        views = [v for v in views if ts_us - v <= CEP3_WINDOW_US]
-        alive = [
-            (v, c) for v, c in zip(pair_vs, pair_cs) if ts_us - c <= CEP3_WINDOW_US
-        ]
-        pair_vs, pair_cs = [v for v, _ in alive], [c for _, c in alive]
-        if etype == "view":
-            views.append(ts_us)
-        elif etype == "click":
-            matched = [v for v in views if ts_us > v]
-            pair_vs += matched
-            pair_cs += [ts_us] * len(matched)
-            views = [v for v in views if ts_us <= v]
-        elif etype == "purchase":
-            kept_vs: list[int] = []
-            kept_cs: list[int] = []
-            for v, c in zip(pair_vs, pair_cs):
-                if ts_us > c:
-                    out.append(
-                        {
-                            "user_id": key[0],
-                            "view_ts": pd.Timestamp(int(v), unit="us"),
-                            "click_ts": pd.Timestamp(int(c), unit="us"),
-                            "purchase_ts": pd.Timestamp(int(ts_us), unit="us"),
-                        }
-                    )
-                else:
-                    kept_vs.append(v)
-                    kept_cs.append(c)
-            pair_vs, pair_cs = kept_vs, kept_cs
-    if views or pair_vs:
-        state.update((views, pair_vs, pair_cs))
-        expiry = max(views + pair_cs) + CEP3_WINDOW_US
-        state.setTimeoutTimestamp(expiry // 1000)
-    elif state.exists:
-        state.remove()
-    yield pd.DataFrame(out)
 
 
 def cep3_view_click_purchase(
     events: DataFrame, watermark: str = "30 minutes"
 ) -> DataFrame:
     """CEP 'A followedBy B followedBy C, each within t' (SURVEY §2.10:
-    the 3-step tier of the NFA; Flink CEP Pattern.begin.followedBy x2).
-    State = pending views + open (view, click) pairs, both expired by
-    event-time timers, so state stays bounded by the window span."""
-    return (
-        events.filter(F.col("event_type").isin("view", "click", "purchase"))
-        .withWatermark("ts", watermark)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _cep3,
-            outputStructType=(
-                "user_id long, view_ts timestamp, click_ts timestamp, "
-                "purchase_ts timestamp"
-            ),
-            stateStructType=(
-                "views array<long>, pair_views array<long>, pair_clicks array<long>"
-            ),
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
+    the 3-step tier; Flink CEP Pattern.begin.followedBy x2) — compiled
+    3-step NFA (streaming/cep.py). State = open partials expired by
+    event-time timers, bounded by the window span. 4 h per stage keeps
+    the golden test non-vacuous at every SF. Batch shadow: queries/
+    timewindows.py::cep3_pattern_batch."""
+    from hello_flink_spark.streaming.cep import CepPattern, compile_stream
+
+    pat = CepPattern(steps=("view", "click", "purchase"), within_minutes=240)
+    return compile_stream(pat, events, watermark).select(
+        "user_id", "view_ts", "click_ts", "purchase_ts"
     )
 
 

@@ -629,6 +629,33 @@ def test_cep3_equals_batch_shadow(spark, sf_dir, replay_dir):
     assert got and got == want
 
 
+def test_cep4_compiled_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """The pattern COMPILER (streaming/cep.py) on the 4-step funnel
+    signup → view → click → purchase: the compiled NFA's final output
+    must equal the compiled batch join chain (the declared
+    cep4_pattern_batch), anchor ids included — one declarative pattern,
+    two execution strategies, identical matches."""
+    from hello_flink_spark.streaming.cep import FUNNEL4, compile_stream
+
+    run_to_memory(compile_stream(FUNNEL4, _stream(spark, replay_dir), WM), "t_cep4")
+    got = sorted(
+        (r.user_id, r.signup_id, r.signup_ts, r.view_ts, r.click_ts, r.purchase_ts)
+        for r in spark.table("t_cep4").collect()
+    )
+    want = sorted(
+        (r.user_id, r.signup_id, r.signup_ts, r.view_ts, r.click_ts, r.purchase_ts)
+        for r in get_spec("cep4_pattern_batch").fn(spark, sf_dir).collect()
+    )
+    assert got and got == want
+
+
+def test_cep_compiler_rejects_short_patterns():
+    from hello_flink_spark.streaming.cep import CepPattern
+
+    with pytest.raises(ValueError, match="at least 2 steps"):
+        CepPattern(steps=("click",), within_minutes=30)
+
+
 def test_count_window_stream(spark, sf_dir, replay_dir):
     """Completed count-window chunks must match the batch shadow's
     full chunks (the trailing partial stays in state)."""
