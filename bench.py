@@ -86,6 +86,23 @@ HEADLINE = [
     "orders_rfm_segments",
     # the fused five-stage corpus pipeline (round-5 capstone).
     "pipeline_training_corpus_v2",
+    # round-6 (VERDICT r05 #3): the heavy round-5 operators not yet
+    # gated — connected components, self-join fan-out, stateful-shape
+    # windows, chunk-explode dedup.
+    "dedup_cluster",
+    "dedup_cluster_stats",
+    "text_passage_dedup",
+    "events_markov_transitions",
+    "orders_basket_pairs",
+    "win_streaks",
+    # round-6 operators: compiled CEP funnel, 6-way/7-way TPC-H joins,
+    # integer-cents profit rollup, bigram LM, journey ranking, chunking.
+    "cep4_pattern_batch",
+    "flagship_local_supplier_volume",
+    "flagship_product_profit",
+    "text_bigram_logprob",
+    "events_top_paths",
+    "text_chunk_overlap",
 ]
 
 
@@ -103,6 +120,21 @@ def main() -> int:
     from hello_flink_spark.session import get_spark
 
     spark = get_spark("hello-flink-spark-bench")
+    # Bench-log hygiene (VERDICT r05 "What's wrong" #3): the four
+    # exempt-listed scale-independent global windows (sort bucket
+    # offsets, vocab ranks, yearly lag, path ranks) each emit a
+    # "No Partition Defined for Window operation" WARN that buries real
+    # regressions in the tail. Raise just that logger to ERROR — the
+    # plan guard (tests/test_plans.py GLOBAL_WINDOW_OK) still rejects
+    # any NEW unpartitioned window, so nothing is hidden.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # noqa: BLE001 — cosmetic; never fail the bench
+        pass
     specs = all_specs()
     names = args.queries or [n for n in HEADLINE if n in specs]
 

@@ -36,3 +36,625 @@ def cep4_pattern_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hello_flink_spark.streaming.cep import FUNNEL4, compile_batch
 
     return compile_batch(FUNNEL4, t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 1: the remaining classic TPC-H plan shapes. The fixture
+# schema has no partsupp table and no commit/receipt dates, so Q2, Q20
+# and Q21 are out of reach; everything below is the standard shape on
+# the columns that exist (adaptations documented per query).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_discount_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def flagship_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast revenue from discounted small-quantity
+    lines — ONE scan with every predicate pushed into the parquet
+    reader (date band, discount band, quantity cap) and a 1-row agg.
+    The purest pushdown showcase: at 100 TB the scan reads only the
+    four referenced columns and row groups surviving the stats."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@register(
+    "flagship_local_supplier_volume",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def flagship_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier
+    share the nation — the 6-way join. Join order matters at scale:
+    region→nation prunes to ~5 nations (broadcast), the
+    customer=supplier nation equality rides the lineitem⋈supplier join
+    as a residual, and the two fact joins shuffle on their natural
+    keys. AQE handles the dim sides; no hints needed."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+@register(
+    "flagship_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def flagship_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The nation-pair disjunction filters both dim sides
+    before the fact joins (each nation alias broadcasts at 2 rows
+    post-filter); the OR spans both join sides so it stays a residual
+    on the joined row, exactly like flagship_disjunctive."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+@register(
+    "flagship_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY o_year
+    """,
+)
+def flagship_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5's supplier market share inside the ASIA
+    customer market, by order year — conditional-sum ratio over a
+    7-table join. The region filter prunes the customer side early;
+    the share is computed in the aggregate (no second pass)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(0.0)
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("cn_key"))
+        .join(r, F.col("cn_region") == F.col("r_regionkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(target) / F.sum(rev), 6).alias("mkt_share"))
+    )
+
+
+@register(
+    "flagship_product_profit",
+    oracle="""
+    SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                                 - p_retailprice * l_quantity) * 100, 0)
+                          AS BIGINT)) / 100.0, 2) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    """,
+)
+def flagship_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product profit by supplier nation and year for
+    a part-name family. Adaptation: the fixture has no partsupp, so
+    cost is p_retailprice * quantity (the only cost column available)
+    instead of ps_supplycost — same plan: LIKE-filtered part dim
+    prunes the fact early, two fact joins, nation rollup. Profit
+    accumulates as exact integer CENTS (per-row round to cents, BIGINT
+    sum): the rev−cost subtraction otherwise lands group sums on cent
+    rounding boundaries where engine-dependent double-summation order
+    flips the last cent (observed at sf0.01); an integer sum is
+    order-independent and exact, so both engines agree by
+    construction."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    profit_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100,
+        0,
+    ).cast("long")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit_cents) / 100.0, 2).alias("profit"))
+    )
+
+
+@register(
+    "flagship_important_parts",
+    oracle="""
+    WITH part_value AS (
+      SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem GROUP BY l_partkey),
+    total AS (SELECT SUM(value) AS tv FROM part_value)
+    SELECT l_partkey, ROUND(value, 2) AS part_value
+    FROM part_value CROSS JOIN total
+    WHERE value > 0.0005 * tv
+    """,
+)
+def flagship_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds a fraction of
+    the global total. Adaptation: value is lineitem revenue per part
+    (no partsupp stock). The global total is a 1-row aggregate
+    broadcast into the filter — the scalar-subquery plan — and the
+    per-part aggregate is computed ONCE and reused for both the value
+    and the threshold (self-referencing CTE, not two scans)."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    part_value = li.groupBy("l_partkey").agg(F.sum(rev).alias("value"))
+    total = part_value.agg(F.sum("value").alias("tv"))
+    return (
+        part_value.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.0005 * F.col("tv"))
+        .select("l_partkey", F.round("value", 2).alias("part_value"))
+    )
+
+
+@register(
+    "flagship_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    SELECT order_cnt, COUNT(*) AS num_customers
+    FROM per_cust GROUP BY order_cnt
+    """,
+)
+def flagship_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer,
+    including zero-order customers (LEFT join, COUNT of the nullable
+    key). Two hash aggregations; the second input is customer-sized,
+    the output order-count-sized."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+    return per_cust.groupBy("order_cnt").agg(
+        F.count(F.lit(1)).alias("num_customers")
+    )
+
+
+@register(
+    "flagship_top_supplier",
+    oracle="""
+    WITH srev AS (
+      SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey),
+    mx AS (SELECT MAX(revenue) AS max_rev FROM srev)
+    SELECT s_suppkey, s_name, revenue
+    FROM srev CROSS JOIN mx
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE revenue = max_rev
+    """,
+)
+def flagship_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue
+    — Q15's actual semantics (every tied supplier). The max is a 1-row
+    aggregate broadcast back over the per-supplier rollup, NOT a
+    global rank window (supplier count scales with the data; a
+    one-task sort of it would be the unpartitioned-window
+    scale-killer the plan guard rejects). The equality compares
+    revenues ROUNDED to cents on both sides, so the usual float-max
+    ulp hazard cannot split the tie set across engines."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    srev = li.groupBy("l_suppkey").agg(F.round(F.sum(rev), 2).alias("revenue"))
+    mx = srev.agg(F.max("revenue").alias("max_rev"))
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("revenue") == F.col("max_rev"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "revenue")
+    )
+
+
+@register(
+    "flagship_supplier_part_variety",
+    oracle="""
+    SELECT p_brand, p_type,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+)
+def flagship_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each
+    (brand, type) family, excluding blacklisted suppliers (negative
+    account balance stands in for the complaints LIKE — the fixture
+    has no s_comment). The exclusion compiles to a left-anti hash
+    join BEFORE the distinct-count shuffle, so excluded rows never
+    enter the wide aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "flagship_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey AS ap_key, 0.2 * AVG(l_quantity) AS qty_cut
+      FROM lineitem GROUP BY l_partkey)
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN avg_qty ON l_partkey = ap_key
+    WHERE l_quantity < qty_cut
+    """,
+)
+def flagship_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to sub-20%-of-average-quantity
+    orders. The correlated scalar subquery (per-part average) becomes
+    an aggregate + equi-join — both sides shuffle on l_partkey once,
+    and the 1-row final agg needs no exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(avg_qty, F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 2: journey analytics + training-data pipeline extensions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM firsts WHERE rn <= 3
+      GROUP BY user_id
+      HAVING COUNT(*) = 3),
+    counts AS (SELECT path, COUNT(*) AS n_users FROM paths GROUP BY path)
+    SELECT path, n_users, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT path, n_users,
+                 ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS rk
+          FROM counts)
+    WHERE rk <= 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey analytics: each user's first-3-event path (a Markov-
+    order-3 prefix), ranked by user count — top 10 entry journeys.
+    The per-user window shuffles once on user_id; the final rank
+    window runs over the PATH-ALPHABET-sized count table (≤ |event
+    types|³ = 125 rows at any corpus size — scale-independent, so the
+    global window is safe; exempt-listed in tests/test_plans.py).
+    collect_list order is pinned by sorting on the struct's leading rn
+    field before concat — deterministic across engines."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    paths = (
+        firsts.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_ev"),
+        )
+        .filter(F.col("n_ev") == 3)
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    w_rk = Window.orderBy(F.col("n_users").desc(), "path")
+    return (
+        counts.withColumn("rk", F.row_number().over(w_rk).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("path", "n_users", "rk")
+    )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens
+      FROM documents)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           CAST(LEAST(20, len(tokens) - i * 10) AS BIGINT) AS chunk_len
+    FROM toks,
+         UNNEST(generate_series(0, CAST((len(tokens) - 1) // 10 AS INT))) AS u(i)
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: size-20 token chunks with
+    stride 10 (50% overlap) per document — the retrieval-index
+    preparation step. Pure per-row array expressions (sequence +
+    explode), no shuffle at all: chunking 100 TB is embarrassingly
+    parallel and stays entirely inside whole-stage codegen."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("tokens")
+    )
+    n = F.size("tokens")
+    return (
+        toks.select(
+            "doc_id",
+            n.alias("n_tok"),
+            F.explode(
+                F.sequence(F.lit(0), F.floor((n - 1) / 10).cast("int"))
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(F.lit(20), F.col("n_tok") - F.col("chunk_id") * 10)
+            .cast("long")
+            .alias("chunk_len"),
+        )
+    )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+    bi AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 2),
+    cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+    cu AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w1) AS DOUBLE) AS v FROM bi)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN((c2 + 1.0) / (c1 + v))), 6) AS avg_logprob
+    FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vocab
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring (the order-2 upgrade of
+    text_unigram_logprob): per-doc mean log P(w2|w1) under add-one
+    smoothing, P = (c(w1,w2)+1)/(c(w1)+V) with c() corpus bigram/
+    bigram-start counts and V the distinct-start vocabulary size.
+    The count tables are VOCABULARY-sized, so their joins carry no
+    broadcast hint (AQE decides — the text_tfidf_sql rule); only the
+    1-row V scalar cross-joins broadcast."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("tk")
+    ).filter(F.size("tk") >= 2)
+    bi = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"),
+        "tk",
+    ).select(
+        "doc_id",
+        F.element_at("tk", F.col("i")).alias("w1"),
+        F.element_at("tk", F.col("i") + 1).alias("w2"),
+    )
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cu = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bi.agg(F.countDistinct("w1").cast("double").alias("v"))
+    logp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+    return (
+        bi.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "embeddings_label_centroid_distances",
+    oracle="""
+    WITH el AS (
+      SELECT label, generate_subscripts(embedding, 1) AS idx,
+             UNNEST(embedding) AS v
+      FROM embeddings),
+    cent AS (
+      SELECT label, idx, AVG(CAST(v AS DOUBLE)) AS m
+      FROM el GROUP BY label, idx)
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(SQRT(SUM((a.m - b.m) * (a.m - b.m))), 6) AS dist
+    FROM cent a JOIN cent b ON a.idx = b.idx AND a.label < b.label
+    GROUP BY label_a, label_b
+    """,
+)
+def embeddings_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class geometry: pairwise L2 distance between
+    label centroids (which classes are confusable — the QA table
+    behind classifier-data curation). Centroids via posexplode + one
+    (label, dim)-keyed hash agg — a single pass over the vectors; the
+    pairwise stage runs on the LABELS×DIMS-sized centroid table
+    (bounded by the label alphabet, scale-independent)."""
+    e = t(spark, sf_dir, "embeddings")
+    el = e.select("label", F.posexplode(F.col("embedding")).alias("idx", "v"))
+    cent = el.groupBy("label", "idx").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    a = cent.alias("a")
+    b = cent.alias("b")
+    diff = F.col("a.m") - F.col("b.m")
+    return (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx")) & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.round(F.sqrt(F.sum(diff * diff)), 6).alias("dist"))
+    )
+
+
+@register(
+    "orders_pareto_share",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders GROUP BY o_custkey),
+    cut AS (SELECT quantile_cont(rev, 0.99) AS p99 FROM per_cust)
+    SELECT CAST(SUM(CASE WHEN rev >= p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top_customers,
+           ROUND(SUM(CASE WHEN rev >= p99 THEN rev ELSE 0 END) / SUM(rev), 6)
+             AS top_share
+    FROM per_cust CROSS JOIN cut
+    """,
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: what revenue share the top-1% customers
+    hold. The p99 cut is a 1-row percentile scalar broadcast back over
+    the per-customer aggregate (the orders_rfm_segments pattern — no
+    global sort, no NTILE); one more 1-row agg finishes it."""
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    cut = per_cust.agg(F.expr("percentile(rev, 0.99)").alias("p99"))
+    top = F.when(F.col("rev") >= F.col("p99"), F.col("rev")).otherwise(0.0)
+    return (
+        per_cust.crossJoin(F.broadcast(cut))
+        .agg(
+            F.sum(F.when(F.col("rev") >= F.col("p99"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_top_customers"),
+            F.round(F.sum(top) / F.sum("rev"), 6).alias("top_share"),
+        )
+    )

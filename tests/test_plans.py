@@ -43,13 +43,24 @@ BNLJ_OK = {
     "orders_rfm_segments",      # broadcast 1-row max-date + quartile-cut scalars
     "text_keyword_extract",     # broadcast 1-row corpus-count scalar (tfidf)
     "pipeline_training_corpus_v2",  # broadcast 1-row length-band + quota scalars
+    "flagship_important_parts",  # broadcast 1-row global-total scalar (Q11 threshold)
+    "orders_pareto_share",       # broadcast 1-row p99 percentile scalar
+    "text_bigram_logprob",       # broadcast 1-row vocabulary-size scalar
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
 # sort's bucket-offset table is O(value_range/bucket) rows, not O(n);
 # vocab_coverage ranks the DISTINCT VOCABULARY (bounded by language);
 # agg_yoy_growth lags over the yearly rollup (a handful of rows).
-GLOBAL_WINDOW_OK = {"sort", "vocab_coverage", "agg_yoy_growth", "text_zipf_profile"}
+GLOBAL_WINDOW_OK = {
+    "sort",
+    "vocab_coverage",
+    "agg_yoy_growth",
+    "text_zipf_profile",
+    # events_top_paths ranks the path-count table: <= |event types|^3 =
+    # 125 rows at any corpus size — scale-independent by construction.
+    "events_top_paths",
+}
 
 WINDOW_SPEC = re.compile(r"windowspecdefinition\(([^)]*)\)")
 
@@ -180,6 +191,10 @@ BROADCAST_HINT_OK = {
     ("extras", "total"): "1-row aggregate scalar",
     ("extras", "cent"): "centroid table — constant k",
     ("extras", "probes"): "probe set capped by constant",
+    ("round6", "total"): "1-row global-value scalar (flagship_important_parts)",
+    ("round6", "mx"): "1-row MAX scalar (flagship_top_supplier)",
+    ("round6", "cut"): "1-row percentile scalar (orders_pareto_share)",
+    ("round6", "vocab"): "1-row vocabulary-size scalar (text_bigram_logprob)",
     ("jobs", "dim"): "event_type dim — bounded by type cardinality",
     ("jobs", "rules"): "broadcast-rules table — operator contract: small",
     ("joins", "dim"): "broadcast_join() helper — API contract: caller passes a bounded dim",
