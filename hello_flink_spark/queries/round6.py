@@ -658,3 +658,146 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(top) / F.sum("rev"), 6).alias("top_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 3: sketch verification + mergeable quantiles
+# ---------------------------------------------------------------------------
+
+
+def _minhash_error_oracle() -> str:
+    from hello_flink_spark.queries.llm import NGRAM_SHINGLES_SQL
+
+    return f"""
+    WITH sh AS ({NGRAM_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id, s.seed, MIN(substr(md5(s.seed || ':' || shingle), 1, 16)) AS mh
+      FROM sh, (SELECT UNNEST(generate_series(0, 7)) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             string_agg(seed || ':' || mh, '|' ORDER BY seed) AS band_val
+      FROM hashed GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(SUM(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) / 8.0, 3)
+               AS est_jaccard
+      FROM cand c
+      JOIN hashed ha ON ha.doc_id = c.doc_a
+      JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.seed = ha.seed
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT e.doc_a, e.doc_b, COUNT(s2.doc_id) AS both_cnt
+      FROM est e
+      LEFT JOIN sh s1 ON s1.doc_id = e.doc_a
+      LEFT JOIN sh s2 ON s2.doc_id = e.doc_b AND s2.shingle = s1.shingle
+      GROUP BY e.doc_a, e.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, est_jaccard,
+           ROUND(CAST(both_cnt AS DOUBLE) / (sa.n + sb.n - both_cnt), 3)
+             AS exact_jaccard,
+           ROUND(ABS(est_jaccard
+                     - CAST(both_cnt AS DOUBLE) / (sa.n + sb.n - both_cnt)), 3)
+             AS abs_err
+    FROM inter i
+    JOIN est USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """
+
+
+@register("dedup_minhash_error", oracle=_minhash_error_oracle())
+def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch VERIFICATION operator: for every banded-LSH candidate
+    pair, the 8-perm MinHash signature-agreement estimate next to the
+    true shingle-set Jaccard and their absolute error — the
+    measure-don't-guess table you run before trusting a sketch
+    threshold at 100 TB (the same composition a sketch-tuning job
+    would ship: estimate from dedup_minhash_sql, truth from the
+    candidate-bounded shingle intersection — exact Jaccard is computed
+    ONLY for the sketch's candidates, never all pairs)."""
+    from hello_flink_spark.queries.extras import dedup_minhash_sql
+    from hello_flink_spark.queries.llm import _shingle_df
+
+    d = t(spark, sf_dir, "documents")
+    est = dedup_minhash_sql(spark, sf_dir)
+    sh = _shingle_df(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("sa_id"), F.col("shingle").alias("sh_a"))
+    s2 = sh.select(F.col("doc_id").alias("sb_id"), F.col("shingle").alias("sh_b"))
+    inter = (
+        est.join(s1, F.col("doc_a") == F.col("sa_id"), "left")
+        .join(
+            s2,
+            (F.col("doc_b") == F.col("sb_id")) & (F.col("sh_a") == F.col("sh_b")),
+            "left",
+        )
+        .groupBy("doc_a", "doc_b", "est_jaccard")
+        .agg(F.count(F.col("sh_b")).alias("both_cnt"))
+    )
+    exact = F.col("both_cnt").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("both_cnt")
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(exact, 3).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 3).alias("abs_err"),
+        )
+    )
+
+
+def _cep_guarded_oracle() -> str:
+    from hello_flink_spark.streaming.cep import GUARDED3, oracle_sql
+
+    return oracle_sql(GUARDED3)
+
+
+@register("cep_pattern_guarded", oracle=_cep_guarded_oracle())
+def cep_pattern_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink CEP with per-step .where() conditions: view → click →
+    HIGH-VALUE purchase (value ≥ 100), 24 h per stage — the pattern
+    compiler's guard tier (streaming/cep.py CepPattern.step_min_value).
+    Each stage's value guard is applied BEFORE its join in the batch
+    shadow (pushdown: guarded rows never enter the shuffle) and inside
+    the NFA's per-event accept test in the streaming twin — one
+    declarative pattern, both execution forms, golden-tested equal."""
+    from hello_flink_spark.streaming.cep import GUARDED3, compile_batch
+
+    return compile_batch(GUARDED3, t(spark, sf_dir, "events"))
+
+
+@register("agg_approx_quantile_merge", oracle=None)
+def agg_approx_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (Greenwald-Khanna via
+    percentile_approx) — the quantile member of the sketch family next
+    to agg_hll_mergeable: per-type p50/p90/p99 of event value in ONE
+    pass with bounded-memory partial aggregation (each partition keeps
+    an epsilon-summary that merges associatively — the only way to
+    quantile 100 TB without a global sort). Accuracy 10000 gives
+    epsilon = 1/10000 rank error. Approx internals are engine-specific
+    → rows-only at the gate; the error-vs-exact invariant is
+    tests/test_properties.py::test_approx_quantiles_within_rank_error."""
+    e = t(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000).alias("qs")
+    )
+    return q.select(
+        "event_type",
+        F.round(F.col("qs")[0], 4).alias("p50"),
+        F.round(F.col("qs")[1], 4).alias("p90"),
+        F.round(F.col("qs")[2], 4).alias("p99"),
+    )

@@ -42,14 +42,27 @@ class CepPattern:
 
     ``steps``: ordered event types (>= 2). ``within_minutes``: per-stage
     time window — each stage must occur within this of the previous.
+    ``step_min_value``: optional per-step value guard (None = no guard;
+    an event only matches step i if ``value >= step_min_value[i]``) —
+    Flink CEP's ``.where(SimpleCondition)`` tier, restricted to the
+    one predicate form all three compiled targets (Spark, DuckDB,
+    pandas NFA) evaluate identically on doubles.
     """
 
     steps: Tuple[str, ...]
     within_minutes: int
+    step_min_value: Tuple[float | None, ...] | None = None
 
     def __post_init__(self) -> None:
         if len(self.steps) < 2:
             raise ValueError("a CEP pattern needs at least 2 steps")
+        if self.step_min_value is not None and len(self.step_min_value) != len(
+            self.steps
+        ):
+            raise ValueError("step_min_value must have one entry per step")
+
+    def min_value(self, i: int) -> float | None:
+        return self.step_min_value[i] if self.step_min_value else None
 
     @property
     def window_us(self) -> int:
@@ -71,12 +84,17 @@ class CepPattern:
 # ---------------------------------------------------------------------------
 
 
-def _make_processor(steps: Tuple[str, ...], window_us: int):
+def _make_processor(
+    steps: Tuple[str, ...],
+    window_us: int,
+    mins: Tuple[float | None, ...] | None = None,
+):
     """Build the per-key NFA closure. Partial matches are encoded in
     state as 'anchor_id:ts1,ts2,...' strings (stage = number of ts
     entries) — a single array<string> state column works for every
     pattern length, which is what makes the compiler general."""
     k = len(steps)
+    mins = mins or (None,) * k
 
     def proc(
         key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -96,7 +114,9 @@ def _make_processor(steps: Tuple[str, ...], window_us: int):
             ["ts", "event_id"], ignore_index=True
         )
         out: list[dict] = []
-        for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+        for ts, eid, etype, val in zip(
+            pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["value"]
+        ):
             ts_us = ts.value // 1000
             partials = [p for p in partials if ts_us - p[1][-1] <= window_us]
             # highest stage first: a partial promoted by this event has
@@ -104,7 +124,7 @@ def _make_processor(steps: Tuple[str, ...], window_us: int):
             # any partial at most one step (and strict ts > blocks
             # same-timestamp re-promotion for repeated-type patterns).
             for i in range(k - 1, 0, -1):
-                if etype != steps[i]:
+                if etype != steps[i] or (mins[i] is not None and val < mins[i]):
                     continue
                 promoted = [p for p in partials if len(p[1]) == i and ts_us > p[1][-1]]
                 if not promoted:
@@ -121,7 +141,7 @@ def _make_processor(steps: Tuple[str, ...], window_us: int):
                         out.append(row)
                     else:
                         partials.append((aid, ntss))
-            if etype == steps[0]:
+            if etype == steps[0] and (mins[0] is None or val >= mins[0]):
                 partials.append((int(eid), [ts_us]))
 
         if partials:
@@ -149,7 +169,7 @@ def compile_stream(
         .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _make_processor(pattern.steps, pattern.window_us),
+            _make_processor(pattern.steps, pattern.window_us, pattern.step_min_value),
             outputStructType=f"user_id long, anchor_id long, {out_cols}",
             stateStructType="partials array<string>",
             outputMode="append",
@@ -173,16 +193,20 @@ def compile_batch(pattern: CepPattern, events: DataFrame) -> DataFrame:
     window', identical to the NFA. All joins shuffle on user_id, so the
     exchange is reused down the chain (one partitioning, k-1 joins)."""
     w = f"INTERVAL {pattern.within_minutes} MINUTES"
-    cur = events.filter(F.col("event_type") == pattern.steps[0]).select(
+    s0 = events.filter(F.col("event_type") == pattern.steps[0])
+    if pattern.min_value(0) is not None:
+        s0 = s0.filter(F.col("value") >= pattern.min_value(0))
+    cur = s0.select(
         "user_id",
         F.col("event_id").alias(pattern.anchor_col),
         F.col("ts").alias(pattern.ts_col(0)),
     )
     for i in range(1, len(pattern.steps)):
         prev_ts, this_ts = pattern.ts_col(i - 1), pattern.ts_col(i)
-        nxt = events.filter(F.col("event_type") == pattern.steps[i]).select(
-            F.col("user_id").alias("__u"), F.col("ts").alias("__ts")
-        )
+        si = events.filter(F.col("event_type") == pattern.steps[i])
+        if pattern.min_value(i) is not None:
+            si = si.filter(F.col("value") >= pattern.min_value(i))
+        nxt = si.select(F.col("user_id").alias("__u"), F.col("ts").alias("__ts"))
         cur = (
             cur.join(
                 nxt,
@@ -201,19 +225,29 @@ def oracle_sql(pattern: CepPattern) -> str:
     aggregation per stage) for the driver's correctness gate."""
     w = f"INTERVAL {pattern.within_minutes} MINUTE"
     anchor, ts0 = pattern.anchor_col, pattern.ts_col(0)
+    guard0 = (
+        f" AND value >= {pattern.min_value(0)}"
+        if pattern.min_value(0) is not None
+        else ""
+    )
     sql = (
         f"WITH s1 AS (SELECT user_id, event_id AS {anchor}, ts AS {ts0} "
-        f"FROM events WHERE event_type = '{pattern.steps[0]}')"
+        f"FROM events WHERE event_type = '{pattern.steps[0]}'{guard0})"
     )
     prev = "s1"
     cols = [f"{anchor}", f"{ts0}"]
     for i in range(1, len(pattern.steps)):
         prev_ts, this_ts = pattern.ts_col(i - 1), pattern.ts_col(i)
         qcols = ", ".join([f"{prev}.user_id"] + [f"{prev}.{c}" for c in cols])
+        guard = (
+            f"AND e.value >= {pattern.min_value(i)} "
+            if pattern.min_value(i) is not None
+            else ""
+        )
         sql += (
             f", s{i + 1} AS (SELECT {qcols}, MIN(e.ts) AS {this_ts} "
             f"FROM {prev} JOIN events e ON e.user_id = {prev}.user_id "
-            f"AND e.event_type = '{pattern.steps[i]}' "
+            f"AND e.event_type = '{pattern.steps[i]}' {guard}"
             f"AND e.ts > {prev}.{prev_ts} AND e.ts <= {prev}.{prev_ts} + {w} "
             f"GROUP BY {qcols})"
         )
@@ -228,3 +262,13 @@ def oracle_sql(pattern: CepPattern) -> str:
 # this width keeps every SF non-vacuous (1 / 16 / 168 matches at
 # sf0.001 / 0.01 / 0.1) without flooding the state store.
 FUNNEL4 = CepPattern(steps=("signup", "view", "click", "purchase"), within_minutes=720)
+
+# The guarded instance (queries/round6.py::cep_pattern_guarded + golden
+# twin): view -> click -> HIGH-VALUE purchase (>= 100), 24 h per stage
+# — Flink CEP's .where() condition tier. 1 / 37 / 354 matches at
+# sf0.001 / 0.01 / 0.1.
+GUARDED3 = CepPattern(
+    steps=("view", "click", "purchase"),
+    within_minutes=1440,
+    step_min_value=(None, None, 100.0),
+)

@@ -246,3 +246,32 @@ def test_connected_components_match_union_find(spark, edges):
     one real (non-self-loop) edge."""
     real = [(u, v) for u, v in edges if u != v]
     assert _cc_spark(spark, real) == _cc_union_find(real)
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    """agg_approx_quantile_merge invariant: each approximate quantile
+    must land within epsilon = 1/accuracy RANK error of the exact
+    order statistic (the Greenwald-Khanna guarantee) — verified per
+    event type against exact sorted values at sf0.01."""
+    from hello_flink_spark.registry import get_spec
+    from hello_flink_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in get_spec("agg_approx_quantile_merge").fn(spark, sf).collect()
+    }
+    rows = load_table(spark, sf, "events").select("event_type", "value").collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    eps = 1.0 / 10000
+    for etype, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        for q, got in zip((0.5, 0.9, 0.99), approx[etype]):
+            lo = vals[max(0, int((q - eps) * n) - 1)]
+            hi = vals[min(n - 1, int((q + eps) * n) + 1)]
+            assert lo <= got <= hi, (
+                f"{etype} q={q}: {got} outside rank band [{lo}, {hi}]"
+            )

@@ -649,6 +649,25 @@ def test_cep4_compiled_equals_batch_shadow(spark, sf_dir, replay_dir):
     assert got and got == want
 
 
+def test_cep_guarded_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """The compiler's per-step value-guard tier (Flink CEP .where()):
+    the guarded NFA (view → click → purchase ≥ 100) must equal the
+    guarded batch join chain — guards applied identically in both
+    execution forms."""
+    from hello_flink_spark.streaming.cep import GUARDED3, compile_stream
+
+    run_to_memory(compile_stream(GUARDED3, _stream(spark, replay_dir), WM), "t_cepg")
+    got = sorted(
+        (r.user_id, r.view_id, r.view_ts, r.click_ts, r.purchase_ts)
+        for r in spark.table("t_cepg").collect()
+    )
+    want = sorted(
+        (r.user_id, r.view_id, r.view_ts, r.click_ts, r.purchase_ts)
+        for r in get_spec("cep_pattern_guarded").fn(spark, sf_dir).collect()
+    )
+    assert got and got == want
+
+
 def test_cep_compiler_rejects_short_patterns():
     from hello_flink_spark.streaming.cep import CepPattern
 
