@@ -801,3 +801,64 @@ def agg_approx_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qs")[1], 4).alias("p90"),
         F.round(F.col("qs")[2], 4).alias("p99"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark 4 bitmap aggregation — the
+    third member of the distinct-count ladder (exact hash
+    countDistinct → exact BITMAPS → approximate HLL sketches). Ids are
+    bucketed (bitmap_bucket_number), each bucket builds a fixed-size
+    bitmap (bitmap_construct_agg — partial-aggregable), and bucket
+    popcounts SUM per key. Unlike countDistinct's per-row dedup
+    shuffle, the shuffle here carries one bitmap per (key, bucket) —
+    at 100 TB that is the difference between shuffling user_ids and
+    shuffling kilobyte blocks, while staying exact (oracle: plain
+    COUNT(DISTINCT))."""
+    e = t(spark, sf_dir, "events")
+    buckets = e.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    return buckets.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("distinct_users")
+    )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse the JSON props column ONCE into the
+    binary variant encoding, then typed variant_get extraction — the
+    semi-structured fast path that replaces per-access get_json_object
+    re-parsing (agg_json_props is the string-path twin). At 100 TB the
+    parse-once difference dominates any query touching more than one
+    JSON field."""
+    e = t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long").alias("n_high"),
+    )

@@ -263,6 +263,41 @@ def stream_stream_left_outer_join(
     return clicks.join(purchases, cond, "leftOuter").select("user_id", "c_ts", "p_ts")
 
 
+def stream_stream_full_outer_join(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """[F] Table API windowed FULL OUTER stream-stream join — completes
+    the inner / left-outer / full-outer family: clicks and same-user
+    purchases matched within the next 30 minutes; watermark-closed rows
+    from EITHER side emit with NULLs for the other (unmatched clicks →
+    NULL p_ts, unmatched purchases → NULL c_ts). Both sides carry the
+    both-sided time band, so join state evicts on both inputs — same
+    bounds as the inner variant. Shares the left-outer caveat: NULL
+    rows emit only once a later micro-batch's watermark closes the
+    window, so tail rows of a bounded replay stay in state at EOF (the
+    golden test asserts the matched rows equal the batch inner join
+    and every emitted NULL row is a watermark-closed batch anti-join
+    row, on both sides)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return clicks.join(purchases, cond, "fullOuter").select(
+        "user_id", "p_user_id", "c_ts", "p_ts"
+    )
+
+
 def dynamic_rules_foreach_batch(
     rules_path: str, out_dir: str
 ) -> Callable[[DataFrame, int], None]:

@@ -477,6 +477,68 @@ def test_stream_stream_left_outer_join(spark, sf_dir, replay_dir):
     )
 
 
+def test_stream_stream_full_outer_join(spark, sf_dir, replay_dir):
+    """Full-outer stream-stream join: matched rows == batch inner join;
+    NULL-extended rows on EITHER side are batch anti-join rows, with
+    the watermark-closed cohort guaranteed emitted (tail rows of the
+    bounded replay legitimately stay in state)."""
+    run_to_memory(
+        jobs.stream_stream_full_outer_join(_stream(spark, replay_dir), WM), "t_ssfoj"
+    )
+    got = spark.table("t_ssfoj")
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter("event_type = 'click'").select("user_id", F.col("ts").alias("c_ts"))
+    purchases = e.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 30 MINUTES"))
+    )
+    want_matched = clicks.join(purchases, cond).count()
+    assert got.filter("c_ts IS NOT NULL AND p_ts IS NOT NULL").count() == want_matched
+
+    # click-side NULL rows: unmatched clicks whose window closed
+    wm_base = spark.read.parquet(
+        *[os.path.join(replay_dir[0], f"chunk_{i:03d}") for i in range(3)]
+    ).agg(F.max("ts")).head()[0]
+    closed_before = (
+        F.lit(wm_base) - F.expr("INTERVAL 30 MINUTES") - F.expr("INTERVAL 30 MINUTES")
+    )
+    p2 = purchases.withColumnRenamed("p_user_id", "u2")
+    unmatched_clicks = clicks.join(
+        p2,
+        (clicks.user_id == p2.u2)
+        & (p2.p_ts >= clicks.c_ts)
+        & (p2.p_ts <= clicks.c_ts + F.expr("INTERVAL 30 MINUTES")),
+        "left_anti",
+    )
+    must_emit_clicks = unmatched_clicks.filter(F.col("c_ts") < closed_before).count()
+    got_click_nulls = got.filter("p_ts IS NULL").count()
+    assert got_click_nulls >= must_emit_clicks and must_emit_clicks > 0
+
+    # purchase-side NULL rows (the capability left-outer lacks):
+    # every emitted NULL-click row is a batch-unmatched purchase
+    c2 = clicks.withColumnRenamed("user_id", "u2")
+    unmatched_purch = purchases.join(
+        c2,
+        (purchases.p_user_id == c2.u2)
+        & (purchases.p_ts >= c2.c_ts)
+        & (purchases.p_ts <= c2.c_ts + F.expr("INTERVAL 30 MINUTES")),
+        "left_anti",
+    )
+    got_purch_nulls = got.filter("c_ts IS NULL")
+    assert got_purch_nulls.count() > 0
+    assert (
+        got_purch_nulls.select(F.col("p_user_id"), "p_ts")
+        .join(unmatched_purch.select("p_user_id", "p_ts"), ["p_user_id", "p_ts"], "left_anti")
+        .count()
+        == 0
+    )
+
+
 def test_running_totals_update_mode(spark, sf_dir, replay_dir):
     """agg_incremental: update-mode running agg; the LAST emission per
     key equals the batch aggregate."""
