@@ -41,6 +41,14 @@ PROBES = [
     ("orders_basket_pairs", "lineitem"),
     ("dedup_cluster", "documents"),
     ("text_passage_dedup", "documents"),
+    # round-6 ops with non-trivial scaling terms: the compiled CEP
+    # join chain, the 6-way TPC-H join, the vocabulary-sized bigram
+    # joins, the sketch-vs-exact composition, and bitmap distinct.
+    ("cep4_pattern_batch", "events"),
+    ("flagship_local_supplier_volume", "lineitem+orders+customer"),
+    ("text_bigram_logprob", "documents"),
+    ("dedup_minhash_error", "documents"),
+    ("agg_bitmap_distinct", "events"),
 ]
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
