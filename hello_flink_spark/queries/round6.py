@@ -862,3 +862,246 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("k"), 4).alias("avg_k"),
         F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long").alias("n_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 4: data-quality curation (bot filtering, language mix,
+# boilerplate detection, embedding outliers, collocation strength)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_bot_burst",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s FROM events),
+    w AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY s
+                            RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS c
+      FROM e)
+    SELECT user_id, MAX(c) AS max_burst_24h
+    FROM w GROUP BY user_id HAVING MAX(c) >= 6
+    """,
+)
+def events_bot_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse heuristic for training-data hygiene: users whose max
+    rolling-24 h event count crosses a burst threshold (the rate
+    signal behind scraper filtering). Per-user RANGE frame over
+    integer epoch seconds (a numeric range window — value-based, so
+    both engines agree regardless of row order within equal
+    timestamps), then one hash agg. The window is user-partitioned —
+    no global sort at any scale."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-86399, Window.currentRow)
+    )
+    bursts = e.select(
+        "user_id", F.floor(F.col("ts").cast("double")).cast("long").alias("s")
+    ).withColumn("c", F.count(F.lit(1)).over(w))
+    return (
+        bursts.groupBy("user_id")
+        .agg(F.max("c").alias("max_burst_24h"))
+        .filter(F.col("max_burst_24h") >= 6)
+    )
+
+
+@register(
+    "docs_language_mix",
+    oracle="""
+    WITH lc AS (
+      SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang),
+    tot AS (SELECT source, SUM(c) AS n FROM lc GROUP BY source)
+    SELECT lc.source, CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(-SUM((CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n)), 6)
+             AS lang_entropy
+    FROM lc JOIN tot ON lc.source = tot.source
+    GROUP BY lc.source
+    """,
+)
+def docs_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix report per source: doc count, language count and
+    Shannon entropy of the language distribution — the curation signal
+    for balancing multilingual mixtures (a monolingual feed has
+    entropy 0; uniform k languages ln k). Two keyed hash aggs over a
+    (source × lang)-sized intermediate — trivially scale-safe."""
+    d = t(spark, sf_dir, "documents")
+    lc = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = lc.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        lc.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+        )
+    )
+
+
+@register(
+    "docs_boilerplate_shingles",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT d.doc_id, d.source,
+             tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+      FROM (SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS tokens
+            FROM documents) d,
+           UNNEST(generate_series(1, GREATEST(len(tokens) - 2, 0))) AS u(i))
+    SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM sh GROUP BY shingle
+    HAVING COUNT(DISTINCT doc_id) >= 5 AND COUNT(DISTINCT source) >= 2
+    """,
+)
+def docs_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: 3-gram shingles repeated across many
+    docs AND multiple sources (headers, footers, licence blurbs — the
+    cross-source test separates boilerplate from topical repetition).
+    This op deliberately scans the UNCAPPED shingle set: it is the
+    operator that would PRODUCE the hot-list the df-capped dedup ops
+    consume. One shingle-keyed hash agg — the same shuffle key the
+    dedup family uses."""
+    d = t(spark, sf_dir, "documents")
+    from hello_flink_spark.queries.llm import _tokens
+
+    toks = d.select("doc_id", "source", _tokens().alias("tokens"))
+    idx = F.when(
+        F.size("tokens") >= 3, F.sequence(F.lit(1), F.size("tokens") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("tokens"), i),
+                    F.element_at(F.col("tokens"), i + 1),
+                    F.element_at(F.col("tokens"), i + 2),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .filter((F.col("n_docs") >= 5) & (F.col("n_sources") >= 2))
+    )
+
+
+@register(
+    "embeddings_outlier_zscore",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label,
+             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS norm
+      FROM embeddings),
+    s AS (SELECT label, AVG(norm) AS mu, stddev_samp(norm) AS sd
+          FROM n GROUP BY label)
+    SELECT vec_id, label, ROUND(norm, 4) AS norm,
+           ROUND((norm - mu) / sd, 4) AS z
+    FROM n JOIN s USING (label)
+    WHERE sd IS NOT NULL AND sd > 0 AND ABS(norm - mu) / sd >= 2.5
+    """,
+)
+def embeddings_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: vectors whose L2 norm sits >= 2.5 sigma from
+    their label's mean — encoder failures and mislabeled rows surface
+    here before they poison a classifier. Per-label stats are a
+    label-alphabet-sized broadcast back over the norms; the sd > 0
+    guard (the events_anomaly_zscore lesson, ADVICE r05) keeps
+    degenerate constant-norm labels from NaN-diverging the engines."""
+    e = t(spark, sf_dir, "embeddings")
+    from hello_flink_spark.queries.llm import _as_double
+
+    dot = F.aggregate(
+        F.zip_with(
+            _as_double(F.col("embedding")),
+            _as_double(F.col("embedding")),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = e.select("vec_id", "label", F.sqrt(dot).alias("norm"))
+    s = n.groupBy("label").agg(
+        F.avg("norm").alias("mu"), F.stddev_samp("norm").alias("sd")
+    )
+    z = (F.col("norm") - F.col("mu")) / F.col("sd")
+    return (
+        n.join(F.broadcast(s), "label")
+        .filter(F.col("sd").isNotNull() & (F.col("sd") > 0) & (F.abs(z) >= 2.5))
+        .select(
+            "vec_id", "label", F.round("norm", 4).alias("norm"), F.round(z, 4).alias("z")
+        )
+    )
+
+
+@register(
+    "text_word_cooccurrence_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+    uni AS (SELECT UNNEST(tk) AS w FROM toks),
+    bi AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 2),
+    cu AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    n1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni),
+    n2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bi),
+    cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2
+           HAVING COUNT(*) >= 10)
+    SELECT w1, w2, c12,
+           ROUND(LN((c12 / n2.n) / ((a.c / n1.n) * (b.c / n1.n))), 4) + 0.0 AS pmi
+    FROM cb JOIN cu a ON a.w = w1 JOIN cu b ON b.w = w2
+    CROSS JOIN n1 CROSS JOIN n2
+    """,
+)
+def text_word_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation strength: pointwise mutual information of adjacent
+    word pairs with count >= 10 — the phrase-mining signal (tokenizer
+    merge candidates, stop-phrase lists). Count tables are
+    vocabulary-sized, so their joins carry no broadcast hint (AQE
+    decides — the text_tfidf_sql rule); the two 1-row totals broadcast.
+    Pure filter output, no global ranking window. ``+ 0.0``
+    canonicalizes IEEE negative zero (the agg_corr_covar rule) — PMI
+    rounds to -0.0 for slightly-negative collocations and the engines
+    hash ±0.0 differently."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("tk")
+    ).filter(F.size("tk") >= 2)
+    uni = toks.select(F.explode("tk").alias("w"))
+    bi = toks.select(
+        F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"), "tk"
+    ).select(
+        F.element_at("tk", F.col("i")).alias("w1"),
+        F.element_at("tk", F.col("i") + 1).alias("w2"),
+    )
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n1 = uni.agg(F.count(F.lit(1)).cast("double").alias("n_uni"))
+    n2 = bi.agg(F.count(F.lit(1)).cast("double").alias("n_bi"))
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).filter(
+        F.col("c12") >= 10
+    )
+    pmi = F.log(
+        (F.col("c12") / F.col("n_bi"))
+        / ((F.col("a.c") / F.col("n_uni")) * (F.col("b.c") / F.col("n_uni")))
+    )
+    return (
+        cb.join(cu.alias("a"), F.col("w1") == F.col("a.w"))
+        .join(cu.alias("b"), F.col("w2") == F.col("b.w"))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select("w1", "w2", "c12", (F.round(pmi, 4) + 0.0).alias("pmi"))
+    )

@@ -46,6 +46,7 @@ BNLJ_OK = {
     "flagship_important_parts",  # broadcast 1-row global-total scalar (Q11 threshold)
     "orders_pareto_share",       # broadcast 1-row p99 percentile scalar
     "text_bigram_logprob",       # broadcast 1-row vocabulary-size scalar
+    "text_word_cooccurrence_pmi",  # broadcast 1-row unigram/bigram totals
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
@@ -195,6 +196,9 @@ BROADCAST_HINT_OK = {
     ("round6", "mx"): "1-row MAX scalar (flagship_top_supplier)",
     ("round6", "cut"): "1-row percentile scalar (orders_pareto_share)",
     ("round6", "vocab"): "1-row vocabulary-size scalar (text_bigram_logprob)",
+    ("round6", "s"): "per-label stats — bounded by label alphabet (embeddings_outlier_zscore)",
+    ("round6", "n1"): "1-row unigram-total scalar (text_word_cooccurrence_pmi)",
+    ("round6", "n2"): "1-row bigram-total scalar (text_word_cooccurrence_pmi)",
     ("jobs", "dim"): "event_type dim — bounded by type cardinality",
     ("jobs", "rules"): "broadcast-rules table — operator contract: small",
     ("joins", "dim"): "broadcast_join() helper — API contract: caller passes a bounded dim",
