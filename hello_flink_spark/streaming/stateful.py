@@ -376,3 +376,75 @@ def stateful_markov_transitions(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful_burst_detector — streaming twin of round6.events_bot_burst
+# ---------------------------------------------------------------------------
+
+BURST_WINDOW_S = 86400
+
+
+def _burst(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user rolling-24 h burst maximum. State = per-second event
+    counts inside the trailing window (pruned each batch — bounded by
+    window span × rate) + the running max. The batch shadow's RANGE
+    frame is value-based over floored epoch seconds, so the windowed
+    sum here also groups by second and sums seconds in
+    [s − 86399, s] — same arithmetic, incremental state.
+
+    In-order-arrival assumption (the stateful_markov_transitions
+    note): seconds are pruned once they fall behind the newest seen
+    second by a full window, so an event arriving batches late with
+    an old timestamp would under-count; exact equality with the batch
+    shadow holds for in-order replays (what the golden test feeds)."""
+    secs: list[int] = []
+    cnts: list[int] = []
+    max_burst = 0
+    if state.exists:
+        secs, cnts, max_burst = list(state.get[0]), list(state.get[1]), state.get[2]
+    counts = dict(zip(secs, cnts))
+
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    for ts in pdf["ts"]:
+        s = int(ts.value // 1_000_000_000)
+        counts[s] = counts.get(s, 0) + 1
+
+    if counts:
+        ordered = sorted(counts)
+        # windowed sum per present second (two-pointer over sorted secs)
+        lo = 0
+        run = 0
+        vals = [counts[s] for s in ordered]
+        for hi, s in enumerate(ordered):
+            run += vals[hi]
+            while ordered[lo] < s - (BURST_WINDOW_S - 1):
+                run -= vals[lo]
+                lo += 1
+            if run > max_burst:
+                max_burst = run
+        horizon = ordered[-1] - (BURST_WINDOW_S - 1)
+        counts = {s: c for s, c in counts.items() if s >= horizon}
+
+    state.update((sorted(counts), [counts[s] for s in sorted(counts)], max_burst))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "max_burst_24h": [max_burst]}
+    )
+
+
+def stateful_burst_detector(events: DataFrame) -> DataFrame:
+    """Streaming bot/burst detection: update-mode running maximum of
+    each user's rolling-24 h event count (batch shadow:
+    queries/round6.py::events_bot_burst). The per-user state is one
+    (second → count) map covering a single window span — bounded
+    regardless of stream length, the keyed-state analog of the batch
+    RANGE frame."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _burst,
+        outputStructType="user_id long, max_burst_24h long",
+        stateStructType="secs array<long>, cnts array<long>, max_burst long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

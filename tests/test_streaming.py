@@ -985,3 +985,43 @@ def test_stateful_markov_matches_batch_shadow(spark, sf_dir, replay_dir):
     }
     assert got, "no transitions emitted"
     assert got == want
+
+
+def test_burst_detector_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """stateful_burst_detector: the final per-user running max must
+    equal the batch shadow's rolling-24h maximum for every user, and
+    the >= 6 cohort must match events_bot_burst exactly."""
+    run_to_memory(
+        stateful.stateful_burst_detector(_stream(spark, replay_dir)), "t_burst", "update"
+    )
+    emitted = spark.table("t_burst")
+    got = {
+        r.user_id: r.max_burst_24h
+        for r in emitted.groupBy("user_id")
+        .agg(F.max("max_burst_24h").alias("max_burst_24h"))
+        .collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-86399, Window.currentRow)
+    )
+    want = {
+        r.user_id: r.m
+        for r in e.select(
+            "user_id", F.floor(F.col("ts").cast("double")).cast("long").alias("s")
+        )
+        .withColumn("c", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(F.max("c").alias("m"))
+        .collect()
+    }
+    assert got == want
+    from hello_flink_spark.registry import get_spec
+
+    shadow = {
+        (r.user_id, r.max_burst_24h)
+        for r in get_spec("events_bot_burst").fn(spark, sf_dir).collect()
+    }
+    assert {(u, m) for u, m in got.items() if m >= 6} == shadow
