@@ -1105,3 +1105,45 @@ def text_word_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n2))
         .select("w1", "w2", "c12", (F.round(pmi, 4) + 0.0).alias("pmi"))
     )
+
+
+@register(
+    "docs_perplexity_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+    bi AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 2),
+    cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+    cu AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w1) AS DOUBLE) AS v FROM bi),
+    scored AS (
+      SELECT doc_id, ROUND(AVG(LN((c2 + 1.0) / (c1 + v))), 6) AS avg_logprob
+      FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vocab
+      GROUP BY doc_id),
+    cut AS (SELECT quantile_cont(avg_logprob, 0.10) AS p10 FROM scored)
+    SELECT d.doc_id, d.source, avg_logprob
+    FROM scored JOIN documents d USING (doc_id) CROSS JOIN cut
+    WHERE avg_logprob >= p10
+    """,
+)
+def docs_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-score quality filtering — the composition a real corpus
+    pipeline ships: score every doc with the bigram LM
+    (text_bigram_logprob's math), cut the worst 10% by a
+    SELF-CALIBRATING percentile threshold (1-row scalar broadcast, the
+    docs_length_percentile_filter pattern — no hand-tuned constant
+    survives a corpus change), keep the rest with their scores. The
+    whole thing is ONE plan: score aggs, percentile agg, broadcast
+    filter — no materialization between stages."""
+    d = t(spark, sf_dir, "documents")
+    scored = text_bigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    cut = scored.agg(F.expr("percentile(avg_logprob, 0.10)").alias("p10"))
+    return (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("avg_logprob") >= F.col("p10"))
+        .select("doc_id", "source", "avg_logprob")
+    )

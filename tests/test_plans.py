@@ -47,6 +47,7 @@ BNLJ_OK = {
     "orders_pareto_share",       # broadcast 1-row p99 percentile scalar
     "text_bigram_logprob",       # broadcast 1-row vocabulary-size scalar
     "text_word_cooccurrence_pmi",  # broadcast 1-row unigram/bigram totals
+    "docs_perplexity_filter",  # broadcast 1-row p10 percentile + vocab scalars
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
