@@ -1147,3 +1147,24 @@ def docs_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("avg_logprob") >= F.col("p10"))
         .select("doc_id", "source", "avg_logprob")
     )
+
+
+def _cep_repeat_oracle() -> str:
+    from hello_flink_spark.streaming.cep import REPEAT2, oracle_sql
+
+    return oracle_sql(REPEAT2)
+
+
+@register("cep_pattern_repeat", oracle=_cep_repeat_oracle())
+def cep_pattern_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink CEP with a REPEATED event type (`view` followedBy
+    `view` within 1 h — re-engagement detection). Exercises the
+    compiler path the distinct-type instances never touch: one event
+    can match several steps, so the NFA processes stages highest-first
+    and the strict later-than test stops an event from both starting a
+    partial and completing it; output columns disambiguate with stage
+    prefixes (s1_view_ts / s2_view_ts). Golden streaming twin in
+    tests/test_streaming.py."""
+    from hello_flink_spark.streaming.cep import REPEAT2, compile_batch
+
+    return compile_batch(REPEAT2, t(spark, sf_dir, "events"))

@@ -272,3 +272,9 @@ GUARDED3 = CepPattern(
     within_minutes=1440,
     step_min_value=(None, None, 100.0),
 )
+
+# The repeated-type instance (queries/round6.py::cep_pattern_repeat +
+# golden twin): view followedBy view within 1 h — one event type at
+# two steps exercises the highest-stage-first promotion order and the
+# stage-prefixed output naming. 1 / 41 matches at sf0.001 / 0.01.
+REPEAT2 = CepPattern(steps=("view", "view"), within_minutes=60)

@@ -1025,3 +1025,22 @@ def test_burst_detector_equals_batch_shadow(spark, sf_dir, replay_dir):
         for r in get_spec("events_bot_burst").fn(spark, sf_dir).collect()
     }
     assert {(u, m) for u, m in got.items() if m >= 6} == shadow
+
+
+def test_cep_repeated_type_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """Repeated-type pattern (view followedBy view): the NFA's
+    one-step-per-event rule must reproduce the batch chain exactly —
+    the case where a single event both completes a pending partial
+    and anchors a new one."""
+    from hello_flink_spark.streaming.cep import REPEAT2, compile_stream
+
+    run_to_memory(compile_stream(REPEAT2, _stream(spark, replay_dir), WM), "t_cepr")
+    got = sorted(
+        (r.user_id, r.view_id, r.s1_view_ts, r.s2_view_ts)
+        for r in spark.table("t_cepr").collect()
+    )
+    want = sorted(
+        (r.user_id, r.view_id, r.s1_view_ts, r.s2_view_ts)
+        for r in get_spec("cep_pattern_repeat").fn(spark, sf_dir).collect()
+    )
+    assert got and got == want
