@@ -103,6 +103,8 @@ HEADLINE = [
     "text_bigram_logprob",
     "events_top_paths",
     "text_chunk_overlap",
+    # the fused curation pipeline (round-6 capstone).
+    "pipeline_training_corpus_v3",
 ]
 
 

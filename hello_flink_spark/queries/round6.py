@@ -1168,3 +1168,167 @@ def cep_pattern_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hello_flink_spark.streaming.cep import REPEAT2, compile_batch
 
     return compile_batch(REPEAT2, t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6 capstone: curation pipeline v3
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_training_corpus_v3",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+    bi AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 2),
+    cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+    cu AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w1) AS DOUBLE) AS v FROM bi),
+    scored AS (
+      SELECT doc_id, ROUND(AVG(LN((c2 + 1.0) / (c1 + v))), 6) AS lm
+      FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vocab
+      GROUP BY doc_id),
+    cut AS (SELECT quantile_cont(lm, 0.10) AS p10 FROM scored),
+    f1 AS (
+      SELECT doc_id, lm FROM scored CROSS JOIN cut WHERE lm >= p10),
+    sh AS (
+      SELECT DISTINCT d.doc_id, d.source,
+             tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+      FROM (SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS tokens
+            FROM documents) d,
+           UNNEST(generate_series(1, GREATEST(len(tokens) - 2, 0))) AS u(i)),
+    boiler AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(DISTINCT doc_id) >= 5 AND COUNT(DISTINCT source) >= 2),
+    boiler_docs AS (
+      SELECT doc_id FROM sh JOIN boiler USING (shingle)
+      GROUP BY doc_id HAVING COUNT(*) >= 3),
+    f2 AS (
+      SELECT f1.doc_id, lm FROM f1
+      WHERE doc_id NOT IN (SELECT doc_id FROM boiler_docs)),
+    langd AS (
+      SELECT f2.doc_id, lm, d.lang, len(t2.tk) AS n_tok
+      FROM f2 JOIN documents d USING (doc_id) JOIN toks t2 ON t2.doc_id = f2.doc_id),
+    quota AS (
+      SELECT MIN(c) AS q FROM (SELECT lang, COUNT(*) AS c FROM langd GROUP BY lang)),
+    balanced AS (
+      SELECT * FROM (
+        SELECT langd.*, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM langd) CROSS JOIN quota
+      WHERE rn <= q)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM((n_tok - 1) // 10 + 1) AS BIGINT) AS total_chunks,
+           ROUND(AVG(lm), 4) AS avg_lm
+    FROM balanced GROUP BY lang
+    """,
+)
+def pipeline_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 capstone: the curation pipeline as ONE fused plan, zero
+    materializations — bigram-LM scoring → self-calibrating p10
+    quality cut → boilerplate-document drop (docs carrying ≥ 3
+    cross-source repeated shingles) → language-balanced mixture
+    (min-lang quota) → sliding-window chunk accounting, rolled up per
+    language. Scale notes: the LM count tables and the boilerplate
+    shingle list are corpus-sized, so their joins carry NO broadcast
+    hint (the boilerplate drop is a plain anti-join on doc_id); only
+    the three 1-row scalars (vocab size, p10 cut, lang quota)
+    broadcast. Every shuffle is keyed (word pair, shingle, doc_id,
+    lang) — nothing quadratic, nothing driver-side."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("tk")
+    )
+    bi = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            F.element_at("tk", F.col("i")).alias("w1"),
+            F.element_at("tk", F.col("i") + 1).alias("w2"),
+        )
+    )
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cu = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bi.agg(F.countDistinct("w1").cast("double").alias("v"))
+    logp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+    scored = (
+        bi.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(logp), 6).alias("lm"))
+    )
+    cut = scored.agg(F.expr("percentile(lm, 0.10)").alias("p10"))
+    f1 = (
+        scored.crossJoin(F.broadcast(cut))
+        .filter(F.col("lm") >= F.col("p10"))
+        .select("doc_id", "lm")
+    )
+    sh = (
+        d.select("doc_id", "source", F.split(F.lower(F.trim(F.col("text"))), " ").alias("tokens"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(
+                    F.size("tokens") >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tokens") - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(F.col("tokens"), i),
+                            F.element_at(F.col("tokens"), i + 1),
+                            F.element_at(F.col("tokens"), i + 2),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    boiler = (
+        sh.groupBy("shingle")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.countDistinct("source").alias("ns"),
+        )
+        .filter((F.col("nd") >= 5) & (F.col("ns") >= 2))
+        .select("shingle")
+    )
+    # corpus-dependent set: plain joins, no broadcast hints
+    boiler_docs = (
+        sh.join(boiler, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= 3)
+        .select("doc_id")
+    )
+    f2 = f1.join(boiler_docs, "doc_id", "left_anti")
+    langd = (
+        f2.join(d.select("doc_id", "lang"), "doc_id")
+        .join(toks.select("doc_id", F.size("tk").alias("n_tok")), "doc_id")
+    )
+    quota = (
+        langd.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("q"))
+    )
+    w_rn = Window.partitionBy("lang").orderBy("doc_id")
+    balanced = (
+        langd.withColumn("rn", F.row_number().over(w_rn))
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("q"))
+    )
+    chunks = F.floor((F.col("n_tok") - 1) / 10) + 1
+    return balanced.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(chunks).cast("long").alias("total_chunks"),
+        F.round(F.avg("lm"), 4).alias("avg_lm"),
+    )

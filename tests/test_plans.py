@@ -48,6 +48,7 @@ BNLJ_OK = {
     "text_bigram_logprob",       # broadcast 1-row vocabulary-size scalar
     "text_word_cooccurrence_pmi",  # broadcast 1-row unigram/bigram totals
     "docs_perplexity_filter",  # broadcast 1-row p10 percentile + vocab scalars
+    "pipeline_training_corpus_v3",  # broadcast 1-row vocab/p10/quota scalars
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
@@ -200,6 +201,7 @@ BROADCAST_HINT_OK = {
     ("round6", "s"): "per-label stats — bounded by label alphabet (embeddings_outlier_zscore)",
     ("round6", "n1"): "1-row unigram-total scalar (text_word_cooccurrence_pmi)",
     ("round6", "n2"): "1-row bigram-total scalar (text_word_cooccurrence_pmi)",
+    ("round6", "quota"): "1-row MIN lang-quota scalar (pipeline_training_corpus_v3)",
     ("jobs", "dim"): "event_type dim — bounded by type cardinality",
     ("jobs", "rules"): "broadcast-rules table — operator contract: small",
     ("joins", "dim"): "broadcast_join() helper — API contract: caller passes a bounded dim",
