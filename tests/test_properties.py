@@ -275,3 +275,82 @@ def test_approx_quantiles_within_rank_error(spark):
             assert lo <= got <= hi, (
                 f"{etype} q={q}: {got} outside rank band [{lo}, {hi}]"
             )
+
+
+def _cep_reference(events, steps, window_s):
+    """Independent pure-Python model of the compiled batch semantics:
+    for each stage-1 event (the anchor), chain 'first strictly-later
+    event of the next step's type within the window' — written as
+    direct nested loops, sharing no code with streaming/cep.py."""
+    out = []
+    per_user: dict = {}
+    for uid, eid, ts, etype in events:
+        per_user.setdefault(uid, []).append((eid, ts, etype))
+    for uid, evs in per_user.items():
+        for eid, ts0, etype in evs:
+            if etype != steps[0]:
+                continue
+            chain = [ts0]
+            ok = True
+            for step in steps[1:]:
+                cands = [
+                    t2
+                    for _, t2, e2 in evs
+                    if e2 == step and t2 > chain[-1] and t2 <= chain[-1] + window_s
+                ]
+                if not cands:
+                    ok = False
+                    break
+                chain.append(min(cands))
+            if ok:
+                out.append((uid, eid, *chain))
+    return sorted(out)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),          # user_id
+            st.integers(0, 10_000),     # event_id (uniqueness enforced below)
+            st.integers(0, 120),        # ts seconds
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_cep_batch_compiler_matches_reference_model(spark, events):
+    """Random micro-streams (duplicate timestamps, repeated types,
+    boundary-exact windows) through the CEP batch compiler must equal
+    an independently written reference model — the fixture golden
+    tests can't reach these edges."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import CepPattern, compile_batch
+
+    # unique event ids; pattern a->b->a exercises a repeated type
+    events = [(u, i, ts, e) for i, (u, _, ts, e) in enumerate(events)]
+    pat = CepPattern(steps=("a", "b", "a"), within_minutes=1)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _ in events],
+            "event_id": [i for _, i, _, _ in events],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _ in events],
+            "event_type": [e for _, _, _, e in events],
+            "value": [0.0] * len(events),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = sorted(
+        (
+            r["user_id"],
+            r[pat.anchor_col],
+            int(r[pat.ts_col(0)].timestamp()),
+            int(r[pat.ts_col(1)].timestamp()),
+            int(r[pat.ts_col(2)].timestamp()),
+        )
+        for r in compile_batch(pat, df).collect()
+    )
+    want = _cep_reference(events, ("a", "b", "a"), 60)
+    assert got == want
