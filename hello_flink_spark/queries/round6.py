@@ -1332,3 +1332,86 @@ def pipeline_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(chunks).cast("long").alias("total_chunks"),
         F.round(F.avg("lm"), 4).alias("avg_lm"),
     )
+
+
+@register(
+    "flagship_priority_shipmode",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def flagship_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high/low-priority line counts per shipping
+    class. Adaptation: the fixture has no l_shipmode, so l_linestatus
+    stands in as the class column — the PLAN is Q12's: date-banded
+    fact scan, one equi-join to orders, conditional-sum aggregation
+    (both CASE branches computed in the same pass, no second scan)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "events_rolling_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events),
+    contrib AS (
+      SELECT user_id, day + to_days(CAST(off AS INTEGER)) AS report_day
+      FROM ud, UNNEST(generate_series(0, 6)) AS u(off)),
+    days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS report_day
+             FROM events)
+    SELECT c.report_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib c JOIN days USING (report_day)
+    GROUP BY c.report_day
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per observed day — the
+    engagement denominator behind DAU/WAU stickiness. A distinct-over-
+    sliding-window is not partial-aggregable, so the scalable shape is
+    CONTRIBUTION EXPLODE: each (user, active-day) pair contributes to
+    the 7 report days it stays visible in, then one distinct-count per
+    report day — a bounded ×7 fan-out of the deduplicated pairs, all
+    keyed shuffles (the F.window sliding-window trick, written
+    explicitly so the oracle mirrors it; report days are restricted
+    to days that actually occur)."""
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select(
+        "user_id",
+        F.timestamp_add("DAY", F.col("off"), F.col("day")).alias("report_day"),
+    )
+    days = e.select(F.date_trunc("day", F.col("ts")).alias("report_day")).distinct()
+    return (
+        contrib.join(days, "report_day")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
