@@ -1415,3 +1415,658 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").cast("long").alias("wau"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 3: sketch-family completion (count-min frequency),
+# hashing-trick features, MERGE-style SCD1 upsert, time-series gap
+# fill, winsorized robust stats, PII redaction, audience overlap,
+# higher distribution moments, cume_dist — plus the iterative-
+# algorithm tier (Lloyd k-means, power-iteration top principal
+# component, LSH->connected-components semantic dedup), which a
+# training-data pipeline needs for diversity sampling / embedding QA.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6)
+             AS bal_cume,
+           ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cume_dist` analytic (the last uncovered SQL window rank
+    function): each customer's cumulative balance percentile within
+    its nation. Tie-stable by definition (equal balances share one
+    cume_dist), so it hash-verifies without an id tiebreak. Window is
+    nation-partitioned — parallel across the nation alphabet, never a
+    single-partition sort."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+
+
+@register(
+    "agg_skewness_kurtosis",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, AVG(l_extendedprice) AS mu
+      FROM lineitem GROUP BY l_returnflag
+    ), m AS (
+      SELECT l.l_returnflag,
+             AVG(POW(l.l_extendedprice - s.mu, 2)) AS m2,
+             AVG(POW(l.l_extendedprice - s.mu, 3)) AS m3,
+             AVG(POW(l.l_extendedprice - s.mu, 4)) AS m4,
+             COUNT(*) AS n
+      FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+      GROUP BY l.l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(m3 / POW(m2, 1.5), 6) AS skew,
+           ROUND(m4 / (m2 * m2) - 3, 6) AS kurt
+    FROM m
+    """,
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher distribution moments per group: population skewness g1 =
+    m3/m2^1.5 and excess kurtosis m4/m2^2 - 3 — exactly Spark's
+    `skewness`/`kurtosis` definitions, which run as single-pass
+    streaming moment aggregates (partial-aggregable, one keyed
+    shuffle). The oracle recomputes both from explicit two-pass
+    central moments, pinning the built-ins to the textbook formula."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.skewness("l_extendedprice"), 6).alias("skew"),
+        F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt"),
+    )
+
+
+@register(
+    "events_user_overlap_jaccard",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT i.type_a, i.type_b, i.n_common,
+           ROUND(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the user sets
+    behind every event-type pair (segment-overlap / cannibalization
+    analysis). One distinct pass builds (type, user); the self-join
+    shuffles on user_id ONCE — per-user fan-out is bounded by the
+    event-type alphabet squared, so the join output is O(users ×
+    |types|²), linear in users. Type pairs with empty intersection are
+    absent by construction (inner join) in both engines."""
+    e = t(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        tu.alias("a")
+        .join(
+            tu.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            F.round(
+                F.col("n_common") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "events_hourly_gap_fill",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             ts - to_microseconds(epoch_us(ts) % 3600000000) AS hour_start,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, hour_start
+    ), b AS (SELECT MIN(hour_start) AS lo, MAX(hour_start) AS hi FROM c),
+    grid AS (
+      SELECT tt.event_type, u.h AS hour_start
+      FROM (SELECT DISTINCT event_type FROM c) tt, b,
+           UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS u(h)
+    )
+    SELECT g.event_type, g.hour_start, COALESCE(c.cnt, 0) AS cnt
+    FROM grid g
+    LEFT JOIN c ON c.event_type = g.event_type AND c.hour_start = g.hour_start
+    """,
+)
+def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densify / gap fill: a complete (event_type × hour)
+    grid over the observed range with zero-filled gaps — the step
+    Spark has no primitive for (Flink windows emit empty panes only
+    with custom triggers; gap-filled series feed anomaly detectors and
+    forecasting). Grid = bounded type alphabet × `sequence()` explode
+    from a 1-row [min,max] scalar (broadcast by construction), LEFT
+    join against the hourly hash-aggregate. Buckets are epoch
+    arithmetic, timezone-independent."""
+    e = t(spark, sf_dir, "events")
+    ep = F.col("ts").cast("long")
+    counts = (
+        e.withColumn("hour_start", F.timestamp_seconds(ep - (ep % 3600)))
+        .groupBy("event_type", "hour_start")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = counts.agg(F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi"))
+    types = counts.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour_start"),
+    )
+    return grid.join(counts, ["event_type", "hour_start"], "left").select(
+        "event_type",
+        "hour_start",
+        F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+    )
+
+
+@register(
+    "events_value_winsorize",
+    oracle="""
+    WITH p AS (
+      SELECT quantile_cont(value, 0.01) AS p_lo, quantile_cont(value, 0.99) AS p_hi
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(LEAST(GREATEST(value, p_lo), p_hi)), 6) AS avg_winsorized,
+           ROUND(STDDEV_SAMP(LEAST(GREATEST(value, p_lo), p_hi)), 6) AS sd_winsorized,
+           ROUND(SUM(CASE WHEN value <> LEAST(GREATEST(value, p_lo), p_hi)
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS clip_rate
+    FROM events, p GROUP BY event_type
+    """,
+)
+def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics: clamp `value` to the global
+    [p1, p99] band (exact interpolated percentiles, the
+    agg_percentile_exact parity pair), then per-type mean/stddev plus
+    the clip rate — outlier-robust metrics for noisy telemetry. The
+    percentile pair is a 1-row scalar broadcast into the scan; one
+    keyed shuffle for the type aggregate."""
+    e = t(spark, sf_dir, "events")
+    pctl = e.agg(
+        F.expr("percentile(value, 0.01)").alias("p_lo"),
+        F.expr("percentile(value, 0.99)").alias("p_hi"),
+    )
+    wv = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        e.crossJoin(F.broadcast(pctl))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(wv), 6).alias("avg_winsorized"),
+            F.round(F.stddev(wv), 6).alias("sd_winsorized"),
+            F.round(
+                F.sum(F.when(F.col("value") != wv, 1).otherwise(0)) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("clip_rate"),
+        )
+    )
+
+
+@register(
+    "dim_scd1_upsert",
+    oracle="""
+    WITH upd AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS last_priority,
+             ROUND(o_totalprice, 2) AS last_total, o_orderdate AS last_order_ts
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders)
+      WHERE rn = 1
+    ), base AS (
+      SELECT c_custkey AS custkey, c_name, c_mktsegment
+      FROM customer WHERE c_custkey % 10 <> 0
+    )
+    SELECT COALESCE(b.custkey, u.custkey) AS custkey, b.c_name, b.c_mktsegment,
+           u.last_priority, u.last_total, u.last_order_ts,
+           CASE WHEN b.custkey IS NULL THEN 'insert'
+                WHEN u.custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS op
+    FROM base b FULL OUTER JOIN upd u ON b.custkey = u.custkey
+    """,
+)
+def dim_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SCD type-1 upsert) as a batch full-outer join — the
+    engine-agnostic formulation of `WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT / ELSE keep`. Target = a customer snapshot missing
+    every 10th key (so the insert branch genuinely fires); source =
+    each customer's latest order (deterministic rank). One keyed
+    full-outer shuffle on the dimension key; the op tag makes all
+    three MERGE branches visible in the output. SCD2 history-keeping
+    lives in dim_scd2_build; the streaming twin is the foreachBatch
+    upsert sink."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    wlast = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    upd = (
+        o.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("last_priority"),
+            F.round("o_totalprice", 2).alias("last_total"),
+            F.col("o_orderdate").alias("last_order_ts"),
+        )
+    )
+    base = c.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
+    )
+    return base.join(upd, "custkey", "full_outer").select(
+        "custkey",
+        "c_name",
+        "c_mktsegment",
+        "last_priority",
+        "last_total",
+        "last_order_ts",
+        F.when(F.col("c_name").isNull(), F.lit("insert"))
+        .when(F.col("last_priority").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+    )
+
+
+# Portable across Java regex (Spark) and RE2 (DuckDB): no lookaround,
+# no backrefs, plain classes/quantifiers only.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+_PII_ORACLE = """
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    ), red AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(raw, '__EMAIL__')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(raw, '__PHONE__')) AS BIGINT) AS n_phones,
+             regexp_replace(regexp_replace(raw, '__EMAIL__', '<EMAIL>', 'g'),
+                            '__PHONE__', '<PHONE>', 'g') AS redacted
+      FROM enriched
+    )
+    SELECT doc_id, n_emails, n_phones,
+           right(redacted, 34) AS tail,
+           CAST(length(redacted) AS BIGINT) AS red_len
+    FROM red
+""".replace("__EMAIL__", PII_EMAIL_RE).replace("__PHONE__", PII_PHONE_RE)
+
+
+@register("text_pii_redact", oracle=_PII_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the mandatory pre-training redaction pass:
+    match + replace emails and phone numbers, count what was removed
+    per document. The synthetic corpus carries no organic PII, so each
+    doc is first enriched with a DETERMINISTIC email + phone derived
+    from doc_id (both engines build the identical string), then
+    redacted; counts prove the patterns fired. Pure per-row JVM regex
+    expressions — zero shuffle, trivially linear. Patterns are written
+    to the Java-regex ∩ RE2 common subset so both engines compile the
+    same automaton."""
+    d = t(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("raw"),
+    )
+    red = enriched.select(
+        "doc_id",
+        F.regexp_count(F.col("raw"), F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.expr("right(redacted, 34)").alias("tail"),
+        F.length("redacted").cast("long").alias("red_len"),
+    )
+
+
+@register(
+    "text_hashing_features",
+    oracle="""
+    SELECT doc_id, substr(md5(tok), 1, 2) AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY doc_id, bucket
+    """,
+)
+def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer (feature hashing): tokens bucketed by
+    a portable hash (md5 hex prefix → 256 buckets, the same
+    deterministic-hash device as dedup_minhash_sql) with per-doc
+    bucket counts — the sparse representation of the fixed-width
+    feature vector every streaming-friendly text classifier consumes.
+    No vocabulary table, no vocabulary-sized join (THE point of the
+    hashing trick at 100 TB): explode + one keyed hash-aggregate with
+    map-side combine."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        tok.withColumn("bucket", F.substring(F.md5(F.col("tok")), 1, 2))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+CM_DEPTH = 4  # count-min rows (independent hashes)
+CM_WIDTH_HEX = 2  # bucket id = 2 hex chars -> 256 buckets per row
+
+
+@register(
+    "agg_count_min",
+    oracle="""
+    WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events GROUP BY user_id),
+    hashed AS (
+      SELECT user_id, cnt, d.d,
+             substr(md5(d.d || ':' || user_id), 1, 2) AS bucket
+      FROM uc, (SELECT UNNEST(generate_series(0, 3)) AS d) d
+    ),
+    sketch AS (SELECT d, bucket, CAST(SUM(cnt) AS BIGINT) AS s
+               FROM hashed GROUP BY d, bucket),
+    top10 AS (SELECT user_id AS q_user, cnt AS true_cnt
+              FROM uc ORDER BY cnt DESC, user_id LIMIT 10),
+    qh AS (
+      SELECT tt.q_user, tt.true_cnt, d.d,
+             substr(md5(d.d || ':' || tt.q_user), 1, 2) AS bucket
+      FROM top10 tt, (SELECT UNNEST(generate_series(0, 3)) AS d) d
+    )
+    SELECT q.q_user AS user_id, q.true_cnt,
+           CAST(MIN(s.s) AS BIGINT) AS est_cnt,
+           CAST(MIN(s.s) - q.true_cnt AS BIGINT) AS overcount
+    FROM qh q JOIN sketch s ON s.d = q.d AND s.bucket = q.bucket
+    GROUP BY q.q_user, q.true_cnt
+    """,
+)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch — the frequency member of the mergeable-sketch
+    ladder (HLL=distinct, GK=quantiles, bitmap=exact-distinct,
+    MinHash=similarity): 4 portable hash rows × 256 buckets estimate
+    per-user event frequency; estimate = MIN over rows, never an
+    undercount. Fully deterministic (md5-prefix hashes, mirrored in
+    the oracle) so unlike most sketches it hash-verifies exactly. The
+    sketch is 1024 cells regardless of corpus size — the whole point:
+    merging partial sketches shuffles KB, not keys. Queried here for
+    the top-10 true heavy hitters with the observed overcount."""
+    e = t(spark, sf_dir, "events")
+    uc = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    dcol = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d")
+
+    def bucket(key: object):
+        return F.substring(F.md5(F.concat_ws(":", F.col("d"), key)), 1, CM_WIDTH_HEX)
+
+    hashed = uc.select("user_id", "cnt", dcol).withColumn(
+        "bucket", bucket(F.col("user_id"))
+    )
+    sketch = hashed.groupBy("d", "bucket").agg(F.sum("cnt").alias("s"))
+    top10 = (
+        uc.orderBy(F.col("cnt").desc(), "user_id")
+        .limit(10)
+        .select(F.col("user_id").alias("q_user"), F.col("cnt").alias("true_cnt"))
+    )
+    qh = top10.select("q_user", "true_cnt", dcol).withColumn(
+        "bucket", bucket(F.col("q_user"))
+    )
+    return (
+        qh.join(sketch, ["d", "bucket"])
+        .groupBy("q_user", "true_cnt")
+        .agg(F.min("s").alias("est_cnt"))
+        .select(
+            F.col("q_user").alias("user_id"),
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iterative-algorithm tier (rows-only "R": driver checks execution +
+# row count; exact invariants live in tests/test_llm.py). Driver-side
+# state in these ops is bounded by CONSTANTS (k×dim centroids, a
+# dim-length vector), never by corpus size — each iteration is one
+# distributed pass whose keyed aggregate collapses to k×dim / dim rows
+# via map-side combine, the canonical Lloyd / power-iteration shape on
+# a 1000-executor cluster.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+POWER_ITERS = 6
+
+
+def _sq_l2(a, b):
+    """Squared L2 distance between two array columns (JVM lambdas)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_detail(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+):
+    """Lloyd's k-means over the embeddings table; returns
+    ``(assignments_df, inertia_history, final_centroids)`` so the
+    invariant tests can check monotone convergence and the
+    nearest-centroid property directly.
+
+    Deterministic: seeds are the k lowest vec_ids; each iteration
+    assigns via min(struct(dist, cluster)) (id-stable tie-break) and
+    recomputes centroids with a (cluster, dim) hash-aggregate. The
+    only driver-side data is k×dim floats per iteration (bounded by
+    constants) plus the 1-row inertia — the corpus never leaves the
+    executors."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    seeds = emb.orderBy("vec_id").limit(k).collect()  # bounded: k rows
+    cents = [(i, list(r.vec)) for i, r in enumerate(seeds)]
+    history: list[float] = []
+    best = None
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(cents, "cluster INT, centroid ARRAY<DOUBLE>")
+        assigned = emb.crossJoin(F.broadcast(cent_df)).withColumn(
+            "dist2", _sq_l2(F.col("vec"), F.col("centroid"))
+        )
+        best = (
+            assigned.groupBy("vec_id")
+            .agg(F.min(F.struct("dist2", "cluster")).alias("m"))
+            .select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.dist2").alias("dist2"))
+        )
+        history.append(best.agg(F.sum("dist2")).collect()[0][0])  # 1-row scalar
+        newc = (
+            best.join(emb, "vec_id")
+            .select("cluster", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()  # bounded: k x dim rows
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in newc:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+        cents = [
+            (c, [dims[i] for i in sorted(dims)]) for c, dims in sorted(by_cluster.items())
+        ]
+    return best, history, cents
+
+
+@register("embeddings_kmeans", oracle=None)
+def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means clustering of the embedding corpus (k=8, 3
+    iterations, deterministic lowest-id seeding) — the diversity-
+    sampling / corpus-stratification primitive of a training-data
+    pipeline. Each iteration: broadcast k×dim centroids (constant
+    size), assign by squared-L2 argmin with JVM array lambdas, then
+    ONE (cluster, dim) hash-aggregate recomputes centroids — the
+    classic scalable Lloyd step (per-partition partial sums, k×dim
+    reduce). Iterative fixed-point ⇒ not single-statement SQL: rows-
+    only at the gate, with monotone-inertia + nearest-centroid
+    invariants in tests/test_llm.py."""
+    best, _, _ = kmeans_detail(spark, sf_dir)
+    return best.select("vec_id", "cluster", F.round("dist2", 4).alias("dist2"))
+
+
+def power_iteration_detail(
+    spark: SparkSession, sf_dir: str, iters: int = POWER_ITERS
+):
+    """Power iteration for the top principal component of the
+    (centered) embedding covariance; returns ``(loadings, eigenvalue,
+    rayleigh_history)``. Never materializes the dim×dim covariance:
+    each step computes s = c·w per row, then the dim-length vector
+    Σ c·s via a (dim) hash-aggregate — two scans' worth of work in one
+    pass, driver state bounded by dim."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("vec")
+    )
+    n = emb.count()
+    mu_rows = (
+        emb.select(F.posexplode("vec").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()  # bounded: dim rows
+    )
+    mu = [m for _, m in sorted((r.pos, r.m) for r in mu_rows)]
+    dim = len(mu)
+    w = [1.0 / dim**0.5] * dim
+    history: list[float] = []
+    eig = 0.0
+    for _ in range(iters):
+        mu_col = F.array(*[F.lit(v) for v in mu])
+        w_col = F.array(*[F.lit(v) for v in w])
+        centered = F.zip_with(F.col("vec"), mu_col, lambda x, m: x - m)
+        s = F.aggregate(
+            F.zip_with(centered, w_col, lambda c, ww: c * ww),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        aw_rows = (
+            emb.select(F.posexplode(centered).alias("pos", "c"), s.alias("s"))
+            .select("pos", (F.col("c") * F.col("s")).alias("cs"))
+            .groupBy("pos")
+            .agg(F.sum("cs").alias("aw"))
+            .collect()  # bounded: dim rows
+        )
+        aw = [v / n for _, v in sorted((r.pos, r.aw) for r in aw_rows)]
+        eig = sum(a * b for a, b in zip(w, aw))  # Rayleigh quotient
+        history.append(eig)
+        norm = sum(v * v for v in aw) ** 0.5
+        w = [v / norm for v in aw]
+    return w, eig, history
+
+
+@register("embeddings_power_iteration", oracle=None)
+def embeddings_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by distributed
+    power iteration — embedding-drift / encoder-QA telemetry (a
+    collapsing encoder shows one dimension swallowing the variance).
+    The dim×dim covariance is NEVER built: each iteration is one pass
+    computing (c·w) per row and the dim-length aggregate Σc(c·w),
+    collapsed map-side to `dim` cells per partition. Output is the
+    dim-bounded loading vector plus the Rayleigh eigenvalue.
+    Iterative ⇒ rows-only at the gate; unit-norm, monotone-Rayleigh
+    and small-residual invariants in tests/test_llm.py."""
+    w, eig, _ = power_iteration_detail(spark, sf_dir)
+    rows = [(i, round(v, 6), round(eig, 6)) for i, v in enumerate(w)]
+    return spark.createDataFrame(  # bounded: dim rows
+        rows, "dim INT, loading DOUBLE, eigenvalue DOUBLE"
+    )
+
+
+@register("dedup_semantic_clusters", oracle=None)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup CLUSTERS, end to end: LSH-bucketed candidate
+    pairs (BucketedRandomProjectionLSH at the L2 radius for cosine ≥
+    EMB_NEAR_DUP_COS, same calibration as dedup_embedding_cosine) fed
+    into large-star/small-star connected components — the production
+    shape of embedding dedup at 100 TB (pairs are banded, never
+    all-pairs; the fixed-point CC is diameter-independent). Output:
+    one row per multi-member cluster with its canonical keeper (min
+    vec_id) and size. LSH signatures are engine-specific ⇒ rows-only;
+    edge-exactness and closure invariants in tests/test_llm.py."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    from hello_flink_spark.operators.graph import connected_components
+    from hello_flink_spark.queries.llm import EMB_NEAR_DUP_COS, _as_double
+
+    e = t(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", array_to_vector(_as_double(F.col("embedding"))).alias("raw"))
+    unit = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(vecs)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(unit)
+    radius = (2.0 - 2.0 * EMB_NEAR_DUP_COS) ** 0.5
+    pairs = (
+        model.approxSimilarityJoin(unit, unit, radius, distCol="l2_dist")
+        .filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("u"),
+            F.col("datasetB.vec_id").alias("v"),
+        )
+    )
+    labeled = connected_components(pairs, "u", "v")
+    return (
+        labeled.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )

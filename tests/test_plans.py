@@ -49,6 +49,8 @@ BNLJ_OK = {
     "text_word_cooccurrence_pmi",  # broadcast 1-row unigram/bigram totals
     "docs_perplexity_filter",  # broadcast 1-row p10 percentile + vocab scalars
     "pipeline_training_corpus_v3",  # broadcast 1-row vocab/p10/quota scalars
+    "events_hourly_gap_fill",   # type alphabet x broadcast 1-row [min,max] scalar
+    "events_value_winsorize",   # broadcast 1-row [p1,p99] percentile scalar
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
@@ -75,7 +77,22 @@ def _plan(spark, name: str) -> str:
 
 # streaming-less declared queries only (plans of rows-only ML ops like
 # MinHashLSH materialize models at fit time — skip the two LSH fits).
-PLAN_NAMES = sorted(n for n in SPECS if n not in {"dedup_minhash", "sim_lsh_knn"})
+PLAN_NAMES = sorted(
+    n
+    for n in SPECS
+    if n
+    not in {
+        "dedup_minhash",
+        "sim_lsh_knn",
+        # LSH fit at plan-build time (same as the two above):
+        "dedup_semantic_clusters",
+        # iterative fixed-point ops execute eagerly while building the
+        # final frame — their per-iteration plans are covered by the
+        # invariant tests in tests/test_llm.py instead:
+        "embeddings_kmeans",
+        "embeddings_power_iteration",
+    }
+)
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark):
@@ -202,6 +219,9 @@ BROADCAST_HINT_OK = {
     ("round6", "n1"): "1-row unigram-total scalar (text_word_cooccurrence_pmi)",
     ("round6", "n2"): "1-row bigram-total scalar (text_word_cooccurrence_pmi)",
     ("round6", "quota"): "1-row MIN lang-quota scalar (pipeline_training_corpus_v3)",
+    ("round6", "bounds"): "1-row [min,max] hour scalar (events_hourly_gap_fill)",
+    ("round6", "pctl"): "1-row [p1,p99] percentile scalar (events_value_winsorize)",
+    ("round6", "cent_df"): "k x dim centroid table — KMEANS_K constant (kmeans_detail)",
     ("jobs", "dim"): "event_type dim — bounded by type cardinality",
     ("jobs", "rules"): "broadcast-rules table — operator contract: small",
     ("joins", "dim"): "broadcast_join() helper — API contract: caller passes a bounded dim",
