@@ -105,6 +105,14 @@ HEADLINE = [
     "text_chunk_overlap",
     # the fused curation pipeline (round-6 capstone).
     "pipeline_training_corpus_v3",
+    # round-6 batch 3: count-min sketch build+probe, audience-overlap
+    # self-join fan-out, hashing-trick explode-agg, grid densify,
+    # full-outer MERGE upsert.
+    "agg_count_min",
+    "events_user_overlap_jaccard",
+    "text_hashing_features",
+    "events_hourly_gap_fill",
+    "dim_scd1_upsert",
 ]
 
 

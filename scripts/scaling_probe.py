@@ -49,6 +49,13 @@ PROBES = [
     ("text_bigram_logprob", "documents"),
     ("dedup_minhash_error", "documents"),
     ("agg_bitmap_distinct", "events"),
+    # round-6 batch 3: the audience-overlap self-join (fan-out bounded
+    # by type alphabet squared), the count-min build+probe, the
+    # hashing-trick explode-agg, and the full-outer MERGE upsert.
+    ("events_user_overlap_jaccard", "events"),
+    ("agg_count_min", "events"),
+    ("text_hashing_features", "documents"),
+    ("dim_scd1_upsert", "orders+customer"),
 ]
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
