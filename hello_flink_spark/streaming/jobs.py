@@ -136,6 +136,30 @@ def running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def count_min_cells(events: DataFrame) -> DataFrame:
+    """Streaming count-min sketch — the §2.12 sketch ladder's
+    frequency member as a live stream (twin of the declared
+    agg_count_min): explode each event into CM_DEPTH (d, bucket)
+    cells with the same portable md5-prefix hash, then an update-mode
+    running count per cell. The sketch IS a plain streaming
+    aggregation over a CONSTANT 4x256 cell space, so state is bounded
+    by the sketch dimensions, not the stream — the whole point of
+    sketching an unbounded stream. Probe: est(key) = min over d of
+    cell(d, h_d(key)); golden-tested cell-exact vs the batch sketch.
+    """
+    from hello_flink_spark.queries.round6 import CM_DEPTH, CM_WIDTH_HEX
+
+    cells = events.select(
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d"), "user_id"
+    ).withColumn(
+        "bucket",
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("d"), F.col("user_id"))), 1, CM_WIDTH_HEX
+        ),
+    )
+    return cells.groupBy("d", "bucket").agg(F.count("*").alias("s"))
+
+
 # ---------------------------------------------------------------------------
 # §2.10 dedup / joins
 # ---------------------------------------------------------------------------

@@ -354,3 +354,15 @@ def test_cep_batch_compiler_matches_reference_model(spark, events):
     )
     want = _cep_reference(events, ("a", "b", "a"), 60)
     assert got == want
+
+
+def test_count_min_never_undercounts(spark, sf_dir):
+    """Count-min guarantee (any scale, any data): the sketch estimate
+    is >= the true frequency for every queried key, with equality when
+    no other key collides into all 4 of its buckets."""
+    from hello_flink_spark.registry import get_spec
+
+    pdf = get_spec("agg_count_min").fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 10
+    assert (pdf["est_cnt"] >= pdf["true_cnt"]).all()
+    assert (pdf["overcount"] == pdf["est_cnt"] - pdf["true_cnt"]).all()

@@ -1044,3 +1044,38 @@ def test_cep_repeated_type_equals_batch_shadow(spark, sf_dir, replay_dir):
         for r in get_spec("cep_pattern_repeat").fn(spark, sf_dir).collect()
     )
     assert got and got == want
+
+
+def test_count_min_stream_equals_batch_sketch(spark, sf_dir, replay_dir):
+    """Streaming CM sketch (last update per cell) must equal the batch
+    sketch CELL-EXACTLY (counts are exact per cell; only the probe is
+    approximate), and probing the streamed cells for agg_count_min's
+    top-10 users must reproduce the declared op's estimates."""
+    import hashlib
+
+    run_to_memory(jobs.count_min_cells(_stream(spark, replay_dir)), "t_cm", "update")
+    emitted = spark.table("t_cm")
+    final = emitted.groupBy("d", "bucket").agg(F.max("s").alias("s"))
+    got = {(r.d, r.bucket): r.s for r in final.collect()}
+
+    e = load_table(spark, sf_dir, "events")
+    want_df = (
+        e.select(F.explode(F.sequence(F.lit(0), F.lit(3))).alias("d"), "user_id")
+        .withColumn(
+            "bucket",
+            F.substring(F.md5(F.concat_ws(":", F.col("d"), F.col("user_id"))), 1, 2),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("s"))
+    )
+    want = {(r.d, r.bucket): r.s for r in want_df.collect()}
+    assert got == want
+
+    batch = get_spec("agg_count_min").fn(spark, sf_dir).collect()
+    assert batch
+    for r in batch:
+        probe = min(
+            got[(d, hashlib.md5(f"{d}:{r.user_id}".encode()).hexdigest()[:2])]
+            for d in range(4)
+        )
+        assert probe == r.est_cnt, (r.user_id, probe, r.est_cnt)
