@@ -2070,3 +2070,76 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .filter(F.col("n_members") >= 2)
     )
+
+
+@register(
+    "join_temporal_table",
+    oracle="""
+    WITH feed AS (
+      SELECT o_custkey, o_orderdate AS ts, o_orderkey, o_orderstatus AS status,
+             LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS prev_status
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), dim AS (
+      SELECT o_custkey AS cust_key, status,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY o_custkey ORDER BY ts, o_orderkey) AS valid_to
+      FROM feed
+      WHERE prev_status IS NULL OR status <> prev_status
+    )
+    SELECT p.o_orderkey, p.o_custkey, p.o_orderdate,
+           d.status AS status_asof, d.valid_from
+    FROM (SELECT o_orderkey, o_custkey, o_orderdate
+          FROM orders WHERE o_orderkey % 2 = 1) p
+    JOIN dim d
+      ON d.cust_key = p.o_custkey
+     AND d.valid_from <= p.o_orderdate
+     AND (d.valid_to IS NULL OR p.o_orderdate < d.valid_to)
+    """,
+)
+def join_temporal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Temporal table join — Flink SQL's `FOR SYSTEM_TIME AS OF
+    p.ts`: each probe row joins the dimension VERSION that was valid
+    at its own event time. Versioned dim = SCD2 status history built
+    from the even-orderkey half of orders (lag-collapse + lead
+    intervals, the dim_scd2_build shape); probes = the odd-orderkey
+    half. The join is an equi-join on the dim key with the validity
+    range as residual — one keyed shuffle, and since SCD2 intervals
+    are disjoint per key, each probe matches AT MOST one version (no
+    fan-out). This is the batch shadow of Flink's processing/event-
+    time temporal join; the streaming analogues are the stream-static
+    and broadcast-rules jobs (streaming/jobs.py)."""
+    o = t(spark, sf_dir, "orders")
+    even = o.filter(F.col("o_orderkey") % 2 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    feed = even.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    dim = feed.filter(
+        F.col("prev_status").isNull() | (F.col("status") != F.col("prev_status"))
+    ).select(
+        F.col("o_custkey").alias("cust_key"),
+        "status",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    probes = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return probes.join(
+        dim,
+        (F.col("cust_key") == F.col("o_custkey"))
+        & (F.col("valid_from") <= F.col("o_orderdate"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("status").alias("status_asof"),
+        "valid_from",
+    )
