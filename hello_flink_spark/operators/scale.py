@@ -66,7 +66,16 @@ def anti_join_bounded(
     most ``max_broadcast``+1 rows, one tiny job) and fail over to a
     plain shuffle anti-join past the threshold. Either path returns
     identical rows (property-tested in tests/test_scale.py with a
-    forced-failover threshold)."""
+    forced-failover threshold).
+
+    The key set is materialized ONCE via localCheckpoint before the
+    probe: without it the probe count and the subsequent anti-join
+    each recompute the full upstream aggregation (measured on the
+    df-capped dedup ops: the shingle aggregation ran twice — a ~1.5×
+    wall regression on dedup_minhash_sql when the guard first landed).
+    The checkpoint holds only the key set itself, the data that was
+    about to be broadcast or shuffled anyway."""
+    keys = keys.localCheckpoint(eager=True)
     n = keys.limit(max_broadcast + 1).count()
     if n <= max_broadcast:
         keys = F.broadcast(keys)
