@@ -397,7 +397,24 @@ def dedup_fingerprint_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame
     from hello_flink_spark.queries.llm import _shingle_df
 
     d = t(spark, sf_dir, "documents")
-    fp0 = _shingle_df(d).groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+    # One fingerprint row per doc; materialize once — the hot-bucket
+    # branch and the candidate self-join both consume it, and without
+    # the checkpoint each re-runs the whole shingle pipeline (the same
+    # double-compute anti_join_bounded guards against for its keys).
+    # Repartition WIDE before checkpointing: AQE coalesces the small
+    # aggregate to one partition, the checkpoint freezes that layout,
+    # and every downstream join broadcasts its other side — so the
+    # O(len^2) Levenshtein verify would inherit ONE task (measured:
+    # 10 s of an 11.5 s wall on one core; cost-based coalescing cannot
+    # see per-row CPU weight). 32-wide checkpoint -> 32-wide verify
+    # (measured 0.9 s for the same stage).
+    fp0 = (
+        _shingle_df(d)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("shingle")).alias("fingerprint"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .localCheckpoint(eager=True)
+    )
     hot = (
         fp0.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("k"))
