@@ -113,6 +113,11 @@ HEADLINE = [
     "text_hashing_features",
     "events_hourly_gap_fill",
     "dim_scd1_upsert",
+    # banded-candidates + expensive-verify shape, gated after the
+    # round-6 single-partition-verify fix (11.4 s -> 2.6 s).
+    "dedup_fingerprint_levenshtein",
+    # Flink-parity temporal table join (FOR SYSTEM_TIME AS OF).
+    "join_temporal_table",
 ]
 
 
