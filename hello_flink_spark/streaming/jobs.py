@@ -160,6 +160,32 @@ def count_min_cells(events: DataFrame) -> DataFrame:
     return cells.groupBy("d", "bucket").agg(F.count("*").alias("s"))
 
 
+def rolling_wau_hll(events: DataFrame) -> DataFrame:
+    """Streaming rolling 7-day active users via mergeable HLL sketches
+    — the streaming twin of events_rolling_active_users with the
+    distinct-count swapped for the sketch the 100 TB path needs
+    (COUNT(DISTINCT) is not partial-aggregable; HLL union is
+    order-independent, so batch == streaming-final exactly).
+    Pipeline: stateful (user, day) dedup, the bounded ×7 contribution
+    explode, then an update-mode hll_sketch_agg per report day. State:
+    one dedup row per (user, active-day) + 7 sketches per day — the
+    sketch side is constant-size per key."""
+    ud = events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).dropDuplicates(["user_id", "day"])
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+    ).select(
+        "user_id",
+        F.timestamp_add("DAY", F.col("off"), F.col("day")).alias("report_day"),
+    )
+    return contrib.groupBy("report_day").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("wau_est")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.10 dedup / joins
 # ---------------------------------------------------------------------------

@@ -1079,3 +1079,42 @@ def test_count_min_stream_equals_batch_sketch(spark, sf_dir, replay_dir):
             for d in range(4)
         )
         assert probe == r.est_cnt, (r.user_id, probe, r.est_cnt)
+
+
+def test_rolling_wau_hll_stream_equals_batch(spark, sf_dir, replay_dir):
+    """Streaming WAU sketches (last update per report day) must equal
+    the batch HLL estimates exactly — HLL union is order-independent,
+    so micro-batch merge order cannot change the registers — and the
+    sketch estimate must sit within 5% of the exact distinct count."""
+    run_to_memory(jobs.rolling_wau_hll(_stream(spark, replay_dir)), "t_wau", "update")
+    emitted = spark.table("t_wau")
+    # update mode re-emits a day each time its sketch grows; the final
+    # estimate per day is the max (WAU estimates only grow)
+    got = {
+        r.report_day: r.wau_est
+        for r in emitted.groupBy("report_day").agg(F.max("wau_est").alias("wau_est")).collect()
+    }
+
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day"
+    ).select(
+        "user_id", F.timestamp_add("DAY", F.col("off"), F.col("day")).alias("report_day")
+    )
+    want = {
+        r.report_day: r.wau_est
+        for r in contrib.groupBy("report_day")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("wau_est"))
+        .collect()
+    }
+    assert got == want
+
+    exact = {
+        r.report_day: r.wau
+        for r in contrib.groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .collect()
+    }
+    for day, est in want.items():
+        assert abs(est - exact[day]) <= max(0.05 * exact[day], 2), (day, est, exact[day])
