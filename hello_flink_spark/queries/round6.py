@@ -2143,3 +2143,28 @@ def join_temporal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status").alias("status_asof"),
         "valid_from",
     )
+
+
+def _cep_timeout_oracle() -> str:
+    from hello_flink_spark.streaming.cep import FUNNEL4, oracle_sql_timeouts
+
+    return oracle_sql_timeouts(FUNNEL4)
+
+
+@register("cep_pattern_timeout", oracle=_cep_timeout_oracle())
+def cep_pattern_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink CEP's timed-out-pattern side output
+    (`PatternStream.select(timeoutTag, timeoutFn, selectFn)`): for the
+    4-step acquisition funnel, EVERY anchor row — matched funnels with
+    all four stage timestamps and `matched=true`, plus abandoned
+    funnels carrying the stage prefix they reached before the window
+    expired and `matched=false`. Batch form of
+    streaming/cep.py::compile_batch_timeouts: the compile_batch join
+    chain with LEFT joins so missing stages stay NULL (the streaming
+    NFA twin emits the identical prefix rows at timer expiry,
+    golden-tested in tests/test_streaming.py). The funnel-abandonment
+    report every growth team runs — one user_id exchange reused down
+    the chain."""
+    from hello_flink_spark.streaming.cep import FUNNEL4, compile_batch_timeouts
+
+    return compile_batch_timeouts(FUNNEL4, t(spark, sf_dir, "events"))

@@ -88,27 +88,53 @@ def _make_processor(
     steps: Tuple[str, ...],
     window_us: int,
     mins: Tuple[float | None, ...] | None = None,
+    emit_timeouts: bool = False,
 ):
     """Build the per-key NFA closure. Partial matches are encoded in
     state as 'anchor_id:ts1,ts2,...' strings (stage = number of ts
     entries) — a single array<string> state column works for every
-    pattern length, which is what makes the compiler general."""
+    pattern length, which is what makes the compiler general.
+
+    With ``emit_timeouts`` ([F] Flink's timed-out-pattern side output,
+    ``PatternStream.select(timeoutTag, ...)``) every expired partial is
+    EMITTED as a row carrying the stage prefix it reached plus
+    ``matched=false`` (completed matches carry ``matched=true``) —
+    both at the event-time timer and at inline window pruning."""
     k = len(steps)
     mins = mins or (None,) * k
 
-    def proc(
-        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:  # watermark passed every open partial
-            state.remove()
-            yield pd.DataFrame([])
-            return
+    def _row(uid, aid, tss, matched):
+        row = {"user_id": uid, "anchor_id": aid}
+        for j in range(k):
+            row[f"ts{j + 1}"] = (
+                pd.Timestamp(int(tss[j]), unit="us") if j < len(tss) else None
+            )
+        if emit_timeouts:
+            row["matched"] = matched
+        return row
 
+    def _decode(state: GroupState) -> list[tuple[int, list[int]]]:
         partials: list[tuple[int, list[int]]] = []
         if state.exists:
             for enc in state.get[0]:
                 aid, _, tss = enc.partition(":")
                 partials.append((int(aid), [int(x) for x in tss.split(",")]))
+        return partials
+
+    def proc(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # watermark passed every open partial
+            expired = _decode(state)
+            state.remove()
+            yield pd.DataFrame(
+                [_row(key[0], aid, tss, False) for aid, tss in expired]
+                if emit_timeouts
+                else []
+            )
+            return
+
+        partials = _decode(state)
 
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "event_id"], ignore_index=True
@@ -118,6 +144,12 @@ def _make_processor(
             pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["value"]
         ):
             ts_us = ts.value // 1000
+            if emit_timeouts:
+                out.extend(
+                    _row(key[0], aid, tss, False)
+                    for aid, tss in partials
+                    if ts_us - tss[-1] > window_us
+                )
             partials = [p for p in partials if ts_us - p[1][-1] <= window_us]
             # highest stage first: a partial promoted by this event has
             # already passed its new stage's turn, so one event advances
@@ -135,10 +167,7 @@ def _make_processor(
                 for aid, tss in promoted:
                     ntss = tss + [ts_us]
                     if i == k - 1:
-                        row = {"user_id": key[0], "anchor_id": aid}
-                        for j, v in enumerate(ntss):
-                            row[f"ts{j + 1}"] = pd.Timestamp(int(v), unit="us")
-                        out.append(row)
+                        out.append(_row(key[0], aid, ntss, True))
                     else:
                         partials.append((aid, ntss))
             if etype == steps[0] and (mins[0] is None or val >= mins[0]):
@@ -181,6 +210,40 @@ def compile_stream(
     return nfa.select(*renames)
 
 
+def compile_stream_timeouts(
+    pattern: CepPattern, events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Compile the pattern to a streaming NFA that ALSO emits Flink's
+    timed-out-pattern side output: completed matches carry
+    ``matched=true`` with every stage timestamp; expired partials
+    carry ``matched=false`` with the prefix they reached (later stages
+    NULL). One tagged stream — split downstream with two filters (the
+    repo's side-output convention, SURVEY §2.10)."""
+    k = len(pattern.steps)
+    out_cols = ", ".join(f"ts{i + 1} timestamp" for i in range(k))
+    nfa = (
+        events.filter(F.col("event_type").isin(*set(pattern.steps)))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_processor(
+                pattern.steps,
+                pattern.window_us,
+                pattern.step_min_value,
+                emit_timeouts=True,
+            ),
+            outputStructType=f"user_id long, anchor_id long, {out_cols}, matched boolean",
+            stateStructType="partials array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    renames = [F.col("user_id"), F.col("anchor_id").alias(pattern.anchor_col)]
+    renames += [F.col(f"ts{i + 1}").alias(pattern.ts_col(i)) for i in range(k)]
+    renames += [F.col("matched")]
+    return nfa.select(*renames)
+
+
 # ---------------------------------------------------------------------------
 # batch shadow + oracle
 # ---------------------------------------------------------------------------
@@ -218,6 +281,83 @@ def compile_batch(pattern: CepPattern, events: DataFrame) -> DataFrame:
             .agg(F.min("__ts").alias(this_ts))
         )
     return cur
+
+
+def compile_batch_timeouts(pattern: CepPattern, events: DataFrame) -> DataFrame:
+    """Batch shadow of ``compile_stream_timeouts``: the same join
+    chain as ``compile_batch`` with every stage join turned LEFT, so
+    an anchor that never finds its next stage within the window keeps
+    NULLs from that stage on — exactly the prefix the NFA emits when
+    the partial expires. ``matched`` = final stage present. Same one
+    user_id exchange reused down the chain."""
+    w = f"INTERVAL {pattern.within_minutes} MINUTES"
+    s0 = events.filter(F.col("event_type") == pattern.steps[0])
+    if pattern.min_value(0) is not None:
+        s0 = s0.filter(F.col("value") >= pattern.min_value(0))
+    cur = s0.select(
+        "user_id",
+        F.col("event_id").alias(pattern.anchor_col),
+        F.col("ts").alias(pattern.ts_col(0)),
+    )
+    for i in range(1, len(pattern.steps)):
+        prev_ts, this_ts = pattern.ts_col(i - 1), pattern.ts_col(i)
+        si = events.filter(F.col("event_type") == pattern.steps[i])
+        if pattern.min_value(i) is not None:
+            si = si.filter(F.col("value") >= pattern.min_value(i))
+        nxt = si.select(F.col("user_id").alias("__u"), F.col("ts").alias("__ts"))
+        cur = (
+            cur.join(
+                nxt,
+                (F.col("user_id") == F.col("__u"))
+                & (F.col("__ts") > F.col(prev_ts))
+                & (F.col("__ts") <= F.col(prev_ts) + F.expr(w)),
+                "left",
+            )
+            .groupBy(*[c for c in cur.columns])
+            .agg(F.min("__ts").alias(this_ts))
+        )
+    last_ts = pattern.ts_col(len(pattern.steps) - 1)
+    return cur.withColumn("matched", F.col(last_ts).isNotNull())
+
+
+def oracle_sql_timeouts(pattern: CepPattern) -> str:
+    """DuckDB equivalent of ``compile_batch_timeouts`` (LEFT JOIN CTE
+    chain; ``matched`` = final stage IS NOT NULL)."""
+    w = f"INTERVAL {pattern.within_minutes} MINUTE"
+    anchor, ts0 = pattern.anchor_col, pattern.ts_col(0)
+    guard0 = (
+        f" AND value >= {pattern.min_value(0)}"
+        if pattern.min_value(0) is not None
+        else ""
+    )
+    sql = (
+        f"WITH s1 AS (SELECT user_id, event_id AS {anchor}, ts AS {ts0} "
+        f"FROM events WHERE event_type = '{pattern.steps[0]}'{guard0})"
+    )
+    prev = "s1"
+    cols = [f"{anchor}", f"{ts0}"]
+    for i in range(1, len(pattern.steps)):
+        prev_ts, this_ts = pattern.ts_col(i - 1), pattern.ts_col(i)
+        qcols = ", ".join([f"{prev}.user_id"] + [f"{prev}.{c}" for c in cols])
+        guard = (
+            f"AND e.value >= {pattern.min_value(i)} "
+            if pattern.min_value(i) is not None
+            else ""
+        )
+        sql += (
+            f", s{i + 1} AS (SELECT {qcols}, MIN(e.ts) AS {this_ts} "
+            f"FROM {prev} LEFT JOIN events e ON e.user_id = {prev}.user_id "
+            f"AND e.event_type = '{pattern.steps[i]}' {guard}"
+            f"AND e.ts > {prev}.{prev_ts} AND e.ts <= {prev}.{prev_ts} + {w} "
+            f"GROUP BY {qcols})"
+        )
+        prev = f"s{i + 1}"
+        cols.append(this_ts)
+    last_ts = pattern.ts_col(len(pattern.steps) - 1)
+    return (
+        f"{sql} SELECT user_id, {', '.join(cols)}, "
+        f"({last_ts} IS NOT NULL) AS matched FROM {prev}"
+    )
 
 
 def oracle_sql(pattern: CepPattern) -> str:

@@ -1118,3 +1118,71 @@ def test_rolling_wau_hll_stream_equals_batch(spark, sf_dir, replay_dir):
     }
     for day, est in want.items():
         assert abs(est - exact[day]) <= max(0.05 * exact[day], 2), (day, est, exact[day])
+
+
+def test_cep_timeout_side_output(spark, sf_dir, replay_dir):
+    """Flink's timed-out-pattern side output, compiled: the streaming
+    NFA's matched rows must equal the batch shadow's matched rows
+    EXACTLY; its timeout rows must be a subset of the batch shadow's
+    unmatched rows (same anchor, same stage prefix); and every batch
+    timeout whose expiry precedes the last-batch-start watermark must
+    have been emitted (quantified boundary: only partials still within
+    window at end-of-replay may remain unemitted in state)."""
+    from hello_flink_spark.streaming.cep import (
+        FUNNEL4,
+        compile_batch_timeouts,
+        compile_stream_timeouts,
+    )
+
+    run_to_memory(
+        compile_stream_timeouts(FUNNEL4, _stream(spark, replay_dir)), "t_cep_to", "append"
+    )
+    got = spark.table("t_cep_to").toPandas()
+    want = compile_batch_timeouts(
+        FUNNEL4, load_table(spark, sf_dir, "events")
+    ).toPandas()
+
+    ts_cols = [FUNNEL4.ts_col(i) for i in range(len(FUNNEL4.steps))]
+
+    def keyset(pdf):
+        return {
+            (r.user_id, getattr(r, FUNNEL4.anchor_col))
+            + tuple(None if pd.isna(getattr(r, c)) else getattr(r, c) for c in ts_cols)
+            for r in pdf.itertuples()
+        }
+
+    import pandas as pd
+
+    got_m, got_t = got[got["matched"]], got[~got["matched"]]
+    want_m, want_t = want[want["matched"]], want[~want["matched"]]
+    assert keyset(got_m) == keyset(want_m)
+    assert keyset(got_t) <= keyset(want_t)
+    assert len(got_t), "no timeout rows emitted at all"
+
+    # quantified boundary: the watermark the final batch starts with is
+    # (max ts of the first n-1 chunks) - 30 min; every batch timeout
+    # already expired by then must have been emitted by the NFA.
+    import glob
+    import os
+
+    chunk_dirs = sorted(glob.glob(os.path.join(replay_dir[0], "chunk_*")))
+    wm = (
+        spark.read.parquet(*chunk_dirs[:-1])
+        .agg(F.max("ts").alias("m"))
+        .head()
+        .m
+        - pd.Timedelta("30 minutes")
+    )
+    window = pd.Timedelta(minutes=FUNNEL4.within_minutes)
+    got_keys = keyset(got_t)
+    missed = []
+    for row in want_t.itertuples():
+        prefix = [getattr(row, c) for c in ts_cols]
+        last = max(t for t in prefix if not pd.isna(t))
+        if last + window < wm:
+            key = (row.user_id, getattr(row, FUNNEL4.anchor_col)) + tuple(
+                None if pd.isna(t) else t for t in prefix
+            )
+            if key not in got_keys:
+                missed.append(key)
+    assert not missed, f"{len(missed)} expired partials never emitted: {missed[:3]}"
