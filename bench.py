@@ -118,6 +118,8 @@ HEADLINE = [
     "dedup_fingerprint_levenshtein",
     # Flink-parity temporal table join (FOR SYSTEM_TIME AS OF).
     "join_temporal_table",
+    # CEP timed-out-pattern side output (LEFT-join chain over 4 stages).
+    "cep_pattern_timeout",
 ]
 
 
