@@ -366,3 +366,83 @@ def test_count_min_never_undercounts(spark, sf_dir):
     assert len(pdf) == 10
     assert (pdf["est_cnt"] >= pdf["true_cnt"]).all()
     assert (pdf["overcount"] == pdf["est_cnt"] - pdf["true_cnt"]).all()
+
+
+def _cep_reference_timeouts(events, steps, window_s):
+    """Reference model for the timeout variant: EVERY anchor appears;
+    the chain stops at the first missing stage (None padding) and
+    matched marks completion. Shares no code with streaming/cep.py."""
+    out = []
+    per_user: dict = {}
+    for uid, eid, ts, etype in events:
+        per_user.setdefault(uid, []).append((eid, ts, etype))
+    for uid, evs in per_user.items():
+        for eid, ts0, etype in evs:
+            if etype != steps[0]:
+                continue
+            chain = [ts0]
+            for step in steps[1:]:
+                cands = [
+                    t2
+                    for _, t2, e2 in evs
+                    if e2 == step and t2 > chain[-1] and t2 <= chain[-1] + window_s
+                ]
+                if not cands:
+                    break
+                chain.append(min(cands))
+            padded = chain + [None] * (len(steps) - len(chain))
+            out.append((uid, eid, *padded, len(chain) == len(steps)))
+    return sorted(out, key=lambda t: tuple((x is None, x) for x in t))
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            st.integers(0, 10_000),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_cep_timeout_compiler_matches_reference_model(spark, events):
+    """The LEFT-join timeout chain (cep_pattern_timeout's shape) must
+    equal an independent reference on random micro-streams: every
+    anchor present, prefix stops at the first missing stage, matched
+    flag only on full chains."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import CepPattern, compile_batch_timeouts
+
+    events = [(u, i, ts, e) for i, (u, _, ts, e) in enumerate(events)]
+    pat = CepPattern(steps=("a", "b", "a"), within_minutes=1)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _ in events],
+            "event_id": [i for _, i, _, _ in events],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _ in events],
+            "event_type": [e for _, _, _, e in events],
+            "value": [0.0] * len(events),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = sorted(
+        (
+            (
+                r["user_id"],
+                r[pat.anchor_col],
+            )
+            + tuple(
+                None if r[pat.ts_col(i)] is None else int(r[pat.ts_col(i)].timestamp())
+                for i in range(3)
+            )
+            + (r["matched"],)
+        )
+        for r in compile_batch_timeouts(pat, df).collect()
+    )
+    got = sorted(got, key=lambda t: tuple((x is None, x) for x in t))
+    want = _cep_reference_timeouts(events, ("a", "b", "a"), 60)
+    assert got == want
