@@ -1186,3 +1186,25 @@ def test_cep_timeout_side_output(spark, sf_dir, replay_dir):
             if key not in got_keys:
                 missed.append(key)
     assert not missed, f"{len(missed)} expired partials never emitted: {missed[:3]}"
+
+
+def test_cep_timeout_guarded_oracle_parity(spark, sf_dir):
+    """Guard tier × timeout tier interplay: the LEFT-join timeout
+    chain for the GUARDED pattern (purchase >= 100) must match its
+    generated DuckDB oracle — an event failing the value guard must
+    not complete a funnel, leaving a matched=false prefix instead."""
+    from hello_flink_spark.oracle import compare, duck_connection
+    from hello_flink_spark.streaming.cep import (
+        GUARDED3,
+        compile_batch_timeouts,
+        oracle_sql_timeouts,
+    )
+
+    got = compile_batch_timeouts(GUARDED3, load_table(spark, sf_dir, "events"))
+    result = compare(
+        "cep_timeout_guarded",
+        got,
+        oracle_sql_timeouts(GUARDED3),
+        duck_connection(sf_dir),
+    )
+    assert result.ok, result.detail
