@@ -192,3 +192,30 @@ def lookup_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> Data
     dim snapshot — map-side, no shuffle of the fact table.
     """
     return fact.join(F.broadcast(dim), on, how)
+
+
+def temporal_join(
+    probes: DataFrame,
+    dim: DataFrame,
+    key: str,
+    probe_key: str,
+    probe_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """[F] Temporal table join (`FOR SYSTEM_TIME AS OF p.ts`): each
+    probe row joins the dim VERSION whose validity interval covers its
+    event time (open interval = current version). SCD2 intervals are
+    disjoint per key, so each probe matches at most one version — an
+    equi-join on the dim key with the range as residual, one keyed
+    shuffle (or, stream-side, a stream-static join: the same condition
+    is accepted because only the probe side is unbounded). Used by the
+    declared batch query (queries/round6.py::join_temporal_table) and
+    the streaming twin (streaming/jobs.py::stream_temporal_join),
+    golden-tested equal."""
+    return probes.join(
+        dim,
+        (F.col(key) == F.col(probe_key))
+        & (F.col(valid_from) <= F.col(probe_ts))
+        & (F.col(valid_to).isNull() | (F.col(probe_ts) < F.col(valid_to))),
+    )

@@ -2131,11 +2131,10 @@ def join_temporal_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = o.filter(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
-    return probes.join(
-        dim,
-        (F.col("cust_key") == F.col("o_custkey"))
-        & (F.col("valid_from") <= F.col("o_orderdate"))
-        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    from hello_flink_spark.operators.joins import temporal_join
+
+    return temporal_join(
+        probes, dim, key="cust_key", probe_key="o_custkey", probe_ts="o_orderdate"
     ).select(
         "o_orderkey",
         "o_custkey",

@@ -186,6 +186,30 @@ def rolling_wau_hll(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_temporal_join(probes: DataFrame, dim: DataFrame) -> DataFrame:
+    """[F] Flink's event-time temporal table join on the STREAM side:
+    unbounded probe rows enriched with the static versioned dimension
+    AS OF each probe's own event time. Spark accepts the validity-range
+    residual in a stream-static join because only the probe side is
+    unbounded — the dim snapshot is broadcast/hashed per micro-batch.
+    Golden-tested equal to the declared batch query
+    (queries/round6.py::join_temporal_table) on a replayed probe
+    stream. For a CHANGING dim, the Spark-model equivalents are the
+    broadcast-rules foreachBatch job (dynamic_rules_foreach_batch) or
+    a stream-stream interval join; documented in docs/SEMANTICS.md."""
+    from hello_flink_spark.operators.joins import temporal_join
+
+    return temporal_join(
+        probes, dim, key="cust_key", probe_key="o_custkey", probe_ts="o_orderdate"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("status").alias("status_asof"),
+        "valid_from",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.10 dedup / joins
 # ---------------------------------------------------------------------------

@@ -1208,3 +1208,54 @@ def test_cep_timeout_guarded_oracle_parity(spark, sf_dir):
         duck_connection(sf_dir),
     )
     assert result.ok, result.detail
+
+
+def test_stream_temporal_join_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming temporal table join: odd-orderkey probes replayed as
+    a 4-chunk file stream, enriched AS OF their order date against the
+    static SCD2 dim built from the even half — the streamed result
+    must equal the declared batch query join_temporal_table exactly
+    (stream-static joins are stateless, so bounded replay loses no
+    rows)."""
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    probes = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    qs = probes.approxQuantile("o_orderkey", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf")] + qs + [float("inf")]
+    d = str(tmp_path / "orders_replay")
+    for i in range(4):
+        probes.filter(
+            (F.col("o_orderkey") > bounds[i]) & (F.col("o_orderkey") <= bounds[i + 1])
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, f"chunk_{i:03d}"))
+
+    stream = (
+        spark.readStream.schema(probes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "chunk_*", "*.parquet"))
+    )
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    feed = even.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    dim = feed.filter(
+        F.col("prev_status").isNull() | (F.col("status") != F.col("prev_status"))
+    ).select(
+        F.col("o_custkey").alias("cust_key"),
+        "status",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+    run_to_memory(jobs.stream_temporal_join(stream, dim), "t_tmp_join", "append")
+    got = sorted(map(tuple, spark.table("t_tmp_join").collect()))
+    want = sorted(map(tuple, get_spec("join_temporal_table").fn(spark, sf_dir).collect()))
+    assert got == want
