@@ -120,6 +120,12 @@ HEADLINE = [
     "join_temporal_table",
     # CEP timed-out-pattern side output (LEFT-join chain over 4 stages).
     "cep_pattern_timeout",
+    # round-6 batch 4: integer-arithmetic Gopher gate, OLS moment aggs,
+    # decorrelated LATERAL top-k, 8-iteration PageRank (iterative tier).
+    "text_gopher_quality",
+    "agg_linear_regression",
+    "join_lateral",
+    "graph_pagerank",
 ]
 
 

@@ -370,3 +370,58 @@ def test_semantic_clusters_edges_and_closure(spark, sf_dir):
         a, b = vmap[r.u], vmap[r.v]
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert cos >= EMB_NEAR_DUP_COS - 1e-6, f"false edge {r.u},{r.v}: cos={cos}"
+
+
+def test_pagerank_reference_model_and_invariants(spark, sf_dir):
+    """PageRank invariants + exact reference replay (round 6b):
+
+    - Σrank == n_nodes (the N-scaled formulation conserves total mass
+      exactly — symmetrized edges mean no dangling nodes);
+    - every rank >= the (1-d) teleport floor;
+    - L1 residual shrinks monotonically (geometric at rate ~d);
+    - the distributed ranks match a numpy replay of the same 8
+      iterations on the same edge set to 1e-8 — the DataFrame plan is
+      the algorithm, not an approximation of it.
+    """
+    import numpy as np
+
+    from hello_flink_spark.queries.round6b import (
+        PAGERANK_DAMPING,
+        PAGERANK_ITERS,
+        pagerank_detail,
+    )
+
+    ranks_df, residuals, n_nodes = pagerank_detail(spark, sf_dir, with_residuals=True)
+    ranks = {r.node: r.rank for r in ranks_df.collect()}
+    assert len(ranks) == n_nodes
+    assert abs(sum(ranks.values()) - n_nodes) < 1e-6 * n_nodes
+    assert min(ranks.values()) >= (1.0 - PAGERANK_DAMPING) - 1e-9
+    assert len(residuals) == PAGERANK_ITERS
+    for a, b in zip(residuals, residuals[1:]):
+        assert b <= a + 1e-9, f"residual increased: {residuals}"
+
+    # exact numpy replay on the same edges
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select((o.o_custkey * 2).alias("u"), (li.l_suppkey * 2 + 1).alias("v"))
+        .distinct()
+        .toPandas()
+    )
+    adj: dict[int, set[int]] = {}
+    for r in pairs.itertuples():
+        adj.setdefault(r.u, set()).add(r.v)
+        adj.setdefault(r.v, set()).add(r.u)
+    assert len(adj) == n_nodes
+    d = PAGERANK_DAMPING
+    ref = {n: 1.0 for n in adj}
+    for _ in range(PAGERANK_ITERS):
+        contrib: dict[int, float] = {n: 0.0 for n in adj}
+        for n, nbrs in adj.items():
+            w = ref[n] / len(nbrs)
+            for m in nbrs:
+                contrib[m] += w
+        ref = {n: (1.0 - d) + d * np.sum(contrib[n]) for n in adj}
+    for n, v in ref.items():
+        assert abs(ranks[n] - v) < 1e-8, f"node {n}: spark={ranks[n]} ref={v}"

@@ -91,6 +91,7 @@ PLAN_NAMES = sorted(
         # invariant tests in tests/test_llm.py instead:
         "embeddings_kmeans",
         "embeddings_power_iteration",
+        "graph_pagerank",
     }
 )
 
