@@ -186,6 +186,30 @@ def rolling_wau_hll(events: DataFrame) -> DataFrame:
     )
 
 
+def running_quantiles(events: DataFrame) -> DataFrame:
+    """Streaming quantile sketch — the RANK member completing the
+    streaming sketch family (count_min_cells = frequency,
+    rolling_wau_hll = distinct, this = quantiles): per-type live
+    p50/p90/p99 of event value as an update/complete-mode aggregation.
+    ApproximatePercentile keeps one mergeable epsilon-summary
+    (Greenwald-Khanna) per event_type, so state is bounded by the type
+    alphabet × sketch size, never the stream — the only way to
+    quantile an unbounded stream, exactly like the batch op's
+    100 TB argument (agg_approx_quantile_merge, the declared twin
+    whose column layout this mirrors for the golden test)."""
+    e = events.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+        ).alias("qs")
+    )
+    return e.select(
+        "event_type",
+        F.round(F.col("qs")[0], 4).alias("p50"),
+        F.round(F.col("qs")[1], 4).alias("p90"),
+        F.round(F.col("qs")[2], 4).alias("p99"),
+    )
+
+
 def stream_temporal_join(probes: DataFrame, dim: DataFrame) -> DataFrame:
     """[F] Flink's event-time temporal table join on the STREAM side:
     unbounded probe rows enriched with the static versioned dimension

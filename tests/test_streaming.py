@@ -1259,3 +1259,37 @@ def test_stream_temporal_join_equals_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, spark.table("t_tmp_join").collect()))
     want = sorted(map(tuple, get_spec("join_temporal_table").fn(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_running_quantiles_stream_equals_batch(spark, sf_dir, replay_dir):
+    """Streaming quantile sketch (complete mode — the memory sink holds
+    the latest full result) must equal the declared
+    agg_approx_quantile_merge twin exactly at this scale (accuracy
+    10000 > per-type n ⇒ the GK summary never compresses and merge
+    order cannot matter), be internally ordered (p50 ≤ p90 ≤ p99), and
+    sit within the sketch's rank-error bound of the exact quantiles."""
+    import numpy as np
+
+    run_to_memory(jobs.running_quantiles(_stream(spark, replay_dir)), "t_q", "complete")
+    got = {
+        r.event_type: (r.p50, r.p90, r.p99) for r in spark.table("t_q").collect()
+    }
+    want = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in get_spec("agg_approx_quantile_merge").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    vals: dict[str, list[float]] = {}
+    for r in load_table(spark, sf_dir, "events").select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for et, (p50, p90, p99) in got.items():
+        assert p50 <= p90 <= p99
+        xs = np.sort(np.asarray(vals[et]))
+        n = len(xs)
+        for q, est in ((0.5, p50), (0.9, p90), (0.99, p99)):
+            # rank error <= 1/accuracy (plus rounding): the estimate must
+            # be an actual element within a small rank band of target
+            rank = np.searchsorted(xs, est, side="left")
+            target = q * (n - 1)
+            assert abs(rank - target) <= max(2, n / 10000 + 2), (et, q, est)
