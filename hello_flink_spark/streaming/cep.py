@@ -320,6 +320,41 @@ def compile_batch_timeouts(pattern: CepPattern, events: DataFrame) -> DataFrame:
     return cur.withColumn("matched", F.col(last_ts).isNotNull())
 
 
+def compile_batch_absence(pattern: CepPattern, events: DataFrame) -> DataFrame:
+    """[F] Flink CEP's terminal ``notFollowedBy`` step
+    (``Pattern.begin(A)...followedBy(B).notFollowedBy(C).within(t)``):
+    emit the A..B prefix only when NO C arrives within the window of B
+    — absence detection (cart abandonment, churn signals, missed-SLA
+    alerts). Compiled as a pure derivation of the timeout machinery:
+    the timed-out-pattern output restricted to partials that completed
+    every positive stage (prefix through step k-1 present) and expired
+    waiting for the negated final step. One LEFT-join chain, same
+    single user_id exchange."""
+    k = len(pattern.steps)
+    to = compile_batch_timeouts(pattern, events)
+    prev_ts, last_ts = pattern.ts_col(k - 2), pattern.ts_col(k - 1)
+    return to.filter(
+        (~F.col("matched")) & F.col(prev_ts).isNotNull()
+    ).drop(last_ts, "matched")
+
+
+def compile_stream_absence(
+    pattern: CepPattern, events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming twin of ``compile_batch_absence``: the NFA's
+    timed-out-pattern side output filtered to full positive prefixes.
+    Emission is inherently deferred — a row can only appear once the
+    event-time timer proves no negated event arrived within the
+    window, exactly Flink's ``notFollowedBy``-with-``within`` rule
+    (absence is undecidable before the window closes)."""
+    k = len(pattern.steps)
+    to = compile_stream_timeouts(pattern, events, watermark)
+    prev_ts, last_ts = pattern.ts_col(k - 2), pattern.ts_col(k - 1)
+    return to.filter(
+        (~F.col("matched")) & F.col(prev_ts).isNotNull()
+    ).drop(last_ts, "matched")
+
+
 def oracle_sql_timeouts(pattern: CepPattern) -> str:
     """DuckDB equivalent of ``compile_batch_timeouts`` (LEFT JOIN CTE
     chain; ``matched`` = final stage IS NOT NULL)."""
@@ -418,3 +453,8 @@ GUARDED3 = CepPattern(
 # two steps exercises the highest-stage-first promotion order and the
 # stage-prefixed output naming. 1 / 41 matches at sf0.001 / 0.01.
 REPEAT2 = CepPattern(steps=("view", "view"), within_minutes=60)
+
+# The absence instance (compile_*_absence + golden twin): view ->
+# click NOT followed by purchase within 12 h — cart abandonment, the
+# canonical `notFollowedBy` report.
+ABSENCE3 = CepPattern(steps=("view", "click", "purchase"), within_minutes=720)

@@ -56,6 +56,13 @@ PROBES = [
     ("agg_count_min", "events"),
     ("text_hashing_features", "documents"),
     ("dim_scd1_upsert", "orders+customer"),
+    # round-6 batch 4: the 8-iteration PageRank (per-iteration cost is
+    # O(edges); the probe checks the iteration count does not leak a
+    # super-linear term), the decorrelated LATERAL top-k, and the
+    # integer-arithmetic Gopher gate.
+    ("graph_pagerank", "lineitem+orders"),
+    ("join_lateral", "customer"),
+    ("text_gopher_quality", "documents"),
 ]
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 

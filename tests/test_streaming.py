@@ -1293,3 +1293,67 @@ def test_running_quantiles_stream_equals_batch(spark, sf_dir, replay_dir):
             rank = np.searchsorted(xs, est, side="left")
             target = q * (n - 1)
             assert abs(rank - target) <= max(2, n / 10000 + 2), (et, q, est)
+
+
+def test_cep_absence_not_followed_by(spark, sf_dir, replay_dir):
+    """Flink CEP `notFollowedBy` terminal step, compiled via the
+    timeout machinery: (1) every batch absence row is genuinely absent
+    — NO purchase exists for that user in (click_ts, click_ts+window]
+    in the raw events (direct semantic check, independent of the
+    compiler); (2) the streaming rows are a subset of the batch rows;
+    (3) every batch absence whose window expired before the final
+    watermark was emitted by the NFA (absence is undecidable before
+    the window closes, so only still-open windows may be pending)."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import (
+        ABSENCE3,
+        compile_batch_absence,
+        compile_stream_absence,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    want = compile_batch_absence(ABSENCE3, events).toPandas()
+    assert len(want), "absence fixture is vacuous"
+    window = pd.Timedelta(minutes=ABSENCE3.within_minutes)
+    click_col = ABSENCE3.ts_col(1)
+
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .toPandas()
+    )
+    by_user = {u: g["ts"].to_numpy() for u, g in purchases.groupby("user_id")}
+    for r in want.itertuples():
+        c = getattr(r, click_col)
+        ps = by_user.get(r.user_id, [])
+        hits = [t for t in ps if c < t <= c + window]
+        assert not hits, f"user {r.user_id}: purchase {hits[0]} inside window of {c}"
+
+    run_to_memory(
+        compile_stream_absence(ABSENCE3, _stream(spark, replay_dir)), "t_cep_abs", "append"
+    )
+    got = spark.table("t_cep_abs").toPandas()
+    cols = ["user_id", ABSENCE3.anchor_col, ABSENCE3.ts_col(0), click_col]
+
+    def keyset(pdf):
+        return {tuple(getattr(r, c) for c in cols) for r in pdf.itertuples()}
+
+    got_keys, want_keys = keyset(got), keyset(want)
+    assert got_keys <= want_keys
+
+    chunk_dirs = sorted(glob.glob(os.path.join(replay_dir[0], "chunk_*")))
+    wm = (
+        spark.read.parquet(*chunk_dirs[:-1]).agg(F.max("ts").alias("m")).head().m
+        - pd.Timedelta("30 minutes")
+    )
+    missed = [
+        k
+        for r in want.itertuples()
+        if getattr(r, click_col) + window < wm
+        and (k := tuple(getattr(r, c) for c in cols)) not in got_keys
+    ]
+    assert not missed, f"{len(missed)} decided absences never emitted: {missed[:3]}"
