@@ -60,8 +60,13 @@ def _large_star(sym: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Direct each edge large→small; connect each smaller neighbor
-    (and u itself) to m = min of u's smaller neighborhood."""
-    directed = _canonical(edges)  # (u, v) with u > v
+    (and u itself) to m = min of u's smaller neighborhood.
+
+    Input contract: ``edges`` is already canonical (u > v, distinct) —
+    true of ``_large_star``'s output by construction (it emits
+    (v, m) with m ≤ u < v, filtered and distinct), so re-canonicalizing
+    here would only add a redundant shuffle per round."""
+    directed = edges  # (u, v) with u > v
     mins = directed.groupBy("u").agg(F.min("v").alias("m"))
     out = (
         directed.join(mins, "u")
@@ -101,9 +106,14 @@ def connected_components(
 
     sig = _checksum(cur)
     for _ in range(MAX_ROUNDS):
-        nxt = _canonical(
-            _small_star(_large_star(_symmetric(cur)))
-        ).localCheckpoint(eager=True)
+        # _small_star's output is already canonical (every emitted edge
+        # is (x, y) with x > y, self-loops filtered, distinct applied),
+        # so the round needs NO extra _canonical pass: 2 aggregations +
+        # 2 joins + 2 distincts per round, down from 4 distincts. At
+        # sf0.1 the wall time is unchanged (per-round checkpoint +
+        # convergence action dominate); the saved shuffles are
+        # edge-set-sized, which is what matters at 100 TB.
+        nxt = _small_star(_large_star(_symmetric(cur))).localCheckpoint(eager=True)
         nxt_sig = _checksum(nxt)
         cur = nxt
         if nxt_sig == sig:
