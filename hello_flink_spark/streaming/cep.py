@@ -52,6 +52,19 @@ class CepPattern:
     steps: Tuple[str, ...]
     within_minutes: int
     step_min_value: Tuple[float | None, ...] | None = None
+    # [F] Flink CEP ``oneOrMore()`` (Kleene plus), RELUCTANT variant:
+    # index of the single step that may repeat. After the first
+    # occurrence promotes the partial, every further event of that type
+    # arriving strictly later and within the window of the LAST accepted
+    # repetition extends the run (count += 1, window slides); the first
+    # next-step event within the window of the last repetition completes
+    # the stage. Deterministic single-match-per-anchor — consistent with
+    # the compiler's first-match promotion rule, unlike Flink's default
+    # greedy enumeration of every sub-run. Output gains an ``n_rep``
+    # count column; the repeated step's ts column holds the LAST
+    # accepted repetition. Streaming-NFA only (no join-chain shadow can
+    # express variable-length runs): compile_batch/oracle_sql refuse.
+    one_or_more: int | None = None
 
     def __post_init__(self) -> None:
         if len(self.steps) < 2:
@@ -60,6 +73,21 @@ class CepPattern:
             self.steps
         ):
             raise ValueError("step_min_value must have one entry per step")
+        if self.one_or_more is not None:
+            r = self.one_or_more
+            if not (0 < r < len(self.steps) - 1):
+                raise ValueError(
+                    "one_or_more must name a middle step: the anchor cannot "
+                    "repeat (each occurrence opens its own partial) and a "
+                    "reluctant terminal repetition completes at its first "
+                    "occurrence, which is the plain pattern"
+                )
+            if self.steps[r] in (self.steps[r - 1], self.steps[r + 1]):
+                raise ValueError(
+                    "one_or_more step must differ in type from its neighbors "
+                    "(same-type adjacency makes extension vs promotion of one "
+                    "event ambiguous)"
+                )
 
     def min_value(self, i: int) -> float | None:
         return self.step_min_value[i] if self.step_min_value else None
@@ -89,36 +117,50 @@ def _make_processor(
     window_us: int,
     mins: Tuple[float | None, ...] | None = None,
     emit_timeouts: bool = False,
+    rep: int | None = None,
 ):
     """Build the per-key NFA closure. Partial matches are encoded in
-    state as 'anchor_id:ts1,ts2,...' strings (stage = number of ts
-    entries) — a single array<string> state column works for every
+    state as 'anchor_id:ts1,ts2,...|n_rep' strings (stage = number of
+    ts entries) — a single array<string> state column works for every
     pattern length, which is what makes the compiler general.
 
     With ``emit_timeouts`` ([F] Flink's timed-out-pattern side output,
     ``PatternStream.select(timeoutTag, ...)``) every expired partial is
     EMITTED as a row carrying the stage prefix it reached plus
     ``matched=false`` (completed matches carry ``matched=true``) —
-    both at the event-time timer and at inline window pruning."""
+    both at the event-time timer and at inline window pruning.
+
+    With ``rep`` ([F] Flink CEP ``oneOrMore()``, reluctant — see
+    CepPattern.one_or_more) a partial that has matched through step
+    ``rep`` is EXTENDED by each further event of that type arriving
+    strictly later and within the window of the last accepted
+    repetition: its ts slot slides to the new event, ``n_rep``
+    increments, and the next stage's window is measured from the last
+    repetition. Output rows carry the ``n_rep`` count."""
     k = len(steps)
     mins = mins or (None,) * k
 
-    def _row(uid, aid, tss, matched):
+    def _row(uid, aid, tss, matched, cnt):
         row = {"user_id": uid, "anchor_id": aid}
         for j in range(k):
             row[f"ts{j + 1}"] = (
                 pd.Timestamp(int(tss[j]), unit="us") if j < len(tss) else None
             )
+        if rep is not None:
+            row["n_rep"] = cnt
         if emit_timeouts:
             row["matched"] = matched
         return row
 
-    def _decode(state: GroupState) -> list[tuple[int, list[int]]]:
-        partials: list[tuple[int, list[int]]] = []
+    def _decode(state: GroupState) -> list[tuple[int, list[int], int]]:
+        partials: list[tuple[int, list[int], int]] = []
         if state.exists:
             for enc in state.get[0]:
-                aid, _, tss = enc.partition(":")
-                partials.append((int(aid), [int(x) for x in tss.split(",")]))
+                body, _, cnt = enc.partition("|")
+                aid, _, tss = body.partition(":")
+                partials.append(
+                    (int(aid), [int(x) for x in tss.split(",")], int(cnt or 0))
+                )
         return partials
 
     def proc(
@@ -128,7 +170,7 @@ def _make_processor(
             expired = _decode(state)
             state.remove()
             yield pd.DataFrame(
-                [_row(key[0], aid, tss, False) for aid, tss in expired]
+                [_row(key[0], aid, tss, False, cnt) for aid, tss, cnt in expired]
                 if emit_timeouts
                 else []
             )
@@ -146,11 +188,25 @@ def _make_processor(
             ts_us = ts.value // 1000
             if emit_timeouts:
                 out.extend(
-                    _row(key[0], aid, tss, False)
-                    for aid, tss in partials
+                    _row(key[0], aid, tss, False, cnt)
+                    for aid, tss, cnt in partials
                     if ts_us - tss[-1] > window_us
                 )
             partials = [p for p in partials if ts_us - p[1][-1] <= window_us]
+            # Kleene extension first (stage rep+1 is the highest stage
+            # this event type can touch); strict ts > means a partial
+            # promoted below by this same event cannot also be extended.
+            if (
+                rep is not None
+                and etype == steps[rep]
+                and (mins[rep] is None or val >= mins[rep])
+            ):
+                partials = [
+                    (aid, tss[:-1] + [ts_us], cnt + 1)
+                    if len(tss) == rep + 1 and ts_us > tss[-1]
+                    else (aid, tss, cnt)
+                    for aid, tss, cnt in partials
+                ]
             # highest stage first: a partial promoted by this event has
             # already passed its new stage's turn, so one event advances
             # any partial at most one step (and strict ts > blocks
@@ -164,20 +220,26 @@ def _make_processor(
                 partials = [
                     p for p in partials if not (len(p[1]) == i and ts_us > p[1][-1])
                 ]
-                for aid, tss in promoted:
+                for aid, tss, cnt in promoted:
                     ntss = tss + [ts_us]
+                    ncnt = 1 if rep is not None and i == rep else cnt
                     if i == k - 1:
-                        out.append(_row(key[0], aid, ntss, True))
+                        out.append(_row(key[0], aid, ntss, True, ncnt))
                     else:
-                        partials.append((aid, ntss))
+                        partials.append((aid, ntss, ncnt))
             if etype == steps[0] and (mins[0] is None or val >= mins[0]):
-                partials.append((int(eid), [ts_us]))
+                partials.append((int(eid), [ts_us], 0))
 
         if partials:
             state.update(
-                ([f"{aid}:{','.join(map(str, tss))}" for aid, tss in partials],)
+                (
+                    [
+                        f"{aid}:{','.join(map(str, tss))}|{cnt}"
+                        for aid, tss, cnt in partials
+                    ],
+                )
             )
-            expiry = max(tss[-1] for _, tss in partials) + window_us
+            expiry = max(tss[-1] for _, tss, _ in partials) + window_us
             state.setTimeoutTimestamp(expiry // 1000)
         elif state.exists:
             state.remove()
@@ -193,12 +255,19 @@ def compile_stream(
     (user_id, <anchor>_id, one timestamp column per stage)."""
     k = len(pattern.steps)
     out_cols = ", ".join(f"ts{i + 1} timestamp" for i in range(k))
+    if pattern.one_or_more is not None:
+        out_cols += ", n_rep int"
     nfa = (
         events.filter(F.col("event_type").isin(*set(pattern.steps)))
         .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _make_processor(pattern.steps, pattern.window_us, pattern.step_min_value),
+            _make_processor(
+                pattern.steps,
+                pattern.window_us,
+                pattern.step_min_value,
+                rep=pattern.one_or_more,
+            ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}",
             stateStructType="partials array<string>",
             outputMode="append",
@@ -207,6 +276,8 @@ def compile_stream(
     )
     renames = [F.col("user_id"), F.col("anchor_id").alias(pattern.anchor_col)]
     renames += [F.col(f"ts{i + 1}").alias(pattern.ts_col(i)) for i in range(k)]
+    if pattern.one_or_more is not None:
+        renames += [F.col("n_rep")]
     return nfa.select(*renames)
 
 
@@ -221,6 +292,8 @@ def compile_stream_timeouts(
     repo's side-output convention, SURVEY §2.10)."""
     k = len(pattern.steps)
     out_cols = ", ".join(f"ts{i + 1} timestamp" for i in range(k))
+    if pattern.one_or_more is not None:
+        out_cols += ", n_rep int"
     nfa = (
         events.filter(F.col("event_type").isin(*set(pattern.steps)))
         .withWatermark("ts", watermark)
@@ -231,6 +304,7 @@ def compile_stream_timeouts(
                 pattern.window_us,
                 pattern.step_min_value,
                 emit_timeouts=True,
+                rep=pattern.one_or_more,
             ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}, matched boolean",
             stateStructType="partials array<string>",
@@ -240,6 +314,8 @@ def compile_stream_timeouts(
     )
     renames = [F.col("user_id"), F.col("anchor_id").alias(pattern.anchor_col)]
     renames += [F.col(f"ts{i + 1}").alias(pattern.ts_col(i)) for i in range(k)]
+    if pattern.one_or_more is not None:
+        renames += [F.col("n_rep")]
     renames += [F.col("matched")]
     return nfa.select(*renames)
 
@@ -255,6 +331,12 @@ def compile_batch(pattern: CepPattern, events: DataFrame) -> DataFrame:
     time band and reduced to MIN(ts) — 'first strictly-later within
     window', identical to the NFA. All joins shuffle on user_id, so the
     exchange is reused down the chain (one partitioning, k-1 joins)."""
+    if pattern.one_or_more is not None:
+        raise ValueError(
+            "one_or_more patterns have no join-chain shadow (variable-length "
+            "runs); use compile_stream / compile_stream_timeouts — semantics "
+            "are pinned by the reference-model tests"
+        )
     w = f"INTERVAL {pattern.within_minutes} MINUTES"
     s0 = events.filter(F.col("event_type") == pattern.steps[0])
     if pattern.min_value(0) is not None:
@@ -290,6 +372,12 @@ def compile_batch_timeouts(pattern: CepPattern, events: DataFrame) -> DataFrame:
     NULLs from that stage on — exactly the prefix the NFA emits when
     the partial expires. ``matched`` = final stage present. Same one
     user_id exchange reused down the chain."""
+    if pattern.one_or_more is not None:
+        raise ValueError(
+            "one_or_more patterns have no join-chain shadow (variable-length "
+            "runs); use compile_stream / compile_stream_timeouts — semantics "
+            "are pinned by the reference-model tests"
+        )
     w = f"INTERVAL {pattern.within_minutes} MINUTES"
     s0 = events.filter(F.col("event_type") == pattern.steps[0])
     if pattern.min_value(0) is not None:
@@ -358,6 +446,12 @@ def compile_stream_absence(
 def oracle_sql_timeouts(pattern: CepPattern) -> str:
     """DuckDB equivalent of ``compile_batch_timeouts`` (LEFT JOIN CTE
     chain; ``matched`` = final stage IS NOT NULL)."""
+    if pattern.one_or_more is not None:
+        raise ValueError(
+            "one_or_more patterns have no join-chain shadow (variable-length "
+            "runs); use compile_stream / compile_stream_timeouts — semantics "
+            "are pinned by the reference-model tests"
+        )
     w = f"INTERVAL {pattern.within_minutes} MINUTE"
     anchor, ts0 = pattern.anchor_col, pattern.ts_col(0)
     guard0 = (
@@ -398,6 +492,12 @@ def oracle_sql_timeouts(pattern: CepPattern) -> str:
 def oracle_sql(pattern: CepPattern) -> str:
     """DuckDB SQL equivalent of ``compile_batch`` (CTE chain, one MIN
     aggregation per stage) for the driver's correctness gate."""
+    if pattern.one_or_more is not None:
+        raise ValueError(
+            "one_or_more patterns have no join-chain shadow (variable-length "
+            "runs); use compile_stream / compile_stream_timeouts — semantics "
+            "are pinned by the reference-model tests"
+        )
     w = f"INTERVAL {pattern.within_minutes} MINUTE"
     anchor, ts0 = pattern.anchor_col, pattern.ts_col(0)
     guard0 = (
@@ -458,3 +558,9 @@ REPEAT2 = CepPattern(steps=("view", "view"), within_minutes=60)
 # click NOT followed by purchase within 12 h — cart abandonment, the
 # canonical `notFollowedBy` report.
 ABSENCE3 = CepPattern(steps=("view", "click", "purchase"), within_minutes=720)
+
+# The Kleene instance (compile_stream only + reference-model tests):
+# view, then click oneOrMore (each within 12 h of the last), then
+# purchase within 12 h of the last click — engagement-run funnels with
+# the run length reported as n_rep.
+ONEPLUS3 = CepPattern(steps=("view", "click", "purchase"), within_minutes=720, one_or_more=1)

@@ -446,3 +446,138 @@ def test_cep_timeout_compiler_matches_reference_model(spark, events):
     got = sorted(got, key=lambda t: tuple((x is None, x) for x in t))
     want = _cep_reference_timeouts(events, ("a", "b", "a"), 60)
     assert got == want
+
+
+def _oneplus_sim(evs, steps, rep, window_s):
+    """Independent per-anchor simulation of the reluctant oneOrMore
+    semantics (CepPattern.one_or_more): each anchor event is simulated
+    alone against the events after it — valid because partials never
+    interact — with the repeated step sliding its window over the run.
+    Shares no code or data layout with streaming/cep.py's partial-list
+    NFA."""
+    k = len(steps)
+    out = []
+    for pos, (uid, aid, ts0, etype0) in enumerate(evs):
+        if etype0 != steps[0]:
+            continue
+        tss, cnt, done = [ts0], 0, False
+        for uid2, eid, ts, etype in evs[pos + 1:]:
+            if uid2 != uid:
+                continue
+            if ts - tss[-1] > window_s:
+                break  # expired: nothing later can be in-window either
+            stage = len(tss)
+            if stage == rep + 1 and etype == steps[rep] and ts > tss[-1]:
+                tss[-1] = ts
+                cnt += 1
+                continue
+            if stage < k and etype == steps[stage] and ts > tss[-1]:
+                tss.append(ts)
+                if stage == rep:
+                    cnt = 1
+                if len(tss) == k:
+                    out.append((uid, aid, *tss, cnt))
+                    done = True
+                    break
+        if done:
+            continue
+    return sorted(out)
+
+
+class _FakeGroupState:
+    """Minimal applyInPandasWithState GroupState double for driving the
+    NFA processor outside Spark (no timeout path)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, _ms):
+        pass
+
+    @property
+    def hasTimedOut(self):
+        return False
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),          # user_id
+            st.integers(0, 120),        # ts seconds
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_oneplus_nfa_matches_simulation_any_chunking(events, cuts):
+    """Kleene oneOrMore (reluctant): the NFA processor, driven directly
+    through a GroupState double over ARBITRARY time-ordered micro-batch
+    splits, must produce exactly the matches of an independent
+    per-anchor simulation — and therefore the same matches for every
+    chunking (batch-split invariance is what makes the streaming
+    operator deterministic)."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, rep, window_s = ("a", "b", "c"), 1, 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _oneplus_sim(
+        [(u, i, t, e) for u, i, t, e in evs], steps, rep, window_s
+    )
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _ in evs],
+            "event_id": [i for _, i, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _ in evs],
+            "event_type": [e for _, _, _, e in evs],
+            "value": [0.0] * len(evs),
+        }
+    )
+    bounds = sorted({c for c in cuts if c < len(evs)} | {0, len(evs)})
+    chunks = [
+        rows.iloc[a:b]
+        for a, b in zip(bounds, bounds[1:])
+        if b > a
+    ]
+
+    proc = _make_processor(steps, window_s * 1_000_000, rep=rep)
+    got = []
+    for uid in sorted(rows["user_id"].unique()):
+        state = _FakeGroupState()
+        for chunk in chunks:
+            part = chunk[chunk["user_id"] == uid]
+            if part.empty:
+                continue
+            for out in proc((uid,), iter([part]), state):
+                got.extend(
+                    (
+                        r.user_id,
+                        r.anchor_id,
+                        *(int(getattr(r, f"ts{j + 1}").timestamp()) for j in range(3)),
+                        r.n_rep,
+                    )
+                    for r in out.itertuples()
+                )
+    assert sorted(got) == want

@@ -1357,3 +1357,69 @@ def test_cep_absence_not_followed_by(spark, sf_dir, replay_dir):
         and (k := tuple(getattr(r, c) for c in cols)) not in got_keys
     ]
     assert not missed, f"{len(missed)} decided absences never emitted: {missed[:3]}"
+
+
+def test_cep_one_or_more_kleene_run(spark, sf_dir, replay_dir):
+    """Flink CEP oneOrMore (reluctant Kleene plus), compiled: the
+    streamed ONEPLUS3 matches (view, then a click RUN — each click
+    within the window of the last — then purchase) must equal an
+    independent per-anchor simulation over the raw events, including
+    the n_rep run lengths; at least one genuine multi-click run must
+    exist or the fixture is vacuous for this feature."""
+    from hello_flink_spark.streaming.cep import ONEPLUS3, compile_stream
+
+    run_to_memory(
+        compile_stream(ONEPLUS3, _stream(spark, replay_dir)), "t_cep_1p", "append"
+    )
+    cols = [ONEPLUS3.ts_col(i) for i in range(3)]
+    got = sorted(
+        (
+            r.user_id,
+            getattr(r, ONEPLUS3.anchor_col),
+            *(getattr(r, c) for c in cols),
+            r.n_rep,
+        )
+        for r in spark.table("t_cep_1p").collect()
+    )
+
+    evs = sorted(
+        (
+            (r.user_id, r.event_id, r.ts, r.event_type)
+            for r in load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("view", "click", "purchase"))
+            .collect()
+        ),
+        key=lambda x: (x[2], x[1]),
+    )
+    import datetime as dt
+
+    window = dt.timedelta(minutes=ONEPLUS3.within_minutes)
+    want = []
+    for pos, (uid, aid, ts0, etype0) in enumerate(evs):
+        if etype0 != "view":
+            continue
+        tss, cnt, done = [ts0], 0, False
+        for uid2, eid, ts, etype in evs[pos + 1:]:
+            if uid2 != uid:
+                continue
+            if ts - tss[-1] > window:
+                break
+            stage = len(tss)
+            if stage == 2 and etype == "click" and ts > tss[-1]:
+                tss[-1] = ts
+                cnt += 1
+                continue
+            if stage < 3 and etype == ("view", "click", "purchase")[stage] and ts > tss[-1]:
+                tss.append(ts)
+                if stage == 1:
+                    cnt = 1
+                if len(tss) == 3:
+                    want.append((uid, aid, *tss, cnt))
+                    done = True
+                    break
+        if done:
+            continue
+    want.sort()
+
+    assert got == want
+    assert any(n >= 2 for *_, n in got), "no multi-repetition run in fixture"
