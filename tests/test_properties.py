@@ -581,3 +581,71 @@ def test_cep_oneplus_nfa_matches_simulation_any_chunking(events, cuts):
                     for r in out.itertuples()
                 )
     assert sorted(got) == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),                     # user_id
+            st.integers(0, 120),                   # ts seconds
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from([0.0, 50.0, 100.0]),   # value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_cep_oneplus_guard_tier_composes(events):
+    """Kleene × guard orthogonality: a value guard on the REPEATED step
+    must gate both the run's first occurrence and every extension —
+    verified against the independent per-anchor simulation with the
+    guard applied by pre-filtering (an event failing the guard must
+    behave exactly as if its type never matched the step)."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, rep, window_s, floor = ("a", "b", "c"), 1, 60, 100.0
+    evs = sorted(
+        ((u, i, t, e, v) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    # guard == pre-filter: a 'b' below the floor can neither start nor
+    # extend a run, but must still be processed as a no-op
+    sim_evs = [
+        (u, i, t, e)
+        for u, i, t, e, v in evs
+        if not (e == "b" and v < floor)
+    ]
+    want = _oneplus_sim(sim_evs, steps, rep, window_s)
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _, _ in evs],
+            "event_id": [i for _, i, _, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _, _ in evs],
+            "event_type": [e for _, _, _, e, _ in evs],
+            "value": [v for _, _, _, _, v in evs],
+        }
+    )
+    proc = _make_processor(
+        steps, window_s * 1_000_000, mins=(None, floor, None), rep=rep
+    )
+    got = []
+    for uid in sorted(rows["user_id"].unique()):
+        state = _FakeGroupState()
+        part = rows[rows["user_id"] == uid]
+        if part.empty:
+            continue
+        for out in proc((uid,), iter([part]), state):
+            got.extend(
+                (
+                    r.user_id,
+                    r.anchor_id,
+                    *(int(getattr(r, f"ts{j + 1}").timestamp()) for j in range(3)),
+                    r.n_rep,
+                )
+                for r in out.itertuples()
+            )
+    assert sorted(got) == want

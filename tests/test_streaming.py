@@ -1423,3 +1423,40 @@ def test_cep_one_or_more_kleene_run(spark, sf_dir, replay_dir):
 
     assert got == want
     assert any(n >= 2 for *_, n in got), "no multi-repetition run in fixture"
+
+
+def test_cep_absence_composes_with_kleene(spark, sf_dir, replay_dir):
+    """notFollowedBy × oneOrMore orthogonality: the absence stream of
+    the Kleene pattern (view, then a click RUN, then NO purchase
+    within the window of the last click) must emit only rows whose
+    click run is real (n_rep >= 1) and for which the raw events truly
+    contain no purchase inside the window of the last accepted click."""
+    import datetime as dt
+
+    from hello_flink_spark.streaming.cep import ONEPLUS3, compile_stream_absence
+
+    run_to_memory(
+        compile_stream_absence(ONEPLUS3, _stream(spark, replay_dir)),
+        "t_cep_1p_abs",
+        "append",
+    )
+    rows = spark.table("t_cep_1p_abs").collect()
+    assert rows, "no decided absences in fixture"
+    click_col = ONEPLUS3.ts_col(1)
+    window = dt.timedelta(minutes=ONEPLUS3.within_minutes)
+
+    purchases = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .collect()
+    ):
+        purchases.setdefault(r.user_id, []).append(r.ts)
+    for r in rows:
+        assert r.n_rep >= 1
+        last_click = getattr(r, click_col)
+        hits = [
+            t for t in purchases.get(r.user_id, []) if last_click < t <= last_click + window
+        ]
+        assert not hits, f"user {r.user_id}: purchase {hits[0]} inside window"
