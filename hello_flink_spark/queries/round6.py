@@ -780,6 +780,26 @@ def cep_pattern_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_batch(GUARDED3, t(spark, sf_dir, "events"))
 
 
+def value_quantiles(events: DataFrame) -> DataFrame:
+    """Per-type p50/p90/p99 of event value via mergeable GK summaries
+    (accuracy 10000 ⇒ 1/10000 rank error). ONE definition shared by the
+    declared batch op and streaming/jobs.py::running_quantiles — the
+    golden test pins the two equal, so the agg and projection must
+    never drift apart (same pattern as operators/joins.py::
+    temporal_join)."""
+    q = events.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+        ).alias("qs")
+    )
+    return q.select(
+        "event_type",
+        F.round(F.col("qs")[0], 4).alias("p50"),
+        F.round(F.col("qs")[1], 4).alias("p90"),
+        F.round(F.col("qs")[2], 4).alias("p99"),
+    )
+
+
 @register("agg_approx_quantile_merge", oracle=None)
 def agg_approx_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable approximate quantiles (Greenwald-Khanna via
@@ -791,16 +811,7 @@ def agg_approx_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     epsilon = 1/10000 rank error. Approx internals are engine-specific
     → rows-only at the gate; the error-vs-exact invariant is
     tests/test_properties.py::test_approx_quantiles_within_rank_error."""
-    e = t(spark, sf_dir, "events")
-    q = e.groupBy("event_type").agg(
-        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000).alias("qs")
-    )
-    return q.select(
-        "event_type",
-        F.round(F.col("qs")[0], 4).alias("p50"),
-        F.round(F.col("qs")[1], 4).alias("p90"),
-        F.round(F.col("qs")[2], 4).alias("p99"),
-    )
+    return value_quantiles(t(spark, sf_dir, "events"))
 
 
 @register(

@@ -195,19 +195,12 @@ def running_quantiles(events: DataFrame) -> DataFrame:
     (Greenwald-Khanna) per event_type, so state is bounded by the type
     alphabet × sketch size, never the stream — the only way to
     quantile an unbounded stream, exactly like the batch op's
-    100 TB argument (agg_approx_quantile_merge, the declared twin
-    whose column layout this mirrors for the golden test)."""
-    e = events.groupBy("event_type").agg(
-        F.percentile_approx(
-            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
-        ).alias("qs")
-    )
-    return e.select(
-        "event_type",
-        F.round(F.col("qs")[0], 4).alias("p50"),
-        F.round(F.col("qs")[1], 4).alias("p90"),
-        F.round(F.col("qs")[2], 4).alias("p99"),
-    )
+    100 TB argument (agg_approx_quantile_merge, the declared twin —
+    both run the SHARED queries/round6.py::value_quantiles plan, so
+    the golden-tested equality holds by construction)."""
+    from hello_flink_spark.queries.round6 import value_quantiles
+
+    return value_quantiles(events)
 
 
 def stream_temporal_join(probes: DataFrame, dim: DataFrame) -> DataFrame:

@@ -460,7 +460,7 @@ def _oneplus_sim(evs, steps, rep, window_s):
     for pos, (uid, aid, ts0, etype0) in enumerate(evs):
         if etype0 != steps[0]:
             continue
-        tss, cnt, done = [ts0], 0, False
+        tss, cnt = [ts0], 0
         for uid2, eid, ts, etype in evs[pos + 1:]:
             if uid2 != uid:
                 continue
@@ -477,10 +477,7 @@ def _oneplus_sim(evs, steps, rep, window_s):
                     cnt = 1
                 if len(tss) == k:
                     out.append((uid, aid, *tss, cnt))
-                    done = True
                     break
-        if done:
-            continue
     return sorted(out)
 
 

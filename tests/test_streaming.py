@@ -1382,6 +1382,13 @@ def test_cep_one_or_more_kleene_run(spark, sf_dir, replay_dir):
         for r in spark.table("t_cep_1p").collect()
     )
 
+    # shared semantics oracle (same module the hypothesis NFA tests
+    # pin): generic over timestamp type, so datetimes + a timedelta
+    # window replay the exact simulation the property tests run on ints
+    import datetime as dt
+
+    from test_properties import _oneplus_sim
+
     evs = sorted(
         (
             (r.user_id, r.event_id, r.ts, r.event_type)
@@ -1391,35 +1398,12 @@ def test_cep_one_or_more_kleene_run(spark, sf_dir, replay_dir):
         ),
         key=lambda x: (x[2], x[1]),
     )
-    import datetime as dt
-
-    window = dt.timedelta(minutes=ONEPLUS3.within_minutes)
-    want = []
-    for pos, (uid, aid, ts0, etype0) in enumerate(evs):
-        if etype0 != "view":
-            continue
-        tss, cnt, done = [ts0], 0, False
-        for uid2, eid, ts, etype in evs[pos + 1:]:
-            if uid2 != uid:
-                continue
-            if ts - tss[-1] > window:
-                break
-            stage = len(tss)
-            if stage == 2 and etype == "click" and ts > tss[-1]:
-                tss[-1] = ts
-                cnt += 1
-                continue
-            if stage < 3 and etype == ("view", "click", "purchase")[stage] and ts > tss[-1]:
-                tss.append(ts)
-                if stage == 1:
-                    cnt = 1
-                if len(tss) == 3:
-                    want.append((uid, aid, *tss, cnt))
-                    done = True
-                    break
-        if done:
-            continue
-    want.sort()
+    want = _oneplus_sim(
+        evs,
+        ONEPLUS3.steps,
+        ONEPLUS3.one_or_more,
+        dt.timedelta(minutes=ONEPLUS3.within_minutes),
+    )
 
     assert got == want
     assert any(n >= 2 for *_, n in got), "no multi-repetition run in fixture"
