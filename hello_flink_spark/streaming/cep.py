@@ -65,10 +65,32 @@ class CepPattern:
     # accepted repetition. Streaming-NFA only (no join-chain shadow can
     # express variable-length runs): compile_batch/oracle_sql refuse.
     one_or_more: int | None = None
+    # [F] Flink CEP ``optional()``: indexes of middle steps that may be
+    # SKIPPED. First-event-wins determinism: after the previous stage,
+    # whichever arrives first within the window — the optional step's
+    # event (which is then accepted, and the next stage's window is
+    # measured from it) or the next step's event (which completes the
+    # stage pair with the optional slot NULL) — decides the match.
+    # Restrictions: strictly middle steps, pairwise non-adjacent (a
+    # skip crosses exactly one step), disjoint from one_or_more, and
+    # the skipped/next step types must differ (else one event is
+    # ambiguous between taking and skipping).
+    optional_steps: Tuple[int, ...] = ()
 
     def __post_init__(self) -> None:
         if len(self.steps) < 2:
             raise ValueError("a CEP pattern needs at least 2 steps")
+        for s in self.optional_steps:
+            if not (0 < s < len(self.steps) - 1):
+                raise ValueError("optional steps must be strictly middle steps")
+            if s - 1 in self.optional_steps or s + 1 in self.optional_steps:
+                raise ValueError("optional steps must be pairwise non-adjacent")
+            if s == self.one_or_more:
+                raise ValueError("a step cannot be both optional and one_or_more")
+            if self.steps[s] == self.steps[s + 1]:
+                raise ValueError(
+                    "an optional step must differ in type from its successor"
+                )
         if self.step_min_value is not None and len(self.step_min_value) != len(
             self.steps
         ):
@@ -118,6 +140,7 @@ def _make_processor(
     mins: Tuple[float | None, ...] | None = None,
     emit_timeouts: bool = False,
     rep: int | None = None,
+    optionals: frozenset[int] = frozenset(),
 ):
     """Build the per-key NFA closure. Partial matches are encoded in
     state as 'anchor_id:ts1,ts2,...|n_rep' strings (stage = number of
@@ -144,7 +167,9 @@ def _make_processor(
         row = {"user_id": uid, "anchor_id": aid}
         for j in range(k):
             row[f"ts{j + 1}"] = (
-                pd.Timestamp(int(tss[j]), unit="us") if j < len(tss) else None
+                pd.Timestamp(int(tss[j]), unit="us")
+                if j < len(tss) and tss[j] is not None
+                else None
             )
         if rep is not None:
             row["n_rep"] = cnt
@@ -152,14 +177,19 @@ def _make_processor(
             row["matched"] = matched
         return row
 
-    def _decode(state: GroupState) -> list[tuple[int, list[int], int]]:
-        partials: list[tuple[int, list[int], int]] = []
+    def _decode(state: GroupState) -> list[tuple[int, list[int | None], int]]:
+        # skipped optional slots encode as -1 (timestamps are µs > 0)
+        partials: list[tuple[int, list[int | None], int]] = []
         if state.exists:
             for enc in state.get[0]:
                 body, _, cnt = enc.partition("|")
                 aid, _, tss = body.partition(":")
                 partials.append(
-                    (int(aid), [int(x) for x in tss.split(",")], int(cnt or 0))
+                    (
+                        int(aid),
+                        [None if x == "-1" else int(x) for x in tss.split(",")],
+                        int(cnt or 0),
+                    )
                 )
         return partials
 
@@ -214,14 +244,17 @@ def _make_processor(
             for i in range(k - 1, 0, -1):
                 if etype != steps[i] or (mins[i] is not None and val < mins[i]):
                     continue
-                promoted = [p for p in partials if len(p[1]) == i and ts_us > p[1][-1]]
+                # eligible stages: i itself, plus i-1 when step i-1 is
+                # optional (first-event-wins: this event arriving before
+                # any step-(i-1) event skips the optional slot as NULL)
+                stages = {i} | ({i - 1} if i - 1 in optionals else set())
+                hit = lambda p: len(p[1]) in stages and ts_us > p[1][-1]  # noqa: E731
+                promoted = [p for p in partials if hit(p)]
                 if not promoted:
                     continue
-                partials = [
-                    p for p in partials if not (len(p[1]) == i and ts_us > p[1][-1])
-                ]
+                partials = [p for p in partials if not hit(p)]
                 for aid, tss, cnt in promoted:
-                    ntss = tss + [ts_us]
+                    ntss = tss + [None] * (i - len(tss)) + [ts_us]
                     ncnt = 1 if rep is not None and i == rep else cnt
                     if i == k - 1:
                         out.append(_row(key[0], aid, ntss, True, ncnt))
@@ -234,7 +267,9 @@ def _make_processor(
             state.update(
                 (
                     [
-                        f"{aid}:{','.join(map(str, tss))}|{cnt}"
+                        f"{aid}:"
+                        + ",".join("-1" if x is None else str(x) for x in tss)
+                        + f"|{cnt}"
                         for aid, tss, cnt in partials
                     ],
                 )
@@ -267,6 +302,7 @@ def compile_stream(
                 pattern.window_us,
                 pattern.step_min_value,
                 rep=pattern.one_or_more,
+                optionals=frozenset(pattern.optional_steps),
             ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}",
             stateStructType="partials array<string>",
@@ -305,6 +341,7 @@ def compile_stream_timeouts(
                 pattern.step_min_value,
                 emit_timeouts=True,
                 rep=pattern.one_or_more,
+                optionals=frozenset(pattern.optional_steps),
             ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}, matched boolean",
             stateStructType="partials array<string>",
@@ -325,19 +362,50 @@ def compile_stream_timeouts(
 # ---------------------------------------------------------------------------
 
 
-def compile_batch(pattern: CepPattern, events: DataFrame) -> DataFrame:
-    """Compile the pattern to the batch join chain: stage-1 events
-    anchored by event_id, each later stage joined on user_id + strict
-    time band and reduced to MIN(ts) — 'first strictly-later within
-    window', identical to the NFA. All joins shuffle on user_id, so the
-    exchange is reused down the chain (one partitioning, k-1 joins)."""
-    if pattern.one_or_more is not None:
-        raise ValueError(
-            "one_or_more patterns have no join-chain shadow (variable-length "
-            "runs); use compile_stream / compile_stream_timeouts — semantics "
-            "are pinned by the reference-model tests"
+def _stage_events(pattern: CepPattern, events: DataFrame, i: int) -> DataFrame:
+    si = events.filter(F.col("event_type") == pattern.steps[i])
+    if pattern.min_value(i) is not None:
+        si = si.filter(F.col("value") >= pattern.min_value(i))
+    return si.select(F.col("user_id").alias("__u"), F.col("ts").alias("__ts"))
+
+
+def _min_join(cur, nxt, anchor_col, out_col, w, how):
+    """One chain stage: first strictly-later candidate within the
+    window of ``anchor_col``, as a keyed join + MIN aggregation. A NULL
+    anchor (earlier stage missed, left chains) propagates NULL."""
+    return (
+        cur.join(
+            nxt,
+            (F.col("user_id") == F.col("__u"))
+            & (F.col("__ts") > F.col(anchor_col))
+            & (F.col("__ts") <= F.col(anchor_col) + F.expr(w)),
+            how,
         )
+        .groupBy(*[c for c in cur.columns])
+        .agg(F.min("__ts").alias(out_col))
+    )
+
+
+def _chain(pattern: CepPattern, events: DataFrame, left: bool) -> DataFrame:
+    """Shared join-chain builder. Mandatory stages join inner (matched
+    chain) or left (timeout chain); an OPTIONAL stage is compiled as a
+    pair with its successor — three left MIN-joins plus the
+    first-event-wins decision:
+
+        b  = first optional-step event within the window of prev
+        cd = first next-step event within the window of prev (skip path)
+        ca = first next-step event within the window of b     (take path)
+        skip ⇔ b IS NULL OR cd < b
+        ts_optional = NULL if skip else b
+        ts_next     = cd   if skip else ca
+
+    Exact cross-type timestamp TIES between b and cd resolve to the
+    take path here (cd < b is strict) while the NFA resolves them by
+    event_id order — divergence only on exact ties, which the µs
+    fixture never produces (checked: zero same-user same-ts multi-type
+    groups)."""
     w = f"INTERVAL {pattern.within_minutes} MINUTES"
+    base_how = "left" if left else "inner"
     s0 = events.filter(F.col("event_type") == pattern.steps[0])
     if pattern.min_value(0) is not None:
         s0 = s0.filter(F.col("value") >= pattern.min_value(0))
@@ -346,22 +414,58 @@ def compile_batch(pattern: CepPattern, events: DataFrame) -> DataFrame:
         F.col("event_id").alias(pattern.anchor_col),
         F.col("ts").alias(pattern.ts_col(0)),
     )
-    for i in range(1, len(pattern.steps)):
-        prev_ts, this_ts = pattern.ts_col(i - 1), pattern.ts_col(i)
-        si = events.filter(F.col("event_type") == pattern.steps[i])
-        if pattern.min_value(i) is not None:
-            si = si.filter(F.col("value") >= pattern.min_value(i))
-        nxt = si.select(F.col("user_id").alias("__u"), F.col("ts").alias("__ts"))
-        cur = (
-            cur.join(
-                nxt,
-                (F.col("user_id") == F.col("__u"))
-                & (F.col("__ts") > F.col(prev_ts))
-                & (F.col("__ts") <= F.col(prev_ts) + F.expr(w)),
+    i, k = 1, len(pattern.steps)
+    while i < k:
+        if i in pattern.optional_steps:
+            o, m = i, i + 1
+            prev = pattern.ts_col(o - 1)
+            cur = _min_join(cur, _stage_events(pattern, events, o), prev, "__b", w, "left")
+            cur = _min_join(cur, _stage_events(pattern, events, m), prev, "__cd", w, "left")
+            cur = _min_join(cur, _stage_events(pattern, events, m), "__b", "__ca", w, "left")
+            skip = F.col("__b").isNull() | (
+                F.col("__cd").isNotNull() & (F.col("__cd") < F.col("__b"))
             )
-            .groupBy(*[c for c in cur.columns])
-            .agg(F.min("__ts").alias(this_ts))
+            cur = (
+                cur.withColumn(pattern.ts_col(o), F.when(~skip, F.col("__b")))
+                .withColumn(
+                    pattern.ts_col(m),
+                    F.when(skip, F.col("__cd")).otherwise(F.col("__ca")),
+                )
+                .drop("__b", "__cd", "__ca")
+            )
+            i += 2
+        else:
+            cur = _min_join(
+                cur,
+                _stage_events(pattern, events, i),
+                pattern.ts_col(i - 1),
+                pattern.ts_col(i),
+                w,
+                base_how,
+            )
+            i += 1
+    return cur
+
+
+def compile_batch(pattern: CepPattern, events: DataFrame) -> DataFrame:
+    """Compile the pattern to the batch join chain: stage-1 events
+    anchored by event_id, each later stage joined on user_id + strict
+    time band and reduced to MIN(ts) — 'first strictly-later within
+    window', identical to the NFA. All joins shuffle on user_id, so the
+    exchange is reused down the chain (one partitioning, k-1 joins).
+    Optional steps compile to the three-join pair of ``_chain``; a
+    match then requires every MANDATORY stage present."""
+    if pattern.one_or_more is not None:
+        raise ValueError(
+            "one_or_more patterns have no join-chain shadow (variable-length "
+            "runs); use compile_stream / compile_stream_timeouts — semantics "
+            "are pinned by the reference-model tests"
         )
+    cur = _chain(pattern, events, left=False)
+    # the pair's mandatory successor joins LEFT inside _chain; require
+    # it present for a match (all other mandatory stages join inner)
+    for o in pattern.optional_steps:
+        cur = cur.filter(F.col(pattern.ts_col(o + 1)).isNotNull())
     return cur
 
 
@@ -370,40 +474,16 @@ def compile_batch_timeouts(pattern: CepPattern, events: DataFrame) -> DataFrame:
     chain as ``compile_batch`` with every stage join turned LEFT, so
     an anchor that never finds its next stage within the window keeps
     NULLs from that stage on — exactly the prefix the NFA emits when
-    the partial expires. ``matched`` = final stage present. Same one
-    user_id exchange reused down the chain."""
+    the partial expires. ``matched`` = final stage present (the final
+    step is never optional by validation). Same one user_id exchange
+    reused down the chain."""
     if pattern.one_or_more is not None:
         raise ValueError(
             "one_or_more patterns have no join-chain shadow (variable-length "
             "runs); use compile_stream / compile_stream_timeouts — semantics "
             "are pinned by the reference-model tests"
         )
-    w = f"INTERVAL {pattern.within_minutes} MINUTES"
-    s0 = events.filter(F.col("event_type") == pattern.steps[0])
-    if pattern.min_value(0) is not None:
-        s0 = s0.filter(F.col("value") >= pattern.min_value(0))
-    cur = s0.select(
-        "user_id",
-        F.col("event_id").alias(pattern.anchor_col),
-        F.col("ts").alias(pattern.ts_col(0)),
-    )
-    for i in range(1, len(pattern.steps)):
-        prev_ts, this_ts = pattern.ts_col(i - 1), pattern.ts_col(i)
-        si = events.filter(F.col("event_type") == pattern.steps[i])
-        if pattern.min_value(i) is not None:
-            si = si.filter(F.col("value") >= pattern.min_value(i))
-        nxt = si.select(F.col("user_id").alias("__u"), F.col("ts").alias("__ts"))
-        cur = (
-            cur.join(
-                nxt,
-                (F.col("user_id") == F.col("__u"))
-                & (F.col("__ts") > F.col(prev_ts))
-                & (F.col("__ts") <= F.col(prev_ts) + F.expr(w)),
-                "left",
-            )
-            .groupBy(*[c for c in cur.columns])
-            .agg(F.min("__ts").alias(this_ts))
-        )
+    cur = _chain(pattern, events, left=True)
     last_ts = pattern.ts_col(len(pattern.steps) - 1)
     return cur.withColumn("matched", F.col(last_ts).isNotNull())
 
@@ -452,6 +532,11 @@ def oracle_sql_timeouts(pattern: CepPattern) -> str:
             "runs); use compile_stream / compile_stream_timeouts — semantics "
             "are pinned by the reference-model tests"
         )
+    if pattern.optional_steps:
+        raise ValueError(
+            "optional patterns have no generated oracle; semantics are pinned "
+            "by the batch-shadow and reference-model tests"
+        )
     w = f"INTERVAL {pattern.within_minutes} MINUTE"
     anchor, ts0 = pattern.anchor_col, pattern.ts_col(0)
     guard0 = (
@@ -497,6 +582,11 @@ def oracle_sql(pattern: CepPattern) -> str:
             "one_or_more patterns have no join-chain shadow (variable-length "
             "runs); use compile_stream / compile_stream_timeouts — semantics "
             "are pinned by the reference-model tests"
+        )
+    if pattern.optional_steps:
+        raise ValueError(
+            "optional patterns have no generated oracle; semantics are pinned "
+            "by the batch-shadow and reference-model tests"
         )
     w = f"INTERVAL {pattern.within_minutes} MINUTE"
     anchor, ts0 = pattern.anchor_col, pattern.ts_col(0)
@@ -564,3 +654,10 @@ ABSENCE3 = CepPattern(steps=("view", "click", "purchase"), within_minutes=720)
 # purchase within 12 h of the last click — engagement-run funnels with
 # the run length reported as n_rep.
 ONEPLUS3 = CepPattern(steps=("view", "click", "purchase"), within_minutes=720, one_or_more=1)
+
+# The optional instance (NFA + batch shadow + reference-model tests):
+# signup, optionally a browsing view, then purchase — 12 h per stage.
+# Completions report view_ts NULL when the purchase came first.
+OPT3 = CepPattern(
+    steps=("signup", "view", "purchase"), within_minutes=720, optional_steps=(1,)
+)

@@ -646,3 +646,163 @@ def test_cep_oneplus_guard_tier_composes(events):
                 for r in out.itertuples()
             )
     assert sorted(got) == want
+
+
+def _optional_sim(evs, steps, optionals, window_s):
+    """Independent per-anchor simulation of optional-step semantics
+    (CepPattern.optional_steps, first-event-wins): at an optional
+    stage, whichever arrives first — the optional step's event (taken;
+    later windows measure from it) or the successor's event (optional
+    slot completed as None) — decides. Shares no code with
+    streaming/cep.py."""
+    k = len(steps)
+    out = []
+    for pos, (uid, aid, ts0, et0) in enumerate(evs):
+        if et0 != steps[0]:
+            continue
+        tss = [ts0]
+        for uid2, eid, ts, et in evs[pos + 1:]:
+            if uid2 != uid:
+                continue
+            if ts - tss[-1] > window_s:
+                break
+            stage = len(tss)
+            if et == steps[stage] and ts > tss[-1]:
+                tss.append(ts)
+            elif (
+                stage in optionals
+                and et == steps[stage + 1]
+                and ts > tss[-1]
+            ):
+                tss.append(None)
+                tss.append(ts)
+            if len(tss) == k:
+                out.append((uid, aid, *tss))
+                break
+    return sorted(out, key=lambda r: tuple(-1 if x is None else x for x in r[2:]) + r[:2])
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),          # user_id
+            st.integers(0, 120),        # ts seconds
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_optional_nfa_matches_simulation(events, cuts):
+    """optional() in the NFA: arbitrary time-ordered micro-batch splits
+    through the processor must equal the independent per-anchor
+    simulation, including NULL optional slots and exact-tie resolution
+    by event_id order."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, optionals, window_s = ("a", "b", "c"), frozenset({1}), 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _optional_sim(evs, steps, optionals, window_s)
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _ in evs],
+            "event_id": [i for _, i, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _ in evs],
+            "event_type": [e for _, _, _, e in evs],
+            "value": [0.0] * len(evs),
+        }
+    )
+    bounds = sorted({c for c in cuts if c < len(evs)} | {0, len(evs)})
+    chunks = [rows.iloc[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+
+    proc = _make_processor(steps, window_s * 1_000_000, optionals=optionals)
+    got = []
+    for uid in sorted(rows["user_id"].unique()):
+        state = _FakeGroupState()
+        for chunk in chunks:
+            part = chunk[chunk["user_id"] == uid]
+            if part.empty:
+                continue
+            for out in proc((uid,), iter([part]), state):
+                got.extend(
+                    (
+                        r.user_id,
+                        r.anchor_id,
+                        *(
+                            None
+                            if pd.isna(getattr(r, f"ts{j + 1}"))
+                            else int(getattr(r, f"ts{j + 1}").timestamp())
+                            for j in range(3)
+                        ),
+                    )
+                    for r in out.itertuples()
+                )
+    got.sort(key=lambda r: tuple(-1 if x is None else x for x in r[2:]) + r[:2])
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_cep_optional_batch_matches_reference_model(spark, events):
+    """optional() in the batch join chain (three-join pair +
+    first-event-wins CASE) must equal the simulation on TIE-FREE
+    micro-streams (exact cross-type ties resolve by event_id in the
+    NFA but by strict < in SQL — documented divergence, absent from
+    the µs fixture, excluded here by deduplicating (user, ts))."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import CepPattern, compile_batch
+
+    seen = set()
+    uniq = []
+    for i, (u, t, e) in enumerate(events):
+        if (u, t) in seen:
+            continue
+        seen.add((u, t))
+        uniq.append((u, i, t, e))
+    uniq.sort(key=lambda x: (x[2], x[1]))
+    want = _optional_sim(uniq, ("a", "b", "c"), frozenset({1}), 60)
+
+    pat = CepPattern(steps=("a", "b", "c"), within_minutes=1, optional_steps=(1,))
+    pdf = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _ in uniq],
+            "event_id": [i for _, i, _, _ in uniq],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _ in uniq],
+            "event_type": [e for _, _, _, e in uniq],
+            "value": [0.0] * len(uniq),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = sorted(
+        (
+            (
+                r["user_id"],
+                r[pat.anchor_col],
+                int(r[pat.ts_col(0)].timestamp()),
+                None if r[pat.ts_col(1)] is None else int(r[pat.ts_col(1)].timestamp()),
+                int(r[pat.ts_col(2)].timestamp()),
+            )
+            for r in compile_batch(pat, df).collect()
+        ),
+        key=lambda r: tuple(-1 if x is None else x for x in r[2:]) + r[:2],
+    )
+    assert got == want

@@ -1444,3 +1444,33 @@ def test_cep_absence_composes_with_kleene(spark, sf_dir, replay_dir):
             t for t in purchases.get(r.user_id, []) if last_click < t <= last_click + window
         ]
         assert not hits, f"user {r.user_id}: purchase {hits[0]} inside window"
+
+
+def test_cep_optional_step_stream_equals_batch(spark, sf_dir, replay_dir):
+    """Flink CEP optional(), compiled: the streamed OPT3 matches
+    (signup, optionally a view, then purchase — first-event-wins) must
+    equal the batch join-chain shadow exactly, with BOTH outcomes
+    present in the fixture: taken views (view_ts set, purchase windowed
+    from the view) and skipped views (view_ts NULL, purchase windowed
+    from the signup)."""
+    from hello_flink_spark.streaming.cep import OPT3, compile_batch, compile_stream
+
+    run_to_memory(
+        compile_stream(OPT3, _stream(spark, replay_dir)), "t_cep_opt", "append"
+    )
+    cols = [OPT3.ts_col(i) for i in range(3)]
+
+    def keyset(rows):
+        return sorted(
+            (r.user_id, getattr(r, OPT3.anchor_col), *(getattr(r, c) for c in cols))
+            for r in rows
+        )
+
+    got = keyset(spark.table("t_cep_opt").collect())
+    want = keyset(compile_batch(OPT3, load_table(spark, sf_dir, "events")).collect())
+    assert got == want
+    view_col = OPT3.ts_col(1)
+    taken = [r for r in got if r[3] is not None]
+    skipped = [r for r in got if r[3] is None]
+    assert taken, "no taken-view matches in fixture"
+    assert skipped, "no skipped-view matches in fixture"
