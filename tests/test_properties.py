@@ -806,3 +806,25 @@ def test_cep_optional_batch_matches_reference_model(spark, events):
         key=lambda r: tuple(-1 if x is None else x for x in r[2:]) + r[:2],
     )
     assert got == want
+
+
+def test_cep_optional_timeout_chain_consistent(spark, sf_dir):
+    """optional() × timeout-chain coherence on the fixture: the LEFT
+    timeout chain's matched=true rows must equal compile_batch's
+    matches exactly, and every unmatched row must be a genuine dead
+    partial — anchor present, final stage NULL."""
+    from hello_flink_spark.sources.readers import load_table
+
+    from hello_flink_spark.streaming.cep import OPT3, compile_batch, compile_batch_timeouts
+
+    events = load_table(spark, sf_dir, "events")
+    cols = ["user_id", OPT3.anchor_col] + [OPT3.ts_col(i) for i in range(3)]
+
+    def keyset(df):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    to = compile_batch_timeouts(OPT3, events)
+    assert keyset(to.filter("matched")) == keyset(compile_batch(OPT3, events))
+    dead = to.filter("NOT matched").collect()
+    assert all(r[OPT3.ts_col(2)] is None for r in dead)
+    assert all(r[OPT3.ts_col(0)] is not None for r in dead)
