@@ -362,11 +362,20 @@ def compile_stream_timeouts(
 # ---------------------------------------------------------------------------
 
 
-def _stage_events(pattern: CepPattern, events: DataFrame, i: int) -> DataFrame:
+def _stage_filter(pattern: CepPattern, events: DataFrame, i: int) -> DataFrame:
+    """Events eligible for step i: type match + optional value guard.
+    The ONE definition of stage eligibility — used for the anchor
+    stage and (via _stage_events) every later stage."""
     si = events.filter(F.col("event_type") == pattern.steps[i])
     if pattern.min_value(i) is not None:
         si = si.filter(F.col("value") >= pattern.min_value(i))
-    return si.select(F.col("user_id").alias("__u"), F.col("ts").alias("__ts"))
+    return si
+
+
+def _stage_events(pattern: CepPattern, events: DataFrame, i: int) -> DataFrame:
+    return _stage_filter(pattern, events, i).select(
+        F.col("user_id").alias("__u"), F.col("ts").alias("__ts")
+    )
 
 
 def _min_join(cur, nxt, anchor_col, out_col, w, how):
@@ -406,10 +415,7 @@ def _chain(pattern: CepPattern, events: DataFrame, left: bool) -> DataFrame:
     groups)."""
     w = f"INTERVAL {pattern.within_minutes} MINUTES"
     base_how = "left" if left else "inner"
-    s0 = events.filter(F.col("event_type") == pattern.steps[0])
-    if pattern.min_value(0) is not None:
-        s0 = s0.filter(F.col("value") >= pattern.min_value(0))
-    cur = s0.select(
+    cur = _stage_filter(pattern, events, 0).select(
         "user_id",
         F.col("event_id").alias(pattern.anchor_col),
         F.col("ts").alias(pattern.ts_col(0)),
@@ -488,6 +494,20 @@ def compile_batch_timeouts(pattern: CepPattern, events: DataFrame) -> DataFrame:
     return cur.withColumn("matched", F.col(last_ts).isNotNull())
 
 
+def _absence_filter(pattern: CepPattern, timeouts: DataFrame) -> DataFrame:
+    """Restrict a timeout chain to decided absences: unmatched partials
+    whose last MANDATORY stage before the final is present (an optional
+    slot may be NULL via the skip path and still be a real absence)."""
+    k = len(pattern.steps)
+    j = k - 2
+    while j in pattern.optional_steps:
+        j -= 1  # validation guarantees a mandatory anchor stage exists
+    last_ts = pattern.ts_col(k - 1)
+    return timeouts.filter(
+        (~F.col("matched")) & F.col(pattern.ts_col(j)).isNotNull()
+    ).drop(last_ts, "matched")
+
+
 def compile_batch_absence(pattern: CepPattern, events: DataFrame) -> DataFrame:
     """[F] Flink CEP's terminal ``notFollowedBy`` step
     (``Pattern.begin(A)...followedBy(B).notFollowedBy(C).within(t)``):
@@ -495,15 +515,15 @@ def compile_batch_absence(pattern: CepPattern, events: DataFrame) -> DataFrame:
     — absence detection (cart abandonment, churn signals, missed-SLA
     alerts). Compiled as a pure derivation of the timeout machinery:
     the timed-out-pattern output restricted to partials that completed
-    every positive stage (prefix through step k-1 present) and expired
-    waiting for the negated final step. One LEFT-join chain, same
+    every positive stage and expired waiting for the negated final
+    step. "Completed every positive stage" anchors on the last
+    MANDATORY stage before the final — an optional step k-2 may be
+    legitimately NULL in a genuine absence (the partial was awaiting
+    the final step directly via the skip path), so filtering on it
+    would silently drop those matches. One LEFT-join chain, same
     single user_id exchange."""
-    k = len(pattern.steps)
     to = compile_batch_timeouts(pattern, events)
-    prev_ts, last_ts = pattern.ts_col(k - 2), pattern.ts_col(k - 1)
-    return to.filter(
-        (~F.col("matched")) & F.col(prev_ts).isNotNull()
-    ).drop(last_ts, "matched")
+    return _absence_filter(pattern, to)
 
 
 def compile_stream_absence(
@@ -515,12 +535,8 @@ def compile_stream_absence(
     event-time timer proves no negated event arrived within the
     window, exactly Flink's ``notFollowedBy``-with-``within`` rule
     (absence is undecidable before the window closes)."""
-    k = len(pattern.steps)
     to = compile_stream_timeouts(pattern, events, watermark)
-    prev_ts, last_ts = pattern.ts_col(k - 2), pattern.ts_col(k - 1)
-    return to.filter(
-        (~F.col("matched")) & F.col(prev_ts).isNotNull()
-    ).drop(last_ts, "matched")
+    return _absence_filter(pattern, to)
 
 
 def oracle_sql_timeouts(pattern: CepPattern) -> str:

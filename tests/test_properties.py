@@ -828,3 +828,40 @@ def test_cep_optional_timeout_chain_consistent(spark, sf_dir):
     dead = to.filter("NOT matched").collect()
     assert all(r[OPT3.ts_col(2)] is None for r in dead)
     assert all(r[OPT3.ts_col(0)] is not None for r in dead)
+
+
+def test_cep_absence_with_optional_final_predecessor(spark):
+    """Regression (review finding): when the step before the negated
+    final step is OPTIONAL, a partial that skipped it is still a
+    genuine absence — a lone 'view' with no click and no purchase must
+    be an abandonment match for view -> click? -> notFollowedBy
+    purchase, not silently dropped by filtering on the optional slot."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import CepPattern, compile_batch_absence
+
+    pat = CepPattern(
+        steps=("view", "click", "purchase"), within_minutes=12, optional_steps=(1,)
+    )
+
+    def run(rows):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1] * len(rows),
+                "event_id": list(range(len(rows))),
+                "ts": [pd.Timestamp(t, unit="m") for t, _ in rows],
+                "event_type": [e for _, e in rows],
+                "value": [0.0] * len(rows),
+            }
+        )
+        return compile_batch_absence(pat, spark.createDataFrame(pdf)).collect()
+
+    lone_view = run([(0, "view")])
+    assert len(lone_view) == 1 and lone_view[0][pat.ts_col(1)] is None
+
+    view_click = run([(0, "view"), (5, "click")])
+    assert len(view_click) == 1 and view_click[0][pat.ts_col(1)] is not None
+
+    # a purchase inside the window kills the absence on both paths
+    assert run([(0, "view"), (5, "purchase")]) == []
+    assert run([(0, "view"), (5, "click"), (8, "purchase")]) == []
