@@ -865,3 +865,115 @@ def test_cep_absence_with_optional_final_predecessor(spark):
     # a purchase inside the window kills the absence on both paths
     assert run([(0, "view"), (5, "purchase")]) == []
     assert run([(0, "view"), (5, "click"), (8, "purchase")]) == []
+
+
+def _cep_full_sim(evs, steps, rep, optionals, window_s):
+    """Per-anchor simulation with BOTH modifier tiers active: reluctant
+    oneOrMore at step ``rep`` and skippable steps in ``optionals`` —
+    the composition the individual sims can't exercise (skip INTO the
+    repeated step must start its count at 1; skip OUT of the run ends
+    it at the last accepted repetition)."""
+    k = len(steps)
+    out = []
+    for pos, (uid, aid, ts0, et0) in enumerate(evs):
+        if et0 != steps[0]:
+            continue
+        tss, cnt = [ts0], 0
+        for uid2, eid, ts, et in evs[pos + 1:]:
+            if uid2 != uid:
+                continue
+            if ts - tss[-1] > window_s:
+                break
+            stage = len(tss)
+            if rep is not None and stage == rep + 1 and et == steps[rep] and ts > tss[-1]:
+                tss[-1] = ts
+                cnt += 1
+                continue
+            if stage < k and et == steps[stage] and ts > tss[-1]:
+                tss.append(ts)
+                if stage == rep:
+                    cnt = 1
+            elif (
+                stage in optionals
+                and et == steps[stage + 1]
+                and ts > tss[-1]
+            ):
+                tss.append(None)
+                tss.append(ts)
+                if stage + 1 == rep:
+                    cnt = 1
+            if len(tss) == k:
+                out.append((uid, aid, *tss, cnt))
+                break
+    return sorted(
+        out, key=lambda r: tuple(-1 if x is None else x for x in r[2:]) + r[:2]
+    )
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 100),
+            st.sampled_from(["a", "b", "c", "d"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=3),
+)
+@SETTINGS
+def test_cep_kleene_and_optional_compose_in_nfa(events, cuts):
+    """oneOrMore × optional in ONE pattern (a, b+, c?, d): the NFA over
+    arbitrary micro-batch splits must equal the combined simulation —
+    a run extended then exited via the skip path keeps its n_rep, and
+    a 'd' completing from the run's last 'b' (skipping optional 'c')
+    reports the c slot NULL."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, rep, optionals, window_s = ("a", "b", "c", "d"), 1, frozenset({2}), 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _cep_full_sim(evs, steps, rep, optionals, window_s)
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _ in evs],
+            "event_id": [i for _, i, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _ in evs],
+            "event_type": [e for _, _, _, e in evs],
+            "value": [0.0] * len(evs),
+        }
+    )
+    bounds = sorted({c for c in cuts if c < len(evs)} | {0, len(evs)})
+    chunks = [rows.iloc[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+
+    proc = _make_processor(steps, window_s * 1_000_000, rep=rep, optionals=optionals)
+    got = []
+    for uid in sorted(rows["user_id"].unique()):
+        state = _FakeGroupState()
+        for chunk in chunks:
+            part = chunk[chunk["user_id"] == uid]
+            if part.empty:
+                continue
+            for out in proc((uid,), iter([part]), state):
+                got.extend(
+                    (
+                        r.user_id,
+                        r.anchor_id,
+                        *(
+                            None
+                            if pd.isna(getattr(r, f"ts{j + 1}"))
+                            else int(getattr(r, f"ts{j + 1}").timestamp())
+                            for j in range(4)
+                        ),
+                        r.n_rep,
+                    )
+                    for r in out.itertuples()
+                )
+    got.sort(key=lambda r: tuple(-1 if x is None else x for x in r[2:]) + r[:2])
+    assert got == want
