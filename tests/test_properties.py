@@ -977,3 +977,69 @@ def test_cep_kleene_and_optional_compose_in_nfa(events, cuts):
                 )
     got.sort(key=lambda r: tuple(-1 if x is None else x for x in r[2:]) + r[:2])
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from([0.0, 50.0, 100.0]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_cep_optional_guard_tier_composes(events):
+    """Guard × optional orthogonality: a value floor on the OPTIONAL
+    step must make under-floor events behave exactly as if absent —
+    they neither take the slot nor block the skip path. Verified
+    against the simulation with the guard applied by pre-filtering."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, optionals, window_s, floor = ("a", "b", "c"), frozenset({1}), 60, 100.0
+    evs = sorted(
+        ((u, i, t, e, v) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    sim_evs = [
+        (u, i, t, e) for u, i, t, e, v in evs if not (e == "b" and v < floor)
+    ]
+    want = _optional_sim(sim_evs, steps, optionals, window_s)
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _, _ in evs],
+            "event_id": [i for _, i, _, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _, _ in evs],
+            "event_type": [e for _, _, _, e, _ in evs],
+            "value": [v for _, _, _, _, v in evs],
+        }
+    )
+    proc = _make_processor(
+        steps, window_s * 1_000_000, mins=(None, floor, None), optionals=optionals
+    )
+    got = []
+    for uid in sorted(rows["user_id"].unique()):
+        state = _FakeGroupState()
+        part = rows[rows["user_id"] == uid]
+        for out in proc((uid,), iter([part]), state):
+            got.extend(
+                (
+                    r.user_id,
+                    r.anchor_id,
+                    *(
+                        None
+                        if pd.isna(getattr(r, f"ts{j + 1}"))
+                        else int(getattr(r, f"ts{j + 1}").timestamp())
+                        for j in range(3)
+                    ),
+                )
+                for r in out.itertuples()
+            )
+    got.sort(key=lambda r: tuple(-1 if x is None else x for x in r[2:]) + r[:2])
+    assert got == want
