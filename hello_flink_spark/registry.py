@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "hello_flink_spark.queries.round5",
     "hello_flink_spark.queries.round6",
     "hello_flink_spark.queries.round6b",
+    "hello_flink_spark.queries.round7",
 ]
 
 

@@ -52,8 +52,15 @@ class CepPattern:
     steps: Tuple[str, ...]
     within_minutes: int
     step_min_value: Tuple[float | None, ...] | None = None
-    # [F] Flink CEP ``oneOrMore()`` (Kleene plus), RELUCTANT variant:
-    # index of the single step that may repeat. After the first
+    # [F] Flink CEP ``oneOrMore().greedy()`` (Kleene plus), deterministic
+    # single-match form: index of the single step that may repeat. The
+    # emitted match carries the LONGEST run compatible with the first
+    # completion — every repetition accepted before the first next-step
+    # event — which is Flink's greedy head match. (Flink's reluctant
+    # variant instead enumerates every shorter prefix as extra matches;
+    # a reluctant SINGLE match degenerates to the plain pattern, so the
+    # compiler's one deterministic match per anchor is the greedy one.)
+    # Mechanics: after the first
     # occurrence promotes the partial, every further event of that type
     # arriving strictly later and within the window of the LAST accepted
     # repetition extends the run (count += 1, window slides); the first
@@ -76,6 +83,42 @@ class CepPattern:
     # the skipped/next step types must differ (else one event is
     # ambiguous between taking and skipping).
     optional_steps: Tuple[int, ...] = ()
+    # [F] Flink CEP ``timesOrMore(n)``: minimum repetition count for the
+    # ``one_or_more`` step. The run still extends greedily and the stage
+    # still completes at the first next-step event — but only once the
+    # run has accepted >= min_reps repetitions; a next-step event
+    # arriving earlier is ignored (relaxed contiguity) and the partial
+    # keeps waiting for more repetitions. min_reps=1 is plain oneOrMore.
+    min_reps: int = 1
+    # [F] ``Pattern#within(Duration)`` — the PATTERN-GLOBAL window: the
+    # whole match (anchor → final step) must span at most this. The
+    # per-stage ``within_minutes`` still applies between consecutive
+    # stages; both bounds are enforced in the NFA, the batch chain, and
+    # the generated oracle. For a k-step pattern with per-stage t, a
+    # total < (k-1)*t is a REAL restriction (first→last spans up to
+    # (k-1)*t under per-stage alone).
+    total_minutes: int | None = None
+    # [F] ``Pattern#next`` — STRICT contiguity for these step indexes
+    # (>= 1): step i must be matched by an event at the EARLIEST
+    # event-timestamp strictly after stage i-1's event (any type, any
+    # key activity counts); if some event exists at that earliest
+    # timestamp but none of them matches step i's type+guard, the
+    # partial is DISCARDED silently (no timeout side-output — Flink
+    # discards contiguity violations the same way). Ties at the same
+    # timestamp resolve as "some earliest event matches", which is the
+    # rule a join/MIN batch shadow can also express. Disjoint from
+    # optional/Kleene neighborhoods (validated) — a skip or an
+    # extension makes "immediately next" ambiguous.
+    strict_steps: Tuple[int, ...] = ()
+    # [F] ``AfterMatchSkipStrategy.skipPastLastEvent()``: when one or
+    # more partials complete at an event, emit ONLY the earliest-anchored
+    # match and discard every other open partial for the key; the
+    # completing event is consumed (it cannot also anchor a new
+    # partial). Matching restarts from the next event — non-overlapping
+    # matches, the sessionization-style selection. Streaming-NFA only:
+    # the greedy sequential selection is not join-expressible, so
+    # compile_batch / oracle_sql refuse (property + golden tested).
+    skip_past_last: bool = False
 
     def __post_init__(self) -> None:
         if len(self.steps) < 2:
@@ -110,6 +153,54 @@ class CepPattern:
                     "(same-type adjacency makes extension vs promotion of one "
                     "event ambiguous)"
                 )
+        if self.min_reps < 1:
+            raise ValueError("min_reps must be >= 1")
+        if self.min_reps > 1 and self.one_or_more is None:
+            raise ValueError("min_reps (timesOrMore) requires a one_or_more step")
+        if self.total_minutes is not None and self.total_minutes < 1:
+            raise ValueError("total_minutes must be >= 1")
+        for s in self.strict_steps:
+            if not (1 <= s < len(self.steps)):
+                raise ValueError(
+                    "strict steps must be in 1..k-1 (the anchor has no "
+                    "predecessor to be contiguous with)"
+                )
+            if s in self.optional_steps or s - 1 in self.optional_steps:
+                raise ValueError(
+                    "a strict step cannot be optional or follow an optional "
+                    "step (a skip makes 'immediately next' ambiguous)"
+                )
+            if self.one_or_more is not None and s in (
+                self.one_or_more,
+                self.one_or_more + 1,
+            ):
+                raise ValueError(
+                    "a strict step cannot be the Kleene step or its successor "
+                    "(run extension makes 'immediately next' ambiguous)"
+                )
+
+    @classmethod
+    def of(
+        cls, spec: "list[str | Tuple[str, int]]", within_minutes: int, **kw: Any
+    ) -> "CepPattern":
+        """[F] ``Pattern#times(n)`` — quantified construction. Each spec
+        item is an event type (one occurrence) or ``(event_type, n)``:
+        exactly n occurrences, each within the per-stage window of the
+        previous (Flink's relaxed contiguity inside ``times``). Fixed n
+        expands to n plain steps, so the whole existing machinery — NFA,
+        batch join chain, generated oracle — applies unchanged; the NFA's
+        strict ts > ordering and highest-stage-first promotion already
+        handle adjacent same-type steps (the `cep_pattern_repeat` tier)."""
+        steps: list[str] = []
+        for item in spec:
+            if isinstance(item, str):
+                steps.append(item)
+            else:
+                etype, n = item
+                if n < 1:
+                    raise ValueError("times(n) needs n >= 1")
+                steps.extend([etype] * n)
+        return cls(steps=tuple(steps), within_minutes=within_minutes, **kw)
 
     def min_value(self, i: int) -> float | None:
         return self.step_min_value[i] if self.step_min_value else None
@@ -117,6 +208,14 @@ class CepPattern:
     @property
     def window_us(self) -> int:
         return self.within_minutes * 60 * 1_000_000
+
+    @property
+    def total_window_us(self) -> int | None:
+        return (
+            self.total_minutes * 60 * 1_000_000
+            if self.total_minutes is not None
+            else None
+        )
 
     def ts_col(self, i: int) -> str:
         """Output column for stage i's timestamp (unique even when an
@@ -141,11 +240,15 @@ def _make_processor(
     emit_timeouts: bool = False,
     rep: int | None = None,
     optionals: frozenset[int] = frozenset(),
+    min_reps: int = 1,
+    total_us: int | None = None,
+    strict: frozenset[int] = frozenset(),
+    skip_past_last: bool = False,
 ):
     """Build the per-key NFA closure. Partial matches are encoded in
-    state as 'anchor_id:ts1,ts2,...|n_rep' strings (stage = number of
-    ts entries) — a single array<string> state column works for every
-    pattern length, which is what makes the compiler general.
+    state as 'anchor_id:ts1,ts2,...|n_rep|pending' strings (stage =
+    number of ts entries) — a single array<string> state column works
+    for every pattern length, which is what makes the compiler general.
 
     With ``emit_timeouts`` ([F] Flink's timed-out-pattern side output,
     ``PatternStream.select(timeoutTag, ...)``) every expired partial is
@@ -153,13 +256,31 @@ def _make_processor(
     ``matched=false`` (completed matches carry ``matched=true``) —
     both at the event-time timer and at inline window pruning.
 
-    With ``rep`` ([F] Flink CEP ``oneOrMore()``, reluctant — see
-    CepPattern.one_or_more) a partial that has matched through step
+    With ``rep`` ([F] Flink CEP ``oneOrMore()``, greedy single-match —
+    see CepPattern.one_or_more) a partial that has matched through step
     ``rep`` is EXTENDED by each further event of that type arriving
     strictly later and within the window of the last accepted
     repetition: its ts slot slides to the new event, ``n_rep``
     increments, and the next stage's window is measured from the last
-    repetition. Output rows carry the ``n_rep`` count."""
+    repetition. ``min_reps`` ([F] ``timesOrMore(n)``) gates completion
+    of the Kleene stage: a next-step event only promotes once the run
+    holds >= min_reps repetitions (earlier ones are relaxed-contiguity
+    ignored). Output rows carry the ``n_rep`` count.
+
+    ``total_us`` ([F] pattern-global ``within``) bounds the whole match
+    span anchor→now on top of the per-stage window.
+
+    ``strict`` ([F] ``next()``): events are processed in equal-timestamp
+    GROUPS; a partial waiting at a strict stage when a later-timestamp
+    group ends unpromoted is marked with a pending-kill timestamp and
+    silently discarded at the next strictly-later group (or silently at
+    the timer — a later event existed, so it is a contiguity violation,
+    not a timeout). The deferral makes the verdict identical no matter
+    how a same-timestamp group is split across micro-batches.
+
+    ``skip_past_last`` ([F] ``AfterMatchSkipStrategy.skipPastLastEvent``):
+    on completion, emit only the earliest-anchored match, drop every
+    other open partial, and consume the completing event."""
     k = len(steps)
     mins = mins or (None,) * k
 
@@ -177,18 +298,34 @@ def _make_processor(
             row["matched"] = matched
         return row
 
-    def _decode(state: GroupState) -> list[tuple[int, list[int | None], int]]:
+    def _expired(tss, now_us) -> bool:
+        return now_us - tss[-1] > window_us or (
+            total_us is not None and now_us - tss[0] > total_us
+        )
+
+    def _deadline(tss) -> int:
+        d = tss[-1] + window_us
+        if total_us is not None:
+            d = min(d, tss[0] + total_us)
+        return d
+
+    def _decode(
+        state: GroupState,
+    ) -> list[tuple[int, list[int | None], int, int | None]]:
         # skipped optional slots encode as -1 (timestamps are µs > 0)
-        partials: list[tuple[int, list[int | None], int]] = []
+        partials: list[tuple[int, list[int | None], int, int | None]] = []
         if state.exists:
             for enc in state.get[0]:
-                body, _, cnt = enc.partition("|")
-                aid, _, tss = body.partition(":")
+                parts = enc.split("|")
+                aid, _, tss = parts[0].partition(":")
+                cnt = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+                pend = int(parts[2]) if len(parts) > 2 and parts[2] else None
                 partials.append(
                     (
                         int(aid),
                         [None if x == "-1" else int(x) for x in tss.split(",")],
-                        int(cnt or 0),
+                        cnt,
+                        pend,
                     )
                 )
         return partials
@@ -200,7 +337,13 @@ def _make_processor(
             expired = _decode(state)
             state.remove()
             yield pd.DataFrame(
-                [_row(key[0], aid, tss, False, cnt) for aid, tss, cnt in expired]
+                [
+                    _row(key[0], aid, tss, False, cnt)
+                    for aid, tss, cnt, pend in expired
+                    # pending-kill partials saw a later event that failed
+                    # strict contiguity: discarded, not timed out
+                    if pend is None
+                ]
                 if emit_timeouts
                 else []
             )
@@ -212,56 +355,100 @@ def _make_processor(
             ["ts", "event_id"], ignore_index=True
         )
         out: list[dict] = []
-        for ts, eid, etype, val in zip(
-            pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["value"]
-        ):
-            ts_us = ts.value // 1000
+        rows = list(zip(pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["value"]))
+        gi = 0
+        while gi < len(rows):
+            ts_us = rows[gi][0].value // 1000
+            gj = gi
+            while gj < len(rows) and rows[gj][0].value // 1000 == ts_us:
+                gj += 1
+            group, gi = rows[gi:gj], gj
+            # group start: window/total expiry, then strict pending kills
             if emit_timeouts:
                 out.extend(
                     _row(key[0], aid, tss, False, cnt)
-                    for aid, tss, cnt in partials
-                    if ts_us - tss[-1] > window_us
+                    for aid, tss, cnt, pend in partials
+                    if _expired(tss, ts_us) and pend is None
                 )
-            partials = [p for p in partials if ts_us - p[1][-1] <= window_us]
-            # Kleene extension first (stage rep+1 is the highest stage
-            # this event type can touch); strict ts > means a partial
-            # promoted below by this same event cannot also be extended.
-            if (
-                rep is not None
-                and etype == steps[rep]
-                and (mins[rep] is None or val >= mins[rep])
-            ):
+            partials = [
+                p
+                for p in partials
+                if not _expired(p[1], ts_us)
+                and not (p[3] is not None and p[3] < ts_us)
+            ]
+            for ts, eid, etype, val in group:
+                # Kleene extension first (stage rep+1 is the highest
+                # stage this event type can touch); strict ts > means a
+                # partial promoted below by this same event cannot also
+                # be extended.
+                if (
+                    rep is not None
+                    and etype == steps[rep]
+                    and (mins[rep] is None or val >= mins[rep])
+                ):
+                    partials = [
+                        (aid, tss[:-1] + [ts_us], cnt + 1, pend)
+                        if len(tss) == rep + 1 and ts_us > tss[-1]
+                        else (aid, tss, cnt, pend)
+                        for aid, tss, cnt, pend in partials
+                    ]
+                # highest stage first: a partial promoted by this event
+                # has already passed its new stage's turn, so one event
+                # advances any partial at most one step (and strict ts >
+                # blocks same-timestamp re-promotion for repeated-type
+                # patterns).
+                completed: list[tuple[int, list[int | None], int]] = []
+                for i in range(k - 1, 0, -1):
+                    if etype != steps[i] or (mins[i] is not None and val < mins[i]):
+                        continue
+                    # eligible stages: i itself, plus i-1 when step i-1
+                    # is optional (first-event-wins: this event arriving
+                    # before any step-(i-1) event skips the optional
+                    # slot as NULL)
+                    stages = {i} | ({i - 1} if i - 1 in optionals else set())
+
+                    def hit(p, _stages=stages, _i=i):
+                        if len(p[1]) not in _stages or ts_us <= p[1][-1]:
+                            return False
+                        # timesOrMore: the Kleene stage completes only
+                        # with >= min_reps accepted repetitions
+                        if rep is not None and _i == rep + 1 and p[2] < min_reps:
+                            return False
+                        return True
+
+                    promoted = [p for p in partials if hit(p)]
+                    if not promoted:
+                        continue
+                    partials = [p for p in partials if not hit(p)]
+                    for aid, tss, cnt, _pend in promoted:
+                        ntss = tss + [None] * (i - len(tss)) + [ts_us]
+                        ncnt = 1 if rep is not None and i == rep else cnt
+                        if i == k - 1:
+                            completed.append((aid, ntss, ncnt))
+                        else:
+                            # promotion clears any pending-kill marker
+                            partials.append((aid, ntss, ncnt, None))
+                if completed and skip_past_last:
+                    aid, tss, cnt = min(completed, key=lambda c: (c[1][0], c[0]))
+                    out.append(_row(key[0], aid, tss, True, cnt))
+                    partials = []
+                    continue  # the completing event is consumed: no anchor
+                out.extend(
+                    _row(key[0], aid, tss, True, cnt) for aid, tss, cnt in completed
+                )
+                if etype == steps[0] and (mins[0] is None or val >= mins[0]):
+                    partials.append((int(eid), [ts_us], 0, None))
+            # group end: a strict-stage waiter that saw this (strictly
+            # later) group pass without promoting it is marked; the kill
+            # lands at the next later group so a same-timestamp group
+            # split across micro-batches can still promote it.
+            if strict:
                 partials = [
-                    (aid, tss[:-1] + [ts_us], cnt + 1)
-                    if len(tss) == rep + 1 and ts_us > tss[-1]
-                    else (aid, tss, cnt)
-                    for aid, tss, cnt in partials
+                    (aid, tss, cnt, ts_us)
+                    if len(tss) in strict and tss[-1] < ts_us and pend is None
+                    else (aid, tss, cnt, pend)
+                    for aid, tss, cnt, pend in partials
                 ]
-            # highest stage first: a partial promoted by this event has
-            # already passed its new stage's turn, so one event advances
-            # any partial at most one step (and strict ts > blocks
-            # same-timestamp re-promotion for repeated-type patterns).
-            for i in range(k - 1, 0, -1):
-                if etype != steps[i] or (mins[i] is not None and val < mins[i]):
-                    continue
-                # eligible stages: i itself, plus i-1 when step i-1 is
-                # optional (first-event-wins: this event arriving before
-                # any step-(i-1) event skips the optional slot as NULL)
-                stages = {i} | ({i - 1} if i - 1 in optionals else set())
-                hit = lambda p: len(p[1]) in stages and ts_us > p[1][-1]  # noqa: E731
-                promoted = [p for p in partials if hit(p)]
-                if not promoted:
-                    continue
-                partials = [p for p in partials if not hit(p)]
-                for aid, tss, cnt in promoted:
-                    ntss = tss + [None] * (i - len(tss)) + [ts_us]
-                    ncnt = 1 if rep is not None and i == rep else cnt
-                    if i == k - 1:
-                        out.append(_row(key[0], aid, ntss, True, ncnt))
-                    else:
-                        partials.append((aid, ntss, ncnt))
-            if etype == steps[0] and (mins[0] is None or val >= mins[0]):
-                partials.append((int(eid), [ts_us], 0))
 
         if partials:
             state.update(
@@ -269,13 +456,20 @@ def _make_processor(
                     [
                         f"{aid}:"
                         + ",".join("-1" if x is None else str(x) for x in tss)
-                        + f"|{cnt}"
-                        for aid, tss, cnt in partials
+                        + f"|{cnt}|{'' if pend is None else pend}"
+                        for aid, tss, cnt, pend in partials
                     ],
                 )
             )
-            expiry = max(tss[-1] for _, tss, _ in partials) + window_us
-            state.setTimeoutTimestamp(expiry // 1000)
+            expiry = max(_deadline(tss) for _, tss, _, _ in partials)
+            try:  # a tight total bound can put the deadline behind the
+                # watermark; Spark rejects a non-future timer, so clamp —
+                # the timer then fires on the very next micro-batch,
+                # which is exactly when the expired partials can drain
+                wm_ms = state.getCurrentWatermarkMs()
+            except Exception:  # noqa: BLE001 — test double without watermark
+                wm_ms = 0
+            state.setTimeoutTimestamp(max(expiry // 1000, wm_ms + 1))
         elif state.exists:
             state.remove()
         yield pd.DataFrame(out)
@@ -292,9 +486,15 @@ def compile_stream(
     out_cols = ", ".join(f"ts{i + 1} timestamp" for i in range(k))
     if pattern.one_or_more is not None:
         out_cols += ", n_rep int"
+    # strict contiguity is judged against ALL key activity, so the
+    # type pre-filter must stay off for strict patterns
+    src = (
+        events
+        if pattern.strict_steps
+        else events.filter(F.col("event_type").isin(*set(pattern.steps)))
+    )
     nfa = (
-        events.filter(F.col("event_type").isin(*set(pattern.steps)))
-        .withWatermark("ts", watermark)
+        src.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_processor(
@@ -303,6 +503,10 @@ def compile_stream(
                 pattern.step_min_value,
                 rep=pattern.one_or_more,
                 optionals=frozenset(pattern.optional_steps),
+                min_reps=pattern.min_reps,
+                total_us=pattern.total_window_us,
+                strict=frozenset(pattern.strict_steps),
+                skip_past_last=pattern.skip_past_last,
             ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}",
             stateStructType="partials array<string>",
@@ -330,9 +534,13 @@ def compile_stream_timeouts(
     out_cols = ", ".join(f"ts{i + 1} timestamp" for i in range(k))
     if pattern.one_or_more is not None:
         out_cols += ", n_rep int"
+    src = (
+        events
+        if pattern.strict_steps
+        else events.filter(F.col("event_type").isin(*set(pattern.steps)))
+    )
     nfa = (
-        events.filter(F.col("event_type").isin(*set(pattern.steps)))
-        .withWatermark("ts", watermark)
+        src.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _make_processor(
@@ -342,6 +550,10 @@ def compile_stream_timeouts(
                 emit_timeouts=True,
                 rep=pattern.one_or_more,
                 optionals=frozenset(pattern.optional_steps),
+                min_reps=pattern.min_reps,
+                total_us=pattern.total_window_us,
+                strict=frozenset(pattern.strict_steps),
+                skip_past_last=pattern.skip_past_last,
             ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}, matched boolean",
             stateStructType="partials array<string>",
@@ -378,20 +590,61 @@ def _stage_events(pattern: CepPattern, events: DataFrame, i: int) -> DataFrame:
     )
 
 
-def _min_join(cur, nxt, anchor_col, out_col, w, how):
+def _min_join(cur, nxt, anchor_col, out_col, w, how, total_pred=None):
     """One chain stage: first strictly-later candidate within the
     window of ``anchor_col``, as a keyed join + MIN aggregation. A NULL
-    anchor (earlier stage missed, left chains) propagates NULL."""
+    anchor (earlier stage missed, left chains) propagates NULL.
+    ``total_pred`` ([F] pattern-global within) additionally bounds the
+    candidate against the ANCHOR stage's timestamp."""
+    cond = (
+        (F.col("user_id") == F.col("__u"))
+        & (F.col("__ts") > F.col(anchor_col))
+        & (F.col("__ts") <= F.col(anchor_col) + F.expr(w))
+    )
+    if total_pred is not None:
+        cond = cond & total_pred
     return (
-        cur.join(
-            nxt,
-            (F.col("user_id") == F.col("__u"))
-            & (F.col("__ts") > F.col(anchor_col))
-            & (F.col("__ts") <= F.col(anchor_col) + F.expr(w)),
-            how,
-        )
+        cur.join(nxt, cond, how)
         .groupBy(*[c for c in cur.columns])
         .agg(F.min("__ts").alias(out_col))
+    )
+
+
+def _strict_join(pattern: CepPattern, cur, events: DataFrame, i: int, w, total_pred):
+    """One STRICT ([F] ``next()``) chain stage: among ALL events (any
+    type) strictly after stage i-1 within the window(s), take the
+    earliest timestamp; the stage matches iff some event at that exact
+    timestamp has step i's type and passes its guard — otherwise the
+    row is a contiguity violation and is dropped (both chains; the NFA
+    discards it silently too, so timeout outputs agree). Rows with NO
+    candidate event keep NULL: a true timeout."""
+    all_ev = events.select(
+        F.col("user_id").alias("__u"),
+        F.col("ts").alias("__ts"),
+        F.col("event_type").alias("__et"),
+        F.col("value").alias("__v"),
+    )
+    prev_ts = pattern.ts_col(i - 1)
+    cond = (
+        (F.col("user_id") == F.col("__u"))
+        & (F.col("__ts") > F.col(prev_ts))
+        & (F.col("__ts") <= F.col(prev_ts) + F.expr(w))
+    )
+    if total_pred is not None:
+        cond = cond & total_pred
+    hit = F.col("__et") == pattern.steps[i]
+    if pattern.min_value(i) is not None:
+        hit = hit & (F.col("__v") >= pattern.min_value(i))
+    return (
+        cur.join(all_ev, cond, "left")
+        .groupBy(*cur.columns)
+        .agg(
+            F.min("__ts").alias("__next"),
+            F.min(F.when(hit, F.col("__ts"))).alias("__hit"),
+        )
+        .filter(F.col("__next").isNull() | (F.col("__hit") == F.col("__next")))
+        .withColumn(pattern.ts_col(i), F.col("__hit"))
+        .drop("__next", "__hit")
     )
 
 
@@ -420,14 +673,23 @@ def _chain(pattern: CepPattern, events: DataFrame, left: bool) -> DataFrame:
         F.col("event_id").alias(pattern.anchor_col),
         F.col("ts").alias(pattern.ts_col(0)),
     )
+    total_pred = (
+        F.col("__ts")
+        <= F.col(pattern.ts_col(0)) + F.expr(f"INTERVAL {pattern.total_minutes} MINUTES")
+        if pattern.total_minutes is not None
+        else None
+    )
     i, k = 1, len(pattern.steps)
     while i < k:
-        if i in pattern.optional_steps:
+        if i in pattern.strict_steps:
+            cur = _strict_join(pattern, cur, events, i, w, total_pred)
+            i += 1
+        elif i in pattern.optional_steps:
             o, m = i, i + 1
             prev = pattern.ts_col(o - 1)
-            cur = _min_join(cur, _stage_events(pattern, events, o), prev, "__b", w, "left")
-            cur = _min_join(cur, _stage_events(pattern, events, m), prev, "__cd", w, "left")
-            cur = _min_join(cur, _stage_events(pattern, events, m), "__b", "__ca", w, "left")
+            cur = _min_join(cur, _stage_events(pattern, events, o), prev, "__b", w, "left", total_pred)
+            cur = _min_join(cur, _stage_events(pattern, events, m), prev, "__cd", w, "left", total_pred)
+            cur = _min_join(cur, _stage_events(pattern, events, m), "__b", "__ca", w, "left", total_pred)
             skip = F.col("__b").isNull() | (
                 F.col("__cd").isNotNull() & (F.col("__cd") < F.col("__b"))
             )
@@ -448,6 +710,7 @@ def _chain(pattern: CepPattern, events: DataFrame, left: bool) -> DataFrame:
                 pattern.ts_col(i),
                 w,
                 base_how,
+                total_pred,
             )
             i += 1
     return cur
@@ -460,18 +723,30 @@ def compile_batch(pattern: CepPattern, events: DataFrame) -> DataFrame:
     window', identical to the NFA. All joins shuffle on user_id, so the
     exchange is reused down the chain (one partitioning, k-1 joins).
     Optional steps compile to the three-join pair of ``_chain``; a
-    match then requires every MANDATORY stage present."""
+    match then requires every MANDATORY stage present. Strict stages
+    ([F] next()) compile to ``_strict_join`` and likewise require the
+    stage present."""
     if pattern.one_or_more is not None:
         raise ValueError(
             "one_or_more patterns have no join-chain shadow (variable-length "
             "runs); use compile_stream / compile_stream_timeouts — semantics "
             "are pinned by the reference-model tests"
         )
+    if pattern.skip_past_last:
+        raise ValueError(
+            "skip_past_last (AfterMatchSkipStrategy) is a greedy sequential "
+            "selection with no join-chain shadow; use compile_stream — "
+            "semantics are pinned by the reference-model tests"
+        )
     cur = _chain(pattern, events, left=False)
     # the pair's mandatory successor joins LEFT inside _chain; require
-    # it present for a match (all other mandatory stages join inner)
+    # it present for a match (all other mandatory stages join inner);
+    # strict stages join LEFT too (to tell timeout from violation) and
+    # must equally be present
     for o in pattern.optional_steps:
         cur = cur.filter(F.col(pattern.ts_col(o + 1)).isNotNull())
+    for s in pattern.strict_steps:
+        cur = cur.filter(F.col(pattern.ts_col(s)).isNotNull())
     return cur
 
 
@@ -481,13 +756,21 @@ def compile_batch_timeouts(pattern: CepPattern, events: DataFrame) -> DataFrame:
     an anchor that never finds its next stage within the window keeps
     NULLs from that stage on — exactly the prefix the NFA emits when
     the partial expires. ``matched`` = final stage present (the final
-    step is never optional by validation). Same one user_id exchange
-    reused down the chain."""
+    step is never optional by validation). A STRICT stage violation
+    (next event existed but mismatched) drops the row entirely — the
+    NFA discards those silently too, so the timeout outputs agree.
+    Same one user_id exchange reused down the chain."""
     if pattern.one_or_more is not None:
         raise ValueError(
             "one_or_more patterns have no join-chain shadow (variable-length "
             "runs); use compile_stream / compile_stream_timeouts — semantics "
             "are pinned by the reference-model tests"
+        )
+    if pattern.skip_past_last:
+        raise ValueError(
+            "skip_past_last (AfterMatchSkipStrategy) is a greedy sequential "
+            "selection with no join-chain shadow; use compile_stream — "
+            "semantics are pinned by the reference-model tests"
         )
     cur = _chain(pattern, events, left=True)
     last_ts = pattern.ts_col(len(pattern.steps) - 1)
@@ -539,9 +822,13 @@ def compile_stream_absence(
     return _absence_filter(pattern, to)
 
 
-def oracle_sql_timeouts(pattern: CepPattern) -> str:
-    """DuckDB equivalent of ``compile_batch_timeouts`` (LEFT JOIN CTE
-    chain; ``matched`` = final stage IS NOT NULL)."""
+def _oracle_chain(pattern: CepPattern, left: bool) -> str:
+    """Shared DuckDB CTE-chain generator (``left`` selects the timeout
+    variant). Mirrors ``_chain`` stage for stage: mandatory stages are
+    MIN joins, strict stages compare the first any-type event against
+    the first type-matching one ([F] next()), and the pattern-global
+    total window ([F] Pattern#within) bounds every stage against the
+    anchor timestamp."""
     if pattern.one_or_more is not None:
         raise ValueError(
             "one_or_more patterns have no join-chain shadow (variable-length "
@@ -553,8 +840,15 @@ def oracle_sql_timeouts(pattern: CepPattern) -> str:
             "optional patterns have no generated oracle; semantics are pinned "
             "by the batch-shadow and reference-model tests"
         )
+    if pattern.skip_past_last:
+        raise ValueError(
+            "skip_past_last (AfterMatchSkipStrategy) is a greedy sequential "
+            "selection with no join-chain shadow; use compile_stream — "
+            "semantics are pinned by the reference-model tests"
+        )
     w = f"INTERVAL {pattern.within_minutes} MINUTE"
     anchor, ts0 = pattern.anchor_col, pattern.ts_col(0)
+    how = "LEFT JOIN" if left else "JOIN"
     guard0 = (
         f" AND value >= {pattern.min_value(0)}"
         if pattern.min_value(0) is not None
@@ -574,67 +868,57 @@ def oracle_sql_timeouts(pattern: CepPattern) -> str:
             if pattern.min_value(i) is not None
             else ""
         )
-        sql += (
-            f", s{i + 1} AS (SELECT {qcols}, MIN(e.ts) AS {this_ts} "
-            f"FROM {prev} LEFT JOIN events e ON e.user_id = {prev}.user_id "
-            f"AND e.event_type = '{pattern.steps[i]}' {guard}"
-            f"AND e.ts > {prev}.{prev_ts} AND e.ts <= {prev}.{prev_ts} + {w} "
-            f"GROUP BY {qcols})"
+        total = (
+            f"AND e.ts <= {prev}.{ts0} + INTERVAL {pattern.total_minutes} MINUTE "
+            if pattern.total_minutes is not None
+            else ""
         )
+        if i in pattern.strict_steps:
+            keep = "__next IS NULL OR __hit = __next" if left else "__hit = __next"
+            sql += (
+                f", s{i + 1} AS (SELECT user_id, {', '.join(cols)}, "
+                f"__hit AS {this_ts} FROM ("
+                f"SELECT {qcols}, MIN(e.ts) AS __next, "
+                f"MIN(CASE WHEN e.event_type = '{pattern.steps[i]}' "
+                f"{guard}THEN e.ts END) AS __hit "
+                f"FROM {prev} LEFT JOIN events e ON e.user_id = {prev}.user_id "
+                f"AND e.ts > {prev}.{prev_ts} AND e.ts <= {prev}.{prev_ts} + {w} "
+                f"{total}GROUP BY {qcols}) t WHERE {keep})"
+            )
+        else:
+            sql += (
+                f", s{i + 1} AS (SELECT {qcols}, MIN(e.ts) AS {this_ts} "
+                f"FROM {prev} {how} events e ON e.user_id = {prev}.user_id "
+                f"AND e.event_type = '{pattern.steps[i]}' {guard}"
+                f"AND e.ts > {prev}.{prev_ts} AND e.ts <= {prev}.{prev_ts} + {w} "
+                f"{total}GROUP BY {qcols})"
+            )
         prev = f"s{i + 1}"
         cols.append(this_ts)
-    last_ts = pattern.ts_col(len(pattern.steps) - 1)
-    return (
-        f"{sql} SELECT user_id, {', '.join(cols)}, "
-        f"({last_ts} IS NOT NULL) AS matched FROM {prev}"
+    if left:
+        last_ts = pattern.ts_col(len(pattern.steps) - 1)
+        return (
+            f"{sql} SELECT user_id, {', '.join(cols)}, "
+            f"({last_ts} IS NOT NULL) AS matched FROM {prev}"
+        )
+    strict_keep = "".join(
+        f" AND {pattern.ts_col(s)} IS NOT NULL" for s in pattern.strict_steps
     )
+    where = f" WHERE TRUE{strict_keep}" if strict_keep else ""
+    return f"{sql} SELECT user_id, {', '.join(cols)} FROM {prev}{where}"
+
+
+def oracle_sql_timeouts(pattern: CepPattern) -> str:
+    """DuckDB equivalent of ``compile_batch_timeouts`` (LEFT JOIN CTE
+    chain; ``matched`` = final stage IS NOT NULL; strict-contiguity
+    violations dropped, true timeouts kept with NULLs)."""
+    return _oracle_chain(pattern, left=True)
 
 
 def oracle_sql(pattern: CepPattern) -> str:
     """DuckDB SQL equivalent of ``compile_batch`` (CTE chain, one MIN
     aggregation per stage) for the driver's correctness gate."""
-    if pattern.one_or_more is not None:
-        raise ValueError(
-            "one_or_more patterns have no join-chain shadow (variable-length "
-            "runs); use compile_stream / compile_stream_timeouts — semantics "
-            "are pinned by the reference-model tests"
-        )
-    if pattern.optional_steps:
-        raise ValueError(
-            "optional patterns have no generated oracle; semantics are pinned "
-            "by the batch-shadow and reference-model tests"
-        )
-    w = f"INTERVAL {pattern.within_minutes} MINUTE"
-    anchor, ts0 = pattern.anchor_col, pattern.ts_col(0)
-    guard0 = (
-        f" AND value >= {pattern.min_value(0)}"
-        if pattern.min_value(0) is not None
-        else ""
-    )
-    sql = (
-        f"WITH s1 AS (SELECT user_id, event_id AS {anchor}, ts AS {ts0} "
-        f"FROM events WHERE event_type = '{pattern.steps[0]}'{guard0})"
-    )
-    prev = "s1"
-    cols = [f"{anchor}", f"{ts0}"]
-    for i in range(1, len(pattern.steps)):
-        prev_ts, this_ts = pattern.ts_col(i - 1), pattern.ts_col(i)
-        qcols = ", ".join([f"{prev}.user_id"] + [f"{prev}.{c}" for c in cols])
-        guard = (
-            f"AND e.value >= {pattern.min_value(i)} "
-            if pattern.min_value(i) is not None
-            else ""
-        )
-        sql += (
-            f", s{i + 1} AS (SELECT {qcols}, MIN(e.ts) AS {this_ts} "
-            f"FROM {prev} JOIN events e ON e.user_id = {prev}.user_id "
-            f"AND e.event_type = '{pattern.steps[i]}' {guard}"
-            f"AND e.ts > {prev}.{prev_ts} AND e.ts <= {prev}.{prev_ts} + {w} "
-            f"GROUP BY {qcols})"
-        )
-        prev = f"s{i + 1}"
-        cols.append(this_ts)
-    return f"{sql} SELECT user_id, {', '.join(cols)} FROM {prev}"
+    return _oracle_chain(pattern, left=False)
 
 
 # The graded 4-step instance (queries/round6.py::cep4_pattern_batch +
@@ -676,4 +960,50 @@ ONEPLUS3 = CepPattern(steps=("view", "click", "purchase"), within_minutes=720, o
 # Completions report view_ts NULL when the purchase came first.
 OPT3 = CepPattern(
     steps=("signup", "view", "purchase"), within_minutes=720, optional_steps=(1,)
+)
+
+# The times(n) instance (queries/round7.py::cep_pattern_times + golden
+# twin): view, click times(2), purchase — [F] Pattern#times expands to
+# fixed adjacent same-type steps, fully join-expressible.
+TIMES3 = CepPattern.of(
+    ["view", ("click", 2), "purchase"], within_minutes=720
+)
+
+# The pattern-global-within instance (queries/round7.py::
+# cep_pattern_within_total + golden twin): view→click→purchase with
+# 24 h per stage but the WHOLE match bounded to 36 h — [F]
+# Pattern#within. Strictly tighter than the per-stage-only 48 h max
+# span, and demonstrably different on the fixture at BOTH test scale
+# factors (27→25 matches at sf0.001, 225→207 at sf0.01), so the bound
+# is exercised, not vacuous.
+TOTAL3 = CepPattern(
+    steps=("view", "click", "purchase"),
+    within_minutes=1440,
+    total_minutes=2160,
+)
+
+# The strict-contiguity instance (queries/round7.py::cep_pattern_strict
+# + golden twin): view, then the IMMEDIATELY next event must be a
+# click ([F] Pattern#next), then purchase (relaxed) — 24 h windows.
+STRICT3 = CepPattern(
+    steps=("view", "click", "purchase"), within_minutes=1440, strict_steps=(1,)
+)
+
+# The timesOrMore instance (compile_stream only + reference-model
+# tests): view, click timesOrMore(2) (greedy run), purchase — [F]
+# Pattern#timesOrMore. Streaming-NFA only, like oneOrMore.
+TWOPLUS3 = CepPattern(
+    steps=("view", "click", "purchase"),
+    within_minutes=720,
+    one_or_more=1,
+    min_reps=2,
+)
+
+# The after-match-skip instance (compile_stream only + reference-model
+# tests): the 3-step funnel with [F]
+# AfterMatchSkipStrategy.skipPastLastEvent — non-overlapping matches.
+# 24 h windows so the strategy is actually exercised on the sf0.001
+# golden fixture (18 skip-selected matches vs 27 unrestricted).
+SKIP3 = CepPattern(
+    steps=("view", "click", "purchase"), within_minutes=1440, skip_past_last=True
 )

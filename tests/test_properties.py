@@ -1043,3 +1043,498 @@ def test_cep_optional_guard_tier_composes(events):
             )
     got.sort(key=lambda r: tuple(-1 if x is None else x for x in r[2:]) + r[:2])
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-7 CEP tiers: times(n), pattern-global within, strict contiguity,
+# timesOrMore, AfterMatchSkipStrategy (streaming/cep.py)
+# ---------------------------------------------------------------------------
+
+
+def _drive_nfa_chunked(proc, evs, cuts, k, extra_cols=()):
+    """Drive a _make_processor closure through ARBITRARY time-ordered
+    micro-batch splits via the GroupState double; returns sorted match
+    tuples (uid, aid, ts..., *extra_cols)."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _ in evs],
+            "event_id": [i for _, i, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _ in evs],
+            "event_type": [e for _, _, _, e in evs],
+            "value": [0.0] * len(evs),
+        }
+    )
+    bounds = sorted({c for c in cuts if c < len(evs)} | {0, len(evs)})
+    chunks = [rows.iloc[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    got = []
+    for uid in sorted(rows["user_id"].unique()):
+        state = _FakeGroupState()
+        for chunk in chunks:
+            part = chunk[chunk["user_id"] == uid]
+            if part.empty:
+                continue
+            for out in proc((uid,), iter([part]), state):
+                got.extend(
+                    (
+                        r.user_id,
+                        r.anchor_id,
+                        *(int(getattr(r, f"ts{j + 1}").timestamp()) for j in range(k)),
+                        *(getattr(r, c) for c in extra_cols),
+                    )
+                    for r in out.itertuples()
+                )
+    return sorted(got)
+
+
+def _strict_sim(evs, steps, strict, window_s, total_s=None):
+    """Independent per-anchor model of strict contiguity ([F] next()):
+    at a strict stage, the earliest strictly-later event of ANY type
+    within the window(s) decides — promote iff some event at that exact
+    timestamp matches the step's type, else the anchor is dead (a
+    contiguity violation, silent). Shares no code with
+    streaming/cep.py's grouped pending-kill NFA."""
+    out = []
+    k = len(steps)
+    for uid, aid, ts0, et0 in evs:
+        if et0 != steps[0]:
+            continue
+        tss = [ts0]
+        ok = True
+        for i in range(1, k):
+            cands = [
+                (t2, e2)
+                for uid2, _, t2, e2 in evs
+                if uid2 == uid
+                and t2 > tss[-1]
+                and t2 <= tss[-1] + window_s
+                and (total_s is None or t2 <= ts0 + total_s)
+            ]
+            if i in strict:
+                if not cands:
+                    ok = False
+                    break
+                t_min = min(t2 for t2, _ in cands)
+                if any(e2 == steps[i] for t2, e2 in cands if t2 == t_min):
+                    tss.append(t_min)
+                else:
+                    ok = False
+                    break
+            else:
+                hits = [t2 for t2, e2 in cands if e2 == steps[i]]
+                if not hits:
+                    ok = False
+                    break
+                tss.append(min(hits))
+        if ok:
+            out.append((uid, aid, *tss))
+    return sorted(out)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "x"]),  # x: foreign type that
+        ),                                           # can break contiguity
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_strict_nfa_matches_simulation_any_chunking(events, cuts):
+    """Strict contiguity ([F] next()) in the NFA: the grouped
+    pending-kill mechanism must produce exactly the per-anchor
+    simulation's matches under EVERY micro-batch split — including
+    splits inside an equal-timestamp group, which is what the deferred
+    kill marker exists for."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, strict, window_s = ("a", "b", "c"), frozenset({1}), 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _strict_sim(evs, steps, strict, window_s)
+    proc = _make_processor(steps, window_s * 1_000_000, strict=strict)
+    assert _drive_nfa_chunked(proc, evs, cuts, 3) == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "x"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_cep_strict_batch_matches_reference_model(spark, events):
+    """Strict contiguity in the BATCH chain (_strict_join: first
+    any-type event vs first matching event) must equal the same
+    per-anchor simulation — ties at the earliest timestamp resolve as
+    'some earliest event matches' in both."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import CepPattern, compile_batch
+
+    evs = [(u, i, t, e) for i, (u, t, e) in enumerate(events)]
+    pat = CepPattern(steps=("a", "b", "c"), within_minutes=1, strict_steps=(1,))
+    pdf = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _ in evs],
+            "event_id": [i for _, i, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _ in evs],
+            "event_type": [e for _, _, _, e in evs],
+            "value": [0.0] * len(evs),
+        }
+    )
+    got = sorted(
+        (
+            r["user_id"],
+            r[pat.anchor_col],
+            *(int(r[pat.ts_col(i)].timestamp()) for i in range(3)),
+        )
+        for r in compile_batch(pat, spark.createDataFrame(pdf)).collect()
+    )
+    assert got == _strict_sim(evs, ("a", "b", "c"), frozenset({1}), 60)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            st.integers(0, 10_000),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_cep_times_batch_compiler_matches_reference_model(spark, events):
+    """times(2) ([F] Pattern#times): the expanded adjacent same-type
+    steps through the batch compiler must equal the generic reference
+    chain on random micro-streams — one event may satisfy several
+    consecutive same-type stages only via strictly later timestamps."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import CepPattern, compile_batch
+
+    events = [(u, i, ts, e) for i, (u, _, ts, e) in enumerate(events)]
+    pat = CepPattern.of(["a", ("b", 2), "c"], within_minutes=1)
+    assert pat.steps == ("a", "b", "b", "c")
+    pdf = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _ in events],
+            "event_id": [i for _, i, _, _ in events],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _ in events],
+            "event_type": [e for _, _, _, e in events],
+            "value": [0.0] * len(events),
+        }
+    )
+    got = sorted(
+        (
+            r["user_id"],
+            r[pat.anchor_col],
+            *(int(r[pat.ts_col(i)].timestamp()) for i in range(4)),
+        )
+        for r in compile_batch(pat, spark.createDataFrame(pdf)).collect()
+    )
+    want = _cep_reference(events, ("a", "b", "b", "c"), 60)
+    assert got == want
+
+
+def _cep_reference_total(events, steps, window_s, total_s):
+    """Reference chain with BOTH the per-stage window and the
+    pattern-global total window ([F] Pattern#within) applied."""
+    out = []
+    per_user: dict = {}
+    for uid, eid, ts, etype in events:
+        per_user.setdefault(uid, []).append((eid, ts, etype))
+    for uid, evs in per_user.items():
+        for eid, ts0, etype in evs:
+            if etype != steps[0]:
+                continue
+            chain = [ts0]
+            ok = True
+            for step in steps[1:]:
+                cands = [
+                    t2
+                    for _, t2, e2 in evs
+                    if e2 == step
+                    and t2 > chain[-1]
+                    and t2 <= chain[-1] + window_s
+                    and t2 <= ts0 + total_s
+                ]
+                if not cands:
+                    ok = False
+                    break
+                chain.append(min(cands))
+            if ok:
+                out.append((uid, eid, *chain))
+    return sorted(out)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            st.integers(0, 10_000),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_cep_total_window_batch_matches_reference_model(spark, events):
+    """Pattern-global within ([F] Pattern#within): per-stage 60 s plus
+    a 60 s TOTAL bound (a real restriction for the 3-step chain, whose
+    per-stage-only spans reach 120 s) through the batch compiler must
+    equal the doubly-bounded reference chain."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import CepPattern, compile_batch
+
+    events = [(u, i, ts, e) for i, (u, _, ts, e) in enumerate(events)]
+    pat = CepPattern(steps=("a", "b", "c"), within_minutes=1, total_minutes=1)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _ in events],
+            "event_id": [i for _, i, _, _ in events],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _ in events],
+            "event_type": [e for _, _, _, e in events],
+            "value": [0.0] * len(events),
+        }
+    )
+    got = sorted(
+        (
+            r["user_id"],
+            r[pat.anchor_col],
+            *(int(r[pat.ts_col(i)].timestamp()) for i in range(3)),
+        )
+        for r in compile_batch(pat, spark.createDataFrame(pdf)).collect()
+    )
+    assert got == _cep_reference_total(events, ("a", "b", "c"), 60, 60)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_total_window_nfa_matches_simulation_any_chunking(events, cuts):
+    """Pattern-global within in the NFA: the anchor-based expiry must
+    match the doubly-bounded reference chain under every micro-batch
+    split (the per-anchor chain model is valid — partials don't
+    interact without skip_past_last)."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _cep_reference_total(
+        [(u, i, t, e) for u, i, t, e in evs], ("a", "b", "c"), 60, 60
+    )
+    proc = _make_processor(("a", "b", "c"), 60 * 1_000_000, total_us=60 * 1_000_000)
+    assert _drive_nfa_chunked(proc, evs, cuts, 3) == want
+
+
+def _timesormore_sim(evs, steps, rep, window_s, min_reps):
+    """Per-anchor simulation of timesOrMore(n) ([F]): like the greedy
+    oneOrMore run, but a next-step event only completes the Kleene
+    stage once >= min_reps repetitions are accepted — an earlier one is
+    relaxed-contiguity ignored and the run keeps waiting/extending."""
+    k = len(steps)
+    out = []
+    for pos, (uid, aid, ts0, etype0) in enumerate(evs):
+        if etype0 != steps[0]:
+            continue
+        tss, cnt = [ts0], 0
+        for uid2, eid, ts, etype in evs[pos + 1:]:
+            if uid2 != uid:
+                continue
+            if ts - tss[-1] > window_s:
+                break
+            stage = len(tss)
+            if stage == rep + 1 and etype == steps[rep] and ts > tss[-1]:
+                tss[-1] = ts
+                cnt += 1
+                continue
+            if stage == rep + 1 and etype == steps[stage] and cnt < min_reps:
+                continue  # premature completion attempt: ignored
+            if stage < k and etype == steps[stage] and ts > tss[-1]:
+                tss.append(ts)
+                if stage == rep:
+                    cnt = 1
+                if len(tss) == k:
+                    out.append((uid, aid, *tss, cnt))
+                    break
+    return sorted(out)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_timesormore_nfa_matches_simulation_any_chunking(events, cuts):
+    """timesOrMore(2) in the NFA under every micro-batch split: the
+    min_reps gate must block completion until two repetitions are
+    accepted, and a premature next-step event must be a relaxed no-op
+    (not a kill, not a completion)."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, rep, window_s = ("a", "b", "c"), 1, 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _timesormore_sim(
+        [(u, i, t, e) for u, i, t, e in evs], steps, rep, window_s, 2
+    )
+    proc = _make_processor(steps, window_s * 1_000_000, rep=rep, min_reps=2)
+    assert _drive_nfa_chunked(proc, evs, cuts, 3, extra_cols=("n_rep",)) == want
+
+
+def test_cep_oneplus_is_greedy():
+    """The single emitted oneOrMore match is the GREEDY head match
+    ([F] oneOrMore().greedy()): every repetition before the first
+    next-step event is consumed into the run — n_rep counts them all,
+    and the repeated step's ts column holds the LAST repetition."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    # a @0, b @10, b @20, b @30, c @40 -> one match, n_rep=3, b_ts=30
+    evs = [(1, 0, 0, "a"), (1, 1, 10, "b"), (1, 2, 20, "b"), (1, 3, 30, "b"), (1, 4, 40, "c")]
+    proc = _make_processor(("a", "b", "c"), 60 * 1_000_000, rep=1)
+    got = _drive_nfa_chunked(proc, evs, [], 3, extra_cols=("n_rep",))
+    assert got == [(1, 0, 0, 30, 40, 3)]
+
+
+def _skip_sim(evs, steps, window_s):
+    """Sequential model of AfterMatchSkipStrategy.skipPastLastEvent:
+    single pass per user in (ts, event_id) order; on completion emit
+    only the earliest-anchored match, clear every open partial, and
+    consume the completing event (it cannot anchor). Partials interact
+    here, so the model is inherently sequential — written directly
+    against the strategy definition, sharing no code with the NFA's
+    grouped state machine."""
+    k = len(steps)
+    per_user: dict = {}
+    for uid, eid, ts, etype in evs:
+        per_user.setdefault(uid, []).append((eid, ts, etype))
+    out = []
+    for uid in sorted(per_user):
+        partials: list = []  # (aid, [ts...])
+        for eid, ts, etype in per_user[uid]:
+            partials = [p for p in partials if ts - p[1][-1] <= window_s]
+            completed = []
+            for i in range(k - 1, 0, -1):
+                if etype != steps[i]:
+                    continue
+                hits = [p for p in partials if len(p[1]) == i and ts > p[1][-1]]
+                if not hits:
+                    continue
+                partials = [p for p in partials if not (len(p[1]) == i and ts > p[1][-1])]
+                for aid, tss in hits:
+                    if i == k - 1:
+                        completed.append((aid, tss + [ts]))
+                    else:
+                        partials.append((aid, tss + [ts]))
+            if completed:
+                aid, tss = min(completed, key=lambda c: (c[1][0], c[0]))
+                out.append((uid, aid, *tss))
+                partials = []
+                continue
+            if etype == steps[0]:
+                partials.append((eid, [ts]))
+    return sorted(out)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_skip_past_last_nfa_matches_simulation_any_chunking(events, cuts):
+    """skipPastLastEvent under every micro-batch split: non-overlapping
+    matches, earliest anchor wins on simultaneous completion, the
+    completing event never anchors — and the result is identical no
+    matter how the stream is chunked."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c"), 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _skip_sim([(u, i, t, e) for u, i, t, e in evs], steps, window_s)
+    proc = _make_processor(steps, window_s * 1_000_000, skip_past_last=True)
+    assert _drive_nfa_chunked(proc, evs, cuts, 3) == want
+
+
+def test_cep_round7_validation():
+    """The new tiers' validation: strict anchors, strict×optional and
+    strict×Kleene exclusions, min_reps gating, times(n) expansion."""
+    from hello_flink_spark.streaming.cep import CepPattern
+
+    with pytest.raises(ValueError):
+        CepPattern(steps=("a", "b"), within_minutes=1, strict_steps=(0,))
+    with pytest.raises(ValueError):
+        CepPattern(
+            steps=("a", "b", "c", "d"),
+            within_minutes=1,
+            optional_steps=(1,),
+            strict_steps=(1,),
+        )
+    with pytest.raises(ValueError):
+        CepPattern(
+            steps=("a", "b", "c", "d"),
+            within_minutes=1,
+            optional_steps=(1,),
+            strict_steps=(2,),
+        )
+    with pytest.raises(ValueError):
+        CepPattern(
+            steps=("a", "b", "c"), within_minutes=1, one_or_more=1, strict_steps=(2,)
+        )
+    with pytest.raises(ValueError):
+        CepPattern(steps=("a", "b", "c"), within_minutes=1, min_reps=2)
+    with pytest.raises(ValueError):
+        CepPattern(steps=("a", "b"), within_minutes=1, total_minutes=0)
+    with pytest.raises(ValueError):
+        CepPattern.of(["a", ("b", 0)], within_minutes=1)

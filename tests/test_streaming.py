@@ -1474,3 +1474,146 @@ def test_cep_optional_step_stream_equals_batch(spark, sf_dir, replay_dir):
     skipped = [r for r in got if r[3] is None]
     assert taken, "no taken-view matches in fixture"
     assert skipped, "no skipped-view matches in fixture"
+
+
+# ---------------------------------------------------------------------------
+# round-7 CEP tiers (times(n) / pattern-global within / strict next() /
+# timesOrMore / AfterMatchSkipStrategy) — streaming/cep.py
+# ---------------------------------------------------------------------------
+
+
+def test_cep_times_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """times(2) ([F] Pattern#times): the quantifier expansion through
+    the NFA must equal the declared batch chain, stage-prefixed
+    columns included."""
+    from hello_flink_spark.streaming.cep import TIMES3, compile_stream
+
+    run_to_memory(compile_stream(TIMES3, _stream(spark, replay_dir), WM), "t_cept")
+    cols = ("user_id", "view_id", "view_ts", "s2_click_ts", "s3_click_ts", "purchase_ts")
+    got = sorted(tuple(r[c] for c in cols) for r in spark.table("t_cept").collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in get_spec("cep_pattern_times").fn(spark, sf_dir).collect()
+    )
+    assert got and got == want
+
+
+def test_cep_within_total_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """Pattern-global within ([F] Pattern#within): NFA anchor-based
+    expiry == batch chain's anchor-ts predicate — and the result
+    PROVABLY differs from the per-stage-only twin on this fixture, so
+    the bound is exercised."""
+    from hello_flink_spark.streaming.cep import (
+        CepPattern,
+        TOTAL3,
+        compile_batch,
+        compile_stream,
+    )
+
+    run_to_memory(compile_stream(TOTAL3, _stream(spark, replay_dir), WM), "t_ceptw")
+    cols = ("user_id", "view_id", "view_ts", "click_ts", "purchase_ts")
+    got = sorted(tuple(r[c] for c in cols) for r in spark.table("t_ceptw").collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in get_spec("cep_pattern_within_total").fn(spark, sf_dir).collect()
+    )
+    assert got and got == want
+    per_stage_only = CepPattern(steps=TOTAL3.steps, within_minutes=TOTAL3.within_minutes)
+    n_unbounded = compile_batch(per_stage_only, load_table(spark, sf_dir, "events")).count()
+    assert n_unbounded > len(got), "total bound is vacuous on this fixture"
+
+
+def test_cep_strict_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """Strict contiguity ([F] next()): the NFA's grouped pending-kill
+    over the UNFILTERED event stream must equal the batch
+    first-any-vs-first-matching chain."""
+    from hello_flink_spark.streaming.cep import STRICT3, compile_stream
+
+    run_to_memory(compile_stream(STRICT3, _stream(spark, replay_dir), WM), "t_cepsx")
+    cols = ("user_id", "view_id", "view_ts", "click_ts", "purchase_ts")
+    got = sorted(tuple(r[c] for c in cols) for r in spark.table("t_cepsx").collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in get_spec("cep_pattern_strict").fn(spark, sf_dir).collect()
+    )
+    assert got and got == want
+
+
+def _events_as_tuples(spark, sf_dir):
+    """Fixture events as time-ordered (uid, eid, ts_us, etype) tuples
+    for the pure-python CEP reference models (µs units end-to-end)."""
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    ).collect()
+    evs = [
+        (r.user_id, r.event_id, int(r.ts.timestamp() * 1_000_000), r.event_type)
+        for r in rows
+    ]
+    evs.sort(key=lambda x: (x[2], x[1]))
+    return evs
+
+
+def test_cep_timesormore_golden_vs_simulation(spark, sf_dir, replay_dir):
+    """timesOrMore(2) ([F] Pattern#timesOrMore) on the real fixture
+    replay: the NFA (no batch shadow exists — variable-length runs)
+    must equal the independent per-anchor simulation, n_rep >= 2
+    everywhere."""
+    from tests.test_properties import _timesormore_sim
+
+    from hello_flink_spark.streaming.cep import TWOPLUS3, compile_stream
+
+    run_to_memory(compile_stream(TWOPLUS3, _stream(spark, replay_dir), WM), "t_cep2p")
+    got = sorted(
+        (
+            r.user_id,
+            r.view_id,
+            int(r.view_ts.timestamp() * 1_000_000),
+            int(r.click_ts.timestamp() * 1_000_000),
+            int(r.purchase_ts.timestamp() * 1_000_000),
+            r.n_rep,
+        )
+        for r in spark.table("t_cep2p").collect()
+    )
+    evs = _events_as_tuples(spark, sf_dir)
+    want = _timesormore_sim(
+        evs, TWOPLUS3.steps, 1, TWOPLUS3.window_us, TWOPLUS3.min_reps
+    )
+    assert got and got == want
+    assert all(r[-1] >= 2 for r in got)
+
+
+def test_cep_skip_past_last_golden_vs_simulation(spark, sf_dir, replay_dir):
+    """skipPastLastEvent on the real fixture replay: the NFA must
+    equal the sequential reference model, matches must be
+    non-overlapping per user, and there must be strictly fewer matches
+    than the no-skip twin emits (the strategy is exercised)."""
+    from tests.test_properties import _skip_sim
+
+    from hello_flink_spark.streaming.cep import CepPattern, SKIP3, compile_batch, compile_stream
+
+    run_to_memory(compile_stream(SKIP3, _stream(spark, replay_dir), WM), "t_cepskip")
+    got = sorted(
+        (
+            r.user_id,
+            r.view_id,
+            int(r.view_ts.timestamp() * 1_000_000),
+            int(r.click_ts.timestamp() * 1_000_000),
+            int(r.purchase_ts.timestamp() * 1_000_000),
+        )
+        for r in spark.table("t_cepskip").collect()
+    )
+    evs = _events_as_tuples(spark, sf_dir)
+    want = _skip_sim(evs, SKIP3.steps, SKIP3.window_us)
+    assert got and got == want
+    # non-overlapping per user: each match's anchor starts after the
+    # previous match's final event
+    by_user: dict = {}
+    for u, _aid, t0, _t1, t2 in got:
+        by_user.setdefault(u, []).append((t0, t2))
+    for spans in by_user.values():
+        spans.sort()
+        for (a0, a2), (b0, _b2) in zip(spans, spans[1:]):
+            assert b0 > a2
+    no_skip = CepPattern(steps=SKIP3.steps, within_minutes=SKIP3.within_minutes)
+    n_all = compile_batch(no_skip, load_table(spark, sf_dir, "events")).count()
+    assert n_all > len(got), "skip strategy is vacuous on this fixture"
