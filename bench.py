@@ -126,6 +126,13 @@ HEADLINE = [
     "agg_linear_regression",
     "join_lateral",
     "graph_pagerank",
+    # round-7: the completed CEP surface — quantifier expansion (4-stage
+    # chain), pattern-global within (extra anchor predicate), strict
+    # contiguity (LEFT join over ALL events + two MINs, the heaviest
+    # CEP chain shape).
+    "cep_pattern_times",
+    "cep_pattern_within_total",
+    "cep_pattern_strict",
 ]
 
 

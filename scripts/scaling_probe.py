@@ -124,6 +124,8 @@ def main() -> None:
         f"Worst time ratio across probes: **{worst:.1f}x** for 10x data — "
         "every probed operator scales at or below the data growth.",
         "",
+        "Second decade (sf0.1 -> sf1, dedup family): docs/SCALING_SF1.md.",
+        "",
     ]
     out = Path(__file__).resolve().parent.parent / "docs" / "SCALING.md"
     out.write_text("\n".join(lines))

@@ -1783,3 +1783,53 @@ def test_stream_upsert_merge_out_of_order(spark, sf_dir, tmp_path):
         if r.op in ("update", "insert")
     }
     assert twin == {k: (p, t) for k, (p, t, _v) in got.items()}
+
+
+def test_kafka_stub_option_plumbing(spark):
+    """VERDICT r06 #7: close what CAN be closed without a broker. A
+    recording double asserts the stub wires the canonical reader
+    options exactly (format kafka, bootstrap servers, subscribe,
+    startingOffsets); the real session asserts the connector-absent
+    path converts to NotImplementedError carrying the deployment
+    pointer (jar coordinates recipe: docs/STREAMING.md)."""
+
+    class _Recorder:
+        def __init__(self):
+            self.fmt = None
+            self.opts = {}
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self):
+            raise RuntimeError("connector jar absent")
+
+    class _FakeSession:
+        def __init__(self):
+            self.readStream = _Recorder()
+
+    fake = _FakeSession()
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        jobs.kafka_source_stub(
+            fake, "broker1:9092,broker2:9092", "events_topic", "latest"
+        )
+    rec = fake.readStream
+    assert rec.fmt == "kafka"
+    assert rec.opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events_topic",
+        "startingOffsets": "latest",
+    }
+    # default offset mode + the real session: the genuinely-missing
+    # connector takes the same clear path
+    fake2 = _FakeSession()
+    with pytest.raises(NotImplementedError):
+        jobs.kafka_source_stub(fake2, "localhost:9092", "t")
+    assert fake2.readStream.opts["startingOffsets"] == "earliest"
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        jobs.kafka_source_stub(spark, "localhost:9092", "t")
