@@ -84,3 +84,447 @@ def cep_pattern_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hello_flink_spark.streaming.cep import STRICT3, compile_batch
 
     return compile_batch(STRICT3, t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# round-7 batch 2: robust statistics, graph analytics, ANN range search,
+# per-key smoothing, product quantization
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    tot AS (SELECT user_id, SUM(cnt) AS total FROM c GROUP BY 1)
+    SELECT c.user_id,
+           CAST(ANY_VALUE(tot.total) AS BIGINT) AS n_events,
+           ROUND(-SUM((c.cnt / CAST(tot.total AS DOUBLE))
+                      * ln(c.cnt / CAST(tot.total AS DOUBLE))), 6) AS entropy
+    FROM c JOIN tot ON tot.user_id = c.user_id
+    GROUP BY c.user_id
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    profiling / bot-detection scalar (uniform clickers score ln(5),
+    single-action bots score 0). Two hash aggregates over the tiny
+    (user × type) count table; the window runs on that aggregate, not
+    the event stream — scale cost is one keyed shuffle of the raw
+    events, everything after is |users × types|."""
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id")
+    p = F.col("cnt") / F.sum("cnt").over(w)
+    return (
+        c.withColumn("p", p)
+        .groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("entropy"),
+        )
+    )
+
+
+@register(
+    "agg_mad",
+    oracle="""
+    WITH med AS (SELECT o_orderpriority, median(o_totalprice) AS med
+                 FROM orders GROUP BY 1)
+    SELECT o.o_orderpriority,
+           ROUND(ANY_VALUE(med.med), 2) AS median_total,
+           ROUND(median(abs(o.o_totalprice - med.med)), 2) AS mad_total,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN med USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of order totals per priority — the
+    robust dispersion measure outlier-laden pipelines use where stddev
+    is poisoned by the outliers themselves. Exact two-phase plan:
+    per-group exact median (SQL `percentile`, not the approx sketch),
+    broadcast-size medians joined back, median of absolute deviations.
+    Two shuffles of orders on the same group key (AQE reuses the
+    exchange); the medians table is |priorities| rows."""
+    o = t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    return (
+        o.join(med, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.first("med"), 2).alias("median_total"),
+            F.round(
+                F.expr("percentile(abs(o_totalprice - med), 0.5)"), 2
+            ).alias("mad_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "agg_gini",
+    oracle="""
+    WITH rev AS (SELECT c.c_mktsegment, c.c_custkey, SUM(o.o_totalprice) AS rev
+                 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                 GROUP BY 1, 2),
+    rk AS (SELECT c_mktsegment, rev,
+                  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY rev, c_custkey) AS i,
+                  COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+           FROM rev)
+    SELECT c_mktsegment,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_customers,
+           ROUND(2.0 * SUM(i * rev) / (ANY_VALUE(n) * SUM(rev))
+                 - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n), 6) AS gini
+    FROM rk GROUP BY c_mktsegment
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    inequality scalar behind every 'whale concentration' dashboard
+    (complements orders_pareto_share's top-k% cut with the full-curve
+    summary). Rank-formula Gini: sort each segment's customer revenues
+    ascending, G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n. One keyed agg to
+    customer revenue, one per-segment window rank (ties broken by
+    custkey for cross-engine determinism), one final agg — the window
+    runs over |customers|, not orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("rev", "c_custkey")
+    rk = rev.select(
+        "c_mktsegment",
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    return rk.groupBy("c_mktsegment").agg(
+        F.first("n").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev")) / (F.first("n") * F.sum("rev"))
+            - (F.first("n") + 1.0) / F.first("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+TRIANGLE_MIN_COOCCUR = 2
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= {TRIANGLE_MIN_COOCCUR}),
+    deg AS (SELECT v, COUNT(*) AS d FROM
+              (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e)
+            GROUP BY v),
+    tri AS (SELECT COUNT(*) AS tcnt FROM e e1
+            JOIN e e2 ON e2.pa = e1.pb
+            JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+    wd AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges,
+                  COUNT(*) AS nv FROM deg)
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(wd.nv AS BIGINT) AS n_vertices,
+           wd.wedges AS n_wedges,
+           CAST(tri.tcnt AS BIGINT) AS n_triangles,
+           ROUND(3.0 * tri.tcnt / wd.wedges, 6) AS clustering
+    FROM tri, wd
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (parts sharing >= 2 orders) — the graph-analytics
+    primitive behind community/cohesion metrics. Spark side uses the
+    DEGREE-ORIENTED algorithm (the at-scale formulation): orient every
+    edge from its lower-(degree, id) endpoint, enumerate wedges only at
+    each vertex's out-neighbours — out-degree is bounded by ~sqrt(2m)
+    under this orientation regardless of hub skew, so wedge fan-out
+    never explodes on power-law graphs — then close wedges with one
+    semi-join against the oriented edge set. The oracle counts the same
+    orientation-invariant total with the simple ID-ordered 3-way join
+    (fine at fixture scale, hub-quadratic at 100 TB — which is exactly
+    why the Spark plan orients by degree)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cooccur"))
+        .filter(F.col("cooccur") >= TRIANGLE_MIN_COOCCUR)
+        .select("pa", "pb")
+    )
+    deg = (
+        edges.select(F.explode(F.array("pa", "pb")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e2 = (
+        edges.join(deg.withColumnRenamed("v", "pa").withColumnRenamed("d", "da"), "pa")
+        .join(deg.withColumnRenamed("v", "pb").withColumnRenamed("d", "db"), "pb")
+    )
+    lower_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = e2.select(
+        F.when(lower_is_a, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(lower_is_a, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(lower_is_a, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
+    )
+    a1 = oriented.select(
+        F.col("src"), F.col("dst").alias("v"), F.col("ddeg").alias("dv")
+    )
+    a2 = oriented.select(
+        F.col("src"), F.col("dst").alias("w"), F.col("ddeg").alias("dw")
+    )
+    wedges = a1.join(a2, "src").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v", "w"], "left_semi")
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("n_wedges"),
+    )
+    counts = edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return counts.crossJoin(stats).select(
+        "n_edges",
+        "n_vertices",
+        "n_wedges",
+        "n_triangles",
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias("clustering"),
+    )
+
+
+# calibrated to the fixture's cosine distribution: 27 in-range pairs at
+# sf0.01 (max pair cosine 0.405) — non-vacuous at the driver gate SF
+RANGE_SEARCH_MIN_COS = 0.3
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+           ROUND(
+             list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+             6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id % 77 = 0 AND a.vec_id < 2000 AND b.vec_id != a.vec_id
+    WHERE ROUND(
+             list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+             6) >= {RANGE_SEARCH_MIN_COS}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (radius query): ALL corpus vectors within a cosine
+    threshold of each probe — the retrieval mode dedup and
+    contamination sweeps need where top-k is wrong (they must see every
+    match, not the best k). Probe set constant-bounded (vec_id % 77
+    < 2000, the PROBE_ID_MAX scaling contract) and broadcast; corpus
+    side one scan with JVM array lambdas; threshold applied on the
+    ROUNDED cosine so both engines cut at the identical value."""
+    from hello_flink_spark.queries.llm import PROBE_ID_MAX, _as_double, _cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter((F.col("vec_id") % 77 == 0) & (F.col("vec_id") < PROBE_ID_MAX)).select(
+        F.col("vec_id").alias("probe_id"), _as_double(F.col("embedding")).alias("pvec")
+    )
+    cands = e.select(
+        F.col("vec_id").alias("cand_id"), _as_double(F.col("embedding")).alias("cvec")
+    )
+    # probe side bounded by PROBE_ID_MAX constant -> broadcast-safe
+    return (
+        cands.join(F.broadcast(probes), F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(_cosine(F.col("pvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_SEARCH_MIN_COS)
+    )
+
+
+EWMA_ALPHA = 0.2
+
+
+@register(
+    "events_value_ewma",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc),
+                 6) AS ewma_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's event
+    values (α=0.2) — the per-key smoothing primitive behind load
+    forecasting and anomaly baselines, and a recurrence no plain SQL
+    window can express (each output depends on the previous output).
+    Compiled as collect-sort-fold per key with JVM array lambdas
+    (`aggregate` over the time-sorted value array — no Python, no
+    UDF): identical left-to-right double arithmetic to the DuckDB
+    list_reduce oracle, so the fold is bit-reproducible. Memory is
+    bounded by max per-key history (the sessionization-class contract);
+    for unbounded streams the keyed-state twin carries one scalar of
+    state per key instead."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, value))),"
+                " s -> s.value)"
+            ).alias("vals"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.expr(
+                    f"aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)),"
+                    f" element_at(vals, 1),"
+                    f" (acc, x) -> {EWMA_ALPHA}D * x + {1 - EWMA_ALPHA}D * acc)"
+                ),
+                6,
+            ).alias("ewma_value"),
+        )
+    )
+
+
+PQ_SUBS = 8       # subspaces
+PQ_SUBDIM = 8     # dims per subspace (8 x 8 = the 64-dim fixture)
+PQ_K = 16         # codes per subspace codebook
+PQ_ITERS = 4      # Lloyd iterations
+
+
+def pq_train(spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS):
+    """Product-quantization trainer (the IVF-PQ building block every
+    billion-vector ANN index uses): split each embedding into PQ_SUBS
+    subspaces and run an independent k-means per subspace — one fused
+    Spark job per iteration for ALL subspaces at once.
+
+    Distributed shape: the exploded (vec_id, sub, subvec) table
+    shuffles ONCE per iteration into a (sub, code) keyed aggregate;
+    the codebooks (PQ_SUBS x PQ_K x PQ_SUBDIM = 1024 doubles) are the
+    only driver-side state — the bounded-scalar contract of the
+    iterative tier (kmeans / power-iteration / pagerank). Assignment
+    broadcasts the constant-size codebook, never the data.
+
+    Returns (codebooks dict[(sub, code) -> list[float]], assigned
+    DataFrame (vec_id, sub, code, err2)).
+    """
+    from hello_flink_spark.queries.llm import _as_double
+
+    e = t(spark, sf_dir, "embeddings")
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_SUBS - 1}), s -> struct("
+                f"s AS sub, slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sv))"
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.sub").alias("sub"), _as_double(F.col("x.sv")).alias("sv"))
+    sub = sub.localCheckpoint(eager=True)  # reused every iteration
+
+    # deterministic init: the first PQ_K vectors' subvectors seed each
+    # subspace's codebook (vec_id < PQ_K is a constant-size set)
+    seeds = sub.filter(F.col("vec_id") < PQ_K).collect()
+    books = {(r.sub, int(r.vec_id)): list(r.sv) for r in seeds}
+
+    def assign(books):
+        rows = [
+            (s, c, list(v)) for (s, c), v in sorted(books.items())
+        ]
+        cb = spark.createDataFrame(rows, "sub int, code int, cv array<double>")
+        # codebook is PQ_SUBS*PQ_K rows by construction -> broadcast-safe
+        j = sub.join(F.broadcast(cb), "sub")
+        d2 = F.expr(
+            "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),"
+            " 0D, (acc, x) -> acc + x)"
+        )
+        # nearest code = min (err2, code) struct — one hash aggregate
+        # with map-side combine, deterministic tie-break by code; sv is
+        # constant within the group so first() is safe
+        return (
+            j.select("vec_id", "sub", "code", "sv", d2.alias("err2"))
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min(F.struct("err2", "code")).alias("m"),
+                F.first("sv").alias("sv"),
+            )
+            .select(
+                "vec_id",
+                "sub",
+                F.col("m.code").alias("code"),
+                F.col("m.err2").alias("err2"),
+                "sv",
+            )
+        )
+
+    for _ in range(iters):
+        assigned = assign(books)
+        # new centroid = element-wise mean of assigned subvectors:
+        # explode the PQ_SUBDIM dims and hash-aggregate per
+        # (sub, code, dim) — the collected result is the 1024-scalar
+        # codebook, the iterative tier's bounded driver state
+        agg = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("sub", "code", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        updated: dict = {}
+        for r in agg:
+            updated.setdefault((r.sub, r.code), [0.0] * PQ_SUBDIM)[r.dim] = r.m
+        books.update(updated)  # empty clusters keep their old centroid
+    return books, assign(books)
+
+
+@register("agg_pq_quantize", tags=("iterative", "rows_only"))
+def agg_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization codebook report (R-tier, like
+    embeddings_kmeans): per (subspace, code) — assignment count and
+    mean squared reconstruction error. PQ compresses each 64-dim
+    vector to PQ_SUBS bytes while keeping approximate distances
+    computable from PQ_SUBS x PQ_K lookup tables — the memory tier
+    that makes billion-scale ANN fit in RAM. Invariants pinned by
+    pytest (tests/test_llm.py): Lloyd iterations never increase total
+    quantization error; every vector gets exactly PQ_SUBS codes;
+    codes stay in range; total MSE matches an independent numpy replay
+    of the same deterministic init."""
+    _, assigned = pq_train(spark, sf_dir)
+    return (
+        assigned.groupBy("sub", "code")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("err2"), 8).alias("mse"),
+        )
+        .orderBy("sub", "code")
+    )

@@ -528,3 +528,72 @@ def test_multimodal_binaryfile_source_decode(spark, tmp_path):
         w, h = i % 16 + 1, (i * 7) % 16 + 1
         s = sum((i + 31 * x + 17 * y) % 256 for x in range(w) for y in range(h))
         assert got[i] == (w, h, s)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (queries/round7.py::agg_pq_quantize, R-tier)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_quantize_partition_invariants(spark, sf_dir):
+    """Every vector gets exactly PQ_SUBS codes, codes stay in range,
+    and per-subspace assignment counts sum to the corpus size."""
+    from hello_flink_spark.queries.round7 import PQ_K, PQ_SUBS, pq_train
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    _, assigned = pq_train(spark, sf_dir, iters=1)
+    rows = assigned.collect()
+    assert len(rows) == n * PQ_SUBS
+    assert all(0 <= r.code < PQ_K for r in rows)
+    per_vec: dict = {}
+    per_sub: dict = {}
+    for r in rows:
+        per_vec[r.vec_id] = per_vec.get(r.vec_id, 0) + 1
+        per_sub[r.sub] = per_sub.get(r.sub, 0) + 1
+    assert set(per_vec.values()) == {PQ_SUBS}
+    assert per_sub == {s: n for s in range(PQ_SUBS)}
+
+
+def test_pq_quantize_lloyd_monotone_and_numpy_replay(spark, sf_dir):
+    """Lloyd's guarantee: more iterations never increase total
+    quantization error — and the distributed trainer's final error
+    matches an independent numpy replay of the same deterministic
+    init + assignment tie-break to 1e-6 relative."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.queries.round7 import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_SUBDIM,
+        PQ_SUBS,
+        pq_train,
+    )
+
+    def total_err(assigned):
+        return assigned.agg(F.sum("err2")).collect()[0][0]
+
+    _, a1 = pq_train(spark, sf_dir, iters=1)
+    _, a4 = pq_train(spark, sf_dir, iters=PQ_ITERS)
+    e1, e4 = total_err(a1), total_err(a4)
+    assert e4 <= e1 + 1e-9, f"Lloyd error went UP: {e1} -> {e4}"
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").toPandas()
+    mat = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    vec_ids = emb["vec_id"].to_numpy()
+    ref_total = 0.0
+    for s in range(PQ_SUBS):
+        X = mat[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        books = X[vec_ids < PQ_K].copy()  # same deterministic seeds
+        for _ in range(PQ_ITERS):
+            d2 = ((X[:, None, :] - books[None, :, :]) ** 2).sum(axis=2)
+            codes = d2.argmin(axis=1)  # ties -> lowest code, same rule
+            for c in range(PQ_K):
+                if (codes == c).any():
+                    books[c] = X[codes == c].mean(axis=0)
+        d2 = ((X[:, None, :] - books[None, :, :]) ** 2).sum(axis=2)
+        ref_total += d2.min(axis=1).sum()
+    assert abs(e4 - ref_total) <= 1e-6 * max(1.0, ref_total), (
+        f"spark total err {e4} vs numpy replay {ref_total}"
+    )

@@ -51,6 +51,10 @@ BNLJ_OK = {
     "pipeline_training_corpus_v3",  # broadcast 1-row vocab/p10/quota scalars
     "events_hourly_gap_fill",   # type alphabet x broadcast 1-row [min,max] scalar
     "events_value_winsorize",   # broadcast 1-row [p1,p99] percentile scalar
+    "sim_range_search",  # broadcast PROBE_ID_MAX-capped probe set x corpus scan
+    "graph_triangle_count",  # crossJoins of three 1-row aggregate scalars
+    #                          (edge/triangle/vertex-wedge counts) for the
+    #                          final report row — never scaling x scaling
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
@@ -226,6 +230,8 @@ BROADCAST_HINT_OK = {
     ("jobs", "dim"): "event_type dim — bounded by type cardinality",
     ("jobs", "rules"): "broadcast-rules table — operator contract: small",
     ("joins", "dim"): "broadcast_join() helper — API contract: caller passes a bounded dim",
+    ("round7", "probes"): "probe set capped by PROBE_ID_MAX constant (sim_range_search)",
+    ("round7", "cb"): "PQ codebook — PQ_SUBS x PQ_K = 128 rows by construction",
 }
 
 
