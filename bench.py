@@ -133,6 +133,17 @@ HEADLINE = [
     "cep_pattern_times",
     "cep_pattern_within_total",
     "cep_pattern_strict",
+    # round-7 batch 2: robust stats, degree-oriented triangles, radius
+    # search, per-key EWMA fold, and the iterative PQ trainer.
+    "agg_entropy",
+    "agg_mad",
+    "agg_gini",
+    "graph_triangle_count",
+    "sim_range_search",
+    "events_value_ewma",
+    "agg_pq_quantize",
+    "win_moving_median",
+    "events_autocorrelation",
 ]
 
 

@@ -459,26 +459,30 @@ def pq_train(spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS):
     books = {(r.sub, int(r.vec_id)): list(r.sv) for r in seeds}
 
     def assign(books):
+        # one row per subspace, each carrying its FULL codebook as a
+        # nested array — PQ_SUBS rows by construction -> broadcast-safe
         rows = [
-            (s, c, list(v)) for (s, c), v in sorted(books.items())
+            (s, [list(books[(s, c)]) for c in range(PQ_K)])
+            for s in range(PQ_SUBS)
         ]
-        cb = spark.createDataFrame(rows, "sub int, code int, cv array<double>")
-        # codebook is PQ_SUBS*PQ_K rows by construction -> broadcast-safe
-        j = sub.join(F.broadcast(cb), "sub")
-        d2 = F.expr(
-            "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)),"
-            " 0D, (acc, x) -> acc + x)"
+        cb = spark.createDataFrame(rows, "sub int, cvs array<array<double>>")
+        # MAP-ONLY assignment: fold the argmin over the 16 codes inside
+        # one array lambda — no 16x row blow-up, no re-aggregation
+        # shuffle (tie-break: strict < keeps the LOWEST code, matching
+        # the (err2, code) struct-min rule the tests replay in numpy)
+        best = F.expr(
+            f"aggregate(sequence(0, {PQ_K - 1}),"
+            f" struct(CAST('Infinity' AS DOUBLE) AS err2, -1 AS code),"
+            f" (acc, c) -> CASE WHEN"
+            f"   aggregate(zip_with(sv, cvs[c], (a, b) -> (a - b) * (a - b)),"
+            f"             0D, (q, x) -> q + x) < acc.err2"
+            f"  THEN struct(aggregate(zip_with(sv, cvs[c], (a, b) -> (a - b) * (a - b)),"
+            f"              0D, (q, x) -> q + x) AS err2, c AS code)"
+            f"  ELSE acc END)"
         )
-        # nearest code = min (err2, code) struct — one hash aggregate
-        # with map-side combine, deterministic tie-break by code; sv is
-        # constant within the group so first() is safe
         return (
-            j.select("vec_id", "sub", "code", "sv", d2.alias("err2"))
-            .groupBy("vec_id", "sub")
-            .agg(
-                F.min(F.struct("err2", "code")).alias("m"),
-                F.first("sv").alias("sv"),
-            )
+            sub.join(F.broadcast(cb), "sub")
+            .withColumn("m", best)
             .select(
                 "vec_id",
                 "sub",
@@ -490,20 +494,19 @@ def pq_train(spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS):
 
     for _ in range(iters):
         assigned = assign(books)
-        # new centroid = element-wise mean of assigned subvectors:
-        # explode the PQ_SUBDIM dims and hash-aggregate per
-        # (sub, code, dim) — the collected result is the 1024-scalar
-        # codebook, the iterative tier's bounded driver state
-        agg = (
-            assigned.select("sub", "code", F.posexplode("sv").alias("dim", "val"))
-            .groupBy("sub", "code", "dim")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
-        updated: dict = {}
-        for r in agg:
-            updated.setdefault((r.sub, r.code), [0.0] * PQ_SUBDIM)[r.dim] = r.m
-        books.update(updated)  # empty clusters keep their old centroid
+        # new centroid = element-wise mean of assigned subvectors: ONE
+        # keyed hash aggregate per iteration with PQ_SUBDIM static avg
+        # columns (no dim explode) — the collected 128 x 8 scalars are
+        # the codebook, the iterative tier's bounded driver state
+        agg = assigned.groupBy("sub", "code").agg(
+            *[F.avg(F.col("sv")[d]).alias(f"c{d}") for d in range(PQ_SUBDIM)]
+        ).collect()
+        books.update(
+            {
+                (r.sub, r.code): [r[f"c{d}"] for d in range(PQ_SUBDIM)]
+                for r in agg
+            }
+        )  # empty clusters keep their old centroid
     return books, assign(books)
 
 
@@ -527,4 +530,79 @@ def agg_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("err2"), 8).alias("mse"),
         )
         .orderBy("sub", "code")
+    )
+
+
+@register(
+    "win_moving_median",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, event_id,
+             median(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+               AS med10
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(med10), 6) AS avg_moving_median,
+           ROUND(MAX(med10), 6) AS max_moving_median
+    FROM m GROUP BY user_id
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN over the trailing 10 events per user — the
+    robust denoiser rolling averages can't be (one spike poisons a
+    mean for the whole frame, a median shrugs it off). Spark evaluates
+    the exact `percentile` aggregate over a ROWS frame — a windowed
+    holistic aggregate, O(frame) per row with a constant frame, one
+    keyed sort-shuffle total; the per-user summary aggregates the
+    10,000-row windowed column down to |users| rows for the gate."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    m = e.select(
+        "user_id", F.expr("percentile(value, 0.5)").over(w).alias("med10")
+    )
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("med10"), 6).alias("avg_moving_median"),
+        F.round(F.max("med10"), 6).alias("max_moving_median"),
+    )
+
+
+@register(
+    "events_autocorrelation",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(corr(value, prev_value), 6) AS lag1_autocorr
+    FROM l WHERE prev_value IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value series — the
+    time-series memory scalar (≈0 for independent draws, near ±1 for
+    trending/alternating behaviour; the first check before fitting any
+    sequential model). One keyed sort-shuffle for the LAG, then the
+    partial-aggregable Pearson moments — corr's five sums distribute
+    with map-side combine, so the plan is two exchanges total and the
+    second runs over |users| groups."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l = e.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev_value")
+    ).filter(F.col("prev_value").isNotNull())
+    return l.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("value", "prev_value"), 6).alias("lag1_autocorr"),
     )

@@ -477,3 +477,50 @@ def stateful_burst_detector(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful_value_ewma — streaming twin of queries/round7.py::events_value_ewma
+# ---------------------------------------------------------------------------
+
+
+def _ewma(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user EWMA ValueState: exactly one (ewma, n) scalar pair per
+    key — the unbounded-stream answer to the batch op's
+    collect-sort-fold (which is bounded by per-key history). The fold
+    is the same left-to-right double arithmetic, so batch == streaming
+    final bit-for-bit on in-order replays."""
+    from hello_flink_spark.queries.round7 import EWMA_ALPHA
+
+    cur, n = (state.get if state.exists else (None, 0))
+    pdf = _drop_late(_sorted_concat(pdfs, ["ts", "event_id"]), state)
+    for v in pdf["value"]:
+        v = float(v)
+        cur = v if cur is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * cur
+        n += 1
+    if n:
+        state.update((cur, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma_value": [cur]}
+        )
+    else:
+        yield pd.DataFrame([])
+
+
+def stateful_value_ewma(events: DataFrame) -> DataFrame:
+    """Streaming EWMA (update mode): emits each user's running
+    exponentially weighted average after every micro-batch. State is
+    two scalars per key — bounded without eviction; below-watermark
+    rows are dropped (``_drop_late``) so the late-data contract
+    matches the other gated stateful ops."""
+    return events.withWatermark("ts", "30 minutes").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _ewma,
+        outputStructType="user_id long, n_events long, ewma_value double",
+        stateStructType="ewma double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

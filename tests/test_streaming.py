@@ -1833,3 +1833,24 @@ def test_kafka_stub_option_plumbing(spark):
     assert fake2.readStream.opts["startingOffsets"] == "earliest"
     with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
         jobs.kafka_source_stub(spark, "localhost:9092", "t")
+
+
+def test_stateful_ewma_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """stateful_value_ewma: the final emitted running EWMA per user
+    must equal the declared batch op bit-for-bit (same left-to-right
+    double fold in time order), n_events included."""
+    run_to_memory(
+        stateful.stateful_value_ewma(_stream(spark, replay_dir)), "t_ewma", "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        spark.table("t_ewma")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    got = {r.user_id: (r.n_events, round(r.ewma_value, 6)) for r in final.collect()}
+    want = {
+        r.user_id: (r.n_events, r.ewma_value)
+        for r in get_spec("events_value_ewma").fn(spark, sf_dir).collect()
+    }
+    assert got == want
