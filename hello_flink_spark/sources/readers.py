@@ -12,7 +12,6 @@ push filters/projections from downstream operators into the reader.
 
 from __future__ import annotations
 
-import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,13 +43,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the declared queries see identical epoch values across formats and
     bit-identical buckets to the DuckDB oracle.
 
-    Session contract (ADVICE r05): the NTZ→LTZ cast REQUIRES a UTC
-    session, so ``load_table`` enforces ``spark.sql.session.timeZone =
-    UTC`` for the NTZ-events path. ``get_spark`` sessions already pin
-    UTC; an externally-supplied session with a different timezone is
-    switched to UTC with an explicit ``UserWarning`` (not silently),
-    because the change affects every later timestamp expression in
-    that session.
+    Session independence (VERDICT r06 "what's wrong" #2, closing the
+    ADVICE r05 thread): the NTZ→LTZ normalization is SCOPED to the
+    events frame — epoch micros are computed with tz-independent NTZ
+    arithmetic (``timestampdiff`` against the NTZ epoch) and rebuilt
+    with ``timestamp_micros``, so the stored wall clock is interpreted
+    as UTC (DuckDB's semantics for naive parquet timestamps) without
+    reading OR mutating ``spark.sql.session.timeZone``. A library read
+    no longer has session-global side effects; ``get_spark`` sessions
+    still pin UTC so collected LTZ values also render in UTC.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -65,21 +66,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
-            # NTZ→LTZ cast goes through the session timezone; pin UTC so
-            # the stored wall clock and the epoch agree (DuckDB semantics
-            # for naive parquet timestamps).
-            tz = spark.conf.get("spark.sql.session.timeZone")
-            if tz != "UTC":
-                warnings.warn(
-                    f"load_table('events'): switching session timeZone "
-                    f"{tz!r} -> 'UTC' (required for the TIMESTAMP_NTZ->LTZ "
-                    f"normalization); other timestamp queries in this "
-                    f"session now evaluate under UTC",
-                    UserWarning,
-                    stacklevel=2,
-                )
-                spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # scoped NTZ→LTZ: tz-independent epoch extraction (NTZ
+            # interval arithmetic never consults the session timezone),
+            # then rebuild the LTZ from epoch micros — identical to a
+            # UTC-session cast, but with zero session side effects
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                    )
+                ),
+            )
         return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(path)
 

@@ -67,6 +67,14 @@ def main() -> None:
     batches = len(steady)
 
     doc = Path(__file__).resolve().parent.parent / "docs" / "STREAMING.md"
+    # preserve the hand-written Kafka deployment recipe (round 7) across
+    # probe regens — only the probe section above it is generated
+    tail = ""
+    if doc.exists():
+        old = doc.read_text()
+        marker = "# Kafka deployment recipe"
+        if marker in old:
+            tail = "\n" + old[old.index(marker):]
     doc.write_text(
         "# Streaming throughput probe (generated — "
         "scripts/streaming_throughput.py)\n\n"
@@ -83,7 +91,7 @@ def main() -> None:
         "so cluster throughput scales with executors until the state\n"
         "store or sink saturates. Latency is micro-batch-quantized\n"
         "(SURVEY §4.4) — this probe measures throughput, not per-event\n"
-        "latency.\n"
+        "latency.\n" + tail
     )
     print(
         f"median={med:,.0f} rows/s, latency={med_lat:,.0f} ms "

@@ -98,3 +98,31 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_load_table_ntz_scoped_no_session_mutation(spark, sf_dir, tmp_path):
+    """VERDICT r06 #2 (what's wrong): the NTZ->LTZ events normalization
+    must be SCOPED to the frame — identical epochs to the canonical
+    fixture even under a hostile non-UTC session timezone, and the
+    session config must come back untouched (a library read has no
+    session-global side effects)."""
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.readers import load_table
+
+    src = load_table(spark, sf_dir, "events")
+    expect = sorted(r[0] for r in src.select(F.unix_micros("ts")).collect())
+    d = str(tmp_path / "ntz_fixture")
+    src.withColumn("ts", F.col("ts").cast("timestamp_ntz")).write.parquet(
+        f"{d}/events.parquet"
+    )
+    before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        ntz = load_table(spark, d, "events")
+        assert dict(ntz.dtypes)["ts"] == "timestamp"
+        got = sorted(r[0] for r in ntz.select(F.unix_micros("ts")).collect())
+        assert got == expect
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)
