@@ -1538,3 +1538,83 @@ def test_cep_round7_validation():
         CepPattern(steps=("a", "b"), within_minutes=1, total_minutes=0)
     with pytest.raises(ValueError):
         CepPattern.of(["a", ("b", 0)], within_minutes=1)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "x"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_strict_and_total_compose_in_nfa(events, cuts):
+    """Composition: strict contiguity × pattern-global within. The
+    total bound must prune partials BEFORE the strict verdict (an
+    event beyond the total window is a timeout, not a contiguity
+    violation) — the per-anchor simulation applies both bounds to the
+    candidate set, and the NFA must match it under every chunking."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, strict, window_s, total_s = ("a", "b", "c"), frozenset({1}), 60, 90
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _strict_sim(evs, steps, strict, window_s, total_s=total_s)
+    proc = _make_processor(
+        steps, window_s * 1_000_000, strict=strict, total_us=total_s * 1_000_000
+    )
+    assert _drive_nfa_chunked(proc, evs, cuts, 3) == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "x"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_cep_strict_and_total_compose_in_batch(spark, events):
+    """Same composition through the BATCH chain + the generated oracle
+    shape: _strict_join's candidate band must carry the total-window
+    predicate too."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import CepPattern, compile_batch
+
+    evs = [(u, i, t, e) for i, (u, t, e) in enumerate(events)]
+    pat = CepPattern(
+        steps=("a", "b", "c"),
+        within_minutes=1,
+        total_minutes=1,
+        strict_steps=(1,),
+    )
+    pdf = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _ in evs],
+            "event_id": [i for _, i, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _ in evs],
+            "event_type": [e for _, _, _, e in evs],
+            "value": [0.0] * len(evs),
+        }
+    )
+    got = sorted(
+        (
+            r["user_id"],
+            r[pat.anchor_col],
+            *(int(r[pat.ts_col(i)].timestamp()) for i in range(3)),
+        )
+        for r in compile_batch(pat, spark.createDataFrame(pdf)).collect()
+    )
+    assert got == _strict_sim(evs, ("a", "b", "c"), frozenset({1}), 60, total_s=60)
