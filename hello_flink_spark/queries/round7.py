@@ -318,6 +318,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.01 (max pair cosine 0.405) — non-vacuous at the driver gate SF
 RANGE_SEARCH_MIN_COS = 0.3
 
+from hello_flink_spark.queries.llm import PROBE_ID_MAX  # noqa: E402
+
 
 @register(
     "sim_range_search",
@@ -329,7 +331,7 @@ RANGE_SEARCH_MIN_COS = 0.3
                 * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
              6) AS cos_sim
     FROM embeddings a JOIN embeddings b
-      ON a.vec_id % 77 = 0 AND a.vec_id < 2000 AND b.vec_id != a.vec_id
+      ON a.vec_id % 77 = 0 AND a.vec_id < {PROBE_ID_MAX} AND b.vec_id != a.vec_id
     WHERE ROUND(
              list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
              / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
@@ -471,14 +473,11 @@ def pq_train(spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS):
         # shuffle (tie-break: strict < keeps the LOWEST code, matching
         # the (err2, code) struct-min rule the tests replay in numpy)
         best = F.expr(
-            f"aggregate(sequence(0, {PQ_K - 1}),"
-            f" struct(CAST('Infinity' AS DOUBLE) AS err2, -1 AS code),"
-            f" (acc, c) -> CASE WHEN"
+            f"array_min(transform(sequence(0, {PQ_K - 1}),"
+            f" c -> struct("
             f"   aggregate(zip_with(sv, cvs[c], (a, b) -> (a - b) * (a - b)),"
-            f"             0D, (q, x) -> q + x) < acc.err2"
-            f"  THEN struct(aggregate(zip_with(sv, cvs[c], (a, b) -> (a - b) * (a - b)),"
-            f"              0D, (q, x) -> q + x) AS err2, c AS code)"
-            f"  ELSE acc END)"
+            f"             0D, (q, x) -> q + x) AS err2,"
+            f"   c AS code)))"
         )
         return (
             sub.join(F.broadcast(cb), "sub")
@@ -602,7 +601,17 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = e.select(
         "user_id", "value", F.lag("value").over(w).alias("prev_value")
     ).filter(F.col("prev_value").isNotNull())
+    # corr via its covar/stddev identity with try_divide: a
+    # zero-variance series (constant-value bot) yields NULL exactly
+    # like DuckDB's corr, where Spark's corr under ANSI mode throws
+    # DIVIDE_BY_ZERO and would fail the whole job on one such user
     return l.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.corr("value", "prev_value"), 6).alias("lag1_autocorr"),
+        F.round(
+            F.try_divide(
+                F.covar_samp("value", "prev_value"),
+                F.stddev_samp("value") * F.stddev_samp("prev_value"),
+            ),
+            6,
+        ).alias("lag1_autocorr"),
     )

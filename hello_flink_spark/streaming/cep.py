@@ -407,12 +407,19 @@ def _make_processor(
                     # slot as NULL)
                     stages = {i} | ({i - 1} if i - 1 in optionals else set())
 
-                    def hit(p, _stages=stages, _i=i):
+                    def hit(p, _stages=stages):
                         if len(p[1]) not in _stages or ts_us <= p[1][-1]:
                             return False
-                        # timesOrMore: the Kleene stage completes only
-                        # with >= min_reps accepted repetitions
-                        if rep is not None and _i == rep + 1 and p[2] < min_reps:
+                        # timesOrMore: a partial AT the Kleene stage may
+                        # only leave it with >= min_reps accepted
+                        # repetitions — gate on the partial's stage, not
+                        # the target step, so an optional-skip promotion
+                        # cannot bypass the quota
+                        if (
+                            rep is not None
+                            and len(p[1]) == rep + 1
+                            and p[2] < min_reps
+                        ):
                             return False
                         return True
 
@@ -477,17 +484,20 @@ def _make_processor(
     return proc
 
 
-def compile_stream(
-    pattern: CepPattern, events: DataFrame, watermark: str = "30 minutes"
+def _stream_nfa(
+    pattern: CepPattern, events: DataFrame, watermark: str, emit_timeouts: bool
 ) -> DataFrame:
-    """Compile the pattern to a streaming NFA over keyed state. Output:
-    (user_id, <anchor>_id, one timestamp column per stage)."""
+    """Shared streaming compilation for both NFA entry points: one
+    source selection (strict contiguity is judged against ALL key
+    activity, so the type pre-filter must stay off for strict
+    patterns), one processor wiring, one output projection — a new
+    pattern feature flag is threaded through exactly once."""
     k = len(pattern.steps)
     out_cols = ", ".join(f"ts{i + 1} timestamp" for i in range(k))
     if pattern.one_or_more is not None:
         out_cols += ", n_rep int"
-    # strict contiguity is judged against ALL key activity, so the
-    # type pre-filter must stay off for strict patterns
+    if emit_timeouts:
+        out_cols += ", matched boolean"
     src = (
         events
         if pattern.strict_steps
@@ -501,6 +511,7 @@ def compile_stream(
                 pattern.steps,
                 pattern.window_us,
                 pattern.step_min_value,
+                emit_timeouts=emit_timeouts,
                 rep=pattern.one_or_more,
                 optionals=frozenset(pattern.optional_steps),
                 min_reps=pattern.min_reps,
@@ -518,7 +529,17 @@ def compile_stream(
     renames += [F.col(f"ts{i + 1}").alias(pattern.ts_col(i)) for i in range(k)]
     if pattern.one_or_more is not None:
         renames += [F.col("n_rep")]
+    if emit_timeouts:
+        renames += [F.col("matched")]
     return nfa.select(*renames)
+
+
+def compile_stream(
+    pattern: CepPattern, events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Compile the pattern to a streaming NFA over keyed state. Output:
+    (user_id, <anchor>_id, one timestamp column per stage)."""
+    return _stream_nfa(pattern, events, watermark, emit_timeouts=False)
 
 
 def compile_stream_timeouts(
@@ -530,43 +551,7 @@ def compile_stream_timeouts(
     carry ``matched=false`` with the prefix they reached (later stages
     NULL). One tagged stream — split downstream with two filters (the
     repo's side-output convention, SURVEY §2.10)."""
-    k = len(pattern.steps)
-    out_cols = ", ".join(f"ts{i + 1} timestamp" for i in range(k))
-    if pattern.one_or_more is not None:
-        out_cols += ", n_rep int"
-    src = (
-        events
-        if pattern.strict_steps
-        else events.filter(F.col("event_type").isin(*set(pattern.steps)))
-    )
-    nfa = (
-        src.withWatermark("ts", watermark)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _make_processor(
-                pattern.steps,
-                pattern.window_us,
-                pattern.step_min_value,
-                emit_timeouts=True,
-                rep=pattern.one_or_more,
-                optionals=frozenset(pattern.optional_steps),
-                min_reps=pattern.min_reps,
-                total_us=pattern.total_window_us,
-                strict=frozenset(pattern.strict_steps),
-                skip_past_last=pattern.skip_past_last,
-            ),
-            outputStructType=f"user_id long, anchor_id long, {out_cols}, matched boolean",
-            stateStructType="partials array<string>",
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
-    )
-    renames = [F.col("user_id"), F.col("anchor_id").alias(pattern.anchor_col)]
-    renames += [F.col(f"ts{i + 1}").alias(pattern.ts_col(i)) for i in range(k)]
-    if pattern.one_or_more is not None:
-        renames += [F.col("n_rep")]
-    renames += [F.col("matched")]
-    return nfa.select(*renames)
+    return _stream_nfa(pattern, events, watermark, emit_timeouts=True)
 
 
 # ---------------------------------------------------------------------------

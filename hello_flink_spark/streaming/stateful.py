@@ -38,6 +38,7 @@ with ascending-timestamp sources).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
@@ -58,19 +59,28 @@ def _sorted_concat(pdfs: Iterator[pd.DataFrame], by: list[str]) -> pd.DataFrame:
     return pdf.sort_values(by, ignore_index=True)
 
 
-def _drop_late(pdf: pd.DataFrame, state: GroupState) -> pd.DataFrame:
+def _drop_late(pdf: pd.DataFrame, state: GroupState, tz: str = "UTC") -> pd.DataFrame:
     """Drop below-watermark rows before they touch arrival-order state
     (VERDICT r06 #4): an event whose timestamp the watermark has already
     passed would be counted in ARRIVAL position, silently diverging from
     the batch shadow's event-time order. Gating on the watermark makes
     the contract exact: streaming result == batch shadow over the
-    non-late rows — the same late_drop semantics as the windowed ops."""
+    non-late rows — the same late_drop semantics as the windowed ops.
+
+    ``tz`` must be the SESSION timezone: Arrow delivers ``pdf['ts']``
+    as session-local NAIVE timestamps, while the watermark is epoch
+    milliseconds — the cutoff is rendered into the same local-naive
+    frame before comparing, so the gate is correct under any session
+    timezone (the wrappers capture it at plan-build time)."""
     try:
         wm_ms = state.getCurrentWatermarkMs()
     except Exception:  # noqa: BLE001 — test double without a watermark
         wm_ms = 0
     if wm_ms:
-        pdf = pdf[pdf["ts"] >= pd.Timestamp(wm_ms, unit="ms")]
+        cutoff = (
+            pd.Timestamp(wm_ms, unit="ms", tz="UTC").tz_convert(tz).tz_localize(None)
+        )
+        pdf = pdf[pdf["ts"] >= cutoff]
     return pdf
 
 
@@ -345,14 +355,14 @@ def count_window_stream(events: DataFrame) -> DataFrame:
 
 
 def _markov(
-    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    tz: str, key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Per-user last-event-type ValueState; each micro-batch emits the
     transition-pair count DELTAS it observed (append mode) — the sink
     aggregates deltas into the transition matrix, so state stays one
     string per user no matter how long the stream runs."""
     prev = state.get[0] if state.exists else None
-    pdf = _drop_late(_sorted_concat(pdfs, ["ts", "event_id"]), state)
+    pdf = _drop_late(_sorted_concat(pdfs, ["ts", "event_id"]), state, tz)
     pairs: dict = {}
     for nxt in pdf["event_type"]:
         if prev is not None:
@@ -389,10 +399,11 @@ def stateful_markov_transitions(events: DataFrame) -> DataFrame:
     arrival order (Flink's ValueState twin behaves identically; a full
     fix needs a watermark-delay reorder buffer, i.e. timer-driven
     emission)."""
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
     return events.withWatermark("ts", "30 minutes").groupBy(
         "user_id"
     ).applyInPandasWithState(
-        _markov,
+        partial(_markov, tz),
         outputStructType="user_id long, prev_type string, next_type string, cnt long",
         stateStructType="prev string",
         outputMode="append",
@@ -408,7 +419,7 @@ BURST_WINDOW_S = 86400
 
 
 def _burst(
-    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    tz: str, key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Per-user rolling-24 h burst maximum. State = per-second event
     counts inside the trailing window (pruned each batch — bounded by
@@ -430,7 +441,7 @@ def _burst(
         secs, cnts, max_burst = list(state.get[0]), list(state.get[1]), state.get[2]
     counts = dict(zip(secs, cnts))
 
-    pdf = _drop_late(pd.concat(list(pdfs), ignore_index=True), state)
+    pdf = _drop_late(pd.concat(list(pdfs), ignore_index=True), state, tz)
     if pdf.empty and not state.exists:
         # every row for a first-seen key was late: no state, no output
         yield pd.DataFrame([])
@@ -468,10 +479,11 @@ def stateful_burst_detector(events: DataFrame) -> DataFrame:
     (second → count) map covering a single window span — bounded
     regardless of stream length, the keyed-state analog of the batch
     RANGE frame. Below-watermark rows are dropped (``_drop_late``)."""
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
     return events.withWatermark("ts", "30 minutes").groupBy(
         "user_id"
     ).applyInPandasWithState(
-        _burst,
+        partial(_burst, tz),
         outputStructType="user_id long, max_burst_24h long",
         stateStructType="secs array<long>, cnts array<long>, max_burst long",
         outputMode="update",
@@ -485,7 +497,7 @@ def stateful_burst_detector(events: DataFrame) -> DataFrame:
 
 
 def _ewma(
-    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    tz: str, key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Per-user EWMA ValueState: exactly one (ewma, n) scalar pair per
     key — the unbounded-stream answer to the batch op's
@@ -495,7 +507,7 @@ def _ewma(
     from hello_flink_spark.queries.round7 import EWMA_ALPHA
 
     cur, n = (state.get if state.exists else (None, 0))
-    pdf = _drop_late(_sorted_concat(pdfs, ["ts", "event_id"]), state)
+    pdf = _drop_late(_sorted_concat(pdfs, ["ts", "event_id"]), state, tz)
     for v in pdf["value"]:
         v = float(v)
         cur = v if cur is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * cur
@@ -515,10 +527,11 @@ def stateful_value_ewma(events: DataFrame) -> DataFrame:
     two scalars per key — bounded without eviction; below-watermark
     rows are dropped (``_drop_late``) so the late-data contract
     matches the other gated stateful ops."""
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
     return events.withWatermark("ts", "30 minutes").groupBy(
         "user_id"
     ).applyInPandasWithState(
-        _ewma,
+        partial(_ewma, tz),
         outputStructType="user_id long, n_events long, ewma_value double",
         stateStructType="ewma double, n long",
         outputMode="update",

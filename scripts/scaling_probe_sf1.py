@@ -123,31 +123,48 @@ def main() -> None:
         ratio = b / a if a else float("inf")
         worst = max(worst, ratio)
         lines.append(f"| {name} | {table} | {a:.3f} | {b:.3f} | {ratio:.1f}x |")
+    # analysis derived from the MEASURED ratios, never hardcoded — a
+    # regenerated doc must agree with its own table
+    sub = [n for n, tb in PROBES if rows[n][DST] / rows[n][SRC] < 9.5]
+    near = [
+        n for n, tb in PROBES if 9.5 <= rows[n][DST] / rows[n][SRC] <= 11.0
+    ]
+    over = [n for n, tb in PROBES if rows[n][DST] / rows[n][SRC] > 11.0]
     lines += [
         "",
         f"Worst time ratio across the four: **{worst:.1f}x** for 10x data.",
-        "A ratio at or below 10x means the >= 2x first-decade growth was",
-        "fixed-overhead amortization ending, not a super-linear term.",
-        "",
-        "Diagnosis of the one at-linear ratio (text_hashing_features,",
-        "~10x): the plan is linear by construction — explode + md5 per",
-        "token + ONE keyed hash-aggregate with map-side combine; no join,",
-        "no vocabulary table, nothing whose cost can grow faster than",
-        "token bytes. The slight excess over 10x is the probe's own",
-        "replica tagging: every sf1 token carries an 'rK_' prefix, so the",
-        "sf1 corpus holds MORE than 10x the token BYTES of sf0.1, and",
-        "md5-per-token cost is byte-proportional (the output row count,",
-        "doc x bucket, also grows 10x and is collected by the probe).",
-        "Per byte of input the operator is at-or-below linear — no",
-        "super-linear term.",
-        "",
-        "The three sublinear ratios (6.4-6.7x) confirm the first-decade",
-        ">= 2x growth on dedup_containment / dedup_ngram_jaccard /",
-        "dim_scd2_build was fixed-overhead amortization ending: the",
-        "df-capped shingle joins and the single-shuffle double-window",
-        "SCD2 build both scale BELOW the data in the second decade.",
+        "A ratio at or below the data growth means the >= 2x",
+        "first-decade growth was fixed-overhead amortization ending, not",
+        "a super-linear term.",
         "",
     ]
+    if sub:
+        lines += [
+            f"Sublinear this decade ({', '.join(sub)}): scale BELOW the",
+            "data — the df-capped shingle joins and the single-shuffle",
+            "double-window SCD2 build have no term that grows faster",
+            "than their keyed input.",
+            "",
+        ]
+    if near:
+        lines += [
+            f"At-linear ({', '.join(near)}): for text_hashing_features the",
+            "plan is linear by construction — explode + md5 per token +",
+            "ONE keyed hash-aggregate with map-side combine; no join, no",
+            "vocabulary table. Any slight excess over 10x is the probe's",
+            "own replica tagging: every sf1 token carries an 'rK_' prefix,",
+            "so the sf1 corpus holds MORE than 10x the token BYTES of",
+            "sf0.1, and md5-per-token cost is byte-proportional (the",
+            "doc x bucket output also grows 10x and is collected).",
+            "",
+        ]
+    if over:
+        lines += [
+            f"SUPER-LINEAR ({', '.join(over)}): ratio exceeds the data",
+            "growth even after the byte-inflation allowance — diagnose",
+            "with .explain before recording (VERDICT r06 #8).",
+            "",
+        ]
     out = Path(__file__).resolve().parent.parent / "docs" / "SCALING_SF1.md"
     out.write_text("\n".join(lines))
     print(f"wrote {out}")

@@ -1618,3 +1618,193 @@ def test_cep_strict_and_total_compose_in_batch(spark, events):
         for r in compile_batch(pat, spark.createDataFrame(pdf)).collect()
     )
     assert got == _strict_sim(evs, ("a", "b", "c"), frozenset({1}), 60, total_s=60)
+
+
+def _strict_guard_sim(evs, steps, strict, window_s, min_vals):
+    """_strict_sim extended with per-step value guards: a guard-failing
+    event of the strict step's type still occupies the earliest-later
+    slot (it is 'any event' for contiguity) but cannot promote — so it
+    kills the partial, exactly like a wrong-type event."""
+    out = []
+    k = len(steps)
+    for uid, aid, ts0, et0, v0 in evs:
+        if et0 != steps[0] or (min_vals[0] is not None and v0 < min_vals[0]):
+            continue
+        tss = [ts0]
+        ok = True
+        for i in range(1, k):
+            cands = [
+                (t2, e2, v2)
+                for uid2, _, t2, e2, v2 in evs
+                if uid2 == uid and t2 > tss[-1] and t2 <= tss[-1] + window_s
+            ]
+            passing = [
+                (t2, e2)
+                for t2, e2, v2 in cands
+                if e2 == steps[i] and (min_vals[i] is None or v2 >= min_vals[i])
+            ]
+            if i in strict:
+                if not cands:
+                    ok = False
+                    break
+                t_min = min(t2 for t2, _, _ in cands)
+                if any(t2 == t_min for t2, _ in passing):
+                    tss.append(t_min)
+                else:
+                    ok = False
+                    break
+            else:
+                if not passing:
+                    ok = False
+                    break
+                tss.append(min(t2 for t2, _ in passing))
+        if ok:
+            out.append((uid, aid, *tss))
+    return sorted(out)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "x"]),
+            st.sampled_from([0.0, 50.0, 100.0]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_strict_guard_tier_composes(spark, events, cuts):
+    """Composition: strict contiguity × value guard. A guard-failing
+    event of the strict type at the earliest later timestamp is still
+    'any event' for contiguity — it must KILL the partial, not promote
+    it and not be skipped. Verified on BOTH compilation targets (NFA
+    under every chunking; batch chain) against one independent model."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import CepPattern, _make_processor, compile_batch
+
+    steps, strict, window_s, floor = ("a", "b", "c"), frozenset({1}), 60, 100.0
+    mins = (None, floor, None)
+    evs = sorted(
+        ((u, i, t, e, v) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _strict_guard_sim(evs, steps, strict, window_s, mins)
+
+    # NFA through arbitrary chunk splits
+    rows = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _, _ in evs],
+            "event_id": [i for _, i, _, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _, _ in evs],
+            "event_type": [e for _, _, _, e, _ in evs],
+            "value": [v for _, _, _, _, v in evs],
+        }
+    )
+    bounds = sorted({c for c in cuts if c < len(evs)} | {0, len(evs)})
+    chunks = [rows.iloc[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    proc = _make_processor(steps, window_s * 1_000_000, mins=mins, strict=strict)
+    got = []
+    for uid in sorted(rows["user_id"].unique()):
+        state = _FakeGroupState()
+        for chunk in chunks:
+            part = chunk[chunk["user_id"] == uid]
+            if part.empty:
+                continue
+            for out in proc((uid,), iter([part]), state):
+                got.extend(
+                    (
+                        r.user_id,
+                        r.anchor_id,
+                        *(int(getattr(r, f"ts{j + 1}").timestamp()) for j in range(3)),
+                    )
+                    for r in out.itertuples()
+                )
+    assert sorted(got) == want
+
+    # batch chain
+    pat = CepPattern(
+        steps=steps,
+        within_minutes=1,
+        strict_steps=(1,),
+        step_min_value=mins,
+    )
+    got_b = sorted(
+        (
+            r["user_id"],
+            r[pat.anchor_col],
+            *(int(r[pat.ts_col(i)].timestamp()) for i in range(3)),
+        )
+        for r in compile_batch(pat, spark.createDataFrame(rows)).collect()
+    )
+    assert got_b == want
+
+
+def test_cep_timesormore_not_bypassed_by_optional_skip():
+    """Regression (round-7 self-review): a timesOrMore quota must gate
+    EVERY promotion out of the Kleene stage — including the
+    optional-SKIP path, where the promoting event targets the step
+    after the optional slot. Pattern a, b{2,}, [c], d on a@0, b@10,
+    d@20 must NOT complete (one repetition); with a second b it
+    must, with the optional slot NULL."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    def run(evs):
+        proc = _make_processor(
+            ("a", "b", "c", "d"),
+            60 * 1_000_000,
+            rep=1,
+            min_reps=2,
+            optionals=frozenset({2}),
+        )
+        rows = pd.DataFrame(
+            {
+                "user_id": [1] * len(evs),
+                "event_id": list(range(len(evs))),
+                "ts": [pd.Timestamp(t, unit="s") for t, _ in evs],
+                "event_type": [e for _, e in evs],
+                "value": [0.0] * len(evs),
+            }
+        )
+        state = _FakeGroupState()
+        out = []
+        for batch in proc((1,), iter([rows]), state):
+            out.extend(batch.itertuples())
+        return out
+
+    assert run([(0, "a"), (10, "b"), (20, "d")]) == []
+    got = run([(0, "a"), (10, "b"), (15, "b"), (20, "d")])
+    assert len(got) == 1 and got[0].n_rep == 2
+    assert pd.isna(got[0].ts3)  # optional slot skipped as NULL
+
+
+def test_autocorrelation_zero_variance_yields_null(spark):
+    """Regression (round-7 self-review): a constant-value series (a
+    value=0.0 bot) must produce lag1_autocorr NULL — matching DuckDB's
+    corr — instead of Spark ANSI corr's DIVIDE_BY_ZERO failing the
+    whole job on one degenerate user."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, float(v), 0.0) for v in range(5)] + [(2, 1.0, 2.0), (2, 2.0, 1.0)],
+        "user_id long, value double, prev_value double",
+    )
+    got = {
+        r.user_id: r.c
+        for r in df.groupBy("user_id")
+        .agg(
+            F.try_divide(
+                F.covar_samp("value", "prev_value"),
+                F.stddev_samp("value") * F.stddev_samp("prev_value"),
+            ).alias("c")
+        )
+        .collect()
+    }
+    assert got[1] is None  # prev_value constant -> NULL, not an exception
+    assert abs(got[2] - (-1.0)) < 1e-12
