@@ -90,6 +90,15 @@ class CepPattern:
     # arriving earlier is ignored (relaxed contiguity) and the partial
     # keeps waiting for more repetitions. min_reps=1 is plain oneOrMore.
     min_reps: int = 1
+    # [F] ``Pattern#times(from, to)`` upper bound: the run stops
+    # ACCEPTING repetitions once it holds max_reps (further events of
+    # the repeated type are relaxed-contiguity ignored; the stage
+    # window stays anchored at the last ACCEPTED repetition), so the
+    # emitted n_rep is always within [min_reps, max_reps]. None = no
+    # cap (timesOrMore/oneOrMore). With min_reps this completes the
+    # quantifier family: times(n) fixed = step expansion, times(m, n)
+    # range = min_reps=m + max_reps=n, timesOrMore(n) = min_reps=n.
+    max_reps: int | None = None
     # [F] ``Pattern#within(Duration)`` — the PATTERN-GLOBAL window: the
     # whole match (anchor → final step) must span at most this. The
     # per-stage ``within_minutes`` still applies between consecutive
@@ -157,6 +166,11 @@ class CepPattern:
             raise ValueError("min_reps must be >= 1")
         if self.min_reps > 1 and self.one_or_more is None:
             raise ValueError("min_reps (timesOrMore) requires a one_or_more step")
+        if self.max_reps is not None:
+            if self.one_or_more is None:
+                raise ValueError("max_reps (times(m, n)) requires a one_or_more step")
+            if self.max_reps < self.min_reps:
+                raise ValueError("max_reps must be >= min_reps")
         if self.total_minutes is not None and self.total_minutes < 1:
             raise ValueError("total_minutes must be >= 1")
         for s in self.strict_steps:
@@ -241,6 +255,7 @@ def _make_processor(
     rep: int | None = None,
     optionals: frozenset[int] = frozenset(),
     min_reps: int = 1,
+    max_reps: int | None = None,
     total_us: int | None = None,
     strict: frozenset[int] = frozenset(),
     skip_past_last: bool = False,
@@ -386,9 +401,13 @@ def _make_processor(
                     and etype == steps[rep]
                     and (mins[rep] is None or val >= mins[rep])
                 ):
+                    # times(m, n) cap: a run already holding max_reps
+                    # ignores further repetitions (relaxed contiguity)
                     partials = [
                         (aid, tss[:-1] + [ts_us], cnt + 1, pend)
-                        if len(tss) == rep + 1 and ts_us > tss[-1]
+                        if len(tss) == rep + 1
+                        and ts_us > tss[-1]
+                        and (max_reps is None or cnt < max_reps)
                         else (aid, tss, cnt, pend)
                         for aid, tss, cnt, pend in partials
                     ]
@@ -515,6 +534,7 @@ def _stream_nfa(
                 rep=pattern.one_or_more,
                 optionals=frozenset(pattern.optional_steps),
                 min_reps=pattern.min_reps,
+                max_reps=pattern.max_reps,
                 total_us=pattern.total_window_us,
                 strict=frozenset(pattern.strict_steps),
                 skip_past_last=pattern.skip_past_last,

@@ -1358,11 +1358,14 @@ def test_cep_total_window_nfa_matches_simulation_any_chunking(events, cuts):
     assert _drive_nfa_chunked(proc, evs, cuts, 3) == want
 
 
-def _timesormore_sim(evs, steps, rep, window_s, min_reps):
-    """Per-anchor simulation of timesOrMore(n) ([F]): like the greedy
-    oneOrMore run, but a next-step event only completes the Kleene
-    stage once >= min_reps repetitions are accepted — an earlier one is
-    relaxed-contiguity ignored and the run keeps waiting/extending."""
+def _timesormore_sim(evs, steps, rep, window_s, min_reps, max_reps=None):
+    """Per-anchor simulation of timesOrMore(n) / times(m, n) ([F]):
+    like the greedy oneOrMore run, but a next-step event only completes
+    the Kleene stage once >= min_reps repetitions are accepted (an
+    earlier one is relaxed-contiguity ignored and the run keeps
+    waiting/extending), and a run already holding max_reps ignores
+    further repetitions (the stage window stays anchored at the last
+    ACCEPTED one)."""
     k = len(steps)
     out = []
     for pos, (uid, aid, ts0, etype0) in enumerate(evs):
@@ -1376,6 +1379,8 @@ def _timesormore_sim(evs, steps, rep, window_s, min_reps):
                 break
             stage = len(tss)
             if stage == rep + 1 and etype == steps[rep] and ts > tss[-1]:
+                if max_reps is not None and cnt >= max_reps:
+                    continue  # capped: repetition ignored
                 tss[-1] = ts
                 cnt += 1
                 continue
@@ -1808,3 +1813,57 @@ def test_autocorrelation_zero_variance_yields_null(spark):
     }
     assert got[1] is None  # prev_value constant -> NULL, not an exception
     assert abs(got[2] - (-1.0)) < 1e-12
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_times_range_nfa_matches_simulation_any_chunking(events, cuts):
+    """times(1, 2) ([F] Pattern#times(from, to)): the max_reps cap must
+    stop the run from accepting a third repetition (the stage window
+    stays anchored at the second) while completion stays legal from the
+    first — under every micro-batch split. Emitted n_rep always within
+    [1, 2]."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, rep, window_s = ("a", "b", "c"), 1, 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _timesormore_sim(
+        [(u, i, t, e) for u, i, t, e in evs], steps, rep, window_s, 1, max_reps=2
+    )
+    proc = _make_processor(steps, window_s * 1_000_000, rep=rep, max_reps=2)
+    got = _drive_nfa_chunked(proc, evs, cuts, 3, extra_cols=("n_rep",))
+    assert got == want
+    assert all(1 <= r[-1] <= 2 for r in got)
+
+
+def test_cep_times_range_validation():
+    from hello_flink_spark.streaming.cep import CepPattern
+
+    with pytest.raises(ValueError):
+        CepPattern(steps=("a", "b", "c"), within_minutes=1, max_reps=2)
+    with pytest.raises(ValueError):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            one_or_more=1,
+            min_reps=3,
+            max_reps=2,
+        )
+    p = CepPattern(
+        steps=("a", "b", "c"), within_minutes=1, one_or_more=1, min_reps=2, max_reps=4
+    )
+    assert (p.min_reps, p.max_reps) == (2, 4)
