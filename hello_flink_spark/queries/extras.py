@@ -196,49 +196,112 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FRAME_STRIDE = 4
-FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx long, frame_feat long"
+FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx long, width long, height long, px_sum long"
+# minimal multi-frame container: magic + frame count + length-prefixed
+# REAL PNG frames (round 7 — the video path's decode is no longer a
+# fake; a production deployment swaps the container parse for an MP4
+# demuxer behind the same mapInPandas signature)
+VIDEO_MAGIC = b"PNGV"
 
 
-def _frame_sample_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """1→N frame sampling over the opaque binary payload: every
-    FRAME_STRIDE-th frame of the payload's n_frames (= n_bytes%16+1,
-    the deterministic fake of llm.py::_decode_stub) emits one row with
-    a deterministic per-frame feature. Real video decode (stride
-    sampling via PyAV/decord) is absent in this container by design;
-    the Spark plumbing — binary column in, Arrow batch, row expansion,
-    typed rows out — is the real, tested part."""
+def _video_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched ENCODE: per document a deterministic multi-frame
+    clip — doc_id % 8 + 2 genuine PNG frames (geometry and pixels
+    derived from (doc_id, frame index), so sampled-frame statistics
+    have a closed-form SQL oracle) in the length-prefixed container."""
+    import struct as _struct
+
+    from hello_flink_spark.operators.png_codec import encode_png_gray
+
     for pdf in batches:
-        doc_ids, idxs, feats = [], [], []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            n_bytes = len(payload)
-            n_frames = n_bytes % 16 + 1
-            for k in range(0, n_frames, FRAME_STRIDE):
-                doc_ids.append(doc_id)
-                idxs.append(k)
-                feats.append((n_bytes * 31 + k) % 997)
-        yield pd.DataFrame(
-            {"doc_id": doc_ids, "frame_idx": idxs, "frame_feat": feats}
-        )
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            n = d % 8 + 2
+            frames = [
+                encode_png_gray(
+                    d % 8 + 1,
+                    (d * 3) % 8 + 1,
+                    lambda x, y, d=d, k=k: (d + 31 * x + 17 * y + 97 * k) % 256,
+                )
+                for k in range(n)
+            ]
+            payloads.append(
+                VIDEO_MAGIC
+                + _struct.pack(">I", n)
+                + b"".join(_struct.pack(">I", len(f)) + f for f in frames)
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _frame_sample_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 1→N frame sampling with REAL decode: parse the
+    container, take every FRAME_STRIDE-th frame, and run each sampled
+    frame through the stdlib PNG decoder (CRC check, inflate,
+    unfilter) — skipped frames are never decoded, which is the entire
+    point of stride sampling (decode cost scales with SAMPLED frames,
+    not stored ones)."""
+    import struct as _struct
+
+    from hello_flink_spark.operators.png_codec import decode_png_gray
+
+    for pdf in batches:
+        rows = []
+        for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(blob)
+            if b[:4] != VIDEO_MAGIC:
+                raise ValueError("not a PNGV clip: bad magic")
+            (n,) = _struct.unpack(">I", b[4:8])
+            pos = 8
+            for k in range(n):
+                (ln,) = _struct.unpack(">I", b[pos : pos + 4])
+                frame = b[pos + 4 : pos + 4 + ln]
+                pos += 4 + ln
+                if k % FRAME_STRIDE == 0:
+                    w, h, px = decode_png_gray(frame)
+                    rows.append(
+                        {
+                            "doc_id": int(d),
+                            "frame_idx": k,
+                            "width": w,
+                            "height": h,
+                            "px_sum": int(sum(px)),
+                        }
+                    )
+        yield pd.DataFrame(rows)
 
 
 @register(
     "multimodal_frame_sample",
     oracle=f"""
-    SELECT doc_id, k AS frame_idx, (n_bytes * 31 + k) % 997 AS frame_feat
-    FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-                 octet_length(encode(text)) % 16 + 1 AS n_frames
-          FROM documents),
-         UNNEST(generate_series(0, n_frames - 1, {FRAME_STRIDE})) AS u(k)
+    WITH ks AS (SELECT CAST(range AS BIGINT) AS g FROM range(0, 16)),
+         xs AS (SELECT CAST(range AS BIGINT) AS g FROM range(0, 8)),
+         ys AS (SELECT CAST(range AS BIGINT) AS g FROM range(0, 8))
+    SELECT d.doc_id, ks.g AS frame_idx,
+           CAST(d.doc_id % 8 + 1 AS BIGINT) AS width,
+           CAST((d.doc_id * 3) % 8 + 1 AS BIGINT) AS height,
+           CAST(SUM((d.doc_id + 31 * xs.g + 17 * ys.g + 97 * ks.g) % 256)
+                AS BIGINT) AS px_sum
+    FROM documents d
+    JOIN ks ON ks.g < d.doc_id % 8 + 2 AND ks.g % {FRAME_STRIDE} = 0
+    JOIN xs ON xs.g <= d.doc_id % 8
+    JOIN ys ON ys.g <= (d.doc_id * 3) % 8
+    GROUP BY d.doc_id, ks.g
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal 1→N row expansion: sample every FRAME_STRIDE-th frame
-    from each binary payload through Arrow-batched mapInPandas — the
-    video-frame-sampling pipeline shape (decode stubbed, plumbing
-    real). Partitioning carries over from the scan; no shuffle."""
+    """Multimodal 1→N row expansion with REAL decode (round 7, like
+    multimodal_load): every FRAME_STRIDE-th frame of a genuine
+    multi-PNG clip is decoded — CRC-verified, inflated, unfiltered —
+    inside Arrow-batched mapInPandas, and the oracle verifies the
+    DECODED per-frame pixel statistics in closed form. Skipped frames
+    are never decoded (stride sampling's cost contract). Partitioning
+    carries over from the scan; no shuffle."""
     d = t(spark, sf_dir, "documents")
-    payload = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    return payload.mapInPandas(_frame_sample_stub, schema=FRAME_SAMPLE_SCHEMA)
+    payload = d.select("doc_id").mapInPandas(
+        _video_encode_batches, schema="doc_id long, payload binary"
+    )
+    return payload.mapInPandas(_frame_sample_decode, schema=FRAME_SAMPLE_SCHEMA)
 
 
 @register(

@@ -537,3 +537,70 @@ def stateful_value_ewma(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful_autocorr — streaming twin of queries/round7.py::events_autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def _autocorr(
+    tz: str, key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user lag-1 Pearson moments as ValueState: seven scalars
+    (prev value, n, Σx, Σy, Σxy, Σx², Σy²) — the incremental form of
+    the batch LAG+corr plan, O(1) state per key. Each micro-batch
+    folds its in-order values into the moments and emits the running
+    correlation (update mode); the sample-corr denominator uses
+    n-1-normalized moments so the result equals covar_samp/(sx·sy)."""
+    import math
+
+    if state.exists:
+        prev, n, sx, sy, sxy, sxx, syy = state.get
+    else:
+        prev, n, sx, sy, sxy, sxx, syy = None, 0, 0.0, 0.0, 0.0, 0.0, 0.0
+    pdf = _drop_late(_sorted_concat(pdfs, ["ts", "event_id"]), state, tz)
+    for v in pdf["value"]:
+        v = float(v)
+        if prev is not None:
+            n += 1
+            sx += v
+            sy += prev
+            sxy += v * prev
+            sxx += v * v
+            syy += prev * prev
+        prev = v
+    if prev is None and not state.exists:
+        yield pd.DataFrame([])
+        return
+    state.update((prev, n, sx, sy, sxy, sxx, syy))
+    corr = None
+    if n >= 2:
+        cov = (sxy - sx * sy / n) / (n - 1)
+        vx = (sxx - sx * sx / n) / (n - 1)
+        vy = (syy - sy * sy / n) / (n - 1)
+        denom = math.sqrt(vx) * math.sqrt(vy)
+        corr = cov / denom if denom > 0 else None
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_pairs": [n], "lag1_autocorr": [corr]}
+    )
+
+
+def stateful_autocorr(events: DataFrame) -> DataFrame:
+    """Streaming lag-1 autocorrelation (update mode): the keyed-state
+    twin of events_autocorrelation — seven scalars of state per user,
+    below-watermark rows dropped (``_drop_late``), zero-variance
+    series yield NULL exactly like the batch try_divide form."""
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    return events.withWatermark("ts", "30 minutes").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        partial(_autocorr, tz),
+        outputStructType="user_id long, n_pairs long, lag1_autocorr double",
+        stateStructType=(
+            "prev double, n long, sx double, sy double, sxy double, "
+            "sxx double, syy double"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1854,3 +1854,32 @@ def test_stateful_ewma_equals_batch_shadow(spark, sf_dir, replay_dir):
         for r in get_spec("events_value_ewma").fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stateful_autocorr_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """stateful_autocorr: the final running lag-1 correlation per user
+    must equal the declared batch op (within float tolerance — the
+    incremental moments and the covar/stddev aggregates reduce in
+    different orders), with exact n_pairs."""
+    run_to_memory(
+        stateful.stateful_autocorr(_stream(spark, replay_dir)), "t_acorr", "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_pairs").desc())
+    final = (
+        spark.table("t_acorr")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    got = {r.user_id: (r.n_pairs, r.lag1_autocorr) for r in final.collect()}
+    want = {
+        r.user_id: (r.n_pairs, r.lag1_autocorr)
+        for r in get_spec("events_autocorrelation").fn(spark, sf_dir).collect()
+    }
+    assert got.keys() == want.keys()
+    for u, (n, c) in want.items():
+        gn, gc = got[u]
+        assert gn == n, f"user {u}: pairs {gn} != {n}"
+        if c is None:
+            assert gc is None
+        else:
+            assert abs(gc - c) <= 1e-6, f"user {u}: {gc} vs {c}"
