@@ -144,6 +144,8 @@ HEADLINE = [
     "agg_pq_quantize",
     "win_moving_median",
     "events_autocorrelation",
+    # mid-pattern notFollowedBy: band join over two types + two MINs.
+    "cep_pattern_not_between",
 ]
 
 

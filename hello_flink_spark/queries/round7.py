@@ -615,3 +615,26 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lag1_autocorr"),
     )
+
+
+def _not_between_oracle() -> str:
+    from hello_flink_spark.streaming.cep import NOBETWEEN2, oracle_sql
+
+    return oracle_sql(NOBETWEEN2)
+
+
+@register("cep_pattern_not_between", oracle=_not_between_oracle())
+def cep_pattern_not_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] MID-PATTERN ``notFollowedBy`` — negative condition between
+    two positive stages: view followed by purchase within 24 h with NO
+    click in between (the "direct purchase" report;
+    ``Pattern.begin(view).notFollowedBy(click).followedBy(purchase)``).
+    Compiled as one band join over BOTH types + two MINs
+    (``_not_between_join``): promote only when the purchase's MIN lands
+    strictly before the first click; a click-first partial is KILLED
+    silently in both NFA and chain (violation, never a timeout).
+    Exercised, not vacuous: 687 -> 561 matches at sf0.01 vs the
+    unguarded twin. Same single user_id exchange as every stage."""
+    from hello_flink_spark.streaming.cep import NOBETWEEN2, compile_batch
+
+    return compile_batch(NOBETWEEN2, t(spark, sf_dir, "events"))

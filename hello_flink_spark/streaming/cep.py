@@ -119,6 +119,22 @@ class CepPattern:
     # optional/Kleene neighborhoods (validated) — a skip or an
     # extension makes "immediately next" ambiguous.
     strict_steps: Tuple[int, ...] = ()
+    # [F] MID-PATTERN ``notFollowedBy`` — negative condition BETWEEN two
+    # positive stages: ``not_between[i]`` (None = no guard) names an
+    # event type that must NOT occur between stage i-1's event and
+    # stage i's event. A forbidden-type event arriving strictly later
+    # than stage i-1 while the partial awaits stage i KILLS the partial
+    # silently (a violation, not a timeout — no side-output emission,
+    # matching the strict-contiguity convention). Batch/oracle twin:
+    # the stage joins over BOTH types and requires the promoter's MIN
+    # timestamp strictly before the forbidden MIN (an exact cross-type
+    # tie kills in SQL but resolves by event_id in the NFA — the same
+    # documented tie class as optional(), absent from the µs fixture).
+    # Entry i=0 is meaningless (nothing precedes the anchor); guarded
+    # stages must stay clear of optional/Kleene/strict neighborhoods
+    # (validated) and the forbidden type must differ from the stage's
+    # own type.
+    not_between: Tuple[str | None, ...] | None = None
     # [F] ``AfterMatchSkipStrategy.skipPastLastEvent()``: when one or
     # more partials complete at an event, emit ONLY the earliest-anchored
     # match and discard every other open partial for the key; the
@@ -171,6 +187,38 @@ class CepPattern:
                 raise ValueError("max_reps (times(m, n)) requires a one_or_more step")
             if self.max_reps < self.min_reps:
                 raise ValueError("max_reps must be >= min_reps")
+        if self.not_between is not None:
+            if len(self.not_between) != len(self.steps):
+                raise ValueError("not_between must have one entry per step")
+            if self.not_between[0] is not None:
+                raise ValueError(
+                    "not_between[0] is meaningless: nothing precedes the anchor"
+                )
+            for i, x in enumerate(self.not_between):
+                if x is None:
+                    continue
+                if x == self.steps[i]:
+                    raise ValueError(
+                        "a stage's forbidden type must differ from its own type"
+                    )
+                if i in self.optional_steps or i - 1 in self.optional_steps:
+                    raise ValueError(
+                        "not_between cannot guard an optional step or its "
+                        "successor (a skip makes the guarded span ambiguous)"
+                    )
+                if self.one_or_more is not None and i in (
+                    self.one_or_more,
+                    self.one_or_more + 1,
+                ):
+                    raise ValueError(
+                        "not_between cannot guard the Kleene step or its "
+                        "successor (run extension makes the span ambiguous)"
+                    )
+                if i in self.strict_steps:
+                    raise ValueError(
+                        "not_between on a strict step is redundant: strict "
+                        "contiguity already constrains the next event fully"
+                    )
         if self.total_minutes is not None and self.total_minutes < 1:
             raise ValueError("total_minutes must be >= 1")
         for s in self.strict_steps:
@@ -259,6 +307,7 @@ def _make_processor(
     total_us: int | None = None,
     strict: frozenset[int] = frozenset(),
     skip_past_last: bool = False,
+    not_between: Tuple[str | None, ...] | None = None,
 ):
     """Build the per-key NFA closure. Partial matches are encoded in
     state as 'anchor_id:ts1,ts2,...|n_rep|pending' strings (stage =
@@ -298,6 +347,7 @@ def _make_processor(
     other open partial, and consume the completing event."""
     k = len(steps)
     mins = mins or (None,) * k
+    nb = not_between or (None,) * k
 
     def _row(uid, aid, tss, matched, cnt):
         row = {"user_id": uid, "anchor_id": aid}
@@ -392,6 +442,17 @@ def _make_processor(
                 and not (p[3] is not None and p[3] < ts_us)
             ]
             for ts, eid, etype, val in group:
+                # mid-pattern notFollowedBy: a forbidden-type event
+                # strictly later than the last accepted stage KILLS the
+                # partial waiting at the guarded stage — before any
+                # promotion this event could make (its own stage's type
+                # differs by validation, so no promotion is lost)
+                if not_between is not None:
+                    partials = [
+                        p
+                        for p in partials
+                        if not (nb[len(p[1])] == etype and ts_us > p[1][-1])
+                    ]
                 # Kleene extension first (stage rep+1 is the highest
                 # stage this event type can touch); strict ts > means a
                 # partial promoted below by this same event cannot also
@@ -517,10 +578,13 @@ def _stream_nfa(
         out_cols += ", n_rep int"
     if emit_timeouts:
         out_cols += ", matched boolean"
+    types = set(pattern.steps) | {
+        x for x in (pattern.not_between or ()) if x is not None
+    }
     src = (
         events
         if pattern.strict_steps
-        else events.filter(F.col("event_type").isin(*set(pattern.steps)))
+        else events.filter(F.col("event_type").isin(*types))
     )
     nfa = (
         src.withWatermark("ts", watermark)
@@ -538,6 +602,7 @@ def _stream_nfa(
                 total_us=pattern.total_window_us,
                 strict=frozenset(pattern.strict_steps),
                 skip_past_last=pattern.skip_past_last,
+                not_between=pattern.not_between,
             ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}",
             stateStructType="partials array<string>",
@@ -653,6 +718,62 @@ def _strict_join(pattern: CepPattern, cur, events: DataFrame, i: int, w, total_p
     )
 
 
+def _not_between_join(
+    pattern: CepPattern, cur, events: DataFrame, i: int, w, total_pred, left: bool
+):
+    """One mid-pattern-notFollowedBy stage ([F]): join the band over
+    BOTH the promoter type and the forbidden type, take each MIN, and
+    promote only when the promoter lands strictly before the first
+    forbidden event (exact cross-type ties kill here, resolve by
+    event_id in the NFA — the documented optional()-class tie delta).
+    A row with a forbidden event but no earlier promoter is a KILLED
+    partial and is dropped from BOTH chains (the NFA kills silently —
+    never a timeout); rows with neither stay NULL in the left chain:
+    true timeouts."""
+    forb = pattern.not_between[i]
+    ev2 = events.filter(F.col("event_type").isin(pattern.steps[i], forb)).select(
+        F.col("user_id").alias("__u"),
+        F.col("ts").alias("__ts"),
+        F.col("event_type").alias("__et"),
+        F.col("value").alias("__v"),
+    )
+    prev_ts = pattern.ts_col(i - 1)
+    cond = (
+        (F.col("user_id") == F.col("__u"))
+        & (F.col("__ts") > F.col(prev_ts))
+        & (F.col("__ts") <= F.col(prev_ts) + F.expr(w))
+    )
+    if total_pred is not None:
+        cond = cond & total_pred
+    hit = F.col("__et") == pattern.steps[i]
+    if pattern.min_value(i) is not None:
+        hit = hit & (F.col("__v") >= pattern.min_value(i))
+    grouped = (
+        cur.join(ev2, cond, "left")
+        .groupBy(*cur.columns)
+        .agg(
+            F.min(F.when(hit, F.col("__ts"))).alias("__hit"),
+            F.min(
+                F.when(F.col("__et") == forb, F.col("__ts"))
+            ).alias("__forb"),
+        )
+    )
+    promoted = F.col("__hit").isNotNull() & (
+        F.col("__forb").isNull() | (F.col("__hit") < F.col("__forb"))
+    )
+    keep = (
+        # left chain: drop killed rows, keep promoted and true timeouts
+        F.col("__forb").isNull() | promoted
+        if left
+        else promoted
+    )
+    return (
+        grouped.filter(keep)
+        .withColumn(pattern.ts_col(i), F.when(promoted, F.col("__hit")))
+        .drop("__hit", "__forb")
+    )
+
+
 def _chain(pattern: CepPattern, events: DataFrame, left: bool) -> DataFrame:
     """Shared join-chain builder. Mandatory stages join inner (matched
     chain) or left (timeout chain); an OPTIONAL stage is compiled as a
@@ -688,6 +809,9 @@ def _chain(pattern: CepPattern, events: DataFrame, left: bool) -> DataFrame:
     while i < k:
         if i in pattern.strict_steps:
             cur = _strict_join(pattern, cur, events, i, w, total_pred)
+            i += 1
+        elif pattern.not_between is not None and pattern.not_between[i] is not None:
+            cur = _not_between_join(pattern, cur, events, i, w, total_pred, left)
             i += 1
         elif i in pattern.optional_steps:
             o, m = i, i + 1
@@ -890,6 +1014,22 @@ def _oracle_chain(pattern: CepPattern, left: bool) -> str:
                 f"AND e.ts > {prev}.{prev_ts} AND e.ts <= {prev}.{prev_ts} + {w} "
                 f"{total}GROUP BY {qcols}) t WHERE {keep})"
             )
+        elif pattern.not_between is not None and pattern.not_between[i] is not None:
+            forb = pattern.not_between[i]
+            promoted = "__hit IS NOT NULL AND (__forb IS NULL OR __hit < __forb)"
+            keep = f"__forb IS NULL OR ({promoted})" if left else promoted
+            sql += (
+                f", s{i + 1} AS (SELECT user_id, {', '.join(cols)}, "
+                f"CASE WHEN {promoted} THEN __hit END AS {this_ts} FROM ("
+                f"SELECT {qcols}, "
+                f"MIN(CASE WHEN e.event_type = '{pattern.steps[i]}' "
+                f"{guard}THEN e.ts END) AS __hit, "
+                f"MIN(CASE WHEN e.event_type = '{forb}' THEN e.ts END) AS __forb "
+                f"FROM {prev} LEFT JOIN events e ON e.user_id = {prev}.user_id "
+                f"AND e.event_type IN ('{pattern.steps[i]}', '{forb}') "
+                f"AND e.ts > {prev}.{prev_ts} AND e.ts <= {prev}.{prev_ts} + {w} "
+                f"{total}GROUP BY {qcols}) t WHERE {keep})"
+            )
         else:
             sql += (
                 f", s{i + 1} AS (SELECT {qcols}, MIN(e.ts) AS {this_ts} "
@@ -1002,6 +1142,16 @@ TWOPLUS3 = CepPattern(
     within_minutes=720,
     one_or_more=1,
     min_reps=2,
+)
+
+# The mid-pattern notFollowedBy instance (queries/round7.py::
+# cep_pattern_not_between + golden twin): view followed by purchase
+# within 24 h with NO click in between — the "direct purchase" report,
+# [F] Pattern.begin(view).notFollowedBy(click).followedBy(purchase).
+NOBETWEEN2 = CepPattern(
+    steps=("view", "purchase"),
+    within_minutes=1440,
+    not_between=(None, "click"),
 )
 
 # The after-match-skip instance (compile_stream only + reference-model

@@ -1867,3 +1867,143 @@ def test_cep_times_range_validation():
         steps=("a", "b", "c"), within_minutes=1, one_or_more=1, min_reps=2, max_reps=4
     )
     assert (p.min_reps, p.max_reps) == (2, 4)
+
+
+def _not_between_sim(evs, steps, nb, window_s):
+    """Per-anchor model of mid-pattern notFollowedBy: walking the
+    user's events in (ts, event_id) order, a forbidden-type event
+    strictly later than the last accepted stage kills the anchor
+    before any promotion the walk could make later. Shares no code
+    with streaming/cep.py."""
+    k = len(steps)
+    out = []
+    for pos, (uid, aid, ts0, et0) in enumerate(evs):
+        if et0 != steps[0]:
+            continue
+        tss = [ts0]
+        alive = True
+        for uid2, eid, ts, et in evs[pos + 1:]:
+            if uid2 != uid:
+                continue
+            if ts - tss[-1] > window_s:
+                alive = False
+                break
+            stage = len(tss)
+            if nb[stage] == et and ts > tss[-1]:
+                alive = False
+                break
+            if et == steps[stage] and ts > tss[-1]:
+                tss.append(ts)
+                if len(tss) == k:
+                    break
+        if alive and len(tss) == k:
+            out.append((uid, aid, *tss))
+    return sorted(out)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "x"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_not_between_nfa_matches_simulation_any_chunking(events, cuts):
+    """Mid-pattern notFollowedBy in the NFA: an 'x' strictly between a
+    partial's last accepted stage and its promotion must kill it — and
+    the verdict is identical under every micro-batch split (the kill
+    is a per-event decision carried in ordinary partial state)."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, nb, window_s = ("a", "b"), (None, "x"), 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _not_between_sim(evs, steps, nb, window_s)
+    proc = _make_processor(steps, window_s * 1_000_000, not_between=nb)
+    assert _drive_nfa_chunked(proc, evs, cuts, 2) == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "x"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_cep_not_between_batch_matches_reference_model(spark, events):
+    """Mid-pattern notFollowedBy in the BATCH chain (two-MIN band join)
+    must equal the per-anchor model on TIE-FREE micro-streams (an exact
+    promoter/forbidden tie kills in SQL but resolves by event_id in the
+    NFA — the documented optional()-class divergence, excluded here by
+    deduplicating (user, ts))."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import CepPattern, compile_batch
+
+    seen = set()
+    evs = []
+    for i, (u, t, e) in enumerate(events):
+        if (u, t) in seen:
+            continue
+        seen.add((u, t))
+        evs.append((u, i, t, e))
+    evs.sort(key=lambda x: (x[2], x[1]))
+    pat = CepPattern(
+        steps=("a", "b"), within_minutes=1, not_between=(None, "x")
+    )
+    pdf = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _ in evs],
+            "event_id": [i for _, i, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _ in evs],
+            "event_type": [e for _, _, _, e in evs],
+            "value": [0.0] * len(evs),
+        }
+    )
+    got = sorted(
+        (
+            r["user_id"],
+            r[pat.anchor_col],
+            *(int(r[pat.ts_col(i)].timestamp()) for i in range(2)),
+        )
+        for r in compile_batch(pat, spark.createDataFrame(pdf)).collect()
+    )
+    assert got == _not_between_sim(evs, ("a", "b"), (None, "x"), 60)
+
+
+def test_cep_not_between_validation():
+    from hello_flink_spark.streaming.cep import CepPattern
+
+    with pytest.raises(ValueError, match="anchor"):
+        CepPattern(steps=("a", "b"), within_minutes=1, not_between=("x", None))
+    with pytest.raises(ValueError, match="own type"):
+        CepPattern(steps=("a", "b"), within_minutes=1, not_between=(None, "b"))
+    with pytest.raises(ValueError, match="one entry per step"):
+        CepPattern(steps=("a", "b"), within_minutes=1, not_between=(None,))
+    with pytest.raises(ValueError, match="strict"):
+        CepPattern(
+            steps=("a", "b"),
+            within_minutes=1,
+            strict_steps=(1,),
+            not_between=(None, "x"),
+        )
+    with pytest.raises(ValueError, match="Kleene"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            one_or_more=1,
+            not_between=(None, "x", None),
+        )

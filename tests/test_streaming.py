@@ -1883,3 +1883,30 @@ def test_stateful_autocorr_equals_batch_shadow(spark, sf_dir, replay_dir):
             assert gc is None
         else:
             assert abs(gc - c) <= 1e-6, f"user {u}: {gc} vs {c}"
+
+
+def test_cep_not_between_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """Mid-pattern notFollowedBy ([F]): the NFA's per-event kill must
+    equal the declared batch two-MIN chain on the fixture replay, and
+    the guard must be exercised (strictly fewer matches than the
+    unguarded twin)."""
+    from hello_flink_spark.streaming.cep import (
+        CepPattern,
+        NOBETWEEN2,
+        compile_batch,
+        compile_stream,
+    )
+
+    run_to_memory(compile_stream(NOBETWEEN2, _stream(spark, replay_dir), WM), "t_cepnb")
+    cols = ("user_id", "view_id", "view_ts", "purchase_ts")
+    got = sorted(tuple(r[c] for c in cols) for r in spark.table("t_cepnb").collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in get_spec("cep_pattern_not_between").fn(spark, sf_dir).collect()
+    )
+    assert got and got == want
+    unguarded = CepPattern(
+        steps=NOBETWEEN2.steps, within_minutes=NOBETWEEN2.within_minutes
+    )
+    n_all = compile_batch(unguarded, load_table(spark, sf_dir, "events")).count()
+    assert n_all > len(got), "not_between guard is vacuous on this fixture"
