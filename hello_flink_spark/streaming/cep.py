@@ -135,6 +135,21 @@ class CepPattern:
     # (validated) and the forbidden type must differ from the stage's
     # own type.
     not_between: Tuple[str | None, ...] | None = None
+    # [F] ``Pattern#notNext`` — NEGATED strict contiguity: ``not_next[i]``
+    # (None = no guard) names an event type that must NOT be the
+    # IMMEDIATELY next event of the user's stream after stage i's
+    # accepted event. The NFA arms a guard on acceptance; the first
+    # strictly-later event resolves it — forbidden type kills the
+    # partial silently, anything else clears the guard (if no later
+    # event ever arrives within the window the guard passes vacuously
+    # and the partial times out as usual). Batch/oracle: first-any vs
+    # first-forbidden MIN comparison over the stage-window band — kill
+    # iff a forbidden event sits at the earliest later timestamp (tie
+    # groups judged as a set in SQL, by event_id in the NFA: the same
+    # documented tie class as strict/optional, absent from the µs
+    # fixture). Guards live on stages 0..k-2 and must stay clear of
+    # strict/optional/Kleene neighborhoods (validated).
+    not_next: Tuple[str | None, ...] | None = None
     # [F] ``AfterMatchSkipStrategy.skipPastLastEvent()``: when one or
     # more partials complete at an event, emit ONLY the earliest-anchored
     # match and discard every other open partial for the key; the
@@ -218,6 +233,35 @@ class CepPattern:
                     raise ValueError(
                         "not_between on a strict step is redundant: strict "
                         "contiguity already constrains the next event fully"
+                    )
+        if self.not_next is not None:
+            if len(self.not_next) != len(self.steps):
+                raise ValueError("not_next must have one entry per step")
+            if self.not_next[-1] is not None:
+                raise ValueError(
+                    "not_next on the final stage is meaningless: the match "
+                    "has already completed (a pattern cannot end negated)"
+                )
+            for i, x in enumerate(self.not_next):
+                if x is None:
+                    continue
+                if i + 1 in self.strict_steps:
+                    raise ValueError(
+                        "not_next before a strict step is redundant: strict "
+                        "contiguity already constrains the next event fully"
+                    )
+                if (
+                    i in self.optional_steps
+                    or i + 1 in self.optional_steps
+                    or (
+                        self.one_or_more is not None
+                        and i in (self.one_or_more, self.one_or_more + 1)
+                    )
+                ):
+                    raise ValueError(
+                        "not_next must stay clear of optional/Kleene "
+                        "neighborhoods (skips and run extension make "
+                        "'immediately next' ambiguous)"
                     )
         if self.total_minutes is not None and self.total_minutes < 1:
             raise ValueError("total_minutes must be >= 1")
@@ -308,6 +352,7 @@ def _make_processor(
     strict: frozenset[int] = frozenset(),
     skip_past_last: bool = False,
     not_between: Tuple[str | None, ...] | None = None,
+    not_next: Tuple[str | None, ...] | None = None,
 ):
     """Build the per-key NFA closure. Partial matches are encoded in
     state as 'anchor_id:ts1,ts2,...|n_rep|pending' strings (stage =
@@ -348,6 +393,11 @@ def _make_processor(
     k = len(steps)
     mins = mins or (None,) * k
     nb = not_between or (None,) * k
+    nn = not_next or (None,) * k
+    # pend field semantics: None = idle; >= 0 = strict-contiguity kill
+    # deadline (the first later group's ts); GUARD = a notNext guard is
+    # armed and awaits the first strictly-later event
+    GUARD = -2
 
     def _row(uid, aid, tss, matched, cnt):
         row = {"user_id": uid, "anchor_id": aid}
@@ -405,9 +455,11 @@ def _make_processor(
                 [
                     _row(key[0], aid, tss, False, cnt)
                     for aid, tss, cnt, pend in expired
-                    # pending-kill partials saw a later event that failed
-                    # strict contiguity: discarded, not timed out
-                    if pend is None
+                    # strict pending-kill partials saw a later event that
+                    # failed contiguity: discarded, not timed out; an
+                    # ARMED notNext guard (GUARD) never saw a later event
+                    # at all — vacuous pass, a genuine timeout
+                    if pend is None or pend == GUARD
                 ]
                 if emit_timeouts
                 else []
@@ -433,15 +485,27 @@ def _make_processor(
                 out.extend(
                     _row(key[0], aid, tss, False, cnt)
                     for aid, tss, cnt, pend in partials
-                    if _expired(tss, ts_us) and pend is None
+                    if _expired(tss, ts_us) and (pend is None or pend == GUARD)
                 )
             partials = [
                 p
                 for p in partials
                 if not _expired(p[1], ts_us)
-                and not (p[3] is not None and p[3] < ts_us)
+                and not (p[3] is not None and p[3] >= 0 and p[3] < ts_us)
             ]
             for ts, eid, etype, val in group:
+                # notNext: the first strictly-later event resolves an
+                # armed guard — forbidden type kills, anything else
+                # clears (before this event can promote anything)
+                if not_next is not None:
+                    resolved = []
+                    for aid, tss, cnt, pend in partials:
+                        if pend == GUARD and ts_us > tss[-1]:
+                            if etype == nn[len(tss) - 1]:
+                                continue  # killed silently
+                            pend = None
+                        resolved.append((aid, tss, cnt, pend))
+                    partials = resolved
                 # mid-pattern notFollowedBy: a forbidden-type event
                 # strictly later than the last accepted stage KILLS the
                 # partial waiting at the guarded stage — before any
@@ -513,8 +577,16 @@ def _make_processor(
                         if i == k - 1:
                             completed.append((aid, ntss, ncnt))
                         else:
-                            # promotion clears any pending-kill marker
-                            partials.append((aid, ntss, ncnt, None))
+                            # promotion clears any pending-kill marker;
+                            # a notNext guard on the accepted stage arms
+                            partials.append(
+                                (
+                                    aid,
+                                    ntss,
+                                    ncnt,
+                                    GUARD if nn[i] is not None else None,
+                                )
+                            )
                 if completed and skip_past_last:
                     aid, tss, cnt = min(completed, key=lambda c: (c[1][0], c[0]))
                     out.append(_row(key[0], aid, tss, True, cnt))
@@ -524,7 +596,14 @@ def _make_processor(
                     _row(key[0], aid, tss, True, cnt) for aid, tss, cnt in completed
                 )
                 if etype == steps[0] and (mins[0] is None or val >= mins[0]):
-                    partials.append((int(eid), [ts_us], 0, None))
+                    partials.append(
+                        (
+                            int(eid),
+                            [ts_us],
+                            0,
+                            GUARD if nn[0] is not None else None,
+                        )
+                    )
             # group end: a strict-stage waiter that saw this (strictly
             # later) group pass without promoting it is marked; the kill
             # lands at the next later group so a same-timestamp group
@@ -581,9 +660,15 @@ def _stream_nfa(
     types = set(pattern.steps) | {
         x for x in (pattern.not_between or ()) if x is not None
     }
+    # notNext judges the immediately-next event of ANY type, so the
+    # pre-filter must stay off when such a guard exists
+    if pattern.not_next is not None and any(
+        x is not None for x in pattern.not_next
+    ):
+        types = None
     src = (
         events
-        if pattern.strict_steps
+        if pattern.strict_steps or types is None
         else events.filter(F.col("event_type").isin(*types))
     )
     nfa = (
@@ -603,6 +688,7 @@ def _stream_nfa(
                 strict=frozenset(pattern.strict_steps),
                 skip_past_last=pattern.skip_past_last,
                 not_between=pattern.not_between,
+                not_next=pattern.not_next,
             ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}",
             stateStructType="partials array<string>",
@@ -774,6 +860,46 @@ def _not_between_join(
     )
 
 
+def _not_next_guard(pattern: CepPattern, cur, events: DataFrame, i: int, w, total_pred):
+    """[F] ``notNext`` guard applied after stage i is computed: among
+    ALL events strictly after stage i's timestamp within the window
+    band, the earliest must not carry the forbidden type — kill iff a
+    forbidden event sits at the first later timestamp (the negated
+    twin of ``_strict_join``'s comparison). Rows with NO later event
+    keep: the guard passes vacuously and the partial times out as
+    usual, in both chains."""
+    forb = pattern.not_next[i]
+    all_ev = events.select(
+        F.col("user_id").alias("__u"),
+        F.col("ts").alias("__ts"),
+        F.col("event_type").alias("__et"),
+    )
+    anchor = pattern.ts_col(i)
+    cond = (
+        (F.col("user_id") == F.col("__u"))
+        & (F.col("__ts") > F.col(anchor))
+        & (F.col("__ts") <= F.col(anchor) + F.expr(w))
+    )
+    if total_pred is not None:
+        cond = cond & total_pred
+    return (
+        cur.join(all_ev, cond, "left")
+        .groupBy(*cur.columns)
+        .agg(
+            F.min("__ts").alias("__gnext"),
+            F.min(
+                F.when(F.col("__et") == forb, F.col("__ts"))
+            ).alias("__gforb"),
+        )
+        .filter(
+            F.col("__gnext").isNull()
+            | F.col("__gforb").isNull()
+            | (F.col("__gforb") > F.col("__gnext"))
+        )
+        .drop("__gnext", "__gforb")
+    )
+
+
 def _chain(pattern: CepPattern, events: DataFrame, left: bool) -> DataFrame:
     """Shared join-chain builder. Mandatory stages join inner (matched
     chain) or left (timeout chain); an OPTIONAL stage is compiled as a
@@ -805,13 +931,21 @@ def _chain(pattern: CepPattern, events: DataFrame, left: bool) -> DataFrame:
         if pattern.total_minutes is not None
         else None
     )
+    def guard(cur, j):
+        if pattern.not_next is not None and pattern.not_next[j] is not None:
+            return _not_next_guard(pattern, cur, events, j, w, total_pred)
+        return cur
+
+    cur = guard(cur, 0)
     i, k = 1, len(pattern.steps)
     while i < k:
         if i in pattern.strict_steps:
-            cur = _strict_join(pattern, cur, events, i, w, total_pred)
+            cur = guard(_strict_join(pattern, cur, events, i, w, total_pred), i)
             i += 1
         elif pattern.not_between is not None and pattern.not_between[i] is not None:
-            cur = _not_between_join(pattern, cur, events, i, w, total_pred, left)
+            cur = guard(
+                _not_between_join(pattern, cur, events, i, w, total_pred, left), i
+            )
             i += 1
         elif i in pattern.optional_steps:
             o, m = i, i + 1
@@ -832,14 +966,17 @@ def _chain(pattern: CepPattern, events: DataFrame, left: bool) -> DataFrame:
             )
             i += 2
         else:
-            cur = _min_join(
-                cur,
-                _stage_events(pattern, events, i),
-                pattern.ts_col(i - 1),
-                pattern.ts_col(i),
-                w,
-                base_how,
-                total_pred,
+            cur = guard(
+                _min_join(
+                    cur,
+                    _stage_events(pattern, events, i),
+                    pattern.ts_col(i - 1),
+                    pattern.ts_col(i),
+                    w,
+                    base_how,
+                    total_pred,
+                ),
+                i,
             )
             i += 1
     return cur
@@ -989,6 +1126,33 @@ def _oracle_chain(pattern: CepPattern, left: bool) -> str:
     )
     prev = "s1"
     cols = [f"{anchor}", f"{ts0}"]
+
+    def not_next_cte(sql, prev, cols, i):
+        """[F] notNext guard CTE after stage i: keep iff no forbidden
+        event sits at the earliest strictly-later timestamp in the
+        stage-window band (vacuously kept when no later event)."""
+        forb = pattern.not_next[i]
+        ts_i = pattern.ts_col(i)
+        qcols = ", ".join([f"{prev}.user_id"] + [f"{prev}.{c}" for c in cols])
+        total = (
+            f"AND e.ts <= {prev}.{ts0} + INTERVAL {pattern.total_minutes} MINUTE "
+            if pattern.total_minutes is not None
+            else ""
+        )
+        name = f"{prev}g"
+        sql += (
+            f", {name} AS (SELECT user_id, {', '.join(cols)} FROM ("
+            f"SELECT {qcols}, MIN(e.ts) AS __gnext, "
+            f"MIN(CASE WHEN e.event_type = '{forb}' THEN e.ts END) AS __gforb "
+            f"FROM {prev} LEFT JOIN events e ON e.user_id = {prev}.user_id "
+            f"AND e.ts > {prev}.{ts_i} AND e.ts <= {prev}.{ts_i} + {w} "
+            f"{total}GROUP BY {qcols}) t "
+            f"WHERE __gnext IS NULL OR __gforb IS NULL OR __gforb > __gnext)"
+        )
+        return sql, name
+
+    if pattern.not_next is not None and pattern.not_next[0] is not None:
+        sql, prev = not_next_cte(sql, prev, cols, 0)
     for i in range(1, len(pattern.steps)):
         prev_ts, this_ts = pattern.ts_col(i - 1), pattern.ts_col(i)
         qcols = ", ".join([f"{prev}.user_id"] + [f"{prev}.{c}" for c in cols])
@@ -1040,6 +1204,8 @@ def _oracle_chain(pattern: CepPattern, left: bool) -> str:
             )
         prev = f"s{i + 1}"
         cols.append(this_ts)
+        if pattern.not_next is not None and pattern.not_next[i] is not None:
+            sql, prev = not_next_cte(sql, prev, cols, i)
     if left:
         last_ts = pattern.ts_col(len(pattern.steps) - 1)
         return (
@@ -1152,6 +1318,17 @@ NOBETWEEN2 = CepPattern(
     steps=("view", "purchase"),
     within_minutes=1440,
     not_between=(None, "click"),
+)
+
+# The notNext instance (queries/round7.py::cep_pattern_not_next +
+# golden twin): signup whose IMMEDIATELY next action is not an error,
+# then purchase within 48 h — [F]
+# Pattern.begin(signup).notNext(error).followedBy(purchase): the
+# "clean-onboarding conversion" report.
+NONEXT2 = CepPattern(
+    steps=("signup", "purchase"),
+    within_minutes=2880,
+    not_next=("error", None),
 )
 
 # The after-match-skip instance (compile_stream only + reference-model

@@ -2007,3 +2007,143 @@ def test_cep_not_between_validation():
             one_or_more=1,
             not_between=(None, "x", None),
         )
+
+
+def _not_next_sim(evs, steps, nn, window_s):
+    """Per-anchor model of notNext: after accepting a guarded stage,
+    the first strictly-later event of ANY type resolves the guard —
+    forbidden kills, anything else clears; no later event within the
+    window = vacuous pass (the anchor just times out unless the
+    pattern completes first). Shares no code with streaming/cep.py."""
+    k = len(steps)
+    out = []
+    for pos, (uid, aid, ts0, et0) in enumerate(evs):
+        if et0 != steps[0]:
+            continue
+        tss = [ts0]
+        armed = nn[0] is not None
+        alive = True
+        for uid2, eid, ts, et in evs[pos + 1:]:
+            if uid2 != uid:
+                continue
+            if ts - tss[-1] > window_s:
+                alive = False
+                break
+            stage = len(tss)
+            if armed and ts > tss[-1]:
+                if et == nn[stage - 1]:
+                    alive = False
+                    break
+                armed = False
+            if et == steps[stage] and ts > tss[-1]:
+                tss.append(ts)
+                armed = nn[stage] is not None
+                if len(tss) == k:
+                    break
+        if alive and len(tss) == k:
+            out.append((uid, aid, *tss))
+    return sorted(out)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "x", "y"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_not_next_nfa_matches_simulation_any_chunking(events, cuts):
+    """notNext in the NFA: the armed-guard sentinel must survive
+    micro-batch boundaries — a guard armed in one batch and resolved by
+    the first event of the next must behave exactly like the
+    single-pass model, for every chunking. 'y' events prove that ANY
+    type clears the guard, not just pattern types."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, nn, window_s = ("a", "b"), ("x", None), 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _not_next_sim(evs, steps, nn, window_s)
+    proc = _make_processor(steps, window_s * 1_000_000, not_next=nn)
+    assert _drive_nfa_chunked(proc, evs, cuts, 2) == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "x", "y"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_cep_not_next_batch_matches_reference_model(spark, events):
+    """notNext in the BATCH chain (_not_next_guard: first-any vs
+    first-forbidden MINs) must equal the per-anchor model on TIE-FREE
+    micro-streams (tie groups are judged as a set in SQL but by
+    event_id in the NFA — the documented strict/optional tie class)."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import CepPattern, compile_batch
+
+    seen = set()
+    evs = []
+    for i, (u, t, e) in enumerate(events):
+        if (u, t) in seen:
+            continue
+        seen.add((u, t))
+        evs.append((u, i, t, e))
+    evs.sort(key=lambda x: (x[2], x[1]))
+    pat = CepPattern(steps=("a", "b"), within_minutes=1, not_next=("x", None))
+    pdf = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _ in evs],
+            "event_id": [i for _, i, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _ in evs],
+            "event_type": [e for _, _, _, e in evs],
+            "value": [0.0] * len(evs),
+        }
+    )
+    got = sorted(
+        (
+            r["user_id"],
+            r[pat.anchor_col],
+            *(int(r[pat.ts_col(i)].timestamp()) for i in range(2)),
+        )
+        for r in compile_batch(pat, spark.createDataFrame(pdf)).collect()
+    )
+    assert got == _not_next_sim(evs, ("a", "b"), ("x", None), 60)
+
+
+def test_cep_not_next_validation():
+    from hello_flink_spark.streaming.cep import CepPattern
+
+    with pytest.raises(ValueError, match="final stage"):
+        CepPattern(steps=("a", "b"), within_minutes=1, not_next=(None, "x"))
+    with pytest.raises(ValueError, match="one entry per step"):
+        CepPattern(steps=("a", "b"), within_minutes=1, not_next=("x",))
+    with pytest.raises(ValueError, match="strict"):
+        CepPattern(
+            steps=("a", "b"),
+            within_minutes=1,
+            strict_steps=(1,),
+            not_next=("x", None),
+        )
+    with pytest.raises(ValueError, match="Kleene|optional"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            one_or_more=1,
+            not_next=(None, "x", None),
+        )

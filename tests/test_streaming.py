@@ -1910,3 +1910,27 @@ def test_cep_not_between_equals_batch_shadow(spark, sf_dir, replay_dir):
     )
     n_all = compile_batch(unguarded, load_table(spark, sf_dir, "events")).count()
     assert n_all > len(got), "not_between guard is vacuous on this fixture"
+
+
+def test_cep_not_next_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """notNext ([F]): the NFA's armed-guard sentinel over the
+    UNFILTERED event stream must equal the declared batch chain on the
+    fixture replay, and the guard must be exercised."""
+    from hello_flink_spark.streaming.cep import (
+        CepPattern,
+        NONEXT2,
+        compile_batch,
+        compile_stream,
+    )
+
+    run_to_memory(compile_stream(NONEXT2, _stream(spark, replay_dir), WM), "t_cepnn")
+    cols = ("user_id", "signup_id", "signup_ts", "purchase_ts")
+    got = sorted(tuple(r[c] for c in cols) for r in spark.table("t_cepnn").collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in get_spec("cep_pattern_not_next").fn(spark, sf_dir).collect()
+    )
+    assert got and got == want
+    unguarded = CepPattern(steps=NONEXT2.steps, within_minutes=NONEXT2.within_minutes)
+    n_all = compile_batch(unguarded, load_table(spark, sf_dir, "events")).count()
+    assert n_all > len(got), "not_next guard is vacuous on this fixture"
