@@ -2147,3 +2147,68 @@ def test_cep_not_next_validation():
             one_or_more=1,
             not_next=(None, "x", None),
         )
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "x", "y"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_negative_guards_compose_in_nfa(events, cuts):
+    """Composition: notNext × mid-pattern notFollowedBy on ONE pattern
+    (a notNext(x) followedBy b notFollowedBy(y) followedBy c). The
+    armed-guard sentinel and the per-event span kill must not
+    interfere — verified against a single per-anchor model applying
+    both rules, under every micro-batch split."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, nn, nb, window_s = ("a", "b", "c"), ("x", None, None), (None, None, "y"), 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+
+    def _sim():
+        out = []
+        for pos, (uid, aid, ts0, et0) in enumerate(evs):
+            if et0 != "a":
+                continue
+            tss = [ts0]
+            armed = True  # notNext on the anchor
+            alive = True
+            for uid2, _eid, ts, et in evs[pos + 1:]:
+                if uid2 != uid:
+                    continue
+                if ts - tss[-1] > window_s:
+                    alive = False
+                    break
+                stage = len(tss)
+                if armed and ts > tss[-1]:
+                    if et == nn[stage - 1]:
+                        alive = False
+                        break
+                    armed = False
+                if nb[stage] == et and ts > tss[-1]:
+                    alive = False
+                    break
+                if et == steps[stage] and ts > tss[-1]:
+                    tss.append(ts)
+                    armed = nn[stage] is not None
+                    if len(tss) == 3:
+                        break
+            if alive and len(tss) == 3:
+                out.append((uid, aid, *tss))
+        return sorted(out)
+
+    proc = _make_processor(
+        steps, window_s * 1_000_000, not_next=nn, not_between=nb
+    )
+    assert _drive_nfa_chunked(proc, evs, cuts, 3) == _sim()
