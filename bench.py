@@ -228,11 +228,44 @@ def main() -> int:
     }
     if errors:
         result["errors"] = errors
+    # Reporting contract (VERDICT r07 #1): the driver keeps only a
+    # ~2,000-char TAIL of stdout and parses the LAST JSON line. At 78
+    # queries the full per-query map is 2,237 bytes, so a single fat
+    # line arrives front-truncated and unparseable (BENCH_r07
+    # "parsed": null). Emit the full detail FIRST (own line + a file
+    # for humans/the judge), then a compact summary as the final line
+    # whose byte size is independent of suite growth
+    # (tests/test_bench_contract.py pins the budget).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json")
+    try:
+        with open(detail_path, "w") as fh:
+            fh.write(json.dumps(result) + "\n")
+    except OSError:
+        pass  # read-only checkout: the stdout detail line still carries it
     print(json.dumps(result))
-    # rc stays 0 even with per-query errors: the JSON line (with its
-    # "errors" key) is the report; a nonzero rc risks the driver
+    print(json.dumps(summary_line(result)))
+    # rc stays 0 even with per-query errors: the JSON report (with its
+    # "errors" key) is on stdout; a nonzero rc risks the driver
     # discarding the successful queries' numbers.
     return 0
+
+
+def summary_line(result: dict) -> dict:
+    """Compact final-line summary: constant field set, no per-query map.
+
+    Size is bounded by the numeric field widths only (~130 bytes),
+    never by the number of queries — the driver's tail capture can
+    always parse it whatever the suite grows to.
+    """
+    return {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "n_queries": len(result["queries"]),
+        "n_errors": len(result.get("errors", {})),
+        "detail": "bench_results.json",
+    }
 
 
 if __name__ == "__main__":

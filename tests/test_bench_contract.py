@@ -24,6 +24,32 @@ def test_headline_queries_all_declared():
     assert len(HEADLINE) == len(set(HEADLINE)), "duplicate HEADLINE entries"
 
 
+def test_summary_line_byte_budget():
+    """The LAST stdout line of bench.py must stay parseable inside the
+    driver's ~2,000-char tail capture at ANY suite size (VERDICT r07
+    #1: the 78-query fat line front-truncated to garbage). Budget is
+    pinned well under the capture window."""
+    sys.path.insert(0, str(REPO))
+    import json
+
+    from bench import summary_line
+
+    # a suite 100x today's size with worst-case float widths
+    fat = {
+        "metric": "headline_query_suite_wall_sec",
+        "value": 123456789.999,
+        "unit": "sec",
+        "sf": 0.001,
+        "queries": {f"q{i}": 99999.999 for i in range(10_000)},
+        "errors": {f"q{i}": "x" * 300 for i in range(500)},
+    }
+    line = json.dumps(summary_line(fat))
+    assert len(line) < 1_500, f"summary line {len(line)} B breaks the tail-capture contract"
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 10_000 and parsed["n_errors"] == 500
+    assert parsed["metric"] == fat["metric"] and parsed["value"] == fat["value"]
+
+
 def test_entry_module_contract():
     sys.path.insert(0, str(REPO))
     import __spark_entry__ as E
