@@ -268,7 +268,9 @@ def _frame_sample_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                             "px_sum": int(sum(px)),
                         }
                     )
-        yield pd.DataFrame(rows)
+        # explicit columns so an empty batch keeps the output schema
+        # (zero-column frames break mapInPandas by-name serialization)
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "width", "height", "px_sum"])
 
 
 @register(

@@ -796,7 +796,13 @@ def _png_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     "px_max": int(max(px)),
                 }
             )
-        yield pd.DataFrame(rows)
+        # explicit columns: an empty Arrow batch must still yield a
+        # frame carrying the output schema's names (a zero-column
+        # DataFrame breaks mapInPandas' by-name serialization)
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "n_pixels", "px_sum", "px_min", "px_max"],
+        )
 
 
 @register(

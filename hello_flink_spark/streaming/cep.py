@@ -296,8 +296,17 @@ class CepPattern:
         expands to n plain steps, so the whole existing machinery — NFA,
         batch join chain, generated oracle — applies unchanged; the NFA's
         strict ts > ordering and highest-stage-first promotion already
-        handle adjacent same-type steps (the `cep_pattern_repeat` tier)."""
+        handle adjacent same-type steps (the `cep_pattern_repeat` tier).
+
+        Step-indexed kwargs (``strict_steps``, ``optional_steps``,
+        ``one_or_more``, ``step_min_value``, ``not_between``,
+        ``not_next``) address the EXPANDED step list. When the spec
+        actually expands (any ``(type, n)`` with n > 1) those indexes
+        would silently shift against the caller's spec-relative
+        intent, so ``of`` REJECTS them (ADVICE r07) — construct
+        ``CepPattern`` directly with post-expansion indexes instead."""
         steps: list[str] = []
+        expanded = False
         for item in spec:
             if isinstance(item, str):
                 steps.append(item)
@@ -305,7 +314,23 @@ class CepPattern:
                 etype, n = item
                 if n < 1:
                     raise ValueError("times(n) needs n >= 1")
+                if n > 1:
+                    expanded = True
                 steps.extend([etype] * n)
+        step_indexed = {
+            "strict_steps",
+            "optional_steps",
+            "one_or_more",
+            "step_min_value",
+            "not_between",
+            "not_next",
+        } & set(kw)
+        if expanded and step_indexed:
+            raise ValueError(
+                f"of() expanded the spec (times n>1), which shifts step "
+                f"indexes; pass {sorted(step_indexed)} by constructing "
+                "CepPattern directly with post-expansion indexes"
+            )
         return cls(steps=tuple(steps), within_minutes=within_minutes, **kw)
 
     def min_value(self, i: int) -> float | None:

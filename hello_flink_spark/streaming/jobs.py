@@ -623,7 +623,15 @@ def upsert_by_key_foreach_batch(
     def handle(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
         if version_col is not None:
-            w = Window.partitionBy(key).orderBy(F.col(version_col).desc())
+            # Deterministic tie within a batch (ADVICE r07): two rows
+            # with EQUAL versions for one key must pick the same winner
+            # on every replay — order by the full-row fingerprint after
+            # version (to_json handles map/array/binary columns that a
+            # raw multi-column sort could not).
+            row_fp = F.xxhash64(F.to_json(F.struct(*batch.columns)))
+            w = Window.partitionBy(key).orderBy(
+                F.col(version_col).desc(), row_fp.asc()
+            )
             batch = (
                 batch.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)

@@ -508,17 +508,20 @@ def _ewma(
 
     cur, n = (state.get if state.exists else (None, 0))
     pdf = _drop_late(_sorted_concat(pdfs, ["ts", "event_id"]), state, tz)
+    if not len(pdf):
+        # every row was late-dropped (or the batch was empty): state is
+        # unchanged, so update mode must NOT re-emit the running value
+        # (ADVICE r07 — redundant output rows).
+        yield pd.DataFrame([])
+        return
     for v in pdf["value"]:
         v = float(v)
         cur = v if cur is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * cur
         n += 1
-    if n:
-        state.update((cur, n))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "ewma_value": [cur]}
-        )
-    else:
-        yield pd.DataFrame([])
+    state.update((cur, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "ewma_value": [cur]}
+    )
 
 
 def stateful_value_ewma(events: DataFrame) -> DataFrame:
@@ -560,6 +563,12 @@ def _autocorr(
     else:
         prev, n, sx, sy, sxy, sxx, syy = None, 0, 0.0, 0.0, 0.0, 0.0, 0.0
     pdf = _drop_late(_sorted_concat(pdfs, ["ts", "event_id"]), state, tz)
+    if not len(pdf):
+        # every row was late-dropped (or the batch was empty): moments
+        # are unchanged, so update mode must NOT re-emit the running
+        # correlation (ADVICE r07 — redundant output rows).
+        yield pd.DataFrame([])
+        return
     for v in pdf["value"]:
         v = float(v)
         if prev is not None:
@@ -570,9 +579,6 @@ def _autocorr(
             sxx += v * v
             syy += prev * prev
         prev = v
-    if prev is None and not state.exists:
-        yield pd.DataFrame([])
-        return
     state.update((prev, n, sx, sy, sxy, sxx, syy))
     corr = None
     if n >= 2:

@@ -1543,6 +1543,17 @@ def test_cep_round7_validation():
         CepPattern(steps=("a", "b"), within_minutes=1, total_minutes=0)
     with pytest.raises(ValueError):
         CepPattern.of(["a", ("b", 0)], within_minutes=1)
+    # step-indexed kwargs against an EXPANDING spec are rejected — the
+    # indexes would silently shift post-expansion (ADVICE r07)
+    with pytest.raises(ValueError, match="post-expansion"):
+        CepPattern.of(["a", ("b", 2), "c"], within_minutes=1, strict_steps=(2,))
+    with pytest.raises(ValueError, match="post-expansion"):
+        CepPattern.of(
+            ["a", ("b", 2)], within_minutes=1, step_min_value=(None, 1.0, None)
+        )
+    # without expansion the kwargs pass through untouched
+    p = CepPattern.of(["a", ("b", 1), "c"], within_minutes=1, strict_steps=(2,))
+    assert p.strict_steps == (2,)
 
 
 @given(
