@@ -30,6 +30,57 @@ def test_oracle_parity(spark, sf_dir, duck, name):
     assert result.ok, f"{name}: {result.detail}"
 
 
+# Hand-authored from the Flink Pattern#next semantics directly (VERDICT
+# r07 #3) — NOT generated via oracle_sql(STRICT3), so a common-mode bug
+# in the pattern→SQL generator cannot hide here. Different formulation
+# on purpose: RANK-over-window tie group + BOOL_OR for the strict stage
+# (the generator uses LEFT JOIN + two MINs), ROW_NUMBER for the relaxed
+# first-purchase promotion (the generator uses JOIN + MIN + GROUP BY).
+# Semantics encoded: (1) every view anchors a partial; (2) the match's
+# click must sit at the EARLIEST strictly-later event timestamp of the
+# user's stream, any type counted, within 24 h — if some event exists
+# there but no click does, the partial dies silently (ties at that
+# timestamp resolve as "some earliest event matches"); (3) the FIRST
+# purchase strictly after the click within 24 h completes the match.
+STRICT3_HAND_ORACLE = """
+WITH nxt AS (
+    SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+           e.ts AS click_ts, e.event_type AS etype
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN events e
+      ON e.user_id = v.user_id
+     AND e.ts > v.ts
+     AND e.ts <= v.ts + INTERVAL 1440 MINUTE
+    QUALIFY RANK() OVER (PARTITION BY v.event_id ORDER BY e.ts) = 1
+),
+clicked AS (
+    SELECT user_id, view_id, view_ts, click_ts
+    FROM nxt
+    GROUP BY user_id, view_id, view_ts, click_ts
+    HAVING BOOL_OR(etype = 'click')
+)
+SELECT c.user_id, c.view_id, c.view_ts, c.click_ts, p.ts AS purchase_ts
+FROM clicked c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts > c.click_ts
+ AND p.ts <= c.click_ts + INTERVAL 1440 MINUTE
+QUALIFY ROW_NUMBER() OVER (PARTITION BY c.view_id ORDER BY p.ts) = 1
+"""
+
+
+def test_cep_strict_hand_oracle(spark, sf_dir, duck):
+    """The independently-authored SQL must hash-match the declared
+    Spark query — and, transitively, the generated oracle that the
+    driver gate already pins the query to."""
+    spec = SPECS["cep_pattern_strict"]
+    result = compare(
+        "cep_pattern_strict[hand]", spec.fn(spark, sf_dir), STRICT3_HAND_ORACLE, duck
+    )
+    assert result.ok, f"hand-written strict oracle diverged: {result.detail}"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_runs(spark, sf_dir, name):
     """Rows-only ops must at least execute and return a stable schema."""
