@@ -148,6 +148,9 @@ HEADLINE = [
     "cep_pattern_not_between",
     # notNext: negated strict contiguity (first-any vs first-forbidden).
     "cep_pattern_not_next",
+    # round-8: IterativeCondition — carried anchor value + per-partial
+    # guard predicate on the final chain stage.
+    "cep_pattern_relative_guard",
 ]
 
 

@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "hello_flink_spark.queries.round6",
     "hello_flink_spark.queries.round6b",
     "hello_flink_spark.queries.round7",
+    "hello_flink_spark.queries.round8",
 ]
 
 

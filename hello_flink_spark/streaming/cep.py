@@ -159,6 +159,28 @@ class CepPattern:
     # the greedy sequential selection is not join-expressible, so
     # compile_batch / oracle_sql refuse (property + golden tested).
     skip_past_last: bool = False
+    # [F] ``o.a.f.cep.pattern.conditions.IterativeCondition`` — a
+    # per-step predicate over PREVIOUSLY ACCEPTED events (Flink's
+    # ``ctx.getEventsForPattern``), in the one relative-value form all
+    # three compiled targets evaluate identically on doubles:
+    # ``rel_guards[i] = (ref, factor)`` means an event only matches
+    # step i if ``value >= factor * value(accepted event at step
+    # ref)`` (canonical demo: purchase value >= 2x the anchor view's).
+    # An event of the right type failing the guard is relaxed-
+    # contiguity IGNORED — the partial keeps waiting, exactly like a
+    # failed ``step_min_value`` guard; and because the referenced
+    # value differs per partial, one event may promote some partials
+    # and not others (the per-partial hit() the NFA already does).
+    # Batch/oracle: the referenced stage carries its accepted event's
+    # value down the chain (anchor: plain column; later stages:
+    # MIN_BY(value, ts) / ARG_MIN — same tie class as MIN(ts)), and
+    # the guard becomes one extra join predicate. Restrictions (each
+    # keeps the guard's meaning single-valued): entry 0 is None
+    # (nothing precedes the anchor); ref < i; guarded and referenced
+    # steps must be PLAIN relaxed stages — not strict, not optional,
+    # not the Kleene step, not not_between-guarded — because a
+    # skipped slot has no value and a run has many.
+    rel_guards: Tuple[Tuple[int, float] | None, ...] | None = None
 
     def __post_init__(self) -> None:
         if len(self.steps) < 2:
@@ -284,6 +306,48 @@ class CepPattern:
                     "a strict step cannot be the Kleene step or its successor "
                     "(run extension makes 'immediately next' ambiguous)"
                 )
+        if self.rel_guards is not None:
+            if len(self.rel_guards) != len(self.steps):
+                raise ValueError("rel_guards must have one entry per step")
+            if self.rel_guards[0] is not None:
+                raise ValueError(
+                    "rel_guards[0] is meaningless: no event precedes the anchor"
+                )
+
+            def _plain(j: int, role: str) -> None:
+                if j in self.strict_steps:
+                    raise ValueError(f"rel_guards {role} step cannot be strict")
+                if j in self.optional_steps:
+                    raise ValueError(
+                        f"rel_guards {role} step cannot be optional (a "
+                        "skipped slot has no value)"
+                    )
+                if self.one_or_more is not None and j == self.one_or_more:
+                    raise ValueError(
+                        f"rel_guards {role} step cannot be the Kleene step "
+                        "(a run has many values)"
+                    )
+                if (
+                    self.not_between is not None
+                    and j > 0
+                    and self.not_between[j] is not None
+                ):
+                    raise ValueError(
+                        f"rel_guards {role} step cannot carry a not_between "
+                        "guard (one tier per stage keeps both join-expressible)"
+                    )
+
+            for i, g in enumerate(self.rel_guards):
+                if g is None:
+                    continue
+                ref, factor = g
+                if not (0 <= ref < i):
+                    raise ValueError(
+                        "rel_guards ref must name an EARLIER step (ref < i)"
+                    )
+                _plain(i, "guarded")
+                if ref > 0:
+                    _plain(ref, "referenced")
 
     @classmethod
     def of(
@@ -324,6 +388,7 @@ class CepPattern:
             "step_min_value",
             "not_between",
             "not_next",
+            "rel_guards",
         } & set(kw)
         if expanded and step_indexed:
             raise ValueError(
@@ -354,6 +419,20 @@ class CepPattern:
         name = f"{self.steps[i]}_ts"
         return name if self.steps.count(self.steps[i]) == 1 else f"s{i + 1}_{name}"
 
+    def val_col(self, i: int) -> str:
+        """Output column for stage i's accepted event VALUE (only
+        materialized for steps referenced by a rel_guard)."""
+        name = f"{self.steps[i]}_value"
+        return name if self.steps.count(self.steps[i]) == 1 else f"s{i + 1}_{name}"
+
+    @property
+    def referenced_steps(self) -> Tuple[int, ...]:
+        """Steps whose accepted value some rel_guard references — the
+        steps whose value column every compiled form must carry."""
+        if self.rel_guards is None:
+            return ()
+        return tuple(sorted({g[0] for g in self.rel_guards if g is not None}))
+
     @property
     def anchor_col(self) -> str:
         return f"{self.steps[0]}_id"
@@ -378,6 +457,8 @@ def _make_processor(
     skip_past_last: bool = False,
     not_between: Tuple[str | None, ...] | None = None,
     not_next: Tuple[str | None, ...] | None = None,
+    rel_guards: Tuple[Tuple[int, float] | None, ...] | None = None,
+    emit_vals: Tuple[int, ...] = (),
 ):
     """Build the per-key NFA closure. Partial matches are encoded in
     state as 'anchor_id:ts1,ts2,...|n_rep|pending' strings (stage =
@@ -419,12 +500,13 @@ def _make_processor(
     mins = mins or (None,) * k
     nb = not_between or (None,) * k
     nn = not_next or (None,) * k
+    rg = rel_guards or (None,) * k
     # pend field semantics: None = idle; >= 0 = strict-contiguity kill
     # deadline (the first later group's ts); GUARD = a notNext guard is
     # armed and awaits the first strictly-later event
     GUARD = -2
 
-    def _row(uid, aid, tss, matched, cnt):
+    def _row(uid, aid, tss, matched, cnt, vals=()):
         row = {"user_id": uid, "anchor_id": aid}
         for j in range(k):
             row[f"ts{j + 1}"] = (
@@ -432,6 +514,8 @@ def _make_processor(
                 if j < len(tss) and tss[j] is not None
                 else None
             )
+        for j in emit_vals:
+            row[f"v{j + 1}"] = vals[j] if j < len(vals) else None
         if rep is not None:
             row["n_rep"] = cnt
         if emit_timeouts:
@@ -449,25 +533,26 @@ def _make_processor(
             d = min(d, tss[0] + total_us)
         return d
 
-    def _decode(
-        state: GroupState,
-    ) -> list[tuple[int, list[int | None], int, int | None]]:
-        # skipped optional slots encode as -1 (timestamps are µs > 0)
-        partials: list[tuple[int, list[int | None], int, int | None]] = []
+    def _decode(state: GroupState):
+        # skipped optional slots encode as -1 (timestamps are µs > 0);
+        # accepted-event values ride a 4th segment (repr round-trips
+        # doubles exactly; '' = no value, e.g. a skipped slot)
+        partials: list[
+            tuple[int, list[int | None], int, int | None, list[float | None]]
+        ] = []
         if state.exists:
             for enc in state.get[0]:
                 parts = enc.split("|")
                 aid, _, tss = parts[0].partition(":")
                 cnt = int(parts[1]) if len(parts) > 1 and parts[1] else 0
                 pend = int(parts[2]) if len(parts) > 2 and parts[2] else None
-                partials.append(
-                    (
-                        int(aid),
-                        [None if x == "-1" else int(x) for x in tss.split(",")],
-                        cnt,
-                        pend,
-                    )
+                stss = [None if x == "-1" else int(x) for x in tss.split(",")]
+                vals = (
+                    [None if x == "" else float(x) for x in parts[3].split(",")]
+                    if len(parts) > 3 and parts[3]
+                    else [None] * len(stss)
                 )
+                partials.append((int(aid), stss, cnt, pend, vals))
         return partials
 
     def proc(
@@ -478,8 +563,8 @@ def _make_processor(
             state.remove()
             yield pd.DataFrame(
                 [
-                    _row(key[0], aid, tss, False, cnt)
-                    for aid, tss, cnt, pend in expired
+                    _row(key[0], aid, tss, False, cnt, vals)
+                    for aid, tss, cnt, pend, vals in expired
                     # strict pending-kill partials saw a later event that
                     # failed contiguity: discarded, not timed out; an
                     # ARMED notNext guard (GUARD) never saw a later event
@@ -508,8 +593,8 @@ def _make_processor(
             # group start: window/total expiry, then strict pending kills
             if emit_timeouts:
                 out.extend(
-                    _row(key[0], aid, tss, False, cnt)
-                    for aid, tss, cnt, pend in partials
+                    _row(key[0], aid, tss, False, cnt, vals)
+                    for aid, tss, cnt, pend, vals in partials
                     if _expired(tss, ts_us) and (pend is None or pend == GUARD)
                 )
             partials = [
@@ -524,12 +609,12 @@ def _make_processor(
                 # clears (before this event can promote anything)
                 if not_next is not None:
                     resolved = []
-                    for aid, tss, cnt, pend in partials:
+                    for aid, tss, cnt, pend, vals in partials:
                         if pend == GUARD and ts_us > tss[-1]:
                             if etype == nn[len(tss) - 1]:
                                 continue  # killed silently
                             pend = None
-                        resolved.append((aid, tss, cnt, pend))
+                        resolved.append((aid, tss, cnt, pend, vals))
                     partials = resolved
                 # mid-pattern notFollowedBy: a forbidden-type event
                 # strictly later than the last accepted stage KILLS the
@@ -554,19 +639,21 @@ def _make_processor(
                     # times(m, n) cap: a run already holding max_reps
                     # ignores further repetitions (relaxed contiguity)
                     partials = [
-                        (aid, tss[:-1] + [ts_us], cnt + 1, pend)
+                        (aid, tss[:-1] + [ts_us], cnt + 1, pend, vals[:-1] + [val])
                         if len(tss) == rep + 1
                         and ts_us > tss[-1]
                         and (max_reps is None or cnt < max_reps)
-                        else (aid, tss, cnt, pend)
-                        for aid, tss, cnt, pend in partials
+                        else (aid, tss, cnt, pend, vals)
+                        for aid, tss, cnt, pend, vals in partials
                     ]
                 # highest stage first: a partial promoted by this event
                 # has already passed its new stage's turn, so one event
                 # advances any partial at most one step (and strict ts >
                 # blocks same-timestamp re-promotion for repeated-type
                 # patterns).
-                completed: list[tuple[int, list[int | None], int]] = []
+                completed: list[
+                    tuple[int, list[int | None], int, list[float | None]]
+                ] = []
                 for i in range(k - 1, 0, -1):
                     if etype != steps[i] or (mins[i] is not None and val < mins[i]):
                         continue
@@ -576,9 +663,17 @@ def _make_processor(
                     # slot as NULL)
                     stages = {i} | ({i - 1} if i - 1 in optionals else set())
 
-                    def hit(p, _stages=stages):
+                    def hit(p, _stages=stages, _g=rg[i], _val=val):
                         if len(p[1]) not in _stages or ts_us <= p[1][-1]:
                             return False
+                        # IterativeCondition: the guard compares this
+                        # event's value against THIS partial's accepted
+                        # ref-step value, so one event may promote some
+                        # partials and not others
+                        if _g is not None:
+                            ref_val = p[4][_g[0]] if _g[0] < len(p[4]) else None
+                            if ref_val is None or _val < _g[1] * ref_val:
+                                return False
                         # timesOrMore: a partial AT the Kleene stage may
                         # only leave it with >= min_reps accepted
                         # repetitions — gate on the partial's stage, not
@@ -596,11 +691,12 @@ def _make_processor(
                     if not promoted:
                         continue
                     partials = [p for p in partials if not hit(p)]
-                    for aid, tss, cnt, _pend in promoted:
+                    for aid, tss, cnt, _pend, vals in promoted:
                         ntss = tss + [None] * (i - len(tss)) + [ts_us]
+                        nvals = vals + [None] * (i - len(vals)) + [val]
                         ncnt = 1 if rep is not None and i == rep else cnt
                         if i == k - 1:
-                            completed.append((aid, ntss, ncnt))
+                            completed.append((aid, ntss, ncnt, nvals))
                         else:
                             # promotion clears any pending-kill marker;
                             # a notNext guard on the accepted stage arms
@@ -610,15 +706,19 @@ def _make_processor(
                                     ntss,
                                     ncnt,
                                     GUARD if nn[i] is not None else None,
+                                    nvals,
                                 )
                             )
                 if completed and skip_past_last:
-                    aid, tss, cnt = min(completed, key=lambda c: (c[1][0], c[0]))
-                    out.append(_row(key[0], aid, tss, True, cnt))
+                    aid, tss, cnt, vals = min(
+                        completed, key=lambda c: (c[1][0], c[0])
+                    )
+                    out.append(_row(key[0], aid, tss, True, cnt, vals))
                     partials = []
                     continue  # the completing event is consumed: no anchor
                 out.extend(
-                    _row(key[0], aid, tss, True, cnt) for aid, tss, cnt in completed
+                    _row(key[0], aid, tss, True, cnt, vals)
+                    for aid, tss, cnt, vals in completed
                 )
                 if etype == steps[0] and (mins[0] is None or val >= mins[0]):
                     partials.append(
@@ -627,6 +727,7 @@ def _make_processor(
                             [ts_us],
                             0,
                             GUARD if nn[0] is not None else None,
+                            [float(val)],
                         )
                     )
             # group end: a strict-stage waiter that saw this (strictly
@@ -635,10 +736,10 @@ def _make_processor(
             # split across micro-batches can still promote it.
             if strict:
                 partials = [
-                    (aid, tss, cnt, ts_us)
+                    (aid, tss, cnt, ts_us, vals)
                     if len(tss) in strict and tss[-1] < ts_us and pend is None
-                    else (aid, tss, cnt, pend)
-                    for aid, tss, cnt, pend in partials
+                    else (aid, tss, cnt, pend, vals)
+                    for aid, tss, cnt, pend, vals in partials
                 ]
 
         if partials:
@@ -647,12 +748,13 @@ def _make_processor(
                     [
                         f"{aid}:"
                         + ",".join("-1" if x is None else str(x) for x in tss)
-                        + f"|{cnt}|{'' if pend is None else pend}"
-                        for aid, tss, cnt, pend in partials
+                        + f"|{cnt}|{'' if pend is None else pend}|"
+                        + ",".join("" if v is None else repr(v) for v in vals)
+                        for aid, tss, cnt, pend, vals in partials
                     ],
                 )
             )
-            expiry = max(_deadline(tss) for _, tss, _, _ in partials)
+            expiry = max(_deadline(tss) for _, tss, _, _, _ in partials)
             try:  # a tight total bound can put the deadline behind the
                 # watermark; Spark rejects a non-future timer, so clamp —
                 # the timer then fires on the very next micro-batch,
@@ -678,6 +780,8 @@ def _stream_nfa(
     pattern feature flag is threaded through exactly once."""
     k = len(pattern.steps)
     out_cols = ", ".join(f"ts{i + 1} timestamp" for i in range(k))
+    for j in pattern.referenced_steps:
+        out_cols += f", v{j + 1} double"
     if pattern.one_or_more is not None:
         out_cols += ", n_rep int"
     if emit_timeouts:
@@ -714,6 +818,8 @@ def _stream_nfa(
                 skip_past_last=pattern.skip_past_last,
                 not_between=pattern.not_between,
                 not_next=pattern.not_next,
+                rel_guards=pattern.rel_guards,
+                emit_vals=pattern.referenced_steps,
             ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}",
             stateStructType="partials array<string>",
@@ -723,6 +829,10 @@ def _stream_nfa(
     )
     renames = [F.col("user_id"), F.col("anchor_id").alias(pattern.anchor_col)]
     renames += [F.col(f"ts{i + 1}").alias(pattern.ts_col(i)) for i in range(k)]
+    renames += [
+        F.col(f"v{j + 1}").alias(pattern.val_col(j))
+        for j in pattern.referenced_steps
+    ]
     if pattern.one_or_more is not None:
         renames += [F.col("n_rep")]
     if emit_timeouts:
@@ -765,18 +875,27 @@ def _stage_filter(pattern: CepPattern, events: DataFrame, i: int) -> DataFrame:
     return si
 
 
-def _stage_events(pattern: CepPattern, events: DataFrame, i: int) -> DataFrame:
-    return _stage_filter(pattern, events, i).select(
-        F.col("user_id").alias("__u"), F.col("ts").alias("__ts")
-    )
+def _stage_events(
+    pattern: CepPattern, events: DataFrame, i: int, with_value: bool = False
+) -> DataFrame:
+    cols = [F.col("user_id").alias("__u"), F.col("ts").alias("__ts")]
+    if with_value:
+        cols.append(F.col("value").alias("__v"))
+    return _stage_filter(pattern, events, i).select(*cols)
 
 
-def _min_join(cur, nxt, anchor_col, out_col, w, how, total_pred=None):
+def _min_join(
+    cur, nxt, anchor_col, out_col, w, how, total_pred=None, rel_pred=None, val_out=None
+):
     """One chain stage: first strictly-later candidate within the
     window of ``anchor_col``, as a keyed join + MIN aggregation. A NULL
     anchor (earlier stage missed, left chains) propagates NULL.
     ``total_pred`` ([F] pattern-global within) additionally bounds the
-    candidate against the ANCHOR stage's timestamp."""
+    candidate against the ANCHOR stage's timestamp. ``rel_pred`` ([F]
+    IterativeCondition) further gates candidates against a carried
+    prior-stage value column; ``val_out`` carries THIS stage's accepted
+    value (MIN_BY over the same candidate set — the argmin event's
+    value, NULL-tie class identical to MIN(ts)) for later guards."""
     cond = (
         (F.col("user_id") == F.col("__u"))
         & (F.col("__ts") > F.col(anchor_col))
@@ -784,11 +903,12 @@ def _min_join(cur, nxt, anchor_col, out_col, w, how, total_pred=None):
     )
     if total_pred is not None:
         cond = cond & total_pred
-    return (
-        cur.join(nxt, cond, how)
-        .groupBy(*[c for c in cur.columns])
-        .agg(F.min("__ts").alias(out_col))
-    )
+    if rel_pred is not None:
+        cond = cond & rel_pred
+    aggs = [F.min("__ts").alias(out_col)]
+    if val_out is not None:
+        aggs.append(F.min_by("__v", "__ts").alias(val_out))
+    return cur.join(nxt, cond, how).groupBy(*[c for c in cur.columns]).agg(*aggs)
 
 
 def _strict_join(pattern: CepPattern, cur, events: DataFrame, i: int, w, total_pred):
@@ -945,11 +1065,15 @@ def _chain(pattern: CepPattern, events: DataFrame, left: bool) -> DataFrame:
     groups)."""
     w = f"INTERVAL {pattern.within_minutes} MINUTES"
     base_how = "left" if left else "inner"
-    cur = _stage_filter(pattern, events, 0).select(
-        "user_id",
+    referenced = set(pattern.referenced_steps)
+    anchor_cols = [
+        F.col("user_id"),
         F.col("event_id").alias(pattern.anchor_col),
         F.col("ts").alias(pattern.ts_col(0)),
-    )
+    ]
+    if 0 in referenced:
+        anchor_cols.append(F.col("value").alias(pattern.val_col(0)))
+    cur = _stage_filter(pattern, events, 0).select(*anchor_cols)
     total_pred = (
         F.col("__ts")
         <= F.col(pattern.ts_col(0)) + F.expr(f"INTERVAL {pattern.total_minutes} MINUTES")
@@ -991,15 +1115,28 @@ def _chain(pattern: CepPattern, events: DataFrame, left: bool) -> DataFrame:
             )
             i += 2
         else:
+            rel = (
+                pattern.rel_guards[i]
+                if pattern.rel_guards is not None
+                else None
+            )
+            need_v = i in referenced or rel is not None
+            rel_pred = (
+                F.col("__v") >= F.lit(rel[1]) * F.col(pattern.val_col(rel[0]))
+                if rel is not None
+                else None
+            )
             cur = guard(
                 _min_join(
                     cur,
-                    _stage_events(pattern, events, i),
+                    _stage_events(pattern, events, i, with_value=need_v),
                     pattern.ts_col(i - 1),
                     pattern.ts_col(i),
                     w,
                     base_how,
                     total_pred,
+                    rel_pred=rel_pred,
+                    val_out=pattern.val_col(i) if i in referenced else None,
                 ),
                 i,
             )
@@ -1145,12 +1282,18 @@ def _oracle_chain(pattern: CepPattern, left: bool) -> str:
         if pattern.min_value(0) is not None
         else ""
     )
+    referenced = set(pattern.referenced_steps)
+    val0 = (
+        f", value AS {pattern.val_col(0)}" if 0 in referenced else ""
+    )
     sql = (
-        f"WITH s1 AS (SELECT user_id, event_id AS {anchor}, ts AS {ts0} "
+        f"WITH s1 AS (SELECT user_id, event_id AS {anchor}, ts AS {ts0}{val0} "
         f"FROM events WHERE event_type = '{pattern.steps[0]}'{guard0})"
     )
     prev = "s1"
     cols = [f"{anchor}", f"{ts0}"]
+    if 0 in referenced:
+        cols.append(pattern.val_col(0))
 
     def not_next_cte(sql, prev, cols, i):
         """[F] notNext guard CTE after stage i: keep iff no forbidden
@@ -1220,15 +1363,30 @@ def _oracle_chain(pattern: CepPattern, left: bool) -> str:
                 f"{total}GROUP BY {qcols}) t WHERE {keep})"
             )
         else:
+            rel = (
+                pattern.rel_guards[i] if pattern.rel_guards is not None else None
+            )
+            relg = (
+                f"AND e.value >= {rel[1]} * {prev}.{pattern.val_col(rel[0])} "
+                if rel is not None
+                else ""
+            )
+            valsel = (
+                f", ARG_MIN(e.value, e.ts) AS {pattern.val_col(i)}"
+                if i in referenced
+                else ""
+            )
             sql += (
-                f", s{i + 1} AS (SELECT {qcols}, MIN(e.ts) AS {this_ts} "
+                f", s{i + 1} AS (SELECT {qcols}, MIN(e.ts) AS {this_ts}{valsel} "
                 f"FROM {prev} {how} events e ON e.user_id = {prev}.user_id "
-                f"AND e.event_type = '{pattern.steps[i]}' {guard}"
+                f"AND e.event_type = '{pattern.steps[i]}' {guard}{relg}"
                 f"AND e.ts > {prev}.{prev_ts} AND e.ts <= {prev}.{prev_ts} + {w} "
                 f"{total}GROUP BY {qcols})"
             )
         prev = f"s{i + 1}"
         cols.append(this_ts)
+        if i in referenced:
+            cols.append(pattern.val_col(i))
         if pattern.not_next is not None and pattern.not_next[i] is not None:
             sql, prev = not_next_cte(sql, prev, cols, i)
     if left:
@@ -1363,4 +1521,18 @@ NONEXT2 = CepPattern(
 # golden fixture (18 skip-selected matches vs 27 unrestricted).
 SKIP3 = CepPattern(
     steps=("view", "click", "purchase"), within_minutes=1440, skip_past_last=True
+)
+
+# The IterativeCondition instance (queries/round8.py::
+# cep_pattern_relative_guard + golden twin): view → click → purchase
+# where the purchase value must be at least 2x the ANCHOR view's value
+# — [F] o.a.f.cep.pattern.conditions.IterativeCondition (the per-step
+# predicate over ctx.getEventsForPattern), the "upsell conversion"
+# report. Join-expressible: the anchor's value rides the chain and the
+# guard is one extra join predicate; verified non-vacuous on the
+# fixture (5 matches at sf0.001 vs 27 unguarded).
+RELGUARD3 = CepPattern(
+    steps=("view", "click", "purchase"),
+    within_minutes=1440,
+    rel_guards=(None, None, (0, 2.0)),
 )

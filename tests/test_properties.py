@@ -2223,3 +2223,232 @@ def test_cep_negative_guards_compose_in_nfa(events, cuts):
         steps, window_s * 1_000_000, not_next=nn, not_between=nb
     )
     assert _drive_nfa_chunked(proc, evs, cuts, 3) == _sim()
+
+
+# ---------------------------------------------------------------------------
+# [F] IterativeCondition (rel_guards): per-step predicate over previously
+# accepted events — value >= factor * value(accepted ref-step event)
+# ---------------------------------------------------------------------------
+
+
+def _rel_guard_sim(evs, steps, rel, window_s, emit_vals=()):
+    """Independent per-anchor model of the IterativeCondition tier:
+    at stage i the candidate set is filtered by the guard AGAINST THIS
+    ANCHOR'S accepted values before the first-strictly-later pick —
+    written as direct nested loops, sharing no code with cep.py."""
+    out = []
+    for uid, aid, ts0, et0, v0 in evs:
+        if et0 != steps[0]:
+            continue
+        tss, vals = [ts0], [float(v0)]
+        ok = True
+        for i in range(1, len(steps)):
+            g = rel[i]
+            passing = [
+                (t2, float(v2))
+                for uid2, _, t2, e2, v2 in evs
+                if uid2 == uid
+                and e2 == steps[i]
+                and t2 > tss[-1]
+                and t2 <= tss[-1] + window_s
+                and (g is None or v2 >= g[1] * vals[g[0]])
+            ]
+            if not passing:
+                ok = False
+                break
+            t_min = min(t2 for t2, _ in passing)
+            tss.append(t_min)
+            vals.append(min(v2 for t2, v2 in passing if t2 == t_min))
+        if ok:
+            out.append((uid, aid, *tss, *(vals[j] for j in emit_vals)))
+    return sorted(out)
+
+
+def _run_rel_guard_all_targets(spark, events, cuts, rel, emit_vals):
+    """Drive one rel-guard pattern through ALL FOUR targets — the
+    reference model, the NFA under arbitrary chunking, the batch join
+    chain, and the generated DuckDB oracle — and assert agreement."""
+    import duckdb
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import (
+        CepPattern,
+        _make_processor,
+        compile_batch,
+        oracle_sql,
+    )
+
+    steps, window_s = ("a", "b", "c"), 60
+    evs = sorted(
+        ((u, i, t, e, v) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _rel_guard_sim(evs, steps, rel, window_s, emit_vals=emit_vals)
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _, _ in evs],
+            "event_id": [i for _, i, _, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _, _ in evs],
+            "event_type": [e for _, _, _, e, _ in evs],
+            "value": [float(v) for _, _, _, _, v in evs],
+        }
+    )
+
+    # NFA under arbitrary micro-batch splits
+    proc = _make_processor(
+        steps, window_s * 1_000_000, rel_guards=rel, emit_vals=emit_vals
+    )
+    bounds = sorted({c for c in cuts if c < len(evs)} | {0, len(evs)})
+    chunks = [rows.iloc[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    got_n = []
+    for uid in sorted(rows["user_id"].unique()):
+        state = _FakeGroupState()
+        for chunk in chunks:
+            part = chunk[chunk["user_id"] == uid]
+            if part.empty:
+                continue
+            for out in proc((uid,), iter([part]), state):
+                got_n.extend(
+                    (
+                        r.user_id,
+                        r.anchor_id,
+                        *(int(getattr(r, f"ts{j + 1}").timestamp()) for j in range(3)),
+                        *(getattr(r, f"v{j + 1}") for j in emit_vals),
+                    )
+                    for r in out.itertuples()
+                )
+    assert sorted(got_n) == want
+
+    # batch join chain
+    pat = CepPattern(steps=steps, within_minutes=1, rel_guards=rel)
+    got_b = sorted(
+        (
+            r["user_id"],
+            r[pat.anchor_col],
+            *(int(r[pat.ts_col(i)].timestamp()) for i in range(3)),
+            *(r[pat.val_col(j)] for j in emit_vals),
+        )
+        for r in compile_batch(pat, spark.createDataFrame(rows)).collect()
+    )
+    assert got_b == want
+
+    # generated DuckDB oracle over the same micro-stream
+    con = duckdb.connect()
+    con.register("events", rows)
+    got_o = sorted(
+        (
+            r[0],
+            r[1],
+            *(int(pd.Timestamp(r[2 + i]).timestamp()) for i in range(3)),
+            *(r[5 + n] for n in range(len(emit_vals))),
+        )
+        for r in con.execute(
+            f"SELECT user_id, {pat.anchor_col}, "
+            + ", ".join(pat.ts_col(i) for i in range(3))
+            + ", "
+            + ", ".join(pat.val_col(j) for j in emit_vals)
+            + f" FROM ({oracle_sql(pat)})"
+        ).fetchall()
+    )
+    assert got_o == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "x"]),
+            st.sampled_from([0.0, 10.0, 30.0, 100.0]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_rel_guard_anchor_all_targets_agree(spark, events, cuts):
+    """[F] IterativeCondition, anchor-referenced (the canonical 'c
+    value >= 2x the anchor a's value'): reference model, NFA under
+    every chunking, batch chain, and generated oracle must agree —
+    including per-partial promotion (one event promotes only the
+    anchors whose value it clears) and duplicate-timestamp groups."""
+    rel = (None, None, (0, 2.0))
+    _run_rel_guard_all_targets(spark, events, cuts, rel, emit_vals=(0,))
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "x"]),
+            st.sampled_from([0.0, 10.0, 30.0, 100.0]),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda e: (e[0], e[1]),
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_rel_guard_mid_ref_all_targets_agree(spark, events, cuts):
+    """Mid-pattern reference (c value >= 2x the ACCEPTED b's value):
+    exercises the MIN_BY/ARG_MIN value-carry of a non-anchor stage.
+    Events are unique per (user, ts) — the carried value of a
+    timestamp-tied argmin is the one documented tie class."""
+    rel = (None, None, (1, 2.0))
+    _run_rel_guard_all_targets(spark, events, cuts, rel, emit_vals=(1,))
+
+
+def test_cep_rel_guard_validation():
+    import pytest
+
+    from hello_flink_spark.streaming.cep import CepPattern
+
+    with pytest.raises(ValueError, match="one entry per step"):
+        CepPattern(steps=("a", "b"), within_minutes=1, rel_guards=(None,))
+    with pytest.raises(ValueError, match="anchor"):
+        CepPattern(
+            steps=("a", "b"), within_minutes=1, rel_guards=((0, 2.0), None)
+        )
+    with pytest.raises(ValueError, match="EARLIER"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            rel_guards=(None, None, (2, 2.0)),
+        )
+    with pytest.raises(ValueError, match="strict"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            strict_steps=(2,),
+            rel_guards=(None, None, (0, 2.0)),
+        )
+    with pytest.raises(ValueError, match="optional"):
+        CepPattern(
+            steps=("a", "b", "c", "d"),
+            within_minutes=1,
+            optional_steps=(1,),
+            rel_guards=(None, None, (1, 2.0), None),
+        )
+    with pytest.raises(ValueError, match="Kleene"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            one_or_more=1,
+            rel_guards=(None, None, (1, 2.0)),
+        )
+    with pytest.raises(ValueError, match="not_between"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            not_between=(None, None, "x"),
+            rel_guards=(None, None, (0, 2.0)),
+        )
+    # a valid instance: guard + ref both plain relaxed steps
+    p = CepPattern(
+        steps=("a", "b", "c"), within_minutes=1, rel_guards=(None, None, (1, 1.5))
+    )
+    assert p.referenced_steps == (1,)

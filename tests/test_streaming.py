@@ -1539,6 +1539,33 @@ def test_cep_strict_equals_batch_shadow(spark, sf_dir, replay_dir):
     assert got and got == want
 
 
+def test_cep_rel_guard_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """IterativeCondition ([F]): the NFA's per-partial value guard
+    (state carries accepted values) must equal the batch chain's
+    carried-column join predicate — including the anchor-value output
+    column — and the guard must be non-vacuous on this fixture."""
+    from hello_flink_spark.streaming.cep import (
+        CepPattern,
+        RELGUARD3,
+        compile_batch,
+        compile_stream,
+    )
+
+    run_to_memory(compile_stream(RELGUARD3, _stream(spark, replay_dir), WM), "t_ceprg")
+    cols = ("user_id", "view_id", "view_ts", "view_value", "click_ts", "purchase_ts")
+    got = sorted(tuple(r[c] for c in cols) for r in spark.table("t_ceprg").collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in get_spec("cep_pattern_relative_guard").fn(spark, sf_dir).collect()
+    )
+    assert got and got == want
+    unguarded = CepPattern(
+        steps=RELGUARD3.steps, within_minutes=RELGUARD3.within_minutes
+    )
+    n_unguarded = compile_batch(unguarded, load_table(spark, sf_dir, "events")).count()
+    assert n_unguarded > len(got), "relative guard is vacuous on this fixture"
+
+
 def _events_as_tuples(spark, sf_dir):
     """Fixture events as time-ordered (uid, eid, ts_us, etype) tuples
     for the pure-python CEP reference models (µs units end-to-end)."""
