@@ -151,6 +151,8 @@ HEADLINE = [
     # round-8: IterativeCondition — carried anchor value + per-partial
     # guard predicate on the final chain stage.
     "cep_pattern_relative_guard",
+    # followedByAny: the band join without the MIN collapse.
+    "cep_pattern_followed_by_any",
 ]
 
 

@@ -181,6 +181,22 @@ class CepPattern:
     # not the Kleene step, not not_between-guarded — because a
     # skipped slot has no value and a run has many.
     rel_guards: Tuple[Tuple[int, float] | None, ...] | None = None
+    # [F] ``Pattern#followedByAny`` — ANY-MATCH relaxed contiguity for
+    # these step indexes (>= 1): EVERY eligible event within the
+    # window promotes (each spawns its own match branch), not just the
+    # first — and the waiting partial REMAINS armed for later events
+    # until its window expires. Batch/oracle: the stage's band join
+    # WITHOUT the MIN collapse (every candidate row survives — the
+    # branch set IS the row set). NFA: promotion spawns a branch but
+    # skips the remove step, so state grows with the number of
+    # eligible events in the window — followedByAny's inherent cost
+    # (identical in Flink). Restrictions: no timeout side-output
+    # (compile_*_timeouts refuse — an already-branched partial is not
+    # a timeout, so the row sets can't agree), and the step must be a
+    # plain relaxed stage clear of strict/optional/Kleene/not_between/
+    # not_next neighborhoods; rel_guards COMPOSE (the guard filters
+    # the branch set — property-tested).
+    any_match_steps: Tuple[int, ...] = ()
 
     def __post_init__(self) -> None:
         if len(self.steps) < 2:
@@ -306,6 +322,47 @@ class CepPattern:
                     "a strict step cannot be the Kleene step or its successor "
                     "(run extension makes 'immediately next' ambiguous)"
                 )
+        for s in self.any_match_steps:
+            if not (1 <= s < len(self.steps)):
+                raise ValueError(
+                    "any_match steps must be in 1..k-1 (the anchor already "
+                    "branches per event by construction)"
+                )
+            if s in self.strict_steps:
+                raise ValueError(
+                    "a step cannot be both any-match and strict (followedByAny "
+                    "is the opposite of next())"
+                )
+            if s in self.optional_steps or s - 1 in self.optional_steps:
+                raise ValueError(
+                    "an any-match step cannot be optional or follow an "
+                    "optional step (the pair compilation owns both slots)"
+                )
+            if self.one_or_more is not None and s in (
+                self.one_or_more,
+                self.one_or_more + 1,
+            ):
+                raise ValueError(
+                    "an any-match step cannot be the Kleene step or its "
+                    "successor (run extension already re-consumes events)"
+                )
+            if self.not_between is not None and self.not_between[s] is not None:
+                raise ValueError(
+                    "an any-match step cannot carry a not_between guard "
+                    "(one tier per stage keeps both join-expressible)"
+                )
+            if self.not_next is not None and (
+                self.not_next[s] is not None or self.not_next[s - 1] is not None
+            ):
+                raise ValueError(
+                    "any-match steps must stay clear of notNext guards "
+                    "(untested composition — extend the property suite first)"
+                )
+            if self.skip_past_last:
+                raise ValueError(
+                    "any_match with skip_past_last is contradictory: one "
+                    "enumerates every branch, the other consumes them"
+                )
         if self.rel_guards is not None:
             if len(self.rel_guards) != len(self.steps):
                 raise ValueError("rel_guards must have one entry per step")
@@ -389,6 +446,7 @@ class CepPattern:
             "not_between",
             "not_next",
             "rel_guards",
+            "any_match_steps",
         } & set(kw)
         if expanded and step_indexed:
             raise ValueError(
@@ -459,6 +517,7 @@ def _make_processor(
     not_next: Tuple[str | None, ...] | None = None,
     rel_guards: Tuple[Tuple[int, float] | None, ...] | None = None,
     emit_vals: Tuple[int, ...] = (),
+    any_match: frozenset[int] = frozenset(),
 ):
     """Build the per-key NFA closure. Partial matches are encoded in
     state as 'anchor_id:ts1,ts2,...|n_rep|pending' strings (stage =
@@ -690,7 +749,11 @@ def _make_processor(
                     promoted = [p for p in partials if hit(p)]
                     if not promoted:
                         continue
-                    partials = [p for p in partials if not hit(p)]
+                    # followedByAny: the promoting event spawns a branch
+                    # but the waiting partial STAYS armed for later
+                    # events (until its own window expires)
+                    if i not in any_match:
+                        partials = [p for p in partials if not hit(p)]
                     for aid, tss, cnt, _pend, vals in promoted:
                         ntss = tss + [None] * (i - len(tss)) + [ts_us]
                         nvals = vals + [None] * (i - len(vals)) + [val]
@@ -778,6 +841,12 @@ def _stream_nfa(
     activity, so the type pre-filter must stay off for strict
     patterns), one processor wiring, one output projection — a new
     pattern feature flag is threaded through exactly once."""
+    if emit_timeouts and pattern.any_match_steps:
+        raise ValueError(
+            "any_match patterns have no timeout side-output: a partial that "
+            "already spawned branches is not a timeout, so the NFA and the "
+            "left join chain cannot agree on the row set"
+        )
     k = len(pattern.steps)
     out_cols = ", ".join(f"ts{i + 1} timestamp" for i in range(k))
     for j in pattern.referenced_steps:
@@ -820,6 +889,7 @@ def _stream_nfa(
                 not_next=pattern.not_next,
                 rel_guards=pattern.rel_guards,
                 emit_vals=pattern.referenced_steps,
+                any_match=frozenset(pattern.any_match_steps),
             ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}",
             stateStructType="partials array<string>",
@@ -1045,6 +1115,35 @@ def _not_next_guard(pattern: CepPattern, cur, events: DataFrame, i: int, w, tota
     )
 
 
+def _any_join(pattern: CepPattern, cur, events: DataFrame, i: int, w, total_pred):
+    """One ANY-MATCH ([F] ``followedByAny``) chain stage: the band join
+    WITHOUT the MIN collapse — every eligible event within the window
+    survives as its own branch row. rel_guards compose (the guard
+    predicate filters the branch set); a referenced any-match stage
+    carries the branch event's own value (no argmin needed — the
+    branch IS the event)."""
+    referenced = set(pattern.referenced_steps)
+    rel = pattern.rel_guards[i] if pattern.rel_guards is not None else None
+    need_v = i in referenced or rel is not None
+    nxt = _stage_events(pattern, events, i, with_value=need_v)
+    prev_ts = pattern.ts_col(i - 1)
+    cond = (
+        (F.col("user_id") == F.col("__u"))
+        & (F.col("__ts") > F.col(prev_ts))
+        & (F.col("__ts") <= F.col(prev_ts) + F.expr(w))
+    )
+    if total_pred is not None:
+        cond = cond & total_pred
+    if rel is not None:
+        cond = cond & (
+            F.col("__v") >= F.lit(rel[1]) * F.col(pattern.val_col(rel[0]))
+        )
+    sel = [F.col(c) for c in cur.columns] + [F.col("__ts").alias(pattern.ts_col(i))]
+    if i in referenced:
+        sel.append(F.col("__v").alias(pattern.val_col(i)))
+    return cur.join(nxt, cond, "inner").select(*sel)
+
+
 def _chain(pattern: CepPattern, events: DataFrame, left: bool) -> DataFrame:
     """Shared join-chain builder. Mandatory stages join inner (matched
     chain) or left (timeout chain); an OPTIONAL stage is compiled as a
@@ -1086,9 +1185,17 @@ def _chain(pattern: CepPattern, events: DataFrame, left: bool) -> DataFrame:
         return cur
 
     cur = guard(cur, 0)
+    if left and pattern.any_match_steps:
+        raise ValueError(
+            "any_match patterns have no timeout side-output (left chain): a "
+            "partial that already spawned branches is not a timeout"
+        )
     i, k = 1, len(pattern.steps)
     while i < k:
-        if i in pattern.strict_steps:
+        if i in pattern.any_match_steps:
+            cur = _any_join(pattern, cur, events, i, w, total_pred)
+            i += 1
+        elif i in pattern.strict_steps:
             cur = guard(_strict_join(pattern, cur, events, i, w, total_pred), i)
             i += 1
         elif pattern.not_between is not None and pattern.not_between[i] is not None:
@@ -1274,6 +1381,11 @@ def _oracle_chain(pattern: CepPattern, left: bool) -> str:
             "selection with no join-chain shadow; use compile_stream — "
             "semantics are pinned by the reference-model tests"
         )
+    if left and pattern.any_match_steps:
+        raise ValueError(
+            "any_match patterns have no timeout side-output (left chain): a "
+            "partial that already spawned branches is not a timeout"
+        )
     w = f"INTERVAL {pattern.within_minutes} MINUTE"
     anchor, ts0 = pattern.anchor_col, pattern.ts_col(0)
     how = "LEFT JOIN" if left else "JOIN"
@@ -1334,7 +1446,28 @@ def _oracle_chain(pattern: CepPattern, left: bool) -> str:
             if pattern.total_minutes is not None
             else ""
         )
-        if i in pattern.strict_steps:
+        if i in pattern.any_match_steps:
+            rel = (
+                pattern.rel_guards[i] if pattern.rel_guards is not None else None
+            )
+            relg = (
+                f"AND e.value >= {rel[1]} * {prev}.{pattern.val_col(rel[0])} "
+                if rel is not None
+                else ""
+            )
+            valsel = (
+                f", e.value AS {pattern.val_col(i)}" if i in referenced else ""
+            )
+            # the band join WITHOUT the MIN collapse: every candidate
+            # is its own branch row ([F] followedByAny)
+            sql += (
+                f", s{i + 1} AS (SELECT {qcols}, e.ts AS {this_ts}{valsel} "
+                f"FROM {prev} JOIN events e ON e.user_id = {prev}.user_id "
+                f"AND e.event_type = '{pattern.steps[i]}' {guard}{relg}"
+                f"AND e.ts > {prev}.{prev_ts} AND e.ts <= {prev}.{prev_ts} + {w} "
+                f"{total})"
+            )
+        elif i in pattern.strict_steps:
             keep = "__next IS NULL OR __hit = __next" if left else "__hit = __next"
             sql += (
                 f", s{i + 1} AS (SELECT user_id, {', '.join(cols)}, "
@@ -1535,4 +1668,17 @@ RELGUARD3 = CepPattern(
     steps=("view", "click", "purchase"),
     within_minutes=1440,
     rel_guards=(None, None, (0, 2.0)),
+)
+
+# The followedByAny instance (queries/round8.py::
+# cep_pattern_followed_by_any + golden twin): view followedByAny click
+# followedBy purchase — EVERY click within 24 h of the view forks its
+# own branch (not just the first), each branch completed by its own
+# first purchase; the "every-touchpoint attribution" report, [F]
+# Pattern#followedByAny. Non-vacuous vs the first-match twin on the
+# fixture: 27→39 matches at sf0.001, 225→277 at sf0.01.
+ANYCLICK3 = CepPattern(
+    steps=("view", "click", "purchase"),
+    within_minutes=1440,
+    any_match_steps=(1,),
 )

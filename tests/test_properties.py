@@ -2452,3 +2452,226 @@ def test_cep_rel_guard_validation():
         steps=("a", "b", "c"), within_minutes=1, rel_guards=(None, None, (1, 1.5))
     )
     assert p.referenced_steps == (1,)
+
+
+# ---------------------------------------------------------------------------
+# [F] Pattern#followedByAny (any_match_steps): every eligible event
+# spawns a branch; the waiting partial stays armed until window expiry
+# ---------------------------------------------------------------------------
+
+
+def _any_match_sim(evs, steps, anyset, window_s, rel=None):
+    """Independent per-anchor model of any-match promotion: at an
+    any-match stage EVERY guard-passing candidate forks the chain; at
+    a first-match stage only the earliest survives. Direct nested
+    loops, sharing no code with cep.py."""
+    rel = rel or (None,) * len(steps)
+    out = []
+    for uid, aid, ts0, et0, v0 in evs:
+        if et0 != steps[0]:
+            continue
+        branches = [([ts0], [float(v0)])]
+        for i in range(1, len(steps)):
+            g = rel[i]
+            new = []
+            for tss, vals in branches:
+                passing = sorted(
+                    (t2, float(v2))
+                    for uid2, _, t2, e2, v2 in evs
+                    if uid2 == uid
+                    and e2 == steps[i]
+                    and t2 > tss[-1]
+                    and t2 <= tss[-1] + window_s
+                    and (g is None or v2 >= g[1] * vals[g[0]])
+                )
+                if not passing:
+                    continue
+                picks = passing if i in anyset else passing[:1]
+                new.extend((tss + [t2], vals + [v2]) for t2, v2 in picks)
+            branches = new
+        out.extend((uid, aid, *tss) for tss, _ in branches)
+    return sorted(out)
+
+
+def _run_any_match_all_targets(spark, events, cuts, anyset, rel=None):
+    """Drive one any-match pattern through the reference model, the
+    NFA under arbitrary chunking, the batch chain, and the generated
+    DuckDB oracle, asserting four-way agreement."""
+    import duckdb
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import (
+        CepPattern,
+        _make_processor,
+        compile_batch,
+        oracle_sql,
+    )
+
+    steps, window_s = ("a", "b", "c"), 60
+    evs = sorted(
+        ((u, i, t, e, v) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _any_match_sim(evs, steps, anyset, window_s, rel=rel)
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _, _ in evs],
+            "event_id": [i for _, i, _, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _, _ in evs],
+            "event_type": [e for _, _, _, e, _ in evs],
+            "value": [float(v) for _, _, _, _, v in evs],
+        }
+    )
+
+    proc = _make_processor(
+        steps,
+        window_s * 1_000_000,
+        rel_guards=rel,
+        any_match=frozenset(anyset),
+    )
+    bounds = sorted({c for c in cuts if c < len(evs)} | {0, len(evs)})
+    chunks = [rows.iloc[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    got_n = []
+    for uid in sorted(rows["user_id"].unique()):
+        state = _FakeGroupState()
+        for chunk in chunks:
+            part = chunk[chunk["user_id"] == uid]
+            if part.empty:
+                continue
+            for out in proc((uid,), iter([part]), state):
+                got_n.extend(
+                    (
+                        r.user_id,
+                        r.anchor_id,
+                        *(int(getattr(r, f"ts{j + 1}").timestamp()) for j in range(3)),
+                    )
+                    for r in out.itertuples()
+                )
+    assert sorted(got_n) == want
+
+    pat = CepPattern(
+        steps=steps, within_minutes=1, any_match_steps=tuple(anyset), rel_guards=rel
+    )
+    got_b = sorted(
+        (
+            r["user_id"],
+            r[pat.anchor_col],
+            *(int(r[pat.ts_col(i)].timestamp()) for i in range(3)),
+        )
+        for r in compile_batch(pat, spark.createDataFrame(rows)).collect()
+    )
+    assert got_b == want
+
+    con = duckdb.connect()
+    con.register("events", rows)
+    got_o = sorted(
+        (r[0], r[1], *(int(pd.Timestamp(r[2 + i]).timestamp()) for i in range(3)))
+        for r in con.execute(
+            f"SELECT user_id, {pat.anchor_col}, "
+            + ", ".join(pat.ts_col(i) for i in range(3))
+            + f" FROM ({oracle_sql(pat)})"
+        ).fetchall()
+    )
+    assert got_o == want
+
+
+ANY_EVENTS = st.lists(
+    st.tuples(
+        st.integers(1, 2),
+        st.integers(0, 120),
+        st.sampled_from(["a", "b", "c", "x"]),
+        st.sampled_from([0.0, 10.0, 30.0, 100.0]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(events=ANY_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_any_match_mid_all_targets_agree(spark, events, cuts):
+    """followedByAny on a MIDDLE stage: every b within the window of a
+    forks a branch; each branch then takes its own first c. All four
+    targets (model, chunked NFA, batch chain, oracle) must agree —
+    including branch fan-out across duplicate timestamps."""
+    _run_any_match_all_targets(spark, events, cuts, anyset={1})
+
+
+@given(events=ANY_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_any_match_final_all_targets_agree(spark, events, cuts):
+    """followedByAny on the FINAL stage: every c after the first b is
+    its own completed match, and the stage-2 partial must survive its
+    own completions until window expiry."""
+    _run_any_match_all_targets(spark, events, cuts, anyset={2})
+
+
+@given(events=ANY_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_any_match_composes_with_rel_guard(spark, events, cuts):
+    """Composition: followedByAny × IterativeCondition — the guard
+    filters the BRANCH SET (only c events clearing 2x the anchor's
+    value fork matches), on all four targets."""
+    _run_any_match_all_targets(
+        spark, events, cuts, anyset={2}, rel=(None, None, (0, 2.0))
+    )
+
+
+def test_cep_any_match_validation():
+    import pytest
+
+    from hello_flink_spark.streaming.cep import CepPattern
+
+    with pytest.raises(ValueError, match="anchor"):
+        CepPattern(steps=("a", "b"), within_minutes=1, any_match_steps=(0,))
+    with pytest.raises(ValueError, match="strict"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            strict_steps=(1,),
+            any_match_steps=(1,),
+        )
+    with pytest.raises(ValueError, match="optional"):
+        CepPattern(
+            steps=("a", "b", "c", "d"),
+            within_minutes=1,
+            optional_steps=(1,),
+            any_match_steps=(2,),
+        )
+    with pytest.raises(ValueError, match="Kleene"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            one_or_more=1,
+            any_match_steps=(2,),
+        )
+    with pytest.raises(ValueError, match="not_between"):
+        CepPattern(
+            steps=("a", "b"),
+            within_minutes=1,
+            not_between=(None, "x"),
+            any_match_steps=(1,),
+        )
+    with pytest.raises(ValueError, match="notNext"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            not_next=("x", None, None),
+            any_match_steps=(1,),
+        )
+    with pytest.raises(ValueError, match="skip_past_last"):
+        CepPattern(
+            steps=("a", "b"),
+            within_minutes=1,
+            skip_past_last=True,
+            any_match_steps=(1,),
+        )
+    # no timeout side-output for any-match patterns
+    import pandas as pd
+
+    p = CepPattern(steps=("a", "b"), within_minutes=1, any_match_steps=(1,))
+    with pytest.raises(ValueError, match="timeout"):
+        from hello_flink_spark.streaming.cep import oracle_sql_timeouts
+
+        oracle_sql_timeouts(p)

@@ -1566,6 +1566,33 @@ def test_cep_rel_guard_equals_batch_shadow(spark, sf_dir, replay_dir):
     assert n_unguarded > len(got), "relative guard is vacuous on this fixture"
 
 
+def test_cep_any_match_equals_batch_shadow(spark, sf_dir, replay_dir):
+    """followedByAny ([F]): the NFA's branch-spawning promotion (the
+    waiting partial stays armed) must equal the batch chain's
+    no-MIN-collapse band join — and the branch fan-out must be
+    non-vacuous vs the first-match twin on this fixture."""
+    from hello_flink_spark.streaming.cep import (
+        ANYCLICK3,
+        CepPattern,
+        compile_batch,
+        compile_stream,
+    )
+
+    run_to_memory(compile_stream(ANYCLICK3, _stream(spark, replay_dir), WM), "t_cepam")
+    cols = ("user_id", "view_id", "view_ts", "click_ts", "purchase_ts")
+    got = sorted(tuple(r[c] for c in cols) for r in spark.table("t_cepam").collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in get_spec("cep_pattern_followed_by_any").fn(spark, sf_dir).collect()
+    )
+    assert got and got == want
+    first_match = CepPattern(
+        steps=ANYCLICK3.steps, within_minutes=ANYCLICK3.within_minutes
+    )
+    n_first = compile_batch(first_match, load_table(spark, sf_dir, "events")).count()
+    assert len(got) > n_first, "any-match fan-out is vacuous on this fixture"
+
+
 def _events_as_tuples(spark, sf_dir):
     """Fixture events as time-ordered (uid, eid, ts_us, etype) tuples
     for the pure-python CEP reference models (µs units end-to-end)."""
