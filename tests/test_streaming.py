@@ -864,6 +864,54 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     assert len({r.event_id for r in ids}) == len(ids), "duplicate event after recovery"
 
 
+def test_cep_nfa_recovers_open_partials_across_restart(spark, sf_dir, tmp_path):
+    """CEP checkpoint-recovery contract (VERDICT r07 #6): stop the NFA
+    mid-stream with partials OPEN, restart from the same checkpoint,
+    and the union of both runs' emissions must equal the uninterrupted
+    batch shadow — proving the StateStore restore path the whole CEP
+    tier relies on, including the round-8 VALUE segment of the state
+    encoding (RELGUARD3 carries the anchor's value per partial)."""
+    from hello_flink_spark.streaming.cep import RELGUARD3, compile_stream
+
+    d = str(tmp_path / "replay")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).head()
+    cut = lo + (hi - lo) / 2
+
+    events.filter(F.col("ts") < cut).coalesce(1).write.parquet(
+        os.path.join(d, "chunk_000")
+    )
+    q1 = jobs.to_parquet_sink(
+        compile_stream(RELGUARD3, replay.read_stream(spark, d), WM), out, ckpt
+    )
+    q1.awaitTermination()
+    n_run1 = spark.read.parquet(out).count()
+
+    events.filter(F.col("ts") >= cut).coalesce(1).write.parquet(
+        os.path.join(d, "chunk_001")
+    )
+    q2 = jobs.to_parquet_sink(
+        compile_stream(RELGUARD3, replay.read_stream(spark, d), WM), out, ckpt
+    )
+    q2.awaitTermination()
+
+    cols = ("user_id", "view_id", "view_ts", "view_value", "click_ts", "purchase_ts")
+    final = spark.read.parquet(out).collect()
+    got = sorted(tuple(r[c] for c in cols) for r in final)
+    assert len(got) == len(set(got)), "duplicate match after recovery"
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in get_spec("cep_pattern_relative_guard").fn(spark, sf_dir).collect()
+    )
+    assert got == want, "recovered NFA diverged from the uninterrupted shadow"
+    # non-vacuity: the restart must actually have completed matches
+    # from partials that were open at the cut
+    spanning = [g for g in got if g[2] < cut <= g[5]]
+    assert n_run1 < len(got), "no match completed after the restart"
+    assert spanning, "no match spans the cut — the restart proved nothing"
+
+
 def test_windowed_topn_materialization(spark, sf_dir, replay_dir, tmp_path):
     """Windowed Top-N (Flink SQL's continuous rank view): complete-mode
     tumbling counts + foreachBatch rank-overwrite must end exactly at
