@@ -14,6 +14,7 @@ setup; the chunk files standing in for directory-watch arrivals.
 from __future__ import annotations
 
 import os
+from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +33,8 @@ def chunk_events(
     out_dir: str,
     n_chunks: int = 4,
     late_tail: bool = False,
+    ooo_within_delay_s: int | None = None,
+    flush_tail: bool = False,
 ) -> dict:
     """Write the events table as ``n_chunks`` time-ordered parquet files
     under ``out_dir`` (one file per future micro-batch).
@@ -40,6 +43,18 @@ def chunk_events(
     their natural chunk and appended as a final chunk instead — by then
     the watermark (driven by the newest chunks) has passed them, so a
     correctly-watermarked consumer must drop them.
+
+    With ``ooo_within_delay_s=N`` every event in the last N seconds
+    BEFORE each chunk boundary is deferred into the NEXT chunk: it
+    arrives one micro-batch late but still INSIDE the watermark delay
+    (N < delay), so a correct consumer must NOT drop it — it must
+    reorder it (the reorder-buffer contract, VERDICT r07 #7).
+
+    With ``flush_tail=True`` a final chunk of SENTINEL-user (-1)
+    events at ``hi + 2h`` is appended: it advances the watermark past
+    every real event so watermark-gated reorder buffers drain — the
+    bounded-input twin of Flink's end-of-stream MAX_WATERMARK. Tests
+    filter ``user_id < 0`` out of their assertions.
 
     Returns bookkeeping the golden tests assert against.
     """
@@ -62,12 +77,28 @@ def chunk_events(
         # distributed (anti-join) instead (VERDICT r06 "wrong" #4)
         late_ids = [r.event_id for r in late_df.select("event_id").collect()]
 
+    n_deferred = 0
     for i in range(n_chunks):
         chunk_lo = lo_s + i * span
         chunk_hi = hi_s + 1 if i == n_chunks - 1 else lo_s + (i + 1) * span
         chunk = events.filter(
             (F.col("ts").cast("double") >= chunk_lo) & (F.col("ts").cast("double") < chunk_hi)
         )
+        if ooo_within_delay_s and 0 < i < n_chunks:
+            # pull in the tail the PREVIOUS chunk deferred...
+            deferred_lo = chunk_lo - ooo_within_delay_s
+            pulled = events.filter(
+                (F.col("ts").cast("double") >= deferred_lo)
+                & (F.col("ts").cast("double") < chunk_lo)
+            )
+            n_deferred += pulled.count()
+            chunk = chunk.unionByName(pulled)
+        if ooo_within_delay_s and i < n_chunks - 1:
+            # ...and defer this chunk's own boundary tail to the next
+            next_lo = lo_s + (i + 1) * span
+            chunk = chunk.filter(
+                F.col("ts").cast("double") < next_lo - ooo_within_delay_s
+            )
         if late_tail:
             chunk = chunk.filter(~F.col("event_id").isin(late_ids) if late_ids else F.lit(True))
         # one file per chunk => one micro-batch per chunk (maxFilesPerTrigger=1)
@@ -78,7 +109,26 @@ def chunk_events(
             "overwrite"
         ).parquet(os.path.join(out_dir, f"chunk_{n_chunks:03d}_late"))
 
-    return {"n_events": bounds.n, "late_ids": late_ids, "lo": bounds.lo, "hi": bounds.hi}
+    if flush_tail:
+        # sentinel-user rows far enough past hi that the post-batch
+        # watermark (max event time - delay) clears every real event
+        flush_rows = [
+            (-(j + 1), bounds.hi + timedelta(hours=2, seconds=j), -1, "flush", 0.0, "{}")
+            for j in range(2)
+        ]
+        spark.createDataFrame(
+            flush_rows, schema=events.schema
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"chunk_{n_chunks + 1:03d}_flush")
+        )
+
+    return {
+        "n_events": bounds.n,
+        "late_ids": late_ids,
+        "lo": bounds.lo,
+        "hi": bounds.hi,
+        "n_deferred": n_deferred,
+    }
 
 
 def watch_glob(out_dir: str) -> str:

@@ -354,22 +354,88 @@ def count_window_stream(events: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _wm_cutoff_ns(state: GroupState, tz: str) -> int | None:
+    """Watermark cutoff as SESSION-LOCAL naive nanoseconds (the frame
+    Arrow delivers ``ts`` in), or None before the first watermark."""
+    try:
+        wm_ms = state.getCurrentWatermarkMs()
+    except Exception:  # noqa: BLE001 — test double without a watermark
+        wm_ms = 0
+    if not wm_ms:
+        return None
+    return (
+        pd.Timestamp(wm_ms, unit="ms", tz="UTC").tz_convert(tz).tz_localize(None).value
+    )
+
+
+def _local_ns_to_epoch_ms(ns: int, tz: str) -> int:
+    """Session-local naive ns → epoch ms (for event-time timers)."""
+    return pd.Timestamp(ns).tz_localize(tz).value // 1_000_000
+
+
 def _markov(
     tz: str, key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Per-user last-event-type ValueState; each micro-batch emits the
-    transition-pair count DELTAS it observed (append mode) — the sink
-    aggregates deltas into the transition matrix, so state stays one
-    string per user no matter how long the stream runs."""
-    prev = state.get[0] if state.exists else None
-    pdf = _drop_late(_sorted_concat(pdfs, ["ts", "event_id"]), state, tz)
+    """Per-user Markov ValueState + WATERMARK-DELAY REORDER BUFFER
+    (VERDICT r07 #7): rows are HELD in state until the watermark
+    passes their event time, then folded onto the carried ``prev``
+    chain in (ts, event_id) order — so an out-of-order event WITHIN
+    the watermark delay that crosses a micro-batch boundary still
+    counts in true event-time order (the r06/r07 arrival-order
+    residual is gone). Each release emits transition-pair count
+    DELTAS (append mode); the sink aggregates them into the matrix.
+    State = one string + the in-flight window of rows — bounded by
+    the watermark delay × per-key rate, the same bound Flink's
+    reorder/timer pattern carries. An event-time timer (earliest
+    buffered row) drains the buffer when the watermark advances on
+    other keys' data — Flink's MAX_WATERMARK end-of-stream flush is
+    the same mechanism at +inf."""
+    if state.exists:
+        prev0, bts, beid, bet = state.get
+        prev = prev0 if prev0 else None
+        buf = list(zip(bts, beid, bet))
+    else:
+        prev, buf = None, []
+    cutoff = _wm_cutoff_ns(state, tz)
+
+    if not state.hasTimedOut:
+        pdf = _sorted_concat(pdfs, ["ts", "event_id"])
+        if cutoff is not None:
+            # below-watermark arrivals are genuinely late: dropped, as
+            # in every watermarked op (the buffer only reorders rows
+            # the watermark has NOT yet passed)
+            pdf = pdf[pdf["ts"].astype("int64") >= cutoff]
+        buf.extend(
+            (int(t), int(e), str(et))
+            for t, e, et in zip(
+                pdf["ts"].astype("int64"), pdf["event_id"], pdf["event_type"]
+            )
+        )
+    buf.sort()
+    n_ready = 0
+    if cutoff is not None:
+        while n_ready < len(buf) and buf[n_ready][0] <= cutoff:
+            n_ready += 1
+    ready, buf = buf[:n_ready], buf[n_ready:]
+
     pairs: dict = {}
-    for nxt in pdf["event_type"]:
+    for _, _, nxt in ready:
         if prev is not None:
             pairs[(prev, nxt)] = pairs.get((prev, nxt), 0) + 1
         prev = nxt
-    if prev is not None:
-        state.update((prev,))
+    state.update(
+        (
+            prev or "",
+            [t for t, _, _ in buf],
+            [e for _, e, _ in buf],
+            [et for _, _, et in buf],
+        )
+    )
+    if buf:
+        wm_ms = 0 if cutoff is None else _local_ns_to_epoch_ms(cutoff, tz)
+        state.setTimeoutTimestamp(
+            max(_local_ns_to_epoch_ms(buf[0][0], tz), wm_ms + 1)
+        )
     if pairs:
         yield pd.DataFrame(
             [
@@ -377,37 +443,40 @@ def _markov(
                 for (a, b), c in sorted(pairs.items())
             ]
         )
+    else:
+        yield pd.DataFrame([])
 
 
 def stateful_markov_transitions(events: DataFrame) -> DataFrame:
     """Streaming first-order Markov transition counting: the batch
     shadow is queries/round5.py::events_markov_transitions; the golden
     test sums the emitted per-batch deltas and compares against it.
-    Bounded state (one last-event string per user) — 100 TB-safe.
 
-    Late-data contract (VERDICT r06 #4 — the in-order-only caveat is
-    gone): rows are ordered by (ts, event_id) within each micro-batch
-    and BELOW-WATERMARK rows are dropped before counting
-    (``_drop_late``), so an event arriving batches late can no longer
-    splice into the carried ``prev`` chain in arrival order. The exact
-    contract is the standard watermark one: streaming deltas sum to the
-    batch shadow computed over the non-late rows — golden-tested on
-    both the in-order replay (nothing dropped, full equality) and the
-    late-tail replay (late slice dropped, equality with the filtered
-    shadow). Residual approximation: out-of-orderness WITHIN the
-    watermark delay that crosses a micro-batch boundary still counts in
-    arrival order (Flink's ValueState twin behaves identically; a full
-    fix needs a watermark-delay reorder buffer, i.e. timer-driven
-    emission)."""
+    Late-data contract (VERDICT r07 #7 — the arrival-order residual is
+    gone): a watermark-delay REORDER BUFFER holds each row in state
+    until the watermark passes its event time, then folds in strict
+    (ts, event_id) order — so ANY out-of-orderness within the
+    watermark delay, micro-batch boundaries included, counts in true
+    event-time order; rows the watermark already passed are dropped
+    (standard late_drop). Streaming deltas sum to the batch shadow
+    over the non-late rows exactly; rows still inside the delay when
+    the stream pauses stay buffered until the watermark moves — the
+    end-of-stream flush is a watermark advance (Flink's MAX_WATERMARK
+    on bounded input; the goldens advance it with a sentinel-key
+    chunk). State = one string + ≤ delay×rate in-flight rows per
+    key."""
     tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
     return events.withWatermark("ts", "30 minutes").groupBy(
         "user_id"
     ).applyInPandasWithState(
         partial(_markov, tz),
         outputStructType="user_id long, prev_type string, next_type string, cnt long",
-        stateStructType="prev string",
+        stateStructType=(
+            "prev string, buf_ts array<long>, buf_eid array<long>, "
+            "buf_et array<string>"
+        ),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -428,29 +497,51 @@ def _burst(
     sum here also groups by second and sums seconds in
     [s − 86399, s] — same arithmetic, incremental state.
 
-    Late-data contract (VERDICT r06 #4, like
-    stateful_markov_transitions): below-watermark rows are dropped
-    before counting (``_drop_late``) — a late event can no longer land
-    behind the pruned horizon and silently under-count; the streamed
-    running max equals the batch RANGE frame over the non-late rows,
-    golden-tested on both the in-order and the late-tail replay."""
+    Late-data contract (VERDICT r07 #7, like
+    stateful_markov_transitions): a watermark-delay REORDER BUFFER
+    holds row timestamps in state until the watermark passes them,
+    then folds them in event-time order — a within-delay out-of-order
+    row can never land behind the pruned horizon, because the horizon
+    only advances past seconds the watermark has already passed;
+    below-watermark arrivals are dropped (standard late_drop). The
+    streamed running max equals the batch RANGE frame over the
+    non-late rows, golden-tested on the in-order, out-of-order and
+    late-tail replays (sentinel-key flush chunk = the bounded-input
+    MAX_WATERMARK)."""
     secs: list[int] = []
     cnts: list[int] = []
     max_burst = 0
+    buf: list[int] = []
     if state.exists:
         secs, cnts, max_burst = list(state.get[0]), list(state.get[1]), state.get[2]
+        buf = list(state.get[3])
     counts = dict(zip(secs, cnts))
+    cutoff = _wm_cutoff_ns(state, tz)
 
-    pdf = _drop_late(pd.concat(list(pdfs), ignore_index=True), state, tz)
-    if pdf.empty and not state.exists:
+    if not state.hasTimedOut:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        arrivals = [int(t) for t in pdf["ts"].astype("int64")]
+        if cutoff is not None:
+            # below-watermark arrivals are genuinely late: dropped
+            arrivals = [t for t in arrivals if t >= cutoff]
+        buf.extend(arrivals)
+    buf.sort()
+    n_ready = 0
+    if cutoff is not None:
+        while n_ready < len(buf) and buf[n_ready] <= cutoff:
+            n_ready += 1
+    ready, buf = buf[:n_ready], buf[n_ready:]
+
+    if not ready and not buf and not state.exists:
         # every row for a first-seen key was late: no state, no output
         yield pd.DataFrame([])
         return
-    for ts in pdf["ts"]:
-        s = int(ts.value // 1_000_000_000)
+    released = bool(ready)
+    for t in ready:
+        s = t // 1_000_000_000
         counts[s] = counts.get(s, 0) + 1
 
-    if counts:
+    if counts and released:
         ordered = sorted(counts)
         # windowed sum per present second (two-pointer over sorted secs)
         lo = 0
@@ -466,28 +557,41 @@ def _burst(
         horizon = ordered[-1] - (BURST_WINDOW_S - 1)
         counts = {s: c for s, c in counts.items() if s >= horizon}
 
-    state.update((sorted(counts), [counts[s] for s in sorted(counts)], max_burst))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "max_burst_24h": [max_burst]}
+    state.update(
+        (sorted(counts), [counts[s] for s in sorted(counts)], max_burst, buf)
     )
+    if buf:
+        wm_ms = 0 if cutoff is None else _local_ns_to_epoch_ms(cutoff, tz)
+        state.setTimeoutTimestamp(max(_local_ns_to_epoch_ms(buf[0], tz), wm_ms + 1))
+    if released:
+        yield pd.DataFrame({"user_id": [key[0]], "max_burst_24h": [max_burst]})
+    else:
+        # nothing left the buffer this batch: state unchanged except
+        # the buffer itself, so update mode emits nothing (ADVICE r07)
+        yield pd.DataFrame([])
 
 
 def stateful_burst_detector(events: DataFrame) -> DataFrame:
     """Streaming bot/burst detection: update-mode running maximum of
     each user's rolling-24 h event count (batch shadow:
     queries/round6.py::events_bot_burst). The per-user state is one
-    (second → count) map covering a single window span — bounded
-    regardless of stream length, the keyed-state analog of the batch
-    RANGE frame. Below-watermark rows are dropped (``_drop_late``)."""
+    (second → count) map covering a single window span plus the
+    ≤ delay×rate reorder buffer — bounded regardless of stream length,
+    the keyed-state analog of the batch RANGE frame. Below-watermark
+    rows are dropped; within-delay rows fold in event-time order via
+    the reorder buffer (VERDICT r07 #7)."""
     tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
     return events.withWatermark("ts", "30 minutes").groupBy(
         "user_id"
     ).applyInPandasWithState(
         partial(_burst, tz),
         outputStructType="user_id long, max_burst_24h long",
-        stateStructType="secs array<long>, cnts array<long>, max_burst long",
+        stateStructType=(
+            "secs array<long>, cnts array<long>, max_burst long, "
+            "buf_ts array<long>"
+        ),
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -50,6 +50,40 @@ def late_replay_dir(spark, sf_dir, tmp_path_factory):
     return d, info
 
 
+@pytest.fixture(scope="module")
+def flush_replay_dir(spark, sf_dir, tmp_path_factory):
+    """In-order replay + sentinel flush chunk: the watermark ends past
+    every real event, so reorder-buffered ops drain fully (the
+    bounded-input MAX_WATERMARK). Assertions filter user_id < 0."""
+    d = str(tmp_path_factory.mktemp("events_replay_flush"))
+    info = replay.chunk_events(spark, sf_dir, d, n_chunks=4, flush_tail=True)
+    return d, info
+
+
+@pytest.fixture(scope="module")
+def late_flush_replay_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_replay_late_flush"))
+    info = replay.chunk_events(
+        spark, sf_dir, d, n_chunks=4, late_tail=True, flush_tail=True
+    )
+    assert info["late_ids"], "late-tail fixture produced no late events"
+    return d, info
+
+
+@pytest.fixture(scope="module")
+def ooo_flush_replay_dir(spark, sf_dir, tmp_path_factory):
+    """Out-of-order WITHIN the watermark delay: each chunk's last 10
+    minutes arrive one micro-batch late (< the 30-minute delay), plus
+    the sentinel flush chunk — a correct consumer must reorder these
+    rows, not drop them (VERDICT r07 #7)."""
+    d = str(tmp_path_factory.mktemp("events_replay_ooo"))
+    info = replay.chunk_events(
+        spark, sf_dir, d, n_chunks=4, ooo_within_delay_s=600, flush_tail=True
+    )
+    assert info["n_deferred"], "no events were deferred across a boundary"
+    return d, info
+
+
 def _stream(spark, replay_dir):
     return replay.read_stream(spark, replay_dir[0])
 
@@ -1010,23 +1044,29 @@ def test_foreach_batch_upsert(spark, sf_dir, replay_dir, tmp_path):
     assert got == want
 
 
-def test_stateful_markov_matches_batch_shadow(spark, sf_dir, replay_dir):
-    """Summed per-batch transition deltas must equal the batch
-    shadow's transition counts exactly (state carries the last event
-    type across micro-batch boundaries, so cross-chunk transitions
-    are counted too)."""
+def _markov_stream_totals(spark, d, table):
     run_to_memory(
-        stateful.stateful_markov_transitions(_stream(spark, replay_dir)),
-        "t_markov",
+        stateful.stateful_markov_transitions(replay.read_stream(spark, d)),
+        table,
         "append",
     )
-    got = {
+    return {
         (r.prev_type, r.next_type): r.total
-        for r in spark.table("t_markov")
+        for r in spark.table(table)
+        .filter(F.col("user_id") >= 0)  # sentinel flush rows out
         .groupBy("prev_type", "next_type")
         .agg(F.sum("cnt").alias("total"))
         .collect()
     }
+
+
+def test_stateful_markov_matches_batch_shadow(spark, sf_dir, flush_replay_dir):
+    """Summed per-batch transition deltas must equal the batch
+    shadow's transition counts exactly (state carries the last event
+    type across micro-batch boundaries, so cross-chunk transitions
+    are counted too; the sentinel flush chunk drains the reorder
+    buffer's tail, as a real watermark advance would)."""
+    got = _markov_stream_totals(spark, flush_replay_dir[0], "t_markov")
     want = {
         (r.prev_type, r.next_type): r.cnt
         for r in get_spec("events_markov_transitions").fn(spark, sf_dir).collect()
@@ -1035,14 +1075,31 @@ def test_stateful_markov_matches_batch_shadow(spark, sf_dir, replay_dir):
     assert got == want
 
 
-def test_burst_detector_equals_batch_shadow(spark, sf_dir, replay_dir):
+def test_stateful_markov_reorders_within_delay(spark, sf_dir, ooo_flush_replay_dir):
+    """VERDICT r07 #7 (the residual is GONE): events arriving one
+    micro-batch late but INSIDE the watermark delay must fold in true
+    event-time order — the summed deltas equal the FULL batch shadow,
+    which arrival-order folding provably misses on this fixture."""
+    d, info = ooo_flush_replay_dir
+    got = _markov_stream_totals(spark, d, "t_markov_ooo")
+    want = {
+        (r.prev_type, r.next_type): r.cnt
+        for r in get_spec("events_markov_transitions").fn(spark, sf_dir).collect()
+    }
+    assert info["n_deferred"] > 0
+    assert got == want
+
+
+def test_burst_detector_equals_batch_shadow(spark, sf_dir, flush_replay_dir):
     """stateful_burst_detector: the final per-user running max must
     equal the batch shadow's rolling-24h maximum for every user, and
     the >= 6 cohort must match events_bot_burst exactly."""
     run_to_memory(
-        stateful.stateful_burst_detector(_stream(spark, replay_dir)), "t_burst", "update"
+        stateful.stateful_burst_detector(_stream(spark, flush_replay_dir)),
+        "t_burst",
+        "update",
     )
-    emitted = spark.table("t_burst")
+    emitted = spark.table("t_burst").filter(F.col("user_id") >= 0)
     got = {
         r.user_id: r.max_burst_24h
         for r in emitted.groupBy("user_id")
@@ -1073,6 +1130,45 @@ def test_burst_detector_equals_batch_shadow(spark, sf_dir, replay_dir):
         for r in get_spec("events_bot_burst").fn(spark, sf_dir).collect()
     }
     assert {(u, m) for u, m in got.items() if m >= 6} == shadow
+
+
+def test_burst_detector_reorders_within_delay(spark, sf_dir, ooo_flush_replay_dir):
+    """VERDICT r07 #7: within-delay out-of-order rows fold through the
+    reorder buffer in event-time order, so the final per-user running
+    max equals the FULL batch RANGE-frame shadow — no row can land
+    behind the pruned horizon."""
+    d, info = ooo_flush_replay_dir
+    run_to_memory(
+        stateful.stateful_burst_detector(replay.read_stream(spark, d)),
+        "t_burst_ooo",
+        "update",
+    )
+    got = {
+        r.user_id: r.max_burst_24h
+        for r in spark.table("t_burst_ooo")
+        .filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(F.max("max_burst_24h").alias("max_burst_24h"))
+        .collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-86399, Window.currentRow)
+    )
+    want = {
+        r.user_id: r.m
+        for r in e.select(
+            "user_id", F.floor(F.col("ts").cast("double")).cast("long").alias("s")
+        )
+        .withColumn("c", F.count(F.lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(F.max("c").alias("m"))
+        .collect()
+    }
+    assert info["n_deferred"] > 0
+    assert got == want
 
 
 def test_cep_repeated_type_equals_batch_shadow(spark, sf_dir, replay_dir):
@@ -1721,25 +1817,14 @@ def test_cep_skip_past_last_golden_vs_simulation(spark, sf_dir, replay_dir):
     assert n_all > len(got), "skip strategy is vacuous on this fixture"
 
 
-def test_stateful_markov_late_rows_dropped(spark, sf_dir, late_replay_dir):
+def test_stateful_markov_late_rows_dropped(spark, sf_dir, late_flush_replay_dir):
     """VERDICT r06 #4: the watermark gate makes the markov contract
     exact under late data — the withheld early slice arrives after the
     watermark passed it, is dropped before counting, and the summed
     deltas equal the batch shadow over the NON-LATE rows (no
     arrival-order splice)."""
-    d, info = late_replay_dir
-    run_to_memory(
-        stateful.stateful_markov_transitions(replay.read_stream(spark, d)),
-        "t_markov_late",
-        "append",
-    )
-    got = {
-        (r.prev_type, r.next_type): r.total
-        for r in spark.table("t_markov_late")
-        .groupBy("prev_type", "next_type")
-        .agg(F.sum("cnt").alias("total"))
-        .collect()
-    }
+    d, info = late_flush_replay_dir
+    got = _markov_stream_totals(spark, d, "t_markov_late")
     e = load_table(spark, sf_dir, "events").filter(
         ~F.col("event_id").isin(info["late_ids"])
     )
@@ -1763,12 +1848,12 @@ def test_stateful_markov_late_rows_dropped(spark, sf_dir, late_replay_dir):
     assert got != full
 
 
-def test_burst_detector_late_rows_dropped(spark, sf_dir, late_replay_dir):
+def test_burst_detector_late_rows_dropped(spark, sf_dir, late_flush_replay_dir):
     """VERDICT r06 #4: burst detector under late data — the late slice
     cannot land behind the pruned horizon; the streamed running max
     equals the batch RANGE frame over the NON-LATE rows for every
     emitted user, and users whose every event was late emit nothing."""
-    d, info = late_replay_dir
+    d, info = late_flush_replay_dir
     run_to_memory(
         stateful.stateful_burst_detector(replay.read_stream(spark, d)),
         "t_burst_late",
@@ -1777,6 +1862,7 @@ def test_burst_detector_late_rows_dropped(spark, sf_dir, late_replay_dir):
     got = {
         r.user_id: r.max_burst_24h
         for r in spark.table("t_burst_late")
+        .filter(F.col("user_id") >= 0)
         .groupBy("user_id")
         .agg(F.max("max_burst_24h").alias("max_burst_24h"))
         .collect()
