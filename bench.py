@@ -153,6 +153,10 @@ HEADLINE = [
     "cep_pattern_relative_guard",
     # followedByAny: the band join without the MIN collapse.
     "cep_pattern_followed_by_any",
+    # IVFADC composition: PQ codebook -> per-query ADC LUTs -> bucket
+    # join scoring (trains the PQ inline, so priced ~ the trainer + a
+    # broadcast-probe pass).
+    "sim_ann_ivf_pq",
 ]
 
 

@@ -448,6 +448,37 @@ IVF_COS_SQL = (
 )
 
 
+def ivf_centroids_and_vecs(spark: SparkSession, sf_dir: str):
+    """Coarse-quantizer inputs shared by the IVF family: the
+    deterministic first-C centroid table (broadcast-size by
+    construction) and the double-cast corpus."""
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < IVF_C).select(
+        F.col("vec_id").alias("c_id"), _as_double(F.col("embedding")).alias("c_vec")
+    )
+    vecs = e.select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+    return centroids, vecs
+
+
+def ivf_nearest_buckets(
+    centroids: DataFrame, side: DataFrame, id_col: str, n: int
+) -> DataFrame:
+    """Nearest-n coarse buckets by rounded cosine (id tiebreak): one
+    broadcast of the constant-size centroid table x one corpus scan."""
+    scored = side.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        "vec",
+        "c_id",
+        F.round(_cosine(F.col("vec"), F.col("c_vec")), 6).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select(id_col, "vec", F.col("c_id").alias("bucket"))
+    )
+
+
 @register(
     "sim_ann_ivf",
     oracle=f"""
@@ -493,28 +524,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape is identical. Ranking uses ROUNDED cosine + id tiebreak so
     cross-engine float noise can't reorder the cut (sim_knn precedent).
     """
-    e = t(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") < IVF_C).select(
-        F.col("vec_id").alias("c_id"), _as_double(F.col("embedding")).alias("c_vec")
-    )
-    vecs = e.select("vec_id", _as_double(F.col("embedding")).alias("vec"))
-
-    def nearest_buckets(side: DataFrame, id_col: str, n: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(centroids)).select(
-            id_col,
-            "vec",
-            "c_id",
-            F.round(_cosine(F.col("vec"), F.col("c_vec")), 6).alias("c_sim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("c_id"))
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= n)
-            .select(id_col, "vec", F.col("c_id").alias("bucket"))
-        )
-
-    assign = nearest_buckets(vecs, "vec_id", 1)
-    probes = nearest_buckets(
+    centroids, vecs = ivf_centroids_and_vecs(spark, sf_dir)
+    assign = ivf_nearest_buckets(centroids, vecs, "vec_id", 1)
+    probes = ivf_nearest_buckets(
+        centroids,
         vecs.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PROBE_ID_MAX)),
         "vec_id",
         IVF_NPROBE,

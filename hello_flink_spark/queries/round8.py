@@ -68,3 +68,131 @@ def cep_pattern_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hello_flink_spark.streaming.cep import ANYCLICK3, compile_batch
 
     return compile_batch(ANYCLICK3, t(spark, sf_dir, "events"))
+
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+
+@register("sim_ann_ivf_pq", tags=("iterative", "rows_only"))
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ / IVFADC (Jégou, Douze & Schmid, "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011): the actual
+    billion-scale ANN query shape — coarse IVF buckets bound the scan,
+    PQ codes stand in for the vectors inside them, and each query
+    scores candidates through its own ADC lookup table instead of
+    touching raw floats (VERDICT r07 #8: wires agg_pq_quantize's
+    codebook into sim_ann_ivf's probe path).
+
+    Plan shape (all bounded-state, no all-pairs):
+    1. ``pq_train`` — per-iteration MAP-ONLY argmin + one keyed agg
+       (unchanged); its codebook (1024 doubles) is the only driver
+       state. Corpus codes = one groupBy(vec_id) pivot of the final
+       assignment (8 small ints per vector — the RAM-resident index).
+    2. Coarse quantizer — the shared first-C centroid broadcast
+       (``ivf_nearest_buckets``): corpus → 1 bucket, probes → NPROBE
+       buckets. Probes are a constant-size set (PROBE_ID_MAX bound).
+    3. ADC lookup tables — per (query, subspace): ||q_s − c_{s,j}||²
+       for all PQ_K codes, built by ONE broadcast join of the 8-row
+       codebook frame against the exploded query subvectors, then
+       re-assembled per query (8×16 doubles per query — broadcast-safe
+       with the probes).
+    4. Scoring — probes ⋈ bucket-matched candidate codes; ADC distance
+       is an O(PQ_SUBS) array-lambda fold over LUT hits (never the
+       64-dim vectors), then top-5 per query (rounded-distance +
+       id tiebreak, the sim_knn determinism rule).
+
+    At 100 TB the bucket join is the only data-scale shuffle; every
+    other operand is constant-size and broadcast. R-tier: recall@5 vs
+    the exact scan + an exact numpy ADC replay are pinned in
+    tests/test_llm.py."""
+    from hello_flink_spark.queries.llm import (
+        IVF_NPROBE,
+        PROBE_ID_MAX,
+        ivf_centroids_and_vecs,
+        ivf_nearest_buckets,
+    )
+    from hello_flink_spark.queries.round7 import PQ_K, PQ_SUBDIM, PQ_SUBS, pq_train
+
+    books, assigned = pq_train(spark, sf_dir)
+    codes = assigned.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)"
+        ).alias("codes")
+    )
+
+    centroids, vecs = ivf_centroids_and_vecs(spark, sf_dir)
+    assign_b = ivf_nearest_buckets(centroids, vecs, "vec_id", 1)
+    probes = ivf_nearest_buckets(
+        centroids,
+        vecs.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PROBE_ID_MAX)),
+        "vec_id",
+        IVF_NPROBE,
+    ).select(F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"), "bucket")
+
+    # ADC lookup tables: one row per (query, subspace) via the SAME
+    # 8-row broadcast codebook frame the trainer assigns with
+    cb = spark.createDataFrame(
+        [(s, [list(books[(s, c)]) for c in range(PQ_K)]) for s in range(PQ_SUBS)],
+        "sub int, cvs array<array<double>>",
+    )
+    qsub = (
+        probes.select("query_id", "q_vec")
+        .dropDuplicates(["query_id"])
+        .select(
+            "query_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PQ_SUBS - 1}), s -> struct("
+                    f"s AS sub, slice(q_vec, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS qs))"
+                )
+            ).alias("x"),
+        )
+        .select("query_id", F.col("x.sub").alias("sub"), F.col("x.qs").alias("qs"))
+    )
+    luts = (
+        qsub.join(F.broadcast(cb), "sub")
+        .select(
+            "query_id",
+            "sub",
+            F.expr(
+                "transform(cvs, cv -> aggregate("
+                "zip_with(qs, cv, (a, b) -> (a - b) * (a - b)),"
+                " 0D, (acc, x) -> acc + x))"
+            ).alias("lut"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(sub, lut))), x -> x.lut)"
+            ).alias("luts")
+        )
+    )
+
+    cand = (
+        probes.select("query_id", "bucket")
+        .join(F.broadcast(luts), "query_id")
+        .join(
+            assign_b.select(F.col("vec_id").alias("neighbor_id"), "bucket").join(
+                codes.select(F.col("vec_id").alias("neighbor_id"), "codes"),
+                "neighbor_id",
+            ),
+            "bucket",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.expr(
+                f"aggregate(sequence(0, {PQ_SUBS - 1}), 0D,"
+                f" (acc, s) -> acc + luts[s][codes[s]])"
+            ),
+            6,
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= 5
+    )

@@ -597,3 +597,98 @@ def test_pq_quantize_lloyd_monotone_and_numpy_replay(spark, sf_dir):
     assert abs(e4 - ref_total) <= 1e-6 * max(1.0, ref_total), (
         f"spark total err {e4} vs numpy replay {ref_total}"
     )
+
+
+def test_ivf_pq_adc_recall_and_exact_replay(spark, sf_dir):
+    """sim_ann_ivf_pq (IVFADC, Jégou et al. 2011) invariants:
+
+    1. Structure: <=5 rows per query, ranks are 1..n, and every
+       neighbor comes from one of the query's probed buckets.
+    2. Exact ADC replay: every reported adc_dist equals the numpy
+       recomputation from the SAME deterministic codebook (train the
+       PQ replay exactly like test_pq_quantize does) — pins the LUT
+       build and the O(SUBS) scoring fold bit-close.
+    3. Recall floor (stated honestly): mean recall@5 of the ADC
+       ranking vs the EXACT L2 ranking over the same candidate set
+       >= 0.30. The synthetic fixture is near-random 64-dim data —
+       the distance-concentration worst case for a 4-bit-per-subspace
+       PQ (real embedding corpora cluster and score far higher);
+       the floor pins "ADC is informative", the replay pins "ADC is
+       exactly the published math"."""
+    import numpy as np
+
+    from hello_flink_spark.queries.llm import (
+        IVF_NPROBE,
+        PROBE_ID_MAX,
+        ivf_centroids_and_vecs,
+        ivf_nearest_buckets,
+    )
+    from hello_flink_spark.queries.round7 import PQ_ITERS, PQ_K, PQ_SUBDIM, PQ_SUBS
+
+    approx = get_spec("sim_ann_ivf_pq").fn(spark, sf_dir).toPandas()
+    assert set(approx.columns) == {"query_id", "neighbor_id", "adc_dist", "rk"}
+    assert (approx.groupby("query_id")["rk"].max() <= 5).all()
+    assert (approx.groupby("query_id")["rk"].apply(lambda s: sorted(s) == list(range(1, len(s) + 1)))).all()
+
+    centroids, vecs = ivf_centroids_and_vecs(spark, sf_dir)
+    assign_b = ivf_nearest_buckets(centroids, vecs, "vec_id", 1).select(
+        "vec_id", "bucket"
+    ).toPandas()
+    probes = ivf_nearest_buckets(
+        centroids,
+        vecs.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PROBE_ID_MAX)),
+        "vec_id",
+        IVF_NPROBE,
+    ).select("vec_id", "bucket").toPandas()
+    vec2bucket = dict(zip(assign_b["vec_id"], assign_b["bucket"]))
+    probed = probes.groupby("vec_id")["bucket"].apply(set).to_dict()
+    for r in approx.itertuples():
+        assert vec2bucket[r.neighbor_id] in probed[r.query_id], (
+            f"neighbor {r.neighbor_id} outside query {r.query_id}'s probed buckets"
+        )
+
+    # deterministic PQ replay (same rule as test_pq_quantize)
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").toPandas()
+    mat = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    vec_ids = emb["vec_id"].to_numpy()
+    idx = {v: i for i, v in enumerate(vec_ids)}
+    books, codes = [], np.zeros((len(mat), PQ_SUBS), dtype=int)
+    for s in range(PQ_SUBS):
+        X = mat[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        B = X[vec_ids < PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((X[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            cs = d2.argmin(axis=1)
+            for c in range(PQ_K):
+                if (cs == c).any():
+                    B[c] = X[cs == c].mean(axis=0)
+        books.append(B)
+        codes[:, s] = ((X[:, None, :] - B[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+
+    def adc(q, n):
+        qi, ni = idx[q], idx[n]
+        d = 0.0
+        for s in range(PQ_SUBS):
+            qs = mat[qi, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            d += ((qs - books[s][codes[ni, s]]) ** 2).sum()
+        return d
+
+    for r in approx.itertuples():
+        assert abs(r.adc_dist - round(adc(r.query_id, r.neighbor_id), 6)) <= 1e-5, (
+            f"ADC mismatch for ({r.query_id}, {r.neighbor_id}): "
+            f"{r.adc_dist} vs {adc(r.query_id, r.neighbor_id)}"
+        )
+
+    # recall@5 vs the exact L2 ranking over the same candidates
+    b2v = assign_b.groupby("bucket")["vec_id"].apply(list).to_dict()
+    recalls = []
+    for q, buckets in probed.items():
+        cands = sorted(set(sum((b2v.get(b, []) for b in buckets), [])) - {q})
+        if not cands:
+            continue
+        d2 = {c: float(((mat[idx[c]] - mat[idx[q]]) ** 2).sum()) for c in cands}
+        top = set(sorted(cands, key=lambda c: (d2[c], c))[:5])
+        got = set(approx[(approx["query_id"] == q) & (approx["rk"] <= 5)]["neighbor_id"])
+        recalls.append(len(got & top) / min(5, len(top)))
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.30, f"ADC mean recall too low: {mean_recall}"

@@ -32,6 +32,9 @@ BNLJ_OK = {
     "sim_knn",           # broadcast <=20-query set x corpus scan
     "sim_maxsim",        # broadcast <=20-query set x corpus scan (max-pool agg)
     "sim_ann_ivf",       # broadcast C=16 centroid table x corpus scan
+    "sim_ann_ivf_pq",    # broadcast C=16 centroid table x corpus scan (coarse
+    #                      quantizer), same bounded shape as sim_ann_ivf; the
+    #                      candidate scoring itself is an equi-join on bucket
     "sim_quantized_cosine",  # broadcast <=40-probe set (PROBE_ID_MAX), quantized
     "quality_expectations",  # 4-row expectations x broadcast 1-row total scalar
     "text_tfidf_sql",  # broadcast 1-row corpus-count scalar x tf rows (the
@@ -232,6 +235,9 @@ BROADCAST_HINT_OK = {
     ("joins", "dim"): "broadcast_join() helper — API contract: caller passes a bounded dim",
     ("round7", "probes"): "probe set capped by PROBE_ID_MAX constant (sim_range_search)",
     ("round7", "cb"): "PQ codebook — PQ_SUBS x PQ_K = 128 rows by construction",
+    ("round8", "cb"): "PQ codebook frame — PQ_SUBS = 8 rows by construction (sim_ann_ivf_pq)",
+    ("round8", "luts"): "per-query ADC lookup tables — bounded by the PROBE_ID_MAX "
+    "query cap x 8x16 doubles each (sim_ann_ivf_pq)",
 }
 
 
