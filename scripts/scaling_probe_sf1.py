@@ -19,6 +19,15 @@ stays pinned to the driver fixtures):
 - ``orders``: 10 copies with offset o_orderkey / o_custkey — disjoint
   customer partitions, so the SCD2 window partition count scales 10x
   with per-partition history length unchanged (the at-scale shape).
+- ``lineitem`` (round 8, VERDICT r07 #10): 10 copies with offset
+  l_orderkey / l_partkey — the part co-purchase graph becomes 10
+  DISJOINT copies of the sf0.1 graph, so wedges and triangles scale
+  exactly 10x (naive duplication would multiply co-purchase edge
+  weights instead and quadratically inflate wedge counts).
+- ``embeddings`` (round 8): 10 copies with offset vec_id — the PQ
+  trainer's corpus scales 10x while its deterministic seeds
+  (vec_id < PQ_K, all in replica 0) and codebook stay constant, the
+  at-scale shape for a trained index.
 
 Output: docs/SCALING_SF1.md. Data lands in .scratch/sf1 (gitignored,
 ~200 MB). Run: python scripts/scaling_probe_sf1.py
@@ -40,6 +49,11 @@ PROBES = [
     ("dedup_ngram_jaccard", "documents"),
     ("text_hashing_features", "documents"),
     ("dim_scd2_build", "orders"),
+    # round 8 (VERDICT r07 #10): the heaviest round-7/iterative ops not
+    # yet probed past sf0.1
+    ("agg_pq_quantize", "embeddings"),
+    ("graph_triangle_count", "lineitem"),
+    ("dedup_cluster", "documents"),
 ]
 
 
@@ -74,6 +88,23 @@ def build_sf1(spark) -> dict[str, int]:
     )
     scaled_orders.write.mode("overwrite").parquet(f"{DST}/orders.parquet")
     sizes["orders"] = spark.read.parquet(f"{DST}/orders.parquet").count()
+
+    li = load_table(spark, SRC, "lineitem")
+    scaled_li = li.crossJoin(ks).select(
+        (F.col("l_orderkey") + F.col("k") * 1_000_000_000).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("k") * 100_000_000).alias("l_partkey"),
+        *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")],
+    )
+    scaled_li.write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+    sizes["lineitem"] = spark.read.parquet(f"{DST}/lineitem.parquet").count()
+
+    emb = load_table(spark, SRC, "embeddings")
+    scaled_emb = emb.crossJoin(ks).select(
+        (F.col("vec_id") + F.col("k") * 100_000_000).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    scaled_emb.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+    sizes["embeddings"] = spark.read.parquet(f"{DST}/embeddings.parquet").count()
     return sizes
 
 
@@ -105,13 +136,17 @@ def main() -> None:
     lines = [
         "# Scaling probe, second decade (generated — scripts/scaling_probe_sf1.py)",
         "",
-        "sf0.1 -> sf1 (a further 10x) for the four operators whose",
-        "sf0.01 -> sf0.1 ratios were >= 2x. sf1 is a disjoint-shard 10x",
-        "replication of the driver's sf0.1 fixture (replica-tagged tokens",
-        "keep every replica's shingle universe disjoint — per-shard",
-        "statistics identical, corpus 10x; see the script docstring for",
-        "why naive duplication would measure the wrong thing).",
-        f"documents {sizes['documents']:,} rows, orders {sizes['orders']:,} rows.",
+        "sf0.1 -> sf1 (a further 10x) for the operators whose",
+        "sf0.01 -> sf0.1 ratios were >= 2x, plus (round 8, VERDICT r07",
+        "#10) the heaviest iterative ops: agg_pq_quantize,",
+        "graph_triangle_count, dedup_cluster. sf1 is a disjoint-shard 10x",
+        "replication of the driver's sf0.1 fixture (replica-tagged tokens,",
+        "offset graph/vector ids — every shard a DISJOINT copy, so",
+        "per-shard statistics are identical and only the volume grows;",
+        "see the script docstring for why naive duplication would measure",
+        "the wrong thing).",
+        f"documents {sizes['documents']:,} rows, orders {sizes['orders']:,} rows,",
+        f"lineitem {sizes['lineitem']:,} rows, embeddings {sizes['embeddings']:,} rows.",
         "Min-of-3 wall seconds, same warm-up protocol as BASELINE.md.",
         "",
         "| query | driving input | sf0.1 s | sf1 s | time ratio |",
@@ -132,7 +167,7 @@ def main() -> None:
     over = [n for n, tb in PROBES if rows[n][DST] / rows[n][SRC] > 11.0]
     lines += [
         "",
-        f"Worst time ratio across the four: **{worst:.1f}x** for 10x data.",
+        f"Worst time ratio across the {len(PROBES)}: **{worst:.1f}x** for 10x data.",
         "A ratio at or below the data growth means the >= 2x",
         "first-decade growth was fixed-overhead amortization ending, not",
         "a super-linear term.",
@@ -141,21 +176,25 @@ def main() -> None:
     if sub:
         lines += [
             f"Sublinear this decade ({', '.join(sub)}): scale BELOW the",
-            "data — the df-capped shingle joins and the single-shuffle",
-            "double-window SCD2 build have no term that grows faster",
-            "than their keyed input.",
+            "data. Per-plan reasons — df-capped shingle joins and the",
+            "single-shuffle double-window SCD2 build have no term above",
+            "their keyed input; the PQ trainer's per-iteration cost is",
+            "map-only argmin + a 128-group keyed agg, so its fixed",
+            "4-iteration job overhead amortizes; CC round count is",
+            "O(log^2 n) with DISJOINT shards keeping the same diameter,",
+            "so rounds do not grow with the replication.",
             "",
         ]
     if near:
         lines += [
-            f"At-linear ({', '.join(near)}): for text_hashing_features the",
-            "plan is linear by construction — explode + md5 per token +",
-            "ONE keyed hash-aggregate with map-side combine; no join, no",
-            "vocabulary table. Any slight excess over 10x is the probe's",
-            "own replica tagging: every sf1 token carries an 'rK_' prefix,",
-            "so the sf1 corpus holds MORE than 10x the token BYTES of",
-            "sf0.1, and md5-per-token cost is byte-proportional (the",
-            "doc x bucket output also grows 10x and is collected).",
+            f"At-linear ({', '.join(near)}): linear by construction —",
+            "text_hashing_features is explode + md5 per token + ONE keyed",
+            "hash-aggregate (byte-proportional; the 'rK_' replica tag",
+            "inflates sf1 token BYTES slightly past 10x);",
+            "graph_triangle_count is degree-oriented wedge enumeration",
+            "over 10 disjoint graph copies, so wedges scale exactly 10x;",
+            "dedup_cluster folds 10x edges through the same number of",
+            "large-star/small-star rounds.",
             "",
         ]
     if over:
