@@ -373,6 +373,30 @@ def _local_ns_to_epoch_ms(ns: int, tz: str) -> int:
     return pd.Timestamp(ns).tz_localize(tz).value // 1_000_000
 
 
+def _reorder_split(buf: list, arrivals: list, cutoff: int | None):
+    """Merge buffered rows with this batch's arrivals, sort by the
+    leading (ts_ns, ...) key, and split at the watermark: rows the
+    watermark has passed are READY to fold in event-time order; the
+    rest stay HELD (the watermark-delay reorder buffer, VERDICT r07
+    #7). With no watermark yet, everything holds."""
+    buf = sorted(buf + arrivals)
+    k = 0
+    if cutoff is not None:
+        while k < len(buf) and buf[k][0] <= cutoff:
+            k += 1
+    return buf[:k], buf[k:]
+
+
+def _arm_release_timer(state: GroupState, buf: list, cutoff: int | None, tz: str) -> None:
+    """Event-time timer at the earliest held row (clamped future of the
+    watermark) so the buffer drains when the watermark advances on
+    OTHER keys' data — the mechanism behind the bounded-input
+    MAX_WATERMARK flush."""
+    if buf:
+        wm_ms = 0 if cutoff is None else _local_ns_to_epoch_ms(cutoff, tz)
+        state.setTimeoutTimestamp(max(_local_ns_to_epoch_ms(buf[0][0], tz), wm_ms + 1))
+
+
 def _markov(
     tz: str, key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -398,6 +422,7 @@ def _markov(
         prev, buf = None, []
     cutoff = _wm_cutoff_ns(state, tz)
 
+    arrivals: list = []
     if not state.hasTimedOut:
         pdf = _sorted_concat(pdfs, ["ts", "event_id"])
         if cutoff is not None:
@@ -405,18 +430,13 @@ def _markov(
             # in every watermarked op (the buffer only reorders rows
             # the watermark has NOT yet passed)
             pdf = pdf[pdf["ts"].astype("int64") >= cutoff]
-        buf.extend(
+        arrivals = [
             (int(t), int(e), str(et))
             for t, e, et in zip(
                 pdf["ts"].astype("int64"), pdf["event_id"], pdf["event_type"]
             )
-        )
-    buf.sort()
-    n_ready = 0
-    if cutoff is not None:
-        while n_ready < len(buf) and buf[n_ready][0] <= cutoff:
-            n_ready += 1
-    ready, buf = buf[:n_ready], buf[n_ready:]
+        ]
+    ready, buf = _reorder_split(buf, arrivals, cutoff)
 
     pairs: dict = {}
     for _, _, nxt in ready:
@@ -431,11 +451,7 @@ def _markov(
             [et for _, _, et in buf],
         )
     )
-    if buf:
-        wm_ms = 0 if cutoff is None else _local_ns_to_epoch_ms(cutoff, tz)
-        state.setTimeoutTimestamp(
-            max(_local_ns_to_epoch_ms(buf[0][0], tz), wm_ms + 1)
-        )
+    _arm_release_timer(state, buf, cutoff, tz)
     if pairs:
         yield pd.DataFrame(
             [
@@ -514,30 +530,25 @@ def _burst(
     buf: list[int] = []
     if state.exists:
         secs, cnts, max_burst = list(state.get[0]), list(state.get[1]), state.get[2]
-        buf = list(state.get[3])
+        buf = [(int(t),) for t in state.get[3]]
     counts = dict(zip(secs, cnts))
     cutoff = _wm_cutoff_ns(state, tz)
 
+    arrivals: list = []
     if not state.hasTimedOut:
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        arrivals = [int(t) for t in pdf["ts"].astype("int64")]
+        arrivals = [(int(t),) for t in pdf["ts"].astype("int64")]
         if cutoff is not None:
             # below-watermark arrivals are genuinely late: dropped
-            arrivals = [t for t in arrivals if t >= cutoff]
-        buf.extend(arrivals)
-    buf.sort()
-    n_ready = 0
-    if cutoff is not None:
-        while n_ready < len(buf) and buf[n_ready] <= cutoff:
-            n_ready += 1
-    ready, buf = buf[:n_ready], buf[n_ready:]
+            arrivals = [t for t in arrivals if t[0] >= cutoff]
+    ready, buf = _reorder_split(buf, arrivals, cutoff)
 
     if not ready and not buf and not state.exists:
         # every row for a first-seen key was late: no state, no output
         yield pd.DataFrame([])
         return
     released = bool(ready)
-    for t in ready:
+    for (t,) in ready:
         s = t // 1_000_000_000
         counts[s] = counts.get(s, 0) + 1
 
@@ -558,11 +569,14 @@ def _burst(
         counts = {s: c for s, c in counts.items() if s >= horizon}
 
     state.update(
-        (sorted(counts), [counts[s] for s in sorted(counts)], max_burst, buf)
+        (
+            sorted(counts),
+            [counts[s] for s in sorted(counts)],
+            max_burst,
+            [t for (t,) in buf],
+        )
     )
-    if buf:
-        wm_ms = 0 if cutoff is None else _local_ns_to_epoch_ms(cutoff, tz)
-        state.setTimeoutTimestamp(max(_local_ns_to_epoch_ms(buf[0], tz), wm_ms + 1))
+    _arm_release_timer(state, buf, cutoff, tz)
     if released:
         yield pd.DataFrame({"user_id": [key[0]], "max_burst_24h": [max_burst]})
     else:
@@ -603,46 +617,78 @@ def stateful_burst_detector(events: DataFrame) -> DataFrame:
 def _ewma(
     tz: str, key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Per-user EWMA ValueState: exactly one (ewma, n) scalar pair per
-    key — the unbounded-stream answer to the batch op's
-    collect-sort-fold (which is bounded by per-key history). The fold
-    is the same left-to-right double arithmetic, so batch == streaming
-    final bit-for-bit on in-order replays."""
+    """Per-user EWMA ValueState + watermark-delay reorder buffer
+    (VERDICT r07 #7, extended round-8 to every order-sensitive
+    stateful op): rows fold in true (ts, event_id) order once the
+    watermark passes them, so the recurrence — which is
+    order-sensitive by definition — matches the batch fold under ANY
+    within-delay out-of-orderness, not just in-order replays. State =
+    (ewma, n) + the in-flight row window."""
     from hello_flink_spark.queries.round7 import EWMA_ALPHA
 
-    cur, n = (state.get if state.exists else (None, 0))
-    pdf = _drop_late(_sorted_concat(pdfs, ["ts", "event_id"]), state, tz)
-    if not len(pdf):
-        # every row was late-dropped (or the batch was empty): state is
-        # unchanged, so update mode must NOT re-emit the running value
-        # (ADVICE r07 — redundant output rows).
-        yield pd.DataFrame([])
-        return
-    for v in pdf["value"]:
-        v = float(v)
+    if state.exists:
+        cur0, n, bts, beid, bval = state.get
+        cur = cur0 if n else None
+        buf = list(zip(bts, beid, bval))
+    else:
+        cur, n, buf = None, 0, []
+    cutoff = _wm_cutoff_ns(state, tz)
+    arrivals: list = []
+    if not state.hasTimedOut:
+        pdf = _sorted_concat(pdfs, ["ts", "event_id"])
+        if cutoff is not None:
+            pdf = pdf[pdf["ts"].astype("int64") >= cutoff]  # true late rows drop
+        arrivals = [
+            (int(t), int(e), float(v))
+            for t, e, v in zip(
+                pdf["ts"].astype("int64"), pdf["event_id"], pdf["value"]
+            )
+        ]
+    ready, buf = _reorder_split(buf, arrivals, cutoff)
+
+    for _, _, v in ready:
         cur = v if cur is None else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * cur
         n += 1
-    state.update((cur, n))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "ewma_value": [cur]}
-    )
+    if n or buf:
+        state.update(
+            (
+                cur if n else 0.0,
+                n,
+                [t for t, _, _ in buf],
+                [e for _, e, _ in buf],
+                [v for _, _, v in buf],
+            )
+        )
+        _arm_release_timer(state, buf, cutoff, tz)
+    if ready and n:
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma_value": [cur]}
+        )
+    else:
+        # nothing folded this batch: the running value is unchanged,
+        # so update mode emits nothing (ADVICE r07)
+        yield pd.DataFrame([])
 
 
 def stateful_value_ewma(events: DataFrame) -> DataFrame:
     """Streaming EWMA (update mode): emits each user's running
-    exponentially weighted average after every micro-batch. State is
-    two scalars per key — bounded without eviction; below-watermark
-    rows are dropped (``_drop_late``) so the late-data contract
-    matches the other gated stateful ops."""
+    exponentially weighted average whenever the watermark releases
+    rows from the reorder buffer (VERDICT r07 #7, extended round-8:
+    the recurrence folds in true event-time order under any
+    within-delay out-of-orderness). State = two scalars + the
+    in-flight row window per key; below-watermark arrivals drop."""
     tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
     return events.withWatermark("ts", "30 minutes").groupBy(
         "user_id"
     ).applyInPandasWithState(
         partial(_ewma, tz),
         outputStructType="user_id long, n_events long, ewma_value double",
-        stateStructType="ewma double, n long",
+        stateStructType=(
+            "ewma double, n long, buf_ts array<long>, buf_eid array<long>, "
+            "buf_val array<double>"
+        ),
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -663,18 +709,37 @@ def _autocorr(
     import math
 
     if state.exists:
-        prev, n, sx, sy, sxy, sxx, syy = state.get
+        prev, n, sx, sy, sxy, sxx, syy = state.get[:7]
+        buf = list(zip(state.get[7], state.get[8], state.get[9]))
     else:
         prev, n, sx, sy, sxy, sxx, syy = None, 0, 0.0, 0.0, 0.0, 0.0, 0.0
-    pdf = _drop_late(_sorted_concat(pdfs, ["ts", "event_id"]), state, tz)
-    if not len(pdf):
-        # every row was late-dropped (or the batch was empty): moments
-        # are unchanged, so update mode must NOT re-emit the running
-        # correlation (ADVICE r07 — redundant output rows).
+        buf = []
+    cutoff = _wm_cutoff_ns(state, tz)
+    arrivals: list = []
+    if not state.hasTimedOut:
+        pdf = _sorted_concat(pdfs, ["ts", "event_id"])
+        if cutoff is not None:
+            pdf = pdf[pdf["ts"].astype("int64") >= cutoff]  # true late rows drop
+        arrivals = [
+            (int(t), int(e), float(v))
+            for t, e, v in zip(
+                pdf["ts"].astype("int64"), pdf["event_id"], pdf["value"]
+            )
+        ]
+    ready, buf = _reorder_split(buf, arrivals, cutoff)
+    if not ready:
+        # nothing folded: moments unchanged, update mode emits nothing
+        # (ADVICE r07); still persist/arm the buffer if it exists
+        if buf or state.exists:
+            state.update(
+                (prev, n, sx, sy, sxy, sxx, syy,
+                 [t for t, _, _ in buf], [e for _, e, _ in buf],
+                 [v for _, _, v in buf])
+            )
+            _arm_release_timer(state, buf, cutoff, tz)
         yield pd.DataFrame([])
         return
-    for v in pdf["value"]:
-        v = float(v)
+    for _, _, v in ready:
         if prev is not None:
             n += 1
             sx += v
@@ -683,7 +748,12 @@ def _autocorr(
             sxx += v * v
             syy += prev * prev
         prev = v
-    state.update((prev, n, sx, sy, sxy, sxx, syy))
+    state.update(
+        (prev, n, sx, sy, sxy, sxx, syy,
+         [t for t, _, _ in buf], [e for _, e, _ in buf],
+         [v for _, _, v in buf])
+    )
+    _arm_release_timer(state, buf, cutoff, tz)
     corr = None
     if n >= 2:
         cov = (sxy - sx * sy / n) / (n - 1)
@@ -699,7 +769,8 @@ def _autocorr(
 def stateful_autocorr(events: DataFrame) -> DataFrame:
     """Streaming lag-1 autocorrelation (update mode): the keyed-state
     twin of events_autocorrelation — seven scalars of state per user,
-    below-watermark rows dropped (``_drop_late``), zero-variance
+    rows fold in event-time order via the watermark-delay reorder
+    buffer (round-8 extension of VERDICT r07 #7), zero-variance
     series yield NULL exactly like the batch try_divide form."""
     tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
     return events.withWatermark("ts", "30 minutes").groupBy(
@@ -709,8 +780,9 @@ def stateful_autocorr(events: DataFrame) -> DataFrame:
         outputStructType="user_id long, n_pairs long, lag1_autocorr double",
         stateStructType=(
             "prev double, n long, sx double, sy double, sxy double, "
-            "sxx double, syy double"
+            "sxx double, syy double, buf_ts array<long>, "
+            "buf_eid array<long>, buf_val array<double>"
         ),
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

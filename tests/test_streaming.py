@@ -2023,16 +2023,22 @@ def test_kafka_stub_option_plumbing(spark):
         jobs.kafka_source_stub(spark, "localhost:9092", "t")
 
 
-def test_stateful_ewma_equals_batch_shadow(spark, sf_dir, replay_dir):
+def test_stateful_ewma_equals_batch_shadow(spark, sf_dir, ooo_flush_replay_dir):
     """stateful_value_ewma: the final emitted running EWMA per user
     must equal the declared batch op bit-for-bit (same left-to-right
-    double fold in time order), n_events included."""
+    double fold in EVENT-TIME order), n_events included — driven over
+    the out-of-order-within-delay replay, which the round-8 reorder
+    buffer must fold back into true time order (arrival-order folding
+    provably diverges on a recurrence)."""
     run_to_memory(
-        stateful.stateful_value_ewma(_stream(spark, replay_dir)), "t_ewma", "update"
+        stateful.stateful_value_ewma(_stream(spark, ooo_flush_replay_dir)),
+        "t_ewma",
+        "update",
     )
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     final = (
         spark.table("t_ewma")
+        .filter(F.col("user_id") >= 0)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
@@ -2044,17 +2050,22 @@ def test_stateful_ewma_equals_batch_shadow(spark, sf_dir, replay_dir):
     assert got == want
 
 
-def test_stateful_autocorr_equals_batch_shadow(spark, sf_dir, replay_dir):
+def test_stateful_autocorr_equals_batch_shadow(spark, sf_dir, ooo_flush_replay_dir):
     """stateful_autocorr: the final running lag-1 correlation per user
     must equal the declared batch op (within float tolerance — the
     incremental moments and the covar/stddev aggregates reduce in
-    different orders), with exact n_pairs."""
+    different orders), with exact n_pairs — over the out-of-order
+    replay: LAG pairs are order-sensitive, so this pins the round-8
+    reorder buffer on a second, moment-based fold."""
     run_to_memory(
-        stateful.stateful_autocorr(_stream(spark, replay_dir)), "t_acorr", "update"
+        stateful.stateful_autocorr(_stream(spark, ooo_flush_replay_dir)),
+        "t_acorr",
+        "update",
     )
     w = Window.partitionBy("user_id").orderBy(F.col("n_pairs").desc())
     final = (
         spark.table("t_acorr")
+        .filter(F.col("user_id") >= 0)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
