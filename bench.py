@@ -157,6 +157,11 @@ HEADLINE = [
     # join scoring (trains the PQ inline, so priced ~ the trainer + a
     # broadcast-probe pass).
     "sim_ann_ivf_pq",
+    # round-8 batch 2: Bloom membership pre-filter (join-shaped probe),
+    # co-purchase degree histogram, session-scoped funnel windows.
+    "dedup_bloom_prefilter",
+    "graph_degree_stats",
+    "events_session_funnel",
 ]
 
 

@@ -196,3 +196,246 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= 5
     )
+
+
+# ---------------------------------------------------------------------------
+# round-8 batch 2: Bloom-filter decontamination pre-filter, co-purchase
+# degree distribution, session-scoped funnel conversion
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 5          # hash functions
+BLOOM_BITS_PER = 16  # bits per member (m = 16n, k = 5 -> ~2% FPR)
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH members AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    sz AS (SELECT CAST({BLOOM_BITS_PER} * COUNT(*) AS BIGINT) AS m FROM members),
+    seeds AS (SELECT UNNEST(generate_series(0, {BLOOM_K - 1})) AS seed),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(s.seed || ':' || mem.text), 1, 8)) AS BIGINT)
+               % (SELECT m FROM sz) AS pos
+      FROM members mem, seeds s
+    ),
+    probes AS (
+      SELECT d.doc_id, s.seed,
+             CAST(('0x' || substr(md5(s.seed || ':' || d.text), 1, 8)) AS BIGINT)
+               % (SELECT m FROM sz) AS pos
+      FROM documents d, seeds s
+    )
+    SELECT p.doc_id,
+           CAST(CASE WHEN p.doc_id % 20 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_member
+    FROM probes p JOIN bits b ON b.pos = p.pos
+    GROUP BY p.doc_id HAVING COUNT(*) = {BLOOM_K}
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership PRE-FILTER — the decontamination gate a
+    training pipeline runs before the expensive exact check: build a
+    Bloom filter over the benchmark/contamination set (here: every
+    20th document), probe the whole corpus, and pass only probable
+    members downstream. Completes the sketch family (count-min =
+    frequency, HLL = cardinality, Bloom = membership).
+
+    Spark has no SQL-exposed bloom_filter_agg, so the filter is built
+    from first principles as pure deterministic expressions (the
+    dedup_minhash_sql portable-hash precedent): k=5 positions per
+    text via hex-parsed md5 prefixes mod m, m sized in-plan at 16
+    bits per member (a 1-row broadcast scalar, ~2% theoretical FPR).
+    The SET-BIT table (<= m rows by construction) replaces the packed
+    bitmap, and the probe is a distributed equi-JOIN on bit position
+    with HAVING count = k — O(1)-per-probe semantics as a shuffle
+    join instead of a serial bit test, which is the shape that scales
+    (the bit table broadcasts when small). False negatives are
+    impossible by construction (exact join, deterministic hashes);
+    FPR is invariant-tested in tests/test_llm.py."""
+    d = t(spark, sf_dir, "documents")
+    members = d.filter(F.col("doc_id") % 20 == 0)
+    sz = members.agg(
+        (F.lit(BLOOM_BITS_PER) * F.count(F.lit(1))).cast("long").alias("m")
+    )
+
+    def positions(side: DataFrame) -> DataFrame:
+        return (
+            side.crossJoin(F.broadcast(sz))
+            .withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))))
+            .select(
+                "doc_id",
+                "seed",
+                (
+                    F.expr("CAST(conv(substr(md5(concat(seed, ':', text)), 1, 8), 16, 10) AS BIGINT)")
+                    % F.col("m")
+                ).alias("pos"),
+            )
+        )
+
+    bits = positions(members).select("pos").distinct()
+    probes = positions(d)
+    return (
+        probes.join(bits, "pos")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == BLOOM_K)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 20 == 0, 1).otherwise(0).cast("long").alias("is_member"),
+        )
+    )
+
+
+@register(
+    "graph_degree_stats",
+    oracle="""
+    WITH e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    deg AS (SELECT v, COUNT(*) AS d FROM
+              (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e)
+            GROUP BY v)
+    SELECT CAST(d AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY d
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree DISTRIBUTION of the part co-purchase graph (same edge
+    set as graph_triangle_count: parts sharing >= 2 orders) — the
+    first thing a graph pipeline inspects before choosing algorithms
+    (hub skew decides orientation strategies, salting, partitioning).
+    Plan: the co-occurrence self-join builds edges (shuffle on
+    l_orderkey), one explode + keyed count for degrees, one hash agg
+    for the histogram — each stage partial-aggregated map-side; no
+    step is quadratic in any vertex's degree."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cooccur"))
+        .filter(F.col("cooccur") >= 2)
+        .select("pa", "pb")
+    )
+    deg = (
+        edges.select(F.explode(F.array("pa", "pb")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(F.col("d").cast("long").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "events_session_funnel",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > {SESSION_GAP_MIN} * 60 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    v AS (
+      SELECT user_id, sid, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id, sid) AS fv
+      FROM sess
+    ),
+    c AS (
+      SELECT user_id, sid, ts, event_type, fv,
+             MIN(CASE WHEN event_type = 'click' AND ts > fv THEN ts END)
+               OVER (PARTITION BY user_id, sid) AS fc
+      FROM v
+    ),
+    p AS (
+      SELECT user_id, sid, fv, fc,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > fc THEN ts END)
+               OVER (PARTITION BY user_id, sid) AS fp
+      FROM c
+    ),
+    per_sess AS (
+      SELECT user_id, sid, ANY_VALUE(fv) AS fv,
+             ANY_VALUE(fc) AS fc, ANY_VALUE(fp) AS fp
+      FROM p GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(fv) AS BIGINT) AS sessions_view,
+           CAST(COUNT(fc) AS BIGINT) AS sessions_view_click,
+           CAST(COUNT(fp) AS BIGINT) AS sessions_full_funnel
+    FROM per_sess
+    """,
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-scoped funnel conversion: gaps-and-islands
+    sessionization (30-min inactivity) composed with the ordered
+    view→click→purchase funnel, evaluated PER SESSION rather than per
+    user (funnel_conversion's grain) — the metric an attribution
+    pipeline actually reports, since one user's morning research and
+    evening purchase are different journeys. Three chained
+    conditional-MIN window passes over the SAME (user, session)
+    partitioning — Catalyst reuses one sort-shuffle for the lag, the
+    cumulative session id and all three funnel stages (no extra
+    exchange), then a single hash agg folds sessions into four
+    counters."""
+    e = t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wo))
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            gap_us > SESSION_GAP_MIN * 60 * 1_000_000, 1
+        ).when(F.lag("ts").over(wo).isNull(), 1).otherwise(0).alias("new_s"),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("new_s").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    v = sess.withColumn(
+        "fv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(ws)
+    )
+    c = v.withColumn(
+        "fc",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("fv")), F.col("ts"))
+        ).over(ws),
+    )
+    p = c.withColumn(
+        "fp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fc")),
+                F.col("ts"),
+            )
+        ).over(ws),
+    )
+    per_sess = p.groupBy("user_id", "sid").agg(
+        F.first("fv").alias("fv"), F.first("fc").alias("fc"), F.first("fp").alias("fp")
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("fv").alias("sessions_view"),
+        F.count("fc").alias("sessions_view_click"),
+        F.count("fp").alias("sessions_full_funnel"),
+    )

@@ -692,3 +692,22 @@ def test_ivf_pq_adc_recall_and_exact_replay(spark, sf_dir):
         recalls.append(len(got & top) / min(5, len(top)))
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.30, f"ADC mean recall too low: {mean_recall}"
+
+
+def test_bloom_prefilter_no_false_negatives_and_fpr(spark, sf_dir_mid):
+    """dedup_bloom_prefilter semantics: (1) EVERY true member is
+    flagged — a Bloom filter cannot false-negative, and ours is exact
+    by construction (deterministic hashes + exact join), so a miss is
+    a bug; (2) the false-positive rate on non-members stays under 5%
+    (theoretical ~0.1-2% at m = 16 bits/member, k = 5 — the bound
+    leaves room for hash clustering on the small fixture)."""
+    flagged = get_spec("dedup_bloom_prefilter").fn(spark, sf_dir_mid).toPandas()
+    docs = load_table(spark, sf_dir_mid, "documents").select("doc_id").toPandas()
+    members = set(docs[docs["doc_id"] % 20 == 0]["doc_id"])
+    non_members = len(docs) - len(members)
+    got = set(flagged["doc_id"])
+    missed = members - got
+    assert not missed, f"Bloom false negatives (impossible by construction): {missed}"
+    fps = len(got - members)
+    assert fps / non_members <= 0.05, f"Bloom FPR too high: {fps}/{non_members}"
+    assert (flagged["is_member"] == flagged["doc_id"].isin(members).astype(int)).all()
