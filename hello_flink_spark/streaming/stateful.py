@@ -14,10 +14,10 @@ API note: Spark 4.x also ships ``transformWithStateInPandas``
 the closest 1:1 of Flink's keyed-state API). Probed twice in this
 environment: round 2 (2026-08-13 a.m.) found ``google.protobuf``
 present but broken ("cannot import name 'descriptor'"); the round-3
-re-probe (2026-08-13 p.m.), the round-5 re-probe (2026-08-13) and the
-round-6 re-probe (2026-08-14, unchanged:
-``import google`` → ModuleNotFoundError) found NO protobuf runtime on
-the machine
+re-probe (2026-08-13 p.m.), the round-5 re-probe (2026-08-13), the
+round-6 re-probe and the round-8 re-probe (both 2026-08-14,
+unchanged: ``import google`` → ModuleNotFoundError) found NO protobuf
+runtime on the machine
 at all (``import google`` → ModuleNotFoundError;
 ``pyspark.sql.streaming.proto.StateMessage_pb2`` fails on it; a
 filesystem sweep found only typeshed stubs, no descriptor_pb2.py
