@@ -162,6 +162,10 @@ HEADLINE = [
     "dedup_bloom_prefilter",
     "graph_degree_stats",
     "events_session_funnel",
+    # batch 3: stable hash sampling (keyed window rank), binned PSI
+    # drift (constant-size agg).
+    "sample_deterministic_hash",
+    "events_value_psi",
 ]
 
 

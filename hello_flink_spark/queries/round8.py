@@ -439,3 +439,121 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("fc").alias("sessions_view_click"),
         F.count("fp").alias("sessions_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-8 batch 3: deterministic eval-set sampling, binned PSI drift
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 5  # rows kept per group
+
+
+@register(
+    "sample_deterministic_hash",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+    ) <= {SAMPLE_K}
+    """,
+)
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC per-group sampling — the eval-set/debug-slice
+    primitive a training pipeline needs where `TABLESAMPLE` cannot be
+    used: rows ranked by a content hash are a stable pseudo-random
+    draw that every engine, every run, and every scale reproduces
+    bit-identically (new rows can displace old ones only by hash
+    order, never by arrival order — re-runs are diff-able). Spark's
+    native `sample` is seed-dependent per partition split, hence its
+    R-tier gate; this one is fully oracle-checked. Plan: one keyed
+    window rank per group (single hash-partition sort-shuffle on the
+    group key), top-k filter via WindowGroupLimit pushdown — no
+    global sort."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_K)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+PSI_BINS = 10
+PSI_LO, PSI_HI = 0.0, 500.0  # fixture value range; clamp outliers to edge bins
+
+
+@register(
+    "events_value_psi",
+    oracle=f"""
+    WITH binned AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(FLOOR((value - {PSI_LO}) / (({PSI_HI} - {PSI_LO}) / {PSI_BINS})) AS BIGINT), 0), {PSI_BINS - 1}) AS bin
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    counts AS (
+      SELECT bin,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts),
+    ratios AS (
+      SELECT bin,
+             (ca + 0.5) / (na + {PSI_BINS} * 0.5) AS pa,
+             (cb + 0.5) / (nb + {PSI_BINS} * 0.5) AS pb
+      FROM counts, tot
+    )
+    SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_view,
+           CAST((SELECT nb FROM tot) AS BIGINT) AS n_purchase,
+           ROUND(SUM((pa - pb) * ln(pa / pb)), 6) AS psi
+    FROM ratios
+    """,
+)
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the `view` and `purchase`
+    value distributions — the industry drift gate (PSI < 0.1 stable,
+    > 0.25 shifted) a data pipeline runs between snapshots before
+    retraining. Exact KS needs a GLOBAL ordered scan (the
+    unpartitioned-window class the plan guard exists to reject), so
+    the scalable formulation is fixed-bin PSI: bin arithmetic is
+    map-side, counts are ONE hash aggregate over {PSI_BINS} bins
+    (constant-size result at any corpus scale), and the Laplace
+    +0.5 smoothing keeps empty bins finite in both engines
+    identically."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    width = (PSI_HI - PSI_LO) / PSI_BINS
+    binned = e.select(
+        "event_type",
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - PSI_LO) / width).cast("long"), F.lit(0)
+            ),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    ratios = counts.crossJoin(F.broadcast(tot)).select(
+        ((F.col("ca") + 0.5) / (F.col("na") + PSI_BINS * 0.5)).alias("pa"),
+        ((F.col("cb") + 0.5) / (F.col("nb") + PSI_BINS * 0.5)).alias("pb"),
+        "na",
+        "nb",
+    )
+    return ratios.agg(
+        F.first("na").alias("n_view"),
+        F.first("nb").alias("n_purchase"),
+        F.round(
+            F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))), 6
+        ).alias("psi"),
+    )

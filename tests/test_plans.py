@@ -50,6 +50,7 @@ BNLJ_OK = {
     "orders_pareto_share",       # broadcast 1-row p99 percentile scalar
     "text_bigram_logprob",       # broadcast 1-row vocabulary-size scalar
     "dedup_bloom_prefilter",     # broadcast 1-row Bloom sizing scalar (m)
+    "events_value_psi",          # broadcast 1-row bin-total scalar x 10 bins
     "text_word_cooccurrence_pmi",  # broadcast 1-row unigram/bigram totals
     "docs_perplexity_filter",  # broadcast 1-row p10 percentile + vocab scalars
     "pipeline_training_corpus_v3",  # broadcast 1-row vocab/p10/quota scalars
@@ -238,6 +239,7 @@ BROADCAST_HINT_OK = {
     ("round7", "cb"): "PQ codebook — PQ_SUBS x PQ_K = 128 rows by construction",
     ("round8", "cb"): "PQ codebook frame — PQ_SUBS = 8 rows by construction (sim_ann_ivf_pq)",
     ("round8", "sz"): "1-row Bloom sizing scalar (dedup_bloom_prefilter)",
+    ("round8", "tot"): "1-row bin-total scalar (events_value_psi)",
     ("round8", "luts"): "per-query ADC lookup tables — bounded by the PROBE_ID_MAX "
     "query cap x 8x16 doubles each (sim_ann_ivf_pq)",
 }
