@@ -786,3 +786,130 @@ def stateful_autocorr(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful_session_funnel — streaming twin of round8.events_session_funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_funnel(
+    tz: str, key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user session funnel: one active session (start, last, and
+    the three funnel markers fv/fc/fp as µs, -1 = unreached) plus the
+    reorder buffer. Rows fold in event-time order once the watermark
+    releases them; a session CLOSES — emitting (session_start,
+    reached_stage 0-3) — whenever the watermark passes its gap
+    horizon (last + 30 min), in whichever invocation first observes
+    that (new data for the key, or the event-time timer armed at the
+    earliest of next-buffer-release and gap-horizon). The in-order
+    marker scan (first view; first click strictly after it; first
+    purchase strictly after that) computes exactly the batch query's
+    chained conditional MINs."""
+    if state.exists:
+        start, last, fv, fc, fp = state.get[:5]
+        buf = list(zip(state.get[5], state.get[6], state.get[7]))
+        sess = None if start < 0 else [start, last, fv, fc, fp]
+    else:
+        sess, buf = None, []
+    cutoff = _wm_cutoff_ns(state, tz)
+    arrivals: list = []
+    if not state.hasTimedOut:
+        pdf = _sorted_concat(pdfs, ["ts", "event_id"])
+        if cutoff is not None:
+            pdf = pdf[pdf["ts"].astype("int64") >= cutoff]  # true late rows drop
+        arrivals = [
+            (int(t), int(e), str(et))
+            for t, e, et in zip(
+                pdf["ts"].astype("int64"), pdf["event_id"], pdf["event_type"]
+            )
+        ]
+    ready, buf = _reorder_split(buf, arrivals, cutoff)
+
+    out: list[dict] = []
+
+    def close(s) -> None:
+        stage = 3 if s[4] >= 0 else 2 if s[3] >= 0 else 1 if s[2] >= 0 else 0
+        out.append(
+            {
+                "user_id": key[0],
+                "session_start": pd.Timestamp(int(s[0]), unit="us"),
+                "reached_stage": stage,
+            }
+        )
+
+    for ts_ns, _eid, et in ready:
+        us = ts_ns // 1000
+        if sess is None:
+            sess = [us, us, -1, -1, -1]
+        elif us - sess[1] > FUNNEL_GAP_US:
+            close(sess)
+            sess = [us, us, -1, -1, -1]
+        sess[1] = us
+        if et == "view" and sess[2] < 0:
+            sess[2] = us
+        elif et == "click" and sess[3] < 0 and 0 <= sess[2] < us:
+            sess[3] = us
+        elif et == "purchase" and sess[4] < 0 and 0 <= sess[3] < us:
+            sess[4] = us
+
+    # close on the watermark passing the gap horizon: any buffered row
+    # is strictly above the cutoff, so it can only start a NEW session
+    if sess is not None and cutoff is not None and cutoff // 1000 > sess[1] + FUNNEL_GAP_US:
+        close(sess)
+        sess = None
+
+    if sess is None and not buf:
+        if state.exists:
+            state.remove()
+    else:
+        s = sess or [-1, -1, -1, -1, -1]
+        state.update(
+            (
+                s[0],
+                s[1],
+                s[2],
+                s[3],
+                s[4],
+                [t for t, _, _ in buf],
+                [e for _, e, _ in buf],
+                [et for _, _, et in buf],
+            )
+        )
+        wm_ms = 0 if cutoff is None else _local_ns_to_epoch_ms(cutoff, tz)
+        deadlines = []
+        if buf:
+            deadlines.append(_local_ns_to_epoch_ms(buf[0][0], tz))
+        if sess is not None:
+            deadlines.append(
+                _local_ns_to_epoch_ms((sess[1] + FUNNEL_GAP_US + 1) * 1000, tz)
+            )
+        state.setTimeoutTimestamp(max(min(deadlines), wm_ms + 1))
+    yield pd.DataFrame(
+        out, columns=["user_id", "session_start", "reached_stage"]
+    )
+
+
+def stateful_session_funnel(events: DataFrame) -> DataFrame:
+    """Streaming session-funnel (append mode): emits one
+    (user, session_start, reached_stage) row per CLOSED 30-min-gap
+    session — the keyed-state twin of events_session_funnel's batch
+    windows, golden-tested so that the emitted rows aggregate to the
+    batch query's four counters exactly. State per key = five µs
+    scalars + the reorder buffer."""
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    return events.withWatermark("ts", "30 minutes").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        partial(_session_funnel, tz),
+        outputStructType="user_id long, session_start timestamp, reached_stage int",
+        stateStructType=(
+            "start long, last long, fv long, fc long, fp long, "
+            "buf_ts array<long>, buf_eid array<long>, buf_et array<string>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

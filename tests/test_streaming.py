@@ -2133,3 +2133,31 @@ def test_cep_not_next_equals_batch_shadow(spark, sf_dir, replay_dir):
     unguarded = CepPattern(steps=NONEXT2.steps, within_minutes=NONEXT2.within_minutes)
     n_all = compile_batch(unguarded, load_table(spark, sf_dir, "events")).count()
     assert n_all > len(got), "not_next guard is vacuous on this fixture"
+
+
+def test_stateful_session_funnel_equals_batch_shadow(spark, sf_dir, ooo_flush_replay_dir):
+    """stateful_session_funnel: every closed session's emitted
+    (session_start, reached_stage) row, aggregated, must equal the
+    batch query's four counters EXACTLY — driven over the
+    out-of-order-within-delay replay (the funnel markers are
+    order-sensitive chained MINs, so this pins the reorder buffer on
+    a session-scoped state machine), with the sentinel flush chunk
+    closing every trailing session."""
+    d, info = ooo_flush_replay_dir
+    run_to_memory(
+        stateful.stateful_session_funnel(replay.read_stream(spark, d)),
+        "t_sfunnel",
+        "append",
+    )
+    rows = spark.table("t_sfunnel").filter(F.col("user_id") >= 0).collect()
+    keys = [(r.user_id, r.session_start) for r in rows]
+    assert len(keys) == len(set(keys)), "a session emitted twice"
+    got = {
+        "n_sessions": len(rows),
+        "sessions_view": sum(1 for r in rows if r.reached_stage >= 1),
+        "sessions_view_click": sum(1 for r in rows if r.reached_stage >= 2),
+        "sessions_full_funnel": sum(1 for r in rows if r.reached_stage >= 3),
+    }
+    want = get_spec("events_session_funnel").fn(spark, sf_dir).collect()[0].asDict()
+    assert info["n_deferred"] > 0
+    assert got == want, f"{got} != {want}"
