@@ -339,7 +339,7 @@ SESSION_GAP_MIN = 30
     "events_session_funnel",
     oracle=f"""
     WITH marked AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_id, event_type,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id)
                   > {SESSION_GAP_MIN} * 60 * 1000000
@@ -350,7 +350,7 @@ SESSION_GAP_MIN = 30
     ),
     sess AS (
       SELECT user_id, ts, event_type,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked
     ),

@@ -379,6 +379,12 @@ class CepPattern:
                         f"rel_guards {role} step cannot be optional (a "
                         "skipped slot has no value)"
                     )
+                if j - 1 in self.optional_steps:
+                    raise ValueError(
+                        f"rel_guards {role} step cannot follow an optional "
+                        "step (the pair compilation owns both slots, so the "
+                        "batch chain could not apply the guard)"
+                    )
                 if self.one_or_more is not None and j == self.one_or_more:
                     raise ValueError(
                         f"rel_guards {role} step cannot be the Kleene step "

@@ -59,31 +59,6 @@ def _sorted_concat(pdfs: Iterator[pd.DataFrame], by: list[str]) -> pd.DataFrame:
     return pdf.sort_values(by, ignore_index=True)
 
 
-def _drop_late(pdf: pd.DataFrame, state: GroupState, tz: str = "UTC") -> pd.DataFrame:
-    """Drop below-watermark rows before they touch arrival-order state
-    (VERDICT r06 #4): an event whose timestamp the watermark has already
-    passed would be counted in ARRIVAL position, silently diverging from
-    the batch shadow's event-time order. Gating on the watermark makes
-    the contract exact: streaming result == batch shadow over the
-    non-late rows — the same late_drop semantics as the windowed ops.
-
-    ``tz`` must be the SESSION timezone: Arrow delivers ``pdf['ts']``
-    as session-local NAIVE timestamps, while the watermark is epoch
-    milliseconds — the cutoff is rendered into the same local-naive
-    frame before comparing, so the gate is correct under any session
-    timezone (the wrappers capture it at plan-build time)."""
-    try:
-        wm_ms = state.getCurrentWatermarkMs()
-    except Exception:  # noqa: BLE001 — test double without a watermark
-        wm_ms = 0
-    if wm_ms:
-        cutoff = (
-            pd.Timestamp(wm_ms, unit="ms", tz="UTC").tz_convert(tz).tz_localize(None)
-        )
-        pdf = pdf[pdf["ts"] >= cutoff]
-    return pdf
-
-
 # ---------------------------------------------------------------------------
 # stateful_running_agg — [F] KeyedProcessFunction + ValueState
 # ---------------------------------------------------------------------------
@@ -369,8 +344,18 @@ def _wm_cutoff_ns(state: GroupState, tz: str) -> int | None:
 
 
 def _local_ns_to_epoch_ms(ns: int, tz: str) -> int:
-    """Session-local naive ns → epoch ms (for event-time timers)."""
-    return pd.Timestamp(ns).tz_localize(tz).value // 1_000_000
+    """Session-local naive ns → epoch ms (for event-time timers).
+    DST-safe for non-UTC session timezones: an ambiguous fall-back
+    wall time resolves to the earlier instant and a nonexistent
+    spring-forward time shifts forward — a timer may fire a step
+    early, never crash (the session factory pins UTC, where both
+    branches are no-ops)."""
+    return (
+        pd.Timestamp(ns)
+        .tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
+        .value
+        // 1_000_000
+    )
 
 
 def _reorder_split(buf: list, arrivals: list, cutoff: int | None):
@@ -378,11 +363,18 @@ def _reorder_split(buf: list, arrivals: list, cutoff: int | None):
     leading (ts_ns, ...) key, and split at the watermark: rows the
     watermark has passed are READY to fold in event-time order; the
     rest stay HELD (the watermark-delay reorder buffer, VERDICT r07
-    #7). With no watermark yet, everything holds."""
+    #7). With no watermark yet, everything holds.
+
+    The release bound is STRICT (ts < cutoff): a row exactly at the
+    watermark is not yet safe to fold, because an equal-timestamp
+    sibling is still admissible ("late" means ts < watermark) and
+    could arrive in a later micro-batch — folding the first row early
+    would break the (ts, event_id) order for the pair. Boundary rows
+    drain as soon as the watermark moves past them."""
     buf = sorted(buf + arrivals)
     k = 0
     if cutoff is not None:
-        while k < len(buf) and buf[k][0] <= cutoff:
+        while k < len(buf) and buf[k][0] < cutoff:
             k += 1
     return buf[:k], buf[k:]
 
@@ -395,6 +387,32 @@ def _arm_release_timer(state: GroupState, buf: list, cutoff: int | None, tz: str
     if buf:
         wm_ms = 0 if cutoff is None else _local_ns_to_epoch_ms(cutoff, tz)
         state.setTimeoutTimestamp(max(_local_ns_to_epoch_ms(buf[0][0], tz), wm_ms + 1))
+
+
+_DRAIN_CAST = {"event_id": int, "event_type": str, "value": float}
+
+
+def _drain_arrivals(
+    tz: str, pdfs: Iterator[pd.DataFrame], state: GroupState, cols: tuple = ()
+):
+    """Shared arrival intake for the reorder-buffered processors:
+    returns (arrival tuples ``(ts_ns, *cols)``, watermark cutoff).
+    Below-watermark arrivals (ts < cutoff — Spark's own lateness
+    definition) are dropped here; ordering is _reorder_split's job, so
+    the frame is NOT pre-sorted (one sort per batch, not two)."""
+    cutoff = _wm_cutoff_ns(state, tz)
+    if state.hasTimedOut:
+        return [], cutoff
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    ts = pdf["ts"].astype("int64")
+    if cutoff is not None:
+        keep = ts >= cutoff
+        pdf, ts = pdf[keep], ts[keep]
+    series = [ts] + [pdf[c] for c in cols]
+    casts = [int] + [_DRAIN_CAST[c] for c in cols]
+    return [
+        tuple(f(x) for f, x in zip(casts, row)) for row in zip(*series)
+    ], cutoff
 
 
 def _markov(
@@ -420,22 +438,7 @@ def _markov(
         buf = list(zip(bts, beid, bet))
     else:
         prev, buf = None, []
-    cutoff = _wm_cutoff_ns(state, tz)
-
-    arrivals: list = []
-    if not state.hasTimedOut:
-        pdf = _sorted_concat(pdfs, ["ts", "event_id"])
-        if cutoff is not None:
-            # below-watermark arrivals are genuinely late: dropped, as
-            # in every watermarked op (the buffer only reorders rows
-            # the watermark has NOT yet passed)
-            pdf = pdf[pdf["ts"].astype("int64") >= cutoff]
-        arrivals = [
-            (int(t), int(e), str(et))
-            for t, e, et in zip(
-                pdf["ts"].astype("int64"), pdf["event_id"], pdf["event_type"]
-            )
-        ]
+    arrivals, cutoff = _drain_arrivals(tz, pdfs, state, ("event_id", "event_type"))
     ready, buf = _reorder_split(buf, arrivals, cutoff)
 
     pairs: dict = {}
@@ -532,15 +535,7 @@ def _burst(
         secs, cnts, max_burst = list(state.get[0]), list(state.get[1]), state.get[2]
         buf = [(int(t),) for t in state.get[3]]
     counts = dict(zip(secs, cnts))
-    cutoff = _wm_cutoff_ns(state, tz)
-
-    arrivals: list = []
-    if not state.hasTimedOut:
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        arrivals = [(int(t),) for t in pdf["ts"].astype("int64")]
-        if cutoff is not None:
-            # below-watermark arrivals are genuinely late: dropped
-            arrivals = [t for t in arrivals if t[0] >= cutoff]
+    arrivals, cutoff = _drain_arrivals(tz, pdfs, state)
     ready, buf = _reorder_split(buf, arrivals, cutoff)
 
     if not ready and not buf and not state.exists:
@@ -632,18 +627,7 @@ def _ewma(
         buf = list(zip(bts, beid, bval))
     else:
         cur, n, buf = None, 0, []
-    cutoff = _wm_cutoff_ns(state, tz)
-    arrivals: list = []
-    if not state.hasTimedOut:
-        pdf = _sorted_concat(pdfs, ["ts", "event_id"])
-        if cutoff is not None:
-            pdf = pdf[pdf["ts"].astype("int64") >= cutoff]  # true late rows drop
-        arrivals = [
-            (int(t), int(e), float(v))
-            for t, e, v in zip(
-                pdf["ts"].astype("int64"), pdf["event_id"], pdf["value"]
-            )
-        ]
+    arrivals, cutoff = _drain_arrivals(tz, pdfs, state, ("event_id", "value"))
     ready, buf = _reorder_split(buf, arrivals, cutoff)
 
     for _, _, v in ready:
@@ -714,18 +698,7 @@ def _autocorr(
     else:
         prev, n, sx, sy, sxy, sxx, syy = None, 0, 0.0, 0.0, 0.0, 0.0, 0.0
         buf = []
-    cutoff = _wm_cutoff_ns(state, tz)
-    arrivals: list = []
-    if not state.hasTimedOut:
-        pdf = _sorted_concat(pdfs, ["ts", "event_id"])
-        if cutoff is not None:
-            pdf = pdf[pdf["ts"].astype("int64") >= cutoff]  # true late rows drop
-        arrivals = [
-            (int(t), int(e), float(v))
-            for t, e, v in zip(
-                pdf["ts"].astype("int64"), pdf["event_id"], pdf["value"]
-            )
-        ]
+    arrivals, cutoff = _drain_arrivals(tz, pdfs, state, ("event_id", "value"))
     ready, buf = _reorder_split(buf, arrivals, cutoff)
     if not ready:
         # nothing folded: moments unchanged, update mode emits nothing
@@ -815,18 +788,7 @@ def _session_funnel(
         sess = None if start < 0 else [start, last, fv, fc, fp]
     else:
         sess, buf = None, []
-    cutoff = _wm_cutoff_ns(state, tz)
-    arrivals: list = []
-    if not state.hasTimedOut:
-        pdf = _sorted_concat(pdfs, ["ts", "event_id"])
-        if cutoff is not None:
-            pdf = pdf[pdf["ts"].astype("int64") >= cutoff]  # true late rows drop
-        arrivals = [
-            (int(t), int(e), str(et))
-            for t, e, et in zip(
-                pdf["ts"].astype("int64"), pdf["event_id"], pdf["event_type"]
-            )
-        ]
+    arrivals, cutoff = _drain_arrivals(tz, pdfs, state, ("event_id", "event_type"))
     ready, buf = _reorder_split(buf, arrivals, cutoff)
 
     out: list[dict] = []

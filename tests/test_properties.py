@@ -2675,3 +2675,29 @@ def test_cep_any_match_validation():
         from hello_flink_spark.streaming.cep import oracle_sql_timeouts
 
         oracle_sql_timeouts(p)
+
+
+def test_cep_rel_guard_rejects_optional_successor():
+    """Round-8 self-review regression: a rel_guard ON or REFERENCING
+    the mandatory successor of an optional pair must be rejected — the
+    pair compilation owns both slots, so the batch chain would
+    silently skip the guard (or crash on the missing value column)
+    while the NFA applied it."""
+    import pytest
+
+    from hello_flink_spark.streaming.cep import CepPattern
+
+    with pytest.raises(ValueError, match="follow an optional"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            optional_steps=(1,),
+            rel_guards=(None, None, (0, 2.0)),
+        )
+    with pytest.raises(ValueError, match="follow an optional"):
+        CepPattern(
+            steps=("a", "b", "c", "d"),
+            within_minutes=1,
+            optional_steps=(1,),
+            rel_guards=(None, None, None, (2, 2.0)),
+        )
