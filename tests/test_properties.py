@@ -2701,3 +2701,51 @@ def test_cep_rel_guard_rejects_optional_successor():
             optional_steps=(1,),
             rel_guards=(None, None, None, (2, 2.0)),
         )
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 10_000)),  # (ts, id)
+        min_size=1,
+        max_size=40,
+    ),
+    cuts=st.lists(st.integers(0, 39), max_size=5),
+    delay=st.integers(1, 10),
+)
+@SETTINGS
+def test_reorder_split_folds_in_event_time_order_any_batching(events, cuts, delay):
+    """The reorder buffer's core contract, pinned at the unit level
+    (round-8 self-review found the <= boundary bug the goldens missed):
+    under ANY partition of arrivals into micro-batches and the
+    standard watermark advance (max seen ts - delay), the folded
+    sequence (1) is exactly the globally-sorted (ts, id) order of the
+    non-late arrivals, and (2) never folds a row while an
+    equal-timestamp sibling could still legally arrive — i.e. every
+    fold happens strictly below the watermark that released it."""
+    from hello_flink_spark.streaming.stateful import _reorder_split
+
+    events = [(t, i) for i, (t, _) in enumerate(events)]  # unique ids
+    bounds = sorted({c for c in cuts if c < len(events)} | {0, len(events)})
+    batches = [events[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+
+    folded, buf, kept = [], [], []
+    wm = None
+    seen_max = None
+    for batch in batches:
+        cutoff = wm
+        arrivals = [e for e in batch if cutoff is None or e[0] >= cutoff]
+        kept.extend(arrivals)
+        ready, buf = _reorder_split(buf, arrivals, cutoff)
+        for e in ready:
+            assert cutoff is not None and e[0] < cutoff, (
+                f"folded {e} at or above the watermark {cutoff}"
+            )
+        folded.extend(ready)
+        for t, _ in batch:
+            seen_max = t if seen_max is None else max(seen_max, t)
+        wm = seen_max - delay
+    # end-of-stream flush (MAX_WATERMARK)
+    ready, buf = _reorder_split(buf, [], max(t for t, _ in events) + delay + 1)
+    folded.extend(ready)
+    assert not buf
+    assert folded == sorted(kept), "fold order diverged from event-time order"
