@@ -1,14 +1,20 @@
 """Round-8 declared queries (SURVEY §2.18).
 
-This round adds the last two join-expressible tiers of the Flink CEP
-pattern API (VERDICT r07 "Next round" #4/#5): [F]
-``IterativeCondition`` — a per-step predicate over previously-accepted
-events, compiled as a carried value column + one extra join predicate
-— and [F] ``Pattern#followedByAny`` — any-match (not first-match)
-promotion, compiled as the band join WITHOUT the MIN collapse. Both
-are oracle-verified here and golden-twinned against the streaming NFA
-in tests/test_streaming.py, with the hypothesis reference-model suite
-extended first (tests/test_properties.py) per the r07 discipline.
+Batch 1 — the last two join-expressible tiers of the Flink CEP
+pattern API (VERDICT r07 #4/#5): [F] ``IterativeCondition`` (a
+per-step predicate over previously-accepted events, compiled as a
+carried value column + one extra join predicate) and [F]
+``Pattern#followedByAny`` (any-match promotion, the band join WITHOUT
+the MIN collapse). Both oracle-verified here and golden-twinned
+against the streaming NFA in tests/test_streaming.py, with the
+hypothesis reference-model suite extended first per the r07
+discipline. Plus the IVFADC composition (VERDICT r07 #8).
+
+Batch 2/3 — training-pipeline analytics: Bloom membership pre-filter
+(sketch-family completion), co-purchase degree distribution,
+session-scoped funnel conversion (with a keyed-state streaming twin
+in streaming/stateful.py), deterministic hash sampling, and the
+binned-PSI drift gate.
 """
 
 from __future__ import annotations
