@@ -87,3 +87,30 @@ def test_rows_only_runs(spark, sf_dir, name):
     df = SPECS[name].fn(spark, sf_dir)
     assert df.columns, f"{name}: empty schema"
     df.collect()  # must not raise
+
+
+def test_cep_rel_guard_timeout_chain_matches_oracle(spark, sf_dir, duck):
+    """The rel-guard pattern's TIMEOUT side-output chain (LEFT joins
+    with the carried value column and NULL-propagating MIN_BY) must
+    match its generated oracle — the left-chain value-carry path has
+    no declared query of its own, so pin it here."""
+    import pandas as pd
+
+    from hello_flink_spark.sources.readers import load_table
+    from hello_flink_spark.streaming.cep import (
+        RELGUARD3,
+        compile_batch_timeouts,
+        oracle_sql_timeouts,
+    )
+
+    sp = compile_batch_timeouts(
+        RELGUARD3, load_table(spark, sf_dir, "events")
+    ).toPandas()
+    dp = duck.execute(oracle_sql_timeouts(RELGUARD3)).df()
+    cols = sorted(sp.columns)
+    assert sorted(dp.columns) == cols
+    s = sp[cols].sort_values(cols).reset_index(drop=True)
+    d = dp[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        d[c] = d[c].astype(s[c].dtype)
+    assert len(s) and s.equals(d)
