@@ -2161,3 +2161,43 @@ def test_stateful_session_funnel_equals_batch_shadow(spark, sf_dir, ooo_flush_re
     want = get_spec("events_session_funnel").fn(spark, sf_dir).collect()[0].asDict()
     assert info["n_deferred"] > 0
     assert got == want, f"{got} != {want}"
+
+
+def test_cep_rel_guard_timeout_side_output(spark, sf_dir, replay_dir):
+    """Timeout side-output × IterativeCondition: the NFA's timeout
+    rows carry the partial's accepted ANCHOR VALUE from the state's
+    value segment — matched rows must equal the batch timeout chain's
+    matched rows exactly (value column included), and timeout rows
+    must be a subset of the batch chain's unmatched rows with the
+    same carried value."""
+    from hello_flink_spark.streaming.cep import (
+        RELGUARD3,
+        compile_batch_timeouts,
+        compile_stream_timeouts,
+    )
+
+    run_to_memory(
+        compile_stream_timeouts(RELGUARD3, _stream(spark, replay_dir)),
+        "t_cep_rg_to",
+        "append",
+    )
+    import pandas as pd
+
+    got = spark.table("t_cep_rg_to").toPandas()
+    want = compile_batch_timeouts(
+        RELGUARD3, load_table(spark, sf_dir, "events")
+    ).toPandas()
+    cols = ["user_id", "view_id", "view_ts", "view_value", "click_ts", "purchase_ts"]
+
+    def keyset(pdf):
+        return {
+            tuple(None if pd.isna(v) else v for v in row)
+            for row in pdf[cols].itertuples(index=False)
+        }
+
+    got_m, got_t = got[got["matched"]], got[~got["matched"]]
+    want_m, want_t = want[want["matched"]], want[~want["matched"]]
+    assert keyset(got_m) == keyset(want_m)
+    assert keyset(got_t) <= keyset(want_t)
+    assert len(got_m), "no matched rows emitted"
+    assert len(got_t), "no timeout rows emitted"
