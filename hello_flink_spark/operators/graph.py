@@ -132,3 +132,21 @@ def connected_components(
             "node", F.coalesce(F.col("lbl"), F.col("node")).alias("label")
         )
     )
+
+
+def copurchase_edges(lineitem: DataFrame, min_cooccur: int = 2) -> DataFrame:
+    """Part co-purchase edge set: undirected (pa < pb) pairs of parts
+    sharing >= ``min_cooccur`` orders. The one edge definition shared
+    by graph_triangle_count, graph_degree_stats and their oracles —
+    a co-occurrence self-join on l_orderkey (the only data-scale
+    shuffle) reduced by a keyed count."""
+    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cooccur"))
+        .filter(F.col("cooccur") >= min_cooccur)
+        .select("pa", "pb")
+    )

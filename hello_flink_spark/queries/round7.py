@@ -258,17 +258,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation-invariant total with the simple ID-ordered 3-way join
     (fine at fixture scale, hub-quadratic at 100 TB — which is exactly
     why the Spark plan orients by degree)."""
+    from hello_flink_spark.operators.graph import copurchase_edges
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("cooccur"))
-        .filter(F.col("cooccur") >= TRIANGLE_MIN_COOCCUR)
-        .select("pa", "pb")
-    )
+    edges = copurchase_edges(li, TRIANGLE_MIN_COOCCUR)
     deg = (
         edges.select(F.explode(F.array("pa", "pb")).alias("v"))
         .groupBy("v")

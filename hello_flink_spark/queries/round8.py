@@ -317,17 +317,10 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey), one explode + keyed count for degrees, one hash agg
     for the histogram — each stage partial-aggregated map-side; no
     step is quadratic in any vertex's degree."""
+    from hello_flink_spark.operators.graph import copurchase_edges
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("cooccur"))
-        .filter(F.col("cooccur") >= 2)
-        .select("pa", "pb")
-    )
+    edges = copurchase_edges(li, 2)
     deg = (
         edges.select(F.explode(F.array("pa", "pb")).alias("v"))
         .groupBy("v")
