@@ -493,11 +493,16 @@ PSI_LO, PSI_HI = 0.0, 500.0  # fixture value range; clamp outliers to edge bins
              LEAST(GREATEST(CAST(FLOOR((value - {PSI_LO}) / (({PSI_HI} - {PSI_LO}) / {PSI_BINS})) AS BIGINT), 0), {PSI_BINS - 1}) AS bin
       FROM events WHERE event_type IN ('view', 'purchase')
     ),
-    counts AS (
+    raw_counts AS (
       SELECT bin,
              SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
              SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
       FROM binned GROUP BY bin
+    ),
+    allbins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, {PSI_BINS})),
+    counts AS (
+      SELECT b.bin, COALESCE(rc.ca, 0) AS ca, COALESCE(rc.cb, 0) AS cb
+      FROM allbins b LEFT JOIN raw_counts rc ON rc.bin = b.bin
     ),
     tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts),
     ratios AS (
@@ -522,7 +527,11 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, counts are ONE hash aggregate over {PSI_BINS} bins
     (constant-size result at any corpus scale), and the Laplace
     +0.5 smoothing keeps empty bins finite in both engines
-    identically."""
+    identically. ALL {PSI_BINS} bins enter the sum (a 10-row range
+    frame left-joined to the counts, ADVICE r08): a bin empty in
+    BOTH distributions still contributes its smoothed term whenever
+    n_view != n_purchase, matching the textbook all-bins
+    definition — omitting it would understate PSI."""
     e = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
@@ -536,9 +545,18 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(PSI_BINS - 1),
         ).alias("bin"),
     )
-    counts = binned.groupBy("bin").agg(
+    raw_counts = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("cb"),
+    )
+    # all-bins completion (ADVICE r08): a {PSI_BINS}-row range frame —
+    # constant-size, AQE broadcasts it — so fully-empty bins keep their
+    # smoothed contribution
+    allbins = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    counts = allbins.join(raw_counts, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
     )
     tot = counts.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")

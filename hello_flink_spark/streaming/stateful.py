@@ -446,6 +446,13 @@ def _markov(
         if prev is not None:
             pairs[(prev, nxt)] = pairs.get((prev, nxt), 0) + 1
         prev = nxt
+    if prev is None and not buf and not state.exists:
+        # a first-seen key whose every arrival fell below the watermark:
+        # writing state here would create a permanent ('', [], [], [])
+        # entry with no timer and no removal path (ADVICE r08) — mirror
+        # _burst's early return instead
+        yield pd.DataFrame([])
+        return
     state.update(
         (
             prev or "",
