@@ -1,0 +1,216 @@
+"""Round-9 declared queries (SURVEY §2.19).
+
+Batch 1 — multimodal pillar extension (VERDICT r08 "Next round" #1):
+perceptual-hash image near-duplicate detection over REAL decoded PNG
+pixels. The pillar's third op: a training pipeline dedups images as
+surely as it dedups text, and the repo already owns the stdlib PNG
+codec (operators/png_codec.py) and the hamming-band candidate
+pattern (queries/llm.py::dedup_simhash) — this op composes the two.
+
+Batch 2 — the production corpus-refresh shape (VERDICT r08 #7):
+cross-snapshot incremental dedup against a persisted bucketed
+fingerprint index.
+
+Batch 3 — CEP OR-combinator ([F] ``Pattern#where(...).or(...)`` /
+subtype conditions, VERDICT r08 #3): a step admitting a SET of event
+types, join-expressible via the ``isin`` stage filter.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hello_flink_spark.registry import register
+from hello_flink_spark.sources.readers import load_table as t
+
+# ---------------------------------------------------------------------------
+# multimodal_dedup_phash — perceptual (block-mean / average) hash near-dup
+# ---------------------------------------------------------------------------
+
+# Synthetic image-corpus closed form: every document carries a 16x16
+# 8-bit grayscale PNG whose content is a per-group 8x8 BLOCK pattern
+# (each block uniformly 0 or 255) plus at most ONE flipped block per
+# variant — so near-duplicate structure is present BY CONSTRUCTION
+# (same-group images differ in <= 2 hash bits; cross-group images
+# differ in >= 22, verified offline over all (group, variant) pairs),
+# and the perceptual hash of every image has a closed-form SQL oracle.
+PHASH_GROUPS = 23       # pattern groups (near-dup clusters)
+PHASH_VARIANTS = 9      # variants per group: v=0 pristine, else 1 flipped block
+PHASH_MULT = 1103515245  # pattern-bit mixing constants: bit(g, b) =
+PHASH_MOD = 101          #   ((g+1)*(b+3)*MULT) % MOD < THRESH
+PHASH_THRESH = 42        # density ~0.42 -> popcount 20..33 of 64 (never 0/64)
+PHASH_IMG = 16          # image is 16x16 px; hash blocks are 2x2 -> 8x8 = 64 bits
+PHASH_HAMMING_MAX = 2   # near-dup verify threshold (intra-group max is 2)
+PHASH_BANDS = 4         # 4 x 16-bit bands: hamming <= 2 leaves >= 2 bands
+                        # intact, so banding is COMPLETE by pigeonhole
+
+
+def _phash_pixel(doc_id: int, x: int, y: int) -> int:
+    """Closed-form pixel value (0 or 255) — the single source of truth
+    shared by the PNG encode stage and (transcribed) the SQL oracle."""
+    g = doc_id % PHASH_GROUPS
+    v = (doc_id // PHASH_GROUPS) % PHASH_VARIANTS
+    b = (y // 2) * 8 + (x // 2)
+    pattern = ((g + 1) * (b + 3) * PHASH_MULT) % PHASH_MOD < PHASH_THRESH
+    flipped = v != 0 and b == (v * 17 + g) % 64
+    return 255 if pattern != flipped else 0
+
+
+def _phash_png_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched ENCODE stage: a REAL 16x16 grayscale PNG per
+    document (signature, CRC'd chunks, zlib IDAT — operators/
+    png_codec.py), standing in for the binary image column."""
+    from hello_flink_spark.operators.png_codec import encode_png_gray
+
+    for pdf in batches:
+        payloads = [
+            encode_png_gray(
+                PHASH_IMG,
+                PHASH_IMG,
+                lambda x, y, d=int(d): _phash_pixel(d, x, y),
+                # non-zero scanline filter so decode genuinely unfilters
+                filter_type=int(d) % 3,
+            )
+            for d in pdf["doc_id"]
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _phash_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched DECODE + HASH stage: parse/CRC-verify/inflate/
+    unfilter each payload with the stdlib codec, then compute the
+    GENERIC block-mean perceptual hash (Zauner's average-hash family:
+    bit b = mean of 2x2 block b > global pixel mean) — no knowledge of
+    the closed form, so a decoder or hash bug fails the driver gate.
+    Packed little-endian by block index into ONE int64 (two's
+    complement wrap, matching the oracle's HUGEINT fold)."""
+    import numpy as np
+
+    from hello_flink_spark.operators.png_codec import decode_png_gray
+
+    n = PHASH_IMG // 2
+    for pdf in batches:
+        rows = []
+        for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = decode_png_gray(bytes(blob))
+            a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w)
+            bm = a.reshape(n, 2, n, 2).mean(axis=(1, 3))  # 8x8 block means
+            bits = (bm > a.mean()).flatten()  # b = by*8 + bx
+            hsh = sum(1 << b for b in range(64) if bits[b])
+            if hsh >= 1 << 63:
+                hsh -= 1 << 64
+            rows.append({"doc_id": int(d), "phash": hsh})
+        yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+
+# The oracle recomputes the hash from the closed-form PIXELS (doc x
+# 256 pixel rows -> block means -> global mean -> bit pack), NOT from
+# the pattern bits directly — so it independently exercises the whole
+# mean-comparison pipeline, then takes the textbook all-pairs
+# definition of the near-dup representative (fixture corpus is small;
+# the Spark side must reach the same rows through banding).
+_PHASH_ORACLE = f"""
+WITH xs AS (SELECT CAST(range AS BIGINT) AS x FROM range(0, {PHASH_IMG})),
+ys AS (SELECT CAST(range AS BIGINT) AS y FROM range(0, {PHASH_IMG})),
+px AS (
+  SELECT d.doc_id,
+         (ys.y // 2) * 8 + (xs.x // 2) AS b,
+         CASE WHEN (
+             ((d.doc_id % {PHASH_GROUPS} + 1) * ((ys.y // 2) * 8 + (xs.x // 2) + 3)
+              * {PHASH_MULT}) % {PHASH_MOD} < {PHASH_THRESH}
+           ) != (
+             (d.doc_id // {PHASH_GROUPS}) % {PHASH_VARIANTS} != 0
+             AND (ys.y // 2) * 8 + (xs.x // 2) =
+                 (((d.doc_id // {PHASH_GROUPS}) % {PHASH_VARIANTS}) * 17
+                  + d.doc_id % {PHASH_GROUPS}) % 64
+           ) THEN 255 ELSE 0 END AS pv
+  FROM documents d, xs, ys
+),
+gm AS (SELECT doc_id, AVG(pv) AS m FROM px GROUP BY doc_id),
+blocks AS (SELECT doc_id, b, AVG(pv) AS bm FROM px GROUP BY doc_id, b),
+hashes AS (
+  SELECT doc_id,
+         CAST(CASE WHEN s >= 9223372036854775808
+                   THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS phash
+  FROM (
+    SELECT blocks.doc_id,
+           SUM(CASE WHEN bm > m THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
+               * (CAST(1 AS HUGEINT) << CAST(b AS INTEGER))) AS s
+    FROM blocks JOIN gm ON gm.doc_id = blocks.doc_id
+    GROUP BY blocks.doc_id
+  )
+),
+nbrs AS (
+  SELECT a.doc_id, MIN(o.doc_id) AS mn
+  FROM hashes a JOIN hashes o
+    ON o.doc_id != a.doc_id
+   AND bit_count(xor(a.phash, o.phash)) <= {PHASH_HAMMING_MAX}
+  GROUP BY a.doc_id
+)
+SELECT h.doc_id, h.phash,
+       CAST(LEAST(COALESCE(n.mn, h.doc_id), h.doc_id) AS BIGINT) AS keep_doc_id
+FROM hashes h LEFT JOIN nbrs n ON n.doc_id = h.doc_id
+"""
+
+
+@register("multimodal_dedup_phash", oracle=_PHASH_ORACLE)
+def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection by perceptual hash (VERDICT r08
+    "Next round" #1 — the multimodal pillar's dedup tier): every
+    document's PNG payload is decoded for real (CRC, inflate,
+    unfilter — operators/png_codec.py) inside Arrow ``mapInPandas``,
+    hashed with the generic block-mean perceptual hash (average-hash
+    family: 8x8 block means vs the global mean, 64 bits), and
+    near-dups are found EXACTLY like ``dedup_simhash`` finds text
+    near-dups: 4x16-bit hamming-band candidate generation (pigeonhole:
+    hamming <= 2 pairs keep >= 2 bands intact, so banding is complete
+    — no all-pairs anywhere), then the exact ``bit_count(XOR)`` verify
+    on survivors. Output is the LINEAR-size per-image representative
+    (keep_doc_id = min doc_id over the verified neighborhood,
+    including self), not the quadratic pair list — the form a corpus
+    dedup job actually materializes.
+
+    Scale shape: decode/hash is embarrassingly parallel per input
+    partition; candidates shuffle once on (band_idx, band_val) —
+    bucket sizes are bounded by true-near-dup density plus the 16-bit
+    band collision rate, the same bound dedup_simhash carries; MIN
+    aggregation is idempotent, so duplicate candidates from multiple
+    shared bands need no DISTINCT pass. The oracle recomputes the
+    hash per-PIXEL from the closed form and takes the all-pairs
+    textbook neighborhoods, so a decoder, hash, or banding-
+    completeness bug all fail the driver hash gate."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    payload = d.mapInPandas(_phash_png_encode, schema="doc_id long, payload binary")
+    hashes = payload.mapInPandas(_phash_decode, schema="doc_id long, phash long")
+    banded = hashes.withColumn(
+        "band_idx", F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1)))
+    ).withColumn(
+        "band_val",
+        F.expr("shiftrightunsigned(phash, CAST(band_idx * 16 AS INT)) & 65535"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    nbrs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+            <= PHASH_HAMMING_MAX
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("b.doc_id")).alias("mn"))
+    )
+    return hashes.join(nbrs, "doc_id", "left").select(
+        "doc_id",
+        "phash",
+        F.least(
+            F.coalesce(F.col("mn"), F.col("doc_id")), F.col("doc_id")
+        ).alias("keep_doc_id"),
+    )

@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "hello_flink_spark.queries.round6b",
     "hello_flink_spark.queries.round7",
     "hello_flink_spark.queries.round8",
+    "hello_flink_spark.queries.round9",
 ]
 
 

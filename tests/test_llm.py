@@ -711,3 +711,98 @@ def test_bloom_prefilter_no_false_negatives_and_fpr(spark, sf_dir_mid):
     fps = len(got - members)
     assert fps / non_members <= 0.05, f"Bloom FPR too high: {fps}/{non_members}"
     assert (flagged["is_member"] == flagged["doc_id"].isin(members).astype(int)).all()
+
+
+# ---------------------------------------------------------------------------
+# multimodal_dedup_phash (queries/round9.py — perceptual-hash image near-dup)
+# ---------------------------------------------------------------------------
+
+
+def test_phash_banding_pigeonhole():
+    """Banding completeness: any two 64-bit hashes within hamming <= 2
+    share at least 2 of the 4 16-bit bands — candidate generation can
+    never miss a true near-dup pair (the guarantee the Spark plan's
+    band join relies on instead of all-pairs)."""
+    import random
+
+    from hello_flink_spark.queries.round9 import PHASH_HAMMING_MAX
+
+    rng = random.Random(11)
+    for _ in range(500):
+        h1 = rng.getrandbits(64)
+        h2 = h1
+        for _ in range(rng.randint(0, PHASH_HAMMING_MAX)):
+            h2 ^= 1 << rng.randrange(64)
+        equal_bands = sum(
+            (h1 >> (16 * k)) & 0xFFFF == (h2 >> (16 * k)) & 0xFFFF for k in range(4)
+        )
+        assert equal_bands >= 2
+
+
+def test_phash_decode_is_generic_block_mean_hash():
+    """The decode stage must compute the GENERIC average hash from the
+    decoded pixels, not echo the fixture's closed form: hand-built
+    images with known block patterns (including bit 63, to pin the
+    two's-complement int64 wrap) must hash to the exact expected
+    integer."""
+    import pandas as pd
+
+    from hello_flink_spark.operators.png_codec import encode_png_gray
+    from hello_flink_spark.queries.round9 import _phash_decode
+
+    cases = {
+        1: {0, 9, 27},          # small positive hash
+        2: {63, 5},             # sign bit set -> negative int64
+        3: {b for b in range(64) if b % 3 == 0},  # denser pattern
+    }
+
+    def pix(doc, x, y):
+        return 255 if (y // 2) * 8 + (x // 2) in cases[doc] else 0
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(cases),
+            "payload": [
+                encode_png_gray(16, 16, lambda x, y, d=d: pix(d, x, y))
+                for d in cases
+            ],
+        }
+    )
+    out = pd.concat(list(_phash_decode(iter([pdf]))))
+    got = dict(zip(out["doc_id"], out["phash"]))
+    for d, on in cases.items():
+        expect = sum(1 << b for b in on)
+        if expect >= 1 << 63:
+            expect -= 1 << 64
+        assert got[d] == expect, f"doc {d}: {got[d]} != {expect}"
+
+
+def test_phash_fixture_separation():
+    """Fixture closed-form invariant the near-dup thresholds rest on:
+    same-group images differ by <= PHASH_HAMMING_MAX bits, cross-group
+    images by far more — measured over REAL encode->decode->hash, no
+    Spark needed (mapInPandas stages are plain generators)."""
+    import itertools
+
+    import pandas as pd
+
+    from hello_flink_spark.queries.round9 import (
+        PHASH_GROUPS,
+        PHASH_HAMMING_MAX,
+        _phash_decode,
+        _phash_png_encode,
+    )
+
+    ids = list(range(3 * PHASH_GROUPS))  # three variants of every group
+    pdf = pd.DataFrame({"doc_id": ids})
+    payload = pd.concat(list(_phash_png_encode(iter([pdf]))))
+    out = pd.concat(list(_phash_decode(iter([payload]))))
+    hashes = dict(zip(out["doc_id"], out["phash"]))
+    cross_min = 64
+    for a, b in itertools.combinations(ids, 2):
+        d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        if a % PHASH_GROUPS == b % PHASH_GROUPS:
+            assert d <= PHASH_HAMMING_MAX, f"intra-group pair ({a},{b}) at {d}"
+        else:
+            cross_min = min(cross_min, d)
+    assert cross_min > 3 * PHASH_HAMMING_MAX, cross_min
