@@ -439,7 +439,12 @@ def sim_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_C = 16      # centroid count (deterministic: first C vectors)
+IVF_C = 16      # centroid count (deterministic: first C vectors).
+                # FIXTURE-SIZED: at 100 TB the coarse codebook scales
+                # C ~ sqrt(N) (~1/C of the corpus per inverted list,
+                # still broadcastable) — C=16 here keeps the oracle
+                # closed-form, not because 16 lists would ever bound
+                # a production bucket join.
 IVF_NPROBE = 2  # centroid buckets probed per query
 IVF_COS_SQL = (
     "ROUND(list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"

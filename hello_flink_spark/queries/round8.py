@@ -109,9 +109,22 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
        id tiebreak, the sim_knn determinism rule).
 
     At 100 TB the bucket join is the only data-scale shuffle; every
-    other operand is constant-size and broadcast. R-tier: recall@5 vs
-    the exact scan + an exact numpy ADC replay are pinned in
-    tests/test_llm.py."""
+    other operand is constant-size and broadcast — but IVF_C = 16 and
+    NPROBE = 2 are FIXTURE constants (llm.py): at scale the coarse
+    codebook grows C ~ sqrt(N) (the Jégou-recommended balance point,
+    ~1/C of the corpus per inverted list) or the bucket equi-join
+    degenerates to N/16-row partitions; C stays k-means-trainable and
+    broadcastable far past 100 TB (1 M x 64 doubles = 512 MB would be
+    the extreme; 64k centroids = 32 MB is typical). Resolution note:
+    this op ADC-scores RAW-vector PQ codes, so ranking resolution is
+    bounded by the codebook — the full IVFADC variant would encode
+    RESIDUALS (x - coarse centroid), which resolves within-bucket
+    structure finer than the subspace codebooks. R-tier, pinned in
+    tests/test_llm.py: exact numpy ADC replay; recall@5 >= 0.30 on the
+    random-vector fixture (distance-concentration worst case); and
+    recall@5 >= 0.8 (measured 1.0) end-to-end on the clustered
+    product-of-modes blob fixture, the regime PQ's product codebook
+    models exactly."""
     from hello_flink_spark.queries.llm import (
         IVF_NPROBE,
         PROBE_ID_MAX,
