@@ -214,3 +214,145 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("mn"), F.col("doc_id")), F.col("doc_id")
         ).alias("keep_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental — cross-snapshot dedup against a persisted bucketed
+# fingerprint index (the weekly corpus-refresh shape, VERDICT r08 #7)
+# ---------------------------------------------------------------------------
+
+# Snapshot split (deterministic, id-arithmetic so the oracle mirrors it
+# exactly): the OLD snapshot is doc_id % 3 != 0; the NEW batch arrives
+# as TWO overlapping crawl shards (doc_id % 3 == 0 and doc_id % 7 == 0)
+# — so doc_id % 21 == 0 rows duplicate WITHIN the batch (collapsed by
+# the in-batch dedup) and doc_id % 7 == 0 & % 3 != 0 rows duplicate
+# AGAINST the index (dropped by the anti-join). Both dedup tiers are
+# non-vacuous by construction on the duplicate-free fixture corpus.
+# Bucket count matches spark.sql.shuffle.partitions: co-partitioning
+# with the batch side's aggregation output is what lets the probe join
+# reuse the index layout with ZERO index-side exchange (a bucket count
+# that differs from the join's partitioning forces Spark to reshuffle
+# one side anyway — at scale you pick ONE fan-out and stick to it).
+INCR_BUCKETS = 32
+
+_INCR_ORACLE = """
+WITH old AS (
+  SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id
+  FROM documents WHERE doc_id % 3 != 0 GROUP BY 1
+),
+batch_raw AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+batch AS (
+  SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id FROM batch_raw GROUP BY 1
+),
+surv AS (
+  SELECT b.fp, b.keep_doc_id
+  FROM batch b LEFT JOIN old o ON o.fp = b.fp
+  WHERE o.fp IS NULL
+)
+SELECT fp, CAST(keep_doc_id AS BIGINT) AS keep_doc_id, 'index' AS src FROM old
+UNION ALL
+SELECT fp, CAST(keep_doc_id AS BIGINT) AS keep_doc_id, 'new' AS src FROM surv
+"""
+
+
+def incremental_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+sf) the PERSISTED fingerprint index the
+    incremental dedup probes: md5(text) -> min doc_id over the old
+    snapshot, written as a catalog table BUCKETED AND SORTED by fp —
+    the pre-paid shuffle, so every later batch's anti-join probes it
+    with zero index-side Exchange (the index is the 100 TB side; the
+    weekly batch is the small side that shuffles to match). The
+    buckets are also one sorted file each; the scan only EXPOSES that
+    order under spark.sql.legacy.bucketedTableScan.outputOrdering
+    (session-level choice, tested but not flipped here), otherwise a
+    cheap sorted-run re-sort remains."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl = f"fp_index_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        from hello_flink_spark.operators.scale import write_bucketed
+
+        # in-memory catalog: files outlive metadata — clear stale paths
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, tbl)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        old = (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 != 0)
+            .select(F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("keep_doc_id"))
+        )
+        # repartition by fp into exactly INCR_BUCKETS tasks first:
+        # hashpartitioning(fp, n) is the same murmur3 mapping bucketBy
+        # uses, so every bucket is written by exactly one task -> ONE
+        # sorted file per bucket, which is what lets the scan expose
+        # its sort order and drop the index-side Sort too.
+        write_bucketed(
+            old.repartition(INCR_BUCKETS, "fp"),
+            tbl,
+            "fp",
+            num_buckets=INCR_BUCKETS,
+            sort_by="fp",
+        )
+    return tbl
+
+
+def incremental_merge(index: DataFrame, batch_raw: DataFrame) -> DataFrame:
+    """The incremental-dedup plan proper (factored so the plan test
+    drives it with broadcast disabled): collapse the batch within
+    itself (groupBy fp, keep min doc_id — idempotent under shard
+    overlap), LEFT ANTI the survivors against the index on fp, then
+    emit the merged index with provenance. The anti-join is the only
+    index-side data touch; with the index bucketed by fp at the
+    join's fan-out it is Exchange-free on that side."""
+    batch = (
+        batch_raw.select(F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+    )
+    surv = batch.join(index, "fp", "left_anti")
+    return index.select("fp", "keep_doc_id", F.lit("index").alias("src")).unionAll(
+        surv.select("fp", "keep_doc_id", F.lit("new").alias("src"))
+    )
+
+
+@register("dedup_incremental", oracle=_INCR_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) exact dedup — the production
+    corpus-refresh shape (VERDICT r08 #7): a NEW crawl batch is
+    deduped against the PERSISTED fingerprint index of everything
+    already in the corpus, and the output is the merged next-snapshot
+    index (fp, keep_doc_id, src) a real pipeline would write back
+    bucketed for next week's refresh. Three tiers, each non-vacuous
+    by construction (see the split comment above): (1) within-batch
+    collapse (shards overlap), (2) batch-vs-index anti-join (re-crawl
+    overlap), (3) merge-back union.
+
+    Scale shape: the index — the 100 TB side — is bucketed AND sorted
+    by fp at write time, so the probe anti-join needs NO index-side
+    Exchange ever again (asserted with broadcast disabled in
+    tests/test_scale.py, which also pins the sorted-bucket layout
+    dropping the index Sort under the legacy ordering flag); only the
+    weekly batch shuffles, into INCR_BUCKETS partitions matching the
+    bucketing. The md5 key space
+    is uniform — no skew, no salting needed. The merge-back union is
+    shuffle-free. At fixture scale Catalyst may instead broadcast the
+    small index under AQE — also correct; the bucketed layout is the
+    plan that holds when the index is a million times the batch."""
+    tbl = incremental_index_table(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    batch_raw = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+        .unionAll(d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text"))
+    )
+    return incremental_merge(spark.table(tbl), batch_raw)

@@ -126,3 +126,63 @@ def test_load_table_ntz_scoped_no_session_mutation(spark, sf_dir, tmp_path):
         assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
     finally:
         spark.conf.set("spark.sql.session.timeZone", before)
+
+
+def test_incremental_dedup_index_side_shuffle_free(spark, sf_dir):
+    """dedup_incremental's probe anti-join must be Exchange-free on
+    the INDEX side (the 100 TB side): comparative plan assertion — the
+    bucketed index plan needs exactly one fewer Exchange than an
+    identical plan probing the same index materialized WITHOUT
+    bucketing, and the bucketed scan advertises its layout. Broadcast
+    is disabled so SMJ (the at-scale strategy) is what's compared.
+    (A Sort of the pre-sorted buckets remains: since Spark 3.0 a
+    bucketed scan exposes its sortBy order only under
+    spark.sql.legacy.bucketedTableScan.outputOrdering — a session
+    config a library query must not flip; the index is written one
+    sorted file per bucket, so flipping it is safe and checked in the
+    second half of this test.)"""
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.queries.round9 import (
+        incremental_index_table,
+        incremental_merge,
+    )
+
+    tbl = incremental_index_table(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    batch_raw = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+        .unionAll(d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text"))
+    )
+    flat = spark.table(tbl).localCheckpoint(eager=True)  # same rows, no bucketing
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed = incremental_merge(spark.table(tbl), batch_raw)
+        plain = incremental_merge(flat, batch_raw)
+        bp = bucketed._jdf.queryExecution().executedPlan().toString()
+        pp = plain._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in bp and "LeftAnti" in bp, bp[:1500]
+        assert "Bucketed: true" in bp, bp[:1500]
+        assert bp.count("Exchange") == pp.count("Exchange") - 1, (
+            f"bucketing did not remove the index-side Exchange:\n{bp[:2000]}"
+        )
+        # and the layout is free: identical rows either way
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+        # one sorted file per bucket -> the legacy ordering flag also
+        # drops the index-side Sort (the fully pre-paid layout)
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        sp = (
+            incremental_merge(spark.table(tbl), batch_raw)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert sp.count("Sort ") == bp.count("Sort ") - 1, (
+            f"sorted buckets did not remove the index-side Sort:\n{sp[:2000]}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
