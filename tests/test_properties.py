@@ -2749,3 +2749,218 @@ def test_reorder_split_folds_in_event_time_order_any_batching(events, cuts, dela
     folded.extend(ready)
     assert not buf
     assert folded == sorted(kept), "fold order diverged from event-time order"
+
+
+# ---------------------------------------------------------------------------
+# [F] Pattern#where(cond).or(cond) (or_types): a step admits a SET of
+# event types; every compiled target must treat membership identically
+# ---------------------------------------------------------------------------
+
+
+def _or_types_sim(evs, stepsets, window_s, mins=None):
+    """Independent per-anchor model of the type-set pattern: each
+    anchor-set event opens its own chain; every later stage takes the
+    FIRST event whose type is in the stage's set (and passes its value
+    guard) strictly after the previous stage within the window. Plain
+    nested loops, sharing no code with cep.py."""
+    mins = mins or (None,) * len(stepsets)
+    out = []
+    for uid, aid, ts0, et0, v0 in evs:
+        if et0 not in stepsets[0] or (mins[0] is not None and v0 < mins[0]):
+            continue
+        tss = [ts0]
+        for i in range(1, len(stepsets)):
+            cand = sorted(
+                t2
+                for uid2, _, t2, e2, v2 in evs
+                if uid2 == uid
+                and e2 in stepsets[i]
+                and t2 > tss[-1]
+                and t2 <= tss[-1] + window_s
+                and (mins[i] is None or v2 >= mins[i])
+            )
+            if not cand:
+                tss = None
+                break
+            tss.append(cand[0])
+        if tss is not None:
+            out.append((uid, aid, *tss))
+    return sorted(out)
+
+
+def _run_or_types_all_targets(spark, events, cuts, or_types, mins=None):
+    """Drive one type-set pattern through the reference model, the NFA
+    under arbitrary chunking, the batch chain, and the generated
+    DuckDB oracle, asserting four-way agreement."""
+    import duckdb
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import (
+        CepPattern,
+        _make_processor,
+        compile_batch,
+        oracle_sql,
+    )
+
+    steps, window_s = ("a", "b", "c"), 60
+    stepsets = tuple(set((steps[i],) + tuple(or_types[i])) for i in range(3))
+    evs = sorted(
+        ((u, i, t, e, v) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _or_types_sim(evs, stepsets, window_s, mins=mins)
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _, _ in evs],
+            "event_id": [i for _, i, _, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _, _ in evs],
+            "event_type": [e for _, _, _, e, _ in evs],
+            "value": [float(v) for _, _, _, _, v in evs],
+        }
+    )
+
+    proc = _make_processor(
+        steps, window_s * 1_000_000, mins, alts=tuple(tuple(x) for x in or_types)
+    )
+    bounds = sorted({c for c in cuts if c < len(evs)} | {0, len(evs)})
+    chunks = [rows.iloc[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    got_n = []
+    for uid in sorted(rows["user_id"].unique()):
+        state = _FakeGroupState()
+        for chunk in chunks:
+            part = chunk[chunk["user_id"] == uid]
+            if part.empty:
+                continue
+            for out in proc((uid,), iter([part]), state):
+                got_n.extend(
+                    (
+                        r.user_id,
+                        r.anchor_id,
+                        *(int(getattr(r, f"ts{j + 1}").timestamp()) for j in range(3)),
+                    )
+                    for r in out.itertuples()
+                )
+    assert sorted(got_n) == want
+
+    pat = CepPattern(
+        steps=steps,
+        within_minutes=1,
+        or_types=tuple(tuple(x) for x in or_types),
+        step_min_value=mins,
+    )
+    got_b = sorted(
+        (
+            r["user_id"],
+            r[pat.anchor_col],
+            *(int(r[pat.ts_col(i)].timestamp()) for i in range(3)),
+        )
+        for r in compile_batch(pat, spark.createDataFrame(rows)).collect()
+    )
+    assert got_b == want
+
+    con = duckdb.connect()
+    con.register("events", rows)
+    got_o = sorted(
+        (r[0], r[1], *(int(pd.Timestamp(r[2 + i]).timestamp()) for i in range(3)))
+        for r in con.execute(
+            f"SELECT user_id, {pat.anchor_col}, "
+            + ", ".join(pat.ts_col(i) for i in range(3))
+            + f" FROM ({oracle_sql(pat)})"
+        ).fetchall()
+    )
+    assert got_o == want
+
+
+OR_EVENTS = st.lists(
+    st.tuples(
+        st.integers(1, 2),
+        st.integers(0, 120),
+        st.sampled_from(["a", "A", "b", "B", "c", "x"]),
+        st.sampled_from([0.0, 10.0, 30.0, 100.0]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(events=OR_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_or_types_mid_all_targets_agree(spark, events, cuts):
+    """OR-combinator on a MIDDLE stage (b OR B): the first event of
+    EITHER type promotes — model, chunked NFA, batch chain, and oracle
+    must agree, including cross-type ordering within the window."""
+    _run_or_types_all_targets(spark, events, cuts, or_types=((), ("B",), ()))
+
+
+@given(events=OR_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_or_types_anchor_and_final_agree(spark, events, cuts):
+    """OR types on the ANCHOR (a OR A — every admitted event opens its
+    own partial) and the FINAL stage simultaneously: the four targets
+    must agree on the full match set."""
+    _run_or_types_all_targets(
+        spark, events, cuts, or_types=(("A",), (), ("x",))
+    )
+
+
+@given(events=OR_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_or_types_compose_with_value_guard(spark, events, cuts):
+    """Composition: the stage value guard applies to the WHOLE type
+    set (Flink's .where(typeA or typeB).where(valueGuard) chain) — a
+    B event below the threshold must not promote even though its type
+    is admitted."""
+    _run_or_types_all_targets(
+        spark,
+        events,
+        cuts,
+        or_types=((), ("B",), ()),
+        mins=(None, 30.0, None),
+    )
+
+
+def test_cep_or_types_validation():
+    import pytest
+
+    from hello_flink_spark.streaming.cep import CepPattern
+
+    with pytest.raises(ValueError, match="one entry per step"):
+        CepPattern(steps=("a", "b"), within_minutes=1, or_types=((),))
+    with pytest.raises(ValueError, match="repeat the step's own type"):
+        CepPattern(steps=("a", "b"), within_minutes=1, or_types=(("a",), ()))
+    with pytest.raises(ValueError, match="distinct"):
+        CepPattern(
+            steps=("a", "b"), within_minutes=1, or_types=((), ("B", "B"))
+        )
+    with pytest.raises(ValueError, match="disjoint from its successor"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            optional_steps=(1,),
+            or_types=((), ("c",), ()),
+        )
+    with pytest.raises(ValueError, match="Kleene step's type set"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            one_or_more=1,
+            or_types=((), ("a",), ()),
+        )
+    with pytest.raises(ValueError, match="must not be admitted"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            not_between=(None, None, "x"),
+            or_types=((), (), ("x",)),
+        )
+    # valid: OR types on plain relaxed steps, guards compose
+    p = CepPattern(
+        steps=("a", "b", "c"),
+        within_minutes=1,
+        or_types=(("A",), ("B",), ()),
+        step_min_value=(None, 30.0, None),
+    )
+    assert p.step_types(0) == ("a", "A")
+    assert p.step_types(1) == ("b", "B")
+    assert p.step_types(2) == ("c",)
