@@ -159,6 +159,33 @@ class CepPattern:
     # the greedy sequential selection is not join-expressible, so
     # compile_batch / oracle_sql refuse (property + golden tested).
     skip_past_last: bool = False
+    # [F] The remaining ``AfterMatchSkipStrategy`` variants (round 9;
+    # skipPastLastEvent + default NO_SKIP above):
+    #   ("to_next", None)  — ``skipToNext()``: after a match is
+    #     emitted, discard every other partial that started with the
+    #     SAME anchor event — at most one match per anchor. Without
+    #     branch enumeration this equals NO_SKIP (one partial per
+    #     anchor completes at most once); its non-trivial use is with
+    #     ``any_match_steps``, where it collapses the branch fan-out
+    #     to the first-completing branch per anchor.
+    #   ("to_first", j) / ("to_last", j) — ``skipToFirst/Last(name)``:
+    #     after a match is emitted, discard every open partial whose
+    #     ANCHOR timestamp is strictly before the emitted match's
+    #     accepted event at step j (ties survive — Flink discards
+    #     partials that started BEFORE the reference event).
+    #     Matches completing at the same event are judged in
+    #     (anchor_ts, anchor_id) order against the running boundary.
+    #     For a plain step, first == last == the one accepted event —
+    #     the two strategies differ only on the Kleene step's run,
+    #     where to_last uses the LAST accepted repetition (the slot
+    #     the state already keeps) and to_first is REJECTED (the
+    #     first repetition's timestamp is not retained).
+    # The completing event is NOT consumed (unlike skipPastLastEvent)
+    # — it may still anchor a new partial. Killed partials are
+    # DISCARDED (never timeout rows). Streaming-NFA only: greedy
+    # sequential selection is not join-expressible, so compile_batch /
+    # oracle_sql refuse (reference model + property suite instead).
+    after_match_skip: Tuple[str, int | None] | None = None
     # [F] ``o.a.f.cep.pattern.conditions.IterativeCondition`` — a
     # per-step predicate over PREVIOUSLY ACCEPTED events (Flink's
     # ``ctx.getEventsForPattern``), in the one relative-value form all
@@ -470,6 +497,42 @@ class CepPattern:
                             "a stage's forbidden type must not be admitted "
                             "by the stage's own type set"
                         )
+        if self.after_match_skip is not None:
+            mode, j = self.after_match_skip
+            if self.skip_past_last:
+                raise ValueError(
+                    "skip_past_last and after_match_skip are mutually "
+                    "exclusive (one AfterMatchSkipStrategy per pattern)"
+                )
+            if mode == "to_next":
+                if j is not None:
+                    raise ValueError("to_next takes no reference step")
+            elif mode in ("to_first", "to_last"):
+                if j is None or not (0 <= j < len(self.steps)):
+                    raise ValueError(
+                        "to_first/to_last must reference a step index in "
+                        "0..k-1"
+                    )
+                if j in self.optional_steps:
+                    raise ValueError(
+                        "to_first/to_last cannot reference an optional "
+                        "step (a skipped slot has no timestamp)"
+                    )
+                if mode == "to_first" and j == self.one_or_more:
+                    raise ValueError(
+                        "to_first cannot reference the Kleene step: the "
+                        "run's FIRST repetition timestamp is not retained "
+                        "(the state slot slides to the last; use to_last)"
+                    )
+                if self.any_match_steps:
+                    raise ValueError(
+                        "to_first/to_last with any_match is an untested "
+                        "composition — extend the property suite first"
+                    )
+            else:
+                raise ValueError(
+                    "after_match_skip mode must be to_next/to_first/to_last"
+                )
 
     @classmethod
     def of(
@@ -585,6 +648,7 @@ def _make_processor(
     emit_vals: Tuple[int, ...] = (),
     any_match: frozenset[int] = frozenset(),
     alts: Tuple[Tuple[str, ...], ...] | None = None,
+    skip_to: Tuple[str, int | None] | None = None,
 ):
     """Build the per-key NFA closure. Partial matches are encoded in
     state as 'anchor_id:ts1,ts2,...|n_rep|pending' strings (stage =
@@ -852,6 +916,41 @@ def _make_processor(
                     out.append(_row(key[0], aid, tss, True, cnt, vals))
                     partials = []
                     continue  # the completing event is consumed: no anchor
+                if completed and skip_to is not None:
+                    # [F] skipToNext / skipToFirst / skipToLast: judge
+                    # same-event completions in (anchor_ts, anchor_id,
+                    # branch-creation) order; the completing event is
+                    # NOT consumed, so fall through to anchoring.
+                    mode, sj = skip_to
+                    completed.sort(
+                        key=lambda c: (
+                            c[1][0],
+                            c[0],
+                            [-1 if x is None else x for x in c[1]],
+                        )
+                    )
+                    if mode == "to_next":
+                        emitted: set[int] = set()
+                        for aid, tss, cnt, vals in completed:
+                            if aid not in emitted:
+                                out.append(
+                                    _row(key[0], aid, tss, True, cnt, vals)
+                                )
+                                emitted.add(aid)
+                        partials = [p for p in partials if p[0] not in emitted]
+                    else:
+                        bound = None
+                        for aid, tss, cnt, vals in completed:
+                            if bound is not None and tss[0] < bound:
+                                continue  # killed by an earlier emission
+                            out.append(_row(key[0], aid, tss, True, cnt, vals))
+                            b = tss[sj]
+                            bound = b if bound is None else max(bound, b)
+                        if bound is not None:
+                            partials = [
+                                p for p in partials if p[1][0] >= bound
+                            ]
+                    completed = []
                 out.extend(
                     _row(key[0], aid, tss, True, cnt, vals)
                     for aid, tss, cnt, vals in completed
@@ -920,6 +1019,12 @@ def _stream_nfa(
             "already spawned branches is not a timeout, so the NFA and the "
             "left join chain cannot agree on the row set"
         )
+    if emit_timeouts and pattern.after_match_skip is not None:
+        raise ValueError(
+            "after_match_skip with the timeout side-output is an untested "
+            "composition (skip-killed partials are discards, not timeouts) "
+            "— extend the property suite first"
+        )
     k = len(pattern.steps)
     out_cols = ", ".join(f"ts{i + 1} timestamp" for i in range(k))
     for j in pattern.referenced_steps:
@@ -964,6 +1069,7 @@ def _stream_nfa(
                 emit_vals=pattern.referenced_steps,
                 any_match=frozenset(pattern.any_match_steps),
                 alts=pattern.or_types,
+                skip_to=pattern.after_match_skip,
             ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}",
             stateStructType="partials array<string>",
@@ -1343,11 +1449,12 @@ def compile_batch(pattern: CepPattern, events: DataFrame) -> DataFrame:
             "runs); use compile_stream / compile_stream_timeouts — semantics "
             "are pinned by the reference-model tests"
         )
-    if pattern.skip_past_last:
+    if pattern.skip_past_last or pattern.after_match_skip is not None:
         raise ValueError(
-            "skip_past_last (AfterMatchSkipStrategy) is a greedy sequential "
-            "selection with no join-chain shadow; use compile_stream — "
-            "semantics are pinned by the reference-model tests"
+            "AfterMatchSkipStrategy (skip_past_last / after_match_skip) is a "
+            "greedy sequential selection with no join-chain shadow; use "
+            "compile_stream — semantics are pinned by the reference-model "
+            "tests"
         )
     cur = _chain(pattern, events, left=False)
     # the pair's mandatory successor joins LEFT inside _chain; require
@@ -1377,11 +1484,12 @@ def compile_batch_timeouts(pattern: CepPattern, events: DataFrame) -> DataFrame:
             "runs); use compile_stream / compile_stream_timeouts — semantics "
             "are pinned by the reference-model tests"
         )
-    if pattern.skip_past_last:
+    if pattern.skip_past_last or pattern.after_match_skip is not None:
         raise ValueError(
-            "skip_past_last (AfterMatchSkipStrategy) is a greedy sequential "
-            "selection with no join-chain shadow; use compile_stream — "
-            "semantics are pinned by the reference-model tests"
+            "AfterMatchSkipStrategy (skip_past_last / after_match_skip) is a "
+            "greedy sequential selection with no join-chain shadow; use "
+            "compile_stream — semantics are pinned by the reference-model "
+            "tests"
         )
     cur = _chain(pattern, events, left=True)
     last_ts = pattern.ts_col(len(pattern.steps) - 1)
@@ -1451,11 +1559,12 @@ def _oracle_chain(pattern: CepPattern, left: bool) -> str:
             "optional patterns have no generated oracle; semantics are pinned "
             "by the batch-shadow and reference-model tests"
         )
-    if pattern.skip_past_last:
+    if pattern.skip_past_last or pattern.after_match_skip is not None:
         raise ValueError(
-            "skip_past_last (AfterMatchSkipStrategy) is a greedy sequential "
-            "selection with no join-chain shadow; use compile_stream — "
-            "semantics are pinned by the reference-model tests"
+            "AfterMatchSkipStrategy (skip_past_last / after_match_skip) is a "
+            "greedy sequential selection with no join-chain shadow; use "
+            "compile_stream — semantics are pinned by the reference-model "
+            "tests"
         )
     if left and pattern.any_match_steps:
         raise ValueError(
@@ -1739,6 +1848,31 @@ NONEXT2 = CepPattern(
 # golden fixture (18 skip-selected matches vs 27 unrestricted).
 SKIP3 = CepPattern(
     steps=("view", "click", "purchase"), within_minutes=1440, skip_past_last=True
+)
+
+# The skipToFirst instance (golden + property tests): after a match,
+# discard partials anchored strictly before the match's CLICK — [F]
+# AfterMatchSkipStrategy.skipToFirst("click"). 27 → 19 matches on the
+# sf0.001 golden fixture (non-vacuous, less aggressive than
+# skipPastLastEvent's 18 because the completing event is not consumed
+# and the boundary is the click, not the purchase).
+SKIPFIRST3 = CepPattern(
+    steps=("view", "click", "purchase"),
+    within_minutes=1440,
+    after_match_skip=("to_first", 1),
+)
+
+# The skipToNext instance (golden + property tests): followedByAny
+# branch fan-out collapsed to ONE match per anchor — [F]
+# AfterMatchSkipStrategy.skipToNext() composed with followedByAny.
+# 39 branch rows → 29 per-anchor matches on the sf0.001 fixture (and
+# 29 > the 27 first-match twin: any-match completes anchors whose
+# FIRST click never converts but a later one does).
+SKIPNEXT3 = CepPattern(
+    steps=("view", "click", "purchase"),
+    within_minutes=1440,
+    any_match_steps=(1,),
+    after_match_skip=("to_next", None),
 )
 
 # The IterativeCondition instance (queries/round8.py::

@@ -2964,3 +2964,230 @@ def test_cep_or_types_validation():
     assert p.step_types(0) == ("a", "A")
     assert p.step_types(1) == ("b", "B")
     assert p.step_types(2) == ("c",)
+
+
+# ---------------------------------------------------------------------------
+# [F] AfterMatchSkipStrategy completion (round 9): skipToNext /
+# skipToFirst(name) / skipToLast(name) — sequential selection, NFA-only
+# ---------------------------------------------------------------------------
+
+
+def _skip_to_sim(evs5, steps, window_s, mode, j=None, anyset=frozenset()):
+    """Sequential model of skipToNext / skipToFirst / skipToLast,
+    written directly against the Flink strategy definitions: take the
+    NO_SKIP match enumeration (per-anchor chains, with any-match forks
+    where requested — reusing the independent fork model), order it by
+    (completion_ts, anchor_ts, anchor_id, stage timestamps) — equal
+    completion timestamps always come from the same completing event,
+    so this is the NFA's emission order — then fold: to_next keeps the
+    first match per ANCHOR EVENT; to_first/to_last keep a match iff
+    its anchor is >= the running boundary (emitted matches' step-j
+    timestamp; ties survive) and advance the boundary."""
+    matches = _any_match_sim(evs5, steps, anyset, window_s)
+    out = []
+    for uid in sorted({m[0] for m in matches}):
+        ms = sorted(
+            (m for m in matches if m[0] == uid),
+            key=lambda m: (m[-1], m[2], m[1], m[2:]),
+        )
+        if mode == "to_next":
+            emitted = set()
+            for m in ms:
+                if m[1] not in emitted:
+                    out.append(m)
+                    emitted.add(m[1])
+        else:
+            bound = None
+            for m in ms:
+                if bound is not None and m[2] < bound:
+                    continue
+                out.append(m)
+                b = m[2 + j]
+                bound = b if bound is None else max(bound, b)
+    return sorted(out)
+
+
+SKIP_EVENTS = st.lists(
+    st.tuples(
+        st.integers(1, 2),
+        st.integers(0, 120),
+        st.sampled_from(["a", "b", "c", "x"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _run_skip_to(events, cuts, mode, j=None, anyset=frozenset()):
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c"), 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    evs5 = [(u, i, t, e, 0.0) for u, i, t, e in evs]
+    want = _skip_to_sim(evs5, steps, window_s, mode, j=j, anyset=anyset)
+    proc = _make_processor(
+        steps,
+        window_s * 1_000_000,
+        any_match=frozenset(anyset),
+        skip_to=(mode, j),
+    )
+    assert _drive_nfa_chunked(proc, evs, cuts, 3) == want
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_skip_to_next_any_final_matches_simulation(events, cuts):
+    """skipToNext x followedByAny(final): the branch fan-out collapses
+    to the first-completing branch per anchor, under every chunking."""
+    _run_skip_to(events, cuts, "to_next", anyset={2})
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_skip_to_next_any_mid_matches_simulation(events, cuts):
+    """skipToNext x followedByAny(mid): one match per anchor — the
+    branch whose completion comes FIRST wins (which may be a later b
+    with an earlier c: not the plain first-match chain)."""
+    _run_skip_to(events, cuts, "to_next", anyset={1})
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_skip_to_next_without_branching_is_no_skip(spark, events, cuts):
+    """Without branch enumeration every anchor completes at most once,
+    so skipToNext must equal NO_SKIP (the plain first-match chains)."""
+    steps, window_s = ("a", "b", "c"), 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    evs5 = [(u, i, t, e, 0.0) for u, i, t, e in evs]
+    want = _or_types_sim(
+        evs5, ({"a"}, {"b"}, {"c"}), window_s
+    )
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    proc = _make_processor(steps, window_s * 1_000_000, skip_to=("to_next", None))
+    assert _drive_nfa_chunked(proc, evs, cuts, 3) == want
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_skip_to_first_mid_matches_simulation(events, cuts):
+    """skipToFirst(b): after an emitted match, partials anchored
+    strictly before the match's b are discarded (ties survive) —
+    under every chunking."""
+    _run_skip_to(events, cuts, "to_first", j=1)
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_skip_to_last_final_matches_simulation(events, cuts):
+    """skipToLast(c) on the final step: the boundary is the completing
+    event itself — the most aggressive variant short of
+    skipPastLastEvent (which additionally consumes the event)."""
+    _run_skip_to(events, cuts, "to_last", j=2)
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_skip_to_first_anchor_matches_simulation(events, cuts):
+    """skipToFirst(anchor step): boundary = the emitted match's own
+    anchor — kills only partials anchored strictly earlier."""
+    _run_skip_to(events, cuts, "to_first", j=0)
+
+
+def test_cep_skip_to_last_kleene_uses_last_repetition():
+    """skipToLast on the Kleene step: the boundary is the run's LAST
+    accepted repetition (the slot the state keeps). Two anchors share
+    a 2-repetition run completing together: the earlier anchor emits,
+    boundary = last b's ts kills the later anchor; with ("to_last", 0)
+    the boundary is the anchor itself and both survive."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    evs = [(1, 0, 0, "a"), (1, 1, 1, "a"), (1, 2, 2, "b"), (1, 3, 3, "b"), (1, 4, 4, "c")]
+    for skip, expect in [
+        (("to_last", 1), [(1, 0, 0, 3, 4, 2)]),
+        (("to_last", 0), [(1, 0, 0, 3, 4, 2), (1, 1, 1, 3, 4, 2)]),
+    ]:
+        proc = _make_processor(
+            ("a", "b", "c"), 60 * 1_000_000, rep=1, skip_to=skip
+        )
+        got = _drive_nfa_chunked(proc, evs, [], 3, extra_cols=("n_rep",))
+        assert got == expect, (skip, got)
+
+
+def test_cep_after_match_skip_validation():
+    import pytest
+
+    from hello_flink_spark.streaming.cep import (
+        CepPattern,
+        compile_batch,
+        oracle_sql,
+    )
+
+    with pytest.raises(ValueError, match="mutually"):
+        CepPattern(
+            steps=("a", "b"),
+            within_minutes=1,
+            skip_past_last=True,
+            after_match_skip=("to_next", None),
+        )
+    with pytest.raises(ValueError, match="no reference step"):
+        CepPattern(
+            steps=("a", "b"), within_minutes=1, after_match_skip=("to_next", 1)
+        )
+    with pytest.raises(ValueError, match="0..k-1"):
+        CepPattern(
+            steps=("a", "b"), within_minutes=1, after_match_skip=("to_first", 2)
+        )
+    with pytest.raises(ValueError, match="optional"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            optional_steps=(1,),
+            after_match_skip=("to_last", 1),
+        )
+    with pytest.raises(ValueError, match="FIRST repetition"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            one_or_more=1,
+            after_match_skip=("to_first", 1),
+        )
+    with pytest.raises(ValueError, match="untested composition"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            any_match_steps=(1,),
+            after_match_skip=("to_first", 1),
+        )
+    with pytest.raises(ValueError, match="to_next/to_first/to_last"):
+        CepPattern(
+            steps=("a", "b"), within_minutes=1, after_match_skip=("bogus", None)
+        )
+    # streaming-only: batch chain and oracle refuse
+    p = CepPattern(
+        steps=("a", "b"), within_minutes=1, after_match_skip=("to_next", None)
+    )
+    with pytest.raises(ValueError, match="join-chain shadow"):
+        oracle_sql(p)
+    # to_next x any_match is the allowed, meaningful composition
+    q = CepPattern(
+        steps=("a", "b", "c"),
+        within_minutes=1,
+        any_match_steps=(1,),
+        after_match_skip=("to_next", None),
+    )
+    assert q.after_match_skip == ("to_next", None)
+    # to_last MAY reference the Kleene step (slot = last repetition)
+    r = CepPattern(
+        steps=("a", "b", "c"),
+        within_minutes=1,
+        one_or_more=1,
+        after_match_skip=("to_last", 1),
+    )
+    assert r.after_match_skip == ("to_last", 1)

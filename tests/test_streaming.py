@@ -2201,3 +2201,73 @@ def test_cep_rel_guard_timeout_side_output(spark, sf_dir, replay_dir):
     assert keyset(got_t) <= keyset(want_t)
     assert len(got_m), "no matched rows emitted"
     assert len(got_t), "no timeout rows emitted"
+
+
+def test_cep_skip_to_first_golden_vs_simulation(spark, sf_dir, replay_dir):
+    """skipToFirst(click) ([F] AfterMatchSkipStrategy.skipToFirst) on
+    the real fixture replay: the NFA must equal the sequential
+    reference model, and the strategy must be exercised (strictly
+    fewer matches than the no-skip twin, strictly more than
+    skipPastLastEvent — the completing event is not consumed and the
+    boundary is the click, not the purchase)."""
+    from tests.test_properties import _skip_sim, _skip_to_sim
+
+    from hello_flink_spark.streaming.cep import (
+        SKIPFIRST3,
+        compile_stream,
+    )
+
+    run_to_memory(
+        compile_stream(SKIPFIRST3, _stream(spark, replay_dir), WM), "t_cepskipf"
+    )
+    got = sorted(
+        (
+            r.user_id,
+            r.view_id,
+            int(r.view_ts.timestamp() * 1_000_000),
+            int(r.click_ts.timestamp() * 1_000_000),
+            int(r.purchase_ts.timestamp() * 1_000_000),
+        )
+        for r in spark.table("t_cepskipf").collect()
+    )
+    evs = _events_as_tuples(spark, sf_dir)
+    evs5 = [(u, i, t, e, 0.0) for u, i, t, e in evs]
+    want = _skip_to_sim(evs5, SKIPFIRST3.steps, SKIPFIRST3.window_us, "to_first", j=1)
+    assert got and got == want
+    n_noskip = len(_skip_to_sim(evs5, SKIPFIRST3.steps, SKIPFIRST3.window_us, "to_next"))
+    n_pastlast = len(_skip_sim(evs, SKIPFIRST3.steps, SKIPFIRST3.window_us))
+    assert n_pastlast < len(got) < n_noskip, (n_pastlast, len(got), n_noskip)
+
+
+def test_cep_skip_to_next_any_match_golden_vs_simulation(spark, sf_dir, replay_dir):
+    """skipToNext x followedByAny ([F] skipToNext composed with
+    followedByAny) on the real fixture replay: the branch fan-out
+    collapses to exactly one match per anchor (the first-completing
+    branch), strictly between the first-match twin and the full
+    branch enumeration in match count."""
+    from tests.test_properties import _any_match_sim, _skip_to_sim
+
+    from hello_flink_spark.streaming.cep import SKIPNEXT3, compile_stream
+
+    run_to_memory(
+        compile_stream(SKIPNEXT3, _stream(spark, replay_dir), WM), "t_cepskipn"
+    )
+    got = sorted(
+        (
+            r.user_id,
+            r.view_id,
+            int(r.view_ts.timestamp() * 1_000_000),
+            int(r.click_ts.timestamp() * 1_000_000),
+            int(r.purchase_ts.timestamp() * 1_000_000),
+        )
+        for r in spark.table("t_cepskipn").collect()
+    )
+    evs = _events_as_tuples(spark, sf_dir)
+    evs5 = [(u, i, t, e, 0.0) for u, i, t, e in evs]
+    want = _skip_to_sim(
+        evs5, SKIPNEXT3.steps, SKIPNEXT3.window_us, "to_next", anyset={1}
+    )
+    assert got and got == want
+    assert len({(u, a) for u, a, *_ in got}) == len(got), "per-anchor uniqueness"
+    n_branches = len(_any_match_sim(evs5, SKIPNEXT3.steps, {1}, SKIPNEXT3.window_us))
+    assert len(got) < n_branches, "skipToNext did not collapse branches"
