@@ -661,15 +661,20 @@ def _ewma(
         yield pd.DataFrame([])
 
 
-def stateful_value_ewma(events: DataFrame) -> DataFrame:
+def stateful_value_ewma(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
     """Streaming EWMA (update mode): emits each user's running
     exponentially weighted average whenever the watermark releases
     rows from the reorder buffer (VERDICT r07 #7, extended round-8:
     the recurrence folds in true event-time order under any
     within-delay out-of-orderness). State = two scalars + the
-    in-flight row window per key; below-watermark arrivals drop."""
+    in-flight row window per key; below-watermark arrivals drop.
+    ``delay`` is the watermark delay (= reorder-buffer horizon): the
+    fixture goldens use the 30 min default; the throughput probe
+    (scripts/streaming_throughput.py) shortens it so releases happen
+    within the probe window — the buffer size scales with
+    delay x per-key rate either way."""
     tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
-    return events.withWatermark("ts", "30 minutes").groupBy(
+    return events.withWatermark("ts", delay).groupBy(
         "user_id"
     ).applyInPandasWithState(
         partial(_ewma, tz),

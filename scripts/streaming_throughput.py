@@ -1,10 +1,17 @@
 """Measure sustained Structured Streaming throughput on this machine
-and write docs/STREAMING.md: rate source -> event-time watermark ->
-10 s tumbling window x 100-key aggregation -> memory sink, i.e. a
-realistic stateful pipeline (shuffle + state store), not a pass-through.
+and write docs/STREAMING.md. Two probes:
 
-The rate source is asked for more rows/s than one machine can emit so
-the pipeline runs saturated; the reported number is the median
+1. JVM stateful pipeline: rate source -> event-time watermark -> 10 s
+   tumbling window x 100-key aggregation -> memory sink (shuffle +
+   state store, whole-stage codegen end to end).
+2. Reorder-buffered Python stateful op (VERDICT r08 #6): the same
+   rate source driving ``stateful_value_ewma`` — Arrow transfer into
+   applyInPandasWithState, per-key watermark-delay reorder buffer
+   (sort + held rows), EWMA fold, state round-trip. This prices what
+   the buffer + Python state path costs relative to probe 1.
+
+The rate source is asked for more rows/s than the pipeline can absorb
+so it runs saturated; the reported number is the median
 processedRowsPerSecond over the steady-state micro-batches.
 
 Run: python scripts/streaming_throughput.py [seconds]
@@ -21,14 +28,50 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 RUN_S = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 TARGET_ROWS_PER_S = 5_000_000
+# the Python-stateful path is 1-2 orders slower than the JVM pipeline;
+# a saturating-but-not-explosive target keeps batch sizes sane
+EWMA_TARGET_ROWS_PER_S = 2_000_000
+EWMA_KEYS = 1_000
+EWMA_DELAY = "2 seconds"  # reorder horizon: releases happen in-probe
+
+
+def _measure(q, run_s):
+    time.sleep(run_s)
+    progress = list(q.recentProgress)
+    try:  # stopping a saturated query mid-batch surfaces the batch's
+        # interruption as an exception — the measurements are already
+        # collected, so a noisy stop must not kill the probe
+        q.stop()
+    except Exception as e:  # noqa: BLE001
+        print(f"(query stop raised: {type(e).__name__} — ignored)")
+    active = [
+        p
+        for p in progress
+        if p.get("processedRowsPerSecond") and p["numInputRows"] > 0
+    ]
+    rates = [p["processedRowsPerSecond"] for p in active]
+    latencies = [
+        p["durationMs"]["triggerExecution"]
+        for p in active
+        if p.get("durationMs", {}).get("triggerExecution") is not None
+    ]
+    # drop the warm-up batches (first quarter)
+    steady = rates[max(1, len(rates) // 4):] or rates
+    steady_lat = latencies[max(1, len(latencies) // 4):] or latencies
+    med = statistics.median(steady) if steady else float("nan")
+    med_lat = statistics.median(steady_lat) if steady_lat else float("nan")
+    return med, med_lat, max(steady, default=float("nan")), len(steady)
 
 
 def main() -> None:
     from pyspark.sql import functions as F
 
     from hello_flink_spark.session import get_spark
+    from hello_flink_spark.streaming.stateful import stateful_value_ewma
 
     spark = get_spark("streaming-throughput")
+
+    # --- probe 1: JVM stateful pipeline ---------------------------------
     stream = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", TARGET_ROWS_PER_S)
@@ -44,27 +87,29 @@ def main() -> None:
         .outputMode("update")
         .start()
     )
-    time.sleep(RUN_S)
-    progress = list(q.recentProgress)
-    q.stop()
+    med, med_lat, peak, batches = _measure(q, RUN_S)
 
-    active = [
-        p
-        for p in progress
-        if p.get("processedRowsPerSecond") and p["numInputRows"] > 0
-    ]
-    rates = [p["processedRowsPerSecond"] for p in active]
-    latencies = [
-        p["durationMs"]["triggerExecution"]
-        for p in active
-        if p.get("durationMs", {}).get("triggerExecution") is not None
-    ]
-    # drop the warm-up batches (first quarter)
-    steady = rates[max(1, len(rates) // 4):] or rates
-    steady_lat = latencies[max(1, len(latencies) // 4):] or latencies
-    med = statistics.median(steady)
-    med_lat = statistics.median(steady_lat) if steady_lat else float("nan")
-    batches = len(steady)
+    # --- probe 2: reorder-buffered Python stateful op (EWMA) ------------
+    events = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", EWMA_TARGET_ROWS_PER_S)
+        .option("numPartitions", 8)
+        .load()
+        .select(
+            (F.col("value") % EWMA_KEYS).alias("user_id"),
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 97).cast("double").alias("value"),
+        )
+    )
+    q2 = (
+        stateful_value_ewma(events, delay=EWMA_DELAY)
+        .writeStream.format("memory")
+        .queryName("throughput_probe_ewma")
+        .outputMode("update")
+        .start()
+    )
+    med2, med_lat2, peak2, batches2 = _measure(q2, RUN_S)
 
     doc = Path(__file__).resolve().parent.parent / "docs" / "STREAMING.md"
     # preserve the hand-written Kafka deployment recipe (round 7) across
@@ -83,19 +128,36 @@ def main() -> None:
         "store) on local[32]:\n\n"
         f"- sustained throughput (median of {batches} steady-state "
         f"micro-batches over ~{RUN_S} s): **{med:,.0f} rows/s**\n"
-        f"- peak micro-batch rate: {max(steady):,.0f} rows/s\n"
+        f"- peak micro-batch rate: {peak:,.0f} rows/s\n"
         f"- median micro-batch latency (triggerExecution): "
         f"**{med_lat:,.0f} ms**\n\n"
-        "Scale note: this is ONE machine saturating its Python-free\n"
-        "JVM pipeline; the same plan distributes by window/key shuffle,\n"
-        "so cluster throughput scales with executors until the state\n"
-        "store or sink saturates. Latency is micro-batch-quantized\n"
-        "(SURVEY §4.4) — this probe measures throughput, not per-event\n"
-        "latency.\n" + tail
+        "## Reorder-buffered Python stateful op (VERDICT r08 #6)\n\n"
+        "Same machine, same rate source driving `stateful_value_ewma`\n"
+        f"({EWMA_KEYS} keys, `{EWMA_DELAY}` watermark delay = reorder\n"
+        "horizon): Arrow into applyInPandasWithState, per-key buffer\n"
+        "sort + strict `ts < cutoff` release, EWMA fold, state\n"
+        "round-trip:\n\n"
+        f"- sustained throughput (median of {batches2} steady-state "
+        f"micro-batches): **{med2:,.0f} rows/s**\n"
+        f"- peak micro-batch rate: {peak2:,.0f} rows/s\n"
+        f"- median micro-batch latency: **{med_lat2:,.0f} ms**\n\n"
+        "The gap vs the JVM probe is the measured price of the Python\n"
+        "state path (Arrow transfer + pandas grouping + buffer sort +\n"
+        "state encode/decode), not of the reorder logic alone; the\n"
+        "buffer holds <= delay x per-key rate rows regardless of\n"
+        "stream length. Use the JVM built-ins when the op is\n"
+        "expressible; the reorder-buffered tier is for order-sensitive\n"
+        "recurrences that are not.\n\n"
+        "Scale note: these are ONE machine's numbers; both plans\n"
+        "distribute by key shuffle, so cluster throughput scales with\n"
+        "executors until the state store or sink saturates. Latency is\n"
+        "micro-batch-quantized (SURVEY §4.4) — this probe measures\n"
+        "throughput, not per-event latency.\n" + tail
     )
     print(
-        f"median={med:,.0f} rows/s, latency={med_lat:,.0f} ms "
-        f"over {batches} steady batches -> {doc}"
+        f"jvm median={med:,.0f} rows/s latency={med_lat:,.0f} ms "
+        f"({batches} batches); ewma median={med2:,.0f} rows/s "
+        f"latency={med_lat2:,.0f} ms ({batches2} batches) -> {doc}"
     )
 
 
