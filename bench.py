@@ -166,6 +166,16 @@ HEADLINE = [
     # drift (constant-size agg).
     "sample_deterministic_hash",
     "events_value_psi",
+    # round-9: perceptual-hash image near-dup (real decode + hamming
+    # band join), bucketed-index incremental dedup (index-side
+    # exchange-free anti-join), CEP OR-combinator (isin stage filter),
+    # image resize (decode->pool->re-encode roundtrip) and the
+    # luminance quality gate (integer moments over Arrow).
+    "multimodal_dedup_phash",
+    "dedup_incremental",
+    "cep_pattern_or_condition",
+    "multimodal_resize",
+    "multimodal_brightness_filter",
 ]
 
 

@@ -54,6 +54,10 @@ PROBES = [
     ("agg_pq_quantize", "embeddings"),
     ("graph_triangle_count", "lineitem"),
     ("dedup_cluster", "documents"),
+    # round 9 (VERDICT r08 #8): the IVFADC query path — PQ training on
+    # the 10x corpus + constant probe set (all PROBE_ID_MAX ids are
+    # replica-0) scored against 10x-as-full inverted lists
+    ("sim_ann_ivf_pq", "embeddings"),
 ]
 
 
@@ -182,7 +186,11 @@ def main() -> None:
             "map-only argmin + a 128-group keyed agg, so its fixed",
             "4-iteration job overhead amortizes; CC round count is",
             "O(log^2 n) with DISJOINT shards keeping the same diameter,",
-            "so rounds do not grow with the replication.",
+            "so rounds do not grow with the replication; the IVFADC",
+            "query path (sim_ann_ivf_pq) is the trainer's cost plus a",
+            "constant probe set against 10x-as-full inverted lists —",
+            "every per-query operand (LUTs, probe buckets) is",
+            "volume-independent, so only the bucket equi-join scales.",
             "",
         ]
     if near:
