@@ -176,6 +176,11 @@ HEADLINE = [
     "cep_pattern_or_condition",
     "multimodal_resize",
     "multimodal_brightness_filter",
+    # batch 5: TRUE IVFADC residual encoding — residual build (one
+    # broadcast centroid join) + PQ retrained on residuals + per-
+    # (query, bucket) LUTs; priced ~ the raw variant + the residual
+    # join.
+    "sim_ann_ivf_pq_residual",
 ]
 
 

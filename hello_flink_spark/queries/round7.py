@@ -420,9 +420,29 @@ PQ_ITERS = 4      # Lloyd iterations
 
 def pq_train(spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS):
     """Product-quantization trainer (the IVF-PQ building block every
-    billion-vector ANN index uses): split each embedding into PQ_SUBS
-    subspaces and run an independent k-means per subspace — one fused
-    Spark job per iteration for ALL subspaces at once.
+    billion-vector ANN index uses) over the embeddings table — see
+    ``pq_train_frame`` for the machinery; this entry point keeps the
+    original deterministic contract (seeds = vec_id < PQ_K).
+
+    Returns (codebooks dict[(sub, code) -> list[float]], assigned
+    DataFrame (vec_id, sub, code, err2)).
+    """
+    from hello_flink_spark.queries.llm import _as_double
+
+    e = t(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+    return pq_train_frame(spark, vecs, iters=iters)
+
+
+def pq_train_frame(
+    spark: SparkSession, vecs, iters: int = PQ_ITERS, seed_min: int = 0
+):
+    """Product-quantization trainer over an arbitrary (vec_id,
+    vec array<double>) frame: split each vector into PQ_SUBS subspaces
+    and run an independent k-means per subspace — one fused Spark job
+    per iteration for ALL subspaces at once. Factored out of
+    ``pq_train`` (round 9) so the residual IVFADC tier can train on
+    residual vectors instead of raw embeddings.
 
     Distributed shape: the exploded (vec_id, sub, subvec) table
     shuffles ONCE per iteration into a (sub, code) keyed aggregate;
@@ -431,27 +451,32 @@ def pq_train(spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS):
     iterative tier (kmeans / power-iteration / pagerank). Assignment
     broadcasts the constant-size codebook, never the data.
 
+    ``seed_min``: seeds are the PQ_K vectors with vec_id in
+    [seed_min, seed_min + PQ_K) — still a constant-size deterministic
+    set. The default 0 is the historical rule; the residual trainer
+    passes PQ_K, because the coarse-centroid vectors' residuals are
+    IDENTICALLY ZERO (x − x), the degenerate k-means init.
+
     Returns (codebooks dict[(sub, code) -> list[float]], assigned
     DataFrame (vec_id, sub, code, err2)).
     """
-    from hello_flink_spark.queries.llm import _as_double
-
-    e = t(spark, sf_dir, "embeddings")
-    sub = e.select(
+    sub = vecs.select(
         "vec_id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {PQ_SUBS - 1}), s -> struct("
-                f"s AS sub, slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sv))"
+                f"s AS sub, slice(vec, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sv))"
             )
         ).alias("x"),
-    ).select("vec_id", F.col("x.sub").alias("sub"), _as_double(F.col("x.sv")).alias("sv"))
+    ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
     sub = sub.localCheckpoint(eager=True)  # reused every iteration
 
-    # deterministic init: the first PQ_K vectors' subvectors seed each
-    # subspace's codebook (vec_id < PQ_K is a constant-size set)
-    seeds = sub.filter(F.col("vec_id") < PQ_K).collect()
-    books = {(r.sub, int(r.vec_id)): list(r.sv) for r in seeds}
+    # deterministic init: PQ_K consecutive vec_ids seed each subspace's
+    # codebook (a constant-size set)
+    seeds = sub.filter(
+        (F.col("vec_id") >= seed_min) & (F.col("vec_id") < seed_min + PQ_K)
+    ).collect()
+    books = {(r.sub, int(r.vec_id) - seed_min): list(r.sv) for r in seeds}
 
     def assign(books):
         # one row per subspace, each carrying its FULL codebook as a

@@ -593,3 +593,147 @@ def multimodal_brightness_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 5 — sim_ann_ivf_pq_residual: TRUE IVFADC residual encoding
+# ---------------------------------------------------------------------------
+
+
+@register("sim_ann_ivf_pq_residual", tags=("iterative", "rows_only"))
+def sim_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with RESIDUAL encoding (Jégou, Douze & Schmid, TPAMI
+    2011 §IV — the published algorithm in full): PQ codes quantize
+    x − q_c(x), the vector's offset from its coarse centroid, instead
+    of the raw vector. That is what lets the index resolve structure
+    FINER than the subspace codebooks: raw-vector ADC quantizes every
+    member of a tight cluster to the same codes (ties — see
+    sim_ann_ivf_pq's docstring), while residuals subtract the cluster
+    and spend all 16 codes/subspace on within-cluster geometry. The
+    capability proof is the paired recall test in tests/test_llm.py:
+    on the two-level blob fixture the RAW variant scores near zero
+    and this one >= 0.8.
+
+    Differences from sim_ann_ivf_pq, each with its scale shape:
+    1. Residual build — one broadcast join of the C-row centroid
+       table against the assigned corpus (zip_with subtract, map-only).
+    2. PQ training on residuals via ``pq_train_frame(seed_min=PQ_K)``:
+       the coarse-centroid vectors' residuals are identically ZERO
+       (x − x), the degenerate k-means init, so seeds come from the
+       NEXT PQ_K vectors — still a deterministic constant-size set.
+    3. Per-(query, probed-bucket) ADC LUTs — the query's residual
+       differs per probed bucket (r_q = q − c_bucket), so the LUT
+       frame is queries × NPROBE × PQ_SUBS rows (constant-bounded by
+       PROBE_ID_MAX × IVF_NPROBE), assembled by the same one
+       broadcast join against the 8-row codebook frame.
+    4. Scoring joins candidates to the (query, bucket) LUTs on the
+       BUCKET key — same single data-scale shuffle as the raw
+       variant; the LUT side is broadcast (constant-size).
+    R-tier like sim_ann_ivf_pq: recall floors + structural invariants
+    in pytest, no SQL oracle (iterative trainer)."""
+    from hello_flink_spark.queries.llm import (
+        IVF_NPROBE,
+        PROBE_ID_MAX,
+        ivf_centroids_and_vecs,
+        ivf_nearest_buckets,
+    )
+    from hello_flink_spark.queries.round7 import (
+        PQ_K,
+        PQ_SUBDIM,
+        PQ_SUBS,
+        pq_train_frame,
+    )
+
+    centroids, vecs = ivf_centroids_and_vecs(spark, sf_dir)
+    assign_b = ivf_nearest_buckets(centroids, vecs, "vec_id", 1)
+    # 1. residuals: x - q_c(x), one broadcast join vs the C-row table
+    res = assign_b.join(
+        F.broadcast(centroids), F.col("bucket") == F.col("c_id")
+    ).select(
+        "vec_id",
+        "bucket",
+        F.expr("zip_with(vec, c_vec, (a, b) -> a - b)").alias("vec"),
+    )
+    # 2. PQ on residuals (seed_min=PQ_K: centroid residuals are zero)
+    books, assigned = pq_train_frame(
+        spark, res.select("vec_id", "vec"), seed_min=PQ_K
+    )
+    codes = assigned.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)"
+        ).alias("codes")
+    )
+
+    probes = ivf_nearest_buckets(
+        centroids,
+        vecs.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PROBE_ID_MAX)),
+        "vec_id",
+        IVF_NPROBE,
+    ).select(F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"), "bucket")
+
+    # 3. per-(query, bucket) residual LUTs via the 8-row codebook frame
+    cb = spark.createDataFrame(
+        [(s, [list(books[(s, c)]) for c in range(PQ_K)]) for s in range(PQ_SUBS)],
+        "sub int, cvs array<array<double>>",
+    )
+    qsub = (
+        probes.join(F.broadcast(centroids), F.col("bucket") == F.col("c_id"))
+        .select(
+            "query_id",
+            "bucket",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PQ_SUBS - 1}), s -> struct("
+                    f"s AS sub, slice(zip_with(q_vec, c_vec, (a, b) -> a - b),"
+                    f" s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS qs))"
+                )
+            ).alias("x"),
+        )
+        .select("query_id", "bucket", F.col("x.sub").alias("sub"), F.col("x.qs").alias("qs"))
+    )
+    luts = (
+        qsub.join(F.broadcast(cb), "sub")
+        .select(
+            "query_id",
+            "bucket",
+            "sub",
+            F.expr(
+                "transform(cvs, cv -> aggregate("
+                "zip_with(qs, cv, (a, b) -> (a - b) * (a - b)),"
+                " 0D, (acc, x) -> acc + x))"
+            ).alias("lut"),
+        )
+        .groupBy("query_id", "bucket")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(sub, lut))), x -> x.lut)"
+            ).alias("luts")
+        )
+    )
+
+    # 4. scoring: candidates x their bucket's per-query LUTs
+    cand = (
+        assign_b.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+        .join(codes.select(F.col("vec_id").alias("neighbor_id"), "codes"), "neighbor_id")
+        .join(F.broadcast(luts), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.expr(
+                f"aggregate(sequence(0, {PQ_SUBS - 1}), 0D,"
+                f" (acc, s) -> acc + luts[s][codes[s]])"
+            ),
+            6,
+        ).alias("adc_dist"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= 5
+    )

@@ -906,3 +906,144 @@ def test_ivf_pq_recall_on_clustered_blobs(spark):
         recalls.append(len(got & exact) / 5.0)
     mean_recall = float(np.mean(recalls))
     assert mean_recall >= 0.8, f"IVF-PQ recall on clustered blobs: {mean_recall}"
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_ivf_pq_residual — TRUE IVFADC residual encoding: the paired
+# capability proof (raw ADC ties out; residual ADC resolves) plus
+# structural invariants.
+# ---------------------------------------------------------------------------
+
+
+def _two_level_blob_dir() -> str:
+    """Deterministic TWO-LEVEL blob fixture: 16 well-separated coarse
+    clusters (scale 10) x a SHARED per-subspace mode table (16 modes
+    per subspace, scale 2, mode 0 = the zero offset), sigma=0.05
+    noise. Layout honors both deterministic-seed rules at once:
+    vec_id 0..15 sit AT the cluster centers (tuple all-0 -> they ARE
+    the coarse centroids, so every member's residual is exactly its
+    mode offsets, shared across clusters); vec_id 16..31 carry
+    diagonal tuples (one per mode) — the residual trainer's seeds
+    (seed_min=PQ_K), covering every mode in every subspace; vec_id
+    32..111 are 5 twins per coarse seed (tuple all-0); the rest form
+    6-point twin groups with random tuples. Every probe's exact top-5
+    is its 5 twins. Raw-vector PQ on this fixture quantizes to the
+    coarse clusters (scale 10 >> mode scale 2) and ties; residual PQ
+    sees only the shared mode geometry."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = "/root/repo/.scratch/blob_ivfpq_res"
+    path = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(path):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(131)
+    centers = rng.normal(0.0, 10.0, (16, 64))
+    modes = rng.normal(0.0, 2.0, (8, 16, 8))
+    modes[:, 0, :] = 0.0  # mode 0 = zero offset (the centroid tuple)
+    n = 1200
+    cluster = np.empty(n, dtype=int)
+    tuples = np.empty((n, 8), dtype=int)
+    for v in range(16):
+        cluster[v], tuples[v] = v, 0
+        cluster[16 + v], tuples[16 + v] = v, v  # diagonal PQ seeds
+        cluster[32 + 5 * v : 32 + 5 * (v + 1)] = v  # coarse-seed twins
+        tuples[32 + 5 * v : 32 + 5 * (v + 1)] = 0
+    n_groups = (n - 112 + 5) // 6
+    gt = rng.integers(0, 16, (n_groups, 8))
+    for v in range(112, n):
+        g = (v - 112) // 6
+        cluster[v], tuples[v] = g % 16, gt[g]
+    pts = centers[cluster] + np.concatenate(
+        [modes[s][tuples[:, s]] for s in range(8)], axis=1
+    ) + rng.normal(0.0, 0.05, (n, 64))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in pts], pa.list_(pa.float32())
+            ),
+            "label": pa.array(cluster.astype(np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, path)
+    return out
+
+
+def test_ivf_pq_residual_beats_raw_on_two_level_blobs(spark):
+    """THE residual-encoding capability proof (Jégou et al. §IV): on
+    data with coarse cluster structure plus shared fine structure,
+    raw-vector ADC quantizes to the clusters and ties (recall ~ 0)
+    while residual ADC subtracts the cluster and resolves the fine
+    geometry (recall >= 0.8, measured ~1.0) — same fixture, same
+    coarse quantizer, same codebook budget."""
+    import numpy as np
+
+    blob_dir = _two_level_blob_dir()
+    emb = load_table(spark, blob_dir, "embeddings").orderBy("vec_id").toPandas()
+    mat = np.array(emb["embedding"].tolist(), dtype=np.float64)
+
+    def recall(op_name):
+        approx = get_spec(op_name).fn(spark, blob_dir).toPandas()
+        top5 = approx[approx["rk"] <= 5].groupby("query_id")["neighbor_id"].apply(set)
+        rs = []
+        for q in range(0, 1200, 100):
+            d2 = ((mat - mat[q]) ** 2).sum(axis=1)
+            d2[q] = np.inf
+            exact = set(np.argsort(d2, kind="stable")[:5])
+            rs.append(len(top5.get(q, set()) & exact) / 5.0)
+        return float(np.mean(rs))
+
+    r_res = recall("sim_ann_ivf_pq_residual")
+    r_raw = recall("sim_ann_ivf_pq")
+    assert r_res >= 0.8, f"residual recall too low: {r_res}"
+    assert r_raw < 0.3, (
+        f"raw ADC unexpectedly resolves the two-level fixture ({r_raw}) — "
+        "the fixture no longer demonstrates the residual advantage"
+    )
+
+
+def test_ivf_pq_residual_structure(spark, sf_dir):
+    """Structural invariants on the driver fixture: <= 5 rows per
+    query, ranks 1..n, every neighbor inside one of the query's
+    probed buckets, non-negative rounded ADC distances."""
+    from hello_flink_spark.queries.llm import (
+        IVF_NPROBE,
+        PROBE_ID_MAX,
+        ivf_centroids_and_vecs,
+        ivf_nearest_buckets,
+    )
+
+    approx = get_spec("sim_ann_ivf_pq_residual").fn(spark, sf_dir).toPandas()
+    assert set(approx.columns) == {"query_id", "neighbor_id", "adc_dist", "rk"}
+    assert (approx["adc_dist"] >= 0).all()
+    assert (approx.groupby("query_id")["rk"].max() <= 5).all()
+    assert (
+        approx.groupby("query_id")["rk"]
+        .apply(lambda s: sorted(s) == list(range(1, len(s) + 1)))
+        .all()
+    )
+    centroids, vecs = ivf_centroids_and_vecs(spark, sf_dir)
+    assign_b = (
+        ivf_nearest_buckets(centroids, vecs, "vec_id", 1)
+        .select("vec_id", "bucket")
+        .toPandas()
+    )
+    probes = (
+        ivf_nearest_buckets(
+            centroids,
+            vecs.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PROBE_ID_MAX)),
+            "vec_id",
+            IVF_NPROBE,
+        )
+        .select("vec_id", "bucket")
+        .toPandas()
+    )
+    vec2bucket = dict(zip(assign_b["vec_id"], assign_b["bucket"]))
+    probed = probes.groupby("vec_id")["bucket"].apply(set).to_dict()
+    for r in approx.itertuples():
+        assert vec2bucket[r.neighbor_id] in probed[r.query_id]

@@ -57,6 +57,10 @@ BNLJ_OK = {
     "events_hourly_gap_fill",   # type alphabet x broadcast 1-row [min,max] scalar
     "events_value_winsorize",   # broadcast 1-row [p1,p99] percentile scalar
     "sim_range_search",  # broadcast PROBE_ID_MAX-capped probe set x corpus scan
+    "sim_ann_ivf_pq_residual",  # broadcast C=16 centroid table x corpus scan
+    #                      (coarse quantizer, ivf_nearest_buckets) — identical
+    #                      bounded shape to sim_ann_ivf_pq; candidate scoring
+    #                      is an equi-join on bucket
     "graph_triangle_count",  # crossJoins of three 1-row aggregate scalars
     #                          (edge/triangle/vertex-wedge counts) for the
     #                          final report row — never scaling x scaling
@@ -242,6 +246,12 @@ BROADCAST_HINT_OK = {
     ("round8", "tot"): "1-row bin-total scalar (events_value_psi)",
     ("round8", "luts"): "per-query ADC lookup tables — bounded by the PROBE_ID_MAX "
     "query cap x 8x16 doubles each (sim_ann_ivf_pq)",
+    ("round9", "centroids"): "IVF coarse-centroid table — IVF_C = 16 rows by "
+    "construction (sim_ann_ivf_pq_residual: residual build + query-residual LUTs)",
+    ("round9", "cb"): "PQ codebook frame — PQ_SUBS = 8 rows by construction "
+    "(sim_ann_ivf_pq_residual)",
+    ("round9", "luts"): "per-(query, probed-bucket) residual ADC LUTs — bounded by "
+    "PROBE_ID_MAX x IVF_NPROBE x 8x16 doubles (sim_ann_ivf_pq_residual)",
 }
 
 
