@@ -737,3 +737,230 @@ def sim_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= 5
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 6 — the AUDIO tier of the multimodal pillar: real WAV payloads
+# (operators/wav_codec.py), decoded inside Arrow mapInPandas.
+# ---------------------------------------------------------------------------
+
+# Synthetic audio-corpus closed form (single source of truth shared by
+# the WAV encode stage and, transcribed, the SQL oracles): every
+# document carries an 8 kHz 16-bit mono PCM clip whose length and
+# samples derive from doc_id. Lengths straddle odd/even (doc_id % 3
+# term) so the resample op's lone-tail-sample edge case is a fixture
+# case, not a code path the oracle never reaches.
+AUDIO_RATE = 8000
+AUDIO_N_SQL = "240 + (doc_id % 7) * 80 + doc_id % 3"   # 240..722 samples
+AUDIO_N_MAX = 722
+AUDIO_V_SQL = "((doc_id + 1) * (i + 7)) % 4001 - 2000"  # int16-safe amplitudes
+
+
+def _audio_n(doc_id: int) -> int:
+    return 240 + (doc_id % 7) * 80 + doc_id % 3
+
+
+def _audio_sample(doc_id: int, i: int) -> int:
+    return ((doc_id + 1) * (i + 7)) % 4001 - 2000
+
+
+def _wav_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched ENCODE stage: a REAL 8 kHz mono PCM16 WAV per
+    document (RIFF/WAVE/fmt/data chunks — operators/wav_codec.py),
+    standing in for the binary audio column the schema reserves."""
+    from hello_flink_spark.operators.wav_codec import encode_wav_pcm16
+
+    for pdf in batches:
+        payloads = [
+            encode_wav_pcm16(
+                AUDIO_RATE,
+                (_audio_sample(int(d), i) for i in range(_audio_n(int(d)))),
+            )
+            for d in pdf["doc_id"]
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _audio_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched DECODE + FEATURE-EXTRACT stage: parse/verify each
+    WAV payload with the stdlib codec and emit EXACT integer sample
+    statistics (min/max/sum-of-squares/zero-crossings) — the float
+    math (duration, RMS) stays JVM-side so rounding follows the
+    repo's Spark-vs-DuckDB parity conventions."""
+    from hello_flink_spark.operators.wav_codec import decode_wav_pcm16
+
+    cols = ["doc_id", "sample_rate", "n_samples", "amp_min", "amp_max", "sq_sum", "zero_cross"]
+    for pdf in batches:
+        rows = []
+        for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+            rate, s = decode_wav_pcm16(bytes(blob))
+            rows.append(
+                {
+                    "doc_id": int(d),
+                    "sample_rate": rate,
+                    "n_samples": len(s),
+                    "amp_min": min(s),
+                    "amp_max": max(s),
+                    "sq_sum": sum(v * v for v in s),
+                    "zero_cross": sum(
+                        1 for j in range(1, len(s)) if s[j - 1] * s[j] < 0
+                    ),
+                }
+            )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle=f"""
+    WITH ns AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, {AUDIO_N_MAX})),
+    s AS (
+      SELECT d.doc_id, ns.i, {AUDIO_V_SQL.replace('doc_id', 'd.doc_id').replace('(i ', '(ns.i ')} AS v
+      FROM documents d JOIN ns ON ns.i < 240 + (d.doc_id % 7) * 80 + d.doc_id % 3
+    ),
+    lagged AS (
+      SELECT doc_id, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s
+    ),
+    m AS (
+      SELECT doc_id, COUNT(*) AS n, MIN(v) AS mn, MAX(v) AS mx,
+             SUM(v * v) AS sq,
+             SUM(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END) AS zc
+      FROM lagged GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           ROUND(CAST(n AS DOUBLE) * 1000 / {AUDIO_RATE}, 3) AS duration_ms,
+           CAST(GREATEST(ABS(mn), ABS(mx)) AS BIGINT) AS peak,
+           ROUND(SQRT(CAST(sq AS DOUBLE) / n), 6) AS rms,
+           CAST(zc AS BIGINT) AS zero_cross
+    FROM m
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO decode + feature-extract — the multimodal pillar's first
+    AUDIO op (the mandate names image/audio/video; until this round
+    only image ops existed): every document carries a REAL 8 kHz
+    16-bit mono PCM WAV payload (RIFF container, fmt/data chunks —
+    operators/wav_codec.py, stdlib-only since the container ships no
+    audio libs), decoded with full verification (magic, declared RIFF
+    size, chunk walk, PCM16-mono enforcement) inside the Arrow
+    ``mapInPandas`` path. The stage ships EXACT integer statistics
+    (min/max/Σv²/zero-crossings); duration and RMS are computed
+    JVM-side from the same integers the oracle aggregates, so the
+    sqrt comparison is bit-stable — the speech-corpus curation
+    features (clip length, peak, loudness, voicedness proxy) every
+    audio pipeline extracts before filtering.
+
+    Scale shape: one mapInPandas decode stage — embarrassingly
+    parallel per input partition, O(samples) per row, NO shuffle; six
+    scalars per clip cross the Arrow boundary. With external blobs
+    the same plan reads a binaryFile source partitioned by size."""
+    d = t(spark, sf_dir, "documents")
+    payload = d.select("doc_id").mapInPandas(
+        _wav_encode_batches, schema="doc_id long, payload binary"
+    )
+    mom = payload.mapInPandas(
+        _audio_stats_batches,
+        schema=(
+            "doc_id long, sample_rate long, n_samples long, amp_min long, "
+            "amp_max long, sq_sum long, zero_cross long"
+        ),
+    )
+    return mom.select(
+        "doc_id",
+        "n_samples",
+        F.round(F.col("n_samples").cast("double") * 1000 / AUDIO_RATE, 3).alias(
+            "duration_ms"
+        ),
+        F.greatest(F.abs(F.col("amp_min")), F.abs(F.col("amp_max"))).alias("peak"),
+        F.round(
+            F.sqrt(F.col("sq_sum").cast("double") / F.col("n_samples")), 6
+        ).alias("rms"),
+        "zero_cross",
+    )
+
+
+def _audio_resample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched RESAMPLE stage: decode, 2:1 decimate by pairwise
+    floor-average (a lone tail sample pools as itself), RE-ENCODE as a
+    real 4 kHz WAV, decode again and require the roundtrip bit-exact
+    before emitting the output clip's stats."""
+    from hello_flink_spark.operators.wav_codec import decode_wav_pcm16, encode_wav_pcm16
+
+    cols = ["doc_id", "out_rate", "out_n", "out_sum", "out_min", "out_max"]
+    for pdf in batches:
+        rows = []
+        for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+            rate, s = decode_wav_pcm16(bytes(blob))
+            pooled = [
+                sum(s[j : j + 2]) // len(s[j : j + 2]) for j in range(0, len(s), 2)
+            ]
+            out = encode_wav_pcm16(rate // 2, pooled)
+            rate2, s2 = decode_wav_pcm16(out)
+            if rate2 != rate // 2 or s2 != pooled:
+                raise ValueError(f"WAV re-encode roundtrip mismatch for doc {d}")
+            rows.append(
+                {
+                    "doc_id": int(d),
+                    "out_rate": rate2,
+                    "out_n": len(s2),
+                    "out_sum": sum(s2),
+                    "out_min": min(s2),
+                    "out_max": max(s2),
+                }
+            )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+@register(
+    "multimodal_audio_resample",
+    oracle=f"""
+    WITH ns AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, {AUDIO_N_MAX})),
+    s AS (
+      SELECT d.doc_id, ns.i, {AUDIO_V_SQL.replace('doc_id', 'd.doc_id').replace('(i ', '(ns.i ')} AS v
+      FROM documents d JOIN ns ON ns.i < 240 + (d.doc_id % 7) * 80 + d.doc_id % 3
+    ),
+    pooled AS (
+      SELECT doc_id, i // 2 AS b,
+             CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS pv
+      FROM s GROUP BY doc_id, i // 2
+    )
+    SELECT doc_id,
+           CAST({AUDIO_RATE} // 2 AS BIGINT) AS out_rate,
+           CAST(COUNT(*) AS BIGINT) AS out_n,
+           CAST(SUM(pv) AS BIGINT) AS out_sum,
+           CAST(MIN(pv) AS BIGINT) AS out_min,
+           CAST(MAX(pv) AS BIGINT) AS out_max
+    FROM pooled GROUP BY doc_id
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO RESAMPLE — the binary→binary audio transform (the audio
+    analog of ``multimodal_resize``): decode each WAV for real, 2:1
+    decimate by pairwise floor-average (the odd-length fixture clips
+    make the lone-tail-sample edge case real), RE-ENCODE as a real
+    4 kHz WAV and decode it again with the roundtrip required
+    bit-identical before the output clip's typed stats emit — the
+    sample-rate normalization stage every speech pipeline runs before
+    featurization, with the whole decode→transform→encode→decode
+    chain load-bearing for the driver hash gate.
+
+    Scale shape: one Arrow mapInPandas stage, O(samples) per row,
+    embarrassingly parallel per input partition, NO shuffle. The
+    oracle recomputes the pooled samples per-SAMPLE from the closed
+    form (floor(sum/count) per pair — floor, matching Python's //),
+    so decoder, pooling, tail-sample, and re-encode bugs all
+    hash-fail."""
+    d = t(spark, sf_dir, "documents")
+    payload = d.select("doc_id").mapInPandas(
+        _wav_encode_batches, schema="doc_id long, payload binary"
+    )
+    return payload.mapInPandas(
+        _audio_resample_batches,
+        schema=(
+            "doc_id long, out_rate long, out_n long, out_sum long, "
+            "out_min long, out_max long"
+        ),
+    )

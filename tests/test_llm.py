@@ -1047,3 +1047,121 @@ def test_ivf_pq_residual_structure(spark, sf_dir):
     probed = probes.groupby("vec_id")["bucket"].apply(set).to_dict()
     for r in approx.itertuples():
         assert vec2bucket[r.neighbor_id] in probed[r.query_id]
+
+
+# ---------------------------------------------------------------------------
+# multimodal AUDIO tier: real WAV codec (operators/wav_codec.py) — the
+# codec itself, unit-tested independently of the closed-form fixture so
+# the decode stage is pinned as a GENERIC PCM16 decoder.
+# ---------------------------------------------------------------------------
+
+
+def test_wav_codec_roundtrip():
+    """Encode→decode must be identity, including negative samples and
+    the int16 extremes."""
+    from hello_flink_spark.operators.wav_codec import decode_wav_pcm16, encode_wav_pcm16
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345, 7, -8000]
+    blob = encode_wav_pcm16(8000, samples)
+    rate, out = decode_wav_pcm16(blob)
+    assert rate == 8000
+    assert out == samples
+
+
+def test_wav_codec_property_roundtrip():
+    """Random lengths/rates/samples round-trip exactly."""
+    import random
+
+    from hello_flink_spark.operators.wav_codec import decode_wav_pcm16, encode_wav_pcm16
+
+    rng = random.Random(77)
+    for _ in range(25):
+        n = rng.randrange(0, 400)
+        rate = rng.choice([4000, 8000, 16000, 44100])
+        samples = [rng.randrange(-32768, 32768) for _ in range(n)]
+        rate2, out = decode_wav_pcm16(encode_wav_pcm16(rate, samples))
+        assert (rate2, out) == (rate, samples)
+
+
+def test_wav_codec_skips_unknown_chunks_and_honors_padding():
+    """A LIST/INFO chunk (odd-sized, so the RIFF even-byte padding
+    rule is load-bearing) between fmt and data must be skipped."""
+    import struct
+
+    from hello_flink_spark.operators.wav_codec import decode_wav_pcm16, encode_wav_pcm16
+
+    samples = [5, -6, 7]
+    blob = encode_wav_pcm16(8000, samples)
+    # splice an odd-length junk chunk after fmt (offset 12..36 is fmt)
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad to even
+    spliced = blob[:36] + junk + blob[36:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate, out = decode_wav_pcm16(spliced)
+    assert (rate, out) == (8000, samples)
+
+
+def test_wav_codec_rejects_malformed():
+    """Loud rejection, never silent mis-decode: bad magic, truncated
+    body, stereo/8-bit/non-PCM fmt, inconsistent byte_rate, odd data
+    size, missing chunks, out-of-range encode samples."""
+    import struct
+
+    import pytest
+
+    from hello_flink_spark.operators.wav_codec import decode_wav_pcm16, encode_wav_pcm16
+
+    good = encode_wav_pcm16(8000, [1, 2, 3])
+    with pytest.raises(ValueError, match="magic"):
+        decode_wav_pcm16(b"RIFX" + good[4:])
+    with pytest.raises(ValueError, match="RIFF size"):
+        decode_wav_pcm16(good[:-2])
+    # fmt: stereo (channels=2 at offset 12+8+2)
+    bad = bytearray(good)
+    bad[22] = 2
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav_pcm16(bytes(bad))
+    # fmt: 8-bit
+    bad = bytearray(good)
+    bad[34] = 8
+    with pytest.raises(ValueError, match="16"):
+        decode_wav_pcm16(bytes(bad))
+    # fmt: non-PCM format tag
+    bad = bytearray(good)
+    bad[20] = 3
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav_pcm16(bytes(bad))
+    # inconsistent byte_rate
+    bad = bytearray(good)
+    bad[28:32] = struct.pack("<I", 999)
+    with pytest.raises(ValueError, match="byte_rate"):
+        decode_wav_pcm16(bytes(bad))
+    # missing data chunk (RIFF size patched so the chunk walk runs)
+    nodata = good[:4] + struct.pack("<I", 36 - 8) + good[8:36]
+    with pytest.raises(ValueError, match="missing"):
+        decode_wav_pcm16(nodata)
+    with pytest.raises(struct.error):
+        encode_wav_pcm16(8000, [40000])
+
+
+def test_audio_fixture_closed_form_matches_decode(spark):
+    """The WAV encode stage's decoded output equals the closed form
+    sample-for-sample for a doc_id slice covering every (n % 7, n % 3)
+    length class — pins the encode stage AND the codec against the
+    oracle's transcription base."""
+    import pandas as pd
+
+    from hello_flink_spark.operators.wav_codec import decode_wav_pcm16
+    from hello_flink_spark.queries.round9 import (
+        AUDIO_RATE,
+        _audio_n,
+        _audio_sample,
+        _wav_encode_batches,
+    )
+
+    docs = pd.DataFrame({"doc_id": list(range(42))})
+    (out,) = list(_wav_encode_batches(iter([docs])))
+    for d, blob in zip(out["doc_id"], out["payload"]):
+        rate, s = decode_wav_pcm16(bytes(blob))
+        assert rate == AUDIO_RATE
+        assert len(s) == _audio_n(int(d))
+        assert s == [_audio_sample(int(d), i) for i in range(len(s))]
