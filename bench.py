@@ -181,6 +181,14 @@ HEADLINE = [
     # (query, bucket) LUTs; priced ~ the raw variant + the residual
     # join.
     "sim_ann_ivf_pq_residual",
+    # batch 6: the audio tier — real WAV decode (stats) and the
+    # decode->decimate->re-encode roundtrip (resample).
+    "multimodal_audio_stats",
+    "multimodal_audio_resample",
+    # batch 7: the [F] Evictor family batch shadows (count/time/delta).
+    "window_count_evictor",
+    "window_time_evictor",
+    "window_delta_evictor",
 ]
 
 

@@ -964,3 +964,176 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "out_min long, out_max long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 7 — the [F] Evictor family, batch shadows (VERDICT r08
+# "What's missing" #6): CountEvictor / TimeEvictor / DeltaEvictor.
+# An evictor trims the window BUFFER before the window function fires;
+# per-record eviction has no Structured Streaming hook (documented,
+# docs/SEMANTICS.md §3), but the fired windows' CONTENTS are pure
+# functions of the completed buffer — exactly expressible in batch as
+# a second windowed rank/max over the same keyed partition, so each
+# strategy gets an oracle-verified declared query.
+# ---------------------------------------------------------------------------
+
+COUNT_WIN = 5        # [F] countWindow(5)
+COUNT_EVICT_KEEP = 3  # [F] CountEvictor.of(3): keep the LAST 3 of the buffer
+TIME_EVICT_HOURS = 6  # [F] TimeEvictor.of(Time.hours(6)) over daily windows
+DELTA_EVICT_MAX = 100.0  # [F] DeltaEvictor.of(100, |v - v_newest|)
+
+
+@register(
+    "window_count_evictor",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS total
+      FROM events
+    ),
+    chunked AS (
+      SELECT user_id, value, (rn - 1) // {COUNT_WIN} AS chunk,
+             (rn - 1) % {COUNT_WIN} + 1 AS pos,
+             LEAST({COUNT_WIN}, total - ((rn - 1) // {COUNT_WIN}) * {COUNT_WIN}) AS csize
+      FROM numbered
+    )
+    SELECT user_id, CAST(chunk AS BIGINT) AS chunk,
+           COUNT(*) AS cnt_kept, ROUND(SUM(value), 2) AS total_value
+    FROM chunked
+    WHERE pos > csize - {COUNT_EVICT_KEEP}
+    GROUP BY user_id, chunk
+    """,
+)
+def window_count_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] ``countWindow(5)`` + ``CountEvictor.of(3)`` — before each
+    count window fires, evict all but the LAST 3 buffered elements
+    (Flink's CountEvictor trims from the buffer head), then aggregate
+    the survivors. The trailing partial window keeps min(3, size)
+    elements — same final-partial-window rule as ``window_count``,
+    whose ordering contract (ts, event_id) this op shares.
+
+    Scale shape: ONE (user_id) sort-shuffle serves both window passes
+    — the per-chunk buffer size comes from the user-total count over
+    the SAME partition (least(5, total - chunk*5)) instead of a second
+    (user, chunk)-keyed window, so no extra exchange before the final
+    keyed aggregation."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("total", F.count("*").over(wu))
+        .withColumn("chunk", ((F.col("rn") - 1) / COUNT_WIN).cast("long"))
+        .withColumn("pos", (F.col("rn") - 1) % COUNT_WIN + 1)
+        .withColumn(
+            "csize",
+            F.least(F.lit(COUNT_WIN), F.col("total") - F.col("chunk") * COUNT_WIN),
+        )
+        .filter(F.col("pos") > F.col("csize") - COUNT_EVICT_KEEP)
+        .groupBy("user_id", "chunk")
+        .agg(
+            F.count("*").alias("cnt_kept"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "window_time_evictor",
+    oracle=f"""
+    WITH win AS (
+      SELECT event_type, value, ts, date_trunc('day', ts) AS window_start,
+             MAX(ts) OVER (PARTITION BY date_trunc('day', ts), event_type) AS wmax
+      FROM events
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS cnt_kept, ROUND(SUM(value), 2) AS total_value
+    FROM win
+    WHERE ts > wmax - INTERVAL {TIME_EVICT_HOURS} HOUR
+    GROUP BY window_start, event_type
+    """,
+)
+def window_time_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] ``TumblingEventTimeWindows.of(1 day)`` +
+    ``TimeEvictor.of(Time.hours(6))`` — when a daily window fires,
+    evict every buffered element older than 6 hours before the
+    window's NEWEST element (Flink keeps ts > max_ts − T, strict),
+    then aggregate the survivors per event type — the "aggregate only
+    the freshest tail of each window" shape (e.g. closing-price
+    windows).
+
+    Scale shape: the buffer-max is a window MAX over the same
+    (day, event_type) partition the aggregation groups by — one hash
+    exchange total; timestamp arithmetic is exact integer microseconds
+    on both engines, so the strict > boundary is bit-stable."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    wstart = F.date_trunc("day", F.col("ts"))
+    wmax = Window.partitionBy(wstart, "event_type")
+    return (
+        e.withColumn("wmax", F.max("ts").over(wmax))
+        .filter(
+            F.col("ts") > F.col("wmax") - F.expr(f"INTERVAL {TIME_EVICT_HOURS} HOURS")
+        )
+        .groupBy(wstart.alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("cnt_kept"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "window_delta_evictor",
+    oracle=f"""
+    WITH win AS (
+      SELECT event_type, value, date_trunc('day', ts) AS window_start,
+             FIRST_VALUE(value) OVER (
+               PARTITION BY date_trunc('day', ts), event_type
+               ORDER BY ts DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS newest
+      FROM events
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS cnt_kept, ROUND(SUM(value), 2) AS total_value
+    FROM win
+    WHERE ABS(value - newest) < {DELTA_EVICT_MAX}
+    GROUP BY window_start, event_type
+    """,
+)
+def window_delta_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] ``DeltaEvictor.of(100, delta)`` with ``delta = |value −
+    value_newest|`` over daily per-type windows: when the window
+    fires, evict every buffered element whose value deviates from the
+    window's NEWEST element (by arrival order — the batch shadow's
+    (ts, event_id) contract) by ≥ the threshold, then aggregate the
+    survivors — the outlier-trim-before-aggregate shape DeltaEvictor
+    exists for. The newest element always survives (delta 0).
+
+    Scale shape: the newest-value lookup is a FIRST_VALUE over the
+    same (day, event_type) partition the aggregation groups by (one
+    sort-exchange); the delta compare is pure JVM float arithmetic on
+    identical doubles, so the strict < boundary is bit-stable."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    wstart = F.date_trunc("day", F.col("ts"))
+    wnew = (
+        Window.partitionBy(wstart, "event_type")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.withColumn("newest", F.first("value").over(wnew))
+        .filter(F.abs(F.col("value") - F.col("newest")) < DELTA_EVICT_MAX)
+        .groupBy(wstart.alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("cnt_kept"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
