@@ -189,6 +189,8 @@ HEADLINE = [
     "window_count_evictor",
     "window_time_evictor",
     "window_delta_evictor",
+    # batch 8: video scene-cut detection (full-clip decode, JVM lag/agg).
+    "multimodal_video_scene_cut",
 ]
 
 

@@ -1137,3 +1137,129 @@ def window_delta_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 8 — the VIDEO tier's analysis op: scene-cut detection over the
+# real multi-PNG clip container (extras.py's PNGV format).
+# ---------------------------------------------------------------------------
+
+SCENE_CUT_DELTA = 50.0  # |mean_lum(k) - mean_lum(k-1)| > 50 = a hard cut
+
+
+def _frame_moment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 1→N DECODE stage: parse the PNGV container and
+    run EVERY frame through the stdlib PNG decoder (CRC check,
+    inflate, unfilter), emitting one row per frame with its EXACT
+    integer luminance sum — the scene-cut math (means, lags, deltas)
+    stays JVM-side."""
+    import struct as _struct
+
+    from hello_flink_spark.operators.png_codec import decode_png_gray
+
+    cols = ["doc_id", "frame_idx", "n_px", "f_sum"]
+    for pdf in batches:
+        rows = []
+        for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+            blob = bytes(blob)
+            if blob[:4] != b"PNGV":
+                raise ValueError("not a PNGV clip container")
+            (n,) = _struct.unpack(">I", blob[4:8])
+            pos = 8
+            for k in range(n):
+                (ln,) = _struct.unpack(">I", blob[pos : pos + 4])
+                w, h, px = decode_png_gray(blob[pos + 4 : pos + 4 + ln])
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "frame_idx": k,
+                        "n_px": w * h,
+                        "f_sum": int(sum(px)),
+                    }
+                )
+                pos += 4 + ln
+        yield pd.DataFrame(rows, columns=cols)
+
+
+@register(
+    "multimodal_video_scene_cut",
+    oracle=f"""
+    WITH xs AS (SELECT CAST(range AS BIGINT) AS x FROM range(0, 8)),
+         ys AS (SELECT CAST(range AS BIGINT) AS y FROM range(0, 8)),
+         ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 9)),
+    frames AS (
+      SELECT d.doc_id, ks.k,
+             SUM((d.doc_id + 31 * xs.x + 17 * ys.y + 97 * ks.k) % 256)
+               / CAST((d.doc_id % 8 + 1) * ((d.doc_id * 3) % 8 + 1) AS DOUBLE)
+               AS mean_lum
+      FROM documents d
+      JOIN ks ON ks.k < d.doc_id % 8 + 2
+      JOIN xs ON xs.x < d.doc_id % 8 + 1
+      JOIN ys ON ys.y < (d.doc_id * 3) % 8 + 1
+      GROUP BY d.doc_id, ks.k
+    ),
+    deltas AS (
+      SELECT doc_id, k,
+             ABS(mean_lum - LAG(mean_lum) OVER (PARTITION BY doc_id ORDER BY k))
+               AS delta
+      FROM frames
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN delta > {SCENE_CUT_DELTA} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cuts,
+           CAST(COALESCE(MIN(CASE WHEN delta > {SCENE_CUT_DELTA} THEN k END), -1)
+                AS BIGINT) AS first_cut,
+           ROUND(MAX(delta), 6) AS max_delta
+    FROM deltas
+    WHERE delta IS NOT NULL
+    GROUP BY doc_id
+    """,
+)
+def multimodal_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO scene-cut detection — the analysis tier of the pillar's
+    video path (the mandate names image/audio/VIDEO; until this op the
+    only video op was stride frame-sampling): parse each document's
+    real multi-PNG clip container (extras.py's PNGV format), decode
+    EVERY frame for real (CRC, inflate, unfilter), and detect hard
+    cuts as frame-to-frame mean-luminance jumps above
+    {SCENE_CUT_DELTA} — the shot-boundary pass a video-corpus pipeline
+    runs before per-shot sampling/captioning. Emits per clip: frame
+    count, cut count, first cut index (−1 when none — every clip has
+    ≥ 2 frames, so every clip has ≥ 1 delta and a row), max delta.
+
+    Scale shape: the decode stage is a 1→N mapInPandas explosion
+    (one row per frame, THREE integer scalars — no pixels — cross the
+    Arrow boundary); means/lags/cut logic are JVM-side: one window +
+    one aggregation over the SAME (doc_id) partition, a single
+    sort-exchange. The mean division happens on both engines from the
+    same exact integers, so the strict > boundary is bit-stable even
+    when a delta lands exactly on the threshold."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    from hello_flink_spark.queries.extras import _video_encode_batches
+
+    payload = d.select("doc_id").mapInPandas(
+        _video_encode_batches, schema="doc_id long, payload binary"
+    )
+    frames = payload.mapInPandas(
+        _frame_moment_batches,
+        schema="doc_id long, frame_idx long, n_px long, f_sum long",
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    mean = F.col("f_sum").cast("double") / F.col("n_px")
+    cut = F.col("delta") > SCENE_CUT_DELTA
+    return (
+        frames.withColumn("delta", F.abs(mean - F.lag(mean).over(w)))
+        .filter(F.col("delta").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            (F.count("*") + 1).alias("n_frames"),
+            F.sum(cut.cast("long")).alias("n_cuts"),
+            F.coalesce(
+                F.min(F.when(cut, F.col("frame_idx"))), F.lit(-1).cast("long")
+            ).alias("first_cut"),
+            F.round(F.max("delta"), 6).alias("max_delta"),
+        )
+    )

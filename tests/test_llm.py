@@ -1165,3 +1165,14 @@ def test_audio_fixture_closed_form_matches_decode(spark):
         assert rate == AUDIO_RATE
         assert len(s) == _audio_n(int(d))
         assert s == [_audio_sample(int(d), i) for i in range(len(s))]
+
+
+def test_video_scene_cut_non_vacuous(spark, sf_dir):
+    """Both verdict classes must exist on the fixture (clips with and
+    without cuts), the first_cut sentinel must track n_cuts, and
+    frame counts must match the container closed form (doc_id%8+2)."""
+    pdf = get_spec("multimodal_video_scene_cut").fn(spark, sf_dir).toPandas()
+    assert (pdf["n_cuts"] > 0).any() and (pdf["n_cuts"] == 0).any()
+    assert ((pdf["first_cut"] == -1) == (pdf["n_cuts"] == 0)).all()
+    assert (pdf["n_frames"] == pdf["doc_id"] % 8 + 2).all()
+    assert (pdf.loc[pdf["n_cuts"] > 0, "max_delta"] > 50.0).all()
