@@ -324,6 +324,66 @@ def count_window_stream(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# window_count_evictor streaming twin — [F] countWindow(n) +
+# CountEvictor.of(keep)
+# ---------------------------------------------------------------------------
+
+COUNT_EVICT_KEEP = 3
+
+
+def _count_window_evictor(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    chunk_idx, buf_cnt, ring = state.get if state.exists else (0, 0, [])
+    ring = list(ring)
+    pdf = _sorted_concat(pdfs, ["ts", "event_id"])
+    out: list[dict] = []
+    for value in pdf["value"]:
+        buf_cnt += 1
+        ring.append(float(value))
+        # the evictor's buffer bound IS the state bound: only the last
+        # `keep` elements can ever be aggregated, so older ones drop
+        # the moment they are displaced — state stays O(keep), not O(n)
+        if len(ring) > COUNT_EVICT_KEEP:
+            ring.pop(0)
+        if buf_cnt == COUNT_WINDOW_SIZE:
+            out.append(
+                {
+                    "user_id": key[0],
+                    "chunk": chunk_idx,
+                    "cnt_kept": len(ring),
+                    "total_value": round(sum(ring), 2),
+                }
+            )
+            chunk_idx += 1
+            buf_cnt, ring = 0, []
+    state.update((chunk_idx, buf_cnt, ring))
+    yield pd.DataFrame(out)
+
+
+def count_window_evictor_stream(events: DataFrame) -> DataFrame:
+    """[F] ``countWindow(5)`` + ``CountEvictor.of(3)`` — streaming
+    twin of queries/round9.py::window_count_evictor. Flink's evictor
+    trims the buffer when the window FIRES; because CountEvictor keeps
+    a suffix, the same result falls out of keeping only the trailing
+    ``keep`` elements as they arrive — which also bounds state at
+    O(keep) scalars per key instead of the full window buffer (the
+    very reason evictors exist). The trailing partial window stays in
+    state (a stream never ends; the batch shadow emits it on EOF).
+
+    Per-batch arrivals are (ts, event_id)-sorted like the other count
+    machines; the fold order across batches is the replay order, the
+    same contract ``count_window_stream`` documents."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _count_window_evictor,
+        outputStructType="user_id long, chunk long, cnt_kept long, total_value double",
+        stateStructType="chunk_idx long, buf_cnt long, ring array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # stateful_markov_transitions — [F] KeyedProcessFunction + ValueState
 # (streaming twin of queries/round5.py::events_markov_transitions)
 # ---------------------------------------------------------------------------

@@ -787,6 +787,36 @@ def test_count_window_stream(spark, sf_dir, replay_dir):
     assert got == want
 
 
+def test_count_window_evictor_stream(spark, sf_dir, replay_dir):
+    """[F] CountEvictor golden: completed evicted count-windows must
+    match the batch shadow window_count_evictor on every FULL chunk
+    (full = the chunks window_count reports with cnt == 5; the
+    trailing partial stays in state). Also pins the O(keep) state
+    contract indirectly: the ring never aggregates more than 3."""
+    run_to_memory(
+        stateful.count_window_evictor_stream(_stream(spark, replay_dir)), "t_cwe"
+    )
+    got = {
+        (r.user_id, r.chunk): (r.cnt_kept, r.total_value)
+        for r in spark.table("t_cwe").collect()
+    }
+    full_keys = {
+        (r.user_id, r.chunk)
+        for r in get_spec("window_count")
+        .fn(spark, sf_dir)
+        .filter(F.col("cnt") == stateful.COUNT_WINDOW_SIZE)
+        .collect()
+    }
+    want = {
+        (r.user_id, r.chunk): (r.cnt_kept, r.total_value)
+        for r in get_spec("window_count_evictor").fn(spark, sf_dir).collect()
+        if (r.user_id, r.chunk) in full_keys
+    }
+    assert got == want
+    assert got, "no full evicted chunks in the replay"
+    assert all(c == stateful.COUNT_EVICT_KEEP for c, _ in got.values())
+
+
 def test_global_count_trigger_stream(spark, sf_dir, replay_dir):
     """window_global_trigger: the keyed count-trigger state machine's
     firings must match the batch shadow's every-5th-event snapshots
