@@ -191,6 +191,8 @@ HEADLINE = [
     "window_delta_evictor",
     # batch 8: video scene-cut detection (full-clip decode, JVM lag/agg).
     "multimodal_video_scene_cut",
+    # batch 9: DeltaTrigger batch shadow (per-key applyInPandas fold).
+    "events_delta_trigger",
 ]
 
 

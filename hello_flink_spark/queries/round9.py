@@ -1263,3 +1263,110 @@ def multimodal_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("delta"), 6).alias("max_delta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 9 — [F] DeltaTrigger: the last unmapped trigger strategy.
+# ---------------------------------------------------------------------------
+
+DELTA_TRIGGER_THRESH = 200.0  # fire when |v - v_at_last_fire| > 200
+
+
+def _delta_trigger_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-user sequential DeltaTrigger fold (the trigger is a
+    recurrence — baseline updates only at fires — so it is inherently
+    order-sensitive and non-associative): first element becomes the
+    delta baseline WITHOUT firing (Flink DeltaTrigger.onElement),
+    each later element fires iff delta(baseline, v) > threshold,
+    updating the baseline. A fire emits the global window's running
+    aggregate over ALL elements so far (FIRE, not FIRE_AND_PURGE)."""
+    pdf = pdf.sort_values(["ts", "event_id"], ignore_index=True)
+    out = []
+    baseline = None
+    total = 0.0
+    fires = 0
+    for i, v in enumerate(pdf["value"]):
+        v = float(v)
+        total += v
+        if baseline is None:
+            baseline = v
+        elif abs(v - baseline) > DELTA_TRIGGER_THRESH:
+            fires += 1
+            baseline = v
+            out.append(
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "fire_seq": fires,
+                    "n_events": i + 1,
+                    "total_value": round(total, 2),
+                    "trigger_value": v,
+                }
+            )
+    return pd.DataFrame(
+        out, columns=["user_id", "fire_seq", "n_events", "total_value", "trigger_value"]
+    )
+
+
+@register(
+    "events_delta_trigger",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    st AS (
+      SELECT user_id, rn, value AS baseline, value AS total,
+             0 AS fires, FALSE AS fired, value AS v
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn,
+             CASE WHEN ABS(e.value - st.baseline) > {DELTA_TRIGGER_THRESH}
+                  THEN e.value ELSE st.baseline END,
+             st.total + e.value,
+             st.fires + CASE WHEN ABS(e.value - st.baseline) > {DELTA_TRIGGER_THRESH}
+                             THEN 1 ELSE 0 END,
+             ABS(e.value - st.baseline) > {DELTA_TRIGGER_THRESH},
+             e.value
+      FROM st JOIN ev e ON e.user_id = st.user_id AND e.rn = st.rn + 1
+    )
+    SELECT user_id, CAST(fires AS BIGINT) AS fire_seq,
+           CAST(rn AS BIGINT) AS n_events,
+           ROUND(total, 2) AS total_value, v AS trigger_value
+    FROM st WHERE fired
+    """,
+)
+def events_delta_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] ``GlobalWindows`` + ``DeltaTrigger.of(200, |v − v_last|)``
+    — batch shadow of the last unmapped trigger strategy (the count
+    and processing-time triggers were mapped in round 3, docs/
+    SEMANTICS.md §3): the trigger keeps the element at the LAST FIRE
+    as its delta baseline (the first element seeds it without
+    firing), fires whenever the current element deviates from that
+    baseline by more than the threshold, and each fire emits the
+    global window's running (count, sum) over all elements so far —
+    the change-point snapshot shape DeltaTrigger exists for
+    (emit-on-meaningful-change, not on time).
+
+    Spark shape: the fold is a genuine recurrence (baseline updates
+    only at fires), non-associative and not window-expressible — the
+    honest batch primitive is an Arrow ``applyInPandas`` per-key
+    fold: one (user_id) shuffle, O(events-per-key) sequential work
+    per group, embarrassingly parallel ACROSS keys — exactly how the
+    engine's other sequential recurrences ship (and the streaming
+    twin ``stateful.stateful_delta_trigger`` runs the same fold
+    incrementally with O(1) state per key). The oracle replays the
+    identical recurrence as a DuckDB RECURSIVE CTE with left-to-right
+    double accumulation, so every emitted scalar is bit-stable."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            _delta_trigger_fold,
+            schema=(
+                "user_id long, fire_seq long, n_events long, "
+                "total_value double, trigger_value double"
+            ),
+        )
+    )

@@ -947,3 +947,105 @@ def stateful_session_funnel(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful_delta_trigger — [F] GlobalWindows + DeltaTrigger.of(thresh, delta)
+# (streaming twin of queries/round9.py::events_delta_trigger)
+# ---------------------------------------------------------------------------
+
+
+def _delta_trigger(
+    tz: str, key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user DeltaTrigger state machine + the watermark-delay
+    reorder buffer: the trigger is a recurrence (the baseline updates
+    only at fires), so fold order matters — rows fold in true
+    (ts, event_id) order once the watermark passes them, exactly like
+    the other order-sensitive stateful ops. State = four scalars
+    (baseline, n, total, fires) + the in-flight row window; each fire
+    emits an immutable snapshot row (append mode)."""
+    from hello_flink_spark.queries.round9 import DELTA_TRIGGER_THRESH
+
+    if state.exists:
+        baseline0, has_base, n, total, fires, bts, beid, bval = state.get
+        baseline = baseline0 if has_base else None
+        buf = list(zip(bts, beid, bval))
+    else:
+        baseline, n, total, fires, buf = None, 0, 0.0, 0, []
+    arrivals, cutoff = _drain_arrivals(tz, pdfs, state, ("event_id", "value"))
+    ready, buf = _reorder_split(buf, arrivals, cutoff)
+
+    out: list[dict] = []
+    for _, _, v in ready:
+        v = float(v)
+        n += 1
+        total += v
+        if baseline is None:
+            baseline = v
+        elif abs(v - baseline) > DELTA_TRIGGER_THRESH:
+            fires += 1
+            baseline = v
+            out.append(
+                {
+                    "user_id": key[0],
+                    "fire_seq": fires,
+                    "n_events": n,
+                    "total_value": round(total, 2),
+                    "trigger_value": v,
+                }
+            )
+    if baseline is None and not buf and not state.exists:
+        # first-seen key whose every arrival fell below the watermark
+        # (the _markov/_burst guard, ADVICE r08): no state entry
+        yield pd.DataFrame([])
+        return
+    state.update(
+        (
+            baseline if baseline is not None else 0.0,
+            1 if baseline is not None else 0,
+            n,
+            total,
+            fires,
+            [t for t, _, _ in buf],
+            [e for _, e, _ in buf],
+            [v for _, _, v in buf],
+        )
+    )
+    _arm_release_timer(state, buf, cutoff, tz)
+    yield pd.DataFrame(
+        out, columns=["user_id", "fire_seq", "n_events", "total_value", "trigger_value"]
+    )
+
+
+def stateful_delta_trigger(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
+    """[F] ``GlobalWindows`` + ``DeltaTrigger.of(200, |v − v_last|)``
+    — the last unmapped trigger strategy, as a keyed state machine
+    (docs/SEMANTICS.md §3; count + processing-time triggers were
+    mapped in round 3): the first element seeds the delta baseline
+    without firing; each later element fires iff it deviates from the
+    baseline by more than the threshold, emitting the global window's
+    running (count, sum) snapshot and re-seeding the baseline — the
+    emit-on-meaningful-change shape. Fires are immutable → append
+    mode. State is FOUR scalars + the reorder-buffer window per key
+    (the trigger never buffers the window contents — running
+    aggregates carry them), and the reorder buffer gives the
+    recurrence true event-time fold order under any within-delay
+    out-of-orderness, golden-matched to the batch shadow
+    ``events_delta_trigger``."""
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    return events.withWatermark("ts", delay).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        partial(_delta_trigger, tz),
+        outputStructType=(
+            "user_id long, fire_seq long, n_events long, "
+            "total_value double, trigger_value double"
+        ),
+        stateStructType=(
+            "baseline double, has_base long, n long, total double, fires long, "
+            "buf_ts array<long>, buf_eid array<long>, buf_val array<double>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -2080,6 +2080,29 @@ def test_stateful_ewma_equals_batch_shadow(spark, sf_dir, ooo_flush_replay_dir):
     assert got == want
 
 
+def test_stateful_delta_trigger_equals_batch_shadow(spark, sf_dir, ooo_flush_replay_dir):
+    """stateful_delta_trigger: the full set of fire snapshots must
+    equal the batch shadow events_delta_trigger row-for-row — driven
+    over the out-of-order replay, which the reorder buffer must fold
+    back into true (ts, event_id) order (the baseline recurrence
+    diverges under arrival-order folding: a swapped pair can both
+    change WHETHER a fire happens and the running totals it carries)."""
+    run_to_memory(
+        stateful.stateful_delta_trigger(_stream(spark, ooo_flush_replay_dir)),
+        "t_dtrig",
+    )
+    got = {
+        (r.user_id, r.fire_seq): (r.n_events, r.total_value, r.trigger_value)
+        for r in spark.table("t_dtrig").filter(F.col("user_id") >= 0).collect()
+    }
+    want = {
+        (r.user_id, r.fire_seq): (r.n_events, r.total_value, r.trigger_value)
+        for r in get_spec("events_delta_trigger").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got, "no delta-trigger fires in the replay"
+
+
 def test_stateful_autocorr_equals_batch_shadow(spark, sf_dir, ooo_flush_replay_dir):
     """stateful_autocorr: the final running lag-1 correlation per user
     must equal the declared batch op (within float tolerance — the
