@@ -92,6 +92,10 @@ def decode_wav_pcm16(data: bytes) -> tuple[int, list[int]]:
             samples = list(struct.unpack(f"<{length // 2}h", body))
         # chunks are padded to even sizes per the RIFF spec
         pos += 8 + length + (length % 2)
+    if pos != len(data):
+        # 1-7 leftover bytes would otherwise fall out of the walk
+        # silently — loud rejection, per the codec's contract
+        raise ValueError("malformed WAV: trailing bytes after the final chunk")
     if sample_rate < 0 or samples is None:
         raise ValueError("malformed WAV: missing fmt or data chunk")
     return sample_rate, samples

@@ -185,7 +185,14 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     completeness bug all fail the driver hash gate."""
     d = t(spark, sf_dir, "documents").select("doc_id")
     payload = d.mapInPandas(_phash_png_encode, schema="doc_id long, payload binary")
-    hashes = payload.mapInPandas(_phash_decode, schema="doc_id long, phash long")
+    # THREE plan branches consume the hashes (both band-join sides and
+    # the final left join); only the band sides share an exchange, so
+    # without a checkpoint the dominant decode+hash Python stage runs
+    # twice — materialize the (doc_id, phash) pairs once instead
+    # (review r09; the same pattern as pq_train's `sub`)
+    hashes = payload.mapInPandas(
+        _phash_decode, schema="doc_id long, phash long"
+    ).localCheckpoint(eager=True)
     banded = hashes.withColumn(
         "band_idx", F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1)))
     ).withColumn(
@@ -977,8 +984,13 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # strategy gets an oracle-verified declared query.
 # ---------------------------------------------------------------------------
 
-COUNT_WIN = 5        # [F] countWindow(5)
-COUNT_EVICT_KEEP = 3  # [F] CountEvictor.of(3): keep the LAST 3 of the buffer
+# [F] countWindow(5) / CountEvictor.of(3) — the streaming module owns
+# both constants so the batch shadow and its streaming twin
+# (stateful.count_window_evictor_stream) can never drift apart
+from hello_flink_spark.streaming.stateful import (  # noqa: E402
+    COUNT_EVICT_KEEP,
+    COUNT_WINDOW_SIZE as COUNT_WIN,
+)
 TIME_EVICT_HOURS = 6  # [F] TimeEvictor.of(Time.hours(6)) over daily windows
 DELTA_EVICT_MAX = 100.0  # [F] DeltaEvictor.of(100, |v - v_newest|)
 

@@ -328,6 +328,8 @@ def count_window_stream(events: DataFrame) -> DataFrame:
 # CountEvictor.of(keep)
 # ---------------------------------------------------------------------------
 
+# single source for the batch/stream twin pair: queries/round9.py
+# imports both this and COUNT_WINDOW_SIZE
 COUNT_EVICT_KEEP = 3
 
 

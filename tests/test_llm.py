@@ -1139,6 +1139,12 @@ def test_wav_codec_rejects_malformed():
     nodata = good[:4] + struct.pack("<I", 36 - 8) + good[8:36]
     with pytest.raises(ValueError, match="missing"):
         decode_wav_pcm16(nodata)
+    # trailing garbage after the final chunk (RIFF size patched to
+    # include it): must reject, not silently drop the leftover bytes
+    junky = good + b"\x01\x02\x03"
+    junky = junky[:4] + struct.pack("<I", len(junky) - 8) + junky[8:]
+    with pytest.raises(ValueError, match="trailing"):
+        decode_wav_pcm16(junky)
     with pytest.raises(struct.error):
         encode_wav_pcm16(8000, [40000])
 
