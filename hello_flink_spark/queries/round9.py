@@ -1084,14 +1084,18 @@ def window_time_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = t(spark, sf_dir, "events")
-    wstart = F.date_trunc("day", F.col("ts"))
-    wmax = Window.partitionBy(wstart, "event_type")
+    # materialize the window key FIRST: the window partition and the
+    # final groupBy then hash the same attribute, so Catalyst reuses
+    # one exchange for both (partitioning on the raw date_trunc
+    # expression twice defeats the reuse — plan-verified)
+    keyed = e.withColumn("window_start", F.date_trunc("day", F.col("ts")))
+    wmax = Window.partitionBy("window_start", "event_type")
     return (
-        e.withColumn("wmax", F.max("ts").over(wmax))
+        keyed.withColumn("wmax", F.max("ts").over(wmax))
         .filter(
             F.col("ts") > F.col("wmax") - F.expr(f"INTERVAL {TIME_EVICT_HOURS} HOURS")
         )
-        .groupBy(wstart.alias("window_start"), "event_type")
+        .groupBy("window_start", "event_type")
         .agg(
             F.count("*").alias("cnt_kept"),
             F.round(F.sum("value"), 2).alias("total_value"),
@@ -1134,16 +1138,18 @@ def window_delta_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = t(spark, sf_dir, "events")
-    wstart = F.date_trunc("day", F.col("ts"))
+    # window key materialized first for exchange reuse (see
+    # window_time_evictor)
+    keyed = e.withColumn("window_start", F.date_trunc("day", F.col("ts")))
     wnew = (
-        Window.partitionBy(wstart, "event_type")
+        Window.partitionBy("window_start", "event_type")
         .orderBy(F.col("ts").desc(), F.col("event_id").desc())
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return (
-        e.withColumn("newest", F.first("value").over(wnew))
+        keyed.withColumn("newest", F.first("value").over(wnew))
         .filter(F.abs(F.col("value") - F.col("newest")) < DELTA_EVICT_MAX)
-        .groupBy(wstart.alias("window_start"), "event_type")
+        .groupBy("window_start", "event_type")
         .agg(
             F.count("*").alias("cnt_kept"),
             F.round(F.sum("value"), 2).alias("total_value"),
