@@ -193,6 +193,8 @@ HEADLINE = [
     "multimodal_video_scene_cut",
     # batch 9: DeltaTrigger batch shadow (per-key applyInPandas fold).
     "events_delta_trigger",
+    # batch 10: energy VAD + gaps-and-islands segmentation.
+    "multimodal_audio_vad_segments",
 ]
 
 

@@ -1388,3 +1388,142 @@ def events_delta_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 10 — multimodal_audio_vad_segments: energy VAD + gaps-and-islands
+# ---------------------------------------------------------------------------
+
+VAD_FRAME = 40             # 5 ms frames at 8 kHz (full frames only)
+VAD_THRESH = 53_000_000    # frame Σv² energy gate (~median on the fixture)
+
+
+def _frame_energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched DECODE + FRAME stage: decode each WAV, split into
+    full {VAD_FRAME}-sample frames, emit one row per frame with its
+    EXACT integer energy (Σv²) — voicing, island grouping and segment
+    stats stay JVM-side."""
+    from hello_flink_spark.operators.wav_codec import decode_wav_pcm16
+
+    cols = ["doc_id", "frame_idx", "energy"]
+    for pdf in batches:
+        rows = []
+        for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+            _, s = decode_wav_pcm16(bytes(blob))
+            for f in range(len(s) // VAD_FRAME):
+                chunk = s[f * VAD_FRAME : (f + 1) * VAD_FRAME]
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "frame_idx": f,
+                        "energy": sum(v * v for v in chunk),
+                    }
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    oracle=f"""
+    WITH ns AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, {AUDIO_N_MAX})),
+    s AS (
+      SELECT d.doc_id, ns.i, {AUDIO_V_SQL.replace('doc_id', 'd.doc_id').replace('(i ', '(ns.i ')} AS v
+      FROM documents d
+      JOIN ns ON ns.i < ((240 + (d.doc_id % 7) * 80 + d.doc_id % 3) // {VAD_FRAME}) * {VAD_FRAME}
+    ),
+    frames AS (
+      SELECT doc_id, i // {VAD_FRAME} AS frame_idx,
+             SUM(v * v) > {VAD_THRESH} AS voiced
+      FROM s GROUP BY doc_id, i // {VAD_FRAME}
+    ),
+    flagged AS (
+      SELECT doc_id, frame_idx, voiced,
+             CASE WHEN voiced AND NOT COALESCE(
+               LAG(voiced) OVER (PARTITION BY doc_id ORDER BY frame_idx), FALSE)
+             THEN 1 ELSE 0 END AS seg_start
+      FROM frames
+    ),
+    islanded AS (
+      SELECT doc_id, voiced,
+             SUM(seg_start) OVER (PARTITION BY doc_id ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      FROM flagged
+    ),
+    base AS (
+      SELECT doc_id, COUNT(*) AS n_frames,
+             SUM(CASE WHEN voiced THEN 1 ELSE 0 END) AS n_voiced
+      FROM islanded GROUP BY doc_id
+    ),
+    runs AS (
+      SELECT doc_id, seg_id, COUNT(*) AS run_len
+      FROM islanded WHERE voiced GROUP BY doc_id, seg_id
+    ),
+    segs AS (
+      SELECT doc_id, COUNT(*) AS n_segments, MAX(run_len) AS longest_segment
+      FROM runs GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_frames AS BIGINT) AS n_frames,
+           CAST(b.n_voiced AS BIGINT) AS n_voiced,
+           CAST(COALESCE(sg.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(sg.longest_segment, 0) AS BIGINT) AS longest_segment
+    FROM base b LEFT JOIN segs sg ON sg.doc_id = b.doc_id
+    """,
+)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO VAD SEGMENTATION — the third audio-tier op: decode each
+    WAV, split into 5 ms frames, gate on exact integer frame energy
+    (Σv² > threshold, the classic energy VAD), and reduce the voiced
+    mask to SEGMENTS via gaps-and-islands — per clip: frame count,
+    voiced-frame count, segment count, longest segment. This is the
+    utterance-boundary pass a speech-corpus pipeline runs before
+    per-segment transcription; the fixture threshold sits at the
+    energy median so every structure class is present (2 clips with
+    zero voiced frames exercise the empty-join COALESCE path, 22 are
+    fully voiced).
+
+    Scale shape: the decode stage is a 1→N mapInPandas explosion
+    (one integer energy per frame crosses Arrow, never samples); the
+    voiced flag, island ids (LAG + running SUM over the SAME (doc_id)
+    sort), and both aggregations are JVM-side; integer energies make
+    the threshold compare exact on both engines."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    payload = d.select("doc_id").mapInPandas(
+        _wav_encode_batches, schema="doc_id long, payload binary"
+    )
+    frames = payload.mapInPandas(
+        _frame_energy_batches, schema="doc_id long, frame_idx long, energy long"
+    )
+    w1 = Window.partitionBy("doc_id").orderBy("frame_idx")
+    wrun = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f = (
+        frames.withColumn("voiced", F.col("energy") > VAD_THRESH)
+        .withColumn(
+            "seg_start",
+            (
+                F.col("voiced")
+                & ~F.coalesce(F.lag("voiced").over(w1), F.lit(False))
+            ).cast("long"),
+        )
+        .withColumn("seg_id", F.sum("seg_start").over(wrun))
+    )
+    base = f.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.col("voiced").cast("long")).alias("n_voiced"),
+    )
+    runs = (
+        f.filter(F.col("voiced"))
+        .groupBy("doc_id", "seg_id")
+        .agg(F.count("*").alias("run_len"))
+    )
+    segs = runs.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"), F.max("run_len").alias("longest_segment")
+    )
+    return base.join(segs, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        "n_voiced",
+        F.coalesce("n_segments", F.lit(0).cast("long")).alias("n_segments"),
+        F.coalesce("longest_segment", F.lit(0).cast("long")).alias("longest_segment"),
+    )

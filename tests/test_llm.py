@@ -1182,3 +1182,18 @@ def test_video_scene_cut_non_vacuous(spark, sf_dir):
     assert ((pdf["first_cut"] == -1) == (pdf["n_cuts"] == 0)).all()
     assert (pdf["n_frames"] == pdf["doc_id"] % 8 + 2).all()
     assert (pdf.loc[pdf["n_cuts"] > 0, "max_delta"] > 50.0).all()
+
+
+def test_audio_vad_segments_non_vacuous(spark, sf_dir):
+    """All three structure classes must exist on the fixture
+    (zero-voiced, fragmented, fully-voiced clips), and the per-clip
+    invariants must hold: longest <= n_voiced <= n_frames, and
+    n_segments == 0 iff n_voiced == 0."""
+    pdf = get_spec("multimodal_audio_vad_segments").fn(spark, sf_dir).toPandas()
+    assert (pdf["n_voiced"] == 0).any()
+    assert ((pdf["n_voiced"] > 0) & (pdf["n_voiced"] < pdf["n_frames"])).any()
+    assert (pdf["n_voiced"] == pdf["n_frames"]).any()
+    assert ((pdf["n_segments"] == 0) == (pdf["n_voiced"] == 0)).all()
+    assert (pdf["longest_segment"] <= pdf["n_voiced"]).all()
+    assert (pdf["n_voiced"] <= pdf["n_frames"]).all()
+    assert (pdf.loc[pdf["n_segments"] > 0, "longest_segment"] > 0).all()
