@@ -195,6 +195,8 @@ HEADLINE = [
     "events_delta_trigger",
     # batch 10: energy VAD + gaps-and-islands segmentation.
     "multimodal_audio_vad_segments",
+    # batch 11: CUSUM drift alarms (second recursive-oracle recurrence).
+    "events_cusum_alarms",
 ]
 
 

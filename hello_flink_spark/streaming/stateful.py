@@ -1051,3 +1051,91 @@ def stateful_delta_trigger(events: DataFrame, delay: str = "30 minutes") -> Data
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# stateful_cusum — streaming CUSUM drift detector
+# (streaming twin of queries/round9.py::events_cusum_alarms)
+# ---------------------------------------------------------------------------
+
+
+def _cusum(
+    tz: str, key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user CUSUM (Page's test) + the watermark-delay reorder
+    buffer: s ← max(0, s + v − μ − k) with alarm + restart at the h
+    crossing — a recurrence whose restart couples every step to the
+    alarm history, so fold order matters exactly like the delta
+    trigger. State = three scalars + the in-flight row window."""
+    from hello_flink_spark.queries.round9 import CUSUM_H, CUSUM_K, CUSUM_MU
+
+    if state.exists:
+        s, n, alarms, bts, beid, bval = state.get
+        buf = list(zip(bts, beid, bval))
+    else:
+        s, n, alarms, buf = 0.0, 0, 0, []
+    arrivals, cutoff = _drain_arrivals(tz, pdfs, state, ("event_id", "value"))
+    ready, buf = _reorder_split(buf, arrivals, cutoff)
+
+    out: list[dict] = []
+    for _, _, v in ready:
+        n += 1
+        s = max(0.0, s + float(v) - CUSUM_MU - CUSUM_K)
+        if s > CUSUM_H:
+            alarms += 1
+            out.append(
+                {
+                    "user_id": key[0],
+                    "alarm_seq": alarms,
+                    "n_events": n,
+                    "cusum_stat": round(s, 6),
+                    "trigger_value": float(v),
+                }
+            )
+            s = 0.0
+    if not ready and not buf and not state.exists:
+        # first-seen key whose every arrival fell below the watermark
+        # (the _markov/_burst guard, ADVICE r08): no state entry
+        yield pd.DataFrame([])
+        return
+    state.update(
+        (
+            s,
+            n,
+            alarms,
+            [t for t, _, _ in buf],
+            [e for _, e, _ in buf],
+            [v for _, _, v in buf],
+        )
+    )
+    _arm_release_timer(state, buf, cutoff, tz)
+    yield pd.DataFrame(
+        out, columns=["user_id", "alarm_seq", "n_events", "cusum_stat", "trigger_value"]
+    )
+
+
+def stateful_cusum(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
+    """Streaming CUSUM drift alarms (append mode): each h-crossing
+    emits an immutable (user, alarm_seq, n_events, statistic, value)
+    row and restarts the statistic — the online form of the batch
+    detector ``events_cusum_alarms``, golden-matched row-for-row over
+    the out-of-order replay. State is THREE scalars + the reorder
+    buffer per key; the buffer gives the restart-coupled recurrence
+    true event-time fold order under any within-delay
+    out-of-orderness."""
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    return events.withWatermark("ts", delay).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        partial(_cusum, tz),
+        outputStructType=(
+            "user_id long, alarm_seq long, n_events long, "
+            "cusum_stat double, trigger_value double"
+        ),
+        stateStructType=(
+            "s double, n long, alarms long, "
+            "buf_ts array<long>, buf_eid array<long>, buf_val array<double>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -2103,6 +2103,28 @@ def test_stateful_delta_trigger_equals_batch_shadow(spark, sf_dir, ooo_flush_rep
     assert got, "no delta-trigger fires in the replay"
 
 
+def test_stateful_cusum_equals_batch_shadow(spark, sf_dir, ooo_flush_replay_dir):
+    """stateful_cusum: the full set of alarm rows must equal the batch
+    shadow events_cusum_alarms row-for-row over the out-of-order
+    replay — the post-alarm restart couples every step to the alarm
+    history, so arrival-order folding diverges without the reorder
+    buffer (a swapped pair can move an h-crossing across the restart
+    boundary)."""
+    run_to_memory(
+        stateful.stateful_cusum(_stream(spark, ooo_flush_replay_dir)), "t_cusum"
+    )
+    got = {
+        (r.user_id, r.alarm_seq): (r.n_events, r.cusum_stat, r.trigger_value)
+        for r in spark.table("t_cusum").filter(F.col("user_id") >= 0).collect()
+    }
+    want = {
+        (r.user_id, r.alarm_seq): (r.n_events, r.cusum_stat, r.trigger_value)
+        for r in get_spec("events_cusum_alarms").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got, "no CUSUM alarms in the replay"
+
+
 def test_stateful_autocorr_equals_batch_shadow(spark, sf_dir, ooo_flush_replay_dir):
     """stateful_autocorr: the final running lag-1 correlation per user
     must equal the declared batch op (within float tolerance — the
