@@ -197,6 +197,8 @@ HEADLINE = [
     "multimodal_audio_vad_segments",
     # batch 11: CUSUM drift alarms (second recursive-oracle recurrence).
     "events_cusum_alarms",
+    # batch 12: audio energy-fingerprint near-dup (hamming-band join).
+    "multimodal_audio_dedup_fingerprint",
 ]
 
 

@@ -1632,3 +1632,227 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 12 — multimodal_audio_dedup_fingerprint: the AUDIO near-dup tier.
+# The pillar's dedup story so far covers IMAGE (multimodal_dedup_phash)
+# and ~15 text ops; audio corpora dedup just as surely (re-uploaded /
+# re-encoded clips), and the standard tool is an ENERGY FINGERPRINT
+# (robust-audio-hashing family, Haitsma & Kalker 2002: coarse spectral/
+# energy features -> sign bits -> hamming distance). This op is the
+# first-principles version of that shape over REAL decoded WAV bytes.
+# ---------------------------------------------------------------------------
+
+# Fingerprint-corpus closed form: every document carries an 8 kHz PCM16
+# WAV of 64 frames x 20 samples whose per-frame LOUDNESS follows a
+# per-group two-level pattern (loud/quiet frames at ~0.42 density) with
+# at most ONE flipped frame per variant — near-dup structure BY
+# CONSTRUCTION (intra-group fingerprints differ by <= 2 bits, measured
+# cross-group minimum is 17; popcounts 24..32, never degenerate),
+# and every frame energy has a closed-form per-sample SQL oracle.
+# The two amplitude levels keep every frame's energy far from the clip
+# mean, so the sign bits are exactly the pattern bits — no marginal
+# flips from the one-frame energy shift (|ΔΣE| = 43.2M vs the >= 800M
+# gap between either level's e*64 and the total).
+AFP_FRAME = 20          # samples per fingerprint frame
+AFP_FRAMES = 64         # frames per clip -> one 64-bit fingerprint
+AFP_N = AFP_FRAME * AFP_FRAMES  # 1280 samples (~160 ms @ 8 kHz)
+AFP_GROUPS = 23         # near-dup clusters
+AFP_VARIANTS = 9        # v=0 pristine, else one flipped frame
+AFP_MULT = 48271        # minstd multiplier — decorrelated from PHASH_*
+AFP_MOD = 97
+AFP_THRESH = 41         # loud-frame density ~0.42
+AFP_HI = 1500           # loud-frame amplitude (int16-safe)
+AFP_LO = 300            # quiet-frame amplitude
+AFP_HAMMING_MAX = 2     # near-dup verify threshold (intra-group max is 2)
+AFP_BANDS = 4           # 4 x 16-bit bands: complete for hamming <= 2
+                        # by the same pigeonhole as PHASH_BANDS
+
+
+def _afp_loud(doc_id: int, b: int) -> bool:
+    """Closed-form per-frame loudness bit — the single source of truth
+    shared by the WAV encode stage and (transcribed) the SQL oracle."""
+    g, v = doc_id % AFP_GROUPS, (doc_id // AFP_GROUPS) % AFP_VARIANTS
+    pattern = ((g + 1) * (b + 5) * AFP_MULT) % AFP_MOD < AFP_THRESH
+    flipped = v != 0 and b == (v * 11 + g * 3) % 64
+    return pattern != flipped
+
+
+def _afp_sample(doc_id: int, i: int) -> int:
+    amp = AFP_HI if _afp_loud(doc_id, i // AFP_FRAME) else AFP_LO
+    return amp if i % 2 == 0 else -amp  # alternate sign: a real waveform
+
+
+def _afp_wav_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched ENCODE stage: a REAL 8 kHz PCM16 WAV per document
+    (RIFF/fmt/data — operators/wav_codec.py)."""
+    from hello_flink_spark.operators.wav_codec import encode_wav_pcm16
+
+    for pdf in batches:
+        payloads = [
+            encode_wav_pcm16(
+                AUDIO_RATE, (_afp_sample(int(d), i) for i in range(AFP_N))
+            )
+            for d in pdf["doc_id"]
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _afp_frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched DECODE stage: parse/verify each WAV with the
+    stdlib codec and emit one row per FULL frame with its EXACT integer
+    energy Σv² — the fingerprint math (mean compare, bit packing,
+    banding) stays JVM-side, so only 64 integers per clip cross the
+    Arrow boundary, never samples."""
+    from hello_flink_spark.operators.wav_codec import decode_wav_pcm16
+
+    cols = ["doc_id", "frame_idx", "energy"]
+    for pdf in batches:
+        rows = []
+        for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+            _, s = decode_wav_pcm16(bytes(blob))
+            for b in range(len(s) // AFP_FRAME):
+                chunk = s[b * AFP_FRAME : (b + 1) * AFP_FRAME]
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "frame_idx": b,
+                        "energy": sum(v * v for v in chunk),
+                    }
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+# The oracle regenerates every SAMPLE from the closed form (numbers
+# CTE), pools frame energies, re-derives the sign bits from the exact
+# integer compare e*nf > total, packs with the same two's-complement
+# wrap as the phash oracle, and takes the textbook all-pairs
+# neighborhoods — codec, framing, packing, and banding-completeness
+# bugs all hash-fail.
+_AFP_ORACLE = f"""
+WITH ns AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, {AFP_N})),
+s AS (
+  SELECT d.doc_id, ns.i // {AFP_FRAME} AS b,
+         (CASE WHEN (
+             ((d.doc_id % {AFP_GROUPS} + 1) * (ns.i // {AFP_FRAME} + 5)
+              * {AFP_MULT}) % {AFP_MOD} < {AFP_THRESH}
+           ) != (
+             (d.doc_id // {AFP_GROUPS}) % {AFP_VARIANTS} != 0
+             AND ns.i // {AFP_FRAME} =
+                 (((d.doc_id // {AFP_GROUPS}) % {AFP_VARIANTS}) * 11
+                  + (d.doc_id % {AFP_GROUPS}) * 3) % 64
+           ) THEN {AFP_HI} ELSE {AFP_LO} END)
+         * (CASE WHEN ns.i % 2 = 0 THEN 1 ELSE -1 END) AS v
+  FROM documents d, ns
+),
+fr AS (SELECT doc_id, b, SUM(v * v) AS e FROM s GROUP BY doc_id, b),
+tot AS (SELECT doc_id, SUM(e) AS te, COUNT(*) AS nf FROM fr GROUP BY doc_id),
+fps AS (
+  SELECT doc_id,
+         CAST(CASE WHEN sraw >= 9223372036854775808
+                   THEN sraw - 18446744073709551616 ELSE sraw END AS BIGINT) AS afp
+  FROM (
+    SELECT fr.doc_id,
+           SUM(CASE WHEN fr.e * tot.nf > tot.te
+                    THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
+               * (CAST(1 AS HUGEINT) << CAST(fr.b AS INTEGER))) AS sraw
+    FROM fr JOIN tot ON tot.doc_id = fr.doc_id
+    GROUP BY fr.doc_id
+  )
+),
+nbrs AS (
+  SELECT a.doc_id, MIN(o.doc_id) AS mn
+  FROM fps a JOIN fps o
+    ON o.doc_id != a.doc_id
+   AND bit_count(xor(a.afp, o.afp)) <= {AFP_HAMMING_MAX}
+  GROUP BY a.doc_id
+)
+SELECT f.doc_id, f.afp,
+       CAST(LEAST(COALESCE(n.mn, f.doc_id), f.doc_id) AS BIGINT) AS keep_doc_id
+FROM fps f LEFT JOIN nbrs n ON n.doc_id = f.doc_id
+"""
+
+
+@register("multimodal_audio_dedup_fingerprint", oracle=_AFP_ORACLE)
+def multimodal_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate detection by energy fingerprint — the
+    multimodal pillar's audio dedup tier, completing the near-dup
+    story the pillar already tells for images
+    (``multimodal_dedup_phash``) and text (the dedup family): decode
+    every document's WAV payload for real (RIFF chunk walk, PCM16
+    verification — operators/wav_codec.py) inside Arrow
+    ``mapInPandas``, fingerprint it with the robust-audio-hashing
+    shape (Haitsma & Kalker 2002, first-principles variant: bit b =
+    frame b's exact integer energy above the clip mean energy), and
+    find near-dups EXACTLY like the simhash/phash tier: 4x16-bit
+    hamming-band candidate generation (pigeonhole-complete for
+    hamming <= {AFP_HAMMING_MAX}), exact ``bit_count(XOR)`` verify on
+    survivors, idempotent MIN collapse to the linear-size per-clip
+    representative.
+
+    Division of labor (deliberately different from phash, which packs
+    in numpy): only 64 exact INTEGER energies per clip cross the Arrow
+    boundary; the sign bits come from the integer compare
+    ``e * n_frames > total`` (no float mean, so the boundary is
+    bit-stable by construction) and the 64-bit pack is a JVM-side
+    ``SUM(shiftleft(1L, frame_idx))`` whose int64 two's-complement
+    wrap matches the oracle's HUGEINT fold exactly.
+
+    Scale shape: encode/decode embarrassingly parallel per input
+    partition; the per-frame explosion is 64 rows of 3 ints per clip;
+    fingerprints shuffle once on (band_idx, band_val) with bucket
+    sizes bounded by true-near-dup density plus the 16-bit band
+    collision rate — the dedup_simhash bound; no all-pairs anywhere."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    payload = d.mapInPandas(_afp_wav_encode, schema="doc_id long, payload binary")
+    frames = payload.mapInPandas(
+        _afp_frame_energy, schema="doc_id long, frame_idx long, energy long"
+    )
+    w = Window.partitionBy("doc_id")
+    bit_on = F.col("energy") * F.count("*").over(w) > F.sum("energy").over(w)
+    # THREE plan branches consume the fingerprints (both band-join
+    # sides + the final left join) — materialize once so the dominant
+    # decode Python stage runs once (same pattern as phash)
+    fps = (
+        frames.withColumn("on", bit_on)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("on"), F.expr("shiftleft(1L, CAST(frame_idx AS INT))")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("afp")
+        )
+        .localCheckpoint(eager=True)
+    )
+    banded = fps.withColumn(
+        "band_idx", F.explode(F.sequence(F.lit(0), F.lit(AFP_BANDS - 1)))
+    ).withColumn(
+        "band_val",
+        F.expr("shiftrightunsigned(afp, CAST(band_idx * 16 AS INT)) & 65535"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    nbrs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.col("a.afp").bitwiseXOR(F.col("b.afp")))
+            <= AFP_HAMMING_MAX
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("b.doc_id")).alias("mn"))
+    )
+    return fps.join(nbrs, "doc_id", "left").select(
+        "doc_id",
+        "afp",
+        F.least(
+            F.coalesce(F.col("mn"), F.col("doc_id")), F.col("doc_id")
+        ).alias("keep_doc_id"),
+    )

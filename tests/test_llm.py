@@ -809,6 +809,67 @@ def test_phash_fixture_separation():
 
 
 # ---------------------------------------------------------------------------
+# multimodal_audio_dedup_fingerprint (queries/round9.py — audio near-dup)
+# ---------------------------------------------------------------------------
+
+
+def test_afp_energy_stage_is_generic():
+    """The decode stage must compute per-frame Σv² from the DECODED
+    samples — hand-built WAVs with known sample values (not from the
+    fixture closed form) must yield the exact manual energies, full
+    frames only (the 10-sample tail here must be dropped)."""
+    import pandas as pd
+
+    from hello_flink_spark.operators.wav_codec import encode_wav_pcm16
+    from hello_flink_spark.queries.round9 import AFP_FRAME, _afp_frame_energy
+
+    samples = [((7 * i + 3) % 601) - 300 for i in range(2 * AFP_FRAME + 10)]
+    pdf = pd.DataFrame(
+        {"doc_id": [5], "payload": [encode_wav_pcm16(8000, samples)]}
+    )
+    out = pd.concat(list(_afp_frame_energy(iter([pdf]))))
+    assert list(out["frame_idx"]) == [0, 1]  # tail partial frame dropped
+    for b in (0, 1):
+        expect = sum(v * v for v in samples[b * AFP_FRAME : (b + 1) * AFP_FRAME])
+        assert int(out[out["frame_idx"] == b]["energy"].iloc[0]) == expect
+
+
+def test_afp_fixture_separation():
+    """Fixture closed-form invariant the near-dup thresholds rest on,
+    measured over REAL encode->decode->frame-energy->pack: same-group
+    clips differ by <= AFP_HAMMING_MAX fingerprint bits, cross-group
+    clips by far more. The pack here is the test's reference model of
+    the JVM-side formula (bit b = e*nf > total, int64 wrap)."""
+    import itertools
+
+    import pandas as pd
+
+    from hello_flink_spark.queries.round9 import (
+        AFP_GROUPS,
+        AFP_HAMMING_MAX,
+        _afp_frame_energy,
+        _afp_wav_encode,
+    )
+
+    ids = list(range(3 * AFP_GROUPS))  # three variants of every group
+    payload = pd.concat(list(_afp_wav_encode(iter([pd.DataFrame({"doc_id": ids})]))))
+    frames = pd.concat(list(_afp_frame_energy(iter([payload]))))
+    hashes = {}
+    for d, grp in frames.groupby("doc_id"):
+        es, tot = list(grp.sort_values("frame_idx")["energy"]), grp["energy"].sum()
+        hashes[d] = sum(1 << b for b, e in enumerate(es) if e * len(es) > tot)
+    cross_min, intra_max = 64, 0
+    for a, b in itertools.combinations(ids, 2):
+        d = bin(hashes[a] ^ hashes[b]).count("1")
+        if a % AFP_GROUPS == b % AFP_GROUPS:
+            intra_max = max(intra_max, d)
+        else:
+            cross_min = min(cross_min, d)
+    assert intra_max <= AFP_HAMMING_MAX, intra_max
+    assert cross_min > 3 * AFP_HAMMING_MAX, cross_min
+
+
+# ---------------------------------------------------------------------------
 # sim_ann_ivf_pq on CLUSTERED data (VERDICT r08 #2) — the fixture shape
 # IVF-PQ is actually deployed on; the random-vector floor (0.30, above)
 # stays as the distance-concentration worst case.
