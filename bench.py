@@ -199,6 +199,8 @@ HEADLINE = [
     "events_cusum_alarms",
     # batch 12: audio energy-fingerprint near-dup (hamming-band join).
     "multimodal_audio_dedup_fingerprint",
+    # batch 13: video frame-aligned perceptual-hash near-dup.
+    "multimodal_video_dedup_framehash",
 ]
 
 

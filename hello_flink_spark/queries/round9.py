@@ -1856,3 +1856,266 @@ def multimodal_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> Data
             F.coalesce(F.col("mn"), F.col("doc_id")), F.col("doc_id")
         ).alias("keep_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 13 — multimodal_video_dedup_framehash: the VIDEO near-dup tier.
+# With this op the pillar's near-dup story spans ALL THREE modalities:
+# image (multimodal_dedup_phash), audio (..._audio_dedup_fingerprint),
+# video (here) — plus the ~15-op text dedup family. The standard video
+# near-dup shape is FRAME-ALIGNED perceptual hashes (each frame hashed
+# like an image; clip distance = total hamming over aligned frames) —
+# re-encoded/re-uploaded clips match frame-for-frame after length
+# normalization (which multimodal_frame_sample's stride pass provides).
+# ---------------------------------------------------------------------------
+
+# Clip-corpus closed form: every document carries a PNGV container of
+# exactly 4 real 16x16 grayscale PNG frames whose 8x8 block patterns
+# follow a per-(group, frame) closed form, with at most ONE flipped
+# block in ONE frame per variant — so intra-group signature distance
+# is <= 2 bits (measured max 2 over the full variant range) and
+# cross-group distance is >= 93 of 256 bits; per-frame popcounts stay
+# in 6..40 (never degenerate).
+VDUP_GROUPS = 19
+VDUP_VARIANTS = 9
+VDUP_FRAMES = 4          # fixed-length clips: frame-aligned signatures
+VDUP_MULT = 31337        # decorrelated from PHASH_*/AFP_* constants
+VDUP_MOD = 103
+VDUP_THRESH = 43
+VDUP_IMG = 16            # 16x16 px frames, 2x2 blocks -> 64 bits/frame
+VDUP_HAMMING_MAX = 2     # total across all frames
+VDUP_BANDS = 4           # per frame -> 16 bands per clip signature;
+                         # <= 2 flips damage <= 2, >= 14 shared: complete
+
+
+def _vdup_bit(doc_id: int, k: int, b: int) -> bool:
+    """Closed-form block bit for frame k, block b — the single source
+    of truth shared by the encode stage and (transcribed) the oracle."""
+    g, v = doc_id % VDUP_GROUPS, (doc_id // VDUP_GROUPS) % VDUP_VARIANTS
+    pattern = ((g + 1) * (b + 3) * (k + 2) * VDUP_MULT) % VDUP_MOD < VDUP_THRESH
+    flipped = (
+        v != 0 and k == (v + g) % VDUP_FRAMES and b == (v * 17 + g) % 64
+    )
+    return pattern != flipped
+
+
+def _vdup_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched ENCODE stage: a REAL 4-frame PNGV clip per
+    document (length-prefixed container of CRC'd zlib PNGs — the same
+    format extras._video_encode_batches ships)."""
+    import struct as _struct
+
+    from hello_flink_spark.operators.png_codec import encode_png_gray
+
+    def pix(d: int, k: int, x: int, y: int) -> int:
+        return 255 if _vdup_bit(d, k, (y // 2) * 8 + (x // 2)) else 0
+
+    for pdf in batches:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            frames = [
+                encode_png_gray(
+                    VDUP_IMG,
+                    VDUP_IMG,
+                    lambda x, y, d=d, k=k: pix(d, k, x, y),
+                    filter_type=(d + k) % 3,
+                )
+                for k in range(VDUP_FRAMES)
+            ]
+            payloads.append(
+                b"PNGV"
+                + _struct.pack(">I", VDUP_FRAMES)
+                + b"".join(_struct.pack(">I", len(f)) + f for f in frames)
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _vdup_frame_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 1→N DECODE + HASH stage: parse the container,
+    decode EVERY frame for real (CRC, inflate, unfilter), and compute
+    the GENERIC per-frame block-mean perceptual hash (the same average
+    hash _phash_decode computes for still images) — one int64 per
+    frame crosses the Arrow boundary, never pixels."""
+    import struct as _struct
+
+    import numpy as np
+
+    from hello_flink_spark.operators.png_codec import decode_png_gray
+
+    n = VDUP_IMG // 2
+    cols = ["doc_id", "frame_idx", "fhash"]
+    for pdf in batches:
+        rows = []
+        for d, blob in zip(pdf["doc_id"], pdf["payload"]):
+            blob = bytes(blob)
+            if blob[:4] != b"PNGV":
+                raise ValueError("not a PNGV clip container")
+            (cnt,) = _struct.unpack(">I", blob[4:8])
+            pos = 8
+            for k in range(cnt):
+                (ln,) = _struct.unpack(">I", blob[pos : pos + 4])
+                w, h, px = decode_png_gray(blob[pos + 4 : pos + 4 + ln])
+                a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w)
+                bm = a.reshape(n, 2, n, 2).mean(axis=(1, 3))
+                bits = (bm > a.mean()).flatten()
+                hsh = sum(1 << b for b in range(64) if bits[b])
+                if hsh >= 1 << 63:
+                    hsh -= 1 << 64
+                rows.append({"doc_id": int(d), "frame_idx": k, "fhash": hsh})
+                pos += 4 + ln
+        yield pd.DataFrame(rows, columns=cols)
+
+
+# The oracle regenerates every PIXEL of every frame from the closed
+# form (x/y/k numbers CTEs), recomputes the per-frame average hash
+# independently (block means vs frame mean, HUGEINT pack), and takes
+# the textbook all-pairs FRAME-ALIGNED total-hamming neighborhoods —
+# container, decoder, per-frame hash, alignment, and banding-
+# completeness bugs all hash-fail.
+_VDUP_ORACLE = f"""
+WITH xs AS (SELECT CAST(range AS BIGINT) AS x FROM range(0, {VDUP_IMG})),
+ys AS (SELECT CAST(range AS BIGINT) AS y FROM range(0, {VDUP_IMG})),
+ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, {VDUP_FRAMES})),
+px AS (
+  SELECT d.doc_id, ks.k,
+         (ys.y // 2) * 8 + (xs.x // 2) AS b,
+         CASE WHEN (
+             ((d.doc_id % {VDUP_GROUPS} + 1)
+              * ((ys.y // 2) * 8 + (xs.x // 2) + 3)
+              * (ks.k + 2) * {VDUP_MULT}) % {VDUP_MOD} < {VDUP_THRESH}
+           ) != (
+             (d.doc_id // {VDUP_GROUPS}) % {VDUP_VARIANTS} != 0
+             AND ks.k = ((d.doc_id // {VDUP_GROUPS}) % {VDUP_VARIANTS}
+                         + d.doc_id % {VDUP_GROUPS}) % {VDUP_FRAMES}
+             AND (ys.y // 2) * 8 + (xs.x // 2) =
+                 (((d.doc_id // {VDUP_GROUPS}) % {VDUP_VARIANTS}) * 17
+                  + d.doc_id % {VDUP_GROUPS}) % 64
+           ) THEN 255 ELSE 0 END AS pv
+  FROM documents d, ks, xs, ys
+),
+fm AS (SELECT doc_id, k, AVG(pv) AS m FROM px GROUP BY doc_id, k),
+blocks AS (SELECT doc_id, k, b, AVG(pv) AS bm FROM px GROUP BY doc_id, k, b),
+fh AS (
+  SELECT doc_id, k,
+         CAST(CASE WHEN s >= 9223372036854775808
+                   THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS fhash
+  FROM (
+    SELECT blocks.doc_id, blocks.k,
+           SUM(CASE WHEN bm > m THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
+               * (CAST(1 AS HUGEINT) << CAST(b AS INTEGER))) AS s
+    FROM blocks JOIN fm ON fm.doc_id = blocks.doc_id AND fm.k = blocks.k
+    GROUP BY blocks.doc_id, blocks.k
+  )
+),
+dists AS (
+  SELECT a.doc_id AS da, o.doc_id AS db,
+         SUM(bit_count(xor(a.fhash, o.fhash))) AS dist
+  FROM fh a JOIN fh o ON o.k = a.k AND o.doc_id != a.doc_id
+  GROUP BY a.doc_id, o.doc_id
+),
+nbrs AS (
+  SELECT da AS doc_id, MIN(db) AS mn
+  FROM dists WHERE dist <= {VDUP_HAMMING_MAX}
+  GROUP BY da
+),
+sigs AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+         BIT_XOR(fhash) AS sig_xor
+  FROM fh GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_frames, s.sig_xor,
+       CAST(LEAST(COALESCE(n.mn, s.doc_id), s.doc_id) AS BIGINT) AS keep_doc_id
+FROM sigs s LEFT JOIN nbrs n ON n.doc_id = s.doc_id
+"""
+
+
+@register("multimodal_video_dedup_framehash", oracle=_VDUP_ORACLE)
+def multimodal_video_dedup_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-duplicate detection by frame-aligned perceptual
+    hashes — completes the multimodal pillar's near-dup tier across
+    ALL THREE modalities (image: ``multimodal_dedup_phash``; audio:
+    ``multimodal_audio_dedup_fingerprint``; video: here): parse each
+    document's real PNGV clip container, decode EVERY frame (CRC,
+    inflate, unfilter — operators/png_codec.py), hash each frame with
+    the same generic block-mean average hash the image tier uses, and
+    call two clips near-dups when the TOTAL hamming distance over
+    frame-aligned signatures is <= {VDUP_HAMMING_MAX} — the standard
+    re-encode/re-upload video dedup shape (clips are length-normalized
+    first in a real pipeline; ``multimodal_frame_sample``'s stride
+    pass is that normalization here, and the fixture ships fixed
+    4-frame clips).
+
+    Candidate generation is banded like the whole dedup family — each
+    (frame_idx, 16-bit band) is a bucket key, {VDUP_FRAMES}x
+    {VDUP_BANDS} = 16 bands per clip, and <= 2 bit flips damage <= 2
+    bands, so >= 14 shared buckets guarantee completeness (pigeonhole;
+    no all-pairs anywhere). Unlike the scalar tier the verify is a
+    SUM over aligned frames, so candidate pairs are DISTINCT-ed before
+    the sequence join (duplicate candidates would double-count the
+    per-frame distances — the idempotent-MIN shortcut phash uses does
+    not apply). Output is the linear-size per-clip row: frame count,
+    order-independent signature XOR (scalar evidence of every frame
+    hash, no array cells), and the representative keep_doc_id.
+
+    Scale shape: decode/hash is a 1→N explosion of one int64 per
+    frame; candidates shuffle on (frame_idx, band_idx, band_val) with
+    simhash-bounded buckets; the verify join touches only candidate
+    pairs x {VDUP_FRAMES} rows; one final left join back to the
+    per-clip signature aggregate."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    payload = d.mapInPandas(_vdup_encode, schema="doc_id long, payload binary")
+    # FIVE plan branches consume the frame hashes (two band-join
+    # sides, two verify-join sides, the final signature aggregate) —
+    # materialize once so the decode Python stage runs once
+    fh = payload.mapInPandas(
+        _vdup_frame_hash, schema="doc_id long, frame_idx long, fhash long"
+    ).localCheckpoint(eager=True)
+    banded = fh.withColumn(
+        "band_idx", F.explode(F.sequence(F.lit(0), F.lit(VDUP_BANDS - 1)))
+    ).withColumn(
+        "band_val",
+        F.expr("shiftrightunsigned(fhash, CAST(band_idx * 16 AS INT)) & 65535"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.frame_idx") == F.col("b.frame_idx"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    x, y = fh.alias("x"), fh.alias("y")
+    nbrs = (
+        cand.join(x, F.col("x.doc_id") == F.col("da"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("db"))
+            & (F.col("y.frame_idx") == F.col("x.frame_idx")),
+        )
+        .groupBy("da", "db")
+        .agg(
+            F.sum(
+                F.bit_count(F.col("x.fhash").bitwiseXOR(F.col("y.fhash")))
+            ).alias("dist")
+        )
+        .filter(F.col("dist") <= VDUP_HAMMING_MAX)
+        .groupBy(F.col("da").alias("doc_id"))
+        .agg(F.min("db").alias("mn"))
+    )
+    sigs = fh.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.expr("bit_xor(fhash)").alias("sig_xor"),
+    )
+    return sigs.join(nbrs, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        "sig_xor",
+        F.least(
+            F.coalesce(F.col("mn"), F.col("doc_id")), F.col("doc_id")
+        ).alias("keep_doc_id"),
+    )

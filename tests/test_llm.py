@@ -870,6 +870,51 @@ def test_afp_fixture_separation():
 
 
 # ---------------------------------------------------------------------------
+# multimodal_video_dedup_framehash (queries/round9.py — video near-dup)
+# ---------------------------------------------------------------------------
+
+
+def test_vdup_fixture_separation():
+    """Fixture invariant the frame-aligned near-dup thresholds rest
+    on, measured over REAL container-encode -> per-frame decode ->
+    hash: same-group clips differ by <= VDUP_HAMMING_MAX total bits
+    across aligned frames, cross-group clips by far more; every clip
+    yields exactly VDUP_FRAMES frame hashes."""
+    import itertools
+
+    import pandas as pd
+
+    from hello_flink_spark.queries.round9 import (
+        VDUP_FRAMES,
+        VDUP_GROUPS,
+        VDUP_HAMMING_MAX,
+        _vdup_encode,
+        _vdup_frame_hash,
+    )
+
+    ids = list(range(3 * VDUP_GROUPS))  # three variants of every group
+    payload = pd.concat(list(_vdup_encode(iter([pd.DataFrame({"doc_id": ids})]))))
+    fh = pd.concat(list(_vdup_frame_hash(iter([payload]))))
+    sigs = {
+        d: list(grp.sort_values("frame_idx")["fhash"])
+        for d, grp in fh.groupby("doc_id")
+    }
+    assert all(len(s) == VDUP_FRAMES for s in sigs.values())
+    cross_min, intra_max = 999, 0
+    for a, b in itertools.combinations(ids, 2):
+        dist = sum(
+            bin((x ^ y) & ((1 << 64) - 1)).count("1")
+            for x, y in zip(sigs[a], sigs[b])
+        )
+        if a % VDUP_GROUPS == b % VDUP_GROUPS:
+            intra_max = max(intra_max, dist)
+        else:
+            cross_min = min(cross_min, dist)
+    assert intra_max <= VDUP_HAMMING_MAX, intra_max
+    assert cross_min > 3 * VDUP_HAMMING_MAX, cross_min
+
+
+# ---------------------------------------------------------------------------
 # sim_ann_ivf_pq on CLUSTERED data (VERDICT r08 #2) — the fixture shape
 # IVF-PQ is actually deployed on; the random-vector floor (0.30, above)
 # stays as the distance-concentration worst case.
