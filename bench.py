@@ -201,6 +201,8 @@ HEADLINE = [
     "multimodal_audio_dedup_fingerprint",
     # batch 13: video frame-aligned perceptual-hash near-dup.
     "multimodal_video_dedup_framehash",
+    # batch 14: the fused multimodal manifest capstone (3 codecs, 0 shuffles).
+    "pipeline_multimodal_manifest",
 ]
 
 

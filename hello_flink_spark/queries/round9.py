@@ -2119,3 +2119,228 @@ def multimodal_video_dedup_framehash(spark: SparkSession, sf_dir: str) -> DataFr
             F.coalesce(F.col("mn"), F.col("doc_id")), F.col("doc_id")
         ).alias("keep_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 14 — pipeline_multimodal_manifest: the multimodal CAPSTONE.
+# The text capstones (pipeline_training_corpus v1/v2/v3) compose the
+# text family's gates into the one query a corpus curator runs; this
+# is the same shape for the MULTIMODAL corpus: every document carries
+# image + audio + video payloads plus text, and the manifest applies
+# one quality gate per modality — brightness band (image), minimum
+# duration (audio), scene-cut cap (video, over-cutty = corrupt), and
+# the composite text-quality threshold — emitting per-modality
+# verdicts and the final keep flag a downstream trainer consumes.
+# ---------------------------------------------------------------------------
+
+MAN_Q_MIN = 0.55        # text: composite quality gate (~28% drop at sf0.01)
+MAN_CUTS_MAX = 2        # video: > 2 hard cuts = corrupt/over-segmented clip
+MAN_AUDIO_MIN_N = 320   # audio: >= 40 ms at 8 kHz (drops doc_id % 7 == 0)
+
+
+def _manifest_moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """ONE fused Arrow stage for all three binary modalities: reuses
+    the pillar's proven encode/decode batch generators (they are pure
+    pandas functions) to decode each document's PNG, WAV, and PNGV
+    payloads for real, reduces the video frame means to a cut count
+    (exact-integer means divided as float64 — the same IEEE double
+    DuckDB computes), and emits one row of integer moments per
+    document with the text passed through — so the whole manifest is
+    a single Python stage with ZERO shuffles."""
+    from hello_flink_spark.queries.extras import _video_encode_batches
+    from hello_flink_spark.queries.llm import _png_encode_batches
+
+    cols = [
+        "doc_id", "text", "img_n_px", "img_lum_sum",
+        "aud_n", "aud_sq", "vid_frames", "vid_cuts",
+    ]
+    for pdf in batches:
+        ids = pdf[["doc_id"]]
+        img = pd.concat(list(_lum_moment_batches(_png_encode_batches(iter([ids])))))
+        aud = pd.concat(list(_audio_stats_batches(_wav_encode_batches(iter([ids])))))
+        vid = pd.concat(list(_frame_moment_batches(_video_encode_batches(iter([ids])))))
+        vid = vid.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+        vid["mean_lum"] = vid["f_sum"] / vid["n_px"]
+        vid["delta"] = vid.groupby("doc_id")["mean_lum"].diff().abs()
+        vstats = vid.groupby("doc_id").agg(
+            vid_frames=("frame_idx", "size"),
+            vid_cuts=("delta", lambda s: int((s > SCENE_CUT_DELTA).sum())),
+        ).reset_index()
+        out = (
+            pdf[["doc_id", "text"]]
+            .merge(
+                img.rename(columns={"n_px": "img_n_px", "lum_sum": "img_lum_sum"})[
+                    ["doc_id", "img_n_px", "img_lum_sum"]
+                ],
+                on="doc_id",
+            )
+            .merge(
+                aud.rename(columns={"n_samples": "aud_n", "sq_sum": "aud_sq"})[
+                    ["doc_id", "aud_n", "aud_sq"]
+                ],
+                on="doc_id",
+            )
+            .merge(vstats, on="doc_id")
+        )
+        yield out[cols]
+
+
+_MANIFEST_ORACLE = f"""
+WITH xs AS (SELECT CAST(range AS BIGINT) AS x FROM range(0, 16)),
+ys AS (SELECT CAST(range AS BIGINT) AS y FROM range(0, 16)),
+ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 9)),
+ns AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, {AUDIO_N_MAX})),
+ipx AS (
+  SELECT d.doc_id, (d.doc_id + 31 * xs.x + 17 * ys.y) % 256 AS pv
+  FROM documents d
+  JOIN xs ON xs.x <= d.doc_id % 16
+  JOIN ys ON ys.y <= (d.doc_id * 7) % 16
+),
+img AS (
+  SELECT doc_id, COUNT(*) AS n_px, SUM(pv) AS lum_sum FROM ipx GROUP BY doc_id
+),
+samp AS (
+  SELECT d.doc_id, ((d.doc_id + 1) * (ns.i + 7)) % 4001 - 2000 AS v
+  FROM documents d JOIN ns ON ns.i < 240 + (d.doc_id % 7) * 80 + d.doc_id % 3
+),
+aud AS (
+  SELECT doc_id, COUNT(*) AS n, SUM(v * v) AS sq FROM samp GROUP BY doc_id
+),
+vframes AS (
+  SELECT d.doc_id, ks.k,
+         SUM((d.doc_id + 31 * xs.x + 17 * ys.y + 97 * ks.k) % 256)
+           / CAST((d.doc_id % 8 + 1) * ((d.doc_id * 3) % 8 + 1) AS DOUBLE)
+           AS mean_lum
+  FROM documents d
+  JOIN ks ON ks.k < d.doc_id % 8 + 2
+  JOIN xs ON xs.x < d.doc_id % 8 + 1
+  JOIN ys ON ys.y < (d.doc_id * 3) % 8 + 1
+  GROUP BY d.doc_id, ks.k
+),
+vdeltas AS (
+  SELECT doc_id,
+         ABS(mean_lum - LAG(mean_lum) OVER (PARTITION BY doc_id ORDER BY k))
+           AS delta
+  FROM vframes
+),
+vid AS (
+  SELECT doc_id, COUNT(*) + 1 AS n_frames,
+         SUM(CASE WHEN delta > {SCENE_CUT_DELTA} THEN 1 ELSE 0 END) AS n_cuts
+  FROM vdeltas WHERE delta IS NOT NULL GROUP BY doc_id
+),
+txt AS (
+  SELECT doc_id,
+         len(string_split(lower(trim(text)), ' ')) AS n_words,
+         LEAST(CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) / 50,
+               1.0) * 0.5
+         + CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                                tok -> tok IN ('the', 'a', 'of', 'to', 'and')))
+                AS DOUBLE) / len(string_split(lower(trim(text)), ' ')) * 0.3
+         + (1 - CAST(length(lower(trim(text)))
+                     - length(regexp_replace(lower(trim(text)), '[^a-z0-9 ]',
+                                             '', 'g')) AS DOUBLE)
+                / length(lower(trim(text)))) * 0.2 AS quality
+  FROM documents
+)
+SELECT img.doc_id,
+       ROUND(CAST(img.lum_sum AS DOUBLE) / img.n_px, 6) AS mean_lum,
+       CAST(CASE WHEN CAST(img.lum_sum AS DOUBLE) / img.n_px
+                  BETWEEN {LUM_KEEP_MIN} AND {LUM_KEEP_MAX}
+             THEN 1 ELSE 0 END AS BIGINT) AS img_keep,
+       ROUND(CAST(aud.n AS DOUBLE) * 1000 / {AUDIO_RATE}, 3) AS duration_ms,
+       ROUND(SQRT(CAST(aud.sq AS DOUBLE) / aud.n), 6) AS rms,
+       CAST(CASE WHEN aud.n >= {MAN_AUDIO_MIN_N} THEN 1 ELSE 0 END AS BIGINT)
+         AS audio_keep,
+       CAST(vid.n_frames AS BIGINT) AS n_frames,
+       CAST(vid.n_cuts AS BIGINT) AS n_cuts,
+       CAST(CASE WHEN vid.n_cuts <= {MAN_CUTS_MAX} THEN 1 ELSE 0 END AS BIGINT)
+         AS video_keep,
+       CAST(txt.n_words AS BIGINT) AS n_words,
+       ROUND(txt.quality, 6) AS quality,
+       CAST(CASE WHEN txt.quality >= {MAN_Q_MIN} THEN 1 ELSE 0 END AS BIGINT)
+         AS text_keep,
+       CAST(CASE WHEN CAST(img.lum_sum AS DOUBLE) / img.n_px
+                      BETWEEN {LUM_KEEP_MIN} AND {LUM_KEEP_MAX}
+                  AND aud.n >= {MAN_AUDIO_MIN_N}
+                  AND vid.n_cuts <= {MAN_CUTS_MAX}
+                  AND txt.quality >= {MAN_Q_MIN}
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM img
+JOIN aud ON aud.doc_id = img.doc_id
+JOIN vid ON vid.doc_id = img.doc_id
+JOIN txt ON txt.doc_id = img.doc_id
+"""
+
+
+@register("pipeline_multimodal_manifest", oracle=_MANIFEST_ORACLE)
+def pipeline_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL training-manifest capstone — the one query a
+    multimodal-corpus curator runs, composing the pillar's quality
+    gates across every modality the mandate names: decode each
+    document's image (PNG), audio (WAV), and video (PNGV) payloads
+    FOR REAL inside one fused Arrow stage, score the text column
+    JVM-side with the ``text_quality_score`` composite, and emit the
+    per-document manifest row: per-modality metrics, per-modality
+    keep verdicts (brightness band / minimum duration / scene-cut
+    cap / quality threshold — every verdict class non-vacuous at
+    sf0.01: image 486/14, audio 428/72, video 454/46, text ~72/28%),
+    and the final conjunction ``keep`` a downstream trainer consumes.
+
+    Scale shape: ONE mapInPandas stage decodes all three payloads per
+    document (reusing the pillar's proven batch generators — pure
+    pandas functions — so the manifest adds no new codec code) and
+    ships only integer moments + the passed-through text; every gate,
+    ratio, and float comparison is JVM-side from the same exact
+    integers the oracle aggregates. ZERO shuffles end-to-end — the
+    plan is scan → Python stage → project, embarrassingly parallel
+    per input partition at any corpus size."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    mom = d.mapInPandas(
+        _manifest_moments,
+        schema=(
+            "doc_id long, text string, img_n_px long, img_lum_sum long, "
+            "aud_n long, aud_sq long, vid_frames long, vid_cuts long"
+        ),
+    )
+    mean_lum = F.col("img_lum_sum").cast("double") / F.col("img_n_px")
+    img_keep = (mean_lum >= LUM_KEEP_MIN) & (mean_lum <= LUM_KEEP_MAX)
+    audio_keep = F.col("aud_n") >= MAN_AUDIO_MIN_N
+    video_keep = F.col("vid_cuts") <= MAN_CUTS_MAX
+    low = F.lower(F.trim(F.col("text")))
+    toks = F.split(low, " ")
+    n_words = F.size(toks)
+    punct = (
+        F.length(low) - F.length(F.regexp_replace(low, "[^a-z0-9 ]", ""))
+    ).cast("double") / F.length(low)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "to", "and"))).cast(
+            "double"
+        )
+        / n_words
+    )
+    quality = (
+        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + (1 - punct) * 0.2
+    )
+    text_keep = quality >= MAN_Q_MIN
+    as_flag = lambda c: c.cast("int").cast("long")  # noqa: E731
+    return mom.select(
+        "doc_id",
+        F.round(mean_lum, 6).alias("mean_lum"),
+        as_flag(img_keep).alias("img_keep"),
+        F.round(F.col("aud_n").cast("double") * 1000 / AUDIO_RATE, 3).alias(
+            "duration_ms"
+        ),
+        F.round(F.sqrt(F.col("aud_sq").cast("double") / F.col("aud_n")), 6).alias(
+            "rms"
+        ),
+        as_flag(audio_keep).alias("audio_keep"),
+        F.col("vid_frames").alias("n_frames"),
+        F.col("vid_cuts").alias("n_cuts"),
+        as_flag(video_keep).alias("video_keep"),
+        n_words.cast("long").alias("n_words"),
+        F.round(quality, 6).alias("quality"),
+        as_flag(text_keep).alias("text_keep"),
+        as_flag(img_keep & audio_keep & video_keep & text_keep).alias("keep"),
+    )

@@ -915,6 +915,38 @@ def test_vdup_fixture_separation():
 
 
 # ---------------------------------------------------------------------------
+# pipeline_multimodal_manifest (queries/round9.py — fused capstone)
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_stage_empty_batch_keeps_schema():
+    """Empty Arrow batches must still yield the full column set (the
+    recurring empty-batch mapInPandas schema pitfall, ADVICE r07) and
+    a populated batch must emit exactly one complete row per doc."""
+    import pandas as pd
+
+    from hello_flink_spark.queries.round9 import _manifest_moments
+
+    cols = [
+        "doc_id", "text", "img_n_px", "img_lum_sum",
+        "aud_n", "aud_sq", "vid_frames", "vid_cuts",
+    ]
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "text": pd.Series(dtype="object")})
+    out = pd.concat(list(_manifest_moments(iter([empty]))))
+    assert list(out.columns) == cols and len(out) == 0
+
+    pdf = pd.DataFrame({"doc_id": [3, 17, 40], "text": ["a b c", "x", "q r"]})
+    out = pd.concat(list(_manifest_moments(iter([pdf]))))
+    assert list(out.columns) == cols
+    assert sorted(out["doc_id"]) == [3, 17, 40]
+    assert out.notna().all().all()
+    # video frame counts follow the fixture geometry (doc_id % 8 + 2)
+    got = dict(zip(out["doc_id"], out["vid_frames"]))
+    assert got == {3: 5, 17: 3, 40: 2}
+
+
+# ---------------------------------------------------------------------------
 # sim_ann_ivf_pq on CLUSTERED data (VERDICT r08 #2) — the fixture shape
 # IVF-PQ is actually deployed on; the random-vector floor (0.30, above)
 # stays as the distance-concentration worst case.
