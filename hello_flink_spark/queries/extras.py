@@ -50,6 +50,54 @@ _PIVOT_COLS_SQL = ", ".join(
     for p in ORDER_PRIORITIES
 )
 
+# ---------------------------------------------------------------------------
+# The text-quality composite — SINGLE SOURCE OF TRUTH (review r09: it
+# was typed verbatim in three Spark plans and three oracle strings).
+# Spark side: text_quality_columns(); SQL side: the TQ_SQL_* snippets,
+# every oracle builds from these so the formula cannot drift.
+# ---------------------------------------------------------------------------
+
+TQ_STOPWORDS = ("the", "a", "of", "to", "and")
+
+TQ_SQL_LOW = "lower(trim(text))"
+TQ_SQL_TOKS = f"string_split({TQ_SQL_LOW}, ' ')"
+TQ_SQL_NWORDS = f"len({TQ_SQL_TOKS})"
+TQ_SQL_PUNCT = (
+    f"CAST(length({TQ_SQL_LOW}) - length(regexp_replace({TQ_SQL_LOW}, "
+    f"'[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length({TQ_SQL_LOW})"
+)
+TQ_SQL_STOP = (
+    f"CAST(len(list_filter({TQ_SQL_TOKS}, tok -> tok IN "
+    f"('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) / {TQ_SQL_NWORDS}"
+)
+TQ_SQL_QUALITY = (
+    f"LEAST(CAST({TQ_SQL_NWORDS} AS DOUBLE) / 50, 1.0) * 0.5"
+    f" + {TQ_SQL_STOP} * 0.3 + (1 - {TQ_SQL_PUNCT}) * 0.2"
+)
+
+
+def text_quality_columns():
+    """The shared Spark Columns of the quality composite over the
+    ``text`` column: (low, n_words, punct_ratio, stop_ratio, quality).
+    Used by text_quality_score, pipeline_training_corpus, and
+    pipeline_multimodal_manifest — one formula, three gates."""
+    low = F.lower(F.trim(F.col("text")))
+    toks = F.split(low, " ")
+    n_words = F.size(toks)
+    punct = (
+        F.length(low) - F.length(F.regexp_replace(low, "[^a-z0-9 ]", ""))
+    ).cast("double") / F.length(low)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*TQ_STOPWORDS))).cast("double")
+        / n_words
+    )
+    quality = (
+        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + (1 - punct) * 0.2
+    )
+    return low, n_words, punct, stop_ratio, quality
+
 
 @register(
     "agg_pivot",
@@ -120,25 +168,13 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality_score",
-    oracle="""
-    WITH m AS (
-      SELECT doc_id,
-             lower(trim(text)) AS low,
-             string_split(lower(trim(text)), ' ') AS toks
-      FROM documents
-    )
+    oracle=f"""
     SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_words,
-           ROUND(CAST(length(low) - length(regexp_replace(low, '[^a-z0-9 ]', '', 'g'))
-                      AS DOUBLE) / length(low), 6) AS punct_ratio,
-           ROUND(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'and')))
-                      AS DOUBLE) / len(toks), 6) AS stop_ratio,
-           ROUND(LEAST(CAST(len(toks) AS DOUBLE) / 50, 1.0) * 0.5
-                 + CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'and')))
-                       AS DOUBLE) / len(toks) * 0.3
-                 + (1 - CAST(length(low) - length(regexp_replace(low, '[^a-z0-9 ]', '', 'g'))
-                             AS DOUBLE) / length(low)) * 0.2, 6) AS quality
-    FROM m
+           CAST({TQ_SQL_NWORDS} AS BIGINT) AS n_words,
+           ROUND({TQ_SQL_PUNCT}, 6) AS punct_ratio,
+           ROUND({TQ_SQL_STOP}, 6) AS stop_ratio,
+           ROUND({TQ_SQL_QUALITY}, 6) AS quality
+    FROM documents
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,21 +182,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation ratio, stopword ratio, and a weighted composite in
     [0, 1] — 0.5·min(words/50, 1) + 0.3·stop_ratio + 0.2·(1−punct).
     All built-in expressions, one pass; at scale this runs as a
-    pushdown-friendly projection feeding a threshold filter."""
+    pushdown-friendly projection feeding a threshold filter. The
+    formula lives in text_quality_columns()/TQ_SQL_* — the single
+    source shared with the corpus and multimodal-manifest capstones."""
     d = t(spark, sf_dir, "documents")
-    low = F.lower(F.trim(F.col("text")))
-    toks = F.split(low, " ")
-    stops = ("the", "a", "of", "to", "and")
-    n_words = F.size(toks)
-    punct = (F.length(low) - F.length(F.regexp_replace(low, "[^a-z0-9 ]", ""))).cast(
-        "double"
-    ) / F.length(low)
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*stops))).cast("double") / n_words
-    quality = (
-        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.5
-        + stop_ratio * 0.3
-        + (1 - punct) * 0.2
-    )
+    _, n_words, punct, stop_ratio, quality = text_quality_columns()
     return d.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
@@ -241,22 +267,13 @@ def _frame_sample_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     unfilter) — skipped frames are never decoded, which is the entire
     point of stride sampling (decode cost scales with SAMPLED frames,
     not stored ones)."""
-    import struct as _struct
-
+    from hello_flink_spark.operators.imaging import iter_pngv_frames
     from hello_flink_spark.operators.png_codec import decode_png_gray
 
     for pdf in batches:
         rows = []
         for d, blob in zip(pdf["doc_id"], pdf["payload"]):
-            b = bytes(blob)
-            if b[:4] != VIDEO_MAGIC:
-                raise ValueError("not a PNGV clip: bad magic")
-            (n,) = _struct.unpack(">I", b[4:8])
-            pos = 8
-            for k in range(n):
-                (ln,) = _struct.unpack(">I", b[pos : pos + 4])
-                frame = b[pos + 4 : pos + 4 + ln]
-                pos += 4 + ln
+            for k, frame in enumerate(iter_pngv_frames(bytes(blob))):
                 if k % FRAME_STRIDE == 0:
                     w, h, px = decode_png_gray(frame)
                     rows.append(
@@ -749,20 +766,11 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_training_corpus",
-    oracle="""
-    WITH scored AS (
-      SELECT doc_id, lang, lower(trim(text)) AS low,
-             string_split(lower(trim(text)), ' ') AS toks
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, lang, {TQ_SQL_LOW} AS low,
+             {TQ_SQL_NWORDS} AS n_words, {TQ_SQL_QUALITY} AS q
       FROM documents
-    ),
-    quality AS (
-      SELECT doc_id, lang, low, len(toks) AS n_words,
-             LEAST(CAST(len(toks) AS DOUBLE) / 50, 1.0) * 0.5
-             + CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'to', 'and')))
-                   AS DOUBLE) / len(toks) * 0.3
-             + (1 - CAST(length(low) - length(regexp_replace(low, '[^a-z0-9 ]', '', 'g'))
-                         AS DOUBLE) / length(low)) * 0.2 AS q
-      FROM scored
     ),
     kept AS (SELECT * FROM quality WHERE q >= 0.5),
     deduped AS (
@@ -786,19 +794,7 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization, which is exactly why the operators are DataFrame
     combinators rather than scripts."""
     d = t(spark, sf_dir, "documents")
-    low = F.lower(F.trim(F.col("text")))
-    toks = F.split(low, " ")
-    stops = ("the", "a", "of", "to", "and")
-    n_words = F.size(toks)
-    punct = (F.length(low) - F.length(F.regexp_replace(low, "[^a-z0-9 ]", ""))).cast(
-        "double"
-    ) / F.length(low)
-    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(*stops))).cast("double") / n_words
-    quality = (
-        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.5
-        + stop_ratio * 0.3
-        + (1 - punct) * 0.2
-    )
+    low, n_words, _, _, quality = text_quality_columns()
     kept = d.select(
         "doc_id", "lang", low.alias("low"), n_words.alias("n_words"), quality.alias("q")
     ).filter(F.col("q") >= 0.5)

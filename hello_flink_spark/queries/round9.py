@@ -90,20 +90,15 @@ def _phash_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     complement wrap, matching the oracle's HUGEINT fold)."""
     import numpy as np
 
+    from hello_flink_spark.operators.imaging import avg_hash_64
     from hello_flink_spark.operators.png_codec import decode_png_gray
 
-    n = PHASH_IMG // 2
     for pdf in batches:
         rows = []
         for d, blob in zip(pdf["doc_id"], pdf["payload"]):
             w, h, px = decode_png_gray(bytes(blob))
             a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w)
-            bm = a.reshape(n, 2, n, 2).mean(axis=(1, 3))  # 8x8 block means
-            bits = (bm > a.mean()).flatten()  # b = by*8 + bx
-            hsh = sum(1 << b for b in range(64) if bits[b])
-            if hsh >= 1 << 63:
-                hsh -= 1 << 64
-            rows.append({"doc_id": int(d), "phash": hsh})
+            rows.append({"doc_id": int(d), "phash": avg_hash_64(a)})
         yield pd.DataFrame(rows, columns=["doc_id", "phash"])
 
 
@@ -775,16 +770,17 @@ def _wav_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     """Arrow-batched ENCODE stage: a REAL 8 kHz mono PCM16 WAV per
     document (RIFF/WAVE/fmt/data chunks — operators/wav_codec.py),
     standing in for the binary audio column the schema reserves."""
+    import numpy as np
+
     from hello_flink_spark.operators.wav_codec import encode_wav_pcm16
 
     for pdf in batches:
-        payloads = [
-            encode_wav_pcm16(
-                AUDIO_RATE,
-                (_audio_sample(int(d), i) for i in range(_audio_n(int(d)))),
-            )
-            for d in pdf["doc_id"]
-        ]
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            i = np.arange(_audio_n(d))
+            samples = ((d + 1) * (i + 7)) % 4001 - 2000  # == _audio_sample(d, i)
+            payloads.append(encode_wav_pcm16(AUDIO_RATE, samples.tolist()))
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
@@ -794,6 +790,8 @@ def _audio_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     statistics (min/max/sum-of-squares/zero-crossings) — the float
     math (duration, RMS) stays JVM-side so rounding follows the
     repo's Spark-vs-DuckDB parity conventions."""
+    import numpy as np
+
     from hello_flink_spark.operators.wav_codec import decode_wav_pcm16
 
     cols = ["doc_id", "sample_rate", "n_samples", "amp_min", "amp_max", "sq_sum", "zero_cross"]
@@ -801,17 +799,16 @@ def _audio_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         rows = []
         for d, blob in zip(pdf["doc_id"], pdf["payload"]):
             rate, s = decode_wav_pcm16(bytes(blob))
+            a = np.asarray(s, dtype=np.int64)
             rows.append(
                 {
                     "doc_id": int(d),
                     "sample_rate": rate,
                     "n_samples": len(s),
-                    "amp_min": min(s),
-                    "amp_max": max(s),
-                    "sq_sum": sum(v * v for v in s),
-                    "zero_cross": sum(
-                        1 for j in range(1, len(s)) if s[j - 1] * s[j] < 0
-                    ),
+                    "amp_min": int(a.min()),
+                    "amp_max": int(a.max()),
+                    "sq_sum": int((a * a).sum()),
+                    "zero_cross": int(((a[:-1] * a[1:]) < 0).sum()),
                 }
             )
         yield pd.DataFrame(rows, columns=cols)
@@ -823,7 +820,7 @@ def _audio_stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     WITH ns AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, {AUDIO_N_MAX})),
     s AS (
       SELECT d.doc_id, ns.i, {AUDIO_V_SQL.replace('doc_id', 'd.doc_id').replace('(i ', '(ns.i ')} AS v
-      FROM documents d JOIN ns ON ns.i < 240 + (d.doc_id % 7) * 80 + d.doc_id % 3
+      FROM documents d JOIN ns ON ns.i < {AUDIO_N_SQL.replace('doc_id', 'd.doc_id')}
     ),
     lagged AS (
       SELECT doc_id, v,
@@ -894,6 +891,8 @@ def _audio_resample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
     floor-average (a lone tail sample pools as itself), RE-ENCODE as a
     real 4 kHz WAV, decode again and require the roundtrip bit-exact
     before emitting the output clip's stats."""
+    import numpy as np
+
     from hello_flink_spark.operators.wav_codec import decode_wav_pcm16, encode_wav_pcm16
 
     cols = ["doc_id", "out_rate", "out_n", "out_sum", "out_min", "out_max"]
@@ -901,9 +900,13 @@ def _audio_resample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         rows = []
         for d, blob in zip(pdf["doc_id"], pdf["payload"]):
             rate, s = decode_wav_pcm16(bytes(blob))
-            pooled = [
-                sum(s[j : j + 2]) // len(s[j : j + 2]) for j in range(0, len(s), 2)
-            ]
+            a = np.asarray(s, dtype=np.int64)
+            n2 = len(a) // 2
+            # floor-average per pair (numpy // floors like Python //);
+            # a lone tail sample pools as itself
+            pooled = (a[: 2 * n2].reshape(n2, 2).sum(axis=1) // 2).tolist()
+            if len(a) % 2:
+                pooled.append(int(a[-1]))
             out = encode_wav_pcm16(rate // 2, pooled)
             rate2, s2 = decode_wav_pcm16(out)
             if rate2 != rate // 2 or s2 != pooled:
@@ -927,7 +930,7 @@ def _audio_resample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
     WITH ns AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, {AUDIO_N_MAX})),
     s AS (
       SELECT d.doc_id, ns.i, {AUDIO_V_SQL.replace('doc_id', 'd.doc_id').replace('(i ', '(ns.i ')} AS v
-      FROM documents d JOIN ns ON ns.i < 240 + (d.doc_id % 7) * 80 + d.doc_id % 3
+      FROM documents d JOIN ns ON ns.i < {AUDIO_N_SQL.replace('doc_id', 'd.doc_id')}
     ),
     pooled AS (
       SELECT doc_id, i // 2 AS b,
@@ -1171,22 +1174,15 @@ def _frame_moment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     inflate, unfilter), emitting one row per frame with its EXACT
     integer luminance sum — the scene-cut math (means, lags, deltas)
     stays JVM-side."""
-    import struct as _struct
-
+    from hello_flink_spark.operators.imaging import iter_pngv_frames
     from hello_flink_spark.operators.png_codec import decode_png_gray
 
     cols = ["doc_id", "frame_idx", "n_px", "f_sum"]
     for pdf in batches:
         rows = []
         for d, blob in zip(pdf["doc_id"], pdf["payload"]):
-            blob = bytes(blob)
-            if blob[:4] != b"PNGV":
-                raise ValueError("not a PNGV clip container")
-            (n,) = _struct.unpack(">I", blob[4:8])
-            pos = 8
-            for k in range(n):
-                (ln,) = _struct.unpack(">I", blob[pos : pos + 4])
-                w, h, px = decode_png_gray(blob[pos + 4 : pos + 4 + ln])
+            for k, frame in enumerate(iter_pngv_frames(bytes(blob))):
+                w, h, px = decode_png_gray(frame)
                 rows.append(
                     {
                         "doc_id": int(d),
@@ -1195,7 +1191,6 @@ def _frame_moment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                         "f_sum": int(sum(px)),
                     }
                 )
-                pos += 4 + ln
         yield pd.DataFrame(rows, columns=cols)
 
 
@@ -1403,23 +1398,26 @@ def _frame_energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     full {VAD_FRAME}-sample frames, emit one row per frame with its
     EXACT integer energy (Σv²) — voicing, island grouping and segment
     stats stay JVM-side."""
+    import numpy as np
+
     from hello_flink_spark.operators.wav_codec import decode_wav_pcm16
 
     cols = ["doc_id", "frame_idx", "energy"]
     for pdf in batches:
-        rows = []
+        ids: list[int] = []
+        idxs: list[int] = []
+        es: list[int] = []
         for d, blob in zip(pdf["doc_id"], pdf["payload"]):
             _, s = decode_wav_pcm16(bytes(blob))
-            for f in range(len(s) // VAD_FRAME):
-                chunk = s[f * VAD_FRAME : (f + 1) * VAD_FRAME]
-                rows.append(
-                    {
-                        "doc_id": int(d),
-                        "frame_idx": f,
-                        "energy": sum(v * v for v in chunk),
-                    }
-                )
-        yield pd.DataFrame(rows, columns=cols)
+            a = np.asarray(s, dtype=np.int64)
+            nf = len(a) // VAD_FRAME
+            e = (a[: nf * VAD_FRAME] ** 2).reshape(nf, VAD_FRAME).sum(axis=1)
+            ids.extend([int(d)] * nf)
+            idxs.extend(range(nf))
+            es.extend(int(x) for x in e)
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "energy": es}, columns=cols
+        )
 
 
 @register(
@@ -1429,7 +1427,7 @@ def _frame_energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     s AS (
       SELECT d.doc_id, ns.i, {AUDIO_V_SQL.replace('doc_id', 'd.doc_id').replace('(i ', '(ns.i ')} AS v
       FROM documents d
-      JOIN ns ON ns.i < ((240 + (d.doc_id % 7) * 80 + d.doc_id % 3) // {VAD_FRAME}) * {VAD_FRAME}
+      JOIN ns ON ns.i < (({AUDIO_N_SQL.replace('doc_id', 'd.doc_id')}) // {VAD_FRAME}) * {VAD_FRAME}
     ),
     frames AS (
       SELECT doc_id, i // {VAD_FRAME} AS frame_idx,
@@ -1686,16 +1684,25 @@ def _afp_sample(doc_id: int, i: int) -> int:
 
 def _afp_wav_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched ENCODE stage: a REAL 8 kHz PCM16 WAV per document
-    (RIFF/fmt/data — operators/wav_codec.py)."""
+    (RIFF/fmt/data — operators/wav_codec.py). Samples are built with
+    vectorized numpy (identical values to the scalar ``_afp_sample``,
+    which the unit tests pin)."""
+    import numpy as np
+
     from hello_flink_spark.operators.wav_codec import encode_wav_pcm16
 
+    b = np.arange(AFP_FRAMES)
+    sign = np.where(np.arange(AFP_N) % 2 == 0, 1, -1)
     for pdf in batches:
-        payloads = [
-            encode_wav_pcm16(
-                AUDIO_RATE, (_afp_sample(int(d), i) for i in range(AFP_N))
-            )
-            for d in pdf["doc_id"]
-        ]
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            g, v = d % AFP_GROUPS, (d // AFP_GROUPS) % AFP_VARIANTS
+            pattern = ((g + 1) * (b + 5) * AFP_MULT) % AFP_MOD < AFP_THRESH
+            flipped = (v != 0) & (b == (v * 11 + g * 3) % 64)
+            amps = np.where(pattern != flipped, AFP_HI, AFP_LO)
+            samples = np.repeat(amps, AFP_FRAME) * sign
+            payloads.append(encode_wav_pcm16(AUDIO_RATE, samples.tolist()))
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
@@ -1705,23 +1712,26 @@ def _afp_frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     energy Σv² — the fingerprint math (mean compare, bit packing,
     banding) stays JVM-side, so only 64 integers per clip cross the
     Arrow boundary, never samples."""
+    import numpy as np
+
     from hello_flink_spark.operators.wav_codec import decode_wav_pcm16
 
     cols = ["doc_id", "frame_idx", "energy"]
     for pdf in batches:
-        rows = []
+        ids: list[int] = []
+        idxs: list[int] = []
+        es: list[int] = []
         for d, blob in zip(pdf["doc_id"], pdf["payload"]):
             _, s = decode_wav_pcm16(bytes(blob))
-            for b in range(len(s) // AFP_FRAME):
-                chunk = s[b * AFP_FRAME : (b + 1) * AFP_FRAME]
-                rows.append(
-                    {
-                        "doc_id": int(d),
-                        "frame_idx": b,
-                        "energy": sum(v * v for v in chunk),
-                    }
-                )
-        yield pd.DataFrame(rows, columns=cols)
+            a = np.asarray(s, dtype=np.int64)
+            nf = len(a) // AFP_FRAME
+            e = (a[: nf * AFP_FRAME] ** 2).reshape(nf, AFP_FRAME).sum(axis=1)
+            ids.extend([int(d)] * nf)
+            idxs.extend(range(nf))
+            es.extend(int(x) for x in e)
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "energy": es}, columns=cols
+        )
 
 
 # The oracle regenerates every SAMPLE from the closed form (numbers
@@ -1937,33 +1947,21 @@ def _vdup_frame_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     the GENERIC per-frame block-mean perceptual hash (the same average
     hash _phash_decode computes for still images) — one int64 per
     frame crosses the Arrow boundary, never pixels."""
-    import struct as _struct
-
     import numpy as np
 
+    from hello_flink_spark.operators.imaging import avg_hash_64, iter_pngv_frames
     from hello_flink_spark.operators.png_codec import decode_png_gray
 
-    n = VDUP_IMG // 2
     cols = ["doc_id", "frame_idx", "fhash"]
     for pdf in batches:
         rows = []
         for d, blob in zip(pdf["doc_id"], pdf["payload"]):
-            blob = bytes(blob)
-            if blob[:4] != b"PNGV":
-                raise ValueError("not a PNGV clip container")
-            (cnt,) = _struct.unpack(">I", blob[4:8])
-            pos = 8
-            for k in range(cnt):
-                (ln,) = _struct.unpack(">I", blob[pos : pos + 4])
-                w, h, px = decode_png_gray(blob[pos + 4 : pos + 4 + ln])
+            for k, frame in enumerate(iter_pngv_frames(bytes(blob))):
+                w, h, px = decode_png_gray(frame)
                 a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w)
-                bm = a.reshape(n, 2, n, 2).mean(axis=(1, 3))
-                bits = (bm > a.mean()).flatten()
-                hsh = sum(1 << b for b in range(64) if bits[b])
-                if hsh >= 1 << 63:
-                    hsh -= 1 << 64
-                rows.append({"doc_id": int(d), "frame_idx": k, "fhash": hsh})
-                pos += 4 + ln
+                rows.append(
+                    {"doc_id": int(d), "frame_idx": k, "fhash": avg_hash_64(a)}
+                )
         yield pd.DataFrame(rows, columns=cols)
 
 
@@ -2137,6 +2135,12 @@ MAN_Q_MIN = 0.55        # text: composite quality gate (~28% drop at sf0.01)
 MAN_CUTS_MAX = 2        # video: > 2 hard cuts = corrupt/over-segmented clip
 MAN_AUDIO_MIN_N = 320   # audio: >= 40 ms at 8 kHz (drops doc_id % 7 == 0)
 
+# the text-quality composite's single source of truth (extras.py)
+from hello_flink_spark.queries.extras import (  # noqa: E402
+    TQ_SQL_NWORDS,
+    TQ_SQL_QUALITY,
+)
+
 
 def _manifest_moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """ONE fused Arrow stage for all three binary modalities: reuses
@@ -2200,8 +2204,8 @@ img AS (
   SELECT doc_id, COUNT(*) AS n_px, SUM(pv) AS lum_sum FROM ipx GROUP BY doc_id
 ),
 samp AS (
-  SELECT d.doc_id, ((d.doc_id + 1) * (ns.i + 7)) % 4001 - 2000 AS v
-  FROM documents d JOIN ns ON ns.i < 240 + (d.doc_id % 7) * 80 + d.doc_id % 3
+  SELECT d.doc_id, {AUDIO_V_SQL.replace('doc_id', 'd.doc_id').replace('(i ', '(ns.i ')} AS v
+  FROM documents d JOIN ns ON ns.i < {AUDIO_N_SQL.replace('doc_id', 'd.doc_id')}
 ),
 aud AS (
   SELECT doc_id, COUNT(*) AS n, SUM(v * v) AS sq FROM samp GROUP BY doc_id
@@ -2229,17 +2233,7 @@ vid AS (
   FROM vdeltas WHERE delta IS NOT NULL GROUP BY doc_id
 ),
 txt AS (
-  SELECT doc_id,
-         len(string_split(lower(trim(text)), ' ')) AS n_words,
-         LEAST(CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) / 50,
-               1.0) * 0.5
-         + CAST(len(list_filter(string_split(lower(trim(text)), ' '),
-                                tok -> tok IN ('the', 'a', 'of', 'to', 'and')))
-                AS DOUBLE) / len(string_split(lower(trim(text)), ' ')) * 0.3
-         + (1 - CAST(length(lower(trim(text)))
-                     - length(regexp_replace(lower(trim(text)), '[^a-z0-9 ]',
-                                             '', 'g')) AS DOUBLE)
-                / length(lower(trim(text)))) * 0.2 AS quality
+  SELECT doc_id, {TQ_SQL_NWORDS} AS n_words, {TQ_SQL_QUALITY} AS quality
   FROM documents
 )
 SELECT img.doc_id,
@@ -2302,27 +2296,13 @@ def pipeline_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aud_n long, aud_sq long, vid_frames long, vid_cuts long"
         ),
     )
+    from hello_flink_spark.queries.extras import text_quality_columns
+
     mean_lum = F.col("img_lum_sum").cast("double") / F.col("img_n_px")
     img_keep = (mean_lum >= LUM_KEEP_MIN) & (mean_lum <= LUM_KEEP_MAX)
     audio_keep = F.col("aud_n") >= MAN_AUDIO_MIN_N
     video_keep = F.col("vid_cuts") <= MAN_CUTS_MAX
-    low = F.lower(F.trim(F.col("text")))
-    toks = F.split(low, " ")
-    n_words = F.size(toks)
-    punct = (
-        F.length(low) - F.length(F.regexp_replace(low, "[^a-z0-9 ]", ""))
-    ).cast("double") / F.length(low)
-    stop_ratio = (
-        F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "to", "and"))).cast(
-            "double"
-        )
-        / n_words
-    )
-    quality = (
-        F.least(n_words.cast("double") / 50, F.lit(1.0)) * 0.5
-        + stop_ratio * 0.3
-        + (1 - punct) * 0.2
-    )
+    _, n_words, _, _, quality = text_quality_columns()
     text_keep = quality >= MAN_Q_MIN
     as_flag = lambda c: c.cast("int").cast("long")  # noqa: E731
     return mom.select(
