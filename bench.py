@@ -203,6 +203,8 @@ HEADLINE = [
     "multimodal_video_dedup_framehash",
     # batch 14: the fused multimodal manifest capstone (3 codecs, 0 shuffles).
     "pipeline_multimodal_manifest",
+    # batch 15: incremental image near-dup vs the persisted band index.
+    "multimodal_dedup_phash_incremental",
 ]
 
 

@@ -108,8 +108,10 @@ def _phash_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 # mean-comparison pipeline, then takes the textbook all-pairs
 # definition of the near-dup representative (fixture corpus is small;
 # the Spark side must reach the same rows through banding).
-_PHASH_ORACLE = f"""
-WITH xs AS (SELECT CAST(range AS BIGINT) AS x FROM range(0, {PHASH_IMG})),
+# The hash-derivation CTE chain is shared with the incremental
+# variant's oracle below.
+_PHASH_HASHES_CTE = f"""
+xs AS (SELECT CAST(range AS BIGINT) AS x FROM range(0, {PHASH_IMG})),
 ys AS (SELECT CAST(range AS BIGINT) AS y FROM range(0, {PHASH_IMG})),
 px AS (
   SELECT d.doc_id,
@@ -138,7 +140,10 @@ hashes AS (
     FROM blocks JOIN gm ON gm.doc_id = blocks.doc_id
     GROUP BY blocks.doc_id
   )
-),
+)"""
+
+_PHASH_ORACLE = f"""
+WITH {_PHASH_HASHES_CTE},
 nbrs AS (
   SELECT a.doc_id, MIN(o.doc_id) AS mn
   FROM hashes a JOIN hashes o
@@ -215,6 +220,219 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(
             F.coalesce(F.col("mn"), F.col("doc_id")), F.col("doc_id")
         ).alias("keep_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_dedup_phash_incremental — incremental IMAGE near-dup against
+# a persisted hamming-band index (composes the phash near-dup with
+# dedup_incremental's bucketed-index pattern: the weekly image-corpus
+# refresh a LAION-style pipeline runs).
+#
+# Snapshot split (id-arithmetic, oracle-mirrorable): the OLD snapshot
+# holds every image whose pattern GROUP g = doc_id % 23 has g % 3 != 0
+# (whole groups — new content classes appear in a new crawl as whole
+# unseen near-dup clusters, re-crawled content as members of indexed
+# ones); the NEW batch is doc_id % 5 == 0 across all groups. So new
+# docs from indexed groups match the index (verdict 'index_dup'), new
+# docs from unindexed groups survive and collapse among themselves
+# ('batch_dup' for non-representatives, 'new' for the representative)
+# — 65 / 27 / 8 at sf0.01, all three classes non-vacuous.
+# ---------------------------------------------------------------------------
+
+# One 32-bit key per (band_idx, band_val) pair: a SINGLE bucket/join
+# column, so the bucketed index scan's HashPartitioning provably
+# matches the probe join's required distribution (two separate key
+# columns would rely on subset-partitioning compatibility instead).
+_PHASH_BAND_KEY = (
+    "band_idx * 65536 + "
+    "(shiftrightunsigned(phash, CAST(band_idx * 16 AS INT)) & 65535)"
+)
+
+
+def _phash_band_rows(hashes: DataFrame) -> DataFrame:
+    """Explode (doc_id, phash) into {PHASH_BANDS} band rows keyed by
+    the combined band_key — the layout both the persisted index and
+    the probe side share."""
+    return hashes.withColumn(
+        "band_idx", F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1)))
+    ).select(
+        F.expr(_PHASH_BAND_KEY).cast("long").alias("band_key"),
+        "doc_id",
+        "phash",
+    )
+
+
+def phash_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+sf) the PERSISTED hamming-band index of
+    the old image snapshot: every indexed image contributes
+    {PHASH_BANDS} rows (band_key, doc_id, phash), written as a catalog
+    table bucketed AND sorted by band_key at the join fan-out — the
+    pre-paid shuffle, so every weekly batch probes it with zero
+    index-side Exchange (same discipline as incremental_index_table;
+    the index is the 100 TB side)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tbl = f"phash_index_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        from hello_flink_spark.operators.scale import write_bucketed
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, tbl)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        old_ids = (
+            t(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter((F.col("doc_id") % PHASH_GROUPS) % 3 != 0)
+        )
+        hashes = old_ids.mapInPandas(
+            _phash_png_encode, schema="doc_id long, payload binary"
+        ).mapInPandas(_phash_decode, schema="doc_id long, phash long")
+        write_bucketed(
+            _phash_band_rows(hashes).repartition(INCR_BUCKETS, "band_key"),
+            tbl,
+            "band_key",
+            num_buckets=INCR_BUCKETS,
+            sort_by="band_key",
+        )
+    return tbl
+
+
+def phash_index_probe(index_bands: DataFrame, new_hashes: DataFrame) -> DataFrame:
+    """The index-probe join proper (factored so the plan test drives
+    it with broadcast disabled): band-join the new batch's band rows
+    against the persisted index on band_key, verify candidates with
+    the exact hamming distance, and return one row per matched new
+    doc: (doc_id, mn_old). A new doc that is ALREADY indexed matches
+    itself — semantically right for a re-crawl (it IS in the corpus).
+    With the index bucketed by band_key at the join's fan-out the join
+    is Exchange-free on the index side; only the batch's band rows
+    shuffle."""
+    n, o = _phash_band_rows(new_hashes).alias("n"), index_bands.alias("o")
+    return (
+        n.join(o, F.col("n.band_key") == F.col("o.band_key"))
+        .filter(
+            F.bit_count(F.col("n.phash").bitwiseXOR(F.col("o.phash")))
+            <= PHASH_HAMMING_MAX
+        )
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("o.doc_id")).alias("mn_old"))
+    )
+
+
+_PHASH_INCR_ORACLE = f"""
+WITH {_PHASH_HASHES_CTE},
+old AS (SELECT * FROM hashes WHERE (doc_id % {PHASH_GROUPS}) % 3 != 0),
+batch AS (SELECT * FROM hashes WHERE doc_id % 5 = 0),
+idx AS (
+  SELECT b.doc_id, MIN(o.doc_id) AS mn_old
+  FROM batch b JOIN old o
+    ON bit_count(xor(b.phash, o.phash)) <= {PHASH_HAMMING_MAX}
+  GROUP BY b.doc_id
+),
+surv AS (
+  SELECT b.* FROM batch b LEFT JOIN idx ON idx.doc_id = b.doc_id
+  WHERE idx.doc_id IS NULL
+),
+bn AS (
+  SELECT a.doc_id, MIN(b.doc_id) AS mn_new
+  FROM surv a JOIN surv b
+    ON b.doc_id != a.doc_id
+   AND bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+  GROUP BY a.doc_id
+)
+SELECT b.doc_id, b.phash,
+       CASE WHEN idx.mn_old IS NOT NULL THEN 'index_dup'
+            WHEN bn.mn_new < b.doc_id THEN 'batch_dup'
+            ELSE 'new' END AS verdict,
+       CAST(CASE WHEN idx.mn_old IS NOT NULL THEN idx.mn_old
+                 ELSE LEAST(COALESCE(bn.mn_new, b.doc_id), b.doc_id)
+            END AS BIGINT) AS keep_doc_id
+FROM batch b
+LEFT JOIN idx ON idx.doc_id = b.doc_id
+LEFT JOIN bn ON bn.doc_id = b.doc_id
+"""
+
+
+@register("multimodal_dedup_phash_incremental", oracle=_PHASH_INCR_ORACLE)
+def multimodal_dedup_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) IMAGE near-dup — the production
+    image-corpus refresh shape, composing the two patterns the repo
+    already proves separately: ``multimodal_dedup_phash``'s real
+    decode + perceptual hash + hamming verify, and
+    ``dedup_incremental``'s persisted bucketed index probe. A weekly
+    image batch is (1) hashed from its REAL decoded pixels, (2) probed
+    against the PERSISTED hamming-band index of the existing corpus —
+    near-dups of indexed images drop with verdict 'index_dup' and the
+    indexed representative as keep_doc_id, (3) the survivors (whole
+    new content classes) collapse among themselves with the same
+    min-direct-neighbor rule the single-corpus op uses ('batch_dup' /
+    'new'). One row per batch image; all three verdicts non-vacuous at
+    sf0.01 (65/27/8).
+
+    Scale shape: the index — the 100 TB side — is band-exploded
+    ({PHASH_BANDS} rows per image, one combined 32-bit band_key
+    column) and bucketed+sorted by band_key at the join fan-out, so
+    the weekly probe join is Exchange-free on the index side
+    (comparative plan assertion in tests/test_scale.py, broadcast
+    disabled); only the batch's band rows shuffle. Candidates stay
+    banding-bounded — no all-pairs anywhere; the in-batch collapse
+    runs on index survivors only (strictly smaller than the batch).
+    The decode+hash Python stage runs once (localCheckpoint; three
+    consumers), and the probe result is checkpointed before the
+    survivor anti-join so the index join also runs once."""
+    tbl = phash_index_table(spark, sf_dir)
+    new_ids = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    new_hashes = (
+        new_ids.mapInPandas(_phash_png_encode, schema="doc_id long, payload binary")
+        .mapInPandas(_phash_decode, schema="doc_id long, phash long")
+        .localCheckpoint(eager=True)
+    )
+    # bounded: one row per index-matched batch image
+    idx_dup = phash_index_probe(spark.table(tbl), new_hashes).localCheckpoint(
+        eager=True
+    )
+    surv = new_hashes.join(idx_dup, "doc_id", "left_anti")
+    a, b = _phash_band_rows(surv).alias("a"), _phash_band_rows(surv).alias("b")
+    bn = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .filter(
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+            <= PHASH_HAMMING_MAX
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("b.doc_id")).alias("mn_new"))
+    )
+    return (
+        new_hashes.join(idx_dup, "doc_id", "left")
+        .join(bn, "doc_id", "left")
+        .select(
+            "doc_id",
+            "phash",
+            F.when(F.col("mn_old").isNotNull(), F.lit("index_dup"))
+            .when(F.col("mn_new") < F.col("doc_id"), F.lit("batch_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.when(F.col("mn_old").isNotNull(), F.col("mn_old"))
+            .otherwise(
+                F.least(
+                    F.coalesce(F.col("mn_new"), F.col("doc_id")), F.col("doc_id")
+                )
+            )
+            .alias("keep_doc_id"),
+        )
     )
 
 

@@ -186,3 +186,47 @@ def test_incremental_dedup_index_side_shuffle_free(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+
+
+def test_phash_incremental_index_side_shuffle_free(spark, sf_dir):
+    """multimodal_dedup_phash_incremental's probe join must be
+    Exchange-free on the INDEX side (the 100 TB side), same
+    comparative assertion as the fingerprint-index test above: the
+    bucketed band-index plan needs exactly one fewer Exchange than an
+    identical plan probing the same rows unbucketed, under SMJ
+    (broadcast disabled), and both layouts return identical rows."""
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.queries.round9 import (
+        _phash_decode,
+        _phash_png_encode,
+        phash_index_probe,
+        phash_index_table,
+    )
+
+    tbl = phash_index_table(spark, sf_dir)
+    new_hashes = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 5 == 0)
+        .mapInPandas(_phash_png_encode, schema="doc_id long, payload binary")
+        .mapInPandas(_phash_decode, schema="doc_id long, phash long")
+        .localCheckpoint(eager=True)
+    )
+    flat = spark.table(tbl).localCheckpoint(eager=True)  # same rows, no bucketing
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed = phash_index_probe(spark.table(tbl), new_hashes)
+        plain = phash_index_probe(flat, new_hashes)
+        bp = bucketed._jdf.queryExecution().executedPlan().toString()
+        pp = plain._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in bp, bp[:1500]
+        assert "Bucketed: true" in bp, bp[:1500]
+        assert bp.count("Exchange") == pp.count("Exchange") - 1, (
+            f"bucketing did not remove the index-side Exchange:\n{bp[:2000]}"
+        )
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
