@@ -205,6 +205,8 @@ HEADLINE = [
     "pipeline_multimodal_manifest",
     # batch 15: incremental image near-dup vs the persisted band index.
     "multimodal_dedup_phash_incremental",
+    # batch 16: BPE pair counting (tokenizer-fit inner loop, top-k).
+    "text_bpe_pair_counts",
 ]
 
 

@@ -2338,6 +2338,69 @@ def multimodal_video_dedup_framehash(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# Batch 16 — text_bpe_pair_counts: the vocab-induction tier.
+# BPE training's inner loop is "count adjacent symbol pairs, merge the
+# most frequent" (Sennrich et al. 2016); the COUNTING pass is the
+# data-scale part — one corpus sweep per merge — and exactly the query
+# a tokenizer-fit job runs on Spark. This op is that first-iteration
+# pair count (character bigrams within words, occurrence-weighted),
+# top-20 with a total deterministic order.
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 20
+BPE_MAX_WORD = 64  # numbers-CTE bound for the oracle; fixture max word
+                   # length is 8 (measured at sf0.01/sf0.1)
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents
+    ),
+    ns AS (SELECT CAST(range AS BIGINT) + 1 AS i FROM range(0, {BPE_MAX_WORD})),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+      FROM words JOIN ns ON ns.i < length(w)
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT {BPE_TOP_K}
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pair counting — the data-scale inner loop of tokenizer
+    training (Sennrich et al. 2016: byte-pair encoding merges the most
+    frequent adjacent symbol pair per iteration; each iteration is one
+    corpus-wide pair count): character bigrams within whitespace words,
+    occurrence-weighted, top-{BPE_TOP_K} by (count DESC, pair ASC) —
+    the total order makes the LIMIT deterministic on both engines.
+
+    Scale shape: scan → explode words → explode in-word bigrams (all
+    JVM-side: ``transform(sequence(...))`` + substring, no Python) →
+    hash aggregate with map-side partials → TakeOrderedAndProject
+    (top-k per partition, k-merge on the driver — never a global
+    sort). The pair key space is tiny (alphabet²), so the aggregate
+    output is bounded regardless of corpus size — the same one-sweep
+    shape a real BPE fit runs once per merge."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Batch 14 — pipeline_multimodal_manifest: the multimodal CAPSTONE.
 # The text capstones (pipeline_training_corpus v1/v2/v3) compose the
 # text family's gates into the one query a corpus curator runs; this

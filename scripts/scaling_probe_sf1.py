@@ -67,6 +67,11 @@ PROBES = [
     # history unchanged, the shape that keeps a sequential recurrence
     # parallel across keys
     ("events_delta_trigger", "events"),
+    # round 9 late wave: the fused three-codec manifest — zero-shuffle,
+    # decode-bound, so the probe pins the embarrassingly-parallel
+    # claim through a second decade (payloads derive from doc_id, so
+    # every replica decodes same-sized media)
+    ("pipeline_multimodal_manifest", "documents"),
 ]
 
 
