@@ -207,6 +207,10 @@ HEADLINE = [
     "multimodal_dedup_phash_incremental",
     # batch 16: BPE pair counting (tokenizer-fit inner loop, top-k).
     "text_bpe_pair_counts",
+    # batch 17: BPE encode pass (JVM aggregate-replace fold) and
+    # α-temperature language resampling (closed-form √(n_min/n) rates).
+    "text_bpe_apply",
+    "data_mixture_temperature",
 ]
 
 

@@ -2605,3 +2605,238 @@ def pipeline_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_flag(text_keep).alias("text_keep"),
         as_flag(img_keep & audio_keep & video_keep & text_keep).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 17 — text_bpe_apply: the tokenizer ENCODE pass. Batch 16 counts
+# pairs (the fit loop's data-scale half); this op APPLIES the learned
+# merge table to the corpus — the pass a training pipeline runs over
+# every document once the tokenizer is fit, and the one that prices
+# "how many tokens is this corpus".
+# ---------------------------------------------------------------------------
+
+BPE_APPLY_K = 12  # merge-table size: top-K first-iteration pairs
+
+
+@register(
+    "text_bpe_apply",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+      SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS w
+      FROM documents
+    ),
+    words_f AS (SELECT source, w FROM words WHERE length(w) >= 1),
+    ns AS (SELECT CAST(range AS BIGINT) + 1 AS i FROM range(0, {BPE_MAX_WORD})),
+    mc AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, COUNT(*) AS cnt
+      FROM words_f JOIN ns ON ns.i < length(w)
+      GROUP BY pair ORDER BY cnt DESC, pair LIMIT {BPE_APPLY_K}
+    ),
+    merges AS (
+      SELECT pair, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS r FROM mc
+    ),
+    steps AS (
+      SELECT source, w, w AS cur, 0 AS r FROM words_f
+      UNION ALL
+      SELECT s.source, s.w, replace(s.cur, m.pair, chr(1) || chr(1)), s.r + 1
+      FROM steps s JOIN merges m ON m.r = s.r + 1
+    ),
+    fin AS (
+      SELECT source, w, cur FROM steps
+      WHERE r = (SELECT COUNT(*) FROM merges)
+    ),
+    per AS (
+      SELECT source, length(w) AS nch,
+             length(w) - CAST(
+               (length(cur) - length(replace(cur, chr(1), ''))) // 2 AS BIGINT
+             ) AS ntok
+      FROM fin
+    )
+    SELECT source, COUNT(*) AS n_words,
+           CAST(SUM(nch) AS BIGINT) AS n_chars,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(nch) AS DOUBLE) / SUM(ntok), 6) AS compression
+    FROM per GROUP BY source
+    """,
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE over the corpus — apply the fit merge table (the
+    top-{BPE_APPLY_K} first-iteration pairs, ranked (count DESC, pair
+    ASC) by the `text_bpe_pair_counts` sweep) to every word and price
+    the corpus in tokens per source (Sennrich et al. 2016 §3:
+    ``apply_bpe`` replays learned merges in rank order).
+
+    The fold is CLOSED-FORM on both engines because first-iteration
+    merge pairs reference single CHARACTERS only: a merged (2-char)
+    token can never re-match a later pair, so true BPE — repeatedly
+    merge the best-rank pair present, leftmost-first, non-overlapping
+    — reduces to one ``replace`` pass per rank with merged chars
+    masked to ``chr(1)`` (masked chars match no alphabet pair, and two
+    single-char tokens are adjacent iff their chars are string-adjacent
+    in the masked word, since any masked gap IS an intervening token).
+    ``replace``'s left-to-right non-overlapping scan on both engines is
+    exactly the greedy leftmost merge; equivalence to the token-list
+    algorithm is pinned against a pure-Python BPE reference in
+    tests/test_llm.py. n_tokens = n_chars − n_merges (each merge fuses
+    two tokens); the corpus is assumed chr(1)-free (plain-text fixture).
+
+    Scale shape: the merge table is fit with the batch-16 one-sweep
+    shape (explode → bounded hash agg → top-K) and rides as ONE
+    broadcast 12-element array; the encode pass is scan → explode
+    words → JVM ``aggregate`` lambda fold (whole-stage codegen, no
+    Python) → per-source hash agg with map-side partials. ONE data-
+    scale shuffle (the tiny per-source partials); at 100 TB the encode
+    is embarrassingly parallel per input split."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    ).filter(F.length("w") >= 1)
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(BPE_APPLY_K)
+    )
+    # rank-ordered merge array: struct sort on (-cnt, pair) == the
+    # oracle's ROW_NUMBER order; {BPE_APPLY_K} elements — broadcast-bounded
+    marr = top.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(-cnt AS nc, pair))),"
+            " s -> s.pair)"
+        ).alias("ms")
+    )
+    folded = words.crossJoin(F.broadcast(marr)).withColumn(
+        "cur",
+        F.expr("aggregate(ms, w, (acc, p) -> replace(acc, p, concat(chr(1), chr(1))))"),
+    )
+    per = folded.select(
+        "source",
+        F.length("w").alias("nch"),
+        (
+            F.length("w")
+            - (
+                (F.length("cur") - F.length(F.expr("replace(cur, chr(1), '')")))
+                / F.lit(2)
+            ).cast("long")
+        ).alias("ntok"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("nch").alias("n_chars"),
+        F.sum("ntok").alias("n_tokens"),
+        F.round(F.sum("nch").cast("double") / F.sum("ntok"), 6).alias("compression"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 17 — data_mixture_temperature: α-temperature LANGUAGE resampling.
+# data_mixture_balanced caps every source at a fixed per-source quota;
+# the OTHER standard mixture shape (mT5/XLM-R style) reweights LANGUAGE
+# shares to p^α — rare languages up-weighted, dominant ones damped
+# (the fixture's lang column is genuinely skewed, en ≈ 3.4× fr, so
+# every verdict class is non-vacuous; source is uniform by design).
+# ---------------------------------------------------------------------------
+
+MIX_TEMP_SALT = "mix:"  # hash salt: decouples the draw from other samplers
+
+
+@register(
+    "data_mixture_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    nm AS (SELECT MIN(n_docs) AS n_min FROM counts),
+    rates AS (
+      SELECT lang, n_docs,
+             SQRT(CAST(n_min AS DOUBLE) / n_docs) AS keep_rate
+      FROM counts, nm
+    ),
+    flagged AS (
+      SELECT d.lang, r.n_docs, r.keep_rate,
+             CASE WHEN CAST(('0x' || substr(
+                      md5('{MIX_TEMP_SALT}' || CAST(d.doc_id AS VARCHAR)), 1, 8
+                    )) AS BIGINT) / 4294967296.0 < r.keep_rate
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN rates r USING (lang)
+    ),
+    agg AS (
+      SELECT lang, COUNT(*) AS n_docs, SUM(kept) AS n_kept,
+             ROUND(MAX(keep_rate), 6) AS target_rate
+      FROM flagged GROUP BY lang
+    )
+    SELECT lang, n_docs, CAST(n_kept AS BIGINT) AS n_kept, target_rate,
+           ROUND(CAST(n_kept AS DOUBLE) / n_docs, 6) AS realized_rate,
+           ROUND(CAST(n_kept AS DOUBLE) / SUM(n_kept) OVER (), 6) AS mixture_share
+    FROM agg
+    """,
+)
+def data_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-based mixture resampling (α = 0.5) — the standard
+    multi-source rebalancing a multilingual training run applies
+    (mT5, Xue et al. 2021 §3.2; XLM-R): language shares p_l are
+    flattened to q_l ∝ p_l^α so dominant languages are damped and rare
+    ones kept whole. Downsample-only realization: keeping relative
+    α-shares exact without replication means the SMALLEST language
+    keeps 100% and language l keeps n'_l ∝ q_l, which collapses
+    to the closed form keep_rate(s) = (n_min/n_s)^(1−α) = √(n_min/n_s)
+    — two exact integers in, one correctly-rounded divide + sqrt, so
+    the threshold is bit-identical on both engines (no Σp^α sum whose
+    addition ORDER could flip a ULP). Membership is the deterministic
+    md5-prefix draw (`sample_deterministic_hash` / bloom-filter
+    precedent): u = hash32/2^32 < keep_rate — reproducible at any
+    scale, diff-able across runs, salt-decoupled from other samplers.
+
+    Output per language: before/after counts, the target rate, the
+    realized rate (binomial-close to target), and the post-resample
+    mixture share a curator audits.
+
+    Scale shape: per-language counts = ONE tiny hash agg (map-side
+    partials); rates ride back as a broadcast join (≤ |langs| rows,
+    bound stated in tests/test_plans.py); the keep decision is one
+    JVM md5+conv per row inside codegen; final per-language agg is the
+    same tiny shuffle. No sort, no data-scale exchange beyond the two
+    bounded aggs."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    nmin = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "lang",
+        "n_docs",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_docs")).alias("keep_rate"),
+    )
+    u01 = F.expr(
+        "CAST(conv(substr(md5(concat('"
+        + MIX_TEMP_SALT
+        + "', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0"
+    )
+    flagged = d.select("doc_id", "lang").join(F.broadcast(rates), "lang").select(
+        "lang",
+        "n_docs",
+        "keep_rate",
+        (u01 < F.col("keep_rate")).cast("int").alias("kept"),
+    )
+    agg = flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+        F.round(F.max("keep_rate"), 6).alias("target_rate"),
+    )
+    tot = agg.agg(F.sum("n_kept").alias("tot_kept"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_kept",
+        "target_rate",
+        F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6).alias(
+            "realized_rate"
+        ),
+        F.round(F.col("n_kept").cast("double") / F.col("tot_kept"), 6).alias(
+            "mixture_share"
+        ),
+    )

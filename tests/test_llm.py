@@ -1335,3 +1335,144 @@ def test_audio_vad_segments_non_vacuous(spark, sf_dir):
     assert (pdf["longest_segment"] <= pdf["n_voiced"]).all()
     assert (pdf["n_voiced"] <= pdf["n_frames"]).all()
     assert (pdf.loc[pdf["n_segments"] > 0, "longest_segment"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_apply (round 9 batch 17): the mask-fold == true BPE claim
+# ---------------------------------------------------------------------------
+
+
+def _true_bpe_token_count(word: str, merges: list[str]) -> int:
+    """Textbook BPE encode (Sennrich et al. 2016 apply_bpe): start from
+    characters; repeatedly pick the best-RANK pair present among
+    adjacent token pairs and merge ALL its leftmost non-overlapping
+    occurrences; stop when no table pair is present. Returns the final
+    token count."""
+    toks = list(word)
+    rank = {p: i for i, p in enumerate(merges)}
+    while True:
+        best = None
+        for a, b in zip(toks, toks[1:]):
+            r = rank.get(a + b)
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            return len(toks)
+        p = merges[best]
+        out, i = [], 0
+        while i < len(toks):
+            if (
+                i + 1 < len(toks)
+                and toks[i] + toks[i + 1] == p
+                and len(toks[i]) == 1
+                and len(toks[i + 1]) == 1
+            ):
+                out.append(p)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+
+
+def _mask_fold_token_count(word: str, merges: list[str]) -> int:
+    """The engine-side fold: one left-to-right non-overlapping
+    ``replace`` pass per rank, merged chars masked to chr(1) —
+    Python str.replace has exactly the replace() scan semantics of
+    Spark SQL and DuckDB."""
+    cur = word
+    for p in merges:
+        cur = cur.replace(p, "\x01\x01")
+    return len(word) - cur.count("\x01") // 2
+
+
+def test_bpe_mask_fold_equals_true_bpe_exhaustive():
+    """EXHAUSTIVE equivalence on a closed universe: every word up to
+    length 7 over {a,b} x every ranked merge table drawn from the four
+    2-char pairs (all orderings of all subsets up to size 3). Covers
+    same-char runs ('aaaa'), interleavings ('ababab'), and overlapping
+    pair tables — the cases where a naive separator encoding breaks."""
+    from itertools import permutations, product
+
+    pairs = ["aa", "ab", "ba", "bb"]
+    tables = [list(t) for k in (1, 2, 3) for c in permutations(pairs, k) for t in [c]]
+    words = [
+        "".join(w)
+        for n in range(1, 8)
+        for w in product("ab", repeat=n)
+    ]
+    checked = 0
+    for merges in tables:
+        for w in words:
+            assert _mask_fold_token_count(w, merges) == _true_bpe_token_count(
+                w, merges
+            ), f"divergence: word={w!r} merges={merges}"
+            checked += 1
+    assert checked > 10_000
+
+
+def test_bpe_apply_jvm_replace_matches_python(spark):
+    """Pin the JVM side of the equivalence claim: Spark's
+    ``aggregate(... replace ...)`` fold (the exact expression
+    text_bpe_apply compiles) produces the same masked string as
+    Python's str.replace fold on adversarial words — so the exhaustive
+    Python equivalence proof transfers to the engine expression."""
+    words = ["aaaa", "aaa", "ababab", "abb", "bab", "aabbaabb", "a", "zzz"]
+    merges = ["aa", "ab", "bb"]
+    df = spark.createDataFrame([(w,) for w in words], "w string").withColumn(
+        "ms", F.array(*[F.lit(p) for p in merges])
+    )
+    got = {
+        r["w"]: r["cur"]
+        for r in df.withColumn(
+            "cur",
+            F.expr(
+                "aggregate(ms, w, (acc, p) -> replace(acc, p, concat(chr(1), chr(1))))"
+            ),
+        ).collect()
+    }
+    for w in words:
+        cur = w
+        for p in merges:
+            cur = cur.replace(p, "\x01\x01")
+        assert got[w] == cur, f"JVM replace fold diverges on {w!r}"
+
+
+def test_bpe_apply_accounting(spark, sf_dir_mid):
+    """n_tokens <= n_chars (merges only fuse), n_tokens >= n_words
+    (a word is at least one token), and compression = chars/tokens."""
+    pdf = get_spec("text_bpe_apply").fn(spark, sf_dir_mid).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["n_tokens"] <= pdf["n_chars"]).all()
+    assert (pdf["n_tokens"] >= pdf["n_words"]).all()
+    assert (pdf["n_tokens"] < pdf["n_chars"]).any(), "no merge ever applied"
+    for _, r in pdf.iterrows():
+        assert abs(r["compression"] - round(r["n_chars"] / r["n_tokens"], 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# data_mixture_temperature (round 9 batch 17)
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_temperature_invariants(spark, sf_dir_mid):
+    """The α=0.5 closed form: the smallest language keeps everything
+    (rate 1.0), keep rates are anti-monotone in language size, shares
+    sum to 1, and the dominant language's post-resample share shrinks
+    vs its raw share (the whole point of temperature flattening)."""
+    pdf = get_spec("data_mixture_temperature").fn(spark, sf_dir_mid).toPandas()
+    assert len(pdf) >= 3
+    assert (pdf["n_kept"] <= pdf["n_docs"]).all()
+    smallest = pdf.loc[pdf["n_docs"].idxmin()]
+    assert smallest["target_rate"] == 1.0
+    assert smallest["n_kept"] == smallest["n_docs"]
+    srt = pdf.sort_values("n_docs")
+    assert (srt["target_rate"].diff().dropna() <= 1e-12).all(), (
+        "keep rate must not increase with language size"
+    )
+    assert abs(pdf["mixture_share"].sum() - 1.0) < 1e-3
+    big = pdf.loc[pdf["n_docs"].idxmax()]
+    raw_share = big["n_docs"] / pdf["n_docs"].sum()
+    assert big["mixture_share"] < raw_share, "dominant language must be damped"
+    # and the resample is genuinely non-vacuous: someone was dropped
+    assert (pdf["n_kept"] < pdf["n_docs"]).any()

@@ -64,6 +64,10 @@ BNLJ_OK = {
     "graph_triangle_count",  # crossJoins of three 1-row aggregate scalars
     #                          (edge/triangle/vertex-wedge counts) for the
     #                          final report row — never scaling x scaling
+    "text_bpe_apply",  # broadcast 1-row 12-element merge-array x word rows
+    "data_mixture_temperature",  # broadcast 1-row n_min / kept-total scalars
+    #                              x the |langs|-row rate table — never
+    #                              scaling x scaling
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
@@ -252,6 +256,12 @@ BROADCAST_HINT_OK = {
     "(sim_ann_ivf_pq_residual)",
     ("round9", "luts"): "per-(query, probed-bucket) residual ADC LUTs — bounded by "
     "PROBE_ID_MAX x IVF_NPROBE x 8x16 doubles (sim_ann_ivf_pq_residual)",
+    ("round9", "marr"): "1-row merge-table array — BPE_APPLY_K = 12 elements "
+    "by construction (text_bpe_apply)",
+    ("round9", "nmin"): "1-row MIN lang-count scalar (data_mixture_temperature)",
+    ("round9", "rates"): "per-language keep-rate table — bounded by lang "
+    "cardinality (data_mixture_temperature)",
+    ("round9", "tot"): "1-row kept-total scalar (data_mixture_temperature)",
 }
 
 
