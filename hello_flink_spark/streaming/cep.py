@@ -99,6 +99,32 @@ class CepPattern:
     # quantifier family: times(n) fixed = step expansion, times(m, n)
     # range = min_reps=m + max_reps=n, timesOrMore(n) = min_reps=n.
     max_reps: int | None = None
+    # [F] ``Pattern#oneOrMore().until(condition)`` — the STOP condition
+    # for the looping step: once an event of this type (passing the
+    # optional value guard below) arrives STRICTLY later than a run's
+    # last accepted repetition, that run is FROZEN — it accepts no
+    # further repetitions — but may still complete via the next step
+    # (Flink: until stops acceptance INTO the looping state only; the
+    # successor state still consumes). A frozen run holding fewer than
+    # min_reps repetitions can never complete and expires as a genuine
+    # timeout. Per-partial: a run that ENTERS the loop after the stop
+    # event is unaffected (the condition is evaluated per arriving
+    # event, not retroactively). Restrictions (determinism discipline):
+    # requires one_or_more; the stop type must differ from the repeated
+    # step's type-set (an event cannot both extend and freeze — Flink
+    # evaluates until before acceptance, making such an event a silent
+    # no-op extension, a semantics no test could pin) and from the
+    # successor step's type-set (completing and freezing with one event
+    # is ambiguous between NFA branch orders); composition with
+    # not_next guards on the loop or its successor is refused (both
+    # arm per-partial pending markers — extend the property suite
+    # first). Tie class: a stop event on the SAME µs as the last
+    # accepted repetition does not freeze (strict >), the same boundary
+    # every other guard uses.
+    until_type: str | None = None
+    # optional value guard on the stop event: it only freezes if
+    # ``value >= until_min_value`` (None = any value stops).
+    until_min_value: float | None = None
     # [F] ``Pattern#within(Duration)`` — the PATTERN-GLOBAL window: the
     # whole match (anchor → final step) must span at most this. The
     # per-stage ``within_minutes`` still applies between consecutive
@@ -291,6 +317,35 @@ class CepPattern:
                 raise ValueError("max_reps (times(m, n)) requires a one_or_more step")
             if self.max_reps < self.min_reps:
                 raise ValueError("max_reps must be >= min_reps")
+        if self.until_min_value is not None and self.until_type is None:
+            raise ValueError("until_min_value requires until_type")
+        if self.until_type is not None:
+            if self.one_or_more is None:
+                raise ValueError(
+                    "until_type ([F] oneOrMore().until) requires a one_or_more "
+                    "step — the stop condition gates the looping state"
+                )
+            r = self.one_or_more
+            if self.until_type in self.step_types(r):
+                raise ValueError(
+                    "until_type must differ from the repeated step's type-set "
+                    "(one event cannot both extend and freeze the run)"
+                )
+            if self.until_type in self.step_types(r + 1):
+                raise ValueError(
+                    "until_type must differ from the successor step's type-set "
+                    "(one event completing AND freezing is ambiguous between "
+                    "NFA branch orders)"
+                )
+            if self.not_next is not None and (
+                self.not_next[r] is not None or self.not_next[r + 1] is not None
+            ):
+                raise ValueError(
+                    "until_type with a not_next guard on the loop or its "
+                    "successor is an untested composition (both arm per-"
+                    "partial pending markers) — extend the property suite "
+                    "first"
+                )
         if self.not_between is not None:
             if len(self.not_between) != len(self.steps):
                 raise ValueError("not_between must have one entry per step")
@@ -649,6 +704,7 @@ def _make_processor(
     any_match: frozenset[int] = frozenset(),
     alts: Tuple[Tuple[str, ...], ...] | None = None,
     skip_to: Tuple[str, int | None] | None = None,
+    until: Tuple[str, float | None] | None = None,
 ):
     """Build the per-key NFA closure. Partial matches are encoded in
     state as 'anchor_id:ts1,ts2,...|n_rep|pending' strings (stage =
@@ -699,8 +755,13 @@ def _make_processor(
     )
     # pend field semantics: None = idle; >= 0 = strict-contiguity kill
     # deadline (the first later group's ts); GUARD = a notNext guard is
-    # armed and awaits the first strictly-later event
+    # armed and awaits the first strictly-later event; FROZEN = an [F]
+    # until() stop event froze this run's Kleene extension (validation
+    # keeps the three states disjoint: strict never marks the loop
+    # stages, and until+notNext-on-the-loop is refused — so one int
+    # slot carries all three and the state encoding is unchanged)
     GUARD = -2
+    FROZEN = -3
 
     def _row(uid, aid, tss, matched, cnt, vals=()):
         row = {"user_id": uid, "anchor_id": aid}
@@ -764,8 +825,10 @@ def _make_processor(
                     # strict pending-kill partials saw a later event that
                     # failed contiguity: discarded, not timed out; an
                     # ARMED notNext guard (GUARD) never saw a later event
-                    # at all — vacuous pass, a genuine timeout
-                    if pend is None or pend == GUARD
+                    # at all — vacuous pass, a genuine timeout; a FROZEN
+                    # run ([F] until) was still validly waiting for its
+                    # next step — also a genuine timeout
+                    if pend is None or pend in (GUARD, FROZEN)
                 ]
                 if emit_timeouts
                 else []
@@ -791,7 +854,8 @@ def _make_processor(
                 out.extend(
                     _row(key[0], aid, tss, False, cnt, vals)
                     for aid, tss, cnt, pend, vals in partials
-                    if _expired(tss, ts_us) and (pend is None or pend == GUARD)
+                    if _expired(tss, ts_us)
+                    and (pend is None or pend in (GUARD, FROZEN))
                 )
             partials = [
                 p
@@ -823,10 +887,26 @@ def _make_processor(
                         for p in partials
                         if not (nb[len(p[1])] == etype and ts_us > p[1][-1])
                     ]
+                # [F] until(): a stop event freezes every run currently
+                # AT the Kleene stage (strictly later than its last
+                # accepted repetition) — before this event could extend
+                # anything (the stop type is validation-disjoint from
+                # the repeated type, so no extension is lost)
+                if (
+                    until is not None
+                    and etype == until[0]
+                    and (until[1] is None or val >= until[1])
+                ):
+                    partials = [
+                        (aid, tss, cnt, FROZEN, vals)
+                        if len(tss) == rep + 1 and ts_us > tss[-1] and pend is None
+                        else (aid, tss, cnt, pend, vals)
+                        for aid, tss, cnt, pend, vals in partials
+                    ]
                 # Kleene extension first (stage rep+1 is the highest
                 # stage this event type can touch); strict ts > means a
                 # partial promoted below by this same event cannot also
-                # be extended.
+                # be extended. A FROZEN run ([F] until) never extends.
                 if (
                     rep is not None
                     and etype in tset[rep]
@@ -838,6 +918,7 @@ def _make_processor(
                         (aid, tss[:-1] + [ts_us], cnt + 1, pend, vals[:-1] + [val])
                         if len(tss) == rep + 1
                         and ts_us > tss[-1]
+                        and pend != FROZEN
                         and (max_reps is None or cnt < max_reps)
                         else (aid, tss, cnt, pend, vals)
                         for aid, tss, cnt, pend, vals in partials
@@ -1036,6 +1117,8 @@ def _stream_nfa(
     types = {
         t for i in range(k) for t in pattern.step_types(i)
     } | {x for x in (pattern.not_between or ()) if x is not None}
+    if pattern.until_type is not None:  # stop events must reach the NFA
+        types = types | {pattern.until_type}
     # notNext judges the immediately-next event of ANY type, so the
     # pre-filter must stay off when such a guard exists
     if pattern.not_next is not None and any(
@@ -1070,6 +1153,11 @@ def _stream_nfa(
                 any_match=frozenset(pattern.any_match_steps),
                 alts=pattern.or_types,
                 skip_to=pattern.after_match_skip,
+                until=(
+                    (pattern.until_type, pattern.until_min_value)
+                    if pattern.until_type is not None
+                    else None
+                ),
             ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}",
             stateStructType="partials array<string>",
@@ -1775,6 +1863,18 @@ ABSENCE3 = CepPattern(steps=("view", "click", "purchase"), within_minutes=720)
 # purchase within 12 h of the last click — engagement-run funnels with
 # the run length reported as n_rep.
 ONEPLUS3 = CepPattern(steps=("view", "click", "purchase"), within_minutes=720, one_or_more=1)
+
+# The [F] oneOrMore().until(stop) instance: the same Kleene funnel, but
+# an ERROR event freezes the click run — the "session broke, stop
+# counting engagement" shape. NFA-only (Kleene); semantics pinned by
+# the _until_sim reference model (tests/test_properties.py) and the
+# replay golden (tests/test_streaming.py).
+UNTIL3 = CepPattern(
+    steps=("view", "click", "purchase"),
+    within_minutes=720,
+    one_or_more=1,
+    until_type="error",
+)
 
 # The optional instance (NFA + batch shadow + reference-model tests):
 # signup, optionally a browsing view, then purchase — 12 h per stage.

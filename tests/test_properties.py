@@ -3191,3 +3191,237 @@ def test_cep_after_match_skip_validation():
         after_match_skip=("to_last", 1),
     )
     assert r.after_match_skip == ("to_last", 1)
+
+
+# ---------------------------------------------------------------------------
+# [F] oneOrMore().until(condition) — the Kleene stop condition (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _until_sim(evs, steps, rep, window_s, min_reps, until_type):
+    """Per-anchor model of [F] ``oneOrMore().until(stop)``: the greedy
+    timesOrMore run, except a stop-type event STRICTLY later than the
+    run's last accepted repetition freezes it while it sits at the
+    Kleene stage — no further repetitions accepted; completion via the
+    next step stays allowed (Flink: until stops acceptance INTO the
+    looping state only), still gated on min_reps. Written directly
+    against the Flink semantics; shares no code with the NFA."""
+    k = len(steps)
+    out = []
+    for pos, (uid, aid, ts0, etype0) in enumerate(evs):
+        if etype0 != steps[0]:
+            continue
+        tss, cnt, frozen = [ts0], 0, False
+        for uid2, eid, ts, etype in evs[pos + 1:]:
+            if uid2 != uid:
+                continue
+            if ts - tss[-1] > window_s:
+                break
+            stage = len(tss)
+            if stage == rep + 1 and etype == until_type and ts > tss[-1]:
+                frozen = True
+                continue
+            if stage == rep + 1 and etype == steps[rep] and ts > tss[-1]:
+                if frozen:
+                    continue  # stop condition: repetition not accepted
+                tss[-1] = ts
+                cnt += 1
+                continue
+            if stage == rep + 1 and etype == steps[stage] and cnt < min_reps:
+                continue  # premature completion attempt: relaxed no-op
+            if stage < k and etype == steps[stage] and ts > tss[-1]:
+                tss.append(ts)
+                if stage == rep:
+                    cnt = 1
+                if len(tss) == k:
+                    out.append((uid, aid, *tss, cnt))
+                    break
+    return sorted(out)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "u"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_until_nfa_matches_simulation_any_chunking(events, cuts):
+    """until('u') in the NFA under every micro-batch split: a stop
+    event must freeze exactly the runs currently AT the Kleene stage
+    (strictly-later boundary), frozen runs must still complete via the
+    next step, and runs entering the loop after the stop event must be
+    unaffected."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, rep, window_s = ("a", "b", "c"), 1, 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _until_sim(
+        [(u, i, t, e) for u, i, t, e in evs], steps, rep, window_s, 1, "u"
+    )
+    proc = _make_processor(
+        steps, window_s * 1_000_000, rep=rep, until=("u", None)
+    )
+    assert _drive_nfa_chunked(proc, evs, cuts, 3, extra_cols=("n_rep",)) == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "u"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_until_composes_with_timesormore_any_chunking(events, cuts):
+    """until('u') × timesOrMore(2): a run frozen below the quota can
+    never complete (it expires silently); a run frozen at or above it
+    completes on the next-step event with its truncated n_rep."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, rep, window_s = ("a", "b", "c"), 1, 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _until_sim(
+        [(u, i, t, e) for u, i, t, e in evs], steps, rep, window_s, 2, "u"
+    )
+    proc = _make_processor(
+        steps, window_s * 1_000_000, rep=rep, min_reps=2, until=("u", None)
+    )
+    assert _drive_nfa_chunked(proc, evs, cuts, 3, extra_cols=("n_rep",)) == want
+
+
+def test_cep_until_truncates_greedy_run():
+    """Golden non-vacuity pin: the stop event truncates the greedy run
+    mid-stream — n_rep and the repeated step's ts column both shrink vs
+    the no-until twin, and completion still happens."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    # a @0, b @10, b @20, u @25, b @30, c @40
+    evs = [
+        (1, 0, 0, "a"),
+        (1, 1, 10, "b"),
+        (1, 2, 20, "b"),
+        (1, 3, 25, "u"),
+        (1, 4, 30, "b"),
+        (1, 5, 40, "c"),
+    ]
+    w = 60 * 1_000_000
+    plain = _make_processor(("a", "b", "c"), w, rep=1)
+    frozen = _make_processor(("a", "b", "c"), w, rep=1, until=("u", None))
+    assert _drive_nfa_chunked(plain, evs, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 30, 40, 3)
+    ]
+    assert _drive_nfa_chunked(frozen, evs, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 20, 40, 2)
+    ]
+    # same-µs tie class: a stop event ON the last repetition's ts does
+    # not freeze (strict >) — the b @30 extension goes through
+    tie = [
+        (1, 0, 0, "a"),
+        (1, 1, 20, "b"),
+        (1, 2, 20, "u"),
+        (1, 3, 30, "b"),
+        (1, 4, 40, "c"),
+    ]
+    assert _drive_nfa_chunked(frozen, tie, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 30, 40, 2)
+    ]
+
+
+def test_cep_until_frozen_below_quota_times_out():
+    """A run frozen with fewer than min_reps repetitions can never
+    complete: the timeout side-output must emit it as a GENUINE timeout
+    (matched=false) once the window expires — not silently discard it."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    proc = _make_processor(
+        ("a", "b", "c"),
+        60 * 1_000_000,
+        emit_timeouts=True,
+        rep=1,
+        min_reps=2,
+        until=("u", None),
+    )
+    evs = [
+        (1, 0, 0, "a"),
+        (1, 1, 10, "b"),
+        (1, 2, 15, "u"),   # frozen at cnt=1 < min_reps=2
+        (1, 3, 20, "c"),   # premature completion: relaxed no-op
+        (1, 4, 200, "a"),  # a later group expires the frozen run inline
+    ]
+    rows = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _ in evs],
+            "event_id": [i for _, i, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _ in evs],
+            "event_type": [e for _, _, _, e in evs],
+            "value": [0.0] * len(evs),
+        }
+    )
+    state = _FakeGroupState()
+    out = pd.concat(list(proc((1,), iter([rows]), state)), ignore_index=True)
+    timeouts = out[~out["matched"]]
+    assert len(timeouts) == 1
+    row = timeouts.iloc[0]
+    assert (row["user_id"], row["anchor_id"]) == (1, 0)
+    # the frozen run timed out with its 2-stage prefix (ts3 never filled)
+    assert pd.isna(row["ts3"]) and not pd.isna(row["ts2"])
+    assert not out[out["matched"]].shape[0], "a frozen sub-quota run completed"
+
+
+def test_cep_until_validation():
+    """until() construction rules: requires one_or_more; stop type
+    disjoint from the loop and its successor; no notNext composition
+    on the loop stages; value guard requires the type."""
+    import pytest as _pytest
+
+    from hello_flink_spark.streaming.cep import CepPattern
+
+    with _pytest.raises(ValueError, match="requires a one_or_more"):
+        CepPattern(steps=("a", "b", "c"), within_minutes=1, until_type="u")
+    with _pytest.raises(ValueError, match="differ from the repeated"):
+        CepPattern(
+            steps=("a", "b", "c"), within_minutes=1, one_or_more=1, until_type="b"
+        )
+    with _pytest.raises(ValueError, match="differ from the successor"):
+        CepPattern(
+            steps=("a", "b", "c"), within_minutes=1, one_or_more=1, until_type="c"
+        )
+    with _pytest.raises(ValueError, match="until_min_value requires"):
+        CepPattern(steps=("a", "b", "c"), within_minutes=1, until_min_value=1.0)
+    with _pytest.raises(ValueError, match="untested composition"):
+        CepPattern(
+            steps=("a", "b", "c"),
+            within_minutes=1,
+            one_or_more=1,
+            until_type="u",
+            not_next=(None, "x", None),
+        )
+    # the valid construction round-trips
+    p = CepPattern(
+        steps=("a", "b", "c"),
+        within_minutes=1,
+        one_or_more=1,
+        until_type="u",
+        until_min_value=5.0,
+    )
+    assert (p.until_type, p.until_min_value) == ("u", 5.0)

@@ -2346,3 +2346,70 @@ def test_cep_skip_to_next_any_match_golden_vs_simulation(spark, sf_dir, replay_d
     assert len({(u, a) for u, a, *_ in got}) == len(got), "per-anchor uniqueness"
     n_branches = len(_any_match_sim(evs5, SKIPNEXT3.steps, {1}, SKIPNEXT3.window_us))
     assert len(got) < n_branches, "skipToNext did not collapse branches"
+
+
+def test_cep_until_stream_golden(spark, sf_dir, replay_dir):
+    """[F] oneOrMore().until(stop), compiled and streamed: UNTIL3's
+    matches over the replay must equal the independent per-anchor
+    _until_sim reference model (the same module the hypothesis NFA
+    tests pin), and the stop condition must be NON-VACUOUS on the
+    fixture — at least one run's n_rep is truncated vs the no-until
+    twin ONEPLUS3."""
+    import datetime as dt
+
+    from test_properties import _oneplus_sim, _until_sim
+
+    from hello_flink_spark.streaming.cep import UNTIL3, compile_stream
+
+    run_to_memory(
+        compile_stream(UNTIL3, _stream(spark, replay_dir)), "t_cep_until", "append"
+    )
+    cols = [UNTIL3.ts_col(i) for i in range(3)]
+    got = sorted(
+        (
+            r.user_id,
+            getattr(r, UNTIL3.anchor_col),
+            *(getattr(r, c) for c in cols),
+            r.n_rep,
+        )
+        for r in spark.table("t_cep_until").collect()
+    )
+
+    evs = sorted(
+        (
+            (r.user_id, r.event_id, r.ts, r.event_type)
+            for r in load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("view", "click", "purchase", "error"))
+            .collect()
+        ),
+        key=lambda x: (x[2], x[1]),
+    )
+    window = dt.timedelta(minutes=UNTIL3.within_minutes)
+    want = _until_sim(evs, UNTIL3.steps, UNTIL3.one_or_more, window, 1, "error")
+    assert got == want
+
+    # non-vacuity: the twin WITHOUT until must disagree — some run is
+    # genuinely truncated (or outlives a freeze) on the fixture
+    plain = _oneplus_sim(
+        [e for e in evs if e[3] != "error"],
+        UNTIL3.steps,
+        UNTIL3.one_or_more,
+        window,
+    )
+    assert got != plain, "until() is vacuous on the fixture"
+    by_key_until = {(u, a): n for u, a, *_ts, n in got}
+    by_key_plain = {(u, a): n for u, a, *_ts, n in plain}
+    # a freeze manifests two ways: a completion with truncated n_rep
+    # (stop mid-run, purchase still inside the frozen window) or a
+    # KILLED match (the un-extended window now misses the purchase —
+    # the form this fixture exhibits). Either proves the stop bit.
+    truncated = [
+        k
+        for k in by_key_until
+        if k in by_key_plain and by_key_until[k] < by_key_plain[k]
+    ]
+    killed = set(by_key_plain) - set(by_key_until)
+    assert truncated or killed, "no run was truncated or killed by the stop event"
+    assert not (set(by_key_until) - set(by_key_plain)), (
+        "until() must never CREATE a match the plain pattern lacks"
+    )
