@@ -2351,21 +2351,57 @@ BPE_TOP_K = 20
 BPE_MAX_WORD = 64  # numbers-CTE bound for the oracle; fixture max word
                    # length is 8 (measured at sf0.01/sf0.1)
 
+# The BPE fit's single source of truth, shared by the pair-count sweep
+# (batch 16) and the encode pass (batch 17) on BOTH engines: change the
+# tokenization rule or the pair transform HERE and nowhere else.
+_BPE_WORDS_SQL = """words_raw AS (
+      SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS w
+      FROM documents
+    ),
+    words_f AS (SELECT source, w FROM words_raw WHERE length(w) >= 1)"""
+
+
+def _bpe_pairs_sql(k: int) -> str:
+    """The fit sweep's mc/merges CTE pair, parameterized by table size
+    (expects ``words_f`` in scope via _BPE_WORDS_SQL)."""
+    return f"""ns AS (SELECT CAST(range AS BIGINT) + 1 AS i FROM range(0, {BPE_MAX_WORD})),
+    mc AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, COUNT(*) AS cnt
+      FROM words_f JOIN ns ON ns.i < length(w)
+      GROUP BY pair ORDER BY cnt DESC, pair LIMIT {k}
+    )"""
+
+
+def _bpe_words(d: DataFrame) -> DataFrame:
+    """(source, w) word occurrences — the one tokenization rule."""
+    return d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
+    ).filter(F.length("w") >= 1)
+
+
+def _bpe_top_pairs(words: DataFrame, k: int) -> DataFrame:
+    """Top-k in-word character bigrams by (count DESC, pair ASC) — the
+    fit sweep (one corpus pass per BPE merge iteration)."""
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(k)
+    )
+
 
 @register(
     "text_bpe_pair_counts",
     oracle=f"""
-    WITH words AS (
-      SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents
-    ),
-    ns AS (SELECT CAST(range AS BIGINT) + 1 AS i FROM range(0, {BPE_MAX_WORD})),
-    pairs AS (
-      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
-      FROM words JOIN ns ON ns.i < length(w)
-    )
-    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM pairs GROUP BY pair
-    ORDER BY cnt DESC, pair LIMIT {BPE_TOP_K}
+    WITH {_BPE_WORDS_SQL},
+    {_bpe_pairs_sql(BPE_TOP_K)}
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM mc
     """,
 )
 def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2383,21 +2419,7 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort). The pair key space is tiny (alphabet²), so the aggregate
     output is bounded regardless of corpus size — the same one-sweep
     shape a real BPE fit runs once per merge."""
-    d = t(spark, sf_dir, "documents")
-    words = d.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w")
-    ).filter(F.length("w") >= 2)
-    pairs = words.select(
-        F.explode(
-            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
-        ).alias("pair")
-    )
-    return (
-        pairs.groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("pair"))
-        .limit(BPE_TOP_K)
-    )
+    return _bpe_top_pairs(_bpe_words(t(spark, sf_dir, "documents")), BPE_TOP_K)
 
 
 # ---------------------------------------------------------------------------
@@ -2621,17 +2643,8 @@ BPE_APPLY_K = 12  # merge-table size: top-K first-iteration pairs
 @register(
     "text_bpe_apply",
     oracle=f"""
-    WITH RECURSIVE words AS (
-      SELECT source, unnest(string_split(lower(trim(text)), ' ')) AS w
-      FROM documents
-    ),
-    words_f AS (SELECT source, w FROM words WHERE length(w) >= 1),
-    ns AS (SELECT CAST(range AS BIGINT) + 1 AS i FROM range(0, {BPE_MAX_WORD})),
-    mc AS (
-      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, COUNT(*) AS cnt
-      FROM words_f JOIN ns ON ns.i < length(w)
-      GROUP BY pair ORDER BY cnt DESC, pair LIMIT {BPE_APPLY_K}
-    ),
+    WITH RECURSIVE {_BPE_WORDS_SQL},
+    {_bpe_pairs_sql(BPE_APPLY_K)},
     merges AS (
       SELECT pair, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS r FROM mc
     ),
@@ -2687,22 +2700,8 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python) → per-source hash agg with map-side partials. ONE data-
     scale shuffle (the tiny per-source partials); at 100 TB the encode
     is embarrassingly parallel per input split."""
-    d = t(spark, sf_dir, "documents")
-    words = d.select(
-        "source",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("w"),
-    ).filter(F.length("w") >= 1)
-    pairs = words.filter(F.length("w") >= 2).select(
-        F.explode(
-            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
-        ).alias("pair")
-    )
-    top = (
-        pairs.groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("pair"))
-        .limit(BPE_APPLY_K)
-    )
+    words = _bpe_words(t(spark, sf_dir, "documents"))
+    top = _bpe_top_pairs(words, BPE_APPLY_K)
     # rank-ordered merge array: struct sort on (-cnt, pair) == the
     # oracle's ROW_NUMBER order; {BPE_APPLY_K} elements — broadcast-bounded
     marr = top.agg(
@@ -2811,11 +2810,18 @@ def data_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.sqrt(F.col("n_min").cast("double") / F.col("n_docs")).alias("keep_rate"),
     )
-    u01 = F.expr(
-        "CAST(conv(substr(md5(concat('"
-        + MIX_TEMP_SALT
-        + "', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0"
-    )
+    # the portable md5-prefix u32 draw (sample_deterministic_hash /
+    # bloom-prefilter precedent), built from structured functions — no
+    # salt string-splicing into an expr
+    u01 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(MIX_TEMP_SALT), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(4294967296.0)
     flagged = d.select("doc_id", "lang").join(F.broadcast(rates), "lang").select(
         "lang",
         "n_docs",

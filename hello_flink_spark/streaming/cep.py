@@ -102,25 +102,28 @@ class CepPattern:
     # [F] ``Pattern#oneOrMore().until(condition)`` — the STOP condition
     # for the looping step: once an event of this type (passing the
     # optional value guard below) arrives STRICTLY later than a run's
-    # last accepted repetition, that run is FROZEN — it accepts no
-    # further repetitions — but may still complete via the next step
-    # (Flink: until stops acceptance INTO the looping state only; the
-    # successor state still consumes). A frozen run holding fewer than
-    # min_reps repetitions can never complete and expires as a genuine
-    # timeout. Per-partial: a run that ENTERS the loop after the stop
+    # last accepted event, every run currently IN OR ENTERING the
+    # looping state is FROZEN — a run at the Kleene stage accepts no
+    # further repetitions (but may still complete via the next step:
+    # Flink's until stops acceptance INTO the looping state only; the
+    # successor state still consumes), and a run WAITING for its first
+    # repetition refuses it (it can never satisfy the >= 1 quota and
+    # expires as a genuine timeout). A frozen run holding fewer than
+    # min_reps repetitions likewise can only time out. Per-partial and
+    # per-event: a run that reaches the loop's doorstep after the stop
     # event is unaffected (the condition is evaluated per arriving
     # event, not retroactively). Restrictions (determinism discipline):
     # requires one_or_more; the stop type must differ from the repeated
     # step's type-set (an event cannot both extend and freeze — Flink
     # evaluates until before acceptance, making such an event a silent
     # no-op extension, a semantics no test could pin) and from the
-    # successor step's type-set (completing and freezing with one event
-    # is ambiguous between NFA branch orders); composition with
-    # not_next guards on the loop or its successor is refused (both
-    # arm per-partial pending markers — extend the property suite
-    # first). Tie class: a stop event on the SAME µs as the last
-    # accepted repetition does not freeze (strict >), the same boundary
-    # every other guard uses.
+    # successor step's type-set — including the post-optional successor
+    # when the loop's successor is optional — (completing and freezing
+    # with one event is ambiguous between NFA branch orders). until ×
+    # not_next on the loop stages is already impossible: not_next is
+    # rejected there for every one_or_more pattern. Tie class: a stop
+    # event on the SAME µs as the run's last accepted event does not
+    # freeze (strict >), the same boundary every other guard uses.
     until_type: str | None = None
     # optional value guard on the stop event: it only freezes if
     # ``value >= until_min_value`` (None = any value stops).
@@ -337,15 +340,20 @@ class CepPattern:
                     "(one event completing AND freezing is ambiguous between "
                     "NFA branch orders)"
                 )
-            if self.not_next is not None and (
-                self.not_next[r] is not None or self.not_next[r + 1] is not None
+            if r + 1 in self.optional_steps and self.until_type in self.step_types(
+                r + 2
             ):
                 raise ValueError(
-                    "until_type with a not_next guard on the loop or its "
-                    "successor is an untested composition (both arm per-"
-                    "partial pending markers) — extend the property suite "
-                    "first"
+                    "until_type must differ from the post-optional successor's "
+                    "type-set: with the loop's successor optional, such an "
+                    "event would complete (via the optional skip) AND freeze "
+                    "— the same one-event ambiguity as the direct successor"
                 )
+            # (until × not_next needs no guard of its own: not_next is
+            # already rejected on the Kleene step and its successor for
+            # EVERY one_or_more pattern — the 'must stay clear of
+            # optional/Kleene neighborhoods' rule below — which is what
+            # keeps the GUARD and FROZEN pending markers disjoint.)
         if self.not_between is not None:
             if len(self.not_between) != len(self.steps):
                 raise ValueError("not_between must have one entry per step")
@@ -888,10 +896,16 @@ def _make_processor(
                         if not (nb[len(p[1])] == etype and ts_us > p[1][-1])
                     ]
                 # [F] until(): a stop event freezes every run currently
-                # AT the Kleene stage (strictly later than its last
-                # accepted repetition) — before this event could extend
-                # anything (the stop type is validation-disjoint from
-                # the repeated type, so no extension is lost)
+                # IN OR ENTERING the looping state — at the Kleene
+                # stage (no more repetitions) AND waiting to take its
+                # FIRST repetition (Flink: until guards acceptance INTO
+                # the looping state, so a stop before any repetition
+                # kills the run too — it can never satisfy oneOrMore's
+                # >= 1 quota and expires as a genuine timeout). Applied
+                # before this event could extend or promote anything
+                # (the stop type is validation-disjoint from the
+                # repeated type and the loop's effective successors,
+                # so no acceptance is lost)
                 if (
                     until is not None
                     and etype == until[0]
@@ -899,7 +913,9 @@ def _make_processor(
                 ):
                     partials = [
                         (aid, tss, cnt, FROZEN, vals)
-                        if len(tss) == rep + 1 and ts_us > tss[-1] and pend is None
+                        if len(tss) in (rep, rep + 1)
+                        and ts_us > tss[-1]
+                        and pend is None
                         else (aid, tss, cnt, pend, vals)
                         for aid, tss, cnt, pend, vals in partials
                     ]
@@ -940,8 +956,14 @@ def _make_processor(
                     # slot as NULL)
                     stages = {i} | ({i - 1} if i - 1 in optionals else set())
 
-                    def hit(p, _stages=stages, _g=rg[i], _val=val):
+                    def hit(p, _stages=stages, _g=rg[i], _val=val, _i=i):
                         if len(p[1]) not in _stages or ts_us <= p[1][-1]:
+                            return False
+                        # until(): a FROZEN waiter accepts nothing INTO
+                        # the looping state — its first repetition is
+                        # refused (completion OUT of the loop, _i ==
+                        # rep + 1, stays allowed)
+                        if p[3] == FROZEN and rep is not None and _i == rep:
                             return False
                         # IterativeCondition: the guard compares this
                         # event's value against THIS partial's accepted

@@ -3201,11 +3201,15 @@ def test_cep_after_match_skip_validation():
 def _until_sim(evs, steps, rep, window_s, min_reps, until_type):
     """Per-anchor model of [F] ``oneOrMore().until(stop)``: the greedy
     timesOrMore run, except a stop-type event STRICTLY later than the
-    run's last accepted repetition freezes it while it sits at the
-    Kleene stage — no further repetitions accepted; completion via the
-    next step stays allowed (Flink: until stops acceptance INTO the
-    looping state only), still gated on min_reps. Written directly
-    against the Flink semantics; shares no code with the NFA."""
+    run's last accepted event freezes it while it is IN OR ENTERING
+    the looping state — at the Kleene stage no further repetitions are
+    accepted but completion via the next step stays allowed (Flink:
+    until stops acceptance INTO the looping state only; the successor
+    state still consumes), and a run still WAITING for its first
+    repetition refuses it (acceptance into the loop is exactly what
+    until guards), so it can never complete. Still gated on min_reps.
+    Written directly against the Flink semantics; shares no code with
+    the NFA."""
     k = len(steps)
     out = []
     for pos, (uid, aid, ts0, etype0) in enumerate(evs):
@@ -3218,7 +3222,7 @@ def _until_sim(evs, steps, rep, window_s, min_reps, until_type):
             if ts - tss[-1] > window_s:
                 break
             stage = len(tss)
-            if stage == rep + 1 and etype == until_type and ts > tss[-1]:
+            if stage in (rep, rep + 1) and etype == until_type and ts > tss[-1]:
                 frozen = True
                 continue
             if stage == rep + 1 and etype == steps[rep] and ts > tss[-1]:
@@ -3230,6 +3234,8 @@ def _until_sim(evs, steps, rep, window_s, min_reps, until_type):
             if stage == rep + 1 and etype == steps[stage] and cnt < min_reps:
                 continue  # premature completion attempt: relaxed no-op
             if stage < k and etype == steps[stage] and ts > tss[-1]:
+                if frozen and stage == rep:
+                    continue  # first repetition refused: run is dead
                 tss.append(ts)
                 if stage == rep:
                     cnt = 1
@@ -3343,6 +3349,62 @@ def test_cep_until_truncates_greedy_run():
     assert _drive_nfa_chunked(frozen, tie, [], 3, extra_cols=("n_rep",)) == [
         (1, 0, 0, 30, 40, 2)
     ]
+    # until guards acceptance INTO the looping state: a stop event
+    # arriving while the run still WAITS for its first repetition
+    # kills the run — the first b after the stop is refused and the
+    # pattern can never emit (the Flink boundary the code-review
+    # surfaced; the plain twin still matches)
+    waiter = [
+        (1, 0, 0, "a"),
+        (1, 1, 5, "u"),
+        (1, 2, 10, "b"),
+        (1, 3, 20, "c"),
+    ]
+    assert _drive_nfa_chunked(plain, waiter, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 10, 20, 1)
+    ]
+    assert _drive_nfa_chunked(frozen, waiter, [], 3, extra_cols=("n_rep",)) == []
+
+
+def test_cep_until_value_guard_is_behavioral():
+    """until_min_value gates WHICH stop events freeze: a below-guard
+    stop event is a no-op (the run keeps extending), an at-or-above-
+    guard one freezes — pinned with real values through the NFA, not
+    just the construction round-trip."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    def drive(values_by_eid):
+        proc = _make_processor(
+            ("a", "b", "c"), 60 * 1_000_000, rep=1, until=("u", 5.0)
+        )
+        evs = [
+            (0, 0, "a", 0.0),
+            (1, 10, "b", 0.0),
+            (2, 15, "u", values_by_eid[2]),
+            (3, 20, "b", 0.0),
+            (4, 30, "c", 0.0),
+        ]
+        rows = pd.DataFrame(
+            {
+                "user_id": [1] * len(evs),
+                "event_id": [e[0] for e in evs],
+                "ts": [pd.Timestamp(e[1], unit="s") for e in evs],
+                "event_type": [e[2] for e in evs],
+                "value": [e[3] for e in evs],
+            }
+        )
+        state = _FakeGroupState()
+        out = pd.concat(list(proc((1,), iter([rows]), state)), ignore_index=True)
+        return [
+            (r.user_id, r.anchor_id, r.n_rep) for r in out.itertuples()
+        ]
+
+    # u carries 4.9 < 5.0: no freeze, the b @20 extends (n_rep=2)
+    assert drive({2: 4.9}) == [(1, 0, 2)]
+    # u carries 5.0 >= 5.0: freeze, the b @20 is refused (n_rep=1)
+    assert drive({2: 5.0}) == [(1, 0, 1)]
 
 
 def test_cep_until_frozen_below_quota_times_out():
@@ -3408,7 +3470,21 @@ def test_cep_until_validation():
         )
     with _pytest.raises(ValueError, match="until_min_value requires"):
         CepPattern(steps=("a", "b", "c"), within_minutes=1, until_min_value=1.0)
-    with _pytest.raises(ValueError, match="untested composition"):
+    # the post-optional effective successor: with the loop's successor
+    # optional, a stop event of the NEXT step's type would complete
+    # (via the optional skip) AND freeze — rejected
+    with _pytest.raises(ValueError, match="post-optional successor"):
+        CepPattern(
+            steps=("a", "b", "c", "d"),
+            within_minutes=1,
+            one_or_more=1,
+            optional_steps=(2,),
+            until_type="d",
+        )
+    # until × not_next on the loop stages needs no guard of its own:
+    # the pre-existing neighborhood rule already rejects it for every
+    # one_or_more pattern (with or without until)
+    with _pytest.raises(ValueError, match="must stay clear"):
         CepPattern(
             steps=("a", "b", "c"),
             within_minutes=1,
