@@ -211,6 +211,8 @@ HEADLINE = [
     # α-temperature language resampling (closed-form √(n_min/n) rates).
     "text_bpe_apply",
     "data_mixture_temperature",
+    # batch 18: the full BPE trainer loop (8 iterations, vocab-sized state).
+    "text_bpe_train_merges",
 ]
 
 

@@ -2846,3 +2846,112 @@ def data_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mixture_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 18 — text_bpe_train_merges: the FULL tokenizer-fit loop.
+# Batch 16 is one fit iteration's pair count; batch 17 applies a fit
+# table; this op runs the actual multi-iteration trainer (Sennrich et
+# al. 2016 Algorithm 1): count pairs over CURRENT token sequences,
+# merge the most frequent, repeat — each iteration re-counting over
+# the merged corpus, which is what makes it a loop and not one sweep.
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_ITERS = 8  # merge iterations (vocab budget)
+
+
+def _bpe_merge_fold_expr() -> str:
+    """JVM left-fold that merges leftmost non-overlapping (ma, mb)
+    token pairs in one pass — the carry cell holds the previous token
+    so runs like a,a,a merge greedily from the left (textbook
+    behavior), with no Python in the loop. ``ma``/``mb`` are columns
+    (broadcast 1-row), so arbitrary token text needs no SQL-literal
+    escaping."""
+    return """
+      aggregate(
+        toks,
+        named_struct('res', CAST(array() AS ARRAY<STRING>),
+                     'carry', CAST(NULL AS STRING)),
+        (acc, t) -> CASE
+          WHEN acc.carry IS NULL
+            THEN named_struct('res', acc.res, 'carry', t)
+          WHEN acc.carry = ma AND t = mb
+            THEN named_struct('res', array_append(acc.res, concat(ma, mb)),
+                              'carry', CAST(NULL AS STRING))
+          ELSE named_struct('res', array_append(acc.res, acc.carry),
+                            'carry', t) END,
+        acc -> CASE WHEN acc.carry IS NULL THEN acc.res
+                    ELSE array_append(acc.res, acc.carry) END)
+    """
+
+
+@register("text_bpe_train_merges", tags=("iterative", "rows_only"))
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE trainer (Sennrich et al. 2016 Algorithm 1) as a
+    Spark loop — learn {BPE_TRAIN_ITERS} merges over the corpus word
+    HISTOGRAM: each iteration counts adjacent TOKEN pairs (occurrence-
+    weighted), merges the single most frequent (count DESC, pair ASC —
+    a total order, so the trainer is deterministic), and re-tokenizes.
+    Unlike the one-sweep batch-16 count, later iterations see MERGED
+    tokens, so pairs like ('ta','ble') become countable — the loop is
+    the algorithm. R-tier: the emitted merge table is pinned by EXACT
+    equality against a pure-Python textbook trainer in
+    tests/test_llm.py (plus rank-1 must equal text_bpe_pair_counts'
+    top pair — the two ops share the fit's first step by definition).
+
+    Scale shape (the kmeans/pagerank iterative discipline): the corpus
+    collapses ONCE to the (word, count) histogram — vocabulary-sized,
+    Zipf-bounded far below corpus size at 100 TB — and every iteration
+    is (a) one vocab-scale pair aggregation with map-side partials,
+    (b) ONE 1-row driver scalar (the argmax pair — bounded), (c) a
+    map-only JVM fold rewriting token arrays (no Python, no shuffle),
+    with the lineage cut by localCheckpoint per iteration so iteration
+    k never recomputes iterations 1..k-1."""
+    words = _bpe_words(t(spark, sf_dir, "documents"))
+    hist = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # the histogram is vocab-sized: one partition removes per-iteration
+    # task-scheduling overhead at fixture scale (a 100 TB corpus' vocab
+    # would coalesce to width ∝ |vocab|/rows-per-task instead of 1)
+    toks = (
+        hist.select(
+            "cnt",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("toks"),
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for it in range(1, BPE_TRAIN_ITERS + 1):
+        best = (
+            toks.filter(F.size("toks") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1),"
+                        " i -> named_struct('a', element_at(toks, i),"
+                        " 'b', element_at(toks, i + 1)))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()  # bounded: exactly one row (the argmax pair)
+        )
+        if not best:
+            break
+        a, b, freq = best[0]["a"], best[0]["b"], int(best[0]["freq"])
+        merges.append((it, a, b, a + b, freq))
+        mrow = spark.createDataFrame([(a, b)], "ma string, mb string")
+        toks = (
+            toks.crossJoin(F.broadcast(mrow))
+            .select("cnt", F.expr(_bpe_merge_fold_expr()).alias("toks"))
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, freq long"
+    )

@@ -1476,3 +1476,74 @@ def test_mixture_temperature_invariants(spark, sf_dir_mid):
     assert big["mixture_share"] < raw_share, "dominant language must be damped"
     # and the resample is genuinely non-vacuous: someone was dropped
     assert (pdf["n_kept"] < pdf["n_docs"]).any()
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_train_merges (round 9 batch 18): the full trainer loop
+# ---------------------------------------------------------------------------
+
+
+def _reference_bpe_train(word_counts: dict, iters: int):
+    """Textbook BPE trainer (Sennrich et al. 2016 Algorithm 1) over a
+    word histogram: count adjacent token pairs occurrence-weighted,
+    merge the most frequent (count DESC, then (left, right) ASC — the
+    same total order the Spark loop sorts by), re-tokenize leftmost
+    non-overlapping, repeat. Pure Python, shares no code with the op."""
+    vocab = [(list(w), c) for w, c in sorted(word_counts.items())]
+    merges = []
+    for it in range(1, iters + 1):
+        freq: dict = {}
+        for toks, c in vocab:
+            for a, b in zip(toks, toks[1:]):
+                freq[(a, b)] = freq.get((a, b), 0) + c
+        if not freq:
+            break
+        (a, b), f = min(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((it, a, b, a + b, f))
+        nxt = []
+        for toks, c in vocab:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            nxt.append((out, c))
+        vocab = nxt
+    return merges
+
+
+def test_bpe_train_merges_equals_textbook_trainer(spark, sf_dir):
+    """EXACT equality: the Spark loop's full merge table — ranks,
+    pair text, merged token, and occurrence-weighted frequencies —
+    must equal the pure-Python textbook trainer run on the same word
+    histogram; and rank 1 must equal text_bpe_pair_counts' top pair
+    (the two ops share the fit's first step by definition)."""
+    from collections import Counter
+
+    from hello_flink_spark.queries.round9 import BPE_TRAIN_ITERS
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["freq"])
+        for r in get_spec("text_bpe_train_merges").fn(spark, sf_dir).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    counts = Counter(
+        w
+        for r in docs
+        for w in r["text"].strip().lower().split(" ")
+        if len(w) >= 1
+    )
+    want = _reference_bpe_train(dict(counts), BPE_TRAIN_ITERS)
+    assert sorted(got) == sorted(want)
+    assert len(got) == BPE_TRAIN_ITERS, "fixture exhausted the merge budget early"
+    # the loop is REAL on the fixture: some later merge consumes a
+    # merged token (impossible for a one-sweep pair count)
+    singles = {m[3] for m in got}
+    assert any(len(m[1]) > 1 or len(m[2]) > 1 for m in got), (
+        f"no merge consumed a merged token — the loop is vacuous: {singles}"
+    )
+    top = get_spec("text_bpe_pair_counts").fn(spark, sf_dir).collect()[0]
+    assert got[0][3] == top["pair"] and got[0][4] == top["cnt"]

@@ -262,6 +262,8 @@ BROADCAST_HINT_OK = {
     ("round9", "rates"): "per-language keep-rate table — bounded by lang "
     "cardinality (data_mixture_temperature)",
     ("round9", "tot"): "1-row kept-total scalar (data_mixture_temperature)",
+    ("round9", "mrow"): "1-row (ma, mb) merge-pair scalar per trainer "
+    "iteration (text_bpe_train_merges)",
 }
 
 
