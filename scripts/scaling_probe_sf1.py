@@ -72,6 +72,12 @@ PROBES = [
     # claim through a second decade (payloads derive from doc_id, so
     # every replica decodes same-sized media)
     ("pipeline_multimodal_manifest", "documents"),
+    # round 9 batch 17/18: the tokenizer family — the encode pass is
+    # one scan + JVM fold + tiny agg (corpus-linear), the trainer is
+    # one corpus shuffle to the vocab histogram then vocab-scale
+    # iterations (the replica tags make sf1's vocab 10x too)
+    ("text_bpe_apply", "documents"),
+    ("text_bpe_train_merges", "documents"),
 ]
 
 
@@ -224,6 +230,9 @@ def main() -> None:
         "dedup_cluster": "CC round count is O(log^2 n) and DISJOINT shards keep the same diameter, so rounds do not grow with the replication",
         "sim_ann_ivf_pq": "the trainer's cost plus a constant probe set against 10x-as-full inverted lists — every per-query operand (LUTs, probe buckets) is volume-independent, only the bucket equi-join scales",
         "events_delta_trigger": "the fold is sequential PER KEY but the shards scale the KEY count (disjoint users), so the Arrow per-group work spreads across cores and only the one user shuffle scales",
+        "pipeline_multimodal_manifest": "ZERO-shuffle decode-bound Arrow stage — embarrassingly parallel per input split, byte-proportional in the three codec payloads",
+        "text_bpe_apply": "scan + broadcast merge array + JVM replace fold per word + one tiny per-source agg — BYTE-proportional, and the 'rK_' replica tag inflates sf1 word-chars 16.7x (measured: 1,219,872 -> 20,319,840), so ~10-12x time is sublinear per byte, same class as text_hashing_features",
+        "text_bpe_train_merges": "ONE corpus shuffle to the word histogram, then 8 vocab-scale iterations (the replica tags grow sf1's vocab 10x, but vocab stays orders below the corpus) with 1-row driver scalars",
     }
 
     def _reason_block(names):
@@ -241,9 +250,30 @@ def main() -> None:
             "construction. Per-plan reasons:",
             "",
         ] + _reason_block(near)
-    if over:
+    # Over-band ops are only recordable WITH a diagnosis (VERDICT r06
+    # #8). A diagnosis must name the measured denominator that the
+    # row-count ratio hides — for token-tagged documents shards that is
+    # the BYTE ratio (the replica tag inflates every word).
+    OVER_DIAGNOSED = {
+        "text_bpe_apply": (
+            "byte-proportional fold over words whose bytes grow 16.7x, "
+            "not 10x (measured: the 'rK_' replica tag inflates sf1 "
+            "word-chars 1,219,872 -> 20,319,840) — 11-12x time for "
+            "16.7x bytes is SUBLINEAR per byte, same class as "
+            "text_hashing_features"
+        ),
+    }
+    diagnosed = [n for n in over if n in OVER_DIAGNOSED]
+    unknown = [n for n in over if n not in OVER_DIAGNOSED]
+    if diagnosed:
         lines += [
-            f"SUPER-LINEAR ({', '.join(over)}): ratio exceeds the data",
+            f"Above 11x but DIAGNOSED ({', '.join(diagnosed)}): the",
+            "data-growth denominator is not 10x for these inputs.",
+            "",
+        ] + [f"- {n}: {OVER_DIAGNOSED[n]}." for n in diagnosed] + [""]
+    if unknown:
+        lines += [
+            f"SUPER-LINEAR ({', '.join(unknown)}): ratio exceeds the data",
             "growth even after the byte-inflation allowance — diagnose",
             "with .explain before recording (VERDICT r06 #8).",
             "",
