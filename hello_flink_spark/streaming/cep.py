@@ -128,6 +128,23 @@ class CepPattern:
     # optional value guard on the stop event: it only freezes if
     # ``value >= until_min_value`` (None = any value stops).
     until_min_value: float | None = None
+    # [F] IterativeCondition over ``ctx.getEventsForPattern(loop)`` in
+    # its AGGREGATE form — the "repetitions totaling >= X" guard (e.g.
+    # clicks whose values sum to 100, then a purchase): completion OUT
+    # of the Kleene stage additionally requires the SUM of the
+    # accepted repetitions' values to reach this threshold; an earlier
+    # next-step event is relaxed-contiguity ignored (the run keeps
+    # waiting/extending) — exactly the min_reps gating shape, on value
+    # mass instead of count. Composes with min_reps (both gates apply),
+    # max_reps (capped repetitions are ignored, so their values never
+    # count), and until (a frozen run completes only if its already-
+    # accumulated total clears the bar). Mechanics: the running total
+    # rides IN the Kleene slot of the value segment (seeded by the
+    # first repetition, accumulated on extension) — zero state-encoding
+    # change — so a rel_guard REFERENCING the loop step is refused when
+    # this is set (the slot can't be both last-value and total), and an
+    # emitted v<loop> column carries the RUN TOTAL for such patterns.
+    run_min_total: float | None = None
     # [F] ``Pattern#within(Duration)`` — the PATTERN-GLOBAL window: the
     # whole match (anchor → final step) must span at most this. The
     # per-stage ``within_minutes`` still applies between consecutive
@@ -322,6 +339,21 @@ class CepPattern:
                 raise ValueError("max_reps must be >= min_reps")
         if self.until_min_value is not None and self.until_type is None:
             raise ValueError("until_min_value requires until_type")
+        if self.run_min_total is not None:
+            if self.one_or_more is None:
+                raise ValueError(
+                    "run_min_total (the Kleene run-aggregate guard) requires "
+                    "a one_or_more step"
+                )
+            if self.rel_guards is not None and any(
+                g is not None and g[0] == self.one_or_more
+                for g in self.rel_guards
+            ):
+                raise ValueError(
+                    "run_min_total repurposes the Kleene value slot as the "
+                    "running TOTAL, so a rel_guard referencing the loop step "
+                    "(last-value semantics) cannot compose with it"
+                )
         if self.until_type is not None:
             if self.one_or_more is None:
                 raise ValueError(
@@ -713,6 +745,7 @@ def _make_processor(
     alts: Tuple[Tuple[str, ...], ...] | None = None,
     skip_to: Tuple[str, int | None] | None = None,
     until: Tuple[str, float | None] | None = None,
+    run_total: float | None = None,
 ):
     """Build the per-key NFA closure. Partial matches are encoded in
     state as 'anchor_id:ts1,ts2,...|n_rep|pending' strings (stage =
@@ -930,8 +963,15 @@ def _make_processor(
                 ):
                     # times(m, n) cap: a run already holding max_reps
                     # ignores further repetitions (relaxed contiguity)
+                    # with a run-aggregate guard the Kleene value slot
+                    # carries the running TOTAL (else the last value)
+                    def _kv(vals, val):
+                        if run_total is not None and vals and vals[-1] is not None:
+                            return vals[:-1] + [vals[-1] + val]
+                        return vals[:-1] + [val]
+
                     partials = [
-                        (aid, tss[:-1] + [ts_us], cnt + 1, pend, vals[:-1] + [val])
+                        (aid, tss[:-1] + [ts_us], cnt + 1, pend, _kv(vals, val))
                         if len(tss) == rep + 1
                         and ts_us > tss[-1]
                         and pend != FROZEN
@@ -982,6 +1022,20 @@ def _make_processor(
                             rep is not None
                             and len(p[1]) == rep + 1
                             and p[2] < min_reps
+                        ):
+                            return False
+                        # run-aggregate guard ([F] IterativeCondition over
+                        # the loop's accepted events): the accumulated
+                        # total must clear the bar — an early next-step
+                        # event is a relaxed no-op, like min_reps
+                        if (
+                            run_total is not None
+                            and len(p[1]) == rep + 1
+                            and (
+                                rep >= len(p[4])
+                                or p[4][rep] is None
+                                or p[4][rep] < run_total
+                            )
                         ):
                             return False
                         return True
@@ -1180,6 +1234,7 @@ def _stream_nfa(
                     if pattern.until_type is not None
                     else None
                 ),
+                run_total=pattern.run_min_total,
             ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}",
             stateStructType="partials array<string>",
@@ -1885,6 +1940,18 @@ ABSENCE3 = CepPattern(steps=("view", "click", "purchase"), within_minutes=720)
 # purchase within 12 h of the last click — engagement-run funnels with
 # the run length reported as n_rep.
 ONEPLUS3 = CepPattern(steps=("view", "click", "purchase"), within_minutes=720, one_or_more=1)
+
+# The [F] run-aggregate-guard instance: the same Kleene funnel, but
+# completion requires the click run's VALUES to total >= 60 — the
+# "engagement mass, then purchase" shape ([F] IterativeCondition over
+# ctx.getEventsForPattern). NFA-only; semantics pinned by the
+# _runtotal_sim reference model and the replay golden.
+RUNTOTAL3 = CepPattern(
+    steps=("view", "click", "purchase"),
+    within_minutes=720,
+    one_or_more=1,
+    run_min_total=60.0,
+)
 
 # The [F] oneOrMore().until(stop) instance: the same Kleene funnel, but
 # an ERROR event freezes the click run — the "session broke, stop

@@ -3501,3 +3501,227 @@ def test_cep_until_validation():
         until_min_value=5.0,
     )
     assert (p.until_type, p.until_min_value) == ("u", 5.0)
+
+
+# ---------------------------------------------------------------------------
+# [F] IterativeCondition over the Kleene run's accepted events, aggregate
+# form — run_min_total ("repetitions totaling >= X, then the next step")
+# ---------------------------------------------------------------------------
+
+
+def _drive_nfa_chunked_v(proc, evs, cuts, k, extra_cols=()):
+    """_drive_nfa_chunked with per-event VALUES: evs are
+    (uid, eid, ts, etype, value) 5-tuples."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _, _ in evs],
+            "event_id": [i for _, i, _, _, _ in evs],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _, _ in evs],
+            "event_type": [e for _, _, _, e, _ in evs],
+            "value": [float(v) for _, _, _, _, v in evs],
+        }
+    )
+    bounds = sorted({c for c in cuts if c < len(evs)} | {0, len(evs)})
+    chunks = [rows.iloc[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    got = []
+    for uid in sorted(rows["user_id"].unique()):
+        state = _FakeGroupState()
+        for chunk in chunks:
+            part = chunk[chunk["user_id"] == uid]
+            if part.empty:
+                continue
+            for out in proc((uid,), iter([part]), state):
+                got.extend(
+                    (
+                        r.user_id,
+                        r.anchor_id,
+                        *(int(getattr(r, f"ts{j + 1}").timestamp()) for j in range(k)),
+                        *(getattr(r, c) for c in extra_cols),
+                    )
+                    for r in out.itertuples()
+                )
+    return sorted(got)
+
+
+def _runtotal_sim(evs, steps, rep, window_s, min_reps, run_total):
+    """Per-anchor model of the Kleene run-aggregate guard: the greedy
+    run accumulates the SUM of accepted repetition values; a next-step
+    event completes only once BOTH gates hold (count >= min_reps, sum
+    >= run_total) — an earlier one is a relaxed no-op and the run keeps
+    extending. Written directly against the [F] IterativeCondition-
+    over-getEventsForPattern semantics; shares no code with the NFA."""
+    k = len(steps)
+    out = []
+    for pos, (uid, aid, ts0, etype0, v0) in enumerate(evs):
+        if etype0 != steps[0]:
+            continue
+        tss, cnt, tot = [ts0], 0, 0.0
+        for uid2, eid, ts, etype, v in evs[pos + 1:]:
+            if uid2 != uid:
+                continue
+            if ts - tss[-1] > window_s:
+                break
+            stage = len(tss)
+            if stage == rep + 1 and etype == steps[rep] and ts > tss[-1]:
+                tss[-1] = ts
+                cnt += 1
+                tot += v
+                continue
+            if stage == rep + 1 and etype == steps[stage] and (
+                cnt < min_reps or tot < run_total
+            ):
+                continue  # a gate unmet: relaxed no-op
+            if stage < k and etype == steps[stage] and ts > tss[-1]:
+                tss.append(ts)
+                if stage == rep:
+                    cnt, tot = 1, v
+                if len(tss) == k:
+                    out.append((uid, aid, *tss, cnt))
+                    break
+    return sorted(out)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 3),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_run_total_nfa_matches_simulation_any_chunking(events, cuts):
+    """run_min_total(4) in the NFA under every micro-batch split: the
+    running total accumulates over accepted repetitions only, an
+    under-total next-step event is a relaxed no-op, and completion
+    requires the total to clear the bar."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, rep, window_s = ("a", "b", "c"), 1, 60
+    evs = sorted(
+        ((u, i, t, e, v) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _runtotal_sim(evs, steps, rep, window_s, 1, 4.0)
+    proc = _make_processor(steps, window_s * 1_000_000, rep=rep, run_total=4.0)
+    assert _drive_nfa_chunked_v(proc, evs, cuts, 3, extra_cols=("n_rep",)) == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 3),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_run_total_composes_with_timesormore_any_chunking(events, cuts):
+    """run_min_total(3) x timesOrMore(2): BOTH gates must hold at the
+    completing event — count quota and value mass are independent."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, rep, window_s = ("a", "b", "c"), 1, 60
+    evs = sorted(
+        ((u, i, t, e, v) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _runtotal_sim(evs, steps, rep, window_s, 2, 3.0)
+    proc = _make_processor(
+        steps, window_s * 1_000_000, rep=rep, min_reps=2, run_total=3.0
+    )
+    assert _drive_nfa_chunked_v(proc, evs, cuts, 3, extra_cols=("n_rep",)) == want
+
+
+def test_cep_run_total_gates_completion():
+    """Golden: with threshold 5, a next-step event after repetitions
+    totaling 3 is a relaxed no-op — the run keeps extending and the
+    match completes at the SECOND next-step event with n_rep=3 and
+    the repeated slot's ts at the third repetition; the no-guard twin
+    completes at the first."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    evs = [
+        (1, 0, 0, "a", 0.0),
+        (1, 1, 10, "b", 2.0),
+        (1, 2, 20, "b", 1.0),
+        (1, 3, 25, "c", 0.0),   # total 3 < 5: ignored
+        (1, 4, 30, "b", 3.0),   # total 6
+        (1, 5, 40, "c", 0.0),   # completes
+    ]
+    w = 60 * 1_000_000
+    plain = _make_processor(("a", "b", "c"), w, rep=1)
+    gated = _make_processor(("a", "b", "c"), w, rep=1, run_total=5.0)
+    assert _drive_nfa_chunked_v(plain, evs, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 20, 25, 2)
+    ]
+    assert _drive_nfa_chunked_v(gated, evs, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 30, 40, 3)
+    ]
+
+
+def test_cep_run_total_until_composition():
+    """run_min_total x until: a frozen run completes only if its
+    already-accumulated total clears the bar — freezing below the bar
+    makes the run permanently incompletable."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    w = 60 * 1_000_000
+    proc = _make_processor(
+        ("a", "b", "c"), w, rep=1, run_total=5.0, until=("u", None)
+    )
+    # frozen at total 6 >= 5: still completes
+    rich = [
+        (1, 0, 0, "a", 0.0),
+        (1, 1, 10, "b", 6.0),
+        (1, 2, 15, "u", 0.0),
+        (1, 3, 20, "b", 9.0),  # frozen: not accepted
+        (1, 4, 30, "c", 0.0),
+    ]
+    assert _drive_nfa_chunked_v(proc, rich, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 10, 30, 1)
+    ]
+    # frozen at total 2 < 5: can never complete
+    poor = [
+        (1, 0, 0, "a", 0.0),
+        (1, 1, 10, "b", 2.0),
+        (1, 2, 15, "u", 0.0),
+        (1, 3, 20, "b", 9.0),
+        (1, 4, 30, "c", 0.0),
+    ]
+    assert _drive_nfa_chunked_v(proc, poor, [], 3, extra_cols=("n_rep",)) == []
+
+
+def test_cep_run_total_validation():
+    """Construction rules: requires one_or_more; refuses a rel_guard
+    referencing the loop step (the value slot is the running total)."""
+    import pytest as _pytest
+
+    from hello_flink_spark.streaming.cep import CepPattern
+
+    with _pytest.raises(ValueError, match="requires a one_or_more"):
+        CepPattern(steps=("a", "b", "c"), within_minutes=1, run_min_total=5.0)
+    with _pytest.raises(ValueError, match="cannot compose"):
+        CepPattern(
+            steps=("a", "b", "c", "d"),
+            within_minutes=1,
+            one_or_more=1,
+            run_min_total=5.0,
+            rel_guards=(None, None, None, (1, 1.0)),
+        )
+    p = CepPattern(
+        steps=("a", "b", "c"), within_minutes=1, one_or_more=1, run_min_total=5.0
+    )
+    assert p.run_min_total == 5.0

@@ -2413,3 +2413,62 @@ def test_cep_until_stream_golden(spark, sf_dir, replay_dir):
     assert not (set(by_key_until) - set(by_key_plain)), (
         "until() must never CREATE a match the plain pattern lacks"
     )
+
+
+def test_cep_run_total_stream_golden(spark, sf_dir, replay_dir):
+    """[F] Kleene run-aggregate guard, compiled and streamed:
+    RUNTOTAL3's matches over the replay must equal the independent
+    per-anchor _runtotal_sim reference model, and the guard must be
+    NON-VACUOUS on the fixture — some run completes later (more
+    repetitions) or never vs the unguarded twin."""
+    import datetime as dt
+
+    from test_properties import _oneplus_sim, _runtotal_sim
+
+    from hello_flink_spark.streaming.cep import RUNTOTAL3, compile_stream
+
+    run_to_memory(
+        compile_stream(RUNTOTAL3, _stream(spark, replay_dir)), "t_cep_rt", "append"
+    )
+    cols = [RUNTOTAL3.ts_col(i) for i in range(3)]
+    got = sorted(
+        (
+            r.user_id,
+            getattr(r, RUNTOTAL3.anchor_col),
+            *(getattr(r, c) for c in cols),
+            r.n_rep,
+        )
+        for r in spark.table("t_cep_rt").collect()
+    )
+
+    evs = sorted(
+        (
+            (r.user_id, r.event_id, r.ts, r.event_type, r.value)
+            for r in load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("view", "click", "purchase"))
+            .collect()
+        ),
+        key=lambda x: (x[2], x[1]),
+    )
+    window = dt.timedelta(minutes=RUNTOTAL3.within_minutes)
+    want = _runtotal_sim(
+        evs, RUNTOTAL3.steps, RUNTOTAL3.one_or_more, window, 1,
+        RUNTOTAL3.run_min_total,
+    )
+    assert got == want
+    assert got, "no run cleared the value bar — threshold too high for fixture"
+
+    plain = _oneplus_sim(
+        [(u, i, t, e) for u, i, t, e, _v in evs],
+        RUNTOTAL3.steps,
+        RUNTOTAL3.one_or_more,
+        window,
+    )
+    by_rt = {(u, a): n for u, a, *_ts, n in got}
+    by_pl = {(u, a): n for u, a, *_ts, n in plain}
+    killed = set(by_pl) - set(by_rt)
+    grew = [k for k in by_rt if k in by_pl and by_rt[k] > by_pl[k]]
+    assert killed or grew, "the value bar never changed an outcome — vacuous"
+    assert not (set(by_rt) - set(by_pl)), (
+        "the guard must never CREATE a match the plain pattern lacks"
+    )
