@@ -213,6 +213,9 @@ HEADLINE = [
     "data_mixture_temperature",
     # batch 18: the full BPE trainer loop (8 iterations, vocab-sized state).
     "text_bpe_train_merges",
+    # batch 19: deterministic corpus shuffle + shard manifest (keyed
+    # window over the shard hash - no global sort).
+    "docs_shuffle_shard",
 ]
 
 

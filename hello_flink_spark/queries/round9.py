@@ -2955,3 +2955,86 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank long, left string, right string, merged string, freq long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 19 — docs_shuffle_shard: the corpus SHUFFLE+SHARD pass — the
+# last thing a training pipeline does before writing training files:
+# a deterministic global shuffle (hash order, not RNG — reproducible
+# at any scale, diff-able across runs) and the shard assignment that
+# becomes the partitioned write layout.
+# ---------------------------------------------------------------------------
+
+SHARD_N = 8               # training-file shard count
+SHARD_SALT = "shuf:"      # decouples the permutation from other draws
+
+
+@register(
+    "docs_shuffle_shard",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             md5('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % {SHARD_N}
+                  AS BIGINT) AS shard,
+             ROW_NUMBER() OVER (
+               PARTITION BY CAST(('0x' || substr(hx, 1, 8)) AS BIGINT)
+                            % {SHARD_N}
+               ORDER BY hx, doc_id
+             ) AS pos
+      FROM h
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           MIN(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+           MAX(CASE WHEN pos = 1 THEN doc_id END) AS first_doc_check,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS order_sig
+    FROM assigned GROUP BY shard
+    """,
+)
+def docs_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus SHUFFLE + SHARD — the pass that turns a
+    curated corpus into training files: every document is assigned a
+    shard by a salted content hash and ORDERED within its shard by the
+    same hash, giving a reproducible global permutation (hash order is
+    the standard RNG-free shuffle: re-runs and engines agree bit-for-
+    bit, and adding documents never reorders the survivors relative to
+    each other — diff-able corpus refreshes). The emitted report is
+    the shard manifest a trainer consumes: per-shard doc/char counts,
+    the first document, and an order-sensitive signature Σ(pos ×
+    doc_id) that hash-fails if EITHER the assignment or the intra-
+    shard permutation drifts (the count columns alone would pass under
+    a wrong order).
+
+    Scale shape: one md5 per row inside codegen; the shard rank is ONE
+    keyed window over the {SHARD_N}-partition hash key (each shard
+    sorts independently — no global sort; at 100 TB this is exactly
+    the repartition(shard).sortWithinPartitions write layout, and the
+    WindowGroupLimit-free full rank is the manifest's requirement, not
+    a top-k); final manifest = one tiny per-shard agg."""
+    d = t(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit(SHARD_SALT), F.col("doc_id").cast("string")))
+    h32 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    assigned = d.select(
+        "doc_id",
+        "n_chars",
+        hx.alias("hx"),
+        (h32 % SHARD_N).alias("shard"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    ranked = assigned.withColumn("pos", F.row_number().over(w))
+    return ranked.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
+        F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).alias(
+            "first_doc_check"
+        ),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("order_sig"),
+    )
