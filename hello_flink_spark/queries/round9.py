@@ -3015,7 +3015,14 @@ def docs_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts independently — no global sort; at 100 TB this is exactly
     the repartition(shard).sortWithinPartitions write layout, and the
     WindowGroupLimit-free full rank is the manifest's requirement, not
-    a top-k); final manifest = one tiny per-shard agg."""
+    a top-k); final manifest = one tiny per-shard agg.
+
+    Write-layout rule (pinned by the round-trip test in
+    tests/test_llm.py): the sortWithinPartitions key must LEAD with
+    the partition column — ``(shard, hx, doc_id)`` — because the file
+    writer requires rows grouped by partition value and inserts its
+    own NON-STABLE sort when they are not, which would destroy the
+    hash permutation inside the written files."""
     d = t(spark, sf_dir, "documents")
     hx = F.md5(F.concat(F.lit(SHARD_SALT), F.col("doc_id").cast("string")))
     h32 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")

@@ -1547,3 +1547,69 @@ def test_bpe_train_merges_equals_textbook_trainer(spark, sf_dir):
     )
     top = get_spec("text_bpe_pair_counts").fn(spark, sf_dir).collect()[0]
     assert got[0][3] == top["pair"] and got[0][4] == top["cnt"]
+
+
+def test_shuffle_shard_manifest_matches_written_layout(spark, sf_dir, tmp_path):
+    """The manifest's claim is the WRITE LAYOUT: materialize the
+    shuffle as an actual partitioned training-file write
+    (repartition(shard) + sortWithinPartitions(hash) + partitionBy) and
+    re-derive the manifest from the files — per-shard counts, first
+    document, and the order signature must all match, proving the
+    hash order survives the round-trip a trainer reads."""
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.queries.round9 import SHARD_N, SHARD_SALT
+
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit(SHARD_SALT), F.col("doc_id").cast("string")))
+    h32 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    assigned = d.select(
+        "doc_id", "n_chars", hx.alias("hx"), (h32 % SHARD_N).alias("shard")
+    )
+    out = str(tmp_path / "training_files")
+    # sort key LEADS with the partition column: the file writer requires
+    # rows grouped by partition value and would insert its own
+    # (non-stable) sort otherwise, destroying the hash order — with
+    # (shard, hx) the required ordering is already satisfied and the
+    # permutation survives into the files
+    (
+        assigned.repartition(SHARD_N, "shard")
+        .sortWithinPartitions("shard", "hx", "doc_id")
+        .write.partitionBy("shard")
+        .parquet(out)
+    )
+    # one file per shard => parquet preserves the written row order
+    import glob
+
+    for s in range(SHARD_N):
+        files = [
+            f
+            for f in glob.glob(f"{out}/shard={s}/*.parquet")
+            if not f.endswith("_SUCCESS")
+        ]
+        assert len(files) == 1, f"shard {s}: expected one training file"
+    # re-derive per-shard stats from FILE ORDER (pandas reads the file
+    # in row order, which parquet preserves)
+    import pandas as pd
+
+    got = {}
+    for s in range(SHARD_N):
+        f = glob.glob(f"{out}/shard={s}/*.parquet")[0]
+        pdf = pd.read_parquet(f)
+        pos = range(1, len(pdf) + 1)
+        got[s] = (
+            len(pdf),
+            int(pdf["n_chars"].sum()),
+            int(pdf["doc_id"].iloc[0]),
+            int(sum(p * did for p, did in zip(pos, pdf["doc_id"]))),
+        )
+    manifest = {
+        r["shard"]: (
+            r["n_docs"],
+            r["n_chars"],
+            r["first_doc"],
+            r["order_sig"],
+        )
+        for r in get_spec("docs_shuffle_shard").fn(spark, sf_dir).collect()
+    }
+    assert got == manifest
