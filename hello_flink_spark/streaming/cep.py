@@ -145,6 +145,30 @@ class CepPattern:
     # this is set (the slot can't be both last-value and total), and an
     # emitted v<loop> column carries the RUN TOTAL for such patterns.
     run_min_total: float | None = None
+    # [F] GroupPattern — ``Pattern.begin(Pattern.begin("b").next/
+    # followedBy("c")).oneOrMore()``: a contiguous SUB-SEQUENCE of
+    # middle steps (gi..gj inclusive, gi < gj) repeats as a UNIT —
+    # "(b c)+ then d". Greedy deterministic single-match form (the
+    # compiler's one-match-per-anchor discipline): each repetition
+    # must COMPLETE the whole group in order (relaxed contiguity
+    # within); at a group BOUNDARY (a repetition just completed),
+    # whichever arrives first — a group-start event (opens the next
+    # repetition; the prior repetition's slots are discarded, so the
+    # emitted group columns hold the LAST repetition, the Kleene
+    # slot convention) or the post-group step's event (completes the
+    # stage with n_rep counting completed repetitions) — decides,
+    # first-event-wins. A group-start event arriving MID-repetition
+    # is relaxed-contiguity ignored (no branching — the documented
+    # delta vs Flink's sub-run enumeration, same class as the
+    # Kleene single-match form). Restrictions (v1 determinism
+    # discipline): strictly middle (the anchor cannot repeat; a
+    # terminal group's reluctant single match degenerates to the
+    # plain pattern); step type-sets gi..gj+1 pairwise disjoint
+    # (boundary and in-group promotions must be unambiguous);
+    # composes with or_types and the window bounds; every other
+    # feature (quantifiers, optional, strict, guards, skips, until,
+    # run totals) is refused pending its own property suite.
+    group_reps: Tuple[int, int] | None = None
     # [F] ``Pattern#within(Duration)`` — the PATTERN-GLOBAL window: the
     # whole match (anchor → final step) must span at most this. The
     # per-stage ``within_minutes`` still applies between consecutive
@@ -337,6 +361,43 @@ class CepPattern:
                 raise ValueError("max_reps (times(m, n)) requires a one_or_more step")
             if self.max_reps < self.min_reps:
                 raise ValueError("max_reps must be >= min_reps")
+        if self.group_reps is not None:
+            gi, gj = self.group_reps
+            if not (0 < gi < gj < len(self.steps) - 1):
+                raise ValueError(
+                    "group_reps must name a strictly-middle multi-step span "
+                    "(gi < gj; the anchor cannot repeat, a terminal group's "
+                    "reluctant single match is the plain pattern, and a "
+                    "single-step group is one_or_more)"
+                )
+            span = [frozenset(self.step_types(i)) for i in range(gi, gj + 2)]
+            for x in range(len(span)):
+                for y in range(x + 1, len(span)):
+                    if span[x] & span[y]:
+                        raise ValueError(
+                            "group step type-sets (and the post-group step's) "
+                            "must be pairwise disjoint: boundary restart vs "
+                            "completion and in-group promotions must be "
+                            "unambiguous"
+                        )
+            for feature, label in (
+                (self.one_or_more is not None, "one_or_more"),
+                (bool(self.optional_steps), "optional_steps"),
+                (bool(self.strict_steps), "strict_steps"),
+                (self.not_between is not None, "not_between"),
+                (self.not_next is not None, "not_next"),
+                (self.rel_guards is not None, "rel_guards"),
+                (bool(self.any_match_steps), "any_match_steps"),
+                (self.after_match_skip is not None, "after_match_skip"),
+                (self.skip_past_last, "skip_past_last"),
+                (self.until_type is not None, "until_type"),
+                (self.run_min_total is not None, "run_min_total"),
+            ):
+                if feature:
+                    raise ValueError(
+                        f"group_reps × {label} is an untested composition — "
+                        "extend the property suite first"
+                    )
         if self.until_min_value is not None and self.until_type is None:
             raise ValueError("until_min_value requires until_type")
         if self.run_min_total is not None:
@@ -746,6 +807,7 @@ def _make_processor(
     skip_to: Tuple[str, int | None] | None = None,
     until: Tuple[str, float | None] | None = None,
     run_total: float | None = None,
+    grp: Tuple[int, int] | None = None,
 ):
     """Build the per-key NFA closure. Partial matches are encoded in
     state as 'anchor_id:ts1,ts2,...|n_rep|pending' strings (stage =
@@ -814,7 +876,7 @@ def _make_processor(
             )
         for j in emit_vals:
             row[f"v{j + 1}"] = vals[j] if j < len(vals) else None
-        if rep is not None:
+        if rep is not None or grp is not None:
             row["n_rep"] = cnt
         if emit_timeouts:
             row["matched"] = matched
@@ -979,6 +1041,26 @@ def _make_processor(
                         else (aid, tss, cnt, pend, vals)
                         for aid, tss, cnt, pend, vals in partials
                     ]
+                # [F] GroupPattern boundary restart: at a completed
+                # repetition (len == gj+1), a group-start event strictly
+                # later opens the NEXT repetition — slots gi..gj are
+                # discarded (the emitted group columns hold the LAST
+                # repetition) and tss[-1] == ts_us blocks this same
+                # event from promoting the restarted partial below.
+                # Mid-repetition group-start events fail the len check
+                # and are relaxed-contiguity ignored (documented).
+                if (
+                    grp is not None
+                    and etype in tset[grp[0]]
+                    and (mins[grp[0]] is None or val >= mins[grp[0]])
+                ):
+                    gi_, gj_ = grp
+                    partials = [
+                        (aid, tss[:gi_] + [ts_us], cnt, pend, vals[:gi_] + [val])
+                        if len(tss) == gj_ + 1 and ts_us > tss[-1]
+                        else (aid, tss, cnt, pend, vals)
+                        for aid, tss, cnt, pend, vals in partials
+                    ]
                 # highest stage first: a partial promoted by this event
                 # has already passed its new stage's turn, so one event
                 # advances any partial at most one step (and strict ts >
@@ -1052,6 +1134,8 @@ def _make_processor(
                         ntss = tss + [None] * (i - len(tss)) + [ts_us]
                         nvals = vals + [None] * (i - len(vals)) + [val]
                         ncnt = 1 if rep is not None and i == rep else cnt
+                        if grp is not None and i == grp[1]:
+                            ncnt = cnt + 1
                         if i == k - 1:
                             completed.append((aid, ntss, ncnt, nvals))
                         else:
@@ -1186,7 +1270,7 @@ def _stream_nfa(
     out_cols = ", ".join(f"ts{i + 1} timestamp" for i in range(k))
     for j in pattern.referenced_steps:
         out_cols += f", v{j + 1} double"
-    if pattern.one_or_more is not None:
+    if pattern.one_or_more is not None or pattern.group_reps is not None:
         out_cols += ", n_rep int"
     if emit_timeouts:
         out_cols += ", matched boolean"
@@ -1235,6 +1319,7 @@ def _stream_nfa(
                     else None
                 ),
                 run_total=pattern.run_min_total,
+                grp=pattern.group_reps,
             ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}",
             stateStructType="partials array<string>",
@@ -1248,7 +1333,7 @@ def _stream_nfa(
         F.col(f"v{j + 1}").alias(pattern.val_col(j))
         for j in pattern.referenced_steps
     ]
-    if pattern.one_or_more is not None:
+    if pattern.one_or_more is not None or pattern.group_reps is not None:
         renames += [F.col("n_rep")]
     if emit_timeouts:
         renames += [F.col("matched")]
@@ -1608,11 +1693,12 @@ def compile_batch(pattern: CepPattern, events: DataFrame) -> DataFrame:
     match then requires every MANDATORY stage present. Strict stages
     ([F] next()) compile to ``_strict_join`` and likewise require the
     stage present."""
-    if pattern.one_or_more is not None:
+    if pattern.one_or_more is not None or pattern.group_reps is not None:
         raise ValueError(
-            "one_or_more patterns have no join-chain shadow (variable-length "
-            "runs); use compile_stream / compile_stream_timeouts — semantics "
-            "are pinned by the reference-model tests"
+            "one_or_more / group_reps patterns have no join-chain shadow "
+            "(variable-length runs); use compile_stream / "
+            "compile_stream_timeouts — semantics are pinned by the "
+            "reference-model tests"
         )
     if pattern.skip_past_last or pattern.after_match_skip is not None:
         raise ValueError(
@@ -1643,11 +1729,12 @@ def compile_batch_timeouts(pattern: CepPattern, events: DataFrame) -> DataFrame:
     (next event existed but mismatched) drops the row entirely — the
     NFA discards those silently too, so the timeout outputs agree.
     Same one user_id exchange reused down the chain."""
-    if pattern.one_or_more is not None:
+    if pattern.one_or_more is not None or pattern.group_reps is not None:
         raise ValueError(
-            "one_or_more patterns have no join-chain shadow (variable-length "
-            "runs); use compile_stream / compile_stream_timeouts — semantics "
-            "are pinned by the reference-model tests"
+            "one_or_more / group_reps patterns have no join-chain shadow "
+            "(variable-length runs); use compile_stream / "
+            "compile_stream_timeouts — semantics are pinned by the "
+            "reference-model tests"
         )
     if pattern.skip_past_last or pattern.after_match_skip is not None:
         raise ValueError(
@@ -1713,11 +1800,12 @@ def _oracle_chain(pattern: CepPattern, left: bool) -> str:
     the first type-matching one ([F] next()), and the pattern-global
     total window ([F] Pattern#within) bounds every stage against the
     anchor timestamp."""
-    if pattern.one_or_more is not None:
+    if pattern.one_or_more is not None or pattern.group_reps is not None:
         raise ValueError(
-            "one_or_more patterns have no join-chain shadow (variable-length "
-            "runs); use compile_stream / compile_stream_timeouts — semantics "
-            "are pinned by the reference-model tests"
+            "one_or_more / group_reps patterns have no join-chain shadow "
+            "(variable-length runs); use compile_stream / "
+            "compile_stream_timeouts — semantics are pinned by the "
+            "reference-model tests"
         )
     if pattern.optional_steps:
         raise ValueError(
@@ -1940,6 +2028,19 @@ ABSENCE3 = CepPattern(steps=("view", "click", "purchase"), within_minutes=720)
 # purchase within 12 h of the last click — engagement-run funnels with
 # the run length reported as n_rep.
 ONEPLUS3 = CepPattern(steps=("view", "click", "purchase"), within_minutes=720, one_or_more=1)
+
+# The [F] GroupPattern instance: signup, then one or more complete
+# (view click) browsing loops, then purchase — "(view click)+" as a
+# repeating unit. NFA-only; semantics pinned by the _group_sim
+# reference model and the replay golden.
+GROUP4 = CepPattern(
+    steps=("signup", "view", "click", "purchase"),
+    # 48 h stages: the 4-step group chain is long, and the sf0.001
+    # fixture only produces multi-repetition runs at this horizon
+    # (26 matches / 7 multi-rep — both classes non-vacuous)
+    within_minutes=2880,
+    group_reps=(1, 2),
+)
 
 # The [F] run-aggregate-guard instance: the same Kleene funnel, but
 # completion requires the click run's VALUES to total >= 60 — the

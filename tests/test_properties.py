@@ -3725,3 +3725,181 @@ def test_cep_run_total_validation():
         steps=("a", "b", "c"), within_minutes=1, one_or_more=1, run_min_total=5.0
     )
     assert p.run_min_total == 5.0
+
+
+# ---------------------------------------------------------------------------
+# [F] GroupPattern — (b c)+ as a repeating unit (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _group_sim(evs, steps, gi, gj, window_s):
+    """Per-anchor model of the greedy single-match [F] GroupPattern:
+    steps gi..gj repeat as a UNIT. Each repetition completes the whole
+    group in order (relaxed contiguity within); at a boundary (a
+    repetition just completed) a group-start event strictly later
+    restarts the group (prior repetition's slots discarded — emitted
+    columns hold the LAST repetition) while the post-group step's
+    event completes the stage; first-event-wins. Mid-repetition
+    group-start events are relaxed-contiguity ignored. Written
+    directly against the semantics; shares no code with the NFA."""
+    k = len(steps)
+    out = []
+    for pos, (uid, aid, ts0, etype0) in enumerate(evs):
+        if etype0 != steps[0]:
+            continue
+        tss, cnt = [ts0], 0
+        for uid2, eid, ts, etype in evs[pos + 1:]:
+            if uid2 != uid:
+                continue
+            if ts - tss[-1] > window_s:
+                break
+            stage = len(tss)
+            if stage == gj + 1 and etype == steps[gi] and ts > tss[-1]:
+                tss = tss[:gi] + [ts]
+                continue
+            if stage < k and etype == steps[stage] and ts > tss[-1]:
+                tss.append(ts)
+                if stage == gj:
+                    cnt += 1
+                if len(tss) == k:
+                    out.append((uid, aid, *tss, cnt))
+                    break
+    return sorted(out)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "d"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_group_nfa_matches_simulation_any_chunking(events, cuts):
+    """a (b c)+ d in the NFA under every micro-batch split: boundary
+    restarts, mid-repetition relaxed no-ops, n_rep counting COMPLETED
+    repetitions, and the emitted group slots holding the LAST
+    repetition must all match the independent model."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c", "d"), 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _group_sim(evs, steps, 1, 2, window_s)
+    proc = _make_processor(steps, window_s * 1_000_000, grp=(1, 2))
+    assert _drive_nfa_chunked(proc, evs, cuts, 4, extra_cols=("n_rep",)) == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 200),
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_group_three_step_nfa_matches_simulation(events, cuts):
+    """A THREE-step group — a (b c d)+ e — exercises mid-repetition
+    depth the two-step group cannot (a restart discards two filled
+    slots; a mid-rep boundary-type event has two distinct no-op
+    stages)."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c", "d", "e"), 100
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _group_sim(evs, steps, 1, 3, window_s)
+    proc = _make_processor(steps, window_s * 1_000_000, grp=(1, 3))
+    assert _drive_nfa_chunked(proc, evs, cuts, 5, extra_cols=("n_rep",)) == want
+
+
+def test_cep_group_goldens():
+    """Pinned behaviors: (1) two completed repetitions — emitted group
+    slots hold the LAST repetition, n_rep=2; (2) a mid-repetition
+    group-start event is a relaxed no-op; (3) at a boundary the
+    post-group event arriving first completes with the current count;
+    (4) same-µs boundary tie: a group-start event ON the boundary ts
+    does not restart (strict >)."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    w = 60 * 1_000_000
+    proc = _make_processor(("a", "b", "c", "d"), w, grp=(1, 2))
+    two_reps = [
+        (1, 0, 0, "a"), (1, 1, 10, "b"), (1, 2, 20, "c"),
+        (1, 3, 30, "b"), (1, 4, 40, "c"), (1, 5, 50, "d"),
+    ]
+    assert _drive_nfa_chunked(proc, two_reps, [], 4, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 30, 40, 50, 2)
+    ]
+    midrep_noop = [
+        (1, 0, 0, "a"), (1, 1, 10, "b"), (1, 2, 15, "b"),  # mid-rep b: no-op
+        (1, 3, 20, "c"), (1, 4, 30, "d"),
+    ]
+    assert _drive_nfa_chunked(proc, midrep_noop, [], 4, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 10, 20, 30, 1)
+    ]
+    boundary_d_first = [
+        (1, 0, 0, "a"), (1, 1, 10, "b"), (1, 2, 20, "c"),
+        (1, 3, 25, "d"), (1, 4, 30, "b"),
+    ]
+    assert _drive_nfa_chunked(
+        proc, boundary_d_first, [], 4, extra_cols=("n_rep",)
+    ) == [(1, 0, 0, 10, 20, 25, 1)]
+    tie = [
+        (1, 0, 0, "a"), (1, 1, 10, "b"), (1, 2, 20, "c"),
+        (1, 3, 20, "b"),  # same µs as the boundary: no restart
+        (1, 4, 30, "d"),
+    ]
+    assert _drive_nfa_chunked(proc, tie, [], 4, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 10, 20, 30, 1)
+    ]
+
+
+def test_cep_group_validation():
+    """Construction rules: strictly-middle multi-step span, pairwise-
+    disjoint type-sets through the post-group step, and the v1
+    composition refusals."""
+    import pytest as _pytest
+
+    from hello_flink_spark.streaming.cep import CepPattern
+
+    with _pytest.raises(ValueError, match="strictly-middle multi-step"):
+        CepPattern(steps=("a", "b", "c"), within_minutes=1, group_reps=(1, 1))
+    with _pytest.raises(ValueError, match="strictly-middle multi-step"):
+        CepPattern(
+            steps=("a", "b", "c", "d"), within_minutes=1, group_reps=(1, 3)
+        )
+    with _pytest.raises(ValueError, match="pairwise disjoint"):
+        CepPattern(
+            steps=("a", "b", "c", "b"), within_minutes=1, group_reps=(1, 2)
+        )
+    with _pytest.raises(ValueError, match="untested composition"):
+        CepPattern(
+            steps=("a", "b", "c", "d", "e"),
+            within_minutes=1,
+            group_reps=(1, 2),
+            optional_steps=(3,),
+        )
+    p = CepPattern(
+        steps=("a", "b", "c", "d"), within_minutes=1, group_reps=(1, 2)
+    )
+    assert p.group_reps == (1, 2)
+    # the join-chain shadow refuses variable-length runs
+    from hello_flink_spark.streaming.cep import compile_batch
+
+    with _pytest.raises(ValueError, match="no join-chain shadow"):
+        compile_batch(p, None)

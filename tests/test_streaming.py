@@ -2472,3 +2472,50 @@ def test_cep_run_total_stream_golden(spark, sf_dir, replay_dir):
     assert not (set(by_rt) - set(by_pl)), (
         "the guard must never CREATE a match the plain pattern lacks"
     )
+
+
+def test_cep_group_stream_golden(spark, sf_dir, replay_dir):
+    """[F] GroupPattern, compiled and streamed: GROUP4's matches —
+    signup, one or more COMPLETE (view click) loops, purchase — over
+    the replay must equal the independent per-anchor _group_sim
+    reference model, with at least one genuine multi-repetition match
+    (or the group quantifier is vacuous on the fixture)."""
+    import datetime as dt
+
+    from test_properties import _group_sim
+
+    from hello_flink_spark.streaming.cep import GROUP4, compile_stream
+
+    run_to_memory(
+        compile_stream(GROUP4, _stream(spark, replay_dir)), "t_cep_grp", "append"
+    )
+    cols = [GROUP4.ts_col(i) for i in range(4)]
+    got = sorted(
+        (
+            r.user_id,
+            getattr(r, GROUP4.anchor_col),
+            *(getattr(r, c) for c in cols),
+            r.n_rep,
+        )
+        for r in spark.table("t_cep_grp").collect()
+    )
+
+    evs = sorted(
+        (
+            (r.user_id, r.event_id, r.ts, r.event_type)
+            for r in load_table(spark, sf_dir, "events")
+            .filter(
+                F.col("event_type").isin("signup", "view", "click", "purchase")
+            )
+            .collect()
+        ),
+        key=lambda x: (x[2], x[1]),
+    )
+    window = dt.timedelta(minutes=GROUP4.within_minutes)
+    gi, gj = GROUP4.group_reps
+    want = _group_sim(evs, GROUP4.steps, gi, gj, window)
+    assert got == want
+    assert got, "no group match on the fixture"
+    assert any(n >= 2 for *_, n in got), (
+        "no multi-repetition group run in fixture — quantifier vacuous"
+    )
