@@ -142,8 +142,11 @@ class CepPattern:
     # rides IN the Kleene slot of the value segment (seeded by the
     # first repetition, accumulated on extension) — zero state-encoding
     # change — so a rel_guard REFERENCING the loop step is refused when
-    # this is set (the slot can't be both last-value and total), and an
-    # emitted v<loop> column carries the RUN TOTAL for such patterns.
+    # this is set (the slot can't be both last-value and total; with
+    # that refusal no compiled form emits the loop's value column, so
+    # the running total is NFA-internal). Fail-closed: a NULL
+    # repetition value makes the total unknown (NaN) and an unknown
+    # total never clears the bar.
     run_min_total: float | None = None
     # [F] GroupPattern — ``Pattern.begin(Pattern.begin("b").next/
     # followedBy("c")).oneOrMore()``: a contiguous SUB-SEQUENCE of
@@ -381,6 +384,7 @@ class CepPattern:
                             "unambiguous"
                         )
             for feature, label in (
+                (self.step_min_value is not None, "step_min_value"),
                 (self.one_or_more is not None, "one_or_more"),
                 (bool(self.optional_steps), "optional_steps"),
                 (bool(self.strict_steps), "strict_steps"),
@@ -732,6 +736,7 @@ class CepPattern:
             "rel_guards",
             "any_match_steps",
             "or_types",
+            "group_reps",
         } & set(kw)
         if expanded and step_indexed:
             raise ValueError(
@@ -865,6 +870,14 @@ def _make_processor(
     # slot carries all three and the state encoding is unchanged)
     GUARD = -2
     FROZEN = -3
+
+    def _kv(vals, val):
+        # with a run-aggregate guard the Kleene value slot carries the
+        # running TOTAL (else the last value) — hoisted out of the
+        # per-event hot loop
+        if run_total is not None and vals and vals[-1] is not None:
+            return vals[:-1] + [vals[-1] + val]
+        return vals[:-1] + [val]
 
     def _row(uid, aid, tss, matched, cnt, vals=()):
         row = {"user_id": uid, "anchor_id": aid}
@@ -1025,13 +1038,6 @@ def _make_processor(
                 ):
                     # times(m, n) cap: a run already holding max_reps
                     # ignores further repetitions (relaxed contiguity)
-                    # with a run-aggregate guard the Kleene value slot
-                    # carries the running TOTAL (else the last value)
-                    def _kv(vals, val):
-                        if run_total is not None and vals and vals[-1] is not None:
-                            return vals[:-1] + [vals[-1] + val]
-                        return vals[:-1] + [val]
-
                     partials = [
                         (aid, tss[:-1] + [ts_us], cnt + 1, pend, _kv(vals, val))
                         if len(tss) == rep + 1
@@ -1110,16 +1116,14 @@ def _make_processor(
                         # the loop's accepted events): the accumulated
                         # total must clear the bar — an early next-step
                         # event is a relaxed no-op, like min_reps
-                        if (
-                            run_total is not None
-                            and len(p[1]) == rep + 1
-                            and (
-                                rep >= len(p[4])
-                                or p[4][rep] is None
-                                or p[4][rep] < run_total
-                            )
-                        ):
-                            return False
+                        if run_total is not None and len(p[1]) == rep + 1:
+                            tot = p[4][rep] if rep < len(p[4]) else None
+                            # fail CLOSED on an unknown total: a NULL
+                            # repetition value reaches here as NaN, and
+                            # NaN >= bar is False — a run whose value
+                            # mass is unknown cannot clear the bar
+                            if tot is None or not (tot >= run_total):
+                                return False
                         return True
 
                     promoted = [p for p in partials if hit(p)]
@@ -1265,6 +1269,12 @@ def _stream_nfa(
             "after_match_skip with the timeout side-output is an untested "
             "composition (skip-killed partials are discards, not timeouts) "
             "— extend the property suite first"
+        )
+    if emit_timeouts and pattern.group_reps is not None:
+        raise ValueError(
+            "group_reps with the timeout side-output is an untested "
+            "composition (the reference model does not cover timed-out "
+            "group prefixes) — extend the property suite first"
         )
     k = len(pattern.steps)
     out_cols = ", ".join(f"ts{i + 1} timestamp" for i in range(k))

@@ -1054,38 +1054,12 @@ def test_cep_optional_guard_tier_composes(events):
 def _drive_nfa_chunked(proc, evs, cuts, k, extra_cols=()):
     """Drive a _make_processor closure through ARBITRARY time-ordered
     micro-batch splits via the GroupState double; returns sorted match
-    tuples (uid, aid, ts..., *extra_cols)."""
-    import pandas as pd
-
-    rows = pd.DataFrame(
-        {
-            "user_id": [u for u, _, _, _ in evs],
-            "event_id": [i for _, i, _, _ in evs],
-            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _ in evs],
-            "event_type": [e for _, _, _, e in evs],
-            "value": [0.0] * len(evs),
-        }
+    tuples (uid, aid, ts..., *extra_cols). Value-less events — the
+    values-aware twin ``_drive_nfa_chunked_v`` (defined later in this
+    module) is the single implementation."""
+    return _drive_nfa_chunked_v(
+        proc, [(u, i, t, e, 0.0) for u, i, t, e in evs], cuts, k, extra_cols
     )
-    bounds = sorted({c for c in cuts if c < len(evs)} | {0, len(evs)})
-    chunks = [rows.iloc[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
-    got = []
-    for uid in sorted(rows["user_id"].unique()):
-        state = _FakeGroupState()
-        for chunk in chunks:
-            part = chunk[chunk["user_id"] == uid]
-            if part.empty:
-                continue
-            for out in proc((uid,), iter([part]), state):
-                got.extend(
-                    (
-                        r.user_id,
-                        r.anchor_id,
-                        *(int(getattr(r, f"ts{j + 1}").timestamp()) for j in range(k)),
-                        *(getattr(r, c) for c in extra_cols),
-                    )
-                    for r in out.itertuples()
-                )
-    return sorted(got)
 
 
 def _strict_sim(evs, steps, strict, window_s, total_s=None):
@@ -3903,3 +3877,49 @@ def test_cep_group_validation():
 
     with _pytest.raises(ValueError, match="no join-chain shadow"):
         compile_batch(p, None)
+
+
+def test_cep_run_total_nan_fails_closed():
+    """A NULL repetition value (NaN in the pandas batch) makes the run
+    total unknown — an unknown total must NOT clear the bar (the
+    review-caught inversion: NaN < bar is False, so the old gate
+    silently passed)."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    proc = _make_processor(
+        ("a", "b", "c"), 60 * 1_000_000, rep=1, run_total=100.0
+    )
+    evs = [
+        (1, 0, 0, "a", 0.0),
+        (1, 1, 10, "b", float("nan")),
+        (1, 2, 20, "b", 1.0),
+        (1, 3, 30, "c", 0.0),
+    ]
+    assert _drive_nfa_chunked_v(proc, evs, [], 3, extra_cols=("n_rep",)) == []
+
+
+def test_cep_group_v1_refusals_from_review():
+    """Review-caught validation holes: of() must reject group_reps on
+    an expanded spec (the indexes shift); group x step_min_value and
+    group x timeout side-output are unmodeled and refused."""
+    import pytest as _pytest
+
+    from hello_flink_spark.streaming.cep import (
+        CepPattern,
+        compile_stream_timeouts,
+    )
+
+    with _pytest.raises(ValueError, match="group_reps"):
+        CepPattern.of(
+            [("a", 2), "b", "c", "d"], within_minutes=5, group_reps=(1, 2)
+        )
+    with _pytest.raises(ValueError, match="untested composition"):
+        CepPattern(
+            steps=("a", "b", "c", "d"),
+            within_minutes=1,
+            group_reps=(1, 2),
+            step_min_value=(None, 5.0, None, None),
+        )
+    p = CepPattern(steps=("a", "b", "c", "d"), within_minutes=1, group_reps=(1, 2))
+    with _pytest.raises(ValueError, match="untested composition"):
+        compile_stream_timeouts(p, None)
