@@ -875,8 +875,14 @@ def _make_processor(
         # with a run-aggregate guard the Kleene value slot carries the
         # running TOTAL (else the last value) — hoisted out of the
         # per-event hot loop
-        if run_total is not None and vals and vals[-1] is not None:
-            return vals[:-1] + [vals[-1] + val]
+        if run_total is not None:
+            if vals and vals[-1] is not None:
+                return vals[:-1] + [vals[-1] + val]
+            # fail CLOSED: the Kleene slot is always seeded with a
+            # float/NaN, so a None here means prior repetitions' mass
+            # was lost — an unknown total must never pass the >= bar
+            # (NaN comparisons are False), not restart from this event
+            return vals[:-1] + [float("nan")]
         return vals[:-1] + [val]
 
     def _row(uid, aid, tss, matched, cnt, vals=()):

@@ -253,16 +253,34 @@ def main() -> None:
     # Over-band ops are only recordable WITH a diagnosis (VERDICT r06
     # #8). A diagnosis must name the measured denominator that the
     # row-count ratio hides — for token-tagged documents shards that is
-    # the BYTE ratio (the replica tag inflates every word).
-    OVER_DIAGNOSED = {
-        "text_bpe_apply": (
-            "byte-proportional fold over words whose bytes grow 16.7x, "
-            "not 10x (measured: the 'rK_' replica tag inflates sf1 "
-            "word-chars 1,219,872 -> 20,319,840) — 11-12x time for "
-            "16.7x bytes is SUBLINEAR per byte, same class as "
-            "text_hashing_features"
-        ),
-    }
+    # the BYTE ratio (the replica tag inflates every word). The
+    # denominator is RE-MEASURED at probe time (ADVICE r09: a static
+    # whitelist would auto-excuse a future genuine regression): the
+    # bpe query's own n_chars output IS the byte metric its fold scans,
+    # and the diagnosis only holds while time ratio <= char ratio.
+    OVER_DIAGNOSED: dict[str, str] = {}
+    if "text_bpe_apply" in over:
+        fn = specs["text_bpe_apply"].fn
+
+        def _word_chars(sf: str) -> int:
+            return int(
+                fn(spark, sf)
+                .agg(F.sum("n_chars").alias("c"))
+                .collect()[0]["c"]
+            )
+
+        chars_src, chars_dst = _word_chars(SRC), _word_chars(DST)
+        char_ratio = chars_dst / chars_src if chars_src else float("inf")
+        time_ratio = rows["text_bpe_apply"][DST] / rows["text_bpe_apply"][SRC]
+        if time_ratio <= char_ratio:
+            OVER_DIAGNOSED["text_bpe_apply"] = (
+                f"byte-proportional fold over words whose bytes grow "
+                f"{char_ratio:.1f}x, not 10x (re-measured this run: the "
+                f"'rK_' replica tag inflates sf1 word-chars "
+                f"{chars_src:,} -> {chars_dst:,}) — {time_ratio:.1f}x "
+                f"time for {char_ratio:.1f}x bytes is SUBLINEAR per "
+                "byte, same class as text_hashing_features"
+            )
     diagnosed = [n for n in over if n in OVER_DIAGNOSED]
     unknown = [n for n in over if n not in OVER_DIAGNOSED]
     if diagnosed:
