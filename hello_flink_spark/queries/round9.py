@@ -174,53 +174,34 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     including self), not the quadratic pair list — the form a corpus
     dedup job actually materializes.
 
-    Scale shape: decode/hash is embarrassingly parallel per input
-    partition; candidates shuffle once on (band_idx, band_val) —
-    bucket sizes are bounded by true-near-dup density plus the 16-bit
-    band collision rate, the same bound dedup_simhash carries; MIN
-    aggregation is idempotent, so duplicate candidates from multiple
-    shared bands need no DISTINCT pass. The oracle recomputes the
-    hash per-PIXEL from the closed form and takes the all-pairs
-    textbook neighborhoods, so a decoder, hash, or banding-
-    completeness bug all fail the driver hash gate."""
+    Scale shape (r10, VERDICT r09 #1 — operators/banded_dedup.py):
+    decode/hash is embarrassingly parallel per input partition;
+    IDENTICAL hashes then collapse to one representative row BEFORE
+    banding (exact re-upload mass — the dominant dup mass at corpus
+    scale — stays strictly linear), and the band join runs over
+    DISTINCT hashes only with a per-bucket frequency cap
+    (BAND_BUCKET_CAP: an over-full bucket emits the member↔hub star
+    instead of all pairs). MIN aggregation is idempotent, so duplicate
+    candidates from multiple shared bands need no DISTINCT pass. The
+    oracle recomputes the hash per-PIXEL from the closed form and
+    takes the all-pairs textbook neighborhoods, so a decoder, hash,
+    banding-completeness, or collapse bug all fail the driver hash
+    gate."""
+    from hello_flink_spark.operators.banded_dedup import min_rep_dedup
+
     d = t(spark, sf_dir, "documents").select("doc_id")
     payload = d.mapInPandas(_phash_png_encode, schema="doc_id long, payload binary")
-    # THREE plan branches consume the hashes (both band-join sides and
-    # the final left join); only the band sides share an exchange, so
-    # without a checkpoint the dominant decode+hash Python stage runs
-    # twice — materialize the (doc_id, phash) pairs once instead
-    # (review r09; the same pattern as pq_train's `sub`)
+    # TWO plan branches consume the hashes (the exact-collapse groupBy
+    # and the final keep join) — materialize once so the dominant
+    # decode+hash Python stage runs once (same pattern as pq_train's
+    # `sub`)
     hashes = payload.mapInPandas(
         _phash_decode, schema="doc_id long, phash long"
     ).localCheckpoint(eager=True)
-    banded = hashes.withColumn(
-        "band_idx", F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1)))
-    ).withColumn(
-        "band_val",
-        F.expr("shiftrightunsigned(phash, CAST(band_idx * 16 AS INT)) & 65535"),
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    nbrs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .filter(
-            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
-            <= PHASH_HAMMING_MAX
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_id"))
-        .agg(F.min(F.col("b.doc_id")).alias("mn"))
-    )
-    return hashes.join(nbrs, "doc_id", "left").select(
-        "doc_id",
-        "phash",
-        F.least(
-            F.coalesce(F.col("mn"), F.col("doc_id")), F.col("doc_id")
-        ).alias("keep_doc_id"),
-    )
+    sigs = hashes.withColumn("sig", F.array("phash"))
+    return min_rep_dedup(
+        sigs, bands_per_word=PHASH_BANDS, hamming_max=PHASH_HAMMING_MAX
+    ).select("doc_id", "phash", "keep_doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2027,12 +2008,17 @@ def multimodal_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> Data
     ``SUM(shiftleft(1L, frame_idx))`` whose int64 two's-complement
     wrap matches the oracle's HUGEINT fold exactly.
 
-    Scale shape: encode/decode embarrassingly parallel per input
-    partition; the per-frame explosion is 64 rows of 3 ints per clip;
-    fingerprints shuffle once on (band_idx, band_val) with bucket
-    sizes bounded by true-near-dup density plus the 16-bit band
-    collision rate — the dedup_simhash bound; no all-pairs anywhere."""
+    Scale shape (r10, VERDICT r09 #1 — operators/banded_dedup.py):
+    encode/decode embarrassingly parallel per input partition; the
+    per-frame explosion is 64 rows of 3 ints per clip; IDENTICAL
+    fingerprints collapse to one representative row BEFORE banding
+    (exact re-upload mass stays linear) and the band join runs over
+    DISTINCT fingerprints only with the BAND_BUCKET_CAP hub-star cap —
+    no all-pairs anywhere, and no bucket's pair term can track
+    cluster-density²."""
     from pyspark.sql.window import Window
+
+    from hello_flink_spark.operators.banded_dedup import min_rep_dedup
 
     d = t(spark, sf_dir, "documents").select("doc_id")
     payload = d.mapInPandas(_afp_wav_encode, schema="doc_id long, payload binary")
@@ -2041,9 +2027,9 @@ def multimodal_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> Data
     )
     w = Window.partitionBy("doc_id")
     bit_on = F.col("energy") * F.count("*").over(w) > F.sum("energy").over(w)
-    # THREE plan branches consume the fingerprints (both band-join
-    # sides + the final left join) — materialize once so the dominant
-    # decode Python stage runs once (same pattern as phash)
+    # TWO plan branches consume the fingerprints (the exact-collapse
+    # groupBy and the final keep join) — materialize once so the
+    # dominant decode Python stage runs once (same pattern as phash)
     fps = (
         frames.withColumn("on", bit_on)
         .groupBy("doc_id")
@@ -2056,34 +2042,10 @@ def multimodal_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> Data
         )
         .localCheckpoint(eager=True)
     )
-    banded = fps.withColumn(
-        "band_idx", F.explode(F.sequence(F.lit(0), F.lit(AFP_BANDS - 1)))
-    ).withColumn(
-        "band_val",
-        F.expr("shiftrightunsigned(afp, CAST(band_idx * 16 AS INT)) & 65535"),
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    nbrs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .filter(
-            F.bit_count(F.col("a.afp").bitwiseXOR(F.col("b.afp")))
-            <= AFP_HAMMING_MAX
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_id"))
-        .agg(F.min(F.col("b.doc_id")).alias("mn"))
-    )
-    return fps.join(nbrs, "doc_id", "left").select(
-        "doc_id",
-        "afp",
-        F.least(
-            F.coalesce(F.col("mn"), F.col("doc_id")), F.col("doc_id")
-        ).alias("keep_doc_id"),
-    )
+    sigs = fps.withColumn("sig", F.array("afp"))
+    return min_rep_dedup(
+        sigs, bands_per_word=AFP_BANDS, hamming_max=AFP_HAMMING_MAX
+    ).select("doc_id", "afp", "keep_doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2266,75 +2228,51 @@ def multimodal_video_dedup_framehash(spark: SparkSession, sf_dir: str) -> DataFr
     (frame_idx, 16-bit band) is a bucket key, {VDUP_FRAMES}x
     {VDUP_BANDS} = 16 bands per clip, and <= 2 bit flips damage <= 2
     bands, so >= 14 shared buckets guarantee completeness (pigeonhole;
-    no all-pairs anywhere). Unlike the scalar tier the verify is a
-    SUM over aligned frames, so candidate pairs are DISTINCT-ed before
-    the sequence join (duplicate candidates would double-count the
-    per-frame distances — the idempotent-MIN shortcut phash uses does
-    not apply). Output is the linear-size per-clip row: frame count,
-    order-independent signature XOR (scalar evidence of every frame
-    hash, no array cells), and the representative keep_doc_id.
+    no all-pairs anywhere). The clip signature rides the band join as
+    a frame-ordered ``array<long>``, so the exact total-hamming verify
+    is a ``zip_with``/``aggregate`` EXPRESSION on each candidate row —
+    the r9 DISTINCT + frame-aligned verify join are gone, and
+    duplicate candidates from multiple shared bands are harmless
+    (min-aggregation is idempotent). Output is the linear-size
+    per-clip row: frame count, order-independent signature XOR (scalar
+    evidence of every frame hash, no array cells), and the
+    representative keep_doc_id.
 
-    Scale shape: decode/hash is a 1→N explosion of one int64 per
-    frame; candidates shuffle on (frame_idx, band_idx, band_val) with
-    simhash-bounded buckets; the verify join touches only candidate
-    pairs x {VDUP_FRAMES} rows; one final left join back to the
-    per-clip signature aggregate."""
+    Scale shape (r10, VERDICT r09 #1 — operators/banded_dedup.py):
+    decode/hash is a 1→N explosion of one int64 per frame; IDENTICAL
+    clip signatures collapse to one representative row BEFORE banding
+    (exact re-upload mass stays linear) and the band join runs over
+    DISTINCT signatures only on (frame_idx, band_idx, band_val) with
+    the BAND_BUCKET_CAP hub-star cap — the candidate-pair term can no
+    longer track cluster-density²."""
+    from hello_flink_spark.operators.banded_dedup import min_rep_dedup
+
     d = t(spark, sf_dir, "documents").select("doc_id")
     payload = d.mapInPandas(_vdup_encode, schema="doc_id long, payload binary")
-    # FIVE plan branches consume the frame hashes (two band-join
-    # sides, two verify-join sides, the final signature aggregate) —
-    # materialize once so the decode Python stage runs once
+    # ONE plan branch consumes the frame hashes (the per-clip signature
+    # aggregate below feeds everything downstream) — the decode Python
+    # stage runs once by construction, no checkpoint needed here
     fh = payload.mapInPandas(
         _vdup_frame_hash, schema="doc_id long, frame_idx long, fhash long"
-    ).localCheckpoint(eager=True)
-    banded = fh.withColumn(
-        "band_idx", F.explode(F.sequence(F.lit(0), F.lit(VDUP_BANDS - 1)))
-    ).withColumn(
-        "band_val",
-        F.expr("shiftrightunsigned(fhash, CAST(band_idx * 16 AS INT)) & 65535"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.frame_idx") == F.col("b.frame_idx"))
-            & (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
-    )
-    x, y = fh.alias("x"), fh.alias("y")
-    nbrs = (
-        cand.join(x, F.col("x.doc_id") == F.col("da"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("db"))
-            & (F.col("y.frame_idx") == F.col("x.frame_idx")),
-        )
-        .groupBy("da", "db")
+    # TWO plan branches consume the per-clip signatures (the
+    # exact-collapse groupBy and the final keep join) — materialize
+    # once so the decode + aggregate pipeline runs once
+    sigs = (
+        fh.groupBy("doc_id")
         .agg(
-            F.sum(
-                F.bit_count(F.col("x.fhash").bitwiseXOR(F.col("y.fhash")))
-            ).alias("dist")
+            F.count("*").alias("n_frames"),
+            F.expr("bit_xor(fhash)").alias("sig_xor"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("frame_idx", "fhash"))),
+                lambda s: s["fhash"],
+            ).alias("sig"),
         )
-        .filter(F.col("dist") <= VDUP_HAMMING_MAX)
-        .groupBy(F.col("da").alias("doc_id"))
-        .agg(F.min("db").alias("mn"))
+        .localCheckpoint(eager=True)
     )
-    sigs = fh.groupBy("doc_id").agg(
-        F.count("*").alias("n_frames"),
-        F.expr("bit_xor(fhash)").alias("sig_xor"),
-    )
-    return sigs.join(nbrs, "doc_id", "left").select(
-        "doc_id",
-        "n_frames",
-        "sig_xor",
-        F.least(
-            F.coalesce(F.col("mn"), F.col("doc_id")), F.col("doc_id")
-        ).alias("keep_doc_id"),
-    )
+    return min_rep_dedup(
+        sigs, bands_per_word=VDUP_BANDS, hamming_max=VDUP_HAMMING_MAX
+    ).select("doc_id", "n_frames", "sig_xor", "keep_doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -230,3 +230,149 @@ def test_phash_incremental_index_side_shuffle_free(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+# ---------------------------------------------------------------------------
+# Capped banded dedup (operators/banded_dedup.py — VERDICT r09 #1): the
+# multimodal near-dup tier's candidate term must stay LINEAR on
+# duplicate-dense corpora. Three invariants: exact-signature collapse
+# makes re-upload mass linear; over-full buckets emit the hub star
+# (2(c-1), never c(c-1)); driver fixtures stay under the cap so the
+# oracle semantics are untouched.
+# ---------------------------------------------------------------------------
+
+
+def _sig_df(spark, pairs):
+    """(doc_id, sig) frame from [(doc_id, [words…]), …]."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(d), [int(w) for w in s]) for d, s in pairs], schema
+    )
+
+
+def test_banded_dedup_exact_collapse_is_duplication_invariant(spark):
+    """A million byte-identical uploads must contribute ONE row to the
+    band join: candidate count is IDENTICAL whether a signature appears
+    once or 200 times, and every duplicate maps to the group min."""
+    from hello_flink_spark.operators.banded_dedup import (
+        banded_candidates,
+        min_rep_dedup,
+    )
+
+    base = [(0, [0x1234]), (1, [0x7777_0000_0000]), (2, [0x1233])]
+    dups = [(100 + i, [0x1234]) for i in range(200)]
+
+    def n_cand(pairs):
+        sigs = _sig_df(spark, pairs)
+        reps = sigs.groupBy("sig").agg(F.min("doc_id").alias("rep_id"))
+        return banded_candidates(reps).count()
+
+    assert n_cand(base) == n_cand(base + dups)
+
+    out = {
+        r["doc_id"]: r["keep_doc_id"]
+        for r in min_rep_dedup(_sig_df(spark, base + dups), hamming_max=2).collect()
+    }
+    # 0x1234 vs 0x1233 differ by 3 bits (0b0100 vs 0b0011): NOT
+    # near-dups at hamming<=2 — the exact group collapses to doc 0,
+    # nothing else.
+    assert out[0] == 0 and all(out[100 + i] == 0 for i in range(200))
+    assert out[1] == 1 and out[2] == 2
+
+
+def test_banded_dedup_hot_bucket_emits_hub_star_not_all_pairs(spark):
+    """64 distinct signatures (0 and every single-bit int64-safe sig)
+    land every colliding bucket over the cap — candidates must be
+    LINEAR in the bucket size, and the hub chain must still collapse
+    the dense cluster to its min representative exactly as all-pairs
+    would (every member is within hamming 1 of the hub)."""
+    from hello_flink_spark.operators.banded_dedup import (
+        BAND_BUCKET_CAP,
+        banded_candidates,
+        min_rep_dedup,
+    )
+
+    pairs = [(0, [0])] + [(i + 1, [1 << i]) for i in range(63)]
+    sigs = _sig_df(spark, pairs)
+    reps = sigs.groupBy("sig").agg(F.min("doc_id").alias("rep_id"))
+    n = banded_candidates(reps).count()
+    # the four zero-value buckets hold the hub plus every sig whose bit
+    # lies in another band: 48, 48, 48, 49 members (band 3 spans only
+    # bits 48..62) — all over the cap, so each emits the 2(c-1)
+    # directed star; the 63 one-bit buckets are singletons. All-pairs
+    # would emit 3*48*47 + 49*48 = 9120; the star emits 3*94+96 = 378.
+    assert n == 3 * 94 + 96, n
+    assert n < BAND_BUCKET_CAP * (BAND_BUCKET_CAP - 1) * 4
+
+    out = {
+        r["doc_id"]: r["keep_doc_id"]
+        for r in min_rep_dedup(sigs, hamming_max=2).collect()
+    }
+    # all-pairs ground truth: every pair is within hamming 2 -> every
+    # doc keeps doc 0. The capped star reaches the same fixpoint
+    # because every member verifies against the hub (hamming 1).
+    assert out == {d: 0 for d in range(64)}
+
+
+def test_multimodal_fixture_buckets_stay_under_cap():
+    """The driver fixture's distinct-signature band buckets are far
+    below BAND_BUCKET_CAP for all three modalities at sf0.01 (the
+    correctness-gate scale), so the cap can never fire there and the
+    all-pairs oracles stay exact. Closed forms, no Spark needed."""
+    from collections import Counter
+
+    from hello_flink_spark.operators.banded_dedup import BAND_BUCKET_CAP
+    from hello_flink_spark.queries.round9 import (
+        AFP_FRAMES,
+        VDUP_FRAMES,
+        _afp_loud,
+        _phash_pixel,
+        _vdup_bit,
+    )
+
+    n_docs = 500  # sf0.01 documents cardinality (TESTDATA.md)
+
+    def pack(bits):
+        v = 0
+        for b, on in enumerate(bits):
+            if on:
+                v |= 1 << b
+        return v
+
+    corpora = {
+        "phash": {
+            tuple(
+                [pack([_phash_pixel(d, 2 * (b % 8), 2 * (b // 8)) == 255 for b in range(64)])]
+            )
+            for d in range(n_docs)
+        },
+        "afp": {
+            tuple([pack([_afp_loud(d, b) for b in range(AFP_FRAMES)])])
+            for d in range(n_docs)
+        },
+        "vdup": {
+            tuple(
+                pack([_vdup_bit(d, k, b) for b in range(64)])
+                for k in range(VDUP_FRAMES)
+            )
+            for d in range(n_docs)
+        },
+    }
+    for name, sigset in corpora.items():
+        buckets = Counter()
+        for sig in sigset:
+            for w, word in enumerate(sig):
+                for j in range(4):
+                    buckets[(w, j, (word >> (16 * j)) & 0xFFFF)] += 1
+        worst = max(buckets.values())
+        # measured maxima: phash 9, afp 9, vdup 18 — and the distinct-
+        # signature sets are CLOSED under the (group, variant) cycles,
+        # so no larger sf can grow them past the cap.
+        assert worst < BAND_BUCKET_CAP, (name, worst)
