@@ -1080,7 +1080,9 @@ def _cusum(
     out: list[dict] = []
     for _, _, v in ready:
         n += 1
-        s = max(0.0, s + float(v) - CUSUM_MU - CUSUM_K)
+        # pre-associated d-form: identical IEEE op sequence to the
+        # batch lockstep scan / reference fold / recursive-CTE oracle
+        s = max(0.0, s + (float(v) - CUSUM_MU - CUSUM_K))
         if s > CUSUM_H:
             alarms += 1
             out.append(

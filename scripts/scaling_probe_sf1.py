@@ -229,7 +229,7 @@ def main() -> None:
         "graph_triangle_count": "degree-oriented wedge enumeration over 10 disjoint graph copies — wedges scale exactly 10x",
         "dedup_cluster": "CC round count is O(log^2 n) and DISJOINT shards keep the same diameter, so rounds do not grow with the replication",
         "sim_ann_ivf_pq": "the trainer's cost plus a constant probe set against 10x-as-full inverted lists — every per-query operand (LUTs, probe buckets) is volume-independent, only the bucket equi-join scales",
-        "events_delta_trigger": "the fold is sequential PER KEY but the shards scale the KEY count (disjoint users), so the Arrow per-group work spreads across cores and only the one user shuffle scales",
+        "events_delta_trigger": "the lockstep scan is sequential PER KEY but the shards scale the KEY count (disjoint users), so the vectorized cross-key batches widen and only the one user shuffle scales",
         "pipeline_multimodal_manifest": "ZERO-shuffle decode-bound Arrow stage — embarrassingly parallel per input split, byte-proportional in the three codec payloads",
         "text_bpe_apply": "scan + broadcast merge array + JVM replace fold per word + one tiny per-source agg — BYTE-proportional, and the 'rK_' replica tag inflates sf1 word-chars 16.7x (measured: 1,219,872 -> 20,319,840), so ~10-12x time is sublinear per byte, same class as text_hashing_features",
         "text_bpe_train_merges": "ONE corpus shuffle to the word histogram, then 8 vocab-scale iterations (the replica tags grow sf1's vocab 10x, but vocab stays orders below the corpus) with 1-row driver scalars",

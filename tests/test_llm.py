@@ -1613,3 +1613,46 @@ def test_shuffle_shard_manifest_matches_written_layout(spark, sf_dir, tmp_path):
         for r in get_spec("docs_shuffle_shard").fn(spark, sf_dir).collect()
     }
     assert got == manifest
+
+
+# ---------------------------------------------------------------------------
+# r10 (VERDICT r09 #7): the lockstep segmented scan shipping
+# events_cusum_alarms / events_delta_trigger must be bit-identical to
+# the per-key scalar reference folds — including when a key's rows
+# straddle an Arrow batch boundary (the carry path).
+# ---------------------------------------------------------------------------
+
+
+def test_lockstep_scan_equals_reference_folds(spark, sf_dir_mid):
+    import pandas as pd
+
+    from hello_flink_spark.queries.round9 import _cusum_fold, _delta_trigger_fold
+
+    df = pd.read_parquet(f"{sf_dir_mid}/events.parquet")[
+        ["user_id", "ts", "event_id", "value"]
+    ]
+    for name, ref in [
+        ("events_cusum_alarms", _cusum_fold),
+        ("events_delta_trigger", _delta_trigger_fold),
+    ]:
+        got = get_spec(name).fn(spark, sf_dir_mid).toPandas()
+        parts = [ref(g) for _, g in df.groupby("user_id")]
+        want = pd.concat([p for p in parts if len(p)], ignore_index=True)
+        cols = list(want.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True).astype(float)
+        want = want[cols].sort_values(cols).reset_index(drop=True).astype(float)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_lockstep_carry_across_batch_boundaries(spark, sf_dir):
+    """Force tiny Arrow batches so every key straddles batch
+    boundaries — the carry (s/baseline/total/counts) must stitch the
+    recurrence seamlessly."""
+    import pandas as pd
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        test_lockstep_scan_equals_reference_folds(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
