@@ -216,6 +216,9 @@ HEADLINE = [
     # batch 19: deterministic corpus shuffle + shard manifest (keyed
     # window over the shard hash - no global sort).
     "docs_shuffle_shard",
+    # round-10: the streaming CUMULATE construction's batch shadow
+    # (explode -> synthetic step_ts -> native 15-min tumble).
+    "window_cumulate_batch",
 ]
 
 

@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     "hello_flink_spark.queries.round7",
     "hello_flink_spark.queries.round8",
     "hello_flink_spark.queries.round9",
+    "hello_flink_spark.queries.round10",
 ]
 
 
