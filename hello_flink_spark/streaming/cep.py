@@ -57,9 +57,10 @@ class CepPattern:
     # emitted match carries the LONGEST run compatible with the first
     # completion — every repetition accepted before the first next-step
     # event — which is Flink's greedy head match. (Flink's reluctant
-    # variant instead enumerates every shorter prefix as extra matches;
-    # a reluctant SINGLE match degenerates to the plain pattern, so the
-    # compiler's one deterministic match per anchor is the greedy one.)
+    # variant instead enumerates every shorter prefix as extra matches
+    # — available here via ``reluctant=True`` below; a reluctant
+    # SINGLE match degenerates to the plain pattern, so the default
+    # one-deterministic-match-per-anchor form is the greedy one.)
     # Mechanics: after the first
     # occurrence promotes the partial, every further event of that type
     # arriving strictly later and within the window of the LAST accepted
@@ -72,6 +73,29 @@ class CepPattern:
     # accepted repetition. Streaming-NFA only (no join-chain shadow can
     # express variable-length runs): compile_batch/oracle_sql refuse.
     one_or_more: int | None = None
+    # [F] ``Pattern#oneOrMore`` DEFAULT (non-greedy) multi-match form
+    # (r10, VERDICT r09 #4): with ``reluctant=True`` every PREFIX of
+    # the accepted run is its own match — the NFA freezes a copy of
+    # the pre-extension run at each extension (the prefix branch can
+    # complete or expire but never re-extend, which is exactly what
+    # keeps {b1, b3}-style skip-combinations out: those belong to
+    # followedByAny), and the first eligible next-step event completes
+    # EVERY open branch — one row per prefix length m in
+    # [min_reps..n_rep], each holding that prefix's last repetition in
+    # the Kleene slot, all consumed at one completion event (the
+    # compiler's deterministic first-completion discipline; Flink's
+    # fully non-deterministic successor dimension — the same run
+    # completing again at later successor events — is the documented
+    # delta, same class as the greedy single-match form). A prefix
+    # whose window (measured from ITS last repetition) has expired by
+    # completion time emits nothing — per-branch windows, as in Flink.
+    # State grows O(run length) per anchor — reluctant's inherent cost.
+    # Composes with min_reps/max_reps (each branch gated by its own
+    # count; the capped head stops spawning prefixes), step_min_value,
+    # or_types, total_minutes. Refused (untested compositions —
+    # property-suite first): skip strategies, until, run_min_total,
+    # timeout side-output, group_reps.
+    reluctant: bool = False
     # [F] Flink CEP ``optional()``: indexes of middle steps that may be
     # SKIPPED. First-event-wins determinism: after the previous stage,
     # whichever arrives first within the window — the optional step's
@@ -355,6 +379,24 @@ class CepPattern:
                     "(same-type adjacency makes extension vs promotion of one "
                     "event ambiguous)"
                 )
+        if self.reluctant:
+            if self.one_or_more is None:
+                raise ValueError(
+                    "reluctant ([F] non-greedy oneOrMore) requires a "
+                    "one_or_more step — it is an emission policy for the "
+                    "Kleene run"
+                )
+            for feature, label in (
+                (self.skip_past_last, "skip_past_last"),
+                (self.after_match_skip is not None, "after_match_skip"),
+                (self.until_type is not None, "until_type"),
+                (self.run_min_total is not None, "run_min_total"),
+            ):
+                if feature:
+                    raise ValueError(
+                        f"reluctant × {label} is an untested composition — "
+                        "extend the property suite first"
+                    )
         if self.min_reps < 1:
             raise ValueError("min_reps must be >= 1")
         if self.min_reps > 1 and self.one_or_more is None:
@@ -383,8 +425,13 @@ class CepPattern:
                             "completion and in-group promotions must be "
                             "unambiguous"
                         )
+            # step_min_value COMPOSES (r10, VERDICT r09 #3): the guard
+            # applies per admitted event — in-group promotions through
+            # the generic mins[i] check, boundary restarts through the
+            # group-start guard (a guard-failing event is a relaxed
+            # no-op in both roles) — property-suite + goldens in
+            # tests/test_properties.py.
             for feature, label in (
-                (self.step_min_value is not None, "step_min_value"),
                 (self.one_or_more is not None, "one_or_more"),
                 (bool(self.optional_steps), "optional_steps"),
                 (bool(self.strict_steps), "strict_steps"),
@@ -684,11 +731,13 @@ class CepPattern:
                         "run's FIRST repetition timestamp is not retained "
                         "(the state slot slides to the last; use to_last)"
                     )
-                if self.any_match_steps:
-                    raise ValueError(
-                        "to_first/to_last with any_match is an untested "
-                        "composition — extend the property suite first"
-                    )
+                # any_match COMPOSES (r10, VERDICT r09 #3): same-event
+                # completions — now a branch fan-out — are judged in
+                # (anchor_ts, anchor_id, branch) order against the
+                # running step-j boundary, and the boundary kill also
+                # prunes still-armed any-match waiters by anchor ts
+                # (property-suite + goldens in tests/test_properties.py,
+                # same _skip_to_sim fold as the to_next × any_match pair).
             else:
                 raise ValueError(
                     "after_match_skip mode must be to_next/to_first/to_last"
@@ -813,6 +862,7 @@ def _make_processor(
     until: Tuple[str, float | None] | None = None,
     run_total: float | None = None,
     grp: Tuple[int, int] | None = None,
+    reluctant: bool = False,
 ):
     """Build the per-key NFA closure. Partial matches are encoded in
     state as 'anchor_id:ts1,ts2,...|n_rep|pending' strings (stage =
@@ -1043,16 +1093,34 @@ def _make_processor(
                     and (mins[rep] is None or val >= mins[rep])
                 ):
                     # times(m, n) cap: a run already holding max_reps
-                    # ignores further repetitions (relaxed contiguity)
-                    partials = [
-                        (aid, tss[:-1] + [ts_us], cnt + 1, pend, _kv(vals, val))
-                        if len(tss) == rep + 1
-                        and ts_us > tss[-1]
-                        and pend != FROZEN
-                        and (max_reps is None or cnt < max_reps)
-                        else (aid, tss, cnt, pend, vals)
-                        for aid, tss, cnt, pend, vals in partials
-                    ]
+                    # ignores further repetitions (relaxed contiguity).
+                    # Reluctant mode ([F] non-greedy oneOrMore):
+                    # extension ALSO keeps the pre-extension run as a
+                    # FROZEN prefix branch — complete-or-expire only,
+                    # never re-extend (re-extension would produce the
+                    # followedByAny skip-combinations, not prefixes).
+                    ext: list = []
+                    for aid, tss, cnt, pend, vals in partials:
+                        if (
+                            len(tss) == rep + 1
+                            and ts_us > tss[-1]
+                            and pend != FROZEN
+                            and (max_reps is None or cnt < max_reps)
+                        ):
+                            if reluctant:
+                                ext.append((aid, tss, cnt, FROZEN, vals))
+                            ext.append(
+                                (
+                                    aid,
+                                    tss[:-1] + [ts_us],
+                                    cnt + 1,
+                                    pend,
+                                    _kv(vals, val),
+                                )
+                            )
+                        else:
+                            ext.append((aid, tss, cnt, pend, vals))
+                    partials = ext
                 # [F] GroupPattern boundary restart: at a completed
                 # repetition (len == gj+1), a group-start event strictly
                 # later opens the NEXT repetition — slots gi..gj are
@@ -1276,12 +1344,19 @@ def _stream_nfa(
             "composition (skip-killed partials are discards, not timeouts) "
             "— extend the property suite first"
         )
-    if emit_timeouts and pattern.group_reps is not None:
+    if emit_timeouts and pattern.reluctant:
         raise ValueError(
-            "group_reps with the timeout side-output is an untested "
-            "composition (the reference model does not cover timed-out "
-            "group prefixes) — extend the property suite first"
+            "reluctant with the timeout side-output is an untested "
+            "composition (every non-longest prefix branch would expire "
+            "by construction) — extend the property suite first"
         )
+    # group_reps × timeout side-output COMPOSES (r10, VERDICT r09 #3):
+    # an expired group partial emits its stage prefix — slots gi..
+    # onward hold the current (possibly partially refilled) repetition,
+    # n_rep counts COMPLETED repetitions — with matched=false; group
+    # partials are never silently discarded, so every non-completing
+    # anchor yields exactly one timeout row. Reference model +
+    # chunking-invariance property + goldens in tests/test_properties.py.
     k = len(pattern.steps)
     out_cols = ", ".join(f"ts{i + 1} timestamp" for i in range(k))
     for j in pattern.referenced_steps:
@@ -1336,6 +1411,7 @@ def _stream_nfa(
                 ),
                 run_total=pattern.run_min_total,
                 grp=pattern.group_reps,
+                reluctant=pattern.reluctant,
             ),
             outputStructType=f"user_id long, anchor_id long, {out_cols}",
             stateStructType="partials array<string>",

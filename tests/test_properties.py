@@ -3132,13 +3132,14 @@ def test_cep_after_match_skip_validation():
             one_or_more=1,
             after_match_skip=("to_first", 1),
         )
-    with pytest.raises(ValueError, match="untested composition"):
-        CepPattern(
-            steps=("a", "b", "c"),
-            within_minutes=1,
-            any_match_steps=(1,),
-            after_match_skip=("to_first", 1),
-        )
+    # r10 (VERDICT r09 #3): to_first/to_last × any_match now COMPOSES
+    p_any = CepPattern(
+        steps=("a", "b", "c"),
+        within_minutes=1,
+        any_match_steps=(1,),
+        after_match_skip=("to_first", 1),
+    )
+    assert p_any.after_match_skip == ("to_first", 1)
     with pytest.raises(ValueError, match="to_next/to_first/to_last"):
         CepPattern(
             steps=("a", "b"), within_minutes=1, after_match_skip=("bogus", None)
@@ -3900,26 +3901,539 @@ def test_cep_run_total_nan_fails_closed():
 
 def test_cep_group_v1_refusals_from_review():
     """Review-caught validation holes: of() must reject group_reps on
-    an expanded spec (the indexes shift); group x step_min_value and
-    group x timeout side-output are unmodeled and refused."""
+    an expanded spec (the indexes shift). The r9 refusals of group ×
+    step_min_value and group × timeout side-output were MODELED in r10
+    (VERDICT r09 #3) — both now construct/compile (their property
+    suites live above); the remaining group compositions stay refused."""
     import pytest as _pytest
 
-    from hello_flink_spark.streaming.cep import (
-        CepPattern,
-        compile_stream_timeouts,
-    )
+    from hello_flink_spark.streaming.cep import CepPattern
 
     with _pytest.raises(ValueError, match="group_reps"):
         CepPattern.of(
             [("a", 2), "b", "c", "d"], within_minutes=5, group_reps=(1, 2)
         )
+    p = CepPattern(
+        steps=("a", "b", "c", "d"),
+        within_minutes=1,
+        group_reps=(1, 2),
+        step_min_value=(None, 5.0, None, None),
+    )
+    assert p.group_reps == (1, 2)
     with _pytest.raises(ValueError, match="untested composition"):
         CepPattern(
             steps=("a", "b", "c", "d"),
             within_minutes=1,
             group_reps=(1, 2),
-            step_min_value=(None, 5.0, None, None),
+            strict_steps=(3,),
         )
-    p = CepPattern(steps=("a", "b", "c", "d"), within_minutes=1, group_reps=(1, 2))
-    with _pytest.raises(ValueError, match="untested composition"):
-        compile_stream_timeouts(p, None)
+
+
+# ---------------------------------------------------------------------------
+# Round 10 (VERDICT r09 #3): the previously-refused CEP compositions —
+# group_reps × step_min_value, group_reps × timeout side-output,
+# skipToFirst/skipToLast × any_match — each modeled property-suite-first.
+# ---------------------------------------------------------------------------
+
+
+def _group_full_sim(evs5, steps, gi, gj, window_s, mins=None):
+    """_group_sim extended with per-step value guards AND the timeout
+    side-output: returns (matches, timeouts). A guard-failing event is
+    a relaxed no-op in every role (anchor, in-group promotion,
+    boundary restart); a non-completing anchor's partial freezes at
+    its expiry point and emits its stage prefix (group slots hold the
+    current — possibly partially refilled — repetition, n_rep counts
+    COMPLETED repetitions). Written directly against the semantics;
+    shares no code with the NFA."""
+    k = len(steps)
+    mins = mins or (None,) * k
+    matches, touts = [], []
+    for pos, (uid, aid, ts0, et0, v0) in enumerate(evs5):
+        if et0 != steps[0] or (mins[0] is not None and v0 < mins[0]):
+            continue
+        tss, cnt, done = [ts0], 0, False
+        for uid2, eid, ts, et, v in evs5[pos + 1:]:
+            if uid2 != uid:
+                continue
+            if ts - tss[-1] > window_s:
+                break  # expired before this event: prefix frozen
+            stage = len(tss)
+            if (
+                stage == gj + 1
+                and et == steps[gi]
+                and ts > tss[-1]
+                and (mins[gi] is None or v >= mins[gi])
+            ):
+                tss = tss[:gi] + [ts]
+                continue
+            if (
+                stage < k
+                and et == steps[stage]
+                and ts > tss[-1]
+                and (mins[stage] is None or v >= mins[stage])
+            ):
+                tss.append(ts)
+                if stage == gj:
+                    cnt += 1
+                if len(tss) == k:
+                    matches.append((uid, aid, *tss, cnt))
+                    done = True
+                    break
+        if not done:
+            touts.append((uid, aid, *(tss + [None] * (k - len(tss))), cnt))
+    skey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    return sorted(matches), sorted(touts, key=skey)
+
+
+def _drive_nfa_rows_t(proc, evs5, cuts, k, flush_ts):
+    """Timeout-aware chunked driver: appends a per-user sentinel event
+    (type 'zz', far beyond every window) so inline pruning emits every
+    open partial's timeout row, then returns
+    (matched_rows, timeout_rows) as (uid, aid, ts...|None, n_rep)."""
+    import pandas as pd
+
+    users = sorted({u for u, _, _, _, _ in evs5})
+    evs5 = list(evs5) + [
+        (u, 10_000 + i, flush_ts, "zz", 0.0) for i, u in enumerate(users)
+    ]
+    rows = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _, _ in evs5],
+            "event_id": [i for _, i, _, _, _ in evs5],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _, _ in evs5],
+            "event_type": [e for _, _, _, e, _ in evs5],
+            "value": [float(v) for _, _, _, _, v in evs5],
+        }
+    )
+    bounds = sorted({c for c in cuts if c < len(evs5)} | {0, len(evs5)})
+    chunks = [rows.iloc[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    got_m, got_t = [], []
+    for uid in users:
+        state = _FakeGroupState()
+        for chunk in chunks:
+            part = chunk[chunk["user_id"] == uid]
+            if part.empty:
+                continue
+            for out in proc((uid,), iter([part]), state):
+                for r in out.itertuples():
+                    tup = (
+                        r.user_id,
+                        r.anchor_id,
+                        *(
+                            None
+                            if pd.isna(getattr(r, f"ts{j + 1}"))
+                            else int(getattr(r, f"ts{j + 1}").timestamp())
+                            for j in range(k)
+                        ),
+                        r.n_rep,
+                    )
+                    (got_m if r.matched else got_t).append(tup)
+    skey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    return sorted(got_m), sorted(got_t, key=skey)
+
+
+GROUP_GUARD_EVENTS = st.lists(
+    st.tuples(
+        st.integers(1, 2),
+        st.integers(0, 120),
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.sampled_from([0.0, 5.0, 10.0]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(
+    events=GROUP_GUARD_EVENTS,
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_group_guard_nfa_matches_simulation_any_chunking(events, cuts):
+    """group_reps × step_min_value under every micro-batch split:
+    guard-failing events are relaxed no-ops as anchors, in-group
+    promotions AND boundary restarts."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c", "d"), 60
+    mins = (None, 5.0, None, 5.0)
+    evs5 = sorted(
+        ((u, i, t, e, v) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want, _ = _group_full_sim(evs5, steps, 1, 2, window_s, mins=mins)
+    proc = _make_processor(steps, window_s * 1_000_000, mins=mins, grp=(1, 2))
+    assert _drive_nfa_chunked_v(proc, evs5, cuts, 4, extra_cols=("n_rep",)) == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "d"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_group_timeouts_nfa_matches_simulation_any_chunking(events, cuts):
+    """group_reps × timeout side-output under every micro-batch split:
+    every non-completing anchor emits exactly one matched=false row
+    holding its stage prefix at expiry (group slots may hold a
+    partially refilled repetition) and n_rep = completed repetitions."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c", "d"), 60
+    evs5 = sorted(
+        ((u, i, t, e, 0.0) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want_m, want_t = _group_full_sim(evs5, steps, 1, 2, window_s)
+    proc = _make_processor(
+        steps, window_s * 1_000_000, emit_timeouts=True, grp=(1, 2)
+    )
+    got_m, got_t = _drive_nfa_rows_t(proc, evs5, cuts, 4, flush_ts=10_000)
+    assert got_m == want_m
+    assert got_t == want_t
+
+
+def test_cep_group_guard_timeout_goldens():
+    """Pinned compositions: (1) a guard-failing boundary restart is a
+    no-op (the passing d completes with the standing count); (2) a
+    guard-failing in-group c is a no-op and the partial times out with
+    its prefix; (3) a mid-repetition timeout's group slots hold the
+    refilled prefix; (4) guards + timeouts together."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    w = 60 * 1_000_000
+    mins = (None, 5.0, None, None)
+    proc = _make_processor(("a", "b", "c", "d"), w, mins=mins, grp=(1, 2))
+    # b@30 fails the guard: no restart discards slots; d@40 completes
+    guard_restart_noop = [
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 9.0), (1, 2, 20, "c", 0.0),
+        (1, 3, 30, "b", 1.0), (1, 4, 40, "d", 0.0),
+    ]
+    assert _drive_nfa_chunked_v(
+        proc, guard_restart_noop, [], 4, extra_cols=("n_rep",)
+    ) == [(1, 0, 0, 10, 20, 40, 1)]
+
+    tproc = _make_processor(
+        ("a", "b", "c", "d"), w, emit_timeouts=True, grp=(1, 2)
+    )
+    # one full repetition, then b@30 reopens: timeout carries the
+    # refilled (30) slot with c/d empty, n_rep=1
+    midrep_timeout = [
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 20, "c", 0.0),
+        (1, 3, 30, "b", 0.0),
+    ]
+    got_m, got_t = _drive_nfa_rows_t(tproc, midrep_timeout, [], 4, flush_ts=10_000)
+    assert got_m == []
+    assert got_t == [(1, 0, 0, 30, None, None, 1)]
+
+    gtproc = _make_processor(
+        ("a", "b", "c", "d"), w, mins=mins, emit_timeouts=True, grp=(1, 2)
+    )
+    # the only b fails the guard: the anchor times out alone, n_rep=0
+    guard_timeout = [(1, 0, 0, "a", 0.0), (1, 1, 10, "b", 1.0)]
+    got_m, got_t = _drive_nfa_rows_t(gtproc, guard_timeout, [], 4, flush_ts=10_000)
+    assert got_m == []
+    assert got_t == [(1, 0, 0, None, None, None, 0)]
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_skip_to_first_any_final_matches_simulation(events, cuts):
+    """skipToFirst × followedByAny(final): same-event branch fan-outs
+    are judged in (anchor_ts, anchor_id, branch) order against the
+    running step-1 boundary, under every chunking."""
+    _run_skip_to(events, cuts, "to_first", j=1, anyset={2})
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_skip_to_last_any_final_matches_simulation(events, cuts):
+    """skipToLast × followedByAny(final) with the reference on the
+    final (branching) step itself."""
+    _run_skip_to(events, cuts, "to_last", j=2, anyset={2})
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_skip_to_first_any_mid_matches_simulation(events, cuts):
+    """skipToFirst × followedByAny(mid): the mid-stage fork multiplies
+    completions at one event; the boundary fold must still match."""
+    _run_skip_to(events, cuts, "to_first", j=0, anyset={1})
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_skip_to_last_any_mid_matches_simulation(events, cuts):
+    _run_skip_to(events, cuts, "to_last", j=1, anyset={1})
+
+
+def test_cep_skip_to_any_match_golden():
+    """Pinned: two anchors, branch fan-out at the final step. to_last
+    on the final step: the first emission's c-ts boundary kills the
+    later-anchored partial; both same-event branches of the surviving
+    anchor emit (ties survive the >= boundary)."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    evs = [
+        (1, 0, 0, "a"), (1, 1, 5, "a"), (1, 2, 10, "b"),
+        (1, 3, 20, "c"), (1, 4, 30, "c"),
+    ]
+    proc = _make_processor(
+        ("a", "b", "c"),
+        60 * 1_000_000,
+        any_match=frozenset({2}),
+        skip_to=("to_last", 2),
+    )
+    got = _drive_nfa_chunked(proc, evs, [], 3)
+    # at c@20 both anchors complete; anchor 0 emits first, boundary=20
+    # kills nothing anchored >= ... anchor@5 started before 20 -> killed
+    # after its own same-event emission is judged: anchor 5 < 20 fails.
+    # at c@30 the any-match-armed partials for anchor 0/5 were pruned
+    # by the boundary (0 < 20, 5 < 20), so no further rows.
+    assert got == [(1, 0, 0, 10, 20)]
+
+
+# ---------------------------------------------------------------------------
+# Round 10 (VERDICT r09 #4): reluctant oneOrMore — [F] Pattern#oneOrMore
+# default (non-greedy) multi-match: every prefix-run is its own match.
+# ---------------------------------------------------------------------------
+
+
+def _reluctant_sim(evs5, steps, rep, window_s, min_reps=1, max_reps=None):
+    """Per-anchor model of the reluctant Kleene emission policy: the
+    run's extension/completion decisions are the GREEDY ones (the
+    quota-gated first next-step event completes), but the completion
+    emits one match per prefix length m in [min_reps..n] whose branch
+    was still in-window at the completing event (per-branch windows,
+    measured from that prefix's LAST repetition); each surviving
+    prefix then continues through any later stages along the same
+    first-eligible chain. Written directly against the semantics —
+    per-anchor with explicit repetition lists, sharing no code or
+    state layout with the NFA's frozen-branch partial list."""
+    k = len(steps)
+    out = []
+    for pos, (uid, aid, ts0, et0, v0) in enumerate(evs5):
+        if et0 != steps[0]:
+            continue
+        cur = [ts0]
+        reps: list[int] = []
+        cnt = 0
+        comp = None
+        rest_from = None
+        for qpos, (uid2, eid, ts, et, v) in enumerate(evs5[pos + 1:], pos + 1):
+            if uid2 != uid:
+                continue
+            if ts - cur[-1] > window_s:
+                break
+            stage = len(cur)
+            if (
+                stage == rep + 1
+                and et == steps[rep]
+                and ts > cur[-1]
+                and (max_reps is None or cnt < max_reps)
+            ):
+                reps.append(ts)
+                cur[-1] = ts
+                cnt += 1
+                continue
+            if stage == rep + 1 and et == steps[rep + 1] and ts > cur[-1]:
+                if cnt < min_reps:
+                    continue  # quota unmet: relaxed no-op for EVERY branch
+                comp, rest_from = ts, qpos
+                break
+            if stage < k and stage != rep + 1 and et == steps[stage] and ts > cur[-1]:
+                cur.append(ts)
+                if stage == rep:
+                    reps, cnt = [ts], 1
+        if comp is None:
+            continue
+        # stages after the completion step: one shared first-eligible
+        # chain (every promoted branch sits at the same timestamps)
+        rest = [comp]
+        for j in range(rep + 2, k):
+            nxt = None
+            for uid2, eid, ts, et, v in evs5[rest_from + 1:]:
+                if uid2 != uid:
+                    continue
+                if ts - rest[-1] > window_s:
+                    break
+                if et == steps[j] and ts > rest[-1]:
+                    nxt = ts
+                    break
+            if nxt is None:
+                rest = None
+                break
+            rest.append(nxt)
+        if rest is None:
+            continue
+        for m in range(min_reps, cnt + 1):
+            if comp - reps[m - 1] > window_s:
+                continue  # this prefix branch expired before completion
+            out.append((uid, aid, *cur[:rep], reps[m - 1], *rest, m))
+    return sorted(out)
+
+
+RELUCTANT_EVENTS = st.lists(
+    st.tuples(
+        st.integers(1, 2),
+        st.integers(0, 120),
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(events=RELUCTANT_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_reluctant_nfa_matches_simulation_any_chunking(events, cuts):
+    """a b+ c reluctant under every micro-batch split: one match per
+    prefix, all completing at the first eligible c, per-branch
+    windows."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c"), 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    evs5 = [(u, i, t, e, 0.0) for u, i, t, e in evs]
+    want = _reluctant_sim(evs5, steps, 1, window_s)
+    proc = _make_processor(steps, window_s * 1_000_000, rep=1, reluctant=True)
+    assert _drive_nfa_chunked(proc, evs, cuts, 3, extra_cols=("n_rep",)) == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 200),
+            st.sampled_from(["a", "b", "c", "d"]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    cuts=st.lists(st.integers(0, 24), max_size=4),
+)
+@SETTINGS
+def test_cep_reluctant_four_step_nfa_matches_simulation(events, cuts):
+    """a b+ c d reluctant: promoted prefix branches continue through
+    the post-loop stage independently (same chain timestamps, distinct
+    n_rep and loop slots)."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c", "d"), 100
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    evs5 = [(u, i, t, e, 0.0) for u, i, t, e in evs]
+    want = _reluctant_sim(evs5, steps, 1, window_s)
+    proc = _make_processor(steps, window_s * 1_000_000, rep=1, reluctant=True)
+    assert _drive_nfa_chunked(proc, evs, cuts, 4, extra_cols=("n_rep",)) == want
+
+
+@given(events=RELUCTANT_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_reluctant_timesormore_nfa_matches_simulation(events, cuts):
+    """reluctant × timesOrMore(2) × times cap (2,3): prefixes below
+    the quota never emit; the capped head stops spawning prefixes."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c"), 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    evs5 = [(u, i, t, e, 0.0) for u, i, t, e in evs]
+    want = _reluctant_sim(evs5, steps, 1, window_s, min_reps=2, max_reps=3)
+    proc = _make_processor(
+        steps,
+        window_s * 1_000_000,
+        rep=1,
+        min_reps=2,
+        max_reps=3,
+        reluctant=True,
+    )
+    assert _drive_nfa_chunked(proc, evs, cuts, 3, extra_cols=("n_rep",)) == want
+
+
+def test_cep_reluctant_goldens():
+    """Pinned: (1) a three-rep run emits all three prefixes at one c,
+    each holding its own last repetition; (2) an early c consumes every
+    branch — later b's find nothing to extend; (3) a prefix whose
+    window expired by completion time emits nothing (per-branch
+    windows); (4) greedy on the same stream emits exactly the longest
+    row."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    w = 60 * 1_000_000
+    rel = _make_processor(("a", "b", "c"), w, rep=1, reluctant=True)
+    greedy = _make_processor(("a", "b", "c"), w, rep=1)
+    three = [
+        (1, 0, 0, "a"), (1, 1, 10, "b"), (1, 2, 20, "b"),
+        (1, 3, 30, "b"), (1, 4, 40, "c"),
+    ]
+    assert _drive_nfa_chunked(rel, three, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 10, 40, 1), (1, 0, 0, 20, 40, 2), (1, 0, 0, 30, 40, 3)
+    ]
+    assert _drive_nfa_chunked(greedy, three, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 30, 40, 3)
+    ]
+    early_c = [
+        (1, 0, 0, "a"), (1, 1, 10, "b"), (1, 2, 20, "c"), (1, 3, 30, "b"),
+        (1, 4, 40, "c"),
+    ]
+    assert _drive_nfa_chunked(rel, early_c, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 10, 20, 1)
+    ]
+    # b@10's branch is out of window at c@75 (65 > 60); b@50's is in
+    expired_prefix = [
+        (1, 0, 0, "a"), (1, 1, 10, "b"), (1, 2, 50, "b"), (1, 3, 75, "c"),
+    ]
+    assert _drive_nfa_chunked(
+        rel, expired_prefix, [], 3, extra_cols=("n_rep",)
+    ) == [(1, 0, 0, 50, 75, 2)]
+
+
+def test_cep_reluctant_vs_greedy_fixture_counts(sf_dir):
+    """Fixture golden (VERDICT r09 #4 'Done'): view click+ purchase
+    (24 h per-stage window) over the sf0.001 events. Pinned: the
+    greedy single-match count, the reluctant multi-match count, and
+    the structural relations — every greedy row reappears as its
+    run's longest reluctant prefix, and the reluctant count sits
+    strictly between the greedy count and the sum of greedy n_rep
+    (the shortfall from Σn_rep is exactly the prefixes whose
+    per-branch window expired before the completing purchase)."""
+    import pandas as pd
+
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    df = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "event_id", "ts", "event_type", "value"]
+    ]
+    evs5 = [
+        (int(r.user_id), int(r.event_id), int(r.ts.timestamp()), r.event_type, 0.0)
+        for r in df.sort_values(["ts", "event_id"]).itertuples()
+    ]
+    steps, window_s = ("view", "click", "purchase"), 24 * 60 * 60
+    greedy = _drive_nfa_chunked_v(
+        _make_processor(steps, window_s * 1_000_000, rep=1),
+        evs5, [], 3, extra_cols=("n_rep",),
+    )
+    rel = _drive_nfa_chunked_v(
+        _make_processor(steps, window_s * 1_000_000, rep=1, reluctant=True),
+        evs5, [], 3, extra_cols=("n_rep",),
+    )
+    assert len(greedy) == 33
+    assert len(rel) == 51
+    assert sum(m[-1] for m in greedy) == 59
+    assert len(greedy) < len(rel) <= sum(m[-1] for m in greedy)
+    assert sorted(m for m in rel if m in greedy) == greedy
