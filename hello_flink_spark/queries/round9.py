@@ -189,6 +189,16 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate."""
     from hello_flink_spark.operators.banded_dedup import min_rep_dedup
 
+    return min_rep_dedup(
+        _phash_sigs(spark, sf_dir),
+        bands_per_word=PHASH_BANDS,
+        hamming_max=PHASH_HAMMING_MAX,
+    ).select("doc_id", "phash", "keep_doc_id")
+
+
+def _phash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash, sig) — the decode+hash stage, shared by the
+    query and the sf1 scaling probe's candidate-count accounting."""
     d = t(spark, sf_dir, "documents").select("doc_id")
     payload = d.mapInPandas(_phash_png_encode, schema="doc_id long, payload binary")
     # TWO plan branches consume the hashes (the exact-collapse groupBy
@@ -198,10 +208,7 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = payload.mapInPandas(
         _phash_decode, schema="doc_id long, phash long"
     ).localCheckpoint(eager=True)
-    sigs = hashes.withColumn("sig", F.array("phash"))
-    return min_rep_dedup(
-        sigs, bands_per_word=PHASH_BANDS, hamming_max=PHASH_HAMMING_MAX
-    ).select("doc_id", "phash", "keep_doc_id")
+    return hashes.withColumn("sig", F.array("phash"))
 
 
 # ---------------------------------------------------------------------------
@@ -2202,9 +2209,19 @@ def multimodal_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> Data
     DISTINCT fingerprints only with the BAND_BUCKET_CAP hub-star cap —
     no all-pairs anywhere, and no bucket's pair term can track
     cluster-density²."""
-    from pyspark.sql.window import Window
-
     from hello_flink_spark.operators.banded_dedup import min_rep_dedup
+
+    return min_rep_dedup(
+        _afp_sigs(spark, sf_dir),
+        bands_per_word=AFP_BANDS,
+        hamming_max=AFP_HAMMING_MAX,
+    ).select("doc_id", "afp", "keep_doc_id")
+
+
+def _afp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, afp, sig) — decode + fingerprint stage, shared by the
+    query and the sf1 probe's candidate-count accounting."""
+    from pyspark.sql.window import Window
 
     d = t(spark, sf_dir, "documents").select("doc_id")
     payload = d.mapInPandas(_afp_wav_encode, schema="doc_id long, payload binary")
@@ -2228,10 +2245,7 @@ def multimodal_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> Data
         )
         .localCheckpoint(eager=True)
     )
-    sigs = fps.withColumn("sig", F.array("afp"))
-    return min_rep_dedup(
-        sigs, bands_per_word=AFP_BANDS, hamming_max=AFP_HAMMING_MAX
-    ).select("doc_id", "afp", "keep_doc_id")
+    return fps.withColumn("sig", F.array("afp"))
 
 
 # ---------------------------------------------------------------------------
@@ -2433,6 +2447,16 @@ def multimodal_video_dedup_framehash(spark: SparkSession, sf_dir: str) -> DataFr
     longer track cluster-density²."""
     from hello_flink_spark.operators.banded_dedup import min_rep_dedup
 
+    return min_rep_dedup(
+        _vdup_sigs(spark, sf_dir),
+        bands_per_word=VDUP_BANDS,
+        hamming_max=VDUP_HAMMING_MAX,
+    ).select("doc_id", "n_frames", "sig_xor", "keep_doc_id")
+
+
+def _vdup_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_frames, sig_xor, sig) — decode + per-clip signature
+    stage, shared by the query and the sf1 probe's accounting."""
     d = t(spark, sf_dir, "documents").select("doc_id")
     payload = d.mapInPandas(_vdup_encode, schema="doc_id long, payload binary")
     # ONE plan branch consumes the frame hashes (the per-clip signature
@@ -2444,7 +2468,7 @@ def multimodal_video_dedup_framehash(spark: SparkSession, sf_dir: str) -> DataFr
     # TWO plan branches consume the per-clip signatures (the
     # exact-collapse groupBy and the final keep join) — materialize
     # once so the decode + aggregate pipeline runs once
-    sigs = (
+    return (
         fh.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_frames"),
@@ -2456,9 +2480,6 @@ def multimodal_video_dedup_framehash(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .localCheckpoint(eager=True)
     )
-    return min_rep_dedup(
-        sigs, bands_per_word=VDUP_BANDS, hamming_max=VDUP_HAMMING_MAX
-    ).select("doc_id", "n_frames", "sig_xor", "keep_doc_id")
 
 
 # ---------------------------------------------------------------------------
