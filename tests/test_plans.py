@@ -220,6 +220,11 @@ BROADCAST_HINT_OK = {
     ("round5", "n_total"): "1-row corpus-count scalar",
     ("scale", "keys"): "anti_join_bounded — broadcast only after a LIMIT-bounded "
     "count proves the set is under HOT_BROADCAST_MAX; shuffle failover otherwise",
+    ("banded_dedup", "hot"): "hot band-bucket hub list — broadcast only after "
+    "the LIMIT-bounded probe proves it under HOT_BROADCAST_MAX (same protocol "
+    "as anti_join_bounded); shuffle join otherwise",
+    ("banded_dedup", "hot_keys"): "bkey projection of the same probe-bounded "
+    "hot list (the cold-side anti-join filter)",
     ("llm", "probes"): "probe set capped by PROBE_ID_MAX constant",
     ("llm", "queries"): "query set capped by PROBE_ID_MAX constant",
     ("llm", "recall"): "per-query recall rows — bounded by query cap",
