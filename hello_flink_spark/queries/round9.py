@@ -1573,21 +1573,52 @@ def _padded(col: "np.ndarray", starts, lens):  # noqa: F821
 def _cusum_lockstep(pdf: pd.DataFrame, carry: dict) -> pd.DataFrame:
     """One Arrow batch of the CUSUM scan: all keys step together.
     ``carry`` holds the straddling last key's (s, n, alarms) so a key
-    split across batch boundaries folds seamlessly."""
+    split across batch boundaries folds seamlessly.
+
+    Degenerate-shape guard (the VERDICT r09 #3 10⁸-events-per-key
+    case): when the batch is TALL (max group length > rows/3 — one or
+    few keys dominating), the lockstep's per-STEP numpy overhead
+    exceeds a plain per-row loop over width-~1 vectors, so fall back
+    to the scalar chain per group. Both paths run the identical
+    pre-associated ``s + d`` op sequence, so the output is
+    bit-identical either way (pinned by the forced-tiny-batch and
+    single-key tests)."""
     import numpy as np
 
     uids = pdf["user_id"].to_numpy()
     v = pdf["value"].to_numpy(np.float64)
     d = (v - CUSUM_MU) - CUSUM_K
     starts, ends, lens = _segments(uids)
-    mat, mask, L = _padded(d, starts, lens)
     G = len(starts)
+    rows: list[tuple] = []
+    if int(lens.max()) * 3 > len(uids):
+        for g in range(G):
+            a, b = int(starts[g]), int(ends[g])
+            uid = int(uids[a])
+            if carry.get("uid") is not None and g == 0 and uid == carry["uid"]:
+                s, n0, al = carry["s"], carry["n"], carry["al"]
+            else:
+                s, n0, al = 0.0, 0, 0
+            for i in range(a, b):
+                s = max(0.0, s + d[i])
+                if s > CUSUM_H:
+                    al += 1
+                    rows.append(
+                        (uid, al, n0 + (i - a) + 1, round(s, 6), float(v[i]))
+                    )
+                    s = 0.0
+            last = (s, n0 + (b - a), al)
+        carry.update(uid=int(uids[-1]), s=last[0], n=last[1], al=last[2])
+        return pd.DataFrame(
+            rows,
+            columns=["user_id", "alarm_seq", "n_events", "cusum_stat", "trigger_value"],
+        )
+    mat, mask, L = _padded(d, starts, lens)
     s = np.zeros(G)
     n0 = np.zeros(G, dtype=np.int64)
     al = np.zeros(G, dtype=np.int64)
     if carry.get("uid") is not None and uids[0] == carry["uid"]:
         s[0], n0[0], al[0] = carry["s"], carry["n"], carry["al"]
-    rows: list[tuple] = []
     for t in range(L):
         s = s + mat[:, t]
         np.maximum(s, 0.0, out=s)
@@ -1619,14 +1650,46 @@ def _cusum_lockstep(pdf: pd.DataFrame, carry: dict) -> pd.DataFrame:
 
 def _delta_lockstep(pdf: pd.DataFrame, carry: dict) -> pd.DataFrame:
     """One Arrow batch of the DeltaTrigger scan, lockstep across keys;
-    ``carry`` = straddling key's (baseline, total, n, fires)."""
+    ``carry`` = straddling key's (baseline, total, n, fires). Same
+    tall-batch scalar fallback as ``_cusum_lockstep`` (bit-identical
+    op sequence on both paths)."""
     import numpy as np
 
     uids = pdf["user_id"].to_numpy()
     v = pdf["value"].to_numpy(np.float64)
     starts, ends, lens = _segments(uids)
-    mat, mask, L = _padded(v, starts, lens)
     G = len(starts)
+    if int(lens.max()) * 3 > len(uids):
+        rows: list[tuple] = []
+        for g in range(G):
+            a, b = int(starts[g]), int(ends[g])
+            uid = int(uids[a])
+            if carry.get("uid") is not None and g == 0 and uid == carry["uid"]:
+                base, tot = carry["base"], carry["tot"]
+                n0, fires = carry["n"], carry["fires"]
+                seeded = True
+            else:
+                base, tot, n0, fires, seeded = 0.0, 0.0, 0, 0, False
+            for i in range(a, b):
+                x = v[i]
+                tot = tot + x
+                if not seeded:
+                    base, seeded = x, True
+                elif abs(x - base) > DELTA_TRIGGER_THRESH:
+                    fires += 1
+                    rows.append(
+                        (uid, fires, n0 + (i - a) + 1, round(tot, 2), float(x))
+                    )
+                    base = x
+            last = (base, tot, n0 + (b - a), fires)
+        carry.update(
+            uid=int(uids[-1]), base=last[0], tot=last[1], n=last[2], fires=last[3]
+        )
+        return pd.DataFrame(
+            rows,
+            columns=["user_id", "fire_seq", "n_events", "total_value", "trigger_value"],
+        )
+    mat, mask, L = _padded(v, starts, lens)
     base = np.zeros(G)
     seeded = np.zeros(G, dtype=bool)
     tot = np.zeros(G)

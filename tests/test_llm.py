@@ -1644,6 +1644,59 @@ def test_lockstep_scan_equals_reference_folds(spark, sf_dir_mid):
         pd.testing.assert_frame_equal(got, want)
 
 
+def test_lockstep_tall_batch_scalar_fallback():
+    """The single-key / tall-batch shape (VERDICT r09 #3's 10⁸-events-
+    per-key warning): one dominating key must route through the scalar
+    fallback (lens.max()*3 > rows) and still be bit-identical to the
+    reference fold — including carry stitching when the tall key
+    straddles a batch split."""
+    import numpy as np
+    import pandas as pd
+
+    from hello_flink_spark.queries.round9 import (
+        _cusum_fold,
+        _cusum_lockstep,
+        _delta_lockstep,
+        _delta_trigger_fold,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    # One tall key (id 1) plus a 20-row tail key (id 2): the batch is
+    # "tall" by the fallback's own trigger, and the tail key checks the
+    # fresh-state reset inside the scalar loop.
+    pdf = pd.DataFrame(
+        {
+            "user_id": np.r_[np.full(n, 1), np.full(20, 2)],
+            "ts": np.arange(n + 20),
+            "event_id": np.arange(n + 20),
+            # Wide spread so both recurrences actually fire: delta
+            # needs |v - base| > 200, CUSUM needs runs of v > 65.
+            "value": np.r_[
+                rng.normal(60.0, 180.0, n), rng.normal(60.0, 180.0, 20)
+            ],
+        }
+    )
+    for fold, lockstep in [
+        (_cusum_fold, _cusum_lockstep),
+        (_delta_trigger_fold, _delta_lockstep),
+    ]:
+        folds = [fold(g) for _, g in pdf.groupby("user_id")]
+        want = pd.concat([p for p in folds if len(p)], ignore_index=True)
+        assert len(want) > 10, "fixture must actually fire on both keys"
+        for cuts in ([], [n // 2], [997, 1994, 2991, 3988]):
+            carry: dict = {"uid": None}
+            bounds = [0, *cuts, len(pdf)]
+            parts = [
+                lockstep(pdf.iloc[a:b].reset_index(drop=True), carry)
+                for a, b in zip(bounds, bounds[1:])
+            ]
+            got = pd.concat([p for p in parts if len(p)], ignore_index=True)
+            pd.testing.assert_frame_equal(
+                got.astype(float), want.astype(float)
+            )
+
+
 def test_lockstep_carry_across_batch_boundaries(spark, sf_dir):
     """Force tiny Arrow batches so every key straddles batch
     boundaries — the carry (s/baseline/total/counts) must stitch the
