@@ -219,6 +219,8 @@ HEADLINE = [
     # round-10: the streaming CUMULATE construction's batch shadow
     # (explode -> synthetic step_ts -> native 15-min tumble).
     "window_cumulate_batch",
+    # round-10: async-I/O enrichment (batched per-task client, map-only).
+    "join_async_enrich",
 ]
 
 

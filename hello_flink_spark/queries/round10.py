@@ -66,3 +66,43 @@ def window_cumulate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.end").alias("window_end"), "event_type", "cnt", "total_value")
     )
+
+
+@register(
+    "join_async_enrich",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CASE WHEN user_id % 97 = 0 THEN NULL
+                ELSE ['bronze','silver','gold','platinum','diamond'][(user_id % 5) + 1]
+           END AS profile_tier,
+           CASE WHEN user_id % 97 = 0 THEN NULL
+                ELSE ((user_id * 2654435761) % 1000000) / 1000000
+           END AS profile_score,
+           CAST(CASE WHEN user_id % 97 = 0 THEN NULL
+                ELSE (user_id * 40503) % 100
+           END AS BIGINT) AS profile_segment
+    FROM events
+    """,
+)
+def join_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] ``AsyncDataStream.unorderedWait`` (async I/O enrichment,
+    VERDICT r09 "What's missing" #5) — each event enriched against an
+    external profile service, mapped Spark-first as ``mapInPandas``
+    with a batched client (``operators/async_enrich.py``): one client
+    per task, per-Arrow-batch key coalescing, ``capacity``-chunked
+    bulk requests, a retry loop for unanswered keys, typed-null
+    fallback for permanent misses (Flink's timeout override).
+
+    The service is the deterministic in-process fake (no network in
+    the sandbox), so the driver hash gate pins the WHOLE operator
+    surface: deleted users (uid % 97 == 0) must come back as typed
+    nulls (fallback path), flaky users (uid % 7 == 3, missing on bulk
+    attempt 1) must come back FULLY populated (retry path — a broken
+    retry loop turns them null and the hash fails), and capacity=64
+    forces multi-chunk bulk requests at every sf. Map-only: zero
+    shuffles at any corpus scale; Spark cores × capacity bounds
+    outstanding keys exactly like the Flink operator's capacity."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id")
+    from hello_flink_spark.operators.async_enrich import enrich_with_service
+
+    return enrich_with_service(e, "user_id", capacity=64)
