@@ -2519,3 +2519,34 @@ def test_cep_group_stream_golden(spark, sf_dir, replay_dir):
     assert any(n >= 2 for *_, n in got), (
         "no multi-repetition group run in fixture — quantifier vacuous"
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: async-I/O enrichment under Structured Streaming — the operator's
+# actual Flink context ([F] AsyncDataStream enriches a live stream).
+# Stateless mapInPandas passes through the micro-batch planner, so the
+# streamed result must equal the declared batch query row-for-row.
+# ---------------------------------------------------------------------------
+
+
+def test_async_enrich_stream_equals_batch_shadow(spark, sf_dir, replay_dir):
+    from hello_flink_spark.operators.async_enrich import enrich_with_service
+
+    enriched = enrich_with_service(
+        _stream(spark, replay_dir).select("event_id", "user_id"),
+        "user_id",
+        capacity=64,
+    )
+    run_to_memory(enriched, "t_async_enrich", "append")
+    got = {
+        r.event_id: (r.profile_tier, r.profile_score, r.profile_segment)
+        for r in spark.table("t_async_enrich").collect()
+    }
+    want = {
+        r.event_id: (r.profile_tier, r.profile_score, r.profile_segment)
+        for r in get_spec("join_async_enrich").fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # fallback + retry visible in the streamed output too
+    deleted = [v for v in got.values() if v[0] is None]
+    assert deleted, "no deleted-user fallback rows streamed"
