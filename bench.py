@@ -221,6 +221,9 @@ HEADLINE = [
     "window_cumulate_batch",
     # round-10: async-I/O enrichment (batched per-task client, map-only).
     "join_async_enrich",
+    # round-10: fasttext-shaped quality gate (hashed features, broadcast
+    # weight table, one doc_id shuffle).
+    "text_quality_classifier",
 ]
 
 

@@ -106,3 +106,79 @@ def join_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hello_flink_spark.operators.async_enrich import enrich_with_service
 
     return enrich_with_service(e, "user_id", capacity=64)
+
+
+# Deterministic "trained" weight table for the quality classifier:
+# bucket b in [0, 256) gets w = ((b * 2654435761) % 2001 - 1000) / 1000
+# in [-1, 1] — a stand-in for fasttext-style learned weights (no model
+# files in the sandbox), shared verbatim by the oracle SQL.
+QC_BUCKETS = 256
+QC_WEIGHT_MULT = 2654435761
+QC_BIAS = 0.1
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH weights AS (
+      SELECT printf('%02x', b) AS bucket,
+             ((b * {QC_WEIGHT_MULT}) % 2001 - 1000) / 1000.0 AS w
+      FROM (SELECT UNNEST(generate_series(0, {QC_BUCKETS - 1})) AS b)
+    ),
+    tok AS (
+      SELECT doc_id, substr(md5(tok), 1, 2) AS bucket
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+    ),
+    pooled AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(w.w) AS sw
+      FROM tok t JOIN weights w ON w.bucket = t.bucket
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(1.0 / (1.0 + exp(-({QC_BIAS} + sw / n_tokens))), 6) AS quality_score,
+           CAST(CASE WHEN 1.0 / (1.0 + exp(-({QC_BIAS} + sw / n_tokens))) >= 0.5
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM pooled
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-shaped document quality classifier — the standard
+    LLM-corpus quality gate (CCNet/RefinedWeb class): hashed bag-of-
+    words features (md5-prefix buckets, the `text_hashing_features`
+    device — no vocabulary join at any scale), a BROADCAST 256-row
+    weight table standing in for the trained linear model, mean-pooled
+    dot product, logistic score, keep decision at 0.5.
+
+    Spark-first shape for 100 TB: explode is map-side; the model join
+    is an explicit `F.broadcast` of a 256-row frame (a real deployment
+    broadcasts its ~2M-bucket × 1 float weight vector the same way —
+    a few MB); ONE doc_id shuffle with map-side partial aggregation
+    carries only (Σw, count) per doc. The weights here are derived by
+    modular arithmetic from the bucket id so the DuckDB oracle can
+    rebuild the identical "model" and the driver hash gate pins
+    hashing, pooling, and the sigmoid boundary end-to-end."""
+    d = t(spark, sf_dir, "documents")
+    weights = spark.range(QC_BUCKETS).select(
+        F.lpad(F.lower(F.hex(F.col("id"))), 2, "0").alias("bucket"),
+        (((F.col("id") * QC_WEIGHT_MULT) % 2001 - 1000) / 1000.0).alias("w"),
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    pooled = (
+        tok.withColumn("bucket", F.substring(F.md5(F.col("tok")), 1, 2))
+        # bounded broadcast: exactly QC_BUCKETS=256 rows by construction
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("w").alias("sw"))
+    )
+    z = F.lit(QC_BIAS) + F.col("sw") / F.col("n_tokens")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return pooled.select(
+        "doc_id",
+        "n_tokens",
+        F.round(score, 6).alias("quality_score"),
+        F.when(score >= 0.5, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
+    )

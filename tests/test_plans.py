@@ -269,6 +269,8 @@ BROADCAST_HINT_OK = {
     ("round9", "tot"): "1-row kept-total scalar (data_mixture_temperature)",
     ("round9", "mrow"): "1-row (ma, mb) merge-pair scalar per trainer "
     "iteration (text_bpe_train_merges)",
+    ("round10", "weights"): "linear-model weight table — QC_BUCKETS = 256 rows "
+    "by construction (text_quality_classifier)",
 }
 
 
