@@ -92,8 +92,15 @@ class CepPattern:
     # State grows O(run length) per anchor — reluctant's inherent cost.
     # Composes with min_reps/max_reps (each branch gated by its own
     # count; the capped head stops spawning prefixes), step_min_value,
-    # or_types, total_minutes. Refused (untested compositions —
-    # property-suite first): skip strategies, until, run_min_total,
+    # or_types, total_minutes, and (r10, property-suite-pinned)
+    # until_type — [F]'s ACTUAL default pairing, since oneOrMore is
+    # reluctant unless .greedy(): the stop event freezes the live head
+    # (no new prefixes), already-spawned prefix branches still
+    # complete, and a run awaiting its first repetition dies — the
+    # NFA's FROZEN marker means "complete-or-expire" identically for
+    # until-frozen heads and reluctant prefix copies, so the two
+    # features share it. Refused (untested compositions —
+    # property-suite first): skip strategies, run_min_total,
     # timeout side-output, group_reps.
     reluctant: bool = False
     # [F] Flink CEP ``optional()``: indexes of middle steps that may be
@@ -389,7 +396,6 @@ class CepPattern:
             for feature, label in (
                 (self.skip_past_last, "skip_past_last"),
                 (self.after_match_skip is not None, "after_match_skip"),
-                (self.until_type is not None, "until_type"),
                 (self.run_min_total is not None, "run_min_total"),
             ):
                 if feature:

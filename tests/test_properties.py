@@ -4206,7 +4206,9 @@ def test_cep_skip_to_any_match_golden():
 # ---------------------------------------------------------------------------
 
 
-def _reluctant_sim(evs5, steps, rep, window_s, min_reps=1, max_reps=None):
+def _reluctant_sim(
+    evs5, steps, rep, window_s, min_reps=1, max_reps=None, until=None
+):
     """Per-anchor model of the reluctant Kleene emission policy: the
     run's extension/completion decisions are the GREEDY ones (the
     quota-gated first next-step event completes), but the completion
@@ -4214,9 +4216,15 @@ def _reluctant_sim(evs5, steps, rep, window_s, min_reps=1, max_reps=None):
     was still in-window at the completing event (per-branch windows,
     measured from that prefix's LAST repetition); each surviving
     prefix then continues through any later stages along the same
-    first-eligible chain. Written directly against the semantics —
-    per-anchor with explicit repetition lists, sharing no code or
-    state layout with the NFA's frozen-branch partial list."""
+    first-eligible chain. With ``until`` (r10: reluctant × until — the
+    actual [F] DEFAULT, since Flink's oneOrMore is reluctant unless
+    .greedy()), a stop event strictly later than the run's last
+    accepted event freezes acceptance INTO the loop: no further
+    repetitions (so no new prefixes), already-spawned prefixes still
+    complete, and a run still awaiting its FIRST repetition is dead.
+    Written directly against the semantics — per-anchor with explicit
+    repetition lists, sharing no code or state layout with the NFA's
+    frozen-branch partial list."""
     k = len(steps)
     out = []
     for pos, (uid, aid, ts0, et0, v0) in enumerate(evs5):
@@ -4227,6 +4235,7 @@ def _reluctant_sim(evs5, steps, rep, window_s, min_reps=1, max_reps=None):
         cnt = 0
         comp = None
         rest_from = None
+        frozen = False
         for qpos, (uid2, eid, ts, et, v) in enumerate(evs5[pos + 1:], pos + 1):
             if uid2 != uid:
                 continue
@@ -4234,9 +4243,19 @@ def _reluctant_sim(evs5, steps, rep, window_s, min_reps=1, max_reps=None):
                 break
             stage = len(cur)
             if (
+                until is not None
+                and et == until[0]
+                and (until[1] is None or v >= until[1])
+                and ts > cur[-1]
+                and stage in (rep, rep + 1)
+            ):
+                frozen = True
+                continue
+            if (
                 stage == rep + 1
                 and et == steps[rep]
                 and ts > cur[-1]
+                and not frozen
                 and (max_reps is None or cnt < max_reps)
             ):
                 reps.append(ts)
@@ -4249,6 +4268,8 @@ def _reluctant_sim(evs5, steps, rep, window_s, min_reps=1, max_reps=None):
                 comp, rest_from = ts, qpos
                 break
             if stage < k and stage != rep + 1 and et == steps[stage] and ts > cur[-1]:
+                if frozen and stage == rep:
+                    continue  # first repetition refused: run is dead
                 cur.append(ts)
                 if stage == rep:
                     reps, cnt = [ts], 1
@@ -4437,3 +4458,133 @@ def test_cep_reluctant_vs_greedy_fixture_counts(sf_dir):
     assert sum(m[-1] for m in greedy) == 59
     assert len(greedy) < len(rel) <= sum(m[-1] for m in greedy)
     assert sorted(m for m in rel if m in greedy) == greedy
+
+
+# ---------------------------------------------------------------------------
+# Round 10: reluctant × until — [F]'s ACTUAL default pairing (oneOrMore
+# is reluctant unless .greedy(); .until() is the documented companion
+# for unbounded loops). The stop event freezes acceptance INTO the
+# loop: no new prefixes, already-spawned prefixes still complete, a
+# run awaiting its first repetition dies.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "u"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_reluctant_until_nfa_matches_simulation_any_chunking(events, cuts):
+    """a b+ c reluctant with until('u') under every micro-batch split:
+    the stop must cap WHICH prefixes exist (none spawned after it) but
+    never kill the already-spawned ones, and the freeze boundary must
+    be chunking-invariant."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c"), 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    evs5 = [(u, i, t, e, 0.0) for u, i, t, e in evs]
+    want = _reluctant_sim(evs5, steps, 1, window_s, until=("u", None))
+    proc = _make_processor(
+        steps, window_s * 1_000_000, rep=1, reluctant=True, until=("u", None)
+    )
+    assert _drive_nfa_chunked(proc, evs, cuts, 3, extra_cols=("n_rep",)) == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "u"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_reluctant_until_timesormore_nfa_matches_simulation(events, cuts):
+    """reluctant × until × timesOrMore(2): a head frozen below the
+    quota can never complete (its prefixes are all below quota too);
+    prefixes at or above the quota survive the freeze."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c"), 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    evs5 = [(u, i, t, e, 0.0) for u, i, t, e in evs]
+    want = _reluctant_sim(evs5, steps, 1, window_s, min_reps=2, until=("u", None))
+    proc = _make_processor(
+        steps,
+        window_s * 1_000_000,
+        rep=1,
+        min_reps=2,
+        reluctant=True,
+        until=("u", None),
+    )
+    assert _drive_nfa_chunked(proc, evs, cuts, 3, extra_cols=("n_rep",)) == want
+
+
+def test_cep_reluctant_until_goldens():
+    """Pinned: (1) a stop mid-run caps the prefix set — the b after u
+    spawns nothing, existing prefixes complete; (2) the no-until twin
+    on the same stream emits the extra longer prefix; (3) a stop
+    before the first repetition kills the anchor entirely; (4) the
+    until value guard is behavioral — a below-bar stop freezes
+    nothing; (5) greedy × until on stream (1) emits exactly the
+    longest surviving prefix."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    w = 60 * 1_000_000
+    rel_u = _make_processor(
+        ("a", "b", "c"), w, rep=1, reluctant=True, until=("u", None)
+    )
+    rel = _make_processor(("a", "b", "c"), w, rep=1, reluctant=True)
+    greedy_u = _make_processor(("a", "b", "c"), w, rep=1, until=("u", None))
+    mid = [
+        (1, 0, 0, "a"), (1, 1, 10, "b"), (1, 2, 20, "b"),
+        (1, 3, 30, "u"), (1, 4, 40, "b"), (1, 5, 50, "c"),
+    ]
+    assert _drive_nfa_chunked(rel_u, mid, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 10, 50, 1), (1, 0, 0, 20, 50, 2)
+    ]
+    assert _drive_nfa_chunked(rel, mid, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 10, 50, 1), (1, 0, 0, 20, 50, 2), (1, 0, 0, 40, 50, 3)
+    ]
+    assert _drive_nfa_chunked(greedy_u, mid, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 20, 50, 2)
+    ]
+    pre = [
+        (1, 0, 0, "a"), (1, 1, 5, "u"), (1, 2, 10, "b"), (1, 3, 20, "c"),
+    ]
+    assert _drive_nfa_chunked(rel_u, pre, [], 3, extra_cols=("n_rep",)) == []
+    assert _drive_nfa_chunked(rel, pre, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 10, 20, 1)
+    ]
+    rel_u_val = _make_processor(
+        ("a", "b", "c"), w, rep=1, reluctant=True, until=("u", 5.0)
+    )
+    mid_v = [
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 20, "b", 0.0),
+        (1, 3, 30, "u", 3.0), (1, 4, 40, "b", 0.0), (1, 5, 50, "c", 0.0),
+    ]
+    # u@30 value 3.0 < bar 5.0: no freeze — all three prefixes emit
+    assert _drive_nfa_chunked_v(
+        rel_u_val, mid_v, [], 3, extra_cols=("n_rep",)
+    ) == [
+        (1, 0, 0, 10, 50, 1), (1, 0, 0, 20, 50, 2), (1, 0, 0, 40, 50, 3)
+    ]
