@@ -99,9 +99,16 @@ class CepPattern:
     # complete, and a run awaiting its first repetition dies — the
     # NFA's FROZEN marker means "complete-or-expire" identically for
     # until-frozen heads and reluctant prefix copies, so the two
-    # features share it. Refused (untested compositions —
-    # property-suite first): skip strategies, run_min_total,
-    # timeout side-output, group_reps.
+    # features share it. Also composes (r10, each property-suite-
+    # pinned): run_min_total (every branch carries ITS frozen total —
+    # branches resolve independently: a frozen prefix clears the bar
+    # at the first next-step event after its spawn or never, the
+    # under-total head keeps extending and may complete later) and
+    # skip_past_last (all branches complete at one event, so the
+    # earliest-anchor-wins/clear-state/consume rule lifts unchanged —
+    # the winner emits EVERY prefix). Refused (untested compositions —
+    # property-suite first): after_match_skip strategies and the
+    # timeout side-output.
     reluctant: bool = False
     # [F] Flink CEP ``optional()``: indexes of middle steps that may be
     # SKIPPED. First-event-wins determinism: after the previous stage,
@@ -394,9 +401,7 @@ class CepPattern:
                     "Kleene run"
                 )
             for feature, label in (
-                (self.skip_past_last, "skip_past_last"),
                 (self.after_match_skip is not None, "after_match_skip"),
-                (self.run_min_total is not None, "run_min_total"),
             ):
                 if feature:
                     raise ValueError(
@@ -1235,10 +1240,17 @@ def _make_processor(
                                 )
                             )
                 if completed and skip_past_last:
-                    aid, tss, cnt, vals = min(
-                        completed, key=lambda c: (c[1][0], c[0])
-                    )
-                    out.append(_row(key[0], aid, tss, True, cnt, vals))
+                    win_aid = min(completed, key=lambda c: (c[1][0], c[0]))[0]
+                    # reluctant: the winning (earliest) anchor's branches
+                    # ALL complete at this event — every prefix emits
+                    # (ascending prefix order), then the skip clears the
+                    # key's state; greedy anchors have one branch, so the
+                    # single-emission behavior is unchanged.
+                    for aid, tss, cnt, vals in sorted(
+                        (c for c in completed if c[0] == win_aid),
+                        key=lambda c: [-1 if x is None else x for x in c[1]],
+                    ):
+                        out.append(_row(key[0], aid, tss, True, cnt, vals))
                     partials = []
                     continue  # the completing event is consumed: no anchor
                 if completed and skip_to is not None:

@@ -4588,3 +4588,296 @@ def test_cep_reluctant_until_goldens():
     ) == [
         (1, 0, 0, 10, 50, 1), (1, 0, 0, 20, 50, 2), (1, 0, 0, 40, 50, 3)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Round 10: reluctant × run_min_total — "every prefix totaling ≥ X is
+# its own match". Unlike plain reluctant (one completion event takes
+# every branch), branches resolve INDEPENDENTLY: a frozen prefix's
+# total never changes, so it either clears the bar at the first
+# next-step event after its creation or never emits; the under-total
+# live head keeps extending (relaxed no-op) and may complete at a
+# LATER next-step event, spawning more prefixes in between.
+# ---------------------------------------------------------------------------
+
+
+def _reluctant_runtotal_sim(evs5, window_s, min_reps, run_total):
+    """Per-anchor model for a b+ c with reluctant=True and the Kleene
+    run-aggregate guard: each branch (frozen prefix or live head) is
+    judged per next-step event on BOTH gates (count >= min_reps, its
+    own accumulated repetition-value sum >= run_total) within its own
+    window (measured from its last repetition); clearing branches emit
+    and leave, failing prefixes can never clear (their totals are
+    frozen) and silently expire, the failing head keeps extending.
+    Written directly against the semantics; shares no code with the
+    NFA's partial list."""
+    out = []
+    for pos, (uid, aid, ts0, et0, v0) in enumerate(evs5):
+        if et0 != "a":
+            continue
+        last, cnt, tot = ts0, 0, 0.0
+        head_alive = True
+        prefixes: list[tuple[int, int, float]] = []  # (last_rep_ts, m, tot)
+        for uid2, eid, ts, et, v in evs5[pos + 1:]:
+            if uid2 != uid:
+                continue
+            if head_alive and ts - last > window_s:
+                head_alive = False  # prefixes have older last: all dead
+            if not head_alive and not prefixes:
+                break
+            if et == "b" and head_alive and ts > last:
+                if cnt > 0:
+                    prefixes.append((last, cnt, tot))
+                    last, cnt, tot = ts, cnt + 1, tot + v
+                else:
+                    last, cnt, tot = ts, 1, v
+                continue
+            if et == "c":
+                for p_last, p_m, p_tot in prefixes:
+                    if (
+                        ts > p_last
+                        and ts - p_last <= window_s
+                        and p_m >= min_reps
+                        and p_tot >= run_total
+                    ):
+                        out.append((uid, aid, ts0, p_last, ts, p_m))
+                prefixes = []  # failing prefixes never clear later
+                if (
+                    head_alive
+                    and ts > last
+                    and cnt >= min_reps
+                    and tot >= run_total
+                ):
+                    out.append((uid, aid, ts0, last, ts, cnt))
+                    head_alive = False
+                    break  # head emitted; no prefixes remain
+    return sorted(out)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 3),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_reluctant_run_total_nfa_matches_simulation(events, cuts):
+    """reluctant × run_min_total(4) under every micro-batch split:
+    per-branch frozen totals, independent branch resolution, the
+    under-total head completing at a later next-step event."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    window_s = 60
+    evs = sorted(
+        ((u, i, t, e, float(v)) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _reluctant_runtotal_sim(evs, window_s, 1, 4.0)
+    proc = _make_processor(
+        ("a", "b", "c"),
+        window_s * 1_000_000,
+        rep=1,
+        reluctant=True,
+        run_total=4.0,
+    )
+    assert _drive_nfa_chunked_v(proc, evs, cuts, 3, extra_cols=("n_rep",)) == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 3),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_reluctant_run_total_timesormore_nfa_matches_simulation(events, cuts):
+    """reluctant × run_min_total × timesOrMore(2): both gates judged
+    per branch."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    window_s = 60
+    evs = sorted(
+        ((u, i, t, e, float(v)) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want = _reluctant_runtotal_sim(evs, window_s, 2, 4.0)
+    proc = _make_processor(
+        ("a", "b", "c"),
+        window_s * 1_000_000,
+        rep=1,
+        min_reps=2,
+        reluctant=True,
+        run_total=4.0,
+    )
+    assert _drive_nfa_chunked_v(proc, evs, cuts, 3, extra_cols=("n_rep",)) == want
+
+
+def test_cep_reluctant_run_total_goldens():
+    """Pinned: (1) staggered resolution — the head completes at a
+    LATER c than none of its prefixes cleared, having spawned more
+    repetitions in between; (2) a clearing prefix and the clearing
+    head emit at the same c; (3) an under-total frozen prefix never
+    emits even though a later c arrives in its window."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    w = 60 * 1_000_000
+    proc = _make_processor(
+        ("a", "b", "c"), w, rep=1, reluctant=True, run_total=5.0
+    )
+    # (1): b@10 (3) -> c@15 fails head (3 < 5); b@20 (3) spawns the
+    # 3-total prefix and lifts the head to 6; c@25 emits the head
+    # (m=2), the prefix fails and expires silently.
+    staggered = [
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 3.0), (1, 2, 15, "c", 0.0),
+        (1, 3, 20, "b", 3.0), (1, 4, 25, "c", 0.0),
+    ]
+    assert _drive_nfa_chunked_v(proc, staggered, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 20, 25, 2)
+    ]
+    # (2): both the 5-total prefix and the 8-total head clear at c@40
+    both = [
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 5.0), (1, 2, 20, "b", 3.0),
+        (1, 3, 40, "c", 0.0),
+    ]
+    assert _drive_nfa_chunked_v(proc, both, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 10, 40, 1), (1, 0, 0, 20, 40, 2)
+    ]
+    # (3): the 2-total prefix is in-window at c@50 but never clears
+    never = [
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 2.0), (1, 2, 20, "b", 4.0),
+        (1, 3, 50, "c", 0.0),
+    ]
+    assert _drive_nfa_chunked_v(proc, never, [], 3, extra_cols=("n_rep",)) == [
+        (1, 0, 0, 20, 50, 2)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Round 10: reluctant × skipPastLastEvent — all of an anchor's prefix
+# branches complete at ONE event, so the skip's "earliest anchor wins,
+# completing event consumed, state cleared" rule lifts unchanged: the
+# winning anchor emits EVERY prefix, losers are discarded.
+# ---------------------------------------------------------------------------
+
+
+def _reluctant_skip_sim(evs5, window_s, min_reps=1):
+    """Per-key sequential model of a b+ c with reluctant=True and
+    skipPastLastEvent: anchors accumulate runs (each extension spawns
+    a frozen prefix); at a next-step event the earliest anchor holding
+    ANY eligible branch (strictly-later, per-branch window, quota)
+    emits all its eligible prefixes, the key's whole partial state is
+    cleared, and the completing event is consumed. Shares no code with
+    the NFA."""
+    out = []
+    for uid in sorted({e[0] for e in evs5}):
+        evs = [e for e in evs5 if e[0] == uid]
+        anchors: list[dict] = []
+        for _, eid, ts, et, v in evs:
+            if et == "b":
+                for a in anchors:
+                    if ts <= a["last"] or ts - a["last"] > window_s:
+                        continue
+                    if a["cnt"] > 0:
+                        a["prefixes"].append((a["last"], a["cnt"]))
+                    a["last"], a["cnt"] = ts, a["cnt"] + 1
+            elif et == "c":
+                cands = []
+                for a in anchors:
+                    branches = a["prefixes"] + (
+                        [(a["last"], a["cnt"])] if a["cnt"] > 0 else []
+                    )
+                    elig = [
+                        (bl, bm)
+                        for bl, bm in branches
+                        if ts > bl and ts - bl <= window_s and bm >= min_reps
+                    ]
+                    if elig:
+                        cands.append((a["ts0"], a["aid"], elig))
+                if cands:
+                    ts0, aid, elig = min(cands, key=lambda x: (x[0], x[1]))
+                    for bl, bm in sorted(elig):
+                        out.append((uid, aid, ts0, bl, ts, bm))
+                    anchors = []
+            elif et == "a":
+                anchors.append(
+                    {"aid": eid, "ts0": ts, "last": ts, "cnt": 0, "prefixes": []}
+                )
+    return sorted(out)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_reluctant_skip_past_last_nfa_matches_simulation(events, cuts):
+    """reluctant × skipPastLastEvent under every micro-batch split:
+    the earliest anchor emits all its prefixes, everything else dies,
+    the completing event anchors nothing."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    window_s = 60
+    evs = sorted(
+        ((u, i, t, e) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    evs5 = [(u, i, t, e, 0.0) for u, i, t, e in evs]
+    want = _reluctant_skip_sim(evs5, window_s)
+    proc = _make_processor(
+        ("a", "b", "c"),
+        window_s * 1_000_000,
+        rep=1,
+        reluctant=True,
+        skip_past_last=True,
+    )
+    assert _drive_nfa_chunked(proc, evs, cuts, 3, extra_cols=("n_rep",)) == want
+
+
+def test_cep_reluctant_skip_past_last_goldens():
+    """Pinned: (1) the earlier anchor's THREE prefixes all emit at one
+    c and the later anchor dies with them; (2) after the skip, a fresh
+    anchor+run match emits normally; (3) greedy × skipPastLast on the
+    same stream emits exactly the longest-prefix rows (the reluctant
+    set contains it)."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    w = 60 * 1_000_000
+    rel = _make_processor(
+        ("a", "b", "c"), w, rep=1, reluctant=True, skip_past_last=True
+    )
+    greedy = _make_processor(("a", "b", "c"), w, rep=1, skip_past_last=True)
+    evs = [
+        (1, 0, 0, "a"), (1, 1, 5, "a"), (1, 2, 10, "b"), (1, 3, 20, "b"),
+        (1, 4, 30, "b"), (1, 5, 40, "c"),
+        (1, 6, 50, "a"), (1, 7, 60, "b"), (1, 8, 70, "c"),
+    ]
+    got = _drive_nfa_chunked(rel, evs, [], 3, extra_cols=("n_rep",))
+    assert got == [
+        (1, 0, 0, 10, 40, 1), (1, 0, 0, 20, 40, 2), (1, 0, 0, 30, 40, 3),
+        (1, 6, 50, 60, 70, 1),
+    ]
+    got_g = _drive_nfa_chunked(greedy, evs, [], 3, extra_cols=("n_rep",))
+    assert got_g == [(1, 0, 0, 30, 40, 3), (1, 6, 50, 60, 70, 1)]
+    assert set(got_g) <= set(got)
