@@ -224,6 +224,14 @@ HEADLINE = [
     # round-10: fasttext-shaped quality gate (hashed features, broadcast
     # weight table, one doc_id shuffle).
     "text_quality_classifier",
+    # round-10: DataStream window join / coGroup batch shadows and the
+    # Flink SQL Window Top-N pattern.
+    "join_window_batch",
+    "join_cogroup_window",
+    "window_topn_batch",
+    # round-10: exact-substring duplication audit (char-gram collapse,
+    # gram-partitioned count window - no pair enumeration).
+    "text_substring_dedup",
 ]
 
 

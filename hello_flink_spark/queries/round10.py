@@ -182,3 +182,246 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("quality_score"),
         F.when(score >= 0.5, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
     )
+
+
+@register(
+    "join_window_batch",
+    oracle="""
+    SELECT date_trunc('hour', c.ts) AS window_start,
+           c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           ROUND(p.value - c.value, 4) AS value_delta
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND date_trunc('hour', c.ts) = date_trunc('hour', p.ts)
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def join_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] DataStream window join —
+    ``clicks.join(purchases).where(u).equalTo(u).window(TumblingEventTimeWindows
+    .of(Time.hours(1))).apply(JoinFunction)``: pair every click with
+    every purchase of the SAME user inside the SAME 1-hour tumbling
+    window (unlike ``join_interval_batch``'s ±bound, membership is the
+    shared window bucket — two events 1 s apart across a boundary do
+    NOT join). The JoinFunction projection here emits the pair ids and
+    the purchase-minus-click value delta.
+
+    Spark-first: each side derives its tumbling bucket with the native
+    ``F.window`` TVF, then a plain equi-join on (user_id,
+    window_start) — exactly the co-partitioning Flink's window join
+    keys by, so Catalyst picks a single-shuffle-per-side SMJ/SHJ and
+    AQE handles skewed users. Per-pair fan-out is bounded per (user,
+    hour) bucket, never cross-window."""
+    e = t(spark, sf_dir, "events")
+    sides = []
+    for etype in ("click", "purchase"):
+        sides.append(
+            e.filter(F.col("event_type") == etype).select(
+                F.col("user_id"),
+                F.window("ts", "1 hour")["start"].alias("window_start"),
+                F.col("event_id").alias(f"{etype}_id"),
+                F.col("value").alias(f"{etype}_value"),
+            )
+        )
+    clicks, purchases = sides
+    return clicks.join(purchases, ["user_id", "window_start"]).select(
+        "window_start",
+        "user_id",
+        F.col("click_id"),
+        F.col("purchase_id"),
+        F.round(F.col("purchase_value") - F.col("click_value"), 4).alias(
+            "value_delta"
+        ),
+    )
+
+
+@register(
+    "join_cogroup_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+           ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'click'), 0), 4) AS click_value,
+           ROUND(COALESCE(SUM(value) FILTER (WHERE event_type = 'purchase'), 0), 4) AS purchase_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY window_start, user_id
+    """,
+)
+def join_cogroup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] DataStream window coGroup —
+    ``clicks.coGroup(purchases).where(u).equalTo(u).window(Tumbling 1h)
+    .apply(CoGroupFunction)``: unlike the window join's inner pair
+    fan-out, the CoGroupFunction receives BOTH sides' bags per (key,
+    window) — including groups where one side is empty — and emits one
+    row per group (here: per-side counts and value sums, zeros for the
+    absent side).
+
+    Spark-first: coGroup-then-aggregate does NOT need a full-outer
+    join of two pre-aggregates — the union of both inputs through ONE
+    conditional ``groupBy(user, window)`` with FILTER-style aggregates
+    produces exactly the either-side-nonempty group set in a single
+    shuffle with map-side partials (the two-agg + full-outer plan
+    would shuffle twice and join). This is the general mapping for
+    aggregating CoGroupFunctions; a bag-materializing CoGroupFunction
+    would fall back to ``applyInPandas`` over the same key."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_c = F.col("event_type") == "click"
+    is_p = F.col("event_type") == "purchase"
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour")["start"].alias("window_start"),
+            "user_id",
+        )
+        .agg(
+            F.count_if(is_c).alias("n_clicks"),
+            F.count_if(is_p).alias("n_purchases"),
+            F.round(
+                F.coalesce(F.sum(F.when(is_c, F.col("value"))), F.lit(0.0)), 4
+            ).alias("click_value"),
+            F.round(
+                F.coalesce(F.sum(F.when(is_p, F.col("value"))), F.lit(0.0)), 4
+            ).alias("purchase_value"),
+        )
+    )
+
+
+@register(
+    "window_topn_batch",
+    oracle="""
+    WITH counted AS (
+      SELECT date_trunc('hour', ts) AS window_start, user_id,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY window_start, user_id
+    )
+    SELECT window_start, user_id, cnt, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY window_start ORDER BY cnt DESC, user_id) AS rn
+          FROM counted)
+    WHERE rn <= 3
+    """,
+)
+def window_topn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F] Flink SQL Window Top-N — ``ROW_NUMBER() OVER (PARTITION BY
+    window_start ORDER BY cnt DESC)`` over a windowed aggregate, the
+    documented "Window Top-N" pattern: the 3 most active users per
+    1-hour tumbling window (deterministic tie-break on user_id).
+
+    Spark-first: tumbling bucket via the native ``F.window`` TVF,
+    count aggregate (map-side partials), then ``row_number`` over a
+    window PARTITIONED by window_start — never an unpartitioned
+    window, so both shuffles are keyed and the filter ``rn <= 3``
+    collapses per-partition state immediately. At 100 TB the first
+    aggregate reduces cardinality to (windows × active users) before
+    the rank shuffle ever sees a row."""
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "events")
+    counted = e.groupBy(
+        F.window("ts", "1 hour")["start"].alias("window_start"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), F.col("user_id")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("window_start", "user_id", "cnt", "rn")
+    )
+
+
+# Exact-substring dedup gram width (characters). 32 is the smallest
+# power-of-two window that makes cross-document collisions of natural
+# text overwhelmingly true duplication (Lee et al. 2022 use 50-token
+# spans at corpus scale; chars here because the fixture documents are
+# short).
+SUBSTR_K = 32
+
+
+@register(
+    "text_substring_dedup",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, n_chars,
+             substr(text, CAST(i AS INT), {SUBSTR_K}) AS gram
+      FROM documents, UNNEST(generate_series(1, n_chars - {SUBSTR_K - 1})) AS u(i)
+      WHERE n_chars >= {SUBSTR_K}
+    ),
+    pdg AS (
+      SELECT gram, doc_id, ANY_VALUE(n_chars) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_pos
+      FROM grams GROUP BY gram, doc_id
+    ),
+    flagged AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY gram) AS n_docs FROM pdg
+    )
+    SELECT doc_id,
+           CAST(ANY_VALUE(n_chars) - {SUBSTR_K - 1} AS BIGINT) AS n_grams,
+           CAST(SUM(n_pos) AS BIGINT) AS dup_grams,
+           ROUND(SUM(n_pos) / (ANY_VALUE(n_chars) - {SUBSTR_K - 1}), 6) AS dup_frac
+    FROM flagged
+    WHERE n_docs >= 2
+    GROUP BY doc_id
+    """,
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication audit (the Lee et al. 2022
+    "Deduplicating Training Data" class, char-gram formulation): for
+    every document, how many of its sliding 32-char windows also
+    occur verbatim in ANOTHER document — the signal suffix-array
+    substring dedup thresholds on. Emits docs with >= 1 cross-doc
+    duplicated gram: total gram positions, duplicated positions, and
+    the duplicated fraction.
+
+    Spark-first scale shape: grams explode MAP-SIDE (transform +
+    explode, no UDF); the first shuffle collapses to (gram, doc_id)
+    with position counts — so a gram repeated inside one doc is ONE
+    row; cross-doc support comes from a count window PARTITIONED BY
+    gram over that collapsed set (aggregate-shaped: a boilerplate gram
+    shared by 10^6 docs is 10^6 rows through one keyed count, never a
+    pair enumeration — the all-pairs blow-up suffix arrays suffer is
+    structurally absent); the final per-doc rollup is the third keyed
+    shuffle. Total grams per doc is closed-form (n_chars - K + 1), so
+    no join back to the corpus. At 100 TB you'd hash grams to 16-byte
+    fingerprints before the shuffle; kept as raw strings here so the
+    DuckDB oracle pins the exact gram semantics."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") >= SUBSTR_K)
+    grams = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {SUBSTR_K - 1}),"
+                f" i -> substring(text, i, {SUBSTR_K}))"
+            )
+        ).alias("gram"),
+    )
+    pdg = grams.groupBy("gram", "doc_id").agg(
+        F.any_value(F.col("n_chars")).alias("n_chars"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    from pyspark.sql.window import Window
+
+    flagged = pdg.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
+    return (
+        flagged.filter(F.col("n_docs") >= 2)
+        .groupBy("doc_id")
+        .agg(
+            (F.any_value(F.col("n_chars")) - (SUBSTR_K - 1))
+            .cast("long")
+            .alias("n_grams"),
+            F.sum("n_pos").cast("long").alias("dup_grams"),
+            F.round(
+                F.sum("n_pos") / (F.any_value(F.col("n_chars")) - (SUBSTR_K - 1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
