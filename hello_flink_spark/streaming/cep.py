@@ -106,9 +106,13 @@ class CepPattern:
     # under-total head keeps extending and may complete later) and
     # skip_past_last (all branches complete at one event, so the
     # earliest-anchor-wins/clear-state/consume rule lifts unchanged —
-    # the winner emits EVERY prefix). Refused (untested compositions —
-    # property-suite first): after_match_skip strategies and the
-    # timeout side-output.
+    # the winner emits EVERY prefix), and the timeout side-output
+    # (per-ANCHOR contract: prefixes expire silently while the anchor
+    # lives, the last surviving branch's expiry emits one
+    # matched=false row with the maximal-progress branch; completion
+    # is anchor-terminal, so a matched anchor never later times out).
+    # Refused (untested composition — property-suite first):
+    # after_match_skip strategies.
     reluctant: bool = False
     # [F] Flink CEP ``optional()``: indexes of middle steps that may be
     # SKIPPED. First-event-wins determinism: after the previous stage,
@@ -400,14 +404,15 @@ class CepPattern:
                     "one_or_more step — it is an emission policy for the "
                     "Kleene run"
                 )
-            for feature, label in (
-                (self.after_match_skip is not None, "after_match_skip"),
-            ):
-                if feature:
-                    raise ValueError(
-                        f"reluctant × {label} is an untested composition — "
-                        "extend the property suite first"
-                    )
+            # after_match_skip COMPOSES (r10, the last reluctant
+            # refusal deleted): completions are a branch fan-out, so
+            # the established (anchor_ts, anchor_id, branch) judgement
+            # order lifts unchanged — to_next emits the SHORTEST prefix
+            # per anchor (Flink's documented b+ SKIP_TO_NEXT: b1, b2,
+            # b3) and kills the anchor's remaining branches; to_first/
+            # to_last run the same boundary fold per BRANCH, with
+            # anchor-terminal completion applied on top. Property
+            # suites + goldens in tests/test_properties.py.
         if self.min_reps < 1:
             raise ValueError("min_reps must be >= 1")
         if self.min_reps > 1 and self.one_or_more is None:
@@ -967,6 +972,37 @@ def _make_processor(
             total_us is not None and now_us - tss[0] > total_us
         )
 
+    def _timeout_eligible(pend) -> bool:
+        # strict pending-kill partials saw a later event that failed
+        # contiguity: discarded, not timed out; an ARMED notNext guard
+        # (GUARD) never saw a later event at all — vacuous pass, a
+        # genuine timeout; a FROZEN run ([F] until / a reluctant prefix
+        # copy) was still validly waiting to complete — also genuine
+        return pend is None or pend in (GUARD, FROZEN)
+
+    def _progress(p):
+        # branch-progress order for the reluctant per-anchor timeout
+        # collapse: deepest stage, then most repetitions, then latest
+        # timestamps — the live head (or its furthest-promoted
+        # descendant) always dominates its frozen prefix copies
+        return (len(p[1]), p[2], [-1 if x is None else x for x in p[1]])
+
+    def _collapse_anchor_timeouts(expired, alive_aids=frozenset()):
+        # reluctant ([F] non-greedy oneOrMore) × timeout side-output:
+        # one anchor holds MANY branches (frozen prefixes + the live
+        # head). The timeout contract stays per-ANCHOR: emit exactly
+        # one matched=false row — carrying the maximal-progress
+        # branch — and only once the anchor's LAST branch has expired
+        # (prefixes expire first, silently: the anchor is still live).
+        best: dict[int, tuple] = {}
+        for p in expired:
+            if p[0] in alive_aids or not _timeout_eligible(p[3]):
+                continue
+            cur = best.get(p[0])
+            if cur is None or _progress(p) > _progress(cur):
+                best[p[0]] = p
+        return [best[aid] for aid in sorted(best)]
+
     def _deadline(tss) -> int:
         d = tss[-1] + window_us
         if total_us is not None:
@@ -1001,17 +1037,13 @@ def _make_processor(
         if state.hasTimedOut:  # watermark passed every open partial
             expired = _decode(state)
             state.remove()
+            if emit_timeouts and reluctant:
+                expired = _collapse_anchor_timeouts(expired)
             yield pd.DataFrame(
                 [
                     _row(key[0], aid, tss, False, cnt, vals)
                     for aid, tss, cnt, pend, vals in expired
-                    # strict pending-kill partials saw a later event that
-                    # failed contiguity: discarded, not timed out; an
-                    # ARMED notNext guard (GUARD) never saw a later event
-                    # at all — vacuous pass, a genuine timeout; a FROZEN
-                    # run ([F] until) was still validly waiting for its
-                    # next step — also a genuine timeout
-                    if pend is None or pend in (GUARD, FROZEN)
+                    if _timeout_eligible(pend)
                 ]
                 if emit_timeouts
                 else []
@@ -1034,11 +1066,20 @@ def _make_processor(
             group, gi = rows[gi:gj], gj
             # group start: window/total expiry, then strict pending kills
             if emit_timeouts:
+                expired_now = [p for p in partials if _expired(p[1], ts_us)]
+                if reluctant:
+                    expired_now = _collapse_anchor_timeouts(
+                        expired_now,
+                        alive_aids={
+                            p[0]
+                            for p in partials
+                            if not _expired(p[1], ts_us)
+                        },
+                    )
                 out.extend(
                     _row(key[0], aid, tss, False, cnt, vals)
-                    for aid, tss, cnt, pend, vals in partials
-                    if _expired(tss, ts_us)
-                    and (pend is None or pend in (GUARD, FROZEN))
+                    for aid, tss, cnt, pend, vals in expired_now
+                    if _timeout_eligible(pend)
                 )
             partials = [
                 p
@@ -1277,21 +1318,49 @@ def _make_processor(
                         partials = [p for p in partials if p[0] not in emitted]
                     else:
                         bound = None
+                        emitted_aids: set[int] = set()
                         for aid, tss, cnt, vals in completed:
                             if bound is not None and tss[0] < bound:
                                 continue  # killed by an earlier emission
                             out.append(_row(key[0], aid, tss, True, cnt, vals))
+                            emitted_aids.add(aid)
                             b = tss[sj]
                             bound = b if bound is None else max(bound, b)
                         if bound is not None:
                             partials = [
                                 p for p in partials if p[1][0] >= bound
                             ]
+                        if reluctant and not any_match:
+                            # anchor-terminal completion composes with
+                            # the boundary kill: a to_first[anchor]
+                            # boundary TIES with the emitting anchor's
+                            # own leftover branches (tss[0] == bound
+                            # survives the strict < kill), but a
+                            # matched reluctant anchor always leaves
+                            # whole — same contract as the no-skip path
+                            partials = [
+                                p for p in partials if p[0] not in emitted_aids
+                            ]
                     completed = []
                 out.extend(
                     _row(key[0], aid, tss, True, cnt, vals)
                     for aid, tss, cnt, vals in completed
                 )
+                if completed and reluctant and not any_match:
+                    # anchor-terminal completion: once ANY branch of an
+                    # anchor emits, the whole anchor leaves — leftover
+                    # frozen prefixes (under quota / under total) could
+                    # never complete anyway, and a live head that was
+                    # ineligible at this event dies WITH its emitting
+                    # siblings (declared: completion is per-anchor, so
+                    # a matched anchor never later produces a timeout
+                    # row). An anchor that emitted NOTHING here keeps
+                    # its head extending (the staggered-resolution
+                    # semantics pinned by the run_min_total suite).
+                    # followedByAny waiters stay armed by definition,
+                    # so the removal skips any_match patterns.
+                    done = {c[0] for c in completed}
+                    partials = [p for p in partials if p[0] not in done]
                 if etype in tset[0] and (mins[0] is None or val >= mins[0]):
                     partials.append(
                         (
@@ -1356,18 +1425,23 @@ def _stream_nfa(
             "already spawned branches is not a timeout, so the NFA and the "
             "left join chain cannot agree on the row set"
         )
-    if emit_timeouts and pattern.after_match_skip is not None:
-        raise ValueError(
-            "after_match_skip with the timeout side-output is an untested "
-            "composition (skip-killed partials are discards, not timeouts) "
-            "— extend the property suite first"
-        )
-    if emit_timeouts and pattern.reluctant:
-        raise ValueError(
-            "reluctant with the timeout side-output is an untested "
-            "composition (every non-longest prefix branch would expire "
-            "by construction) — extend the property suite first"
-        )
+    # after_match_skip / skip_past_last × timeout side-output COMPOSES
+    # (r10): skip-killed partials (boundary kills, the past-last
+    # clear-all, to_next same-anchor kills) are DISCARDS and emit
+    # nothing; only window/total expiry produces matched=false rows —
+    # and expiry is judged at group start, BEFORE any kill the same
+    # group's completion could cause. Reference model + chunking
+    # properties (all four strategies) + goldens in
+    # tests/test_properties.py.
+    # reluctant × timeout side-output COMPOSES (r10): the timeout
+    # contract stays per-ANCHOR — prefix branches expire silently while
+    # the anchor lives (the head outlives every prefix: its last-
+    # accepted ts is the max), and only the last surviving branch's
+    # expiry emits ONE matched=false row carrying the maximal-progress
+    # branch; completion is anchor-terminal (once any branch emits, the
+    # whole anchor leaves — a matched anchor never later times out).
+    # Reference model + chunking property + goldens in
+    # tests/test_properties.py.
     # group_reps × timeout side-output COMPOSES (r10, VERDICT r09 #3):
     # an expired group partial emits its stage prefix — slots gi..
     # onward hold the current (possibly partially refilled) repetition,

@@ -4262,11 +4262,22 @@ def _reluctant_sim(
                 cur[-1] = ts
                 cnt += 1
                 continue
-            if stage == rep + 1 and et == steps[rep + 1] and ts > cur[-1]:
-                if cnt < min_reps:
-                    continue  # quota unmet: relaxed no-op for EVERY branch
-                comp, rest_from = ts, qpos
-                break
+            if stage == rep + 1 and et == steps[rep + 1]:
+                # per-branch judgement (r10 — aligned with the
+                # run_min_total model and the NFA): the anchor
+                # completes at the first next-step event for which ANY
+                # branch (prefix m or the head) is strictly-later,
+                # in-window, and quota-satisfying. A head extended by
+                # this same timestamp group is NOT strictly-later, but
+                # an older prefix can still be — the completion is no
+                # longer gated on the head alone.
+                if any(
+                    ts > reps[m - 1] and ts - reps[m - 1] <= window_s
+                    for m in range(min_reps, cnt + 1)
+                ):
+                    comp, rest_from = ts, qpos
+                    break
+                continue  # no branch eligible: relaxed no-op
             if stage < k and stage != rep + 1 and et == steps[stage] and ts > cur[-1]:
                 if frozen and stage == rep:
                     continue  # first repetition refused: run is dead
@@ -4295,8 +4306,12 @@ def _reluctant_sim(
         if rest is None:
             continue
         for m in range(min_reps, cnt + 1):
-            if comp - reps[m - 1] > window_s:
-                continue  # this prefix branch expired before completion
+            if comp - reps[m - 1] > window_s or comp <= reps[m - 1]:
+                # this prefix branch expired before completion, or was
+                # extended by the completing timestamp group itself
+                # (not strictly-later) — it dies with the anchor-
+                # terminal completion without emitting
+                continue
             out.append((uid, aid, *cur[:rep], reps[m - 1], *rest, m))
     return sorted(out)
 
@@ -4633,6 +4648,7 @@ def _reluctant_runtotal_sim(evs5, window_s, min_reps, run_total):
                     last, cnt, tot = ts, 1, v
                 continue
             if et == "c":
+                emitted_any = False
                 for p_last, p_m, p_tot in prefixes:
                     if (
                         ts > p_last
@@ -4641,6 +4657,7 @@ def _reluctant_runtotal_sim(evs5, window_s, min_reps, run_total):
                         and p_tot >= run_total
                     ):
                         out.append((uid, aid, ts0, p_last, ts, p_m))
+                        emitted_any = True
                 prefixes = []  # failing prefixes never clear later
                 if (
                     head_alive
@@ -4651,6 +4668,15 @@ def _reluctant_runtotal_sim(evs5, window_s, min_reps, run_total):
                     out.append((uid, aid, ts0, last, ts, cnt))
                     head_alive = False
                     break  # head emitted; no prefixes remain
+                if emitted_any:
+                    # anchor-terminal completion (r10, declared with the
+                    # timeout composition): once ANY branch emits, the
+                    # whole anchor leaves — a head that was ineligible
+                    # at this event (reachable with negative repetition
+                    # values: a frozen prefix's total can exceed the
+                    # head's) dies with its emitting siblings
+                    head_alive = False
+                    break
     return sorted(out)
 
 
@@ -4660,7 +4686,7 @@ def _reluctant_runtotal_sim(evs5, window_s, min_reps, run_total):
             st.integers(1, 2),
             st.integers(0, 120),
             st.sampled_from(["a", "b", "c"]),
-            st.integers(0, 3),
+            st.integers(-2, 3),
         ),
         min_size=1,
         max_size=30,
@@ -4696,7 +4722,7 @@ def test_cep_reluctant_run_total_nfa_matches_simulation(events, cuts):
             st.integers(1, 2),
             st.integers(0, 120),
             st.sampled_from(["a", "b", "c"]),
-            st.integers(0, 3),
+            st.integers(-2, 3),
         ),
         min_size=1,
         max_size=30,
@@ -4881,3 +4907,590 @@ def test_cep_reluctant_skip_past_last_goldens():
     got_g = _drive_nfa_chunked(greedy, evs, [], 3, extra_cols=("n_rep",))
     assert got_g == [(1, 0, 0, 30, 40, 3), (1, 6, 50, 60, 70, 1)]
     assert set(got_g) <= set(got)
+
+
+# ---------------------------------------------------------------------------
+# Round 10: reluctant × timeout side-output. The timeout contract stays
+# per-ANCHOR: prefix branches expire silently while the anchor lives
+# (the head outlives every prefix — its last-accepted ts is the max);
+# only the last surviving branch's expiry emits ONE matched=false row
+# carrying the maximal-progress branch; completion is anchor-terminal,
+# so a matched anchor never later times out.
+# ---------------------------------------------------------------------------
+
+
+def _reluctant_timeout_sim(evs5, window_s, min_reps=1, run_total=None):
+    """(matched, timeouts) for a b+ c reluctant with the timeout
+    side-output. Matched rows delegate to the pinned emission models;
+    timeout rows are rebuilt independently: one row per anchor with NO
+    matched rows, carrying the head's final state — (ts0, last_rep,
+    None, cnt), last_rep None while still awaiting the first
+    repetition. Written directly against the per-anchor contract;
+    shares no code with the NFA."""
+    if run_total is None:
+        matched = _reluctant_sim(
+            evs5, ("a", "b", "c"), 1, window_s, min_reps=min_reps
+        )
+    else:
+        matched = _reluctant_runtotal_sim(evs5, window_s, min_reps, run_total)
+    matched_anchors = {(m[0], m[1]) for m in matched}
+    timeouts = []
+    for pos, (uid, aid, ts0, et0, v0) in enumerate(evs5):
+        if et0 != "a" or (uid, aid) in matched_anchors:
+            continue
+        last, cnt = ts0, 0
+        for uid2, eid, ts, et, v in evs5[pos + 1:]:
+            if uid2 != uid:
+                continue
+            if ts - last > window_s:
+                break  # head dead; its state at expiry is the row
+            if et == "b" and ts > last:
+                last, cnt = ts, cnt + 1
+        timeouts.append(
+            (uid, aid, ts0, last if cnt else None, None, cnt)
+        )
+    skey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    return sorted(matched), sorted(timeouts, key=skey)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    cuts=st.lists(st.integers(0, 24), max_size=4),
+)
+@SETTINGS
+def test_cep_reluctant_timeouts_nfa_matches_simulation(events, cuts):
+    """reluctant × timeout under every micro-batch split: every
+    never-matching anchor emits exactly one matched=false row with the
+    head's state; matching anchors (all prefixes) emit none."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    window_s = 60
+    evs5 = sorted(
+        ((u, i, t, e, 0.0) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want_m, want_t = _reluctant_timeout_sim(evs5, window_s)
+    proc = _make_processor(
+        ("a", "b", "c"),
+        window_s * 1_000_000,
+        emit_timeouts=True,
+        rep=1,
+        reluctant=True,
+    )
+    got_m, got_t = _drive_nfa_rows_t(proc, evs5, cuts, 3, flush_ts=10_000)
+    assert got_m == want_m
+    assert got_t == want_t
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(-2, 3),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    cuts=st.lists(st.integers(0, 24), max_size=4),
+)
+@SETTINGS
+def test_cep_reluctant_run_total_timeouts_nfa_matches_simulation(events, cuts):
+    """reluctant × run_min_total × timeout (triple, incl. negative
+    repetition values): staggered branch resolution composes with the
+    per-anchor timeout contract."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    window_s = 60
+    evs5 = sorted(
+        ((u, i, t, e, float(v)) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want_m, want_t = _reluctant_timeout_sim(evs5, window_s, run_total=4.0)
+    proc = _make_processor(
+        ("a", "b", "c"),
+        window_s * 1_000_000,
+        emit_timeouts=True,
+        rep=1,
+        reluctant=True,
+        run_total=4.0,
+    )
+    got_m, got_t = _drive_nfa_rows_t(proc, evs5, cuts, 3, flush_ts=10_000)
+    assert got_m == want_m
+    assert got_t == want_t
+
+
+def test_cep_reluctant_timeout_goldens():
+    """Pinned: (1) a run with repetitions but no c emits ONE timeout
+    row with the head's count (prefixes silent); (2) a matching anchor
+    with a lingering under-quota prefix emits NO timeout row
+    (timesOrMore(2): the cnt=1 prefix could never complete); (3) an
+    anchor still awaiting its first repetition times out with
+    last_rep=None; (4) a reluctant × until frozen head times out as a
+    genuine timeout; (5) the staggered run_total head that matches
+    LATER emits no timeout despite its earlier failing c."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    w = 60 * 1_000_000
+
+    def run(proc, evs5):
+        return _drive_nfa_rows_t(proc, evs5, [], 3, flush_ts=10_000)
+
+    rel_t = _make_processor(
+        ("a", "b", "c"), w, emit_timeouts=True, rep=1, reluctant=True
+    )
+    # (1) two repetitions, no c in window
+    m, t = run(rel_t, [(1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 20, "b", 0.0)])
+    assert m == [] and t == [(1, 0, 0, 20, None, 2)]
+    # (3) anchor alone
+    m, t = run(rel_t, [(1, 0, 0, "a", 0.0)])
+    assert m == [] and t == [(1, 0, 0, None, None, 0)]
+
+    # (2) timesOrMore(2): b b c — head (cnt 2) + eligible prefix? the
+    # cnt=1 prefix is under quota and dies with the anchor-terminal
+    # completion; NO timeout row survives the match
+    rel_q = _make_processor(
+        ("a", "b", "c"), w, emit_timeouts=True, rep=1, min_reps=2,
+        reluctant=True,
+    )
+    m, t = run(
+        rel_q,
+        [(1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 20, "b", 0.0),
+         (1, 3, 30, "c", 0.0)],
+    )
+    assert m == [(1, 0, 0, 20, 30, 2)] and t == []
+
+    # (4) until freezes the head before any c; the frozen run times out
+    rel_u = _make_processor(
+        ("a", "b", "c"), w, emit_timeouts=True, rep=1, reluctant=True,
+        until=("x", None),
+    )
+    m, t = run(
+        rel_u,
+        [(1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 20, "x", 0.0)],
+    )
+    assert m == [] and t == [(1, 0, 0, 10, None, 1)]
+
+    # (5) staggered run_total: c@15 fails (3 < 5), head completes at
+    # c@25 — matched only, no timeout
+    rel_rt = _make_processor(
+        ("a", "b", "c"), w, emit_timeouts=True, rep=1, reluctant=True,
+        run_total=5.0,
+    )
+    m, t = run(
+        rel_rt,
+        [(1, 0, 0, "a", 0.0), (1, 1, 10, "b", 3.0), (1, 2, 15, "c", 0.0),
+         (1, 3, 20, "b", 3.0), (1, 4, 25, "c", 0.0)],
+    )
+    assert m == [(1, 0, 0, 20, 25, 2)] and t == []
+
+
+# ---------------------------------------------------------------------------
+# Round 10: AfterMatchSkip strategies × timeout side-output. Skip-killed
+# partials (boundary kills, the past-last clear-all, to_next same-anchor
+# kills) are DISCARDS — no row; only window expiry produces
+# matched=false rows, and expiry is judged at group start, before any
+# kill the same group's completion could cause.
+# ---------------------------------------------------------------------------
+
+
+def _skip_timeout_sim(evs5, window_s, mode, j=None):
+    """(matched, timeouts) for a b c with an AfterMatchSkip strategy
+    and the timeout side-output: sequential per-key fold written
+    directly against the strategy definitions. Expiry sweeps run at
+    each new timestamp BEFORE the event is processed (the NFA's
+    group-start order), so a partial expiring in the very group whose
+    completion would kill it still times out. Shares no code with the
+    NFA."""
+    out_m, out_t = [], []
+    for uid in sorted({e[0] for e in evs5}):
+        evs = [e for e in evs5 if e[0] == uid] + [(uid, -1, 10_000, "zz", 0.0)]
+        partials: list[tuple[int, list[int]]] = []  # (aid, [ts...])
+        for _, eid, ts, et, v in evs:
+            alive = []
+            for aid, tss in partials:
+                if ts - tss[-1] > window_s:
+                    out_t.append(
+                        (uid, aid, tss[0], tss[1] if len(tss) > 1 else None, None)
+                    )
+                else:
+                    alive.append((aid, tss))
+            partials = alive
+            if et == "c":
+                completed = [
+                    (aid, tss) for aid, tss in partials
+                    if len(tss) == 2 and ts > tss[-1]
+                ]
+                partials = [p for p in partials if p not in completed]
+                if completed:
+                    completed.sort(key=lambda p: (p[1][0], p[0]))
+                    if mode == "past_last":
+                        aid, tss = completed[0]
+                        out_m.append((uid, aid, *tss, ts))
+                        partials = []
+                        continue
+                    if mode == "to_next":
+                        for aid, tss in completed:
+                            out_m.append((uid, aid, *tss, ts))
+                        done = {aid for aid, _ in completed}
+                        partials = [p for p in partials if p[0] not in done]
+                    else:
+                        bound = None
+                        for aid, tss in completed:
+                            full = tss + [ts]
+                            if bound is not None and tss[0] < bound:
+                                continue
+                            out_m.append((uid, aid, *full))
+                            b = full[j]
+                            bound = b if bound is None else max(bound, b)
+                        if bound is not None:
+                            partials = [p for p in partials if p[1][0] >= bound]
+            elif et == "b":
+                partials = [
+                    (aid, tss + [ts]) if len(tss) == 1 and ts > tss[0] else (aid, tss)
+                    for aid, tss in partials
+                ]
+            elif et == "a":
+                partials.append((eid, [ts]))
+    skey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    return sorted(out_m), sorted(out_t, key=skey)
+
+
+def _drive_nfa_rows_t_plain(proc, evs5, cuts, k, flush_ts):
+    """_drive_nfa_rows_t for patterns WITHOUT a Kleene/group stage
+    (no n_rep output column)."""
+    import pandas as pd
+
+    users = sorted({u for u, _, _, _, _ in evs5})
+    evs5 = list(evs5) + [
+        (u, 10_000 + i, flush_ts, "zz", 0.0) for i, u in enumerate(users)
+    ]
+    rows = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _, _, _ in evs5],
+            "event_id": [i for _, i, _, _, _ in evs5],
+            "ts": [pd.Timestamp(t, unit="s") for _, _, t, _, _ in evs5],
+            "event_type": [e for _, _, _, e, _ in evs5],
+            "value": [float(v) for _, _, _, _, v in evs5],
+        }
+    )
+    bounds = sorted({c for c in cuts if c < len(evs5)} | {0, len(evs5)})
+    chunks = [rows.iloc[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    got_m, got_t = [], []
+    for uid in users:
+        state = _FakeGroupState()
+        for chunk in chunks:
+            part = chunk[chunk["user_id"] == uid]
+            if part.empty:
+                continue
+            for out in proc((uid,), iter([part]), state):
+                for r in out.itertuples():
+                    tup = (
+                        r.user_id,
+                        r.anchor_id,
+                        *(
+                            None
+                            if pd.isna(getattr(r, f"ts{i + 1}"))
+                            else int(getattr(r, f"ts{i + 1}").timestamp())
+                            for i in range(k)
+                        ),
+                    )
+                    (got_m if r.matched else got_t).append(tup)
+    skey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    return sorted(got_m), sorted(got_t, key=skey)
+
+
+def _run_skip_timeout(events, cuts, mode, j=None):
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    window_s = 60
+    evs5 = sorted(
+        ((u, i, t, e, 0.0) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want_m, want_t = _skip_timeout_sim(evs5, window_s, mode, j=j)
+    # the sim's matched rows have no trailing ts3 slot mismatch: both
+    # sides are (uid, aid, ts1, ts2, ts3)
+    proc = _make_processor(
+        ("a", "b", "c"),
+        window_s * 1_000_000,
+        emit_timeouts=True,
+        skip_past_last=(mode == "past_last"),
+        skip_to=None if mode == "past_last" else (mode, j),
+    )
+    got_m, got_t = _drive_nfa_rows_t_plain(proc, evs5, cuts, 3, flush_ts=10_000)
+    assert got_m == want_m
+    assert got_t == want_t
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_skip_past_last_timeouts_matches_simulation(events, cuts):
+    """skipPastLastEvent × timeout: the clear-all kill is a discard —
+    a partial it removes emits no timeout row; one expiring in the
+    same group still does."""
+    _run_skip_timeout(events, cuts, "past_last")
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_skip_to_next_timeouts_matches_simulation(events, cuts):
+    """skipToNext × timeout under every chunking."""
+    _run_skip_timeout(events, cuts, "to_next")
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_skip_to_first_timeouts_matches_simulation(events, cuts):
+    """skipToFirst[anchor] × timeout: ties at the boundary survive,
+    boundary-killed partials emit nothing."""
+    _run_skip_timeout(events, cuts, "to_first", j=0)
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_skip_to_last_timeouts_matches_simulation(events, cuts):
+    """skipToLast[middle] × timeout: the advancing boundary kills
+    still-armed partials silently."""
+    _run_skip_timeout(events, cuts, "to_last", j=1)
+
+
+def test_cep_skip_timeout_goldens():
+    """Pinned: (1) skipPastLast's clear-all at c@30 discards the armed
+    a@25 anchor — NO timeout row for it ever; (2) a partial that
+    EXPIRES at the same group whose completion would kill it still
+    emits its timeout row (expiry is judged at group start); (3)
+    to_last's boundary kill discards the a@15 anchor silently while an
+    unkilled anchor times out normally."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    w = 60 * 1_000_000
+
+    # (1) a@0 b@10 a@25 c@30: match (0,10,30); a@25 cleared, no timeout
+    proc = _make_processor(
+        ("a", "b", "c"), w, emit_timeouts=True, skip_past_last=True
+    )
+    m, t = _drive_nfa_rows_t_plain(
+        proc,
+        [(1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 25, "a", 0.0),
+         (1, 3, 30, "c", 0.0)],
+        [], 3, flush_ts=10_000,
+    )
+    assert m == [(1, 0, 0, 10, 30)] and t == []
+
+    # (2) a@0 (expires at 61); a@62 b@70 c@80 completes and clears —
+    # but a@0's timeout already fired at the 62 group start
+    m, t = _drive_nfa_rows_t_plain(
+        proc,
+        [(1, 0, 0, "a", 0.0), (1, 1, 62, "a", 0.0), (1, 2, 70, "b", 0.0),
+         (1, 3, 80, "c", 0.0)],
+        [], 3, flush_ts=10_000,
+    )
+    assert m == [(1, 1, 62, 70, 80)] and t == [(1, 0, 0, None, None)]
+
+    # (3) to_last[b]: a@0 b@20 a@15 c@30 — match (0,20,30), bound=20
+    # kills a@15 (anchored before 20) silently; a@100 expires alone
+    proc = _make_processor(
+        ("a", "b", "c"), w, emit_timeouts=True, skip_to=("to_last", 1)
+    )
+    m, t = _drive_nfa_rows_t_plain(
+        proc,
+        [(1, 0, 0, "a", 0.0), (1, 2, 15, "a", 0.0), (1, 1, 20, "b", 0.0),
+         (1, 3, 30, "c", 0.0), (1, 4, 100, "a", 0.0)],
+        [], 3, flush_ts=10_000,
+    )
+    assert m == [(1, 0, 0, 20, 30)]
+    assert t == [(1, 4, 100, None, None)]
+
+
+# ---------------------------------------------------------------------------
+# Round 10: reluctant × after_match_skip (to_next / to_first / to_last),
+# run with the timeout side-output on — the full triple. Completions
+# are a branch fan-out judged in (anchor_ts, anchor_id, branch) order;
+# to_next keeps the SHORTEST prefix per anchor (Flink's documented b+
+# SKIP_TO_NEXT enumeration: b1, b2, b3); to_first/to_last run the
+# established per-branch boundary fold with anchor-terminal completion
+# applied on top. Skip kills are discards; only window expiry of an
+# anchor's last branch emits its one matched=false row.
+# ---------------------------------------------------------------------------
+
+
+def _reluctant_skipto_sim(evs5, window_s, mode, j=None, min_reps=1):
+    """(matched, timeouts) for a b+ c reluctant with an after-match
+    skip strategy and the timeout side-output. Sequential per-key
+    fold written directly against the declared contract; shares no
+    code with the NFA."""
+    out_m, out_t = [], []
+    for uid in sorted({e[0] for e in evs5}):
+        evs = [e for e in evs5 if e[0] == uid] + [(uid, -1, 10_000, "zz", 0.0)]
+        # anchor: [aid, ts0, last, cnt, prefixes [(last, m)], head_alive]
+        anchors: list[list] = []
+        for _, eid, ts, et, v in evs:
+            # group-start expiry: a dead head is the anchor's last
+            # branch (prefixes expire earlier) — one timeout row
+            survivors = []
+            for a in anchors:
+                if ts - a[2] > window_s:
+                    out_t.append(
+                        (uid, a[0], a[1], a[2] if a[3] else None, None, a[3])
+                    )
+                else:
+                    survivors.append(a)
+            anchors = survivors
+            if et == "b":
+                for a in anchors:
+                    if ts > a[2]:
+                        if a[3] > 0:
+                            a[4].append((a[2], a[3]))
+                        a[2], a[3] = ts, a[3] + 1
+            elif et == "c":
+                cands = []
+                for a in anchors:
+                    branches = a[4] + [(a[2], a[3])] if a[3] > 0 else []
+                    elig = [
+                        (bl, bm)
+                        for bl, bm in branches
+                        if ts > bl and ts - bl <= window_s and bm >= min_reps
+                    ]
+                    # judged-and-failed prefixes can never clear later
+                    a[4] = []
+                    for bl, bm in sorted(elig):
+                        cands.append((a[1], a[0], bl, bm))
+                cands.sort()
+                killed: set[int] = set()
+                if mode == "to_next":
+                    emitted: set[int] = set()
+                    for ts0, aid, bl, bm in cands:
+                        if aid not in emitted:
+                            out_m.append((uid, aid, ts0, bl, ts, bm))
+                            emitted.add(aid)
+                    killed = emitted
+                else:
+                    bound = None
+                    emitted = set()
+                    for ts0, aid, bl, bm in cands:
+                        if bound is not None and ts0 < bound:
+                            continue
+                        out_m.append((uid, aid, ts0, bl, ts, bm))
+                        emitted.add(aid)
+                        b = {0: ts0, 1: bl, 2: ts}[j]
+                        bound = b if bound is None else max(bound, b)
+                    killed = set(emitted)
+                    if bound is not None:
+                        killed |= {a[0] for a in anchors if a[1] < bound}
+                anchors = [a for a in anchors if a[0] not in killed]
+            elif et == "a":
+                anchors.append([eid, ts, ts, 0, []])
+    skey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    return sorted(out_m), sorted(out_t, key=skey)
+
+
+def _run_reluctant_skipto(events, cuts, mode, j=None, min_reps=1):
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    window_s = 60
+    evs5 = sorted(
+        ((u, i, t, e, 0.0) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want_m, want_t = _reluctant_skipto_sim(
+        evs5, window_s, mode, j=j, min_reps=min_reps
+    )
+    proc = _make_processor(
+        ("a", "b", "c"),
+        window_s * 1_000_000,
+        emit_timeouts=True,
+        rep=1,
+        min_reps=min_reps,
+        reluctant=True,
+        skip_to=(mode, j),
+    )
+    got_m, got_t = _drive_nfa_rows_t(proc, evs5, cuts, 3, flush_ts=10_000)
+    assert got_m == want_m
+    assert got_t == want_t
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_reluctant_skip_to_next_timeouts_matches_simulation(events, cuts):
+    """reluctant × skipToNext × timeout: the shortest prefix emits per
+    anchor, the anchor leaves whole, discards never time out."""
+    _run_reluctant_skipto(events, cuts, "to_next")
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_reluctant_skip_to_first_timeouts_matches_simulation(events, cuts):
+    """reluctant × skipToFirst[anchor] × timeout: every branch emits
+    (ties survive the boundary) but the matched anchor leaves whole."""
+    _run_reluctant_skipto(events, cuts, "to_first", j=0)
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_reluctant_skip_to_last_timeouts_matches_simulation(events, cuts):
+    """reluctant × skipToLast[loop] × timeout: the shortest prefix's
+    loop timestamp becomes the boundary and kills later-anchored
+    partials silently."""
+    _run_reluctant_skipto(events, cuts, "to_last", j=1)
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_reluctant_skip_to_next_quota_timeouts_matches_simulation(events, cuts):
+    """the quadruple: reluctant × timesOrMore(2) × skipToNext ×
+    timeout."""
+    _run_reluctant_skipto(events, cuts, "to_next", min_reps=2)
+
+
+def test_cep_reluctant_skipto_goldens():
+    """Pinned: (1) to_next emits ONLY the shortest prefix (b1) of the
+    three-branch anchor and the anchor leaves whole — vs no-skip's
+    three rows; (2) to_last[loop] boundary (=10, the emitted branch's
+    loop ts) kills the a@5 anchor silently — no timeout row for it;
+    (3) to_first[anchor] emits all three branches, same rows as
+    no-skip at this event."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    w = 60 * 1_000_000
+    evs = [
+        (1, 0, 0, "a", 0.0), (1, 1, 5, "a", 0.0), (1, 2, 10, "b", 0.0),
+        (1, 3, 20, "b", 0.0), (1, 4, 30, "b", 0.0), (1, 5, 40, "c", 0.0),
+    ]
+
+    def run(mode, j):
+        proc = _make_processor(
+            ("a", "b", "c"), w, emit_timeouts=True, rep=1, reluctant=True,
+            skip_to=(mode, j),
+        )
+        return _drive_nfa_rows_t(proc, evs, [], 3, flush_ts=10_000)
+
+    m, t = run("to_next", None)
+    # to_next is per-anchor: BOTH anchors emit their shortest prefix
+    # (Flink's b+ SKIP_TO_NEXT enumeration), each anchor leaves whole
+    assert m == [(1, 0, 0, 10, 40, 1), (1, 1, 5, 10, 40, 1)]
+    assert t == []
+
+    m, t = run("to_last", 1)
+    assert m == [(1, 0, 0, 10, 40, 1)]
+    # bound=10 kills a@5 (anchored before 10): killed, not timed out
+    assert t == []
+
+    m, t = run("to_first", 0)
+    # bound=0 (anchor 0's own ts): a@5's branches sort after anchor
+    # 0's, survive the tie-friendly boundary (5 >= 0), and emit too —
+    # to_first[anchor] is the degenerate keep-everything strategy
+    assert m == [
+        (1, 0, 0, 10, 40, 1), (1, 0, 0, 20, 40, 2), (1, 0, 0, 30, 40, 3),
+        (1, 1, 5, 10, 40, 1), (1, 1, 5, 20, 40, 2), (1, 1, 5, 30, 40, 3),
+    ]
+    assert t == []
