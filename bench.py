@@ -232,6 +232,10 @@ HEADLINE = [
     # round-10: exact-substring duplication audit (char-gram collapse,
     # gram-partitioned count window - no pair enumeration).
     "text_substring_dedup",
+    # round-10: epoch-based mixture upsampling (broadcast rates, md5
+    # fractional draw) and first-occurrence n-gram novelty scoring.
+    "data_mixture_epochs",
+    "text_ngram_novelty",
 ]
 
 

@@ -336,6 +336,184 @@ def window_topn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Epoch-based mixture constants: cap epochs at 4 (the diminishing-
+# returns bound for data-constrained repetition, Muennighoff et al.
+# 2023), salt decoupled from every other deterministic sampler.
+MIX_EPOCH_CAP = 4.0
+MIX_EPOCH_SALT = "epochmix:"
+
+
+@register(
+    "data_mixture_epochs",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang, n_docs,
+             LEAST({MIX_EPOCH_CAP}, (SELECT MAX(n_docs) FROM counts) * 1.0 / n_docs)
+               AS epochs
+      FROM counts
+    ),
+    drawn AS (
+      SELECT d.lang, r.n_docs, r.epochs,
+             CAST(FLOOR(r.epochs) AS BIGINT)
+               + CASE WHEN CAST(('0x' || substr(
+                        md5('{MIX_EPOCH_SALT}' || CAST(d.doc_id AS VARCHAR)), 1, 8
+                      )) AS BIGINT) / 4294967296.0 < r.epochs - FLOOR(r.epochs)
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN rates r USING (lang)
+    )
+    SELECT lang, n_docs,
+           ROUND(epochs, 6) AS target_epochs,
+           CAST(SUM(n_copies) AS BIGINT) AS n_rows_out,
+           ROUND(SUM(n_copies) * 1.0 / n_docs, 6) AS realized_epochs
+    FROM drawn
+    GROUP BY lang, n_docs, epochs
+    """,
+)
+def data_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-based mixture UPSAMPLING — the complement of the
+    downsample-only `data_mixture_temperature`: every language is
+    repeated up toward the LARGEST one (equal post-mix shares), with
+    epochs capped at 4 (past ~4 repetitions, extra epochs of the same
+    data stop helping — Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models"). Fractional epochs realize
+    deterministically: every doc contributes floor(E) full copies and
+    one extra copy iff its salted md5-prefix u32 draw falls under the
+    fractional remainder — the portable `sample_deterministic_hash`
+    device, so the SAME docs get the extra epoch on any engine and any
+    run. Output per language: target vs realized epochs and the
+    resulting row count.
+
+    Scale shape: per-language counts are ONE tiny hash agg; epoch
+    rates ride back as a broadcast join (≤ |langs| rows); the copy
+    count is one JVM md5 + conv per row inside codegen; the audit agg
+    is the same tiny shuffle. The actual corpus materialization would
+    be `F.explode(F.sequence(1, n_copies))` map-side — row expansion
+    AFTER every filter, never shuffled. No data-scale exchange beyond
+    the two bounded aggs."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    nmax = counts.agg(F.max("n_docs").alias("n_max"))
+    rates = counts.crossJoin(F.broadcast(nmax)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(MIX_EPOCH_CAP),
+            F.col("n_max").cast("double") / F.col("n_docs"),
+        ).alias("epochs"),
+    )
+    u01 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(MIX_EPOCH_SALT), F.col("doc_id").cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(4294967296.0)
+    # bounded broadcast: ≤ |langs| rows by construction
+    drawn = d.select("doc_id", "lang").join(F.broadcast(rates), "lang").select(
+        "lang",
+        "n_docs",
+        "epochs",
+        (
+            F.floor(F.col("epochs")).cast("long")
+            + (u01 < F.col("epochs") - F.floor(F.col("epochs"))).cast("long")
+        ).alias("n_copies"),
+    )
+    return drawn.groupBy("lang", "n_docs", "epochs").agg(
+        F.sum("n_copies").alias("n_rows_out"),
+        F.round(F.sum("n_copies") / F.col("n_docs"), 6).alias("realized_epochs"),
+    ).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("epochs"), 6).alias("target_epochs"),
+        "n_rows_out",
+        "realized_epochs",
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
+      FROM documents
+    ),
+    shingles AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+      FROM docs WHERE len(w) >= 3
+    ),
+    per_doc AS (
+      SELECT shingle, doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos
+      FROM shingles GROUP BY shingle, doc_id
+    ),
+    attributed AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY shingle) AS first_doc
+      FROM per_doc
+    )
+    SELECT doc_id,
+           CAST(SUM(n_pos) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(SUM(n_pos) FILTER (WHERE first_doc = doc_id), 0) AS BIGINT)
+             AS novel_shingles,
+           ROUND(COALESCE(SUM(n_pos) FILTER (WHERE first_doc = doc_id), 0) * 1.0
+                 / SUM(n_pos), 6) AS novelty
+    FROM attributed
+    GROUP BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram NOVELTY scoring (first-occurrence attribution): each
+    word 3-gram is credited to the LOWEST doc_id containing it; a
+    document's novelty is the fraction of its 3-gram occurrences it is
+    the first to contribute. The incremental-curation signal ("what
+    does this document add that the corpus does not already have")
+    that ordered ingestion pipelines threshold on — boilerplate-heavy
+    late arrivals score near 0, fresh content near 1.
+
+    Scale shape (same aggregate discipline as `text_substring_dedup`):
+    shingles explode map-side from a JVM word-array zip (no UDF); the
+    first shuffle collapses to (shingle, doc) with occurrence counts;
+    first-occurrence attribution is a MIN window PARTITIONED BY
+    shingle over the collapsed set (one keyed shuffle — a shingle in
+    10⁶ docs is one keyed MIN, never a pair join); the per-doc rollup
+    is the third keyed shuffle. At 100 TB the ordered doc_id doubles
+    as ingestion time, making this the standing novelty audit of a
+    growing corpus."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    tri = F.expr(
+        "transform(sequence(1, greatest(size(w) - 2, 0)),"
+        " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+    )
+    shingles = (
+        d.select("doc_id", words.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select("doc_id", F.explode(tri).alias("shingle"))
+    )
+    per_doc = shingles.groupBy("shingle", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_pos")
+    )
+    attributed = per_doc.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+    )
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), F.col("n_pos")))
+    return attributed.groupBy("doc_id").agg(
+        F.sum("n_pos").alias("n_shingles"),
+        F.coalesce(novel, F.lit(0)).alias("novel_shingles"),
+        F.round(F.coalesce(novel, F.lit(0)) / F.sum("n_pos"), 6).alias("novelty"),
+    )
+
+
 # Exact-substring dedup gram width (characters). 32 is the smallest
 # power-of-two window that makes cross-document collisions of natural
 # text overwhelmingly true duplication (Lee et al. 2022 use 50-token

@@ -68,6 +68,9 @@ BNLJ_OK = {
     "data_mixture_temperature",  # broadcast 1-row n_min / kept-total scalars
     #                              x the |langs|-row rate table — never
     #                              scaling x scaling
+    "data_mixture_epochs",  # broadcast 1-row n_max scalar x the |langs|-row
+    #                         rate table — same bounded shape as the
+    #                         temperature twin
 }
 
 # Unpartitioned windows allowed only over scale-independent inputs:
@@ -271,6 +274,9 @@ BROADCAST_HINT_OK = {
     "iteration (text_bpe_train_merges)",
     ("round10", "weights"): "linear-model weight table — QC_BUCKETS = 256 rows "
     "by construction (text_quality_classifier)",
+    ("round10", "nmax"): "1-row MAX lang-count scalar (data_mixture_epochs)",
+    ("round10", "rates"): "per-language epoch-rate table — bounded by lang "
+    "cardinality (data_mixture_epochs)",
 }
 
 
