@@ -110,9 +110,12 @@ class CepPattern:
     # (per-ANCHOR contract: prefixes expire silently while the anchor
     # lives, the last surviving branch's expiry emits one
     # matched=false row with the maximal-progress branch; completion
-    # is anchor-terminal, so a matched anchor never later times out).
-    # Refused (untested composition — property-suite first):
-    # after_match_skip strategies.
+    # is anchor-terminal, so a matched anchor never later times out),
+    # and after_match_skip (r10 — completions are a branch fan-out
+    # through the established (anchor_ts, anchor_id, branch) judgement
+    # order: to_next emits the SHORTEST prefix per anchor, to_first/
+    # to_last run the per-branch boundary fold with anchor-terminal
+    # completion on top). No reluctant composition remains refused.
     reluctant: bool = False
     # [F] Flink CEP ``optional()``: indexes of middle steps that may be
     # SKIPPED. First-event-wins determinism: after the previous stage,

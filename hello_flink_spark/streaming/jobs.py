@@ -295,6 +295,54 @@ def stream_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dim), "event_type")
 
 
+def stream_window_join(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """[F] DataStream window join —
+    ``clicks.join(purchases).where(u).equalTo(u).window(TumblingEventTimeWindows
+    .of(Time.hours(1)))``: same-user (click, purchase) pairs inside the
+    SAME 1-hour tumbling bucket — bucket MEMBERSHIP, not the interval
+    join's ±band (two events 1 s apart across a boundary do not join).
+    Both sides are watermarked and equi-join on (user_id, window), so
+    the micro-batch planner evicts a bucket's join state once the
+    watermark passes its end — the same per-window state lifetime
+    Flink's window join has. Twin of
+    queries/round10.py::join_window_batch (hash-verified vs DuckDB);
+    golden-matched row-for-row in tests/test_streaming.py."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            F.window("ts", "1 hour").alias("w"),
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.window("ts", "1 hour").alias("p_w"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id) & (clicks.w == purchases.p_w),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.round(F.col("purchase_value") - F.col("click_value"), 4).alias(
+            "value_delta"
+        ),
+    )
+
+
 def stream_stream_interval_join(
     events: DataFrame, watermark: str = DEFAULT_WATERMARK
 ) -> DataFrame:

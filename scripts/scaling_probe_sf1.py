@@ -87,6 +87,14 @@ PROBES = [
     ("multimodal_dedup_phash", "documents"),
     ("multimodal_audio_dedup_fingerprint", "documents"),
     ("multimodal_video_dedup_framehash", "documents"),
+    # round 10 second wave: the new >= 1.3 s text ops. The replica
+    # token tags make each shard's char-gram / word-trigram universe
+    # DISJOINT, so cross-shard duplication is structurally zero and
+    # per-shard dup/novelty statistics are identical to sf0.1 — only
+    # the volume through the (gram, doc) / (shingle, doc) collapses
+    # and the gram-/shingle-partitioned windows grows 10x.
+    ("text_substring_dedup", "documents"),
+    ("text_ngram_novelty", "documents"),
 ]
 
 

@@ -441,6 +441,25 @@ def test_stream_static_join(spark, sf_dir, replay_dir):
     assert got.agg(F.sum("weight")).head()[0] == want.agg(F.sum("weight")).head()[0]
 
 
+def test_stream_window_join(spark, sf_dir, replay_dir):
+    """[F] DataStream window join twin: the streaming tumbling-bucket
+    pair join over the chunked replay must equal the hash-verified
+    batch shadow (join_window_batch) ROW FOR ROW — bucket membership,
+    state evicted per bucket by the watermark."""
+    from hello_flink_spark.registry import get_spec
+
+    run_to_memory(
+        jobs.stream_window_join(_stream(spark, replay_dir), WM), "t_swj"
+    )
+    got = sorted(
+        tuple(r) for r in spark.table("t_swj").collect()
+    )
+    want = sorted(
+        tuple(r) for r in get_spec("join_window_batch").fn(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
 def test_stream_stream_interval_join(spark, sf_dir, replay_dir):
     run_to_memory(
         jobs.stream_stream_interval_join(_stream(spark, replay_dir), WM), "t_ssij"
