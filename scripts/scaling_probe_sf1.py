@@ -298,6 +298,8 @@ def main() -> None:
         "multimodal_dedup_phash": "decode + exact-signature collapse scale with rows; the band join runs over the FLAT distinct-signature set (candidate table above), so the pair term contributes nothing to the decade",
         "multimodal_audio_dedup_fingerprint": "same collapse-first shape as phash: row-proportional decode, flat distinct-fingerprint band join",
         "multimodal_video_dedup_framehash": "per-frame decode is the row-proportional term; the frame-aligned signature collapse leaves the same flat candidate set across the decade",
+        "text_substring_dedup": "map-side char-gram explode is byte-proportional (the 'rK_' replica tag inflates sf1 text bytes somewhat past 10x); the (gram, doc) collapse and the gram-partitioned count window are keyed aggregates over DISJOINT replica gram universes, so per-gram group sizes stay constant and no term grows above the exploded input",
+        "text_ngram_novelty": "word-trigram explode + (shingle, doc) collapse + shingle-partitioned MIN window — keyed aggregates over disjoint replica shingle universes; per-shingle group sizes are constant across the decade",
     }
 
     def _reason_block(names):
@@ -345,6 +347,32 @@ def main() -> None:
                 f"{chars_src:,} -> {chars_dst:,}) — {time_ratio:.1f}x "
                 f"time for {char_ratio:.1f}x bytes is SUBLINEAR per "
                 "byte, same class as text_hashing_features"
+            )
+    if "text_substring_dedup" in over:
+        from hello_flink_spark.sources.readers import load_table
+
+        def _gram_volume(sf: str) -> int:
+            d = load_table(spark, sf, "documents")
+            return int(
+                d.filter(F.length("text") >= 32)
+                .agg(F.sum(F.length("text") - 31).alias("g"))
+                .collect()[0]["g"]
+            )
+
+        g_src, g_dst = _gram_volume(SRC), _gram_volume(DST)
+        gram_ratio = g_dst / g_src if g_src else float("inf")
+        time_ratio = (
+            rows["text_substring_dedup"][DST] / rows["text_substring_dedup"][SRC]
+        )
+        if time_ratio <= gram_ratio:
+            OVER_DIAGNOSED["text_substring_dedup"] = (
+                f"the op's work unit is the CHAR-gram, and gram volume "
+                f"(Σ len(text)−31) grows {gram_ratio:.1f}x, not 10x — "
+                f"re-measured this run ({g_src:,} -> {g_dst:,}; the "
+                f"'rK_' replica token tag inflates every document's "
+                f"character count) — {time_ratio:.1f}x time for "
+                f"{gram_ratio:.1f}x grams is SUBLINEAR per gram, same "
+                "class as text_bpe_apply"
             )
     diagnosed = [n for n in over if n in OVER_DIAGNOSED]
     unknown = [n for n in over if n not in OVER_DIAGNOSED]
