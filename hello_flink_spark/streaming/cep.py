@@ -213,9 +213,13 @@ class CepPattern:
     # terminal group's reluctant single match degenerates to the
     # plain pattern); step type-sets gi..gj+1 pairwise disjoint
     # (boundary and in-group promotions must be unambiguous);
-    # composes with or_types and the window bounds; every other
-    # feature (quantifiers, optional, strict, guards, skips, until,
-    # run totals) is refused pending its own property suite.
+    # composes with or_types, the window bounds, step_min_value, the
+    # timeout side-output, and (r10) skipPastLastEvent — group
+    # completions ride the same earliest-anchor-wins/clear/consume
+    # fold, property-tested as the full group × skip × timeout
+    # triple; every other feature (quantifiers, optional, strict,
+    # guards, skipTo strategies, until, run totals) is refused
+    # pending its own property suite.
     group_reps: Tuple[int, int] | None = None
     # [F] ``Pattern#within(Duration)`` — the PATTERN-GLOBAL window: the
     # whole match (anchor → final step) must span at most this. The
@@ -450,6 +454,12 @@ class CepPattern:
             # group-start guard (a guard-failing event is a relaxed
             # no-op in both roles) — property-suite + goldens in
             # tests/test_properties.py.
+            # skip_past_last COMPOSES (r10): group completions land in
+            # the same `completed` list as plain ones, so the
+            # earliest-anchor-wins/clear-state/consume fold lifts
+            # unchanged; skip-killed group partials are discards, not
+            # timeouts (property-tested as the full group × skip ×
+            # timeout triple in tests/test_properties.py).
             for feature, label in (
                 (self.one_or_more is not None, "one_or_more"),
                 (bool(self.optional_steps), "optional_steps"),
@@ -459,7 +469,6 @@ class CepPattern:
                 (self.rel_guards is not None, "rel_guards"),
                 (bool(self.any_match_steps), "any_match_steps"),
                 (self.after_match_skip is not None, "after_match_skip"),
-                (self.skip_past_last, "skip_past_last"),
                 (self.until_type is not None, "until_type"),
                 (self.run_min_total is not None, "run_min_total"),
             ):

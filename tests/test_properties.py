@@ -3920,6 +3920,15 @@ def test_cep_group_v1_refusals_from_review():
         step_min_value=(None, 5.0, None, None),
     )
     assert p.group_reps == (1, 2)
+    # group × skipPastLastEvent was modeled in a later r10 session
+    # (full group × skip × timeout triple, suites above): constructs
+    ps = CepPattern(
+        steps=("a", "b", "c", "d"),
+        within_minutes=1,
+        group_reps=(1, 2),
+        skip_past_last=True,
+    )
+    assert ps.skip_past_last
     with _pytest.raises(ValueError, match="untested composition"):
         CepPattern(
             steps=("a", "b", "c", "d"),
@@ -5494,3 +5503,139 @@ def test_cep_reluctant_skipto_goldens():
         (1, 1, 5, 10, 40, 1), (1, 1, 5, 20, 40, 2), (1, 1, 5, 30, 40, 3),
     ]
     assert t == []
+
+
+# ---------------------------------------------------------------------------
+# Round 10: group_reps × skipPastLastEvent, run with the timeout
+# side-output on (the full triple). Group completions land in the same
+# completed list as plain ones, so the earliest-anchor-wins/clear-
+# state/consume fold lifts unchanged; skip-killed group partials are
+# discards (never timeout rows), window-expired ones still emit their
+# stage prefix with the completed-repetition count.
+# ---------------------------------------------------------------------------
+
+
+def _group_skip_timeout_sim(evs5, steps, gi, gj, window_s):
+    """(matched, timeouts) for a (b c)+ d with skipPastLastEvent and
+    the timeout side-output: sequential per-key fold written directly
+    against the semantics (per-stage window from the last accepted
+    event, boundary restart discarding the group slots, earliest
+    anchor wins, completing event consumed, clear-all kills are
+    discards). Shares no code with the NFA."""
+    k = len(steps)
+    out_m, out_t = [], []
+    for uid in sorted({e[0] for e in evs5}):
+        evs = [e for e in evs5 if e[0] == uid] + [(uid, -1, 10_000, "zz", 0.0)]
+        partials: list[list] = []  # [aid, tss, cnt]
+        for _, eid, ts, et, v in evs:
+            alive = []
+            for aid, tss, cnt in partials:
+                if ts - tss[-1] > window_s:
+                    out_t.append(
+                        (uid, aid, *(tss + [None] * (k - len(tss))), cnt)
+                    )
+                else:
+                    alive.append([aid, tss, cnt])
+            partials = alive
+            completed = []
+            nxt = []
+            for aid, tss, cnt in partials:
+                stage = len(tss)
+                if stage == gj + 1 and et == steps[gi] and ts > tss[-1]:
+                    nxt.append([aid, tss[:gi] + [ts], cnt])
+                elif stage < k and et == steps[stage] and ts > tss[-1]:
+                    ntss = tss + [ts]
+                    ncnt = cnt + (1 if stage == gj else 0)
+                    if len(ntss) == k:
+                        completed.append((aid, ntss, ncnt))
+                    else:
+                        nxt.append([aid, ntss, ncnt])
+                else:
+                    nxt.append([aid, tss, cnt])
+            partials = nxt
+            if completed:
+                aid, tss, cnt = min(completed, key=lambda c: (c[1][0], c[0]))
+                out_m.append((uid, aid, *tss, cnt))
+                partials = []
+                continue  # completing event consumed: anchors nothing
+            if et == steps[0]:
+                partials.append([eid, [ts], 0])
+    skey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    return sorted(out_m), sorted(out_t, key=skey)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "d"]),
+        ),
+        min_size=1,
+        max_size=28,
+    ),
+    cuts=st.lists(st.integers(0, 27), max_size=4),
+)
+@SETTINGS
+def test_cep_group_skip_past_last_timeouts_matches_simulation(events, cuts):
+    """group_reps × skipPastLastEvent × timeout under every
+    micro-batch split: earliest anchor wins, clear-all kills are
+    discards, expired group partials emit their stage prefix."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c", "d"), 60
+    evs5 = sorted(
+        ((u, i, t, e, 0.0) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want_m, want_t = _group_skip_timeout_sim(evs5, steps, 1, 2, window_s)
+    proc = _make_processor(
+        steps,
+        window_s * 1_000_000,
+        emit_timeouts=True,
+        grp=(1, 2),
+        skip_past_last=True,
+    )
+    got_m, got_t = _drive_nfa_rows_t(proc, evs5, cuts, 4, flush_ts=10_000)
+    assert got_m == want_m
+    assert got_t == want_t
+
+
+def test_cep_group_skip_past_last_goldens():
+    """Pinned: (1) two overlapping group anchors complete at one d —
+    the earlier wins, the later is cleared WITHOUT a timeout row; (2)
+    after the skip, a fresh anchor matches normally; (3) an expired
+    group partial still emits its stage prefix (partially refilled
+    repetition) alongside an unrelated winning match."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    w = 60 * 1_000_000
+    proc = _make_processor(
+        ("a", "b", "c", "d"), w, emit_timeouts=True, grp=(1, 2),
+        skip_past_last=True,
+    )
+    # (1)+(2): a@0 a@5 b@10 c@20 d@30 -> anchor 0 wins (both partials
+    # at stage 3 complete); anchor 5 cleared silently; then a fresh
+    # a@40 b@45 c@50 d@55 matches
+    evs = [
+        (1, 0, 0, "a", 0.0), (1, 1, 5, "a", 0.0), (1, 2, 10, "b", 0.0),
+        (1, 3, 20, "c", 0.0), (1, 4, 30, "d", 0.0),
+        (1, 5, 40, "a", 0.0), (1, 6, 45, "b", 0.0), (1, 7, 50, "c", 0.0),
+        (1, 8, 55, "d", 0.0),
+    ]
+    m, t = _drive_nfa_rows_t(proc, evs, [], 4, flush_ts=10_000)
+    assert m == [(1, 0, 0, 10, 20, 30, 1), (1, 5, 40, 45, 50, 55, 1)]
+    assert t == []
+
+    # (3): anchor 0's partial refills b@70 after a completed (b, c)
+    # repetition, never sees d, expires with the refilled slot; a
+    # separate anchor a@100 matches and clears nothing else
+    evs = [
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 20, "c", 0.0),
+        (1, 3, 70, "b", 0.0),
+        (1, 4, 200, "a", 0.0), (1, 5, 210, "b", 0.0), (1, 6, 220, "c", 0.0),
+        (1, 7, 230, "d", 0.0),
+    ]
+    m, t = _drive_nfa_rows_t(proc, evs, [], 4, flush_ts=10_000)
+    assert m == [(1, 4, 200, 210, 220, 230, 1)]
+    assert t == [(1, 0, 0, 70, None, None, 1)]
