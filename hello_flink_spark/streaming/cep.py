@@ -214,12 +214,14 @@ class CepPattern:
     # plain pattern); step type-sets gi..gj+1 pairwise disjoint
     # (boundary and in-group promotions must be unambiguous);
     # composes with or_types, the window bounds, step_min_value, the
-    # timeout side-output, and (r10) skipPastLastEvent — group
-    # completions ride the same earliest-anchor-wins/clear/consume
-    # fold, property-tested as the full group × skip × timeout
-    # triple; every other feature (quantifiers, optional, strict,
-    # guards, skipTo strategies, until, run totals) is refused
-    # pending its own property suite.
+    # timeout side-output, and (r10) the WHOLE AfterMatchSkip family —
+    # group completions ride the same (anchor_ts, anchor_id) judgement
+    # + boundary fold, property-tested as full group × skip × timeout
+    # triples; to_first cannot reference an in-group slot (restarts
+    # slide it to the last repetition — the Kleene-step rule's
+    # analog). Every other feature (quantifiers, optional, strict,
+    # guards, until, run totals) is refused pending its own property
+    # suite.
     group_reps: Tuple[int, int] | None = None
     # [F] ``Pattern#within(Duration)`` — the PATTERN-GLOBAL window: the
     # whole match (anchor → final step) must span at most this. The
@@ -460,6 +462,22 @@ class CepPattern:
             # unchanged; skip-killed group partials are discards, not
             # timeouts (property-tested as the full group × skip ×
             # timeout triple in tests/test_properties.py).
+            # after_match_skip COMPOSES (r10, same session as
+            # skip_past_last): group completions ride the generic
+            # (anchor_ts, anchor_id) judgement + boundary fold; the
+            # one group-specific rule is below (to_first cannot
+            # reference an in-group slot — restarts slide it to the
+            # LAST repetition, the Kleene-step rule's analog).
+            # Property-tested as group × skipTo × timeout triples.
+            if self.after_match_skip is not None:
+                mode, j = self.after_match_skip
+                if mode == "to_first" and j is not None and gi <= j <= gj:
+                    raise ValueError(
+                        "to_first cannot reference an in-group step: a "
+                        "boundary restart discards the slots, so only the "
+                        "LAST repetition's timestamp is retained (use "
+                        "to_last)"
+                    )
             for feature, label in (
                 (self.one_or_more is not None, "one_or_more"),
                 (bool(self.optional_steps), "optional_steps"),
@@ -468,7 +486,6 @@ class CepPattern:
                 (self.not_next is not None, "not_next"),
                 (self.rel_guards is not None, "rel_guards"),
                 (bool(self.any_match_steps), "any_match_steps"),
-                (self.after_match_skip is not None, "after_match_skip"),
                 (self.until_type is not None, "until_type"),
                 (self.run_min_total is not None, "run_min_total"),
             ):

@@ -5515,13 +5515,15 @@ def test_cep_reluctant_skipto_goldens():
 # ---------------------------------------------------------------------------
 
 
-def _group_skip_timeout_sim(evs5, steps, gi, gj, window_s):
-    """(matched, timeouts) for a (b c)+ d with skipPastLastEvent and
-    the timeout side-output: sequential per-key fold written directly
-    against the semantics (per-stage window from the last accepted
-    event, boundary restart discarding the group slots, earliest
-    anchor wins, completing event consumed, clear-all kills are
-    discards). Shares no code with the NFA."""
+def _group_skip_timeout_sim(evs5, steps, gi, gj, window_s, mode="past_last", j=None):
+    """(matched, timeouts) for a (b c)+ d with an AfterMatchSkip
+    strategy and the timeout side-output: sequential per-key fold
+    written directly against the semantics (per-stage window from the
+    last accepted event, boundary restart discarding the group slots;
+    past_last = earliest anchor wins + clear-all + consume; to_next =
+    one match per anchor, not consumed; to_first/to_last = per-match
+    boundary fold over (anchor_ts, anchor_id) order, boundary kills
+    are discards). Shares no code with the NFA."""
     k = len(steps)
     out_m, out_t = [], []
     for uid in sorted({e[0] for e in evs5}):
@@ -5554,10 +5556,31 @@ def _group_skip_timeout_sim(evs5, steps, gi, gj, window_s):
                     nxt.append([aid, tss, cnt])
             partials = nxt
             if completed:
-                aid, tss, cnt = min(completed, key=lambda c: (c[1][0], c[0]))
-                out_m.append((uid, aid, *tss, cnt))
-                partials = []
-                continue  # completing event consumed: anchors nothing
+                if mode == "past_last":
+                    aid, tss, cnt = min(
+                        completed, key=lambda c: (c[1][0], c[0])
+                    )
+                    out_m.append((uid, aid, *tss, cnt))
+                    partials = []
+                    continue  # completing event consumed: anchors nothing
+                completed.sort(key=lambda c: (c[1][0], c[0]))
+                if mode == "to_next":
+                    emitted = set()
+                    for aid, tss, cnt in completed:
+                        if aid not in emitted:
+                            out_m.append((uid, aid, *tss, cnt))
+                            emitted.add(aid)
+                    partials = [p for p in partials if p[0] not in emitted]
+                else:
+                    bound = None
+                    for aid, tss, cnt in completed:
+                        if bound is not None and tss[0] < bound:
+                            continue
+                        out_m.append((uid, aid, *tss, cnt))
+                        b = tss[j]
+                        bound = b if bound is None else max(bound, b)
+                    if bound is not None:
+                        partials = [p for p in partials if p[1][0] >= bound]
             if et == steps[0]:
                 partials.append([eid, [ts], 0])
     skey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
@@ -5639,3 +5662,102 @@ def test_cep_group_skip_past_last_goldens():
     m, t = _drive_nfa_rows_t(proc, evs, [], 4, flush_ts=10_000)
     assert m == [(1, 4, 200, 210, 220, 230, 1)]
     assert t == [(1, 0, 0, 70, None, None, 1)]
+
+
+def _run_group_skipto(events, cuts, mode, j=None):
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c", "d"), 60
+    evs5 = sorted(
+        ((u, i, t, e, 0.0) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want_m, want_t = _group_skip_timeout_sim(
+        evs5, steps, 1, 2, window_s, mode=mode, j=j
+    )
+    proc = _make_processor(
+        steps,
+        window_s * 1_000_000,
+        emit_timeouts=True,
+        grp=(1, 2),
+        skip_to=(mode, j),
+    )
+    got_m, got_t = _drive_nfa_rows_t(proc, evs5, cuts, 4, flush_ts=10_000)
+    assert got_m == want_m
+    assert got_t == want_t
+
+
+GROUP_SKIP_EVENTS = st.lists(
+    st.tuples(
+        st.integers(1, 2),
+        st.integers(0, 120),
+        st.sampled_from(["a", "b", "c", "d", "x"]),
+    ),
+    min_size=1,
+    max_size=28,
+)
+
+
+@given(events=GROUP_SKIP_EVENTS, cuts=st.lists(st.integers(0, 27), max_size=4))
+@SETTINGS
+def test_cep_group_skip_to_next_timeouts_matches_simulation(events, cuts):
+    """group_reps × skipToNext × timeout under every chunking."""
+    _run_group_skipto(events, cuts, "to_next")
+
+
+@given(events=GROUP_SKIP_EVENTS, cuts=st.lists(st.integers(0, 27), max_size=4))
+@SETTINGS
+def test_cep_group_skip_to_first_timeouts_matches_simulation(events, cuts):
+    """group_reps × skipToFirst[anchor] × timeout: ties survive the
+    boundary; in-group references are rejected (slots slide)."""
+    _run_group_skipto(events, cuts, "to_first", j=0)
+
+
+@given(events=GROUP_SKIP_EVENTS, cuts=st.lists(st.integers(0, 27), max_size=4))
+@SETTINGS
+def test_cep_group_skip_to_last_timeouts_matches_simulation(events, cuts):
+    """group_reps × skipToLast[in-group step] × timeout: the boundary
+    is the LAST repetition's slot (the retained one)."""
+    _run_group_skipto(events, cuts, "to_last", j=2)
+
+
+def test_cep_group_skipto_validation_and_goldens():
+    """to_first referencing an in-group slot is rejected (restarts
+    slide the slots — use to_last); to_last[c] golden: the winning
+    match's last-repetition c sets the boundary that kills the
+    later-anchored partial silently."""
+    import pytest as _pytest
+
+    from hello_flink_spark.streaming.cep import CepPattern, _make_processor
+
+    with _pytest.raises(ValueError, match="in-group"):
+        CepPattern(
+            steps=("a", "b", "c", "d"),
+            within_minutes=1,
+            group_reps=(1, 2),
+            after_match_skip=("to_first", 1),
+        )
+    ok = CepPattern(
+        steps=("a", "b", "c", "d"),
+        within_minutes=1,
+        group_reps=(1, 2),
+        after_match_skip=("to_last", 2),
+    )
+    assert ok.after_match_skip == ("to_last", 2)
+
+    w = 60 * 1_000_000
+    proc = _make_processor(
+        ("a", "b", "c", "d"), w, emit_timeouts=True, grp=(1, 2),
+        skip_to=("to_last", 2),
+    )
+    # a@0 (b@10 c@20)(b@25 c@28) d@30 wins with boundary = 28 (LAST
+    # repetition's c); a@15 (armed, same b/c events) is anchored
+    # before 28 -> boundary-killed silently, never a timeout row
+    evs = [
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 15, "a", 0.0),
+        (1, 3, 20, "c", 0.0), (1, 4, 25, "b", 0.0), (1, 5, 28, "c", 0.0),
+        (1, 6, 30, "d", 0.0),
+    ]
+    m, t = _drive_nfa_rows_t(proc, evs, [], 4, flush_ts=10_000)
+    assert m == [(1, 0, 0, 25, 28, 30, 2)]
+    assert t == []
