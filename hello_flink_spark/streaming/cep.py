@@ -219,9 +219,11 @@ class CepPattern:
     # + boundary fold, property-tested as full group × skip × timeout
     # triples; to_first cannot reference an in-group slot (restarts
     # slide it to the last repetition — the Kleene-step rule's
-    # analog). Every other feature (quantifiers, optional, strict,
-    # guards, until, run totals) is refused pending its own property
-    # suite.
+    # analog), and until (r10 — the stop freezes acceptance INTO the
+    # group's looping state: no restart, no in-group promotion;
+    # completion out of a finished repetition stays allowed). Every
+    # other feature (quantifiers, optional, strict, guards, run
+    # totals) is refused pending its own property suite.
     group_reps: Tuple[int, int] | None = None
     # [F] ``Pattern#within(Duration)`` — the PATTERN-GLOBAL window: the
     # whole match (anchor → final step) must span at most this. The
@@ -486,7 +488,6 @@ class CepPattern:
                 (self.not_next is not None, "not_next"),
                 (self.rel_guards is not None, "rel_guards"),
                 (bool(self.any_match_steps), "any_match_steps"),
-                (self.until_type is not None, "until_type"),
                 (self.run_min_total is not None, "run_min_total"),
             ):
                 if feature:
@@ -512,25 +513,46 @@ class CepPattern:
                     "(last-value semantics) cannot compose with it"
                 )
         if self.until_type is not None:
-            if self.one_or_more is None:
+            if self.one_or_more is None and self.group_reps is None:
                 raise ValueError(
-                    "until_type ([F] oneOrMore().until) requires a one_or_more "
-                    "step — the stop condition gates the looping state"
+                    "until_type ([F] oneOrMore().until) requires a looping "
+                    "stage — a one_or_more step or a group_reps span — the "
+                    "stop condition gates the looping state"
                 )
+            if self.group_reps is not None:
+                # group × until (r10): the stop freezes acceptance INTO
+                # the group's looping state — no boundary restart, no
+                # in-group promotion (a mid-repetition frozen partial
+                # can never refill its slots and expires as a genuine
+                # timeout); completion OUT of a finished repetition
+                # (stage gj+1 → the post-group step) stays allowed —
+                # the exact analog of the Kleene freeze. One-event
+                # ambiguity rules mirror the Kleene ones across the
+                # whole span + the post-group step.
+                gi_, gj_ = self.group_reps
+                for s in range(gi_, gj_ + 2):
+                    if self.until_type in self.step_types(s):
+                        raise ValueError(
+                            "until_type must differ from every group-span "
+                            "and post-group type-set (one event cannot both "
+                            "freeze and promote/restart/complete)"
+                        )
             r = self.one_or_more
-            if self.until_type in self.step_types(r):
+            if r is not None and self.until_type in self.step_types(r):
                 raise ValueError(
                     "until_type must differ from the repeated step's type-set "
                     "(one event cannot both extend and freeze the run)"
                 )
-            if self.until_type in self.step_types(r + 1):
+            if r is not None and self.until_type in self.step_types(r + 1):
                 raise ValueError(
                     "until_type must differ from the successor step's type-set "
                     "(one event completing AND freezing is ambiguous between "
                     "NFA branch orders)"
                 )
-            if r + 1 in self.optional_steps and self.until_type in self.step_types(
-                r + 2
+            if (
+                r is not None
+                and r + 1 in self.optional_steps
+                and self.until_type in self.step_types(r + 2)
             ):
                 raise ValueError(
                     "until_type must differ from the post-optional successor's "
@@ -1156,9 +1178,22 @@ def _make_processor(
                     and etype == until[0]
                     and (until[1] is None or val >= until[1])
                 ):
+                    # looping stages the stop freezes: the Kleene step
+                    # and its successor (extension / completed-run),
+                    # or — group × until (r10) — the whole group span
+                    # plus the completed-repetition stage gj+1 (a
+                    # frozen mid-repetition partial can never refill
+                    # its slots and expires as a genuine timeout;
+                    # completion OUT via the post-group step stays
+                    # allowed, the exact Kleene analog)
+                    loop_stages = (
+                        tuple(range(grp[0], grp[1] + 2))
+                        if grp is not None
+                        else (rep, rep + 1)
+                    )
                     partials = [
                         (aid, tss, cnt, FROZEN, vals)
-                        if len(tss) in (rep, rep + 1)
+                        if len(tss) in loop_stages
                         and ts_us > tss[-1]
                         and pend is None
                         else (aid, tss, cnt, pend, vals)
@@ -1216,9 +1251,13 @@ def _make_processor(
                     and (mins[grp[0]] is None or val >= mins[grp[0]])
                 ):
                     gi_, gj_ = grp
+                    # a FROZEN partial ([F] until stop on the group's
+                    # looping state) never opens another repetition
                     partials = [
                         (aid, tss[:gi_] + [ts_us], cnt, pend, vals[:gi_] + [val])
-                        if len(tss) == gj_ + 1 and ts_us > tss[-1]
+                        if len(tss) == gj_ + 1
+                        and ts_us > tss[-1]
+                        and pend != FROZEN
                         else (aid, tss, cnt, pend, vals)
                         for aid, tss, cnt, pend, vals in partials
                     ]
@@ -1245,8 +1284,16 @@ def _make_processor(
                         # until(): a FROZEN waiter accepts nothing INTO
                         # the looping state — its first repetition is
                         # refused (completion OUT of the loop, _i ==
-                        # rep + 1, stays allowed)
+                        # rep + 1, stays allowed); group × until: every
+                        # in-group target gi..gj is refused, completion
+                        # out via the post-group step stays allowed
                         if p[3] == FROZEN and rep is not None and _i == rep:
+                            return False
+                        if (
+                            p[3] == FROZEN
+                            and grp is not None
+                            and grp[0] <= _i <= grp[1]
+                        ):
                             return False
                         # IterativeCondition: the guard compares this
                         # event's value against THIS partial's accepted

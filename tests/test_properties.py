@@ -3433,7 +3433,7 @@ def test_cep_until_validation():
 
     from hello_flink_spark.streaming.cep import CepPattern
 
-    with _pytest.raises(ValueError, match="requires a one_or_more"):
+    with _pytest.raises(ValueError, match="requires a looping stage"):
         CepPattern(steps=("a", "b", "c"), within_minutes=1, until_type="u")
     with _pytest.raises(ValueError, match="differ from the repeated"):
         CepPattern(
@@ -3686,7 +3686,7 @@ def test_cep_run_total_validation():
 
     from hello_flink_spark.streaming.cep import CepPattern
 
-    with _pytest.raises(ValueError, match="requires a one_or_more"):
+    with _pytest.raises(ValueError, match="requires a looping stage"):
         CepPattern(steps=("a", "b", "c"), within_minutes=1, run_min_total=5.0)
     with _pytest.raises(ValueError, match="cannot compose"):
         CepPattern(
@@ -3945,15 +3945,21 @@ def test_cep_group_v1_refusals_from_review():
 # ---------------------------------------------------------------------------
 
 
-def _group_full_sim(evs5, steps, gi, gj, window_s, mins=None):
+def _group_full_sim(evs5, steps, gi, gj, window_s, mins=None, until=None):
     """_group_sim extended with per-step value guards AND the timeout
     side-output: returns (matches, timeouts). A guard-failing event is
     a relaxed no-op in every role (anchor, in-group promotion,
     boundary restart); a non-completing anchor's partial freezes at
     its expiry point and emits its stage prefix (group slots hold the
     current — possibly partially refilled — repetition, n_rep counts
-    COMPLETED repetitions). Written directly against the semantics;
-    shares no code with the NFA."""
+    COMPLETED repetitions). With ``until`` (r10: group × until — [F]
+    GroupPattern.oneOrMore().until), a stop event strictly later than
+    the last accepted event freezes acceptance INTO the group's
+    looping state: no boundary restart, no in-group promotion (a
+    frozen mid-repetition partial can never refill its slots and
+    expires as a genuine timeout); completion OUT of a finished
+    repetition via the post-group step stays allowed. Written directly
+    against the semantics; shares no code with the NFA."""
     k = len(steps)
     mins = mins or (None,) * k
     matches, touts = [], []
@@ -3961,6 +3967,7 @@ def _group_full_sim(evs5, steps, gi, gj, window_s, mins=None):
         if et0 != steps[0] or (mins[0] is not None and v0 < mins[0]):
             continue
         tss, cnt, done = [ts0], 0, False
+        frozen = False
         for uid2, eid, ts, et, v in evs5[pos + 1:]:
             if uid2 != uid:
                 continue
@@ -3968,9 +3975,19 @@ def _group_full_sim(evs5, steps, gi, gj, window_s, mins=None):
                 break  # expired before this event: prefix frozen
             stage = len(tss)
             if (
+                until is not None
+                and et == until[0]
+                and (until[1] is None or v >= until[1])
+                and ts > tss[-1]
+                and gi <= stage <= gj + 1
+            ):
+                frozen = True
+                continue
+            if (
                 stage == gj + 1
                 and et == steps[gi]
                 and ts > tss[-1]
+                and not frozen
                 and (mins[gi] is None or v >= mins[gi])
             ):
                 tss = tss[:gi] + [ts]
@@ -3981,6 +3998,8 @@ def _group_full_sim(evs5, steps, gi, gj, window_s, mins=None):
                 and ts > tss[-1]
                 and (mins[stage] is None or v >= mins[stage])
             ):
+                if frozen and gi <= stage <= gj:
+                    continue  # acceptance INTO the loop refused
                 tss.append(ts)
                 if stage == gj:
                     cnt += 1
@@ -5761,3 +5780,121 @@ def test_cep_group_skipto_validation_and_goldens():
     m, t = _drive_nfa_rows_t(proc, evs, [], 4, flush_ts=10_000)
     assert m == [(1, 0, 0, 25, 28, 30, 2)]
     assert t == []
+
+
+# ---------------------------------------------------------------------------
+# Round 10: group_reps × until ([F] GroupPattern.oneOrMore().until) —
+# the stop event freezes acceptance INTO the group's looping state (no
+# boundary restart, no in-group promotion; a frozen mid-repetition
+# partial can never refill and expires as a genuine timeout);
+# completion OUT of a finished repetition stays allowed. Run with the
+# timeout side-output on.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "d", "x"]),
+        ),
+        min_size=1,
+        max_size=28,
+    ),
+    cuts=st.lists(st.integers(0, 27), max_size=4),
+)
+@SETTINGS
+def test_cep_group_until_timeouts_matches_simulation(events, cuts):
+    """group_reps × until × timeout under every micro-batch split."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c", "d"), 60
+    evs5 = sorted(
+        ((u, i, t, e, 0.0) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want_m, want_t = _group_full_sim(
+        evs5, steps, 1, 2, window_s, until=("x", None)
+    )
+    proc = _make_processor(
+        steps,
+        window_s * 1_000_000,
+        emit_timeouts=True,
+        grp=(1, 2),
+        until=("x", None),
+    )
+    got_m, got_t = _drive_nfa_rows_t(proc, evs5, cuts, 4, flush_ts=10_000)
+    assert got_m == want_m
+    assert got_t == want_t
+
+
+def test_cep_group_until_goldens():
+    """Pinned: (1) a stop after a COMPLETED repetition freezes the
+    restart but the partial still completes via d; (2) a stop
+    mid-repetition kills the refill — the partial expires as a genuine
+    timeout holding the refilled prefix; (3) a stop before the first
+    repetition makes the anchor a dead man walking (timeout with
+    n_rep 0); (4) an until_min_value-failing stop is a no-op; (5) the
+    one-event ambiguity validations reject stop types shared with the
+    span or the post-group step."""
+    import pytest as _pytest
+
+    from hello_flink_spark.streaming.cep import CepPattern, _make_processor
+
+    w = 60 * 1_000_000
+    proc = _make_processor(
+        ("a", "b", "c", "d"), w, emit_timeouts=True, grp=(1, 2),
+        until=("x", None),
+    )
+
+    def run(evs):
+        return _drive_nfa_rows_t(proc, evs, [], 4, flush_ts=10_000)
+
+    # (1) a b c x b(ignored restart) d -> completes with cnt 1
+    m, t = run([
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 20, "c", 0.0),
+        (1, 3, 25, "x", 0.0), (1, 4, 30, "b", 0.0), (1, 5, 40, "d", 0.0),
+    ])
+    assert m == [(1, 0, 0, 10, 20, 40, 1)] and t == []
+
+    # (2) a b x c(refused) -> frozen mid-repetition, times out with the
+    # partial (a, b) prefix and n_rep 0
+    m, t = run([
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 15, "x", 0.0),
+        (1, 3, 20, "c", 0.0),
+    ])
+    assert m == [] and t == [(1, 0, 0, 10, None, None, 0)]
+
+    # (3) a x b(refused) c -> timeout with just the anchor
+    m, t = run([
+        (1, 0, 0, "a", 0.0), (1, 1, 5, "x", 0.0), (1, 2, 10, "b", 0.0),
+        (1, 3, 20, "c", 0.0),
+    ])
+    assert m == [] and t == [(1, 0, 0, None, None, None, 0)]
+
+    # (4) value-guarded stop: x below the bar is a no-op
+    proc_v = _make_processor(
+        ("a", "b", "c", "d"), w, emit_timeouts=True, grp=(1, 2),
+        until=("x", 5.0),
+    )
+    m, t = _drive_nfa_rows_t(proc_v, [
+        (1, 0, 0, "a", 0.0), (1, 1, 5, "x", 1.0), (1, 2, 10, "b", 0.0),
+        (1, 3, 20, "c", 0.0), (1, 4, 30, "d", 0.0),
+    ], [], 4, flush_ts=10_000)
+    assert m == [(1, 0, 0, 10, 20, 30, 1)] and t == []
+
+    # (5) shared-type stops rejected across the span + post-group step
+    for shared in ("b", "c", "d"):
+        with _pytest.raises(ValueError, match="group-span|post-group"):
+            CepPattern(
+                steps=("a", "b", "c", "d"),
+                within_minutes=1,
+                group_reps=(1, 2),
+                until_type=shared,
+            )
+    ok = CepPattern(
+        steps=("a", "b", "c", "d"), within_minutes=1, group_reps=(1, 2),
+        until_type="x",
+    )
+    assert ok.until_type == "x"
