@@ -221,9 +221,12 @@ class CepPattern:
     # slide it to the last repetition — the Kleene-step rule's
     # analog), and until (r10 — the stop freezes acceptance INTO the
     # group's looping state: no restart, no in-group promotion;
-    # completion out of a finished repetition stays allowed). Every
-    # other feature (quantifiers, optional, strict, guards, run
-    # totals) is refused pending its own property suite.
+    # completion out of a finished repetition stays allowed), and
+    # run_min_total (r10 — the total accumulates the repetition-
+    # completing step's values on the anchor slot; completion out of
+    # the group gates on total >= bar, early exits are relaxed
+    # no-ops). Every other feature (quantifiers, optional, strict,
+    # guards) is refused pending its own property suite.
     group_reps: Tuple[int, int] | None = None
     # [F] ``Pattern#within(Duration)`` — the PATTERN-GLOBAL window: the
     # whole match (anchor → final step) must span at most this. The
@@ -488,7 +491,6 @@ class CepPattern:
                 (self.not_next is not None, "not_next"),
                 (self.rel_guards is not None, "rel_guards"),
                 (bool(self.any_match_steps), "any_match_steps"),
-                (self.run_min_total is not None, "run_min_total"),
             ):
                 if feature:
                     raise ValueError(
@@ -498,11 +500,18 @@ class CepPattern:
         if self.until_min_value is not None and self.until_type is None:
             raise ValueError("until_min_value requires until_type")
         if self.run_min_total is not None:
-            if self.one_or_more is None:
+            if self.one_or_more is None and self.group_reps is None:
                 raise ValueError(
-                    "run_min_total (the Kleene run-aggregate guard) requires "
-                    "a one_or_more step"
+                    "run_min_total (the run-aggregate guard) requires a "
+                    "looping stage — a one_or_more step or a group_reps span"
                 )
+            # group × run_min_total (r10): the total accumulates the
+            # REPETITION-COMPLETING step's (gj's) accepted values, one
+            # per completed repetition, riding the anchor value slot
+            # (free in group patterns: rel_guards are refused with
+            # groups, so no emitted v-column reads it). Completion out
+            # of the group gates on total >= bar; an early post-group
+            # event is a relaxed no-op, exactly the Kleene rule.
             if self.rel_guards is not None and any(
                 g is not None and g[0] == self.one_or_more
                 for g in self.rel_guards
@@ -1318,12 +1327,30 @@ def _make_processor(
                         # the loop's accepted events): the accumulated
                         # total must clear the bar — an early next-step
                         # event is a relaxed no-op, like min_reps
-                        if run_total is not None and len(p[1]) == rep + 1:
+                        if (
+                            run_total is not None
+                            and rep is not None
+                            and len(p[1]) == rep + 1
+                        ):
                             tot = p[4][rep] if rep < len(p[4]) else None
                             # fail CLOSED on an unknown total: a NULL
                             # repetition value reaches here as NaN, and
                             # NaN >= bar is False — a run whose value
                             # mass is unknown cannot clear the bar
+                            if tot is None or not (tot >= run_total):
+                                return False
+                        # group × run_min_total: completion OUT of the
+                        # group gates on the accumulated per-repetition
+                        # total riding the anchor value slot — an early
+                        # post-group event is a relaxed no-op; same
+                        # fail-closed NaN rule
+                        if (
+                            run_total is not None
+                            and grp is not None
+                            and len(p[1]) == grp[1] + 1
+                            and _i == grp[1] + 1
+                        ):
+                            tot = p[4][0] if p[4] else None
                             if tot is None or not (tot >= run_total):
                                 return False
                         return True
@@ -1342,6 +1369,17 @@ def _make_processor(
                         ncnt = 1 if rep is not None and i == rep else cnt
                         if grp is not None and i == grp[1]:
                             ncnt = cnt + 1
+                            if run_total is not None:
+                                # accumulate the repetition-completing
+                                # step's value into the anchor slot —
+                                # fail CLOSED (NaN) if the prior total
+                                # was somehow lost, mirroring _kv
+                                prior = nvals[0] if nvals else None
+                                nvals[0] = (
+                                    prior + val
+                                    if prior is not None
+                                    else float("nan")
+                                )
                         if i == k - 1:
                             completed.append((aid, ntss, ncnt, nvals))
                         else:
@@ -1444,7 +1482,13 @@ def _make_processor(
                             [ts_us],
                             0,
                             GUARD if nn[0] is not None else None,
-                            [float(val)],
+                            # group × run_min_total repurposes the
+                            # anchor value slot as the running total
+                            [
+                                0.0
+                                if run_total is not None and grp is not None
+                                else float(val)
+                            ],
                         )
                     )
             # group end: a strict-stage waiter that saw this (strictly

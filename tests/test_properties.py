@@ -3945,7 +3945,9 @@ def test_cep_group_v1_refusals_from_review():
 # ---------------------------------------------------------------------------
 
 
-def _group_full_sim(evs5, steps, gi, gj, window_s, mins=None, until=None):
+def _group_full_sim(
+    evs5, steps, gi, gj, window_s, mins=None, until=None, run_total=None
+):
     """_group_sim extended with per-step value guards AND the timeout
     side-output: returns (matches, timeouts). A guard-failing event is
     a relaxed no-op in every role (anchor, in-group promotion,
@@ -3968,6 +3970,7 @@ def _group_full_sim(evs5, steps, gi, gj, window_s, mins=None, until=None):
             continue
         tss, cnt, done = [ts0], 0, False
         frozen = False
+        tot = 0.0
         for uid2, eid, ts, et, v in evs5[pos + 1:]:
             if uid2 != uid:
                 continue
@@ -4000,9 +4003,16 @@ def _group_full_sim(evs5, steps, gi, gj, window_s, mins=None, until=None):
             ):
                 if frozen and gi <= stage <= gj:
                     continue  # acceptance INTO the loop refused
+                if (
+                    run_total is not None
+                    and stage == gj + 1
+                    and tot < run_total
+                ):
+                    continue  # under-total exit: relaxed no-op
                 tss.append(ts)
                 if stage == gj:
                     cnt += 1
+                    tot += v
                 if len(tss) == k:
                     matches.append((uid, aid, *tss, cnt))
                     done = True
@@ -5898,3 +5908,97 @@ def test_cep_group_until_goldens():
         until_type="x",
     )
     assert ok.until_type == "x"
+
+
+# ---------------------------------------------------------------------------
+# Round 10: group_reps × run_min_total — "(b c)+ with the c values
+# totaling >= X, then d". The total accumulates the REPETITION-
+# COMPLETING step's (gj's) accepted values; completion out of the
+# group gates on total >= bar, an early post-group event is a relaxed
+# no-op (the Kleene rule's analog). Run with the timeout side-output.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 2),
+            st.integers(0, 120),
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(0, 3),
+        ),
+        min_size=1,
+        max_size=28,
+    ),
+    cuts=st.lists(st.integers(0, 27), max_size=4),
+)
+@SETTINGS
+def test_cep_group_run_total_timeouts_matches_simulation(events, cuts):
+    """group_reps × run_min_total(4) × timeout under every split."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c", "d"), 60
+    evs5 = sorted(
+        ((u, i, t, e, float(v)) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want_m, want_t = _group_full_sim(
+        evs5, steps, 1, 2, window_s, run_total=4.0
+    )
+    proc = _make_processor(
+        steps,
+        window_s * 1_000_000,
+        emit_timeouts=True,
+        grp=(1, 2),
+        run_total=4.0,
+    )
+    got_m, got_t = _drive_nfa_rows_t(proc, evs5, cuts, 4, flush_ts=10_000)
+    assert got_m == want_m
+    assert got_t == want_t
+
+
+def test_cep_group_run_total_goldens():
+    """Pinned: (1) an under-total d is a relaxed no-op — a later
+    repetition lifts the total and a LATER d completes (n_rep counts
+    both); (2) the total survives boundary restarts (it rides the
+    anchor slot, not the discarded group slots); (3) a never-clearing
+    partial times out with its stage prefix; (4) the guard composes
+    with step_min_value (a guard-failing c neither completes the
+    repetition nor adds to the total)."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    w = 60 * 1_000_000
+    proc = _make_processor(
+        ("a", "b", "c", "d"), w, emit_timeouts=True, grp=(1, 2),
+        run_total=5.0,
+    )
+
+    def run(p, evs):
+        return _drive_nfa_rows_t(p, evs, [], 4, flush_ts=10_000)
+
+    # (1)+(2): a (b c=3) d@25 no-op, (b c=3) -> total 6, d@45 completes
+    m, t = run(proc, [
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 20, "c", 3.0),
+        (1, 3, 25, "d", 0.0), (1, 4, 30, "b", 0.0), (1, 5, 40, "c", 3.0),
+        (1, 6, 45, "d", 0.0),
+    ])
+    assert m == [(1, 0, 0, 30, 40, 45, 2)] and t == []
+
+    # (3): one under-total repetition, no more events -> timeout
+    m, t = run(proc, [
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 20, "c", 3.0),
+        (1, 3, 25, "d", 0.0),
+    ])
+    assert m == [] and t == [(1, 0, 0, 10, 20, None, 1)]
+
+    # (4): step_min_value on c (>= 2): a c=1 is a relaxed no-op in the
+    # repetition AND contributes nothing; c=5 completes rep + total
+    proc_g = _make_processor(
+        ("a", "b", "c", "d"), w, emit_timeouts=True, grp=(1, 2),
+        run_total=5.0, mins=(None, None, 2.0, None),
+    )
+    m, t = run(proc_g, [
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 15, "c", 1.0),
+        (1, 3, 20, "c", 5.0), (1, 4, 30, "d", 0.0),
+    ])
+    assert m == [(1, 0, 0, 10, 20, 30, 1)] and t == []
