@@ -225,8 +225,12 @@ class CepPattern:
     # run_min_total (r10 — the total accumulates the repetition-
     # completing step's values on the anchor slot; completion out of
     # the group gates on total >= bar, early exits are relaxed
-    # no-ops). Every other feature (quantifiers, optional, strict,
-    # guards) is refused pending its own property suite.
+    # no-ops). optional/strict compose OFF-SPAN (r10): an optional
+    # pair may end AT the group's first slot or begin after the
+    # post-group step; strict steps stay off the span and the
+    # post-group step. Still refused pending their own suites:
+    # quantifiers (a Kleene step alongside a group) and the per-step
+    # guards (not_between / not_next / rel_guards / any_match).
     group_reps: Tuple[int, int] | None = None
     # [F] ``Pattern#within(Duration)`` — the PATTERN-GLOBAL window: the
     # whole match (anchor → final step) must span at most this. The
@@ -483,10 +487,41 @@ class CepPattern:
                         "LAST repetition's timestamp is retained (use "
                         "to_last)"
                     )
+            # optional_steps / strict_steps COMPOSE (r10) when they
+            # stay clear of the group machinery's slots: an optional
+            # pair owns slots o and o+1, so it must END before the
+            # group starts (o + 1 < gi) or BEGIN after the post-group
+            # step (o ≥ gj + 2 — the exit promotion and boundary
+            # restart both key on stage gj+1, which stays mandatory);
+            # a strict step judges contiguity against its predecessor,
+            # so it must not be a group-span stage or the post-group
+            # step (restarts make 'immediately next' ambiguous there),
+            # leaving pre-group (s < gi) and post-post-group
+            # (s ≥ gj + 2) placements. Property-suited with a 5-step
+            # fixture in tests/test_properties.py.
+            for o in self.optional_steps:
+                # o + 1 == gi is allowed: the skip path writes [None,
+                # first-repetition ts] and every group mechanism keys
+                # on stages gi..gj+1, which the pair never occupies —
+                # "anchor, optional step, (group)+, exit" is the
+                # canonical composed shape. (Group patterns never
+                # compile to the batch pair chain, so the batch-side
+                # pair constraint does not apply.)
+                if not (o < gi or o >= gj + 2):
+                    raise ValueError(
+                        "an optional step must stay clear of the group "
+                        "span: it may end at the group's first slot "
+                        "(o + 1 <= gi) or begin after the post-group step"
+                    )
+            for s in self.strict_steps:
+                if gi <= s <= gj + 1:
+                    raise ValueError(
+                        "a strict step cannot be a group-span stage or "
+                        "the post-group step (boundary restarts make "
+                        "'immediately next' ambiguous)"
+                    )
             for feature, label in (
                 (self.one_or_more is not None, "one_or_more"),
-                (bool(self.optional_steps), "optional_steps"),
-                (bool(self.strict_steps), "strict_steps"),
                 (self.not_between is not None, "not_between"),
                 (self.not_next is not None, "not_next"),
                 (self.rel_guards is not None, "rel_guards"),

@@ -3862,7 +3862,8 @@ def test_cep_group_validation():
         CepPattern(
             steps=("a", "b", "c", "b"), within_minutes=1, group_reps=(1, 2)
         )
-    with _pytest.raises(ValueError, match="untested composition"):
+    # (r10: optional COMPOSES off-span; the POST-GROUP slot stays out)
+    with _pytest.raises(ValueError, match="stay clear of the group span"):
         CepPattern(
             steps=("a", "b", "c", "d", "e"),
             within_minutes=1,
@@ -3929,7 +3930,8 @@ def test_cep_group_v1_refusals_from_review():
         skip_past_last=True,
     )
     assert ps.skip_past_last
-    with _pytest.raises(ValueError, match="untested composition"):
+    # (r10: strict COMPOSES off-span; the post-group step stays out)
+    with _pytest.raises(ValueError, match="group-span stage or"):
         CepPattern(
             steps=("a", "b", "c", "d"),
             within_minutes=1,
@@ -3946,7 +3948,16 @@ def test_cep_group_v1_refusals_from_review():
 
 
 def _group_full_sim(
-    evs5, steps, gi, gj, window_s, mins=None, until=None, run_total=None
+    evs5,
+    steps,
+    gi,
+    gj,
+    window_s,
+    mins=None,
+    until=None,
+    run_total=None,
+    optionals=frozenset(),
+    strict=frozenset(),
 ):
     """_group_sim extended with per-step value guards AND the timeout
     side-output: returns (matches, timeouts). A guard-failing event is
@@ -3971,9 +3982,18 @@ def _group_full_sim(
         tss, cnt, done = [ts0], 0, False
         frozen = False
         tot = 0.0
+        strict_t1 = None  # first strictly-later group ts at a strict wait
+        dead_silent = False  # strict violation: no timeout row
         for uid2, eid, ts, et, v in evs5[pos + 1:]:
             if uid2 != uid:
                 continue
+            # a strict-stage waiter whose first strictly-later group
+            # ended unpromoted dies SILENTLY (contiguity violation,
+            # not a timeout) — judged before window expiry, since the
+            # NFA marks the kill at that group's end
+            if strict_t1 is not None and ts > strict_t1:
+                dead_silent = True
+                break
             if ts - tss[-1] > window_s:
                 break  # expired before this event: prefix frozen
             stage = len(tss)
@@ -3995,6 +4015,25 @@ def _group_full_sim(
             ):
                 tss = tss[:gi] + [ts]
                 continue
+            # optional skip (first-event-wins): the successor's event
+            # arriving before any optional-step event takes BOTH slots
+            # (None at the optional, ts at the successor)
+            if (
+                stage in optionals
+                and et == steps[stage + 1]
+                and ts > tss[-1]
+                and (mins[stage + 1] is None or v >= mins[stage + 1])
+            ):
+                tss.extend([None, ts])
+                strict_t1 = None
+                if stage + 1 == gj:
+                    cnt += 1
+                    tot += v
+                if len(tss) == k:
+                    matches.append((uid, aid, *tss, cnt))
+                    done = True
+                    break
+                continue
             if (
                 stage < k
                 and et == steps[stage]
@@ -4010,6 +4049,7 @@ def _group_full_sim(
                 ):
                     continue  # under-total exit: relaxed no-op
                 tss.append(ts)
+                strict_t1 = None
                 if stage == gj:
                     cnt += 1
                     tot += v
@@ -4017,7 +4057,22 @@ def _group_full_sim(
                     matches.append((uid, aid, *tss, cnt))
                     done = True
                     break
-        if not done:
+                continue
+            # unpromoted strictly-later event while waiting at a
+            # strict stage: remember its group — promotion by a
+            # same-timestamp event later in the group is still allowed
+            if (
+                len(tss) in strict
+                and ts > tss[-1]
+                and strict_t1 is None
+                and not dead_silent
+            ):
+                strict_t1 = ts
+        # a strictly-later group that ended unpromoted marks the kill
+        # at ITS OWN end — stream end included: still a silent discard
+        if strict_t1 is not None:
+            dead_silent = True
+        if not done and not dead_silent:
             touts.append((uid, aid, *(tss + [None] * (k - len(tss))), cnt))
     skey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
     return sorted(matches), sorted(touts, key=skey)
@@ -6002,3 +6057,129 @@ def test_cep_group_run_total_goldens():
         (1, 3, 20, "c", 5.0), (1, 4, 30, "d", 0.0),
     ])
     assert m == [(1, 0, 0, 10, 20, 30, 1)] and t == []
+
+
+# ---------------------------------------------------------------------------
+# Round 10: group_reps × optional_steps and × strict_steps — the
+# pre-group placements ("a, optional m, (b c)+, d" / "a next(m),
+# (b c)+, d"). The optional pair may END at the group's first slot
+# (o + 1 == gi): the skip path writes [None, first-repetition ts] and
+# every group mechanism keys on stages gi..gj+1, which the pair never
+# occupies. Strict steps must stay off the span and the post-group
+# step (restarts make 'immediately next' ambiguous there). Run with
+# the timeout side-output on; strict kills are silent discards.
+# ---------------------------------------------------------------------------
+
+GROUP5_EVENTS = st.lists(
+    st.tuples(
+        st.integers(1, 2),
+        st.integers(0, 120),
+        st.sampled_from(["a", "m", "b", "c", "d", "x"]),
+    ),
+    min_size=1,
+    max_size=28,
+)
+
+
+def _run_group5(events, cuts, optionals=frozenset(), strict=frozenset()):
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "m", "b", "c", "d"), 60
+    evs5 = sorted(
+        ((u, i, t, e, 0.0) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want_m, want_t = _group_full_sim(
+        evs5, steps, 2, 3, window_s,
+        optionals=frozenset(optionals), strict=frozenset(strict),
+    )
+    proc = _make_processor(
+        steps,
+        window_s * 1_000_000,
+        emit_timeouts=True,
+        grp=(2, 3),
+        optionals=frozenset(optionals),
+        strict=frozenset(strict),
+    )
+    got_m, got_t = _drive_nfa_rows_t(proc, evs5, cuts, 5, flush_ts=10_000)
+    assert got_m == want_m
+    assert got_t == want_t
+
+
+@given(events=GROUP5_EVENTS, cuts=st.lists(st.integers(0, 27), max_size=4))
+@SETTINGS
+def test_cep_group_optional_timeouts_matches_simulation(events, cuts):
+    """a m? (b c)+ d × timeout under every micro-batch split: the
+    optional pair ends AT the group's first slot — a b event arriving
+    before any m skips the slot as NULL and opens the first
+    repetition."""
+    _run_group5(events, cuts, optionals={1})
+
+
+@given(events=GROUP5_EVENTS, cuts=st.lists(st.integers(0, 27), max_size=4))
+@SETTINGS
+def test_cep_group_strict_timeouts_matches_simulation(events, cuts):
+    """a next(m) (b c)+ d × timeout under every micro-batch split:
+    strict kills are silent discards, never timeout rows."""
+    _run_group5(events, cuts, strict={1})
+
+
+def test_cep_group_optional_strict_validation_and_goldens():
+    """Pinned: (1) the optional slot skips as NULL when b arrives
+    first, and the match carries the NULL through restarts; (2) a
+    taken m slot works identically; (3) strict m: a non-m strictly-
+    later event kills the anchor SILENTLY (no timeout row) while an
+    untouched anchor still times out; (4) in-span optional/strict
+    placements are rejected."""
+    import pytest as _pytest
+
+    from hello_flink_spark.streaming.cep import CepPattern, _make_processor
+
+    w = 60 * 1_000_000
+    steps = ("a", "m", "b", "c", "d")
+
+    opt = _make_processor(
+        steps, w, emit_timeouts=True, grp=(2, 3), optionals=frozenset({1})
+    )
+    # (1) no m: b@10 skips the slot; restart (b@25 c@30) keeps NULL
+    m, t = _drive_nfa_rows_t(opt, [
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 20, "c", 0.0),
+        (1, 3, 25, "b", 0.0), (1, 4, 30, "c", 0.0), (1, 5, 40, "d", 0.0),
+    ], [], 5, flush_ts=10_000)
+    assert m == [(1, 0, 0, None, 25, 30, 40, 2)] and t == []
+    # (2) m taken
+    m, t = _drive_nfa_rows_t(opt, [
+        (1, 0, 0, "a", 0.0), (1, 1, 5, "m", 0.0), (1, 2, 10, "b", 0.0),
+        (1, 3, 20, "c", 0.0), (1, 4, 40, "d", 0.0),
+    ], [], 5, flush_ts=10_000)
+    assert m == [(1, 0, 0, 5, 10, 20, 40, 1)] and t == []
+
+    str_ = _make_processor(
+        steps, w, emit_timeouts=True, grp=(2, 3), strict=frozenset({1})
+    )
+    # (3) x@5 (strictly later, not m) kills anchor 0 silently; the
+    # second user's lone anchor times out normally
+    m, t = _drive_nfa_rows_t(str_, [
+        (1, 0, 0, "a", 0.0), (1, 1, 5, "x", 0.0), (1, 2, 10, "m", 0.0),
+        (2, 3, 0, "a", 0.0),
+    ], [], 5, flush_ts=10_000)
+    assert m == []
+    assert t == [(2, 3, 0, None, None, None, None, 0)]
+
+    # (4) rejections: optional inside the span / ending past gi;
+    # strict on the span or the post-group step
+    with _pytest.raises(ValueError, match="group"):
+        CepPattern(
+            steps=steps, within_minutes=1, group_reps=(2, 3),
+            optional_steps=(2,),
+        )
+    with _pytest.raises(ValueError, match="group"):
+        CepPattern(
+            steps=steps, within_minutes=1, group_reps=(2, 3),
+            strict_steps=(4,),
+        )
+    ok = CepPattern(
+        steps=steps, within_minutes=1, group_reps=(2, 3),
+        optional_steps=(1,),
+    )
+    assert ok.optional_steps == (1,)
