@@ -228,9 +228,13 @@ class CepPattern:
     # no-ops). optional/strict compose OFF-SPAN (r10): an optional
     # pair may end AT the group's first slot or begin after the
     # post-group step; strict steps stay off the span and the
-    # post-group step. Still refused pending their own suites:
-    # quantifiers (a Kleene step alongside a group) and the per-step
-    # guards (not_between / not_next / rel_guards / any_match).
+    # post-group step. not_between/not_next compose off-span the
+    # same way (guard kills stay silent; an armed notNext pend never
+    # overlaps the group's FROZEN span). Still refused pending their
+    # own suites: quantifiers (a Kleene step alongside a group),
+    # rel_guards (value slots interact with the restart-discarded
+    # span and the run-total anchor repurposing), and any_match (the
+    # branch fan-out × boundary-restart interplay).
     group_reps: Tuple[int, int] | None = None
     # [F] ``Pattern#within(Duration)`` — the PATTERN-GLOBAL window: the
     # whole match (anchor → final step) must span at most this. The
@@ -520,10 +524,34 @@ class CepPattern:
                         "the post-group step (boundary restarts make "
                         "'immediately next' ambiguous)"
                     )
+            # not_between / not_next COMPOSE off-span (r10): both are
+            # stage-keyed, so placements that never touch the group's
+            # stages behave exactly as in plain patterns. not_between
+            # may guard stages <= gi-1 or >= gj+2 (guarding the span
+            # or the post-group step would span boundary restarts —
+            # ambiguous); not_next may arm only at steps <= gi-2 (the
+            # armed GUARD pend then lives at stages <= gi-1, disjoint
+            # from the FROZEN marker's group span gi..gj+1 — the same
+            # slot-disjointness rule the Kleene tier keeps) or
+            # >= gj+2. Property-suited on the 5-step fixture.
+            if self.not_between is not None:
+                for idx, x in enumerate(self.not_between):
+                    if x is not None and gi <= idx <= gj + 1:
+                        raise ValueError(
+                            "not_between cannot guard a group-span stage or "
+                            "the post-group step (boundary restarts make the "
+                            "guarded span ambiguous)"
+                        )
+            if self.not_next is not None:
+                for idx, x in enumerate(self.not_next):
+                    if x is not None and not (idx <= gi - 2 or idx >= gj + 2):
+                        raise ValueError(
+                            "not_next must stay clear of the group "
+                            "neighborhood (an armed guard's pend slot must "
+                            "never overlap the group's FROZEN span)"
+                        )
             for feature, label in (
                 (self.one_or_more is not None, "one_or_more"),
-                (self.not_between is not None, "not_between"),
-                (self.not_next is not None, "not_next"),
                 (self.rel_guards is not None, "rel_guards"),
                 (bool(self.any_match_steps), "any_match_steps"),
             ):

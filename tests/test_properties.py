@@ -3958,6 +3958,8 @@ def _group_full_sim(
     run_total=None,
     optionals=frozenset(),
     strict=frozenset(),
+    not_between=None,
+    not_next=None,
 ):
     """_group_sim extended with per-step value guards AND the timeout
     side-output: returns (matches, timeouts). A guard-failing event is
@@ -3983,7 +3985,10 @@ def _group_full_sim(
         frozen = False
         tot = 0.0
         strict_t1 = None  # first strictly-later group ts at a strict wait
-        dead_silent = False  # strict violation: no timeout row
+        dead_silent = False  # strict/guard violation: no timeout row
+        # notNext guard armed by the last accepted step (incl. the
+        # anchor itself: nn[0] arms at anchor creation)
+        armed = not_next[0] if not_next is not None else None
         for uid2, eid, ts, et, v in evs5[pos + 1:]:
             if uid2 != uid:
                 continue
@@ -3997,6 +4002,25 @@ def _group_full_sim(
             if ts - tss[-1] > window_s:
                 break  # expired before this event: prefix frozen
             stage = len(tss)
+            # notNext: the first strictly-later event resolves an armed
+            # guard — forbidden type kills SILENTLY, anything else
+            # clears (before this event can promote anything)
+            if armed is not None and ts > tss[-1]:
+                if et == armed:
+                    dead_silent = True
+                    break
+                armed = None
+            # mid-pattern notFollowedBy: a forbidden-type event strictly
+            # later kills the partial waiting at the guarded stage —
+            # a violation, not a timeout
+            if (
+                not_between is not None
+                and stage < k
+                and not_between[stage] == et
+                and ts > tss[-1]
+            ):
+                dead_silent = True
+                break
             if (
                 until is not None
                 and et == until[0]
@@ -4026,6 +4050,8 @@ def _group_full_sim(
             ):
                 tss.extend([None, ts])
                 strict_t1 = None
+                if not_next is not None:
+                    armed = not_next[stage + 1]
                 if stage + 1 == gj:
                     cnt += 1
                     tot += v
@@ -4050,6 +4076,8 @@ def _group_full_sim(
                     continue  # under-total exit: relaxed no-op
                 tss.append(ts)
                 strict_t1 = None
+                if not_next is not None:
+                    armed = not_next[stage]
                 if stage == gj:
                     cnt += 1
                     tot += v
@@ -6183,3 +6211,115 @@ def test_cep_group_optional_strict_validation_and_goldens():
         optional_steps=(1,),
     )
     assert ok.optional_steps == (1,)
+
+
+# ---------------------------------------------------------------------------
+# Round 10: group_reps × not_between / not_next — the off-span guard
+# placements ("a, not-followed-by x, m, (b c)+, d" etc.). Both are
+# stage-keyed, so pre-group / post-post-group placements behave as in
+# plain patterns; guard kills are SILENT (violations, not timeouts).
+# ---------------------------------------------------------------------------
+
+
+@given(events=GROUP5_EVENTS, cuts=st.lists(st.integers(0, 27), max_size=4))
+@SETTINGS
+def test_cep_group_not_between_timeouts_matches_simulation(events, cuts):
+    """a [no x before m] (b c)+ d × timeout: a strictly-later x kills
+    the stage-1 waiter silently; group machinery untouched."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "m", "b", "c", "d"), 60
+    nb = (None, "x", None, None, None)
+    evs5 = sorted(
+        ((u, i, t, e, 0.0) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want_m, want_t = _group_full_sim(
+        evs5, steps, 2, 3, window_s, not_between=nb
+    )
+    proc = _make_processor(
+        steps, window_s * 1_000_000, emit_timeouts=True, grp=(2, 3),
+        not_between=nb,
+    )
+    got_m, got_t = _drive_nfa_rows_t(proc, evs5, cuts, 5, flush_ts=10_000)
+    assert got_m == want_m
+    assert got_t == want_t
+
+
+@given(events=GROUP5_EVENTS, cuts=st.lists(st.integers(0, 27), max_size=4))
+@SETTINGS
+def test_cep_group_not_next_timeouts_matches_simulation(events, cuts):
+    """a notNext(x) m (b c)+ d × timeout: the guard arms at the anchor
+    (step 0 <= gi-2), resolves on the first strictly-later event, and
+    its pend slot never overlaps the group's FROZEN span."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "m", "b", "c", "d"), 60
+    nn = ("x", None, None, None, None)
+    evs5 = sorted(
+        ((u, i, t, e, 0.0) for i, (u, t, e) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want_m, want_t = _group_full_sim(
+        evs5, steps, 2, 3, window_s, not_next=nn
+    )
+    proc = _make_processor(
+        steps, window_s * 1_000_000, emit_timeouts=True, grp=(2, 3),
+        not_next=nn,
+    )
+    got_m, got_t = _drive_nfa_rows_t(proc, evs5, cuts, 5, flush_ts=10_000)
+    assert got_m == want_m
+    assert got_t == want_t
+
+
+def test_cep_group_guard_validation_and_goldens():
+    """Pinned: (1) not_between x before m: x@5 kills silently, no
+    timeout row; a clean run matches; (2) notNext(x) after the anchor:
+    x first kills, m first clears the guard; an armed guard that
+    expires unresolved is a genuine timeout; (3) in-span guard
+    placements are rejected."""
+    import pytest as _pytest
+
+    from hello_flink_spark.streaming.cep import CepPattern, _make_processor
+
+    w = 60 * 1_000_000
+    steps = ("a", "m", "b", "c", "d")
+
+    nbp = _make_processor(
+        steps, w, emit_timeouts=True, grp=(2, 3),
+        not_between=(None, "x", None, None, None),
+    )
+    m, t = _drive_nfa_rows_t(nbp, [
+        (1, 0, 0, "a", 0.0), (1, 1, 5, "x", 0.0), (1, 2, 10, "m", 0.0),
+        (2, 3, 0, "a", 0.0), (2, 4, 10, "m", 0.0), (2, 5, 20, "b", 0.0),
+        (2, 6, 30, "c", 0.0), (2, 7, 40, "d", 0.0),
+    ], [], 5, flush_ts=10_000)
+    assert m == [(2, 3, 0, 10, 20, 30, 40, 1)]
+    assert t == []
+
+    nnp = _make_processor(
+        steps, w, emit_timeouts=True, grp=(2, 3),
+        not_next=("x", None, None, None, None),
+    )
+    # x@5 immediately after the anchor kills user 1 silently; user 2's
+    # m@10 clears the guard and the chain completes; user 3's armed
+    # guard never resolves -> genuine timeout
+    m, t = _drive_nfa_rows_t(nnp, [
+        (1, 0, 0, "a", 0.0), (1, 1, 5, "x", 0.0), (1, 2, 10, "m", 0.0),
+        (2, 3, 0, "a", 0.0), (2, 4, 10, "m", 0.0), (2, 5, 20, "b", 0.0),
+        (2, 6, 30, "c", 0.0), (2, 7, 40, "d", 0.0),
+        (3, 8, 0, "a", 0.0),
+    ], [], 5, flush_ts=10_000)
+    assert m == [(2, 3, 0, 10, 20, 30, 40, 1)]
+    assert t == [(3, 8, 0, None, None, None, None, 0)]
+
+    with _pytest.raises(ValueError, match="group-span stage"):
+        CepPattern(
+            steps=steps, within_minutes=1, group_reps=(2, 3),
+            not_between=(None, None, None, "x", None),
+        )
+    with _pytest.raises(ValueError, match="group neighborhood"):
+        CepPattern(
+            steps=steps, within_minutes=1, group_reps=(2, 3),
+            not_next=(None, "x", None, None, None),
+        )
