@@ -526,13 +526,13 @@ SUBSTR_K = 32
     "text_substring_dedup",
     oracle=f"""
     WITH grams AS (
-      SELECT doc_id, n_chars,
+      SELECT doc_id, length(text) AS n_len,
              substr(text, CAST(i AS INT), {SUBSTR_K}) AS gram
-      FROM documents, UNNEST(generate_series(1, n_chars - {SUBSTR_K - 1})) AS u(i)
-      WHERE n_chars >= {SUBSTR_K}
+      FROM documents, UNNEST(generate_series(1, length(text) - {SUBSTR_K - 1})) AS u(i)
+      WHERE length(text) >= {SUBSTR_K}
     ),
     pdg AS (
-      SELECT gram, doc_id, ANY_VALUE(n_chars) AS n_chars,
+      SELECT gram, doc_id, ANY_VALUE(n_len) AS n_len,
              CAST(COUNT(*) AS BIGINT) AS n_pos
       FROM grams GROUP BY gram, doc_id
     ),
@@ -540,9 +540,9 @@ SUBSTR_K = 32
       SELECT *, COUNT(*) OVER (PARTITION BY gram) AS n_docs FROM pdg
     )
     SELECT doc_id,
-           CAST(ANY_VALUE(n_chars) - {SUBSTR_K - 1} AS BIGINT) AS n_grams,
+           CAST(ANY_VALUE(n_len) - {SUBSTR_K - 1} AS BIGINT) AS n_grams,
            CAST(SUM(n_pos) AS BIGINT) AS dup_grams,
-           ROUND(SUM(n_pos) / (ANY_VALUE(n_chars) - {SUBSTR_K - 1}), 6) AS dup_frac
+           ROUND(SUM(n_pos) / (ANY_VALUE(n_len) - {SUBSTR_K - 1}), 6) AS dup_frac
     FROM flagged
     WHERE n_docs >= 2
     GROUP BY doc_id
@@ -569,10 +569,14 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join back to the corpus. At 100 TB you'd hash grams to 16-byte
     fingerprints before the shuffle; kept as raw strings here so the
     DuckDB oracle pins the exact gram semantics."""
-    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") >= SUBSTR_K)
+    # length(text) throughout — never the n_chars METADATA column, so
+    # the gram set, the filter, and the denominator stay consistent
+    # even on data where the column has drifted from the text
+    # (review finding r10: the sf1 probe's replica-tagged docs)
+    d = t(spark, sf_dir, "documents").filter(F.length("text") >= SUBSTR_K)
     grams = d.select(
         "doc_id",
-        "n_chars",
+        F.length("text").alias("n_len"),
         F.explode(
             F.expr(
                 f"transform(sequence(1, length(text) - {SUBSTR_K - 1}),"
@@ -581,7 +585,7 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gram"),
     )
     pdg = grams.groupBy("gram", "doc_id").agg(
-        F.any_value(F.col("n_chars")).alias("n_chars"),
+        F.any_value(F.col("n_len")).alias("n_len"),
         F.count(F.lit(1)).alias("n_pos"),
     )
     from pyspark.sql.window import Window
@@ -593,12 +597,12 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.filter(F.col("n_docs") >= 2)
         .groupBy("doc_id")
         .agg(
-            (F.any_value(F.col("n_chars")) - (SUBSTR_K - 1))
+            (F.any_value(F.col("n_len")) - (SUBSTR_K - 1))
             .cast("long")
             .alias("n_grams"),
             F.sum("n_pos").cast("long").alias("dup_grams"),
             F.round(
-                F.sum("n_pos") / (F.any_value(F.col("n_chars")) - (SUBSTR_K - 1)),
+                F.sum("n_pos") / (F.any_value(F.col("n_len")) - (SUBSTR_K - 1)),
                 6,
             ).alias("dup_frac"),
         )

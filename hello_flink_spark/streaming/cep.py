@@ -101,9 +101,11 @@ class CepPattern:
     # until-frozen heads and reluctant prefix copies, so the two
     # features share it. Also composes (r10, each property-suite-
     # pinned): run_min_total (every branch carries ITS frozen total —
-    # branches resolve independently: a frozen prefix clears the bar
-    # at the first next-step event after its spawn or never, the
-    # under-total head keeps extending and may complete later) and
+    # branches are JUDGED independently per next-step event: a frozen
+    # prefix clears the bar at the first one after its spawn or never;
+    # the under-total head keeps extending and may complete later ONLY
+    # when that event emitted nothing — completion is anchor-terminal,
+    # so a sibling prefix emitting kills an ineligible head too) and
     # skip_past_last (all branches complete at one event, so the
     # earliest-anchor-wins/clear-state/consume rule lifts unchanged —
     # the winner emits EVERY prefix), and the timeout side-output

@@ -352,12 +352,16 @@ def main() -> None:
         from hello_flink_spark.sources.readers import load_table
 
         def _gram_volume(sf: str) -> int:
+            # same doc population as the query itself (length(text),
+            # never the n_chars metadata column); NULL-safe when no
+            # doc clears the gram width
             d = load_table(spark, sf, "documents")
-            return int(
+            g = (
                 d.filter(F.length("text") >= 32)
                 .agg(F.sum(F.length("text") - 31).alias("g"))
                 .collect()[0]["g"]
             )
+            return int(g or 0)
 
         g_src, g_dst = _gram_volume(SRC), _gram_volume(DST)
         gram_ratio = g_dst / g_src if g_src else float("inf")

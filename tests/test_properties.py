@@ -6323,3 +6323,57 @@ def test_cep_group_guard_validation_and_goldens():
             steps=steps, within_minutes=1, group_reps=(2, 3),
             not_next=(None, "x", None, None, None),
         )
+
+
+def test_cep_reluctant_timeout_four_step_goldens():
+    """Review finding r10: the 4-step reluctant × timeout path — prefix
+    branches promoted PAST the loop travel as same-anchor stage-3
+    partials sharing their last-accepted ts. Pinned: (1) both
+    travelers expire before d → ONE timeout row carrying the
+    maximal-progress branch (deepest stage, most repetitions); (2) a
+    d completes BOTH travelers → two matched rows, no timeout; (3) an
+    under-quota prefix left AT the loop stage while travelers advance
+    never wins the collapse."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    w = 60 * 1_000_000
+    proc = _make_processor(
+        ("a", "b", "c", "d"), w, emit_timeouts=True, rep=1, reluctant=True
+    )
+    # a@0 b@10 b@20 c@25: both branches (m=1 last=10, m=2 last=20)
+    # promote at c@25 to stage 3; no d: the collapse emits ONE row —
+    # the deepest/most-repetitions branch (m=2)
+    m, t = _drive_nfa_rows_t(
+        proc,
+        [(1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 20, "b", 0.0),
+         (1, 3, 25, "c", 0.0)],
+        [], 4, flush_ts=10_000,
+    )
+    assert m == []
+    assert t == [(1, 0, 0, 20, 25, None, 2)]
+
+    # (2) with d@30 both travelers complete — two matched rows
+    m, t = _drive_nfa_rows_t(
+        proc,
+        [(1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 20, "b", 0.0),
+         (1, 3, 25, "c", 0.0), (1, 4, 30, "d", 0.0)],
+        [], 4, flush_ts=10_000,
+    )
+    assert m == [(1, 0, 0, 10, 25, 30, 1), (1, 0, 0, 20, 25, 30, 2)]
+    assert t == []
+
+    # (3) timesOrMore(2): the m=1 prefix stays AT the loop stage while
+    # the m=2 head promotes at c@25; no d — the collapse still picks
+    # the deeper traveler (stage 3, m=2), not the loop-stage leftover
+    proc_q = _make_processor(
+        ("a", "b", "c", "d"), w, emit_timeouts=True, rep=1, min_reps=2,
+        reluctant=True,
+    )
+    m, t = _drive_nfa_rows_t(
+        proc_q,
+        [(1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 20, "b", 0.0),
+         (1, 3, 25, "c", 0.0)],
+        [], 4, flush_ts=10_000,
+    )
+    assert m == []
+    assert t == [(1, 0, 0, 20, 25, None, 2)]
