@@ -572,11 +572,17 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length(text) throughout — never the n_chars METADATA column, so
     # the gram set, the filter, and the denominator stay consistent
     # even on data where the column has drifted from the text
-    # (review finding r10: the sf1 probe's replica-tagged docs)
+    # (review finding r10: the sf1 probe's replica-tagged docs). The
+    # denominator does NOT ride the explode: carrying any extra
+    # column there either drags the full text string through every
+    # gram row or (array-first) triggers a generator-emptiness scan
+    # filter that rebuilds the gram array per doc — both measured at
+    # ~1.4-1.5× wall. Instead the hot path explodes (doc_id, gram)
+    # only, and per-doc gram totals come from a SECOND column-pruned
+    # docs scan joined to the (small) duplicated-doc rollup.
     d = t(spark, sf_dir, "documents").filter(F.length("text") >= SUBSTR_K)
     grams = d.select(
         "doc_id",
-        F.length("text").alias("n_len"),
         F.explode(
             F.expr(
                 f"transform(sequence(1, length(text) - {SUBSTR_K - 1}),"
@@ -584,26 +590,24 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    pdg = grams.groupBy("gram", "doc_id").agg(
-        F.any_value(F.col("n_len")).alias("n_len"),
-        F.count(F.lit(1)).alias("n_pos"),
-    )
+    pdg = grams.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("n_pos"))
     from pyspark.sql.window import Window
 
     flagged = pdg.withColumn(
         "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
     )
-    return (
+    dup = (
         flagged.filter(F.col("n_docs") >= 2)
         .groupBy("doc_id")
-        .agg(
-            (F.any_value(F.col("n_len")) - (SUBSTR_K - 1))
-            .cast("long")
-            .alias("n_grams"),
-            F.sum("n_pos").cast("long").alias("dup_grams"),
-            F.round(
-                F.sum("n_pos") / (F.any_value(F.col("n_len")) - (SUBSTR_K - 1)),
-                6,
-            ).alias("dup_frac"),
-        )
+        .agg(F.sum("n_pos").cast("long").alias("dup_grams"))
+    )
+    lens = d.select(
+        "doc_id",
+        (F.length("text") - (SUBSTR_K - 1)).cast("long").alias("n_grams"),
+    )
+    return dup.join(lens, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "dup_grams",
+        F.round(F.col("dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
     )
