@@ -99,11 +99,16 @@ class FakeProfileService:
             if attempt == 1 and k % FLAKY_EVERY == 3:
                 continue  # transient miss: answers from attempt 2 on
             # raw IEEE division (no round): the oracle's BIGINT/double
-            # division produces the bit-identical value
+            # division produces the bit-identical value. The key is
+            # reduced mod the modulus BEFORE multiplying — identical
+            # value by modular arithmetic, but both this side and the
+            # DuckDB oracle's checked BIGINT multiply stay in int64
+            # range at ANY uid (ADVICE r10: unmasked, uids above
+            # ~3.4e9 overflow the oracle while Python succeeds).
             out[k] = (
                 TIERS[k % len(TIERS)],
-                ((k * SCORE_MULT) % SCORE_MOD) / SCORE_MOD,
-                (k * SEGMENT_MULT) % SEGMENT_MOD,
+                (((k % SCORE_MOD) * SCORE_MULT) % SCORE_MOD) / SCORE_MOD,
+                ((k % SEGMENT_MOD) * SEGMENT_MULT) % SEGMENT_MOD,
             )
         return out
 
@@ -135,9 +140,22 @@ def enrich_with_service(
     """
     if on_miss not in ("fallback", "fail"):
         raise ValueError(f"on_miss must be 'fallback' or 'fail', got {on_miss!r}")
-    out_schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
-        + [f"{n} {t}" for n, t in RESPONSE_FIELDS]
+    # Programmatic StructType, not a DDL string built from
+    # simpleString() — the string form drops nullability and breaks on
+    # column names needing backtick quoting (ADVICE r10). Response
+    # fields are nullable (typed-null fallback rows).
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    _resp_types = {"string": StringType(), "double": DoubleType(), "bigint": LongType()}
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(n, _resp_types[t], nullable=True) for n, t in RESPONSE_FIELDS]
     )
     run = make_runner(key_col, client_factory, capacity, max_attempts, on_miss)
     return df.mapInPandas(run, schema=out_schema)

@@ -42,16 +42,30 @@ DISTINCT + frame-aligned verify join disappear entirely.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hello_flink_spark.operators.scale import HOT_BROADCAST_MAX
+
+logger = logging.getLogger(__name__)
 
 BAND_BUCKET_CAP = 32  # distinct signatures per (word, band, value)
 # bucket before the bucket switches to hub chaining. Fixture maxima
 # (closed-form, sf-independent): phash 9, afp 9, vdup 18 distinct
 # sigs — pinned in tests/test_scale.py, so driver results are
 # unchanged by the cap.
+
+# Observability for the documented recall trade (ADVICE r10): hub-star
+# chaining silently drops member↔member pairs that verify only through
+# a capped bucket — runs need a SIGNAL when that trade actually
+# engaged. ``banded_candidates`` counts the over-cap buckets it is
+# about to chain (the ``hot`` frame is materialized anyway for the
+# bounded-broadcast probe, so the exact count is free) and records it
+# here, mirroring the sf1 probe's candidate accounting. Driver-side,
+# single-writer per run — read it right after the action completes.
+LAST_BAND_METRICS: dict[str, int] = {"capped_buckets": 0}
 
 
 def hamming_dist(a: Column | str, b: Column | str) -> Column:
@@ -116,7 +130,17 @@ def banded_candidates(
         )
         .localCheckpoint(eager=True)
     )
-    small_hot = hot.limit(HOT_BROADCAST_MAX + 1).count() <= HOT_BROADCAST_MAX
+    n_hot = hot.count()  # exact and cheap: hot is checkpointed
+    LAST_BAND_METRICS["capped_buckets"] = n_hot
+    if n_hot:
+        logger.warning(
+            "banded_candidates: %d band bucket(s) over cap=%d switched to "
+            "hub-star chaining — member-to-member pairs verifying only "
+            "through those buckets are dropped (documented recall trade)",
+            n_hot,
+            cap,
+        )
+    small_hot = n_hot <= HOT_BROADCAST_MAX
     hot_b = F.broadcast(hot) if small_hot else hot
     hot_keys = hot.select(*bkey)
     cold = banded.join(

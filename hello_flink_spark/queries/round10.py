@@ -76,10 +76,10 @@ def window_cumulate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE ['bronze','silver','gold','platinum','diamond'][(user_id % 5) + 1]
            END AS profile_tier,
            CASE WHEN user_id % 97 = 0 THEN NULL
-                ELSE ((user_id * 2654435761) % 1000000) / 1000000
+                ELSE (((user_id % 1000000) * 2654435761) % 1000000) / 1000000
            END AS profile_score,
            CAST(CASE WHEN user_id % 97 = 0 THEN NULL
-                ELSE (user_id * 40503) % 100
+                ELSE ((user_id % 100) * 40503) % 100
            END AS BIGINT) AS profile_segment
     FROM events
     """,

@@ -262,6 +262,7 @@ def test_banded_dedup_exact_collapse_is_duplication_invariant(spark):
     band join: candidate count is IDENTICAL whether a signature appears
     once or 200 times, and every duplicate maps to the group min."""
     from hello_flink_spark.operators.banded_dedup import (
+        LAST_BAND_METRICS,
         banded_candidates,
         min_rep_dedup,
     )
@@ -275,6 +276,9 @@ def test_banded_dedup_exact_collapse_is_duplication_invariant(spark):
         return banded_candidates(reps).count()
 
     assert n_cand(base) == n_cand(base + dups)
+    # 200 exact dups collapse BEFORE banding: no bucket trips the cap,
+    # and the observability metric says so (ADVICE r10).
+    assert LAST_BAND_METRICS["capped_buckets"] == 0
 
     out = {
         r["doc_id"]: r["keep_doc_id"]
@@ -295,6 +299,7 @@ def test_banded_dedup_hot_bucket_emits_hub_star_not_all_pairs(spark):
     would (every member is within hamming 1 of the hub)."""
     from hello_flink_spark.operators.banded_dedup import (
         BAND_BUCKET_CAP,
+        LAST_BAND_METRICS,
         banded_candidates,
         min_rep_dedup,
     )
@@ -303,6 +308,9 @@ def test_banded_dedup_hot_bucket_emits_hub_star_not_all_pairs(spark):
     sigs = _sig_df(spark, pairs)
     reps = sigs.groupBy("sig").agg(F.min("doc_id").alias("rep_id"))
     n = banded_candidates(reps).count()
+    # all four zero-value buckets are over the cap, and the run can SEE
+    # that hub-star chaining engaged (ADVICE r10 observability).
+    assert LAST_BAND_METRICS["capped_buckets"] == 4
     # the four zero-value buckets hold the hub plus every sig whose bit
     # lies in another band: 48, 48, 48, 49 members (band 3 spans only
     # bits 48..62) — all over the cap, so each emits the 2(c-1)
