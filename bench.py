@@ -236,6 +236,9 @@ HEADLINE = [
     # fractional draw) and first-occurrence n-gram novelty scoring.
     "data_mixture_epochs",
     "text_ngram_novelty",
+    # round-11: fingerprinted-gram substring dedup (xxhash64 before the
+    # first shuffle — the raw twin's documented 100 TB shape).
+    "text_substring_dedup_fp",
 ]
 
 

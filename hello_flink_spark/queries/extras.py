@@ -714,8 +714,13 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling by stratum key (training-data rebalancing):
     seeded `sampleBy` with a per-source fraction map — each stratum is
     Bernoulli-sampled at its own rate in one scan, no shuffle.
-    Nondeterministic across engines → rows-only at the gate; per-
-    stratum rate bounds asserted in tests/test_llm.py."""
+
+    PERMANENT no_oracle (r11 R-row audit): `sampleBy` draws from
+    Spark's seeded XORShiftRandom — the seeded-RNG sampler IS this
+    row's surveyed surface and no other engine reproduces the stream.
+    Per-stratum rate bounds asserted in tests/test_llm.py; the
+    engine-portable deterministic alternatives are the hash-green
+    `sample_deterministic_hash` and (since r11) `split_train_test`."""
     d = t(spark, sf_dir, "documents")
     # keep even-numbered sources whole, downsample odd ones 4x — the
     # "rebalance over-represented strata" move (fixture sources are
@@ -724,16 +729,40 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.sampleBy("source", fractions, seed=42)
 
 
-@register("split_train_test", oracle=None)
+@register(
+    "split_train_test",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN CAST(('0x' || substr(
+                    md5('split:42:' || CAST(doc_id AS VARCHAR)), 1, 8
+                )) AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
 def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/test split — the reproducible-pipeline
     alternative to randomSplit (whose split depends on partitioning):
     hash the stable doc_id with a seed salt, mod 100, <90 = train.
     Pure expressions, one scan, rerunnable with identical assignment
-    on any cluster layout. Rows-only at the gate (xxhash64 is
-    Spark-specific); disjoint+complete invariant in tests/test_llm.py."""
+    on any cluster layout.
+
+    R → O promotion (r11, VERDICT r10 #6): the salted draw is the
+    md5-prefix u32 (the portable `data_mixture_epochs` device) instead
+    of the Spark-only xxhash64, so the DuckDB oracle recomputes the
+    identical assignment and the driver gate pins the split itself —
+    not just its disjoint+complete invariant (still in
+    tests/test_llm.py)."""
     d = t(spark, sf_dir, "documents")
-    bucket = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(42)), F.lit(100))
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:42:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % 100
     return d.select(
         "doc_id",
         "source",

@@ -172,7 +172,10 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sample", oracle=None)
 def sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[F] DataSet#sample. Nondeterministic across engines → rows-only check."""
+    """[F] DataSet#sample. PERMANENT no_oracle (r11 R-row audit):
+    Spark's seeded XORShiftRandom Bernoulli stream is the surveyed
+    surface and no other engine reproduces it → rows-only check; the
+    deterministic alternative is `sample_deterministic_hash`."""
     return t(spark, sf_dir, "customer").sample(fraction=0.5, seed=42)
 
 

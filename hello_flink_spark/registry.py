@@ -55,6 +55,7 @@ _QUERY_MODULES = [
     "hello_flink_spark.queries.round8",
     "hello_flink_spark.queries.round9",
     "hello_flink_spark.queries.round10",
+    "hello_flink_spark.queries.round11",
 ]
 
 

@@ -232,11 +232,24 @@ class CepPattern:
     # post-group step; strict steps stay off the span and the
     # post-group step. not_between/not_next compose off-span the
     # same way (guard kills stay silent; an armed notNext pend never
-    # overlaps the group's FROZEN span). Still refused pending their
-    # own suites: quantifiers (a Kleene step alongside a group),
-    # rel_guards (value slots interact with the restart-discarded
-    # span and the run-total anchor repurposing), and any_match (the
-    # branch fan-out × boundary-restart interplay).
+    # overlaps the group's FROZEN span). rel_guards COMPOSE (r11):
+    # value slots are boundary-coherent — pre-group slots (ref < gi)
+    # survive restarts verbatim; in-span slots are truncated WITH the
+    # repetition, so an in-span ref always reads the CURRENT
+    # repetition mid-span and the LAST completed repetition from the
+    # post-group step onward (the emitted-columns convention); a
+    # guard ON the group-start step is enforced on BOTH entry paths
+    # (first-repetition promotion and boundary restart — a failing
+    # restart event is a relaxed no-op, exactly the step_min_value
+    # rule); the single refusal is ref 0 × run_min_total (the anchor
+    # slot carries the running total there). PERMANENTLY refused
+    # (docs/SEMANTICS.md, numbered deltas): quantifiers (a Kleene
+    # step alongside a group — two interleaved looping states have
+    # no deterministic first-event-wins form: one event at a
+    # loop/group boundary can extend one machine and restart the
+    # other) and any_match (branch fan-out × boundary restart — a
+    # restarted branch and its still-armed parent re-converge on the
+    # same slots, so match multiplicity is ill-defined).
     group_reps: Tuple[int, int] | None = None
     # [F] ``Pattern#within(Duration)`` — the PATTERN-GLOBAL window: the
     # whole match (anchor → final step) must span at most this. The
@@ -552,15 +565,21 @@ class CepPattern:
                             "neighborhood (an armed guard's pend slot must "
                             "never overlap the group's FROZEN span)"
                         )
+            # rel_guards COMPOSE (r11, VERDICT r10 #3): the guard rules
+            # are slot-coherent with the boundary restart — see the
+            # rel_guards block below for the one group-specific refusal
+            # (ref 0 × run_min_total, the repurposed anchor slot) and
+            # the NFA's restart branch for the group-start enforcement.
             for feature, label in (
                 (self.one_or_more is not None, "one_or_more"),
-                (self.rel_guards is not None, "rel_guards"),
                 (bool(self.any_match_steps), "any_match_steps"),
             ):
                 if feature:
                     raise ValueError(
-                        f"group_reps × {label} is an untested composition — "
-                        "extend the property suite first"
+                        f"group_reps × {label} is a PERMANENT documented "
+                        "delta (docs/SEMANTICS.md) — two interleaved looping "
+                        "states / branch fan-out × boundary restart have no "
+                        "deterministic single-match form"
                     )
         if self.until_min_value is not None and self.until_type is None:
             raise ValueError("until_min_value requires until_type")
@@ -573,10 +592,12 @@ class CepPattern:
             # group × run_min_total (r10): the total accumulates the
             # REPETITION-COMPLETING step's (gj's) accepted values, one
             # per completed repetition, riding the anchor value slot
-            # (free in group patterns: rel_guards are refused with
-            # groups, so no emitted v-column reads it). Completion out
-            # of the group gates on total >= bar; an early post-group
-            # event is a relaxed no-op, exactly the Kleene rule.
+            # (free in group patterns unless a rel_guard REFERENCES
+            # step 0 — that composition is refused in the rel_guards
+            # block below, so no emitted v-column or guard ever reads
+            # the repurposed slot). Completion out of the group gates
+            # on total >= bar; an early post-group event is a relaxed
+            # no-op, exactly the Kleene rule.
             if self.rel_guards is not None and any(
                 g is not None and g[0] == self.one_or_more
                 for g in self.rel_guards
@@ -810,6 +831,21 @@ class CepPattern:
                 _plain(i, "guarded")
                 if ref > 0:
                     _plain(ref, "referenced")
+                # group × rel_guards (r11, VERDICT r10 #3): every
+                # placement is slot-coherent with boundary restarts
+                # (see group_reps above) EXCEPT a reference to the
+                # anchor while run_min_total repurposes that slot as
+                # the running total
+                if (
+                    self.group_reps is not None
+                    and self.run_min_total is not None
+                    and ref == 0
+                ):
+                    raise ValueError(
+                        "a rel_guard cannot reference the anchor in a "
+                        "group_reps × run_min_total pattern: the anchor "
+                        "value slot carries the running TOTAL there"
+                    )
         if self.or_types is not None:
             if len(self.or_types) != len(self.steps):
                 raise ValueError("or_types must have one entry per step")
@@ -1325,6 +1361,21 @@ def _make_processor(
                     and (mins[grp[0]] is None or val >= mins[grp[0]])
                 ):
                     gi_, gj_ = grp
+                    g0 = rg[gi_]
+
+                    def _restart_guard_ok(vals, _g0=g0, _val=val):
+                        # group × rel_guards (r11): a guard ON the
+                        # group-start step is enforced at restarts too
+                        # (its ref is pre-group by validation, so the
+                        # slot read here survives the truncation below
+                        # verbatim); a failing event is a relaxed
+                        # no-op, exactly the mins[gi] rule. Fail
+                        # CLOSED on a missing ref slot.
+                        if _g0 is None:
+                            return True
+                        rv = vals[_g0[0]] if _g0[0] < len(vals) else None
+                        return rv is not None and _val >= _g0[1] * rv
+
                     # a FROZEN partial ([F] until stop on the group's
                     # looping state) never opens another repetition
                     partials = [
@@ -1332,6 +1383,7 @@ def _make_processor(
                         if len(tss) == gj_ + 1
                         and ts_us > tss[-1]
                         and pend != FROZEN
+                        and _restart_guard_ok(vals)
                         else (aid, tss, cnt, pend, vals)
                         for aid, tss, cnt, pend, vals in partials
                     ]

@@ -343,6 +343,54 @@ def stream_window_join(
     )
 
 
+def stream_cogroup_window(
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """[F] DataStream window coGroup —
+    ``clicks.coGroup(purchases).where(u).equalTo(u).window(Tumbling 1h)
+    .apply(CoGroupFunction)`` (VERDICT r10 #4): one row per (user,
+    window) group holding BOTH sides' bags — INCLUDING groups where
+    one side is empty, the contract that separates coGroup from the
+    window join's inner pair fan-out.
+
+    Spark-first mapping, identical to the batch shadow
+    (queries/round10.py::join_cogroup_window, hash-verified): the
+    union of both inputs through ONE watermarked windowed aggregation
+    with FILTER-style conditional aggregates. A (user, window) group
+    with only clicks emits n_purchases=0 — no outer join needed,
+    because group EXISTENCE comes from the union, not from either
+    side. One keyed shuffle with map-side partials; window state
+    evicts with the watermark exactly like the plain tumbling agg.
+    Golden-matched row-for-row (one-side-empty groups included) in
+    tests/test_streaming.py."""
+    e = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).withWatermark("ts", watermark)
+    is_c = F.col("event_type") == "click"
+    is_p = F.col("event_type") == "purchase"
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count_if(is_c).alias("n_clicks"),
+            F.count_if(is_p).alias("n_purchases"),
+            F.round(
+                F.coalesce(F.sum(F.when(is_c, F.col("value"))), F.lit(0.0)), 4
+            ).alias("click_value"),
+            F.round(
+                F.coalesce(F.sum(F.when(is_p, F.col("value"))), F.lit(0.0)), 4
+            ).alias("purchase_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_clicks",
+            "n_purchases",
+            "click_value",
+            "purchase_value",
+        )
+    )
+
+
 def stream_stream_interval_join(
     events: DataFrame, watermark: str = DEFAULT_WATERMARK
 ) -> DataFrame:

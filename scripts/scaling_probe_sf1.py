@@ -95,6 +95,14 @@ PROBES = [
     # and the gram-/shingle-partitioned windows grows 10x.
     ("text_substring_dedup", "documents"),
     ("text_ngram_novelty", "documents"),
+    # round 11 (VERDICT r10 #7): the async-I/O enrichment — map-only
+    # (zero shuffles at any scale), so the probe documents the Arrow
+    # round-trip constant: expect ~linear in rows.
+    ("join_async_enrich", "events"),
+    # round 11 (VERDICT r10 #5): the fingerprinted-gram substring-dedup
+    # twin — same gram-volume denominator as the raw op, but the first
+    # shuffle carries 8-byte longs instead of 32-char gram strings.
+    ("text_substring_dedup_fp", "documents"),
 ]
 
 
@@ -300,6 +308,8 @@ def main() -> None:
         "multimodal_video_dedup_framehash": "per-frame decode is the row-proportional term; the frame-aligned signature collapse leaves the same flat candidate set across the decade",
         "text_substring_dedup": "map-side char-gram explode is byte-proportional (the 'rK_' replica tag inflates sf1 text bytes somewhat past 10x); the (gram, doc) collapse and the gram-partitioned count window are keyed aggregates over DISJOINT replica gram universes, so per-gram group sizes stay constant and no term grows above the exploded input",
         "text_ngram_novelty": "word-trigram explode + (shingle, doc) collapse + shingle-partitioned MIN window — keyed aggregates over disjoint replica shingle universes; per-shingle group sizes are constant across the decade",
+        "join_async_enrich": "MAP-ONLY (zero shuffles): one Arrow round-trip of (event_id, user_id) per row plus per-batch key coalescing against the deterministic client — the probe pins the round-trip constant as row-proportional",
+        "text_substring_dedup_fp": "the raw twin's shape with xxhash64 fingerprints replacing 32-char gram strings BEFORE the first shuffle — gram volume grows past 10x (replica-tag byte inflation, same denominator as the raw twin) while shuffle bytes per gram drop ~4x",
     }
 
     def _reason_block(names):
@@ -348,7 +358,10 @@ def main() -> None:
                 f"time for {char_ratio:.1f}x bytes is SUBLINEAR per "
                 "byte, same class as text_hashing_features"
             )
-    if "text_substring_dedup" in over:
+    gram_ops = [
+        n for n in ("text_substring_dedup", "text_substring_dedup_fp") if n in over
+    ]
+    if gram_ops:
         from hello_flink_spark.sources.readers import load_table
 
         def _gram_volume(sf: str) -> int:
@@ -365,19 +378,18 @@ def main() -> None:
 
         g_src, g_dst = _gram_volume(SRC), _gram_volume(DST)
         gram_ratio = g_dst / g_src if g_src else float("inf")
-        time_ratio = (
-            rows["text_substring_dedup"][DST] / rows["text_substring_dedup"][SRC]
-        )
-        if time_ratio <= gram_ratio:
-            OVER_DIAGNOSED["text_substring_dedup"] = (
-                f"the op's work unit is the CHAR-gram, and gram volume "
-                f"(Σ len(text)−31) grows {gram_ratio:.1f}x, not 10x — "
-                f"re-measured this run ({g_src:,} -> {g_dst:,}; the "
-                f"'rK_' replica token tag inflates every document's "
-                f"character count) — {time_ratio:.1f}x time for "
-                f"{gram_ratio:.1f}x grams is SUBLINEAR per gram, same "
-                "class as text_bpe_apply"
-            )
+        for n in gram_ops:
+            time_ratio = rows[n][DST] / rows[n][SRC]
+            if time_ratio <= gram_ratio:
+                OVER_DIAGNOSED[n] = (
+                    f"the op's work unit is the CHAR-gram, and gram volume "
+                    f"(Σ len(text)−31) grows {gram_ratio:.1f}x, not 10x — "
+                    f"re-measured this run ({g_src:,} -> {g_dst:,}; the "
+                    f"'rK_' replica token tag inflates every document's "
+                    f"character count) — {time_ratio:.1f}x time for "
+                    f"{gram_ratio:.1f}x grams is SUBLINEAR per gram, same "
+                    "class as text_bpe_apply"
+                )
     diagnosed = [n for n in over if n in OVER_DIAGNOSED]
     unknown = [n for n in over if n not in OVER_DIAGNOSED]
     if diagnosed:

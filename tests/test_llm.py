@@ -1789,3 +1789,44 @@ def test_async_enrich_client_contract():
         out3.sort_values(["user_id"]).reset_index(drop=True),
         out.sort_values(["user_id"]).reset_index(drop=True),
     )
+
+
+def test_substring_dedup_fp_collision_free_and_matches_raw_twin(spark, sf_dir_mid):
+    """The fingerprinted-gram variant (VERDICT r10 #5) is only exact
+    when xxhash64 is injective over the corpus's gram set — assert
+    that directly (distinct grams == distinct fingerprints), then
+    assert the variant's output EQUALS the raw-string twin row-for-row
+    (same oracle, so the driver gate pins both to the same hash)."""
+    from hello_flink_spark.queries.round10 import SUBSTR_K
+
+    d = (
+        load_table(spark, sf_dir_mid, "documents")
+        .filter(F.length("text") >= SUBSTR_K)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {SUBSTR_K - 1}),"
+                    f" i -> substring(text, i, {SUBSTR_K}))"
+                )
+            ).alias("gram")
+        )
+    )
+    counts = d.agg(
+        F.countDistinct("gram").alias("n_grams"),
+        F.countDistinct(F.xxhash64("gram")).alias("n_fps"),
+    ).first()
+    assert counts.n_grams == counts.n_fps, (
+        f"xxhash64 collision at fixture scale: {counts.n_grams} grams -> "
+        f"{counts.n_fps} fingerprints"
+    )
+
+    raw = get_spec("text_substring_dedup").fn(spark, sf_dir_mid).toPandas()
+    fp = get_spec("text_substring_dedup_fp").fn(spark, sf_dir_mid).toPandas()
+    cols = sorted(raw.columns)
+    assert cols == sorted(fp.columns)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        raw[cols].sort_values(cols).reset_index(drop=True),
+        fp[cols].sort_values(cols).reset_index(drop=True),
+    )

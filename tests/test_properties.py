@@ -3960,6 +3960,8 @@ def _group_full_sim(
     strict=frozenset(),
     not_between=None,
     not_next=None,
+    rel=None,
+    emit_vals=(),
 ):
     """_group_sim extended with per-step value guards AND the timeout
     side-output: returns (matches, timeouts). A guard-failing event is
@@ -3974,14 +3976,40 @@ def _group_full_sim(
     frozen mid-repetition partial can never refill its slots and
     expires as a genuine timeout); completion OUT of a finished
     repetition via the post-group step stays allowed. Written directly
-    against the semantics; shares no code with the NFA."""
+    against the semantics; shares no code with the NFA. With ``rel``
+    (r11: group × rel_guards — [F] IterativeCondition), each guarded
+    step's event must satisfy value >= factor * (the partial's
+    accepted value at the referenced step); the guard applies in
+    EVERY acceptance role — in-group promotion, completion, AND the
+    boundary restart (a failing event is a relaxed no-op). Slot
+    convention: pre-group values survive restarts; in-span values are
+    discarded WITH the repetition, so an in-span ref reads the
+    current repetition mid-span and the last completed repetition
+    from the post-group step onward. ``emit_vals`` appends the named
+    steps' accepted values to each emitted tuple (matches and
+    timeouts), mirroring the NFA's v-columns."""
     k = len(steps)
     mins = mins or (None,) * k
+    rel = rel or (None,) * k
+
+    def _guard_ok(stage, vals, v):
+        g = rel[stage]
+        if g is None:
+            return True
+        rv = vals[g[0]] if g[0] < len(vals) else None
+        return rv is not None and v >= g[1] * rv
+
+    def _emit(uid, aid, tss, vals, cnt):
+        # NFA row order: ts columns, v columns (emit_vals), n_rep
+        vcols = tuple(vals[j] if j < len(vals) else None for j in emit_vals)
+        return (uid, aid, *tss, *vcols, cnt)
+
     matches, touts = [], []
     for pos, (uid, aid, ts0, et0, v0) in enumerate(evs5):
         if et0 != steps[0] or (mins[0] is not None and v0 < mins[0]):
             continue
         tss, cnt, done = [ts0], 0, False
+        vals = [v0]
         frozen = False
         tot = 0.0
         strict_t1 = None  # first strictly-later group ts at a strict wait
@@ -4036,8 +4064,10 @@ def _group_full_sim(
                 and ts > tss[-1]
                 and not frozen
                 and (mins[gi] is None or v >= mins[gi])
+                and _guard_ok(gi, vals, v)
             ):
                 tss = tss[:gi] + [ts]
+                vals = vals[:gi] + [v]
                 continue
             # optional skip (first-event-wins): the successor's event
             # arriving before any optional-step event takes BOTH slots
@@ -4049,6 +4079,7 @@ def _group_full_sim(
                 and (mins[stage + 1] is None or v >= mins[stage + 1])
             ):
                 tss.extend([None, ts])
+                vals.extend([None, v])
                 strict_t1 = None
                 if not_next is not None:
                     armed = not_next[stage + 1]
@@ -4056,7 +4087,7 @@ def _group_full_sim(
                     cnt += 1
                     tot += v
                 if len(tss) == k:
-                    matches.append((uid, aid, *tss, cnt))
+                    matches.append(_emit(uid, aid, tss, vals, cnt))
                     done = True
                     break
                 continue
@@ -4065,6 +4096,7 @@ def _group_full_sim(
                 and et == steps[stage]
                 and ts > tss[-1]
                 and (mins[stage] is None or v >= mins[stage])
+                and _guard_ok(stage, vals, v)
             ):
                 if frozen and gi <= stage <= gj:
                     continue  # acceptance INTO the loop refused
@@ -4075,6 +4107,7 @@ def _group_full_sim(
                 ):
                     continue  # under-total exit: relaxed no-op
                 tss.append(ts)
+                vals.append(v)
                 strict_t1 = None
                 if not_next is not None:
                     armed = not_next[stage]
@@ -4082,7 +4115,7 @@ def _group_full_sim(
                     cnt += 1
                     tot += v
                 if len(tss) == k:
-                    matches.append((uid, aid, *tss, cnt))
+                    matches.append(_emit(uid, aid, tss, vals, cnt))
                     done = True
                     break
                 continue
@@ -4101,7 +4134,9 @@ def _group_full_sim(
         if strict_t1 is not None:
             dead_silent = True
         if not done and not dead_silent:
-            touts.append((uid, aid, *(tss + [None] * (k - len(tss))), cnt))
+            touts.append(
+                _emit(uid, aid, tss + [None] * (k - len(tss)), vals, cnt)
+            )
     skey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
     return sorted(matches), sorted(touts, key=skey)
 
@@ -6377,3 +6412,214 @@ def test_cep_reluctant_timeout_four_step_goldens():
     )
     assert m == []
     assert t == [(1, 0, 0, 20, 25, None, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (VERDICT r10 #3): group_reps × rel_guards — the last
+# modelable group composition. Slot coherence is what makes it well-
+# defined: pre-group value slots survive boundary restarts verbatim;
+# in-span slots are truncated WITH the repetition, so an in-span ref
+# reads the CURRENT repetition mid-span and the LAST completed
+# repetition from the post-group step onward (the emitted-columns
+# convention). A guard ON the group-start step is enforced on BOTH
+# entry paths — first-repetition promotion and boundary restart — and
+# a failing event is a relaxed no-op in every role. The remaining two
+# compositions (× one_or_more, × any_match) are PERMANENT documented
+# deltas (docs/SEMANTICS.md) with rejection tests below.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    events=GROUP_GUARD_EVENTS,
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_group_rel_guard_inspan_matches_simulation(events, cuts):
+    """a (b c)+ d with c.value >= b.value (in-span guard, in-span ref):
+    the guard judges each repetition against ITS OWN b — restarts
+    rebuild both slots together. Matched rows carry v2 (the last
+    repetition's b), pinning the slot convention through the NFA's
+    emitted value columns."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c", "d"), 60
+    rel = (None, None, (1, 1.0), None)
+    evs5 = sorted(
+        ((u, i, t, e, v) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want, _ = _group_full_sim(
+        evs5, steps, 1, 2, window_s, rel=rel, emit_vals=(1,)
+    )
+    proc = _make_processor(
+        steps, window_s * 1_000_000, grp=(1, 2), rel_guards=rel,
+        emit_vals=(1,),
+    )
+    got = _drive_nfa_chunked_v(proc, evs5, cuts, 4, extra_cols=("v2", "n_rep"))
+    assert got == want
+
+
+@given(
+    events=GROUP_GUARD_EVENTS,
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_group_rel_guard_restart_timeouts_matches_simulation(events, cuts):
+    """a (b c)+ d with b.value >= a.value (guard ON the group-start
+    step, pre-group ref) × timeout side-output: the guard gates the
+    FIRST repetition and every boundary restart identically — a
+    failing group-start event is a relaxed no-op, and a partial that
+    never clears it expires as a genuine timeout."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c", "d"), 60
+    rel = (None, (0, 1.0), None, None)
+    evs5 = sorted(
+        ((u, i, t, e, v) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want_m, want_t = _group_full_sim(evs5, steps, 1, 2, window_s, rel=rel)
+    proc = _make_processor(
+        steps, window_s * 1_000_000, emit_timeouts=True, grp=(1, 2),
+        rel_guards=rel,
+    )
+    got_m, got_t = _drive_nfa_rows_t(proc, evs5, cuts, 4, flush_ts=10_000)
+    assert got_m == want_m
+    assert got_t == want_t
+
+
+@given(
+    events=GROUP_GUARD_EVENTS,
+    cuts=st.lists(st.integers(0, 29), max_size=4),
+)
+@SETTINGS
+def test_cep_group_rel_guard_postgroup_timeouts_matches_simulation(events, cuts):
+    """a (b c)+ d with d.value >= c.value (post-group guard, in-span
+    ref) × timeout: the guard reads the LAST completed repetition's c
+    — a failing d is a relaxed no-op (the group may restart and a
+    later d judges against the NEW repetition)."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c", "d"), 60
+    rel = (None, None, None, (2, 1.0))
+    evs5 = sorted(
+        ((u, i, t, e, v) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    want_m, want_t = _group_full_sim(evs5, steps, 1, 2, window_s, rel=rel)
+    proc = _make_processor(
+        steps, window_s * 1_000_000, emit_timeouts=True, grp=(1, 2),
+        rel_guards=rel,
+    )
+    got_m, got_t = _drive_nfa_rows_t(proc, evs5, cuts, 4, flush_ts=10_000)
+    assert got_m == want_m
+    assert got_t == want_t
+
+
+def test_cep_group_rel_guard_goldens():
+    """Pinned behaviors: (1) a boundary restart whose group-start
+    event FAILS the guard is a relaxed no-op — the held repetition
+    completes; (2) a passing restart rebuilds the span and the match
+    holds the NEW repetition; (3) a post-group guard judges the LAST
+    repetition's value, not an earlier one's; (4) an in-span guard
+    failure is a relaxed no-op within the repetition; (5) matched rows
+    emit the referenced slot (v-column) from the LAST repetition."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    w = 60 * 1_000_000
+    steps = ("a", "b", "c", "d")
+
+    # (1)+(2): guard b >= a (restart path). a=5; b=5 opens rep 1;
+    # b'=3 @30 FAILS the restart guard (no-op, rep 1 held);
+    # b''=7 @35 passes -> restart; c' @40, d @45 -> n_rep=2, slots
+    # hold the SECOND repetition (35, 40)
+    proc = _make_processor(
+        steps, w, emit_timeouts=True, grp=(1, 2),
+        rel_guards=(None, (0, 1.0), None, None),
+    )
+    m, t = _drive_nfa_rows_t(proc, [
+        (1, 0, 0, "a", 5.0), (1, 1, 10, "b", 5.0), (1, 2, 20, "c", 0.0),
+        (1, 3, 30, "b", 3.0), (1, 4, 35, "b", 7.0), (1, 5, 40, "c", 0.0),
+        (1, 6, 45, "d", 0.0),
+    ], [], 4, flush_ts=10_000)
+    assert m == [(1, 0, 0, 35, 40, 45, 2)] and t == []
+
+    # failing restart is a NO-OP, not a kill: with no second b, the
+    # held repetition still completes at d
+    m, t = _drive_nfa_rows_t(proc, [
+        (1, 0, 0, "a", 5.0), (1, 1, 10, "b", 5.0), (1, 2, 20, "c", 0.0),
+        (1, 3, 30, "b", 3.0), (1, 4, 45, "d", 0.0),
+    ], [], 4, flush_ts=10_000)
+    assert m == [(1, 0, 0, 10, 20, 45, 1)] and t == []
+
+    # (3): guard d >= c with TWO repetitions, c values 9 then 2: the
+    # post-group guard reads the LAST repetition's c=2, so d=5 passes
+    # (it would fail against the first repetition's 9)
+    proc_pg = _make_processor(
+        steps, w, emit_timeouts=True, grp=(1, 2),
+        rel_guards=(None, None, None, (2, 1.0)),
+    )
+    m, t = _drive_nfa_rows_t(proc_pg, [
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 20, "c", 9.0),
+        (1, 3, 30, "b", 0.0), (1, 4, 40, "c", 2.0), (1, 5, 50, "d", 5.0),
+    ], [], 4, flush_ts=10_000)
+    assert m == [(1, 0, 0, 30, 40, 50, 2)] and t == []
+    # ...and against a single repetition with c=9, the same d=5 is a
+    # relaxed no-op and the anchor times out
+    m, t = _drive_nfa_rows_t(proc_pg, [
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 0.0), (1, 2, 20, "c", 9.0),
+        (1, 3, 50, "d", 5.0),
+    ], [], 4, flush_ts=10_000)
+    assert m == [] and t == [(1, 0, 0, 10, 20, None, 1)]
+
+    # (4)+(5): in-span guard c >= b: c=1 against b=5 is a relaxed
+    # no-op; c=8 completes the repetition; v2 carries the last
+    # repetition's b
+    proc_in = _make_processor(
+        steps, w, grp=(1, 2),
+        rel_guards=(None, None, (1, 1.0), None), emit_vals=(1,),
+    )
+    got = _drive_nfa_chunked_v(proc_in, [
+        (1, 0, 0, "a", 0.0), (1, 1, 10, "b", 5.0), (1, 2, 15, "c", 1.0),
+        (1, 3, 20, "c", 8.0), (1, 4, 30, "d", 0.0),
+    ], [], 4, extra_cols=("v2", "n_rep"))
+    assert got == [(1, 0, 0, 10, 20, 30, 5.0, 1)]
+
+
+def test_cep_group_rel_guard_validation_and_permanent_refusals():
+    """Construction rules: (1) ref 0 × run_min_total is refused (the
+    anchor slot carries the running total); (2) other refs compose
+    with run_min_total; (3) × one_or_more and × any_match are
+    PERMANENT documented deltas — the refusal names docs/SEMANTICS.md
+    (the numbered-delta contract: zero undocumented refusals reachable
+    from the public surface)."""
+    import pytest as _pytest
+
+    from hello_flink_spark.streaming.cep import CepPattern
+
+    steps = ("a", "b", "c", "d", "e")
+    with _pytest.raises(ValueError, match="running TOTAL"):
+        CepPattern(
+            steps=steps, within_minutes=1, group_reps=(1, 2),
+            run_min_total=5.0, rel_guards=(None, None, None, None, (0, 1.0)),
+        )
+    ok = CepPattern(
+        steps=steps, within_minutes=1, group_reps=(1, 2),
+        run_min_total=5.0, rel_guards=(None, None, None, None, (3, 1.0)),
+    )
+    assert ok.rel_guards[4] == (3, 1.0)
+    ok2 = CepPattern(
+        steps=steps, within_minutes=1, group_reps=(1, 2),
+        rel_guards=(None, (0, 2.0), None, None, None),
+    )
+    assert ok2.group_reps == (1, 2)
+    with _pytest.raises(ValueError, match="docs/SEMANTICS.md"):
+        CepPattern(
+            steps=steps, within_minutes=1, group_reps=(1, 2),
+            one_or_more=3,
+        )
+    with _pytest.raises(ValueError, match="docs/SEMANTICS.md"):
+        CepPattern(
+            steps=steps, within_minutes=1, group_reps=(1, 2),
+            any_match_steps=(3,),
+        )

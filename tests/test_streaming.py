@@ -460,6 +460,32 @@ def test_stream_window_join(spark, sf_dir, replay_dir):
     assert got == want
 
 
+def test_stream_cogroup_window(spark, sf_dir, replay_dir):
+    """[F] DataStream window coGroup twin (VERDICT r10 #4): the
+    streaming union-aggregate over the chunked replay must equal the
+    hash-verified batch shadow (join_cogroup_window) ROW FOR ROW —
+    and the matched set must exercise the contract that separates
+    coGroup from the window join: at least one (user, window) group
+    with one side EMPTY on each side."""
+    from hello_flink_spark.registry import get_spec
+
+    run_to_memory(
+        jobs.stream_cogroup_window(_stream(spark, replay_dir), WM),
+        "t_scgw",
+        "complete",
+    )
+    got = sorted(tuple(r) for r in spark.table("t_scgw").collect())
+    want = sorted(
+        tuple(r)
+        for r in get_spec("join_cogroup_window").fn(spark, sf_dir).collect()
+    )
+    assert got == want
+    # one-side-empty groups present in BOTH directions (cols:
+    # window_start, user_id, n_clicks, n_purchases, ...)
+    assert any(r[2] == 0 and r[3] > 0 for r in got), "no clicks-empty group"
+    assert any(r[3] == 0 and r[2] > 0 for r in got), "no purchases-empty group"
+
+
 def test_stream_stream_interval_join(spark, sf_dir, replay_dir):
     run_to_memory(
         jobs.stream_stream_interval_join(_stream(spark, replay_dir), WM), "t_ssij"
