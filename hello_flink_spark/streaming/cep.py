@@ -771,13 +771,20 @@ class CepPattern:
                     "an any-match step cannot carry a not_between guard "
                     "(one tier per stage keeps both join-expressible)"
                 )
-            if self.not_next is not None and (
-                self.not_next[s] is not None or self.not_next[s - 1] is not None
-            ):
-                raise ValueError(
-                    "any-match steps must stay clear of notNext guards "
-                    "(untested composition — extend the property suite first)"
-                )
+            # any_match × not_next COMPOSES (r11 — the file's last
+            # "untested composition" refusal, deleted property-suite-
+            # first): a guard armed by the step BEFORE the any-match
+            # step resolves on the first strictly-later event, before
+            # any branch can spawn (kill → no branches ever, clear →
+            # fan-out proceeds); a guard ON the any-match step arms
+            # PER BRANCH at each branch's own acceptance ts — the
+            # generic pend machinery, the batch chain's per-row
+            # first-any vs first-forbidden MIN guard, and the oracle's
+            # unconditional post-stage notNext CTE all agree
+            # (tie-free 4-way properties + eid-ordered tied NFA
+            # property + goldens in tests/test_properties.py; the
+            # × after_match_skip triple rides the same guard-filtered
+            # completion set through the unchanged skip fold).
             if self.skip_past_last:
                 raise ValueError(
                     "any_match with skip_past_last is contradictory: one "
@@ -2046,7 +2053,11 @@ def _chain(pattern: CepPattern, events: DataFrame, left: bool) -> DataFrame:
     i, k = 1, len(pattern.steps)
     while i < k:
         if i in pattern.any_match_steps:
-            cur = _any_join(pattern, cur, events, i, w, total_pred)
+            # notNext on an any-match stage applies PER BRANCH ROW
+            # (each branch carries its own ts_col(i), so the
+            # first-any vs first-forbidden MIN guard judges each
+            # branch's own neighborhood) — r11 composition
+            cur = guard(_any_join(pattern, cur, events, i, w, total_pred), i)
             i += 1
         elif i in pattern.strict_steps:
             cur = guard(_strict_join(pattern, cur, events, i, w, total_pred), i)

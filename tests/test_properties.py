@@ -2434,12 +2434,41 @@ def test_cep_rel_guard_validation():
 # ---------------------------------------------------------------------------
 
 
-def _any_match_sim(evs, steps, anyset, window_s, rel=None):
+def _any_match_sim(evs, steps, anyset, window_s, rel=None, nn=None):
     """Independent per-anchor model of any-match promotion: at an
     any-match stage EVERY guard-passing candidate forks the chain; at
     a first-match stage only the earliest survives. Direct nested
-    loops, sharing no code with cep.py."""
+    loops, sharing no code with cep.py.
+
+    With ``nn`` (r11: any_match × not_next) a branch survives only if,
+    for every guarded stage i, the FIRST same-user event strictly
+    after the branch's stage-i timestamp (within the stage window,
+    judged in (ts, event_id) order — ties resolve by event id exactly
+    like the NFA's per-event loop) is not the forbidden type. The
+    post-filter is exact because a guard armed at stage i resolves at
+    the first strictly-later event — before any later acceptance or
+    completion that same branch could make."""
     rel = rel or (None,) * len(steps)
+    nn = nn or (None,) * len(steps)
+
+    def guard_ok(uid, tss):
+        for i, forb in enumerate(nn):
+            if forb is None or i >= len(tss):
+                continue
+            nxt = next(
+                (
+                    e2
+                    for uid2, _, t2, e2, _ in evs
+                    if uid2 == uid
+                    and t2 > tss[i]
+                    and t2 <= tss[i] + window_s
+                ),
+                None,
+            )
+            if nxt == forb:
+                return False
+        return True
+
     out = []
     for uid, aid, ts0, et0, v0 in evs:
         if et0 != steps[0]:
@@ -2463,14 +2492,21 @@ def _any_match_sim(evs, steps, anyset, window_s, rel=None):
                 picks = passing if i in anyset else passing[:1]
                 new.extend((tss + [t2], vals + [v2]) for t2, v2 in picks)
             branches = new
-        out.extend((uid, aid, *tss) for tss, _ in branches)
+        out.extend(
+            (uid, aid, *tss) for tss, _ in branches if guard_ok(uid, tss)
+        )
     return sorted(out)
 
 
-def _run_any_match_all_targets(spark, events, cuts, anyset, rel=None):
+def _run_any_match_all_targets(spark, events, cuts, anyset, rel=None, nn=None):
     """Drive one any-match pattern through the reference model, the
     NFA under arbitrary chunking, the batch chain, and the generated
-    DuckDB oracle, asserting four-way agreement."""
+    DuckDB oracle, asserting four-way agreement. With ``nn`` the
+    event stream is first made TIE-FREE (one event per (user, ts)) —
+    the batch/oracle notNext guards judge same-timestamp groups as a
+    set while the NFA judges them by event id, the documented
+    strict/optional tie class (test_cep_not_next_batch_... precedent);
+    the tied NFA-vs-model property runs separately."""
     import duckdb
     import pandas as pd
 
@@ -2482,11 +2518,19 @@ def _run_any_match_all_targets(spark, events, cuts, anyset, rel=None):
     )
 
     steps, window_s = ("a", "b", "c"), 60
+    if nn is not None:
+        seen, dedup = set(), []
+        for u, t, e, v in events:
+            if (u, t) in seen:
+                continue
+            seen.add((u, t))
+            dedup.append((u, t, e, v))
+        events = dedup
     evs = sorted(
         ((u, i, t, e, v) for i, (u, t, e, v) in enumerate(events)),
         key=lambda x: (x[2], x[1]),
     )
-    want = _any_match_sim(evs, steps, anyset, window_s, rel=rel)
+    want = _any_match_sim(evs, steps, anyset, window_s, rel=rel, nn=nn)
 
     rows = pd.DataFrame(
         {
@@ -2503,6 +2547,7 @@ def _run_any_match_all_targets(spark, events, cuts, anyset, rel=None):
         window_s * 1_000_000,
         rel_guards=rel,
         any_match=frozenset(anyset),
+        not_next=nn,
     )
     bounds = sorted({c for c in cuts if c < len(evs)} | {0, len(evs)})
     chunks = [rows.iloc[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
@@ -2525,7 +2570,11 @@ def _run_any_match_all_targets(spark, events, cuts, anyset, rel=None):
     assert sorted(got_n) == want
 
     pat = CepPattern(
-        steps=steps, within_minutes=1, any_match_steps=tuple(anyset), rel_guards=rel
+        steps=steps,
+        within_minutes=1,
+        any_match_steps=tuple(anyset),
+        rel_guards=rel,
+        not_next=nn,
     )
     got_b = sorted(
         (
@@ -2592,6 +2641,94 @@ def test_cep_any_match_composes_with_rel_guard(spark, events, cuts):
     )
 
 
+@given(events=ANY_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_any_match_not_next_before_all_targets_agree(spark, events, cuts):
+    """r11 composition (the file's last 'untested' refusal deleted):
+    a notNext(x) m … guard armed BEFORE the any-match step — the
+    first strictly-later event resolves the WAITER before any branch
+    can spawn (forbidden first → no branches ever). Four-way agreement
+    on tie-free streams."""
+    _run_any_match_all_targets(
+        spark, events, cuts, anyset={1}, nn=("x", None, None)
+    )
+
+
+@given(events=ANY_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_any_match_not_next_on_branch_all_targets_agree(spark, events, cuts):
+    """r11 composition: the notNext guard ON the any-match step arms
+    PER BRANCH at each branch's own acceptance timestamp — a forbidden
+    event kills exactly the branches whose first-later event it is,
+    while later-accepted branches arm after it and survive. Four-way
+    agreement on tie-free streams."""
+    _run_any_match_all_targets(
+        spark, events, cuts, anyset={1}, nn=(None, "x", None)
+    )
+
+
+@given(events=ANY_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_any_match_not_next_nfa_matches_simulation_tied(events, cuts):
+    """The TIED complement of the four-way suites: on streams with
+    same-(user, ts) groups the NFA resolves armed guards in event-id
+    order — the model mirrors that exactly, under every chunking.
+    (Batch/oracle judge tie groups as a set — the documented
+    strict/optional tie class — so they sit out this property.)"""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    steps, window_s = ("a", "b", "c"), 60
+    evs5 = sorted(
+        ((u, i, t, e, v) for i, (u, t, e, v) in enumerate(events)),
+        key=lambda x: (x[2], x[1]),
+    )
+    nn = (None, "x", None)
+    want = _any_match_sim(evs5, steps, {1}, window_s, nn=nn)
+    proc = _make_processor(
+        steps, window_s * 1_000_000, any_match=frozenset({1}), not_next=nn
+    )
+    assert _drive_nfa_chunked_v(proc, evs5, cuts, 3) == want
+
+
+def test_cep_any_match_not_next_goldens():
+    """Pinned behaviors of the r11 composition: (1) forbidden-first
+    kills the waiter before ANY branch spawns; (2) a cleared guard
+    fans out normally; (3) a per-branch guard kills exactly the
+    branches whose first-later event is the forbidden one — a branch
+    accepted AFTER the forbidden event survives; (4) the completing
+    event itself resolves an armed branch guard (not forbidden →
+    match emits)."""
+    from hello_flink_spark.streaming.cep import _make_processor
+
+    w = 60 * 1_000_000
+    steps = ("a", "b", "c")
+
+    # (1)+(2): notNext(x) on the anchor, any-match at b. user 1: x@5 is
+    # the first event after the anchor -> killed, the b@10/b@15 never
+    # spawn. user 2: m(b)@10 clears the guard by being first; both bs
+    # fork and each takes its own first c.
+    proc = _make_processor(
+        steps, w, any_match=frozenset({1}), not_next=("x", None, None)
+    )
+    got = _drive_nfa_chunked(proc, [
+        (1, 0, 0, "a"), (1, 1, 5, "x"), (1, 2, 10, "b"), (1, 3, 20, "c"),
+        (2, 4, 0, "a"), (2, 5, 10, "b"), (2, 6, 15, "b"), (2, 7, 20, "c"),
+    ], [], 3)
+    assert got == [(2, 4, 0, 10, 20), (2, 4, 0, 15, 20)]
+
+    # (3)+(4): notNext(x) ON the any-match step. b1@10 -> x@12 is its
+    # first later event -> branch killed; b2@15 arms after the x and
+    # its first later event is c@20 (also its completion) -> survives.
+    proc2 = _make_processor(
+        steps, w, any_match=frozenset({1}), not_next=(None, "x", None)
+    )
+    got2 = _drive_nfa_chunked(proc2, [
+        (1, 0, 0, "a"), (1, 1, 10, "b"), (1, 2, 12, "x"), (1, 3, 15, "b"),
+        (1, 4, 20, "c"),
+    ], [], 3)
+    assert got2 == [(1, 0, 0, 15, 20)]
+
+
 def test_cep_any_match_validation():
     import pytest
 
@@ -2627,13 +2764,16 @@ def test_cep_any_match_validation():
             not_between=(None, "x"),
             any_match_steps=(1,),
         )
-    with pytest.raises(ValueError, match="notNext"):
-        CepPattern(
-            steps=("a", "b", "c"),
-            within_minutes=1,
-            not_next=("x", None, None),
-            any_match_steps=(1,),
-        )
+    # any_match × not_next COMPOSES (r11 — the last 'untested
+    # composition' refusal deleted property-suite-first): guards
+    # before and ON the any-match step both construct
+    ok_nn = CepPattern(
+        steps=("a", "b", "c"),
+        within_minutes=1,
+        not_next=("x", "y", None),
+        any_match_steps=(1,),
+    )
+    assert ok_nn.not_next == ("x", "y", None)
     with pytest.raises(ValueError, match="skip_past_last"):
         CepPattern(
             steps=("a", "b"),
@@ -2946,7 +3086,7 @@ def test_cep_or_types_validation():
 # ---------------------------------------------------------------------------
 
 
-def _skip_to_sim(evs5, steps, window_s, mode, j=None, anyset=frozenset()):
+def _skip_to_sim(evs5, steps, window_s, mode, j=None, anyset=frozenset(), nn=None):
     """Sequential model of skipToNext / skipToFirst / skipToLast,
     written directly against the Flink strategy definitions: take the
     NO_SKIP match enumeration (per-anchor chains, with any-match forks
@@ -2956,8 +3096,13 @@ def _skip_to_sim(evs5, steps, window_s, mode, j=None, anyset=frozenset()):
     so this is the NFA's emission order — then fold: to_next keeps the
     first match per ANCHOR EVENT; to_first/to_last keep a match iff
     its anchor is >= the running boundary (emitted matches' step-j
-    timestamp; ties survive) and advance the boundary."""
-    matches = _any_match_sim(evs5, steps, anyset, window_s)
+    timestamp; ties survive) and advance the boundary. With ``nn``
+    (r11: the any_match × not_next × skip triple) the fold input is
+    the guard-filtered match set — exact, because guard kills resolve
+    at the first strictly-later event independently of boundary kills
+    (both only REMOVE partials; a guard-killed branch never completes,
+    so it neither emits nor advances the boundary)."""
+    matches = _any_match_sim(evs5, steps, anyset, window_s, nn=nn)
     out = []
     for uid in sorted({m[0] for m in matches}):
         ms = sorted(
@@ -2992,7 +3137,7 @@ SKIP_EVENTS = st.lists(
 )
 
 
-def _run_skip_to(events, cuts, mode, j=None, anyset=frozenset()):
+def _run_skip_to(events, cuts, mode, j=None, anyset=frozenset(), nn=None):
     from hello_flink_spark.streaming.cep import _make_processor
 
     steps, window_s = ("a", "b", "c"), 60
@@ -3001,12 +3146,13 @@ def _run_skip_to(events, cuts, mode, j=None, anyset=frozenset()):
         key=lambda x: (x[2], x[1]),
     )
     evs5 = [(u, i, t, e, 0.0) for u, i, t, e in evs]
-    want = _skip_to_sim(evs5, steps, window_s, mode, j=j, anyset=anyset)
+    want = _skip_to_sim(evs5, steps, window_s, mode, j=j, anyset=anyset, nn=nn)
     proc = _make_processor(
         steps,
         window_s * 1_000_000,
         any_match=frozenset(anyset),
         skip_to=(mode, j),
+        not_next=nn,
     )
     assert _drive_nfa_chunked(proc, evs, cuts, 3) == want
 
@@ -3046,6 +3192,19 @@ def test_cep_skip_to_next_without_branching_is_no_skip(spark, events, cuts):
 
     proc = _make_processor(steps, window_s * 1_000_000, skip_to=("to_next", None))
     assert _drive_nfa_chunked(proc, evs, cuts, 3) == want
+
+
+@given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
+@SETTINGS
+def test_cep_skip_to_next_any_not_next_matches_simulation(events, cuts):
+    """The r11 TRIPLE — skipToNext × followedByAny × notNext: guard
+    kills shrink the completion set BEFORE the skip fold (a
+    guard-killed branch neither emits nor advances the boundary);
+    the fold itself is unchanged. NFA vs the composed model under
+    every chunking (ties fine: both sides are event-id-ordered)."""
+    _run_skip_to(
+        events, cuts, "to_next", anyset={1}, nn=(None, "x", None)
+    )
 
 
 @given(events=SKIP_EVENTS, cuts=st.lists(st.integers(0, 24), max_size=4))
