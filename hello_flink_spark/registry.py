@@ -77,17 +77,40 @@ def _load() -> None:
 
 
 def is_green(row: object) -> bool:
-    """True iff a CORRECTNESS_r*.json row counts as driver-verified.
+    """True iff a CORRECTNESS_r*.json row was green WHEN IT WAS WRITTEN.
 
-    Single source of truth shared by the registry's rotation ordering
-    and tests/test_bench_contract.py's window guard — the two must never
-    disagree about which queries are verified. Green means the oracle
-    hash matched, or the query is declared rows-only (``no_oracle``) and
-    the driver actually produced a row count for it.
+    Green means the oracle hash matched, or the row was checked rows-only
+    (``no_oracle``) and the driver actually produced a row count for it.
+    Historical-green is NOT the same as verified-at-current-tier — see
+    ``is_verified``: an R→O promotion upgrades the bar, so an old
+    rows-only green stops counting for the now-O-tier spec.
     """
     return isinstance(row, dict) and (
         row.get("hash_match") is True
         or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
+    )
+
+
+def is_verified(row: object, has_oracle: bool) -> bool:
+    """True iff a CORRECTNESS_r*.json row verifies a spec AT ITS CURRENT
+    TIER (VERDICT r11 #1: promotion = re-verification).
+
+    Single source of truth shared by the rotation ordering and
+    tests/test_bench_contract.py's window guard — the two must never
+    disagree. An O-tier spec (``has_oracle``) is verified ONLY by a
+    hash-matched row; a rows-only ``no_oracle`` green no longer counts
+    once the spec carries an oracle, so promoted queries rank as
+    never-verified and re-enter the driver window for a hash check.
+    R-tier specs keep counting rows-only greens (their declared design).
+    """
+    if not isinstance(row, dict):
+        return False
+    if row.get("hash_match") is True:
+        return True
+    return (
+        not has_oracle
+        and row.get("err") == "no_oracle"
+        and row.get("spark_rows") is not None
     )
 
 
@@ -130,10 +153,13 @@ def _driver_verified_rounds() -> dict[str, int]:
     """
     rounds: dict[str, int] = {}
     for rnd, name, row in iter_correctness_rows():
-        # only GREEN rows count as verified: a failed row must rank
-        # like never-verified so the driver re-checks it right after
-        # the fix lands.
-        if is_green(row):
+        # only rows verified AT THE SPEC'S CURRENT TIER count: a failed
+        # row — or a rows-only green for a since-promoted O-tier spec —
+        # must rank like never-verified so the driver (re-)hash-checks
+        # it right after the fix/promotion lands (VERDICT r11 #1).
+        spec = _REGISTRY.get(name)
+        has_oracle = spec is not None and spec.oracle is not None
+        if is_verified(row, has_oracle):
             rounds[name] = max(rounds.get(name, 0), rnd)
     return rounds
 

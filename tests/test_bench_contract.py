@@ -66,19 +66,23 @@ def test_entry_module_contract():
 
 def test_correctness_window_prioritizes_unverified():
     """The first 50 registry entries (the driver's observed correctness
-    window) must contain every declared query that has never appeared
-    green in a CORRECTNESS_r*.json — unless there are more unverified
-    queries than slots, in which case all 50 slots must hold
-    unverified queries (oldest-registered first)."""
+    window) must contain every declared query that has never been
+    verified AT ITS CURRENT TIER in a CORRECTNESS_r*.json — unless there
+    are more unverified queries than slots, in which case all 50 slots
+    must hold unverified queries (oldest-registered first). Tier-aware
+    (VERDICT r11 #1): an O-tier spec counts as verified only by a
+    hash-matched row, so R→O promotions re-enter the window."""
     sys.path.insert(0, str(REPO))
     import __spark_entry__ as E
 
-    from hello_flink_spark.registry import is_green, iter_correctness_rows
+    from hello_flink_spark.registry import all_specs, is_verified, iter_correctness_rows
 
+    specs = all_specs()
     order = list(E.queries())
     verified: set[str] = set()
     for _rnd, name, row in iter_correctness_rows(REPO):
-        if is_green(row):
+        spec = specs.get(name)
+        if spec is not None and is_verified(row, spec.oracle is not None):
             verified.add(name)
     unverified = [q for q in order if q not in verified]
     window = set(order[:50])
@@ -90,3 +94,34 @@ def test_correctness_window_prioritizes_unverified():
         assert not not_unverified, (
             f"verified queries occupying scarce window slots: {not_unverified}"
         )
+
+
+def test_promotion_requires_driver_rehash():
+    """Promotion-reverification invariant (VERDICT r11 #8): an O-tier
+    spec whose driver history holds ONLY rows-only (``no_oracle``)
+    greens must rank as never-verified — i.e. appear in the head-50
+    window — until the driver hash-checks its new oracle. This pins the
+    rotation semantics so the r11 gap class (promoted oracles silently
+    skipping re-verification) can never recur."""
+    sys.path.insert(0, str(REPO))
+    from hello_flink_spark.registry import all_specs, iter_correctness_rows
+
+    specs = all_specs()  # rotation-ranked
+    order = list(specs)
+    hash_green: set[str] = set()
+    seen_at_all: set[str] = set()
+    for _rnd, name, row in iter_correctness_rows(REPO):
+        if isinstance(row, dict):
+            seen_at_all.add(name)
+            if row.get("hash_match") is True:
+                hash_green.add(name)
+    pending_promotions = [
+        n
+        for n, spec in specs.items()
+        if spec.oracle is not None and n in seen_at_all and n not in hash_green
+    ]
+    outside = [n for n in pending_promotions if order.index(n) >= 50]
+    assert not outside, (
+        f"promoted O-tier specs without a driver hash-green ranked outside "
+        f"the 50-window (rotation must treat them as never-verified): {outside}"
+    )
