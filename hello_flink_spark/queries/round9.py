@@ -293,21 +293,30 @@ def phash_index_table(spark: SparkSession, sf_dir: str) -> str:
 def phash_index_probe(index_bands: DataFrame, new_hashes: DataFrame) -> DataFrame:
     """The index-probe join proper (factored so the plan test drives
     it with broadcast disabled): band-join the new batch's band rows
-    against the persisted index on band_key, verify candidates with
-    the exact hamming distance, and return one row per matched new
-    doc: (doc_id, mn_old). A new doc that is ALREADY indexed matches
-    itself — semantically right for a re-crawl (it IS in the corpus).
-    With the index bucketed by band_key at the join's fan-out the join
-    is Exchange-free on the index side; only the batch's band rows
+    against the persisted index on band_key as a LEFT join with the
+    exact hamming verify in the join condition, then re-aggregate to
+    ONE row per batch doc: (doc_id, phash, mn_old) — mn_old NULL when
+    no indexed near-dup exists. A new doc that is ALREADY indexed
+    matches itself — semantically right for a re-crawl (it IS in the
+    corpus). LEFT (not inner + later outer re-join) keeps the whole
+    decode→probe path LINEAR, so the caller can materialize it in one
+    pass (VERDICT r11 #3: one localCheckpoint, three consumers,
+    instead of separate decode and probe materializations). With the
+    index bucketed by band_key at the join's fan-out the join is
+    Exchange-free on the index side; only the batch's band rows
     shuffle."""
     n, o = _phash_band_rows(new_hashes).alias("n"), index_bands.alias("o")
     return (
-        n.join(o, F.col("n.band_key") == F.col("o.band_key"))
-        .filter(
-            F.bit_count(F.col("n.phash").bitwiseXOR(F.col("o.phash")))
-            <= PHASH_HAMMING_MAX
+        n.join(
+            o,
+            (F.col("n.band_key") == F.col("o.band_key"))
+            & (
+                F.bit_count(F.col("n.phash").bitwiseXOR(F.col("o.phash")))
+                <= PHASH_HAMMING_MAX
+            ),
+            "left",
         )
-        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .groupBy(F.col("n.doc_id").alias("doc_id"), F.col("n.phash").alias("phash"))
         .agg(F.min(F.col("o.doc_id")).alias("mn_old"))
     )
 
@@ -370,25 +379,26 @@ def multimodal_dedup_phash_incremental(spark: SparkSession, sf_dir: str) -> Data
     disabled); only the batch's band rows shuffle. Candidates stay
     banding-bounded — no all-pairs anywhere; the in-batch collapse
     runs on index survivors only (strictly smaller than the batch).
-    The decode+hash Python stage runs once (localCheckpoint; three
-    consumers), and the probe result is checkpointed before the
-    survivor anti-join so the index join also runs once."""
+    ONE eager materialization total (VERDICT r11 #3): the probe is a
+    LEFT band-join, so decode → band-explode → index join →
+    per-doc re-aggregate is a single linear pipeline; its
+    localCheckpoint is read by all three consumers (survivor filter,
+    the in-batch band self-join, the final verdict projection) —
+    the Python decode and the index join each run exactly once."""
     tbl = phash_index_table(spark, sf_dir)
     new_ids = (
         t(spark, sf_dir, "documents")
         .select("doc_id")
         .filter(F.col("doc_id") % 5 == 0)
     )
-    new_hashes = (
-        new_ids.mapInPandas(_phash_png_encode, schema="doc_id long, payload binary")
-        .mapInPandas(_phash_decode, schema="doc_id long, phash long")
-        .localCheckpoint(eager=True)
-    )
-    # bounded: one row per index-matched batch image
-    idx_dup = phash_index_probe(spark.table(tbl), new_hashes).localCheckpoint(
+    new_hashes = new_ids.mapInPandas(
+        _phash_png_encode, schema="doc_id long, payload binary"
+    ).mapInPandas(_phash_decode, schema="doc_id long, phash long")
+    # one row per batch image: (doc_id, phash, mn_old-or-NULL)
+    probed = phash_index_probe(spark.table(tbl), new_hashes).localCheckpoint(
         eager=True
     )
-    surv = new_hashes.join(idx_dup, "doc_id", "left_anti")
+    surv = probed.filter(F.col("mn_old").isNull()).select("doc_id", "phash")
     a, b = _phash_band_rows(surv).alias("a"), _phash_band_rows(surv).alias("b")
     bn = (
         a.join(
@@ -404,8 +414,7 @@ def multimodal_dedup_phash_incremental(spark: SparkSession, sf_dir: str) -> Data
         .agg(F.min(F.col("b.doc_id")).alias("mn_new"))
     )
     return (
-        new_hashes.join(idx_dup, "doc_id", "left")
-        .join(bn, "doc_id", "left")
+        probed.join(bn, "doc_id", "left")
         .select(
             "doc_id",
             "phash",
