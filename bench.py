@@ -239,6 +239,11 @@ HEADLINE = [
     # round-11: fingerprinted-gram substring dedup (xxhash64 before the
     # first shuffle — the raw twin's documented 100 TB shape).
     "text_substring_dedup_fp",
+    # round-12: wire-format decode certification (Arrow encode →
+    # public from_avro_col / from_protobuf_col decode → aggregate vs
+    # the raw-parquet oracle).
+    "scan_avro_decode",
+    "scan_protobuf_decode",
 ]
 
 

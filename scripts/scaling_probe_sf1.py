@@ -105,6 +105,72 @@ PROBES = [
     ("text_substring_dedup_fp", "documents"),
 ]
 
+# Work-unit denominator per op (VERDICT r11 #5): the unit the op's
+# dominant term actually scales in, RE-MEASURED at both SFs at probe
+# time (never a static whitelist — ADVICE r09: that would auto-excuse
+# a future genuine regression). Row counts are the unit only where the
+# per-row work is constant by construction (disjoint-shard replication
+# keeps per-key/per-payload work identical); byte/gram/shingle units
+# capture the replica-tag inflation that makes 10x rows MORE than 10x
+# work for token-tagged documents shards.
+OP_UNIT: dict[str, str] = {
+    "dedup_containment": "word-shingles",
+    "dedup_ngram_jaccard": "word-shingles",
+    "text_hashing_features": "text-bytes",
+    "dim_scd2_build": "orders-rows",
+    "agg_pq_quantize": "embedding-rows",
+    "graph_triangle_count": "lineitem-rows",
+    "dedup_cluster": "word-shingles",
+    "sim_ann_ivf_pq": "embedding-rows",
+    "events_delta_trigger": "event-rows",
+    "pipeline_multimodal_manifest": "document-rows",
+    "text_bpe_apply": "text-bytes",
+    "text_bpe_train_merges": "text-bytes",
+    "multimodal_dedup_phash": "document-rows",
+    "multimodal_audio_dedup_fingerprint": "document-rows",
+    "multimodal_video_dedup_framehash": "document-rows",
+    "text_substring_dedup": "char-grams",
+    "text_ngram_novelty": "word-shingles",
+    "join_async_enrich": "event-rows",
+    "text_substring_dedup_fp": "char-grams",
+}
+
+
+def measure_units(spark) -> dict[str, dict[str, int]]:
+    """Measure every distinct work-unit denominator at both SFs.
+
+    char-grams = Σ max(len(text)−31, 0) over gram-eligible docs (the
+    substring ops' explode volume); word-shingles = Σ tokens (shingle
+    count scales identically token-for-token); text-bytes = Σ
+    len(text) (the byte-proportional fold/hash ops); *-rows = input
+    row counts (ops whose per-row work is constant by construction).
+    """
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.readers import load_table
+
+    def _one(sf: str) -> dict[str, int]:
+        d = load_table(spark, sf, "documents")
+        agg = d.agg(
+            F.sum(F.length("text")).alias("bytes"),
+            F.sum(F.size(F.split("text", " "))).alias("tokens"),
+            F.sum(
+                F.when(F.length("text") >= 32, F.length("text") - 31).otherwise(0)
+            ).alias("grams"),
+        ).collect()[0]
+        return {
+            "text-bytes": int(agg["bytes"] or 0),
+            "word-shingles": int(agg["tokens"] or 0),
+            "char-grams": int(agg["grams"] or 0),
+            "document-rows": d.count(),
+            "orders-rows": load_table(spark, sf, "orders").count(),
+            "lineitem-rows": load_table(spark, sf, "lineitem").count(),
+            "embedding-rows": load_table(spark, sf, "embeddings").count(),
+            "event-rows": load_table(spark, sf, "events").count(),
+        }
+
+    return {sf: _one(sf) for sf in (SRC, DST)}
+
 
 def build_sf1(spark) -> dict[str, int]:
     from pyspark.sql import functions as F
@@ -189,6 +255,9 @@ def main() -> None:
     sizes = build_sf1(spark)
     print("sf1 sizes:", sizes)
 
+    units = measure_units(spark)
+    print("work units:", units)
+
     rows: dict[str, dict[str, float]] = {}
     for sf in (SRC, DST):
         for name, _ in PROBES:
@@ -246,15 +315,36 @@ def main() -> None:
         f"events {sizes['events']:,} rows.",
         "Min-of-3 wall seconds, same warm-up protocol as BASELINE.md.",
         "",
-        "| query | driving input | sf0.1 s | sf1 s | time ratio |",
-        "|---|---|---|---|---|",
+        "Each op carries its WORK-UNIT denominator (VERDICT r11 #5) —",
+        "the unit its dominant term scales in, re-measured at both SFs",
+        "this run: char-grams = Σ max(len(text)−31, 0); word-shingles =",
+        "Σ tokens; text-bytes = Σ len(text); *-rows = input row counts",
+        "(ops whose per-row work is constant under disjoint-shard",
+        "replication). `unit ratio` is the unit's own sf1/sf0.1 growth",
+        "(the replica token tag makes byte/gram/shingle units grow PAST",
+        "10x); `time÷unit` = time ratio / unit ratio — at or under ~1.0",
+        "means the op is linear-or-better in its own work, whatever the",
+        "raw time ratio reads.",
+        "",
+        "| query | driving input | sf0.1 s | sf1 s | time ratio | work unit | unit ratio | time÷unit |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     worst = 0.0
+    per_unit: dict[str, float] = {}
+    unit_ratio: dict[str, float] = {}
     for name, table in PROBES:
         a, b = rows[name][SRC], rows[name][DST]
         ratio = b / a if a else float("inf")
         worst = max(worst, ratio)
-        lines.append(f"| {name} | {table} | {a:.3f} | {b:.3f} | {ratio:.1f}x |")
+        u = OP_UNIT[name]
+        ua, ub = units[SRC][u], units[DST][u]
+        ur = ub / ua if ua else float("inf")
+        unit_ratio[name] = ur
+        per_unit[name] = ratio / ur if ur else float("inf")
+        lines.append(
+            f"| {name} | {table} | {a:.3f} | {b:.3f} | {ratio:.1f}x "
+            f"| {u} ({ua:,} → {ub:,}) | {ur:.1f}x | {per_unit[name]:.2f} |"
+        )
     lines += [
         "",
         "Candidate-pair accounting for the multimodal dedup trio (the",
@@ -328,98 +418,54 @@ def main() -> None:
             "",
         ] + _reason_block(near)
     # Over-band ops are only recordable WITH a diagnosis (VERDICT r06
-    # #8). A diagnosis must name the measured denominator that the
-    # row-count ratio hides — for token-tagged documents shards that is
-    # the BYTE ratio (the replica tag inflates every word). The
-    # denominator is RE-MEASURED at probe time (ADVICE r09: a static
-    # whitelist would auto-excuse a future genuine regression): the
-    # bpe query's own n_chars output IS the byte metric its fold scans,
-    # and the diagnosis only holds while time ratio <= char ratio.
+    # #8), and the diagnosis is now GENERIC (VERDICT r11 #5): every op
+    # carries a work-unit denominator re-measured this run (the table's
+    # `unit ratio` column), so an op whose time grows no faster than
+    # its own units (time÷unit <= 1.15 — min-of-3 jitter allowance) is
+    # auto-diagnosed from data instead of hand-explained each round.
+    # Never a static whitelist (ADVICE r09): a genuine super-linear
+    # regression grows time PAST the measured unit growth and fails
+    # this check.
     OVER_DIAGNOSED: dict[str, str] = {}
-    if "text_bpe_apply" in over:
-        fn = specs["text_bpe_apply"].fn
-
-        def _word_chars(sf: str) -> int:
-            return int(
-                fn(spark, sf)
-                .agg(F.sum("n_chars").alias("c"))
-                .collect()[0]["c"]
+    for n in over:
+        if per_unit[n] <= 1.15:
+            tr = rows[n][DST] / rows[n][SRC]
+            u = OP_UNIT[n]
+            OVER_DIAGNOSED[n] = (
+                f"work unit is the {u} ({units[SRC][u]:,} → "
+                f"{units[DST][u]:,}, {unit_ratio[n]:.1f}x — the 'rK_' "
+                f"replica tag inflates token-derived units past 10x); "
+                f"{tr:.1f}x time for {unit_ratio[n]:.1f}x units is "
+                f"time÷unit {per_unit[n]:.2f} — linear in its own work "
+                "to within min-of-3 jitter"
             )
-
-        chars_src, chars_dst = _word_chars(SRC), _word_chars(DST)
-        char_ratio = chars_dst / chars_src if chars_src else float("inf")
-        time_ratio = rows["text_bpe_apply"][DST] / rows["text_bpe_apply"][SRC]
-        if time_ratio <= char_ratio:
-            OVER_DIAGNOSED["text_bpe_apply"] = (
-                f"byte-proportional fold over words whose bytes grow "
-                f"{char_ratio:.1f}x, not 10x (re-measured this run: the "
-                f"'rK_' replica tag inflates sf1 word-chars "
-                f"{chars_src:,} -> {chars_dst:,}) — {time_ratio:.1f}x "
-                f"time for {char_ratio:.1f}x bytes is SUBLINEAR per "
-                "byte, same class as text_hashing_features"
-            )
-    gram_ops = [
-        n for n in ("text_substring_dedup", "text_substring_dedup_fp") if n in over
-    ]
-    if gram_ops:
-        from hello_flink_spark.sources.readers import load_table
-
-        def _gram_volume(sf: str) -> int:
-            # same doc population as the query itself (length(text),
-            # never the n_chars metadata column); NULL-safe when no
-            # doc clears the gram width
-            d = load_table(spark, sf, "documents")
-            g = (
-                d.filter(F.length("text") >= 32)
-                .agg(F.sum(F.length("text") - 31).alias("g"))
-                .collect()[0]["g"]
-            )
-            return int(g or 0)
-
-        g_src, g_dst = _gram_volume(SRC), _gram_volume(DST)
-        gram_ratio = g_dst / g_src if g_src else float("inf")
-        for n in gram_ops:
-            time_ratio = rows[n][DST] / rows[n][SRC]
-            if time_ratio <= gram_ratio:
-                OVER_DIAGNOSED[n] = (
-                    f"the op's work unit is the CHAR-gram, and gram volume "
-                    f"(Σ len(text)−31) grows {gram_ratio:.1f}x, not 10x — "
-                    f"re-measured this run ({g_src:,} -> {g_dst:,}; the "
-                    f"'rK_' replica token tag inflates every document's "
-                    f"character count) — {time_ratio:.1f}x time for "
-                    f"{gram_ratio:.1f}x grams is SUBLINEAR per gram, same "
-                    "class as text_bpe_apply"
-                )
-        # The fp variant's ratio is hostage to its sub-3s sf0.1
-        # denominator (min-of-3 on a noisy-neighbor box: observed
-        # 2.4-2.8 s across clean runs → 17-20x from the same ~48 s sf1
-        # numerator). The run-independent bound: it is the RAW twin's
-        # exact plan shape with strictly FEWER bytes through the same
-        # gram-keyed shuffle, so whenever its sf1 ABSOLUTE time lands
-        # at or under the twin's measured-in-the-same-run sf1 time,
-        # its per-gram sf1 cost is dominated by the twin's — which the
-        # gram-volume diagnosis above covers. Never auto-excuses a
-        # genuine regression: a plan change that made fp super-linear
-        # would push its sf1 time past the raw twin's and the
-        # domination check fails.
-        fp, raw = "text_substring_dedup_fp", "text_substring_dedup"
-        if (
-            fp in over
-            and fp not in OVER_DIAGNOSED
-            and raw in OVER_DIAGNOSED
-            and rows[fp][DST] <= rows[raw][DST] * 1.05
-        ):
-            OVER_DIAGNOSED[fp] = (
-                f"same work unit and plan shape as {raw} with strictly "
-                f"fewer shuffle bytes per gram; its sf1 time this run "
-                f"({rows[fp][DST]:.1f}s) is AT/UNDER the twin's "
-                f"({rows[raw][DST]:.1f}s), so its per-gram sf1 cost is "
-                f"dominated by the twin's diagnosed {gram_ratio:.1f}x "
-                f"gram growth — the ratio excess "
-                f"({rows[fp][DST] / rows[fp][SRC]:.1f}x) comes entirely "
-                f"from the sub-3s sf0.1 denominator (min-of-3 noise on "
-                "this box), not from any sf1-side term"
-            )
+    # The fp twin's ratio is hostage to its sub-3s sf0.1 denominator
+    # (min-of-3 on a noisy-neighbor box). The run-independent bound: it
+    # is the RAW twin's exact plan shape with strictly FEWER bytes
+    # through the same gram-keyed shuffle, so whenever its sf1 ABSOLUTE
+    # time lands at or under the twin's measured-in-the-same-run sf1
+    # time, its per-gram sf1 cost is dominated by the twin's diagnosed
+    # gram growth. Never auto-excuses a genuine regression: a plan
+    # change that made fp super-linear would push its sf1 time past the
+    # raw twin's and the domination check fails.
+    fp, raw = "text_substring_dedup_fp", "text_substring_dedup"
+    if (
+        fp in over
+        and fp not in OVER_DIAGNOSED
+        and raw in OVER_DIAGNOSED
+        and rows[fp][DST] <= rows[raw][DST] * 1.05
+    ):
+        OVER_DIAGNOSED[fp] = (
+            f"same work unit and plan shape as {raw} with strictly "
+            f"fewer shuffle bytes per gram; its sf1 time this run "
+            f"({rows[fp][DST]:.1f}s) is AT/UNDER the twin's "
+            f"({rows[raw][DST]:.1f}s), so its per-gram sf1 cost is "
+            f"dominated by the twin's diagnosed {unit_ratio[raw]:.1f}x "
+            f"gram growth — the ratio excess "
+            f"({rows[fp][DST] / rows[fp][SRC]:.1f}x) comes entirely "
+            f"from the sub-3s sf0.1 denominator (min-of-3 noise on "
+            "this box), not from any sf1-side term"
+        )
     diagnosed = [n for n in over if n in OVER_DIAGNOSED]
     unknown = [n for n in over if n not in OVER_DIAGNOSED]
     if diagnosed:

@@ -1,9 +1,16 @@
 """Avro / Protobuf format layer (sources/formats.py — VERDICT r10
-"What's missing" #5): the schema-mapping rules are jar-independent and
-fully unit-tested; the decode wrappers are jar-gated stubs exercised
-for their honest-failure contract (same class as the Kafka stub)."""
+"What's missing" #5, closed in r12 per VERDICT r11 #7): the
+schema-mapping rules are jar-independent and fully unit-tested, and the
+decode step now WORKS jar-free — avro_codec.py / proto_codec.py
+implement the public wire formats in Python. Decoder correctness is
+pinned two independent ways: GOLDEN tests against hand-written bytes
+derived from the specifications (never from this repo's encoders), and
+encode→decode round-trips over the rich schemas."""
 
 from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
 
 import pytest
 from pyspark.sql.types import (
@@ -162,18 +169,280 @@ def test_proto_unknown_type_fails_loud():
         proto_message_to_spark({"name": "m", "fields": [{"name": "x", "type": "wat"}]})
 
 
-def test_read_avro_gate_is_honest(spark, tmp_path):
-    """In this sandbox the spark-avro module is absent (pyspark/jars
-    holds avro-core only): the wrapper must raise NotImplementedError
-    naming the artifact to ship — NOT a raw ClassNotFoundException.
-    Where the jar IS present the same call must just work, so the test
-    accepts a successful read of a real file too (self-adjusting, like
-    the Kafka stub's contract)."""
+# --- Avro wire codec: GOLDEN bytes (hand-written from the Avro 1.12
+# specification "Binary encoding" section — independent of this repo's
+# encoder) -------------------------------------------------------------------
+
+AVRO_SIMPLE = {
+    "type": "record",
+    "name": "Simple",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "string"},
+        {"name": "c", "type": ["null", "int"]},
+    ],
+}
+
+# a=-2 → zigzag(−2)=3 → 0x03; b="hi" → len 2 → zigzag 4 → 0x04 then
+# UTF-8 'h','i'; c=3 → union index 1 → zigzag 2 → 0x02, int 3 → zigzag
+# 6 → 0x06.
+AVRO_SIMPLE_GOLDEN = b"\x03\x04hi\x02\x06"
+
+
+def test_avro_decode_golden_record():
+    from hello_flink_spark.sources.avro_codec import decode_value
+
+    assert decode_value(AVRO_SIMPLE_GOLDEN, AVRO_SIMPLE) == {
+        "a": -2,
+        "b": "hi",
+        "c": 3,
+    }
+
+
+def test_avro_encode_matches_golden():
+    from hello_flink_spark.sources.avro_codec import encode_value
+
+    assert (
+        encode_value({"a": -2, "b": "hi", "c": 3}, AVRO_SIMPLE)
+        == AVRO_SIMPLE_GOLDEN
+    )
+
+
+def test_avro_golden_array_blocks_and_null_union():
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+
+    arr = {"type": "array", "items": "int"}
+    # [1, 2] → count 2 (zigzag 4), items zigzag(1)=2, zigzag(2)=4, end 0
+    assert decode_value(b"\x04\x02\x04\x00", arr) == [1, 2]
+    assert encode_value([1, 2], arr) == b"\x04\x02\x04\x00"
+    # negative-count block form (writer may prefix block byte size)
+    assert decode_value(b"\x03\x04\x02\x04\x00", arr) == [1, 2]
+    # null branch of [null, int]: index 0, no body
+    assert decode_value(b"\x00", ["null", "int"]) is None
+
+
+def test_avro_roundtrip_rich_record():
+    """Encode→decode over AVRO_RICH covers enum/fixed/decimal/date/
+    timestamp logical types, maps with nullable values, nested records
+    and the complex-union member struct."""
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+
+    value = {
+        "id": 7,
+        "name": None,
+        "score": 2.5,
+        "tags": ["x", "y"],
+        "attrs": {"k1": 10, "k2": None},
+        "kind": "B",
+        "blob": bytes(range(16)),
+        "price": Decimal("123.45"),
+        "day": dt.date(2026, 8, 15),
+        "at": dt.datetime(2026, 8, 15, 12, 30, 0, 250_000),
+        "local_at": dt.datetime(2026, 8, 15, 9, 0, 0),
+        "nested": {"x": -5},
+        "either": "s",
+    }
+    got = decode_value(encode_value(value, AVRO_RICH), AVRO_RICH)
+    expect = dict(value, either={"member0": None, "member1": "s"})
+    assert got == expect
+
+
+def test_avro_container_roundtrip_and_codecs():
+    from hello_flink_spark.sources.avro_codec import (
+        decode_container,
+        encode_container,
+    )
+
+    records = [{"a": i, "b": f"r{i}", "c": None if i % 2 else i} for i in range(10)]
+    for codec in ("null", "deflate"):
+        blob = encode_container(records, AVRO_SIMPLE, codec=codec)
+        schema, got = decode_container(blob)
+        assert schema["name"] == "Simple"
+        assert got == records
+    with pytest.raises(ValueError, match="magic"):
+        decode_container(b"PAR1xxxx")
+
+
+def test_from_avro_col_decodes_in_spark(spark):
+    """from_avro_col must WORK jar-free (VERDICT r11 #7): binary column
+    → struct column via the Arrow-batched Python decoder, values and
+    schema matching the jar-independent converter."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.avro_codec import encode_value
+    from hello_flink_spark.sources.formats import from_avro_col
+
+    rows = [(i, encode_value({"a": i, "b": f"v{i}", "c": i * 2}, AVRO_SIMPLE)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = df.select(
+        "id", from_avro_col(F.col("payload"), json.dumps(AVRO_SIMPLE)).alias("rec")
+    ).select("id", "rec.a", "rec.b", "rec.c")
+    got = {r["id"]: (r["a"], r["b"], r["c"]) for r in out.collect()}
+    assert got == {i: (i, f"v{i}", i * 2) for i in range(20)}
+
+
+def test_read_avro_reads_container_files(spark, tmp_path):
+    """read_avro must WORK jar-free on real object container files —
+    including the deflate codec — via binaryFile + mapInPandas."""
+    from hello_flink_spark.sources.avro_codec import encode_container
+    from hello_flink_spark.sources.formats import read_avro
+
+    d = tmp_path / "avro_in"
+    d.mkdir()
+    for part, codec in ((0, "null"), (1, "deflate")):
+        records = [
+            {"a": part * 100 + i, "b": f"p{part}r{i}", "c": i if i % 2 else None}
+            for i in range(50)
+        ]
+        (d / f"part-{part}.avro").write_bytes(
+            encode_container(records, AVRO_SIMPLE, codec=codec)
+        )
+    df = read_avro(spark, str(d))
+    assert [f.name for f in df.schema.fields] == ["a", "b", "c"]
+    got = sorted((r["a"], r["b"], r["c"]) for r in df.collect())
+    assert len(got) == 100
+    assert got[0] == (0, "p0r0", None) and got[-1] == (149, "p1r49", 49)
+
+
+def test_read_avro_missing_path_fails_loud(spark, tmp_path):
+    from hello_flink_spark.sources.formats import read_avro
+
+    with pytest.raises(Exception):  # noqa: B017 — jar path raises AnalysisException
+        read_avro(spark, str(tmp_path / "nothing"))
+
+
+# --- protobuf wire codec ------------------------------------------------------
+
+PROTO_SIMPLE = {
+    "name": "Test1",
+    "fields": [
+        {"name": "a", "num": 1, "type": "int32"},
+        {"name": "b", "num": 2, "type": "string"},
+    ],
+}
+
+
+def test_proto_decode_golden():
+    """The canonical example from the public protobuf encoding doc:
+    field 1 (varint) = 150 encodes as 08 96 01; field 2 (string)
+    "testing" as 12 07 74 65 73 74 69 6e 67."""
+    from hello_flink_spark.sources.proto_codec import decode_message
+
+    golden = bytes.fromhex("089601") + bytes.fromhex("1207") + b"testing"
+    assert decode_message(golden, PROTO_SIMPLE) == {"a": 150, "b": "testing"}
+
+
+def test_proto_encode_matches_golden():
+    from hello_flink_spark.sources.proto_codec import encode_message
+
+    golden = bytes.fromhex("089601") + bytes.fromhex("1207") + b"testing"
+    assert encode_message({"a": 150, "b": "testing"}, PROTO_SIMPLE) == golden
+
+
+def test_proto_golden_negatives_zigzag_and_skip():
+    from hello_flink_spark.sources.proto_codec import decode_message
+
+    # int32 -1 is a 10-byte sign-extended varint on the wire
+    neg = bytes.fromhex("08") + b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01"
+    assert decode_message(neg, PROTO_SIMPLE)["a"] == -1
+    # sint32 -1 zigzags to 1
+    spec = {"name": "S", "fields": [{"name": "z", "num": 1, "type": "sint32"}]}
+    assert decode_message(bytes.fromhex("0801"), spec) == {"z": -1}
+    # unknown field numbers are skipped by wire type (forward compat)
+    with_unknown = bytes.fromhex("089601") + bytes.fromhex("1a03") + b"xyz"
+    assert decode_message(with_unknown, PROTO_SIMPLE)["a"] == 150
+    # proto3 zero defaults for absent fields
+    assert decode_message(b"", PROTO_SIMPLE) == {"a": 0, "b": ""}
+
+
+PROTO_RICH_NUMBERED = {
+    "name": "Profile",
+    "fields": [
+        {"name": "uid", "num": 1, "type": "int64"},
+        {"name": "big", "num": 2, "type": "uint64"},
+        {"name": "ok", "num": 3, "type": "bool"},
+        {"name": "names", "num": 4, "type": "string", "repeated": True},
+        {"name": "nums", "num": 5, "type": "sint64", "repeated": True},
+        {"name": "labels", "num": 6, "type": "string", "map_key": "string"},
+        {
+            "name": "inner",
+            "num": 7,
+            "type": "message",
+            "message": {
+                "name": "Inner",
+                "fields": [{"name": "x", "num": 1, "type": "sint32"}],
+            },
+        },
+        {"name": "kind", "num": 8, "type": "enum", "symbols": ["NONE", "GOOD"]},
+        {"name": "at", "num": 9, "type": "google.protobuf.Timestamp"},
+        {"name": "span", "num": 10, "type": "google.protobuf.Duration"},
+    ],
+}
+
+
+def test_proto_roundtrip_rich_message():
+    from hello_flink_spark.sources.proto_codec import decode_message, encode_message
+
+    value = {
+        "uid": -42,
+        "big": Decimal(2**63 + 11),
+        "ok": True,
+        "names": ["a", "b"],
+        "nums": [-1, 2, -3],
+        "labels": {"k": "v", "k2": "v2"},
+        "inner": {"x": -7},
+        "kind": "GOOD",
+        "at": dt.datetime(2026, 8, 15, 10, 0, 0, 500_000),
+        "span": dt.timedelta(seconds=90, microseconds=250_000),
+    }
+    got = decode_message(encode_message(value, PROTO_RICH_NUMBERED), PROTO_RICH_NUMBERED)
+    assert got == value
+
+
+def test_proto_packed_repeated_scalars_decode():
+    """proto3 writers pack repeated scalars into one length-delimited
+    blob — the decoder must accept both packed and unpacked forms."""
+    from hello_flink_spark.sources.proto_codec import decode_message
+
+    spec = {"name": "P", "fields": [{"name": "v", "num": 1, "type": "int32", "repeated": True}]}
+    # packed: tag 0a (field 1, wire 2), len 3, varints 1 2 3
+    assert decode_message(bytes.fromhex("0a03010203"), spec) == {"v": [1, 2, 3]}
+    # unpacked: three varint fields
+    assert decode_message(bytes.fromhex("080108020803"), spec) == {"v": [1, 2, 3]}
+
+
+def test_from_protobuf_col_decodes_in_spark(spark):
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.formats import from_protobuf_col
+    from hello_flink_spark.sources.proto_codec import encode_message
+
+    rows = [
+        (i, encode_message({"a": i * 10, "b": f"m{i}"}, PROTO_SIMPLE))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = df.select(
+        "id",
+        from_protobuf_col(
+            F.col("payload"), "Test1", message_spec=PROTO_SIMPLE
+        ).alias("rec"),
+    ).select("id", "rec.a", "rec.b")
+    got = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert got == {i: (i * 10, f"m{i}") for i in range(20)}
+
+
+def test_from_protobuf_col_without_spec_or_jar_is_honest():
+    from hello_flink_spark.sources.formats import from_protobuf_col
+
     try:
-        df = read_avro(spark, str(tmp_path / "nothing.avro"))
-    except NotImplementedError as exc:
-        assert "spark-avro" in str(exc)
-    except Exception as exc:  # pragma: no cover — jar present, bad path
-        raise AssertionError(f"gate leaked a raw error: {exc!r}") from exc
-    else:  # pragma: no cover — jar present
-        assert df is not None
+        from pyspark.sql.protobuf.functions import from_protobuf  # noqa: F401
+
+        jar_present = True
+    except Exception:  # noqa: BLE001
+        jar_present = False
+    if not jar_present:
+        with pytest.raises(NotImplementedError, match="spark-protobuf"):
+            from_protobuf_col(None, "M", desc_file_path=None, message_spec=None)
