@@ -214,9 +214,23 @@ def _union_branch_index(v: Any, branches: list, named: dict[str, Any]) -> int:
     compatible branch)."""
     for i, b in enumerate(branches):
         bt = b if isinstance(b, str) else (b.get("type") if isinstance(b, Mapping) else None)
+        lt = b.get("logicalType") if isinstance(b, Mapping) else None
         if v is None and bt == "null":
             return i
         if v is not None and bt != "null":
+            # logical-typed carriers first (datetime IS a date subclass)
+            if isinstance(v, _dt.datetime):
+                if lt and ("timestamp" in lt):
+                    return i
+                continue
+            if isinstance(v, _dt.date):
+                if lt == "date":
+                    return i
+                continue
+            if isinstance(v, _decimal.Decimal):
+                if lt == "decimal":
+                    return i
+                continue
             if isinstance(v, bool):
                 if bt == "boolean":
                     return i

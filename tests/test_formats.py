@@ -306,6 +306,47 @@ def test_read_avro_reads_container_files(spark, tmp_path):
     assert got[0] == (0, "p0r0", None) and got[-1] == (149, "p1r49", 49)
 
 
+def test_write_avro_roundtrip_through_read_avro(spark, tmp_path):
+    """The jar-free Avro SINK: schema derived from df.schema
+    (nullable unions, date/timestamp/decimal logical types, arrays),
+    one container file per partition, read back losslessly by
+    read_avro."""
+    import datetime as dtm
+    from decimal import Decimal as D
+
+    from hello_flink_spark.sources.formats import read_avro, write_avro
+
+    rows = [
+        (
+            i,
+            None if i % 3 == 0 else f"n{i}",
+            dtm.date(2026, 1, 1 + i),
+            dtm.datetime(2026, 8, 15, 12, 0, i),
+            D(f"{i}.25"),
+            [float(i), i + 0.5],
+        )
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, name string, d date, ts timestamp_ntz, amt decimal(10,2), "
+        "xs array<double>",
+    ).repartition(3)
+    out = str(tmp_path / "avro_out")
+    write_avro(df, out, codec="deflate")
+    back = read_avro(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_spark_type_to_avro_rejects_non_string_map_keys():
+    from pyspark.sql.types import MapType
+
+    from hello_flink_spark.sources.formats import spark_type_to_avro
+
+    with pytest.raises(ValueError, match="string keys"):
+        spark_type_to_avro(MapType(LongType(), StringType()))
+
+
 def test_read_avro_missing_path_fails_loud(spark, tmp_path):
     from hello_flink_spark.sources.formats import read_avro
 
