@@ -1,0 +1,223 @@
+"""Property suites for the jar-free wire codecs (sources/avro_codec.py,
+sources/proto_codec.py): encode→decode must be the IDENTITY for every
+representable value, over randomized schemas and the full value ranges
+(int64 edges, unicode, empty/nested collections, nullable unions).
+Pure Python — no Spark session — so the example budget is generous.
+The golden tests in tests/test_formats.py pin the byte layout against
+hand-written specification bytes; these suites pin totality."""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+from decimal import Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hello_flink_spark.sources.avro_codec import (
+    decode_value,
+    encode_container,
+    decode_container,
+    encode_value,
+    read_long,
+    write_long,
+)
+from hello_flink_spark.sources.proto_codec import (
+    decode_message,
+    encode_message,
+    read_varint,
+    write_varint,
+)
+
+SETTINGS = settings(max_examples=200, deadline=None)
+FAST = settings(max_examples=50, deadline=None)
+
+# utf-8-encodable text (no lone surrogates)
+TEXT = st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40)
+
+I64 = st.integers(-(2**63), 2**63 - 1)
+I32 = st.integers(-(2**31), 2**31 - 1)
+
+
+@SETTINGS
+@given(n=I64)
+def test_avro_varint_roundtrip_full_int64(n):
+    out = io.BytesIO()
+    write_long(out, n)
+    got, pos = read_long(out.getvalue(), 0)
+    assert got == n and pos == len(out.getvalue())
+
+
+@SETTINGS
+@given(n=I64)
+def test_proto_varint_roundtrip_is_twos_complement_64(n):
+    out = io.BytesIO()
+    write_varint(out, n)
+    got, pos = read_varint(out.getvalue(), 0)
+    assert got == (n & (2**64 - 1)) and pos == len(out.getvalue())
+
+
+# --- Avro value round-trip over randomized record schemas --------------------
+
+_AVRO_PRIMS: list[tuple[object, st.SearchStrategy]] = [
+    ("long", I64),
+    ("int", I32),
+    ("boolean", st.booleans()),
+    ("string", TEXT),
+    ("bytes", st.binary(max_size=32)),
+    ("double", st.floats(allow_nan=False)),
+    ("float", st.floats(width=32, allow_nan=False)),
+    (
+        {"type": "int", "logicalType": "date"},
+        st.integers(-100_000, 100_000).map(
+            lambda d: dt.date(1970, 1, 1) + dt.timedelta(days=d)
+        ),
+    ),
+    (
+        {"type": "long", "logicalType": "timestamp-micros"},
+        st.integers(-(2**50), 2**50).map(
+            lambda us: dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
+        ),
+    ),
+    (
+        {"type": "bytes", "logicalType": "decimal", "precision": 20, "scale": 3},
+        st.integers(-(10**15), 10**15).map(lambda u: Decimal(u).scaleb(-3)),
+    ),
+    (
+        {"type": "enum", "name": "E", "symbols": ["A", "B", "C"]},
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    (
+        {"type": "fixed", "name": "F4", "size": 4},
+        st.binary(min_size=4, max_size=4),
+    ),
+]
+
+
+@st.composite
+def _avro_record_and_value(draw):
+    """A random record schema (1-4 fields) with a matching value: each
+    field is a primitive/logical leaf, optionally nullable, optionally
+    lifted into an array or a string-keyed map; one field may be a
+    nested one-leaf record."""
+    n_fields = draw(st.integers(1, 4))
+    fields, value = [], {}
+    for i in range(n_fields):
+        leaf_schema, leaf_strat = draw(st.sampled_from(_AVRO_PRIMS))
+        shape = draw(st.sampled_from(["plain", "nullable", "array", "map", "record"]))
+        name = f"f{i}"
+        if shape == "nullable":
+            fields.append({"name": name, "type": ["null", leaf_schema]})
+            value[name] = draw(st.none() | leaf_strat)
+        elif shape == "array":
+            fields.append(
+                {"name": name, "type": {"type": "array", "items": leaf_schema}}
+            )
+            value[name] = draw(st.lists(leaf_strat, max_size=5))
+        elif shape == "map":
+            fields.append(
+                {"name": name, "type": {"type": "map", "values": leaf_schema}}
+            )
+            value[name] = draw(
+                st.dictionaries(TEXT, leaf_strat, max_size=4)
+            )
+        elif shape == "record":
+            fields.append(
+                {
+                    "name": name,
+                    "type": {
+                        "type": "record",
+                        "name": f"Inner{i}",
+                        "fields": [{"name": "x", "type": leaf_schema}],
+                    },
+                }
+            )
+            value[name] = {"x": draw(leaf_strat)}
+        else:
+            fields.append({"name": name, "type": leaf_schema})
+            value[name] = draw(leaf_strat)
+    schema = {"type": "record", "name": "R", "fields": fields}
+    return schema, value
+
+
+@SETTINGS
+@given(sv=_avro_record_and_value())
+def test_avro_value_roundtrip_random_records(sv):
+    schema, value = sv
+    assert decode_value(encode_value(value, schema), schema) == value
+
+
+@FAST
+@given(sv=_avro_record_and_value(), codec=st.sampled_from(["null", "deflate"]))
+def test_avro_container_roundtrip_random_records(sv, codec):
+    schema, value = sv
+    records = [value] * 3
+    got_schema, got = decode_container(encode_container(records, schema, codec=codec))
+    assert got == records and got_schema["fields"] == schema["fields"]
+
+
+# --- protobuf message round-trip over randomized specs -----------------------
+
+_PROTO_LEAVES: list[tuple[str, st.SearchStrategy]] = [
+    ("int32", I32),
+    ("int64", I64),
+    ("sint32", I32),
+    ("sint64", I64),
+    ("uint32", st.integers(0, 2**32 - 1)),
+    ("uint64", st.integers(0, 2**64 - 1).map(Decimal)),
+    ("bool", st.booleans()),
+    ("string", TEXT),
+    ("bytes", st.binary(max_size=32)),
+    ("double", st.floats(allow_nan=False)),
+    ("float", st.floats(width=32, allow_nan=False)),
+    ("fixed32", st.integers(0, 2**32 - 1)),
+    ("sfixed32", I32),
+    ("fixed64", st.integers(0, 2**64 - 1).map(Decimal)),
+    ("sfixed64", I64),
+]
+
+
+@st.composite
+def _proto_spec_and_value(draw):
+    n_fields = draw(st.integers(1, 4))
+    fields, value = [], {}
+    for i in range(n_fields):
+        t, strat = draw(st.sampled_from(_PROTO_LEAVES))
+        shape = draw(st.sampled_from(["plain", "repeated", "map", "message"]))
+        name, num = f"f{i}", i + 1
+        if shape == "repeated":
+            fields.append({"name": name, "num": num, "type": t, "repeated": True})
+            value[name] = draw(st.lists(strat, max_size=5))
+        elif shape == "map":
+            fields.append({"name": name, "num": num, "type": t, "map_key": "string"})
+            value[name] = draw(st.dictionaries(TEXT, strat, max_size=4))
+        elif shape == "message":
+            fields.append(
+                {
+                    "name": name,
+                    "num": num,
+                    "type": "message",
+                    "message": {
+                        "name": f"Inner{i}",
+                        "fields": [{"name": "x", "num": 1, "type": t}],
+                    },
+                }
+            )
+            value[name] = {"x": draw(strat)}
+        else:
+            fields.append({"name": name, "num": num, "type": t})
+            value[name] = draw(strat)
+    return {"name": "M", "fields": fields}, value
+
+
+@SETTINGS
+@given(sv=_proto_spec_and_value())
+def test_proto_message_roundtrip_random_specs(sv):
+    """Exact round-trip: this repo's encoder emits PRESENT fields even
+    at their proto3 zero value (legal on the wire — serializers may
+    skip them, decoders must accept them), so no zero-default
+    substitution is needed in the expectation."""
+    spec, value = sv
+    got = decode_message(encode_message(value, spec), spec)
+    assert got == value
