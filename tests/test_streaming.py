@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import time
 
+import pandas as pd  # module-level: pandas_udf resolves stringized hints here
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2595,3 +2596,97 @@ def test_async_enrich_stream_equals_batch_shadow(spark, sf_dir, replay_dir):
     # fallback + retry visible in the streamed output too
     deleted = [v for v in got.values() if v[0] is None]
     assert deleted, "no deleted-user fallback rows streamed"
+
+
+# ---------------------------------------------------------------------------
+# wire-format decode under Structured Streaming (round 12): [F] Flink's
+# canonical stream shape is Kafka values in avro/protobuf — the broker is
+# absent here, so a file-replay stream of BINARY payload rows stands in,
+# and the decode must work IN-STREAM through the same public column API
+# the batch queries certify (pandas-UDF fallback inside a streaming plan).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def avro_payload_replay_dir(spark, sf_dir, tmp_path_factory):
+    """Chunked parquet files of (chunk-ordered) Avro-binary payloads:
+    each events row encoded to a record<event_id long, event_type
+    string, value double> wire value."""
+    import json as _json
+
+    from hello_flink_spark.sources.avro_codec import encode_value
+
+    schema_json = _json.dumps(
+        {
+            "type": "record",
+            "name": "Ev",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": "double"},
+            ],
+        }
+    )
+
+    @F.pandas_udf("binary")
+    def _encode(event_id: pd.Series, event_type: pd.Series, value: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_value(
+                    {"event_id": int(i), "event_type": str(t), "value": float(v)},
+                    schema_json,
+                )
+                for i, t, v in zip(event_id, event_type, value)
+            ]
+        )
+
+    d = str(tmp_path_factory.mktemp("avro_payload_replay"))
+    ev = load_table(spark, sf_dir, "events").orderBy("ts")
+    payloads = ev.select(
+        "ts", _encode("event_id", "event_type", "value").alias("payload")
+    )
+    n = payloads.count()
+    chunk = (n + 3) // 4
+    pdf = payloads.toPandas()
+    for i in range(4):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        spark.createDataFrame(part, "ts timestamp, payload binary").coalesce(
+            1
+        ).write.parquet(f"{d}/chunk_{i:02d}")
+    return d, schema_json
+
+
+def test_avro_decode_in_stream_equals_batch_shadow(spark, sf_dir, avro_payload_replay_dir):
+    """from_avro_col must decode INSIDE a streaming plan (Arrow pandas
+    UDF in a micro-batch pipeline): per-event_type count+sum over the
+    decoded structs equals the same aggregate over the batch-decoded
+    payloads AND over the raw events table (end-to-end identity)."""
+    from hello_flink_spark.sources.formats import from_avro_col
+
+    d, schema_json = avro_payload_replay_dir
+    stream = (
+        spark.readStream.schema("ts timestamp, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk_*/*.parquet")
+    )
+    decoded = stream.select(from_avro_col(F.col("payload"), schema_json).alias("rec"))
+    agg = decoded.groupBy(F.col("rec.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("rec.value"), 6).alias("sum_value"),
+        F.sum("rec.event_id").alias("sum_ids"),
+    )
+    run_to_memory(agg, "t_avro_stream", "complete")
+    got = {r.event_type: (r.n, r.sum_value, r.sum_ids) for r in spark.table("t_avro_stream").collect()}
+    want = {
+        r.event_type: (r.n, r.sum_value, r.sum_ids)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) >= 2, "fixture should carry multiple event types"
