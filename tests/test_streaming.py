@@ -2690,3 +2690,74 @@ def test_avro_decode_in_stream_equals_batch_shadow(spark, sf_dir, avro_payload_r
     }
     assert got == want
     assert len(got) >= 2, "fixture should carry multiple event types"
+
+
+def test_protobuf_decode_in_stream_equals_batch_shadow(spark, sf_dir, tmp_path_factory):
+    """from_protobuf_col must decode INSIDE a streaming plan, the
+    protobuf twin of the Avro in-stream golden: per-event_type
+    count+sum over structs decoded from wire bytes equals the same
+    aggregate over the raw events table (end-to-end identity)."""
+    from hello_flink_spark.sources.formats import from_protobuf_col
+    from hello_flink_spark.sources.proto_codec import encode_message
+
+    spec = {
+        "name": "Ev",
+        "fields": [
+            {"name": "event_id", "num": 1, "type": "int64"},
+            {"name": "event_type", "num": 2, "type": "string"},
+            {"name": "value", "num": 3, "type": "double"},
+        ],
+    }
+
+    @F.pandas_udf("binary")
+    def _encode(event_id: pd.Series, event_type: pd.Series, value: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_message(
+                    {"event_id": int(i), "event_type": str(t), "value": float(v)},
+                    spec,
+                )
+                for i, t, v in zip(event_id, event_type, value)
+            ]
+        )
+
+    d = str(tmp_path_factory.mktemp("proto_payload_replay"))
+    ev = load_table(spark, sf_dir, "events").orderBy("ts")
+    pdf = ev.select(
+        "ts", _encode("event_id", "event_type", "value").alias("payload")
+    ).toPandas()
+    chunk = (len(pdf) + 3) // 4
+    for i in range(4):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        spark.createDataFrame(part, "ts timestamp, payload binary").coalesce(
+            1
+        ).write.parquet(f"{d}/chunk_{i:02d}")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk_*/*.parquet")
+    )
+    decoded = stream.select(
+        from_protobuf_col(F.col("payload"), "Ev", message_spec=spec).alias("rec")
+    )
+    agg = decoded.groupBy(F.col("rec.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("rec.value"), 6).alias("sum_value"),
+        F.sum("rec.event_id").alias("sum_ids"),
+    )
+    run_to_memory(agg, "t_proto_stream", "complete")
+    got = {r.event_type: (r.n, r.sum_value, r.sum_ids) for r in spark.table("t_proto_stream").collect()}
+    want = {
+        r.event_type: (r.n, r.sum_value, r.sum_ids)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) >= 2, "fixture should carry multiple event types"
