@@ -221,3 +221,29 @@ def test_proto_message_roundtrip_random_specs(sv):
     spec, value = sv
     got = decode_message(encode_message(value, spec), spec)
     assert got == value
+
+
+@SETTINGS
+@given(sv=_proto_spec_and_value(), n=st.integers(0, 6))
+def test_proto_delimited_framing_roundtrip(sv, n):
+    """The varint length-delimited stream framing used by the jar-free
+    protobuf file source/sink: N frames concatenated, then split back
+    by the same boundary arithmetic read_protobuf_delimited runs —
+    including the N=0 empty stream and frames whose length needs a
+    multi-byte varint."""
+    from hello_flink_spark.sources.proto_codec import read_varint, write_varint
+
+    spec, value = sv
+    raw = encode_message(value, spec)
+    out = io.BytesIO()
+    for _ in range(n):
+        write_varint(out, len(raw))
+        out.write(raw)
+    b = out.getvalue()
+    pos, got = 0, []
+    while pos < len(b):
+        ln, pos = read_varint(b, pos)
+        assert pos + ln <= len(b)
+        got.append(decode_message(b[pos : pos + ln], spec))
+        pos += ln
+    assert got == [value] * n
