@@ -53,6 +53,25 @@ HOT_BROADCAST_MAX = 100_000  # rows; ~a few MB of short strings — far
 # hot-list (fixture hot lists are 0-25 rows).
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition a NARROW driving frame up to the session's default
+    parallelism when the scan produced fewer splits than cores.
+
+    The multimodal tier's dominant term is a per-row Python decode
+    stage (``mapInPandas``); a modest fixture parquet arrives as ONE
+    split, which would serialize that whole stage on one core
+    (measured 2.6 s → 1.2-1.45 s for the audio-fingerprint query at
+    sf0.1). Only apply this to the narrow id/key projection that
+    FEEDS the decode — shuffling ~8-byte rows is negligible against
+    the Python work it parallelizes. At cluster scale a 100 TB scan
+    already arrives many-split and this is a no-op."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def anti_join_bounded(
     left: DataFrame, keys: DataFrame, on: str, max_broadcast: int = HOT_BROADCAST_MAX
 ) -> DataFrame:

@@ -198,8 +198,13 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _phash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, phash, sig) — the decode+hash stage, shared by the
-    query and the sf1 scaling probe's candidate-count accounting."""
-    d = t(spark, sf_dir, "documents").select("doc_id")
+    query and the sf1 scaling probe's candidate-count accounting.
+    The narrow id feed is spread across cores first (r12,
+    operators/scale.py spread_small_scan): the PNG decode is the
+    dominant term and a small fixture scan arrives as one split."""
+    from hello_flink_spark.operators.scale import spread_small_scan
+
+    d = spread_small_scan(t(spark, sf_dir, "documents").select("doc_id"))
     payload = d.mapInPandas(_phash_png_encode, schema="doc_id long, payload binary")
     # TWO plan branches consume the hashes (the exact-collapse groupBy
     # and the final keep join) — materialize once so the dominant
@@ -1466,9 +1471,10 @@ def multimodal_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = t(spark, sf_dir, "documents")
+    from hello_flink_spark.operators.scale import spread_small_scan
     from hello_flink_spark.queries.extras import _video_encode_batches
 
-    payload = d.select("doc_id").mapInPandas(
+    payload = spread_small_scan(d.select("doc_id")).mapInPandas(
         _video_encode_batches, schema="doc_id long, payload binary"
     )
     frames = payload.mapInPandas(
@@ -1943,6 +1949,11 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql.window import Window
 
     d = t(spark, sf_dir, "documents")
+    # Deliberately NOT spread_small_scan here (unlike the dedup tier):
+    # this decode is light and the plan already pays a (doc_id) sort
+    # exchange right after it — A/B at sf0.1 measured 0.93 s unspread
+    # vs 1.51 s spread (the extra exchange + per-task overhead beats
+    # the parallelism gain for a cheap Python stage).
     payload = d.select("doc_id").mapInPandas(
         _wav_encode_batches, schema="doc_id long, payload binary"
     )
@@ -2172,30 +2183,30 @@ def _afp_wav_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def _afp_frame_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched DECODE stage: parse/verify each WAV with the
-    stdlib codec and emit one row per FULL frame with its EXACT integer
-    energy Σv² — the fingerprint math (mean compare, bit packing,
-    banding) stays JVM-side, so only 64 integers per clip cross the
-    Arrow boundary, never samples."""
+    stdlib codec and emit ONE row per clip carrying its EXACT integer
+    frame energies Σv² as ``array<long>`` — the fingerprint math (mean
+    compare, bit packing, banding) stays JVM-side as higher-order
+    array functions, so only 64 integers per clip cross the Arrow
+    boundary (never samples) and no per-frame row explosion ever
+    reaches the JVM (r12: the former 64-rows-per-clip shape forced a
+    doc_id window Exchange before the pack; an array column makes the
+    pack a pure projection — zero shuffles before the exact-signature
+    collapse)."""
     import numpy as np
 
     from hello_flink_spark.operators.wav_codec import decode_wav_pcm16
 
-    cols = ["doc_id", "frame_idx", "energy"]
     for pdf in batches:
         ids: list[int] = []
-        idxs: list[int] = []
-        es: list[int] = []
+        es: list[list[int]] = []
         for d, blob in zip(pdf["doc_id"], pdf["payload"]):
             _, s = decode_wav_pcm16(bytes(blob))
             a = np.asarray(s, dtype=np.int64)
             nf = len(a) // AFP_FRAME
             e = (a[: nf * AFP_FRAME] ** 2).reshape(nf, AFP_FRAME).sum(axis=1)
-            ids.extend([int(d)] * nf)
-            idxs.extend(range(nf))
-            es.extend(int(x) for x in e)
-        yield pd.DataFrame(
-            {"doc_id": ids, "frame_idx": idxs, "energy": es}, columns=cols
-        )
+            ids.append(int(d))
+            es.append([int(x) for x in e])
+        yield pd.DataFrame({"doc_id": ids, "energies": es}, columns=["doc_id", "energies"])
 
 
 # The oracle regenerates every SAMPLE from the closed form (numbers
@@ -2267,11 +2278,13 @@ def multimodal_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> Data
 
     Division of labor (deliberately different from phash, which packs
     in numpy): only 64 exact INTEGER energies per clip cross the Arrow
-    boundary; the sign bits come from the integer compare
-    ``e * n_frames > total`` (no float mean, so the boundary is
-    bit-stable by construction) and the 64-bit pack is a JVM-side
-    ``SUM(shiftleft(1L, frame_idx))`` whose int64 two's-complement
-    wrap matches the oracle's HUGEINT fold exactly.
+    boundary, as ONE ``array<long>`` row per clip; the sign bits come
+    from the integer compare ``e * n_frames > total`` (no float mean,
+    so the boundary is bit-stable by construction) and the 64-bit pack
+    is a JVM-side higher-order ``aggregate(zip_with(...))`` projection
+    whose int64 two's-complement wrap matches the oracle's HUGEINT
+    fold exactly — no per-frame row explosion, no window, zero
+    shuffles before the exact-signature collapse.
 
     Scale shape (r10, VERDICT r09 #1 — operators/banded_dedup.py):
     encode/decode embarrassingly parallel per input partition; the
@@ -2292,28 +2305,39 @@ def multimodal_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> Data
 
 def _afp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, afp, sig) — decode + fingerprint stage, shared by the
-    query and the sf1 probe's candidate-count accounting."""
-    from pyspark.sql.window import Window
+    query and the sf1 probe's candidate-count accounting.
 
-    d = t(spark, sf_dir, "documents").select("doc_id")
-    payload = d.mapInPandas(_afp_wav_encode, schema="doc_id long, payload binary")
-    frames = payload.mapInPandas(
-        _afp_frame_energy, schema="doc_id long, frame_idx long, energy long"
+    r12 shape: the fixture-encode and WAV-decode generators are FUSED
+    into one ``mapInPandas`` stage (the payload bytes never round-trip
+    through the JVM — in a real corpus the payload is the input column
+    and only the decode half runs), the decode emits one
+    ``energies array<long>`` row per clip, and the 64-bit pack is a
+    pure JVM projection over that array (``e·nf > Σe`` exact-integer
+    sign bits, ``shiftleft`` pack with the same int64 two's-complement
+    wrap as before) — no window, no shuffle anywhere before the
+    exact-signature collapse in ``min_rep_dedup``."""
+    from hello_flink_spark.operators.scale import spread_small_scan
+
+    d = spread_small_scan(t(spark, sf_dir, "documents").select("doc_id"))
+    frames = d.mapInPandas(
+        lambda it: _afp_frame_energy(_afp_wav_encode(it)),
+        schema="doc_id long, energies array<long>",
     )
-    w = Window.partitionBy("doc_id")
-    bit_on = F.col("energy") * F.count("*").over(w) > F.sum("energy").over(w)
     # TWO plan branches consume the fingerprints (the exact-collapse
     # groupBy and the final keep join) — materialize once so the
     # dominant decode Python stage runs once (same pattern as phash)
     fps = (
-        frames.withColumn("on", bit_on)
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("on"), F.expr("shiftleft(1L, CAST(frame_idx AS INT))")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("afp")
+        frames.withColumn(
+            "total", F.aggregate("energies", F.lit(0).cast("long"), lambda a, x: a + x)
+        )
+        .withColumn("nf", F.size("energies"))
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(zip_with(energies, sequence(0, size(energies) - 1), "
+                "(e, i) -> IF(e * nf > total, shiftleft(1L, CAST(i AS INT)), 0L)), "
+                "0L, (acc, v) -> acc + v)"
+            ).alias("afp"),
         )
         .localCheckpoint(eager=True)
     )
@@ -2528,8 +2552,13 @@ def multimodal_video_dedup_framehash(spark: SparkSession, sf_dir: str) -> DataFr
 
 def _vdup_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_frames, sig_xor, sig) — decode + per-clip signature
-    stage, shared by the query and the sf1 probe's accounting."""
-    d = t(spark, sf_dir, "documents").select("doc_id")
+    stage, shared by the query and the sf1 probe's accounting. The
+    narrow id feed is spread across cores first (r12): per-frame PNG
+    decode is the tier's single heaviest Python stage and a small
+    fixture scan arrives as one split."""
+    from hello_flink_spark.operators.scale import spread_small_scan
+
+    d = spread_small_scan(t(spark, sf_dir, "documents").select("doc_id"))
     payload = d.mapInPandas(_vdup_encode, schema="doc_id long, payload binary")
     # ONE plan branch consumes the frame hashes (the per-clip signature
     # aggregate below feeds everything downstream) — the decode Python
@@ -2807,8 +2836,12 @@ def pipeline_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, and float comparison is JVM-side from the same exact
     integers the oracle aggregates. ZERO shuffles end-to-end — the
     plan is scan → Python stage → project, embarrassingly parallel
-    per input partition at any corpus size."""
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    per input partition at any corpus size (the narrow feed is spread
+    across cores first when the scan arrives under-split — r12,
+    operators/scale.py spread_small_scan)."""
+    from hello_flink_spark.operators.scale import spread_small_scan
+
+    d = spread_small_scan(t(spark, sf_dir, "documents").select("doc_id", "text"))
     mom = d.mapInPandas(
         _manifest_moments,
         schema=(
