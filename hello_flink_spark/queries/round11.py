@@ -80,7 +80,13 @@ def text_substring_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     row)."""
     from pyspark.sql.window import Window
 
-    d = t(spark, sf_dir, "documents").filter(F.length("text") >= SUBSTR_K)
+    from hello_flink_spark.operators.scale import spread_small_scan
+
+    # Same r12 spread as the raw twin: the map-side gram explode+hash
+    # must use every core (2.9 s -> 0.9 s at sf0.1 on a one-split scan).
+    d = spread_small_scan(
+        t(spark, sf_dir, "documents").filter(F.length("text") >= SUBSTR_K)
+    )
     grams = d.select(
         "doc_id",
         F.explode(
