@@ -103,6 +103,13 @@ PROBES = [
     # twin — same gram-volume denominator as the raw op, but the first
     # shuffle carries 8-byte longs instead of 32-char gram strings.
     ("text_substring_dedup_fp", "documents"),
+    # round 12 (VERDICT r11 #7): the jar-free wire-format decode pair —
+    # map-only encode+decode pandas-UDF stages whose cost is
+    # byte-proportional; probing the second decade shows the Python
+    # slow path stays linear in payload bytes (the jar fast path only
+    # lowers the constant).
+    ("scan_avro_decode", "documents"),
+    ("scan_protobuf_decode", "documents"),
 ]
 
 # Work-unit denominator per op (VERDICT r11 #5): the unit the op's
@@ -133,6 +140,8 @@ OP_UNIT: dict[str, str] = {
     "text_ngram_novelty": "word-shingles",
     "join_async_enrich": "event-rows",
     "text_substring_dedup_fp": "char-grams",
+    "scan_avro_decode": "text-bytes",
+    "scan_protobuf_decode": "text-bytes",
 }
 
 
@@ -400,6 +409,8 @@ def main() -> None:
         "text_ngram_novelty": "word-trigram explode + (shingle, doc) collapse + shingle-partitioned MIN window — keyed aggregates over disjoint replica shingle universes; per-shingle group sizes are constant across the decade",
         "join_async_enrich": "MAP-ONLY (zero shuffles): one Arrow round-trip of (event_id, user_id) per row plus per-batch key coalescing against the deterministic client — the probe pins the round-trip constant as row-proportional",
         "text_substring_dedup_fp": "the raw twin's shape with xxhash64 fingerprints replacing 32-char gram strings BEFORE the first shuffle — gram volume grows past 10x (replica-tag byte inflation, same denominator as the raw twin) while shuffle bytes per gram drop ~4x",
+        "scan_avro_decode": "map-only Arrow encode + pure-Python wire decode, byte-proportional with per-job fixed overhead amortizing across the decade; the one shuffle is the final ~|langs|-group aggregate",
+        "scan_protobuf_decode": "same map-only encode/decode shape as the Avro twin (varint wire format), byte-proportional with fixed overhead amortizing; final shuffle is the ~|sources|-group aggregate",
     }
 
     def _reason_block(names):
