@@ -384,3 +384,24 @@ def test_multimodal_fixture_buckets_stay_under_cap():
         # signature sets are CLOSED under the (group, variant) cycles,
         # so no larger sf can grow them past the cap.
         assert worst < BAND_BUCKET_CAP, (name, worst)
+
+
+def test_spread_small_scan_widens_one_split_and_passes_wide_through(spark):
+    """spread_small_scan (r12, operators/scale.py) must widen an
+    under-split narrow feed to default parallelism — the fixture
+    parquet arrives as ONE split, which serialized every map-side
+    stage before the first shuffle — and must be a NO-OP on a frame
+    that is already at or above default parallelism (the cluster-scale
+    case: no gratuitous exchange)."""
+    from hello_flink_spark.operators.scale import spread_small_scan
+
+    target = spark.sparkContext.defaultParallelism
+    one = spark.range(1000).coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    widened = spread_small_scan(one)
+    assert widened.rdd.getNumPartitions() == target
+    assert widened.count() == 1000
+
+    wide = spark.range(1000).repartition(target + 4)
+    out = spread_small_scan(wide)
+    assert out is wide  # identical object: no plan node added
