@@ -250,17 +250,161 @@ def _union_branch_index(v: Any, branches: list, named: dict[str, Any]) -> int:
     raise ValueError(f"no union branch for {type(v).__name__} in {branches!r}")
 
 
-def decode_value(payload: bytes, schema: str | Mapping[str, Any] | list) -> Any:
+def decode_value(
+    payload: bytes,
+    schema: str | Mapping[str, Any] | list,
+    reader_schema: str | Mapping[str, Any] | list | None = None,
+) -> Any:
     """Decode one Avro-binary value to the SPARK-ROW shape that
     ``formats.avro_schema_to_spark`` declares for the same schema:
     records → dicts, enums → symbol strings, nullable unions → the
     value or None, complex unions → ``{"member{i}": value}`` dicts with
     the other members None, logical decimal/date/timestamp →
-    Decimal/date/naive-UTC datetime."""
+    Decimal/date/naive-UTC datetime.
+
+    With ``reader_schema``, applies the Avro specification's Schema
+    Resolution rules on top (``resolve_value``): the payload is decoded
+    with the WRITER schema it was encoded under, then adapted to the
+    evolved reader shape — the jar module's schema-evolution read."""
     v, pos = _dec(payload, 0, _resolve(schema), named={})
     if pos != len(payload):
         raise ValueError(f"{len(payload) - pos} trailing bytes after Avro value")
+    if reader_schema is not None:
+        v = resolve_value(v, schema, reader_schema)
     return v
+
+
+# --- schema resolution (Avro spec "Schema Resolution") ------------------------
+
+# writer-type → reader-type promotions the spec allows, with the Python
+# conversion each needs on the already-decoded value
+_PROMOTIONS: dict[tuple[str, str], Any] = {
+    ("int", "long"): lambda v: v,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): lambda v: v,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _nullable_parts(s: Any) -> tuple[bool, Any]:
+    """(is_nullable, non-null branch) for simple ``["null", X]`` /
+    ``[X, "null"]`` unions; (False, s) otherwise."""
+    if isinstance(s, list):
+        non_null = [b for b in s if b != "null"]
+        if len(non_null) == 1 and len(s) <= 2:
+            return ("null" in s, non_null[0])
+        return (False, s)
+    return (False, s)
+
+
+def _type_name(s: Any) -> str:
+    if isinstance(s, str):
+        return s
+    if isinstance(s, list):
+        return "union"
+    return s["type"]
+
+
+def resolve_value(v: Any, writer: Any, reader: Any) -> Any:
+    """Adapt a value decoded under ``writer`` to the ``reader`` schema,
+    per the Avro spec's Schema Resolution: primitive promotions
+    (int→long→float→double, string↔bytes), record fields matched by
+    NAME (writer-only fields dropped; reader-only fields take their
+    declared ``default``, required), enum symbols checked against the
+    reader's list (falling back to the reader enum's ``default``),
+    nullable-union widening/narrowing in both directions, recursive
+    arrays/maps/records. Multi-branch (complex) union resolution is
+    REFUSED loudly — the decoded member-struct shape does not preserve
+    which branch was written, and relational schema evolution does not
+    produce those unions. Aliases are not implemented (name match
+    only). Fail-loud on any mismatch the spec calls an error."""
+    # JSON-parse only serialized schemas (recursion passes bare
+    # type-name strings like "int" through untouched)
+    if isinstance(writer, str) and writer[:1] in "{[\"":
+        writer = json.loads(writer)
+    if isinstance(reader, str) and reader[:1] in "{[\"":
+        reader = json.loads(reader)
+    w_null, w_inner = _nullable_parts(writer)
+    r_null, r_inner = _nullable_parts(reader)
+    if w_null or r_null:
+        if v is None:
+            if not r_null:
+                raise ValueError("writer null with non-nullable reader schema")
+            return None
+        return resolve_value(v, w_inner, r_inner)
+    if _type_name(writer) == "union" or _type_name(reader) == "union":
+        raise ValueError(
+            "complex (multi-branch) union resolution is not supported by "
+            "the jar-free reader — restructure to nullable single-type "
+            "unions or ship the spark-avro jar"
+        )
+    wt, rt = _type_name(writer), _type_name(reader)
+    # logical types ride their carrier: require the same logical class
+    # when both sides declare one (the decoded Python value is already
+    # Decimal/date/datetime and needs no conversion)
+    wl = _logical(writer) if isinstance(writer, Mapping) else None
+    rl = _logical(reader) if isinstance(reader, Mapping) else None
+    if wl or rl:
+        if wl != rl:
+            raise ValueError(f"logical type mismatch: writer {wl!r} vs reader {rl!r}")
+        return v
+    if wt == rt and wt not in ("record", "array", "map", "enum", "fixed"):
+        return v
+    if (wt, rt) in _PROMOTIONS:
+        return _PROMOTIONS[(wt, rt)](v)
+    if wt == rt == "record":
+        w_fields = {f["name"]: f for f in writer["fields"]}
+        out: dict[str, Any] = {}
+        for rf in reader["fields"]:
+            name = rf["name"]
+            if name in w_fields:
+                out[name] = resolve_value(v[name], w_fields[name]["type"], rf["type"])
+            elif "default" in rf:
+                out[name] = _default_value(rf["default"], rf["type"])
+            else:
+                raise ValueError(
+                    f"reader field {name!r} absent from writer schema and "
+                    "has no default"
+                )
+        return out
+    if wt == rt == "enum":
+        if v in reader["symbols"]:
+            return v
+        if "default" in reader:
+            return reader["default"]
+        raise ValueError(f"writer enum symbol {v!r} not in reader symbols")
+    if wt == rt == "fixed":
+        if int(writer["size"]) != int(reader["size"]):
+            raise ValueError("fixed size mismatch between writer and reader")
+        return v
+    if wt == rt == "array":
+        return [resolve_value(x, writer["items"], reader["items"]) for x in v]
+    if wt == rt == "map":
+        return {
+            k: resolve_value(x, writer["values"], reader["values"])
+            for k, x in v.items()
+        }
+    raise ValueError(f"cannot resolve writer type {wt!r} to reader type {rt!r}")
+
+
+def _default_value(d: Any, s: Any) -> Any:
+    """Convert an Avro JSON default to the decoded-value shape: bytes
+    and fixed defaults are ISO-8859-1-escaped strings in the schema
+    JSON (per spec); nullable-union defaults apply to the FIRST branch
+    (spec rule — ``null`` first means a null default)."""
+    nullable, inner = _nullable_parts(s)
+    if nullable and isinstance(s, list) and s[0] == "null":
+        return None if d is None else _default_value(d, inner)
+    t = _type_name(inner if nullable else s)
+    if t in ("bytes", "fixed") and isinstance(d, str):
+        return d.encode("latin-1")
+    if t in ("float", "double") and isinstance(d, (int, float)):
+        return float(d)
+    return d
 
 
 def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]:
@@ -414,9 +558,16 @@ def encode_container(
     return out.getvalue()
 
 
-def decode_container(blob: bytes) -> tuple[dict[str, Any], list[Any]]:
+def decode_container(
+    blob: bytes,
+    reader_schema: str | Mapping[str, Any] | list | None = None,
+) -> tuple[dict[str, Any], list[Any]]:
     """Parse an Avro object container file → (schema, records). Null
-    and deflate codecs (the two every implementation must support)."""
+    and deflate codecs (the two every implementation must support).
+    With ``reader_schema``, each record is resolved from the
+    container's own (writer) schema to the reader shape per the spec's
+    Schema Resolution rules, and the RETURNED schema is the reader's —
+    the evolving-scan read."""
     if blob[:4] != _MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
     meta, pos = _dec(blob, 4, _META_SCHEMA, named={})
@@ -441,4 +592,8 @@ def decode_container(blob: bytes) -> tuple[dict[str, Any], list[Any]]:
         if blob[pos : pos + 16] != sync:
             raise ValueError("sync marker mismatch (corrupt container block)")
         pos += 16
+    if reader_schema is not None:
+        reader = _resolve(reader_schema)
+        records = [resolve_value(v, schema, reader) for v in records]
+        return reader, records
     return schema, records

@@ -319,18 +319,40 @@ def from_avro_col(data_col, json_schema: str):
     return _avro_py_udf(json_schema)(data_col)
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    reader_schema: str | Mapping[str, Any] | None = None,
+) -> DataFrame:
     """[F] ``format = 'avro'`` file source. Tries the spark-avro
     datasource first; else reads the files as binary splits and parses
     the OBJECT CONTAINER layout (magic/metadata/sync-framed blocks,
     null + deflate codecs) per file in mapInPandas. The fallback reads
     whole containers per task — fine for the many-modest-files layout
     Avro pipelines produce; ship the jar for block-splittable scans of
-    giant single files."""
+    giant single files.
+
+    ``reader_schema`` enables SCHEMA EVOLUTION (the jar datasource's
+    ``avroSchema`` option; the Avro spec's Schema Resolution rules in
+    the Python fallback): containers written under older schemas are
+    read in the evolved shape — added fields take their defaults,
+    removed fields are dropped, promoted primitives widen. Each
+    container still decodes under its OWN embedded writer schema, so
+    mixed-generation directories read correctly."""
+    import json as _json
+
     # the DataSource resolves eagerly at .load(), so a plain try/except
     # is a sound jar probe here (unlike the analysis-deferred from_avro)
     try:
-        return spark.read.format("avro").load(path)
+        r = spark.read.format("avro")
+        if reader_schema is not None:
+            r = r.option(
+                "avroSchema",
+                reader_schema
+                if isinstance(reader_schema, str)
+                else _json.dumps(reader_schema),
+            )
+        return r.load(path)
     except Exception:  # noqa: BLE001 — datasource absent: Python parser
         import glob as _glob
         import os
@@ -344,8 +366,15 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         ) or ([path] if os.path.isfile(path) else [])
         if not first:
             raise FileNotFoundError(f"no Avro container files under {path!r}")
-        with open(first[0], "rb") as fh:
-            schema, _ = decode_container(fh.read())
+        if reader_schema is None:
+            with open(first[0], "rb") as fh:
+                schema, _ = decode_container(fh.read())
+        else:
+            schema = (
+                _json.loads(reader_schema)
+                if isinstance(reader_schema, str)
+                else reader_schema
+            )
         spark_type = avro_schema_to_spark(schema)
         if not isinstance(spark_type, StructType):
             raise ValueError("read_avro requires a record top-level schema")
@@ -356,7 +385,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
             for pdf in batches:
                 out: list[dict] = []
                 for blob in pdf["content"]:
-                    _, records = decode_container(bytes(blob))
+                    _, records = decode_container(bytes(blob), reader_schema=schema if reader_schema is not None else None)
                     out.extend(records)
                 yield pd.DataFrame(
                     {f.name: [r[f.name] for r in out] for f in spark_type.fields}

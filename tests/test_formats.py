@@ -560,3 +560,124 @@ def test_write_protobuf_delimited_roundtrip(spark, tmp_path):
     )
     want = sorted((u, tuple(t), p, x, k) for u, t, p, x, k in rows)
     assert got == want
+
+
+# --- Avro schema resolution (spec "Schema Resolution") ------------------------
+
+
+def test_avro_resolve_value_rules():
+    """Spec rules on decoded values: record field add (reader default) /
+    drop, primitive promotions, enum fallback, nullable widening, and
+    the fail-loud cases (missing default, incompatible types, complex
+    unions refused)."""
+    from hello_flink_spark.sources.avro_codec import resolve_value
+
+    writer = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "gone", "type": "string"},
+            {"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["X", "Y"]}},
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "a", "type": "double"},          # promotion int->double
+            {"name": "added", "type": "long", "default": 7},
+            {"name": "opt", "type": ["null", "string"], "default": None},
+            {"name": "e", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["X", "Z"], "default": "Z"}},
+        ],
+    }
+    got = resolve_value({"a": 3, "gone": "bye", "e": "Y"}, writer, reader)
+    assert got == {"a": 3.0, "added": 7, "opt": None, "e": "Z"}
+    assert isinstance(got["a"], float)
+    # promotions standalone
+    assert resolve_value("hi", "string", "bytes") == b"hi"
+    assert resolve_value(b"hi", "bytes", "string") == "hi"
+    # nullable widening: writer plain, reader nullable
+    assert resolve_value(5, "int", ["null", "long"]) == 5
+    # narrowing a null fails loud
+    with pytest.raises(ValueError, match="non-nullable reader"):
+        resolve_value(None, ["null", "int"], "int")
+    # reader-only field without default fails loud
+    bad_reader = {"type": "record", "name": "R",
+                  "fields": [{"name": "nope", "type": "int"}]}
+    with pytest.raises(ValueError, match="no default"):
+        resolve_value({"a": 1, "gone": "x", "e": "X"}, writer, bad_reader)
+    # incompatible primitive pair fails loud
+    with pytest.raises(ValueError, match="cannot resolve"):
+        resolve_value(1.5, "double", "int")
+    # complex unions refused loudly
+    with pytest.raises(ValueError, match="complex"):
+        resolve_value(1, ["int", "string"], ["int", "string"])
+
+
+def test_avro_resolve_nested_and_containers():
+    from hello_flink_spark.sources.avro_codec import resolve_value
+
+    writer = {"type": "array", "items": "int"}
+    reader = {"type": "array", "items": "long"}
+    assert resolve_value([1, 2], writer, reader) == [1, 2]
+    wm = {"type": "map", "values": "float"}
+    rm = {"type": "map", "values": "double"}
+    assert resolve_value({"k": 1.5}, wm, rm) == {"k": 1.5}
+
+
+def test_read_avro_mixed_generation_directory_with_reader_schema(spark, tmp_path):
+    """SCHEMA EVOLUTION through read_avro: a directory holding a v1
+    container (no 'score' field) and a v2 container, read under the v2
+    reader schema — v1 rows take the default, v2 rows keep their
+    values. Each container decodes under its OWN embedded writer
+    schema first (self-describing), then resolves."""
+    from hello_flink_spark.sources.avro_codec import encode_container
+    from hello_flink_spark.sources.formats import read_avro
+
+    v1 = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [{"name": "id", "type": "long"}, {"name": "name", "type": "string"}],
+    }
+    v2 = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": ["null", "double"], "default": None},
+        ],
+    }
+    d = tmp_path / "avro_evolving"
+    d.mkdir()
+    (d / "gen1.avro").write_bytes(
+        encode_container([{"id": 1, "name": "a"}, {"id": 2, "name": "b"}], v1)
+    )
+    (d / "gen2.avro").write_bytes(
+        encode_container([{"id": 3, "name": "c", "score": 0.5}], v2, codec="deflate")
+    )
+    df = read_avro(spark, str(d), reader_schema=v2)
+    assert [f.name for f in df.schema.fields] == ["id", "name", "score"]
+    got = sorted((r["id"], r["name"], r["score"]) for r in df.collect())
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", 0.5)]
+
+
+def test_decode_value_with_reader_schema_golden():
+    """decode_value(reader_schema=...) end-to-end on wire bytes: an
+    int 3 (zigzag 06) under writer {a int} reads as {a: 3.0, b: "d"}
+    under the evolved reader."""
+    from hello_flink_spark.sources.avro_codec import decode_value
+
+    writer = {"type": "record", "name": "R", "fields": [{"name": "a", "type": "int"}]}
+    reader = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "a", "type": "double"},
+            {"name": "b", "type": "string", "default": "d"},
+        ],
+    }
+    got = decode_value(bytes.fromhex("06"), writer, reader_schema=reader)
+    assert got == {"a": 3.0, "b": "d"} and isinstance(got["a"], float)
