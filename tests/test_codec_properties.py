@@ -247,3 +247,40 @@ def test_proto_delimited_framing_roundtrip(sv, n):
         got.append(decode_message(b[pos : pos + ln], spec))
         pos += ln
     assert got == [value] * n
+
+
+# --- Avro schema resolution properties ----------------------------------------
+
+
+@SETTINGS
+@given(sv=_avro_record_and_value())
+def test_avro_resolution_identity_random_records(sv):
+    """Resolving a decoded value against its OWN schema is the
+    identity, over the full randomized schema space (nullable unions,
+    arrays, maps, nested records, logical types, enums, fixed)."""
+    from hello_flink_spark.sources.avro_codec import resolve_value
+
+    schema, value = sv
+    assert resolve_value(value, schema, schema) == value
+
+
+@SETTINGS
+@given(sv=_avro_record_and_value(), dflt=I64)
+def test_avro_resolution_evolution_random_records(sv, dflt):
+    """A canonical evolution of any random writer schema — drop its
+    first field, append a defaulted long — resolves every decoded
+    value to the evolved shape: first field gone, default present,
+    the rest unchanged."""
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+
+    schema, value = sv
+    reader = {
+        "type": "record",
+        "name": "R",
+        "fields": schema["fields"][1:]
+        + [{"name": "zz_new", "type": "long", "default": int(dflt)}],
+    }
+    got = decode_value(encode_value(value, schema), schema, reader_schema=reader)
+    want = {k: v for k, v in value.items() if k != schema["fields"][0]["name"]}
+    want["zz_new"] = int(dflt)
+    assert got == want
