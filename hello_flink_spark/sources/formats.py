@@ -319,6 +319,75 @@ def from_avro_col(data_col, json_schema: str):
     return _avro_py_udf(json_schema)(data_col)
 
 
+def _pd_cell(v: Any) -> Any:
+    """Normalize one Arrow→pandas cell to the plain-Python shape the
+    wire encoders expect: numpy scalars/arrays → Python scalars/lists,
+    recursively through dicts (structs/maps decode to dicts)."""
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return [_pd_cell(x) for x in v]
+    if isinstance(v, list):
+        return [_pd_cell(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _pd_cell(x) for k, x in v.items()}
+    return v
+
+
+def to_avro_col(data_col, json_schema: str):
+    """[F] ``avro`` ENCODE for sinks (the Kafka-value direction):
+    ``to_avro(col, schema)``. Uses the spark-avro JVM function where
+    the jar ships (same eager class probe as ``from_avro_col``), else
+    encodes the struct column with the pure-Python wire codec in an
+    Arrow-batched pandas UDF. The schema is required on the fallback
+    path (it drives the writer); the JVM path forwards it so both
+    paths emit identical bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    if _jvm_class_loadable("org.apache.spark.sql.avro.CatalystDataToAvro"):
+        from pyspark.sql.avro.functions import to_avro
+
+        return to_avro(data_col, json_schema)
+
+    from hello_flink_spark.sources.avro_codec import encode_value
+
+    @pandas_udf(BinaryType())
+    def _encode(pdf: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            [
+                encode_value({k: _pd_cell(v) for k, v in row.items()}, json_schema)
+                for row in pdf.to_dict("records")
+            ]
+        )
+
+    return _encode(data_col)
+
+
+def to_protobuf_col(data_col, message_name: str, message_spec: Mapping[str, Any]):
+    """[F] ``protobuf`` ENCODE for sinks: the wire-format twin of
+    ``to_avro_col``, driven by the descriptor-shaped ``message_spec``
+    dict (protoc is absent here, so the dict is also the only
+    descriptor source — same contract as ``from_protobuf_col``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from hello_flink_spark.sources.proto_codec import encode_message
+
+    spec = dict(message_spec)
+
+    @pandas_udf(BinaryType())
+    def _encode(pdf: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            [
+                encode_message({k: _pd_cell(v) for k, v in row.items()}, spec)
+                for row in pdf.to_dict("records")
+            ]
+        )
+
+    return _encode(data_col)
+
+
 def read_avro(
     spark: SparkSession,
     path: str,

@@ -681,3 +681,66 @@ def test_decode_value_with_reader_schema_golden():
     }
     got = decode_value(bytes.fromhex("06"), writer, reader_schema=reader)
     assert got == {"a": 3.0, "b": "d"} and isinstance(got["a"], float)
+
+
+# --- ENCODE column functions (the sink direction) -----------------------------
+
+
+def test_to_avro_col_roundtrips_through_from_avro_col(spark):
+    """to_avro_col must ENCODE a struct column to wire bytes that
+    from_avro_col decodes back identically — the Kafka-value sink
+    direction, jar-free."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.formats import from_avro_col, to_avro_col
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "Ev",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": ["null", "string"]},
+                {"name": "xs", "type": {"type": "array", "items": "double"}},
+            ],
+        }
+    )
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else f"n{i}", [float(i), i + 0.5]) for i in range(20)],
+        "id long, name string, xs array<double>",
+    ).select(F.struct("id", "name", "xs").alias("rec"))
+    out = df.select(
+        from_avro_col(to_avro_col(F.col("rec"), schema), schema).alias("back")
+    ).select("back.id", "back.name", "back.xs")
+    got = sorted((r["id"], r["name"], list(r["xs"])) for r in out.collect())
+    assert got == sorted(
+        (i, None if i % 3 == 0 else f"n{i}", [float(i), i + 0.5]) for i in range(20)
+    )
+
+
+def test_to_protobuf_col_roundtrips_through_from_protobuf_col(spark):
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.formats import from_protobuf_col, to_protobuf_col
+
+    spec = {
+        "name": "Ev",
+        "fields": [
+            {"name": "id", "num": 1, "type": "int64"},
+            {"name": "name", "num": 2, "type": "string"},
+            {"name": "tags", "num": 3, "type": "string", "repeated": True},
+        ],
+    }
+    df = spark.createDataFrame(
+        [(i, f"n{i}", [f"t{i}", "z"]) for i in range(20)],
+        "id long, name string, tags array<string>",
+    ).select(F.struct("id", "name", "tags").alias("rec"))
+    out = df.select(
+        from_protobuf_col(
+            to_protobuf_col(F.col("rec"), "Ev", spec), "Ev", message_spec=spec
+        ).alias("back")
+    ).select("back.id", "back.name", "back.tags")
+    got = sorted((r["id"], r["name"], list(r["tags"])) for r in out.collect())
+    assert got == sorted((i, f"n{i}", [f"t{i}", "z"]) for i in range(20))
