@@ -2761,3 +2761,68 @@ def test_protobuf_decode_in_stream_equals_batch_shadow(spark, sf_dir, tmp_path_f
     }
     assert got == want
     assert len(got) >= 2, "fixture should carry multiple event types"
+
+
+def test_avro_encode_in_stream_to_file_sink(spark, sf_dir, replay_dir, tmp_path_factory):
+    """to_avro_col must ENCODE inside a streaming plan (the
+    Kafka-producer direction: rows → wire bytes → sink). A replayed
+    events stream is encoded to Avro binary payloads and written to a
+    parquet file sink; reading the sink back and decoding every
+    payload must reproduce the raw events batch aggregate exactly."""
+    import json as _json
+
+    from hello_flink_spark.sources.avro_codec import decode_value
+    from hello_flink_spark.sources.formats import to_avro_col
+    from hello_flink_spark.streaming import replay
+
+    d, _ = replay_dir
+    schema_json = _json.dumps(
+        {
+            "type": "record",
+            "name": "Ev",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": "double"},
+            ],
+        }
+    )
+    stream = replay.read_stream(spark, d)
+    enc = stream.select(
+        to_avro_col(
+            F.struct("event_id", "event_type", "value"), schema_json
+        ).alias("payload")
+    )
+    out = str(tmp_path_factory.mktemp("avro_encoded_sink"))
+    ckpt = str(tmp_path_factory.mktemp("avro_encoded_ckpt"))
+    q = (
+        enc.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_rows = [
+        decode_value(bytes(r["payload"]), schema_json)
+        for r in spark.read.parquet(out).collect()
+    ]
+    agg: dict[str, list] = {}
+    for r in got_rows:
+        a = agg.setdefault(r["event_type"], [0, 0.0, 0])
+        a[0] += 1
+        a[1] += r["value"]
+        a[2] += r["event_id"]
+    got = {k: (v[0], round(v[1], 6), v[2]) for k, v in agg.items()}
+    want = {
+        r.event_type: (r.n, r.sum_value, r.sum_ids)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+        .collect()
+    }
+    assert got == want
