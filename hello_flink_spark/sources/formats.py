@@ -343,7 +343,14 @@ def to_avro_col(data_col, json_schema: str):
     encodes the struct column with the pure-Python wire codec in an
     Arrow-batched pandas UDF. The schema is required on the fallback
     path (it drives the writer); the JVM path forwards it so both
-    paths emit identical bytes."""
+    paths emit identical bytes.
+
+    Fallback limitation (inherent to the Arrow↔pandas boundary, where
+    NaN is the float null sentinel): a NaN in a NULLABLE double field
+    is indistinguishable from null and round-trips as null; the JVM
+    path preserves the distinction. Applies to every pandas-UDF float
+    path in this repo, stated here because wire formats make it
+    observable."""
     from pyspark.sql.functions import pandas_udf
 
     if _jvm_class_loadable("org.apache.spark.sql.avro.CatalystDataToAvro"):
