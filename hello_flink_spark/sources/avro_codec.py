@@ -407,6 +407,19 @@ def _default_value(d: Any, s: Any) -> Any:
     return d
 
 
+
+def _bounded(buf: bytes, pos: int, n: int) -> int:
+    """End offset of an n-byte read, validated — malformed negative or
+    oversized length claims must fail LOUD mid-stream, never silently
+    truncate or desync (Python slices would return short data)."""
+    end = pos + n
+    if n < 0 or end > len(buf):
+        raise ValueError(
+            f"Avro length {n} at offset {pos} exceeds buffer ({len(buf)} bytes)"
+        )
+    return end
+
+
 def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]:
     if isinstance(s, str):
         if s in named:
@@ -440,12 +453,14 @@ def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]
     if lt == "decimal":
         if t == "fixed":
             size = int(s["size"])
-            raw = buf[pos : pos + size]
-            pos += size
+            end = _bounded(buf, pos, size)
+            raw = buf[pos:end]
+            pos = end
         else:
             n, pos = read_long(buf, pos)
-            raw = buf[pos : pos + n]
-            pos += n
+            end = _bounded(buf, pos, n)
+            raw = buf[pos:end]
+            pos = end
         unscaled = int.from_bytes(raw, "big", signed=True)
         return _decimal.Decimal(unscaled).scaleb(-int(s.get("scale", 0))), pos
     if lt == "date":
@@ -469,10 +484,12 @@ def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if t == "bytes":
         n, pos = read_long(buf, pos)
-        return bytes(buf[pos : pos + n]), pos + n
+        end = _bounded(buf, pos, n)
+        return bytes(buf[pos:end]), end
     if t == "string":
         n, pos = read_long(buf, pos)
-        return buf[pos : pos + n].decode("utf-8"), pos + n
+        end = _bounded(buf, pos, n)
+        return buf[pos:end].decode("utf-8"), end
     if t == "record":
         rec: dict[str, Any] = {}
         for f in s["fields"]:
@@ -480,10 +497,13 @@ def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]
         return rec, pos
     if t == "enum":
         idx, pos = read_long(buf, pos)
+        if not 0 <= idx < len(s["symbols"]):
+            raise ValueError(f"Avro enum index {idx} out of range")
         return s["symbols"][idx], pos
     if t == "fixed":
         size = int(s["size"])
-        return bytes(buf[pos : pos + size]), pos + size
+        end = _bounded(buf, pos, size)
+        return bytes(buf[pos:end]), end
     if t == "array":
         items: list[Any] = []
         while True:
@@ -507,8 +527,9 @@ def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]
                 _, pos = read_long(buf, pos)
             for _ in range(count):
                 n, pos = read_long(buf, pos)
-                k = buf[pos : pos + n].decode("utf-8")
-                pos += n
+                kend = _bounded(buf, pos, n)
+                k = buf[pos:kend].decode("utf-8")
+                pos = kend
                 m[k], pos = _dec(buf, pos, s["values"], named)
     return _dec(buf, pos, t, named)  # {"type": <nested>} wrapping
 

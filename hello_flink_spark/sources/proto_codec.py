@@ -242,8 +242,9 @@ def decode_message(payload: bytes, spec: Mapping[str, Any]) -> dict[str, Any]:
             if wt != _WT_LEN:
                 raise ValueError(f"map field {f['name']} with wire type {wt}")
             n, pos = read_varint(payload, pos)
-            entry = decode_message(payload[pos : pos + n], _map_entry_spec(f))
-            pos += n
+            end = _bounded(payload, pos, n)
+            entry = decode_message(payload[pos:end], _map_entry_spec(f))
+            pos = end
             out[f["name"]][entry["key"]] = entry["value"]
             continue
         # packed repeated scalars arrive as ONE length-delimited blob
@@ -255,7 +256,7 @@ def decode_message(payload: bytes, spec: Mapping[str, Any]) -> dict[str, Any]:
             and t not in _WELL_KNOWN_ENC
         ):
             n, pos = read_varint(payload, pos)
-            end = pos + n
+            end = _bounded(payload, pos, n)
             while pos < end:
                 v, pos = _read_scalar(payload, pos, f)
                 out[f["name"]].append(v)
@@ -288,17 +289,29 @@ def _default(f: Mapping[str, Any]) -> Any:
     return 0
 
 
+def _bounded(buf: bytes, pos: int, n: int) -> int:
+    """End offset of an n-byte read, validated against the buffer —
+    malformed length claims must fail LOUD, never silently truncate
+    (Python slices past the end would otherwise return short data)."""
+    end = pos + n
+    if n < 0 or end > len(buf):
+        raise ValueError(
+            f"protobuf length {n} at offset {pos} exceeds buffer ({len(buf)} bytes)"
+        )
+    return end
+
+
 def _skip(buf: bytes, pos: int, wt: int) -> int:
     if wt == _WT_VARINT:
         _, pos = read_varint(buf, pos)
         return pos
     if wt == _WT_I64:
-        return pos + 8
+        return _bounded(buf, pos, 8)
     if wt == _WT_I32:
-        return pos + 4
+        return _bounded(buf, pos, 4)
     if wt == _WT_LEN:
         n, pos = read_varint(buf, pos)
-        return pos + n
+        return _bounded(buf, pos, n)
     raise ValueError(f"unknown/ungroupable wire type {wt}")
 
 
@@ -348,17 +361,21 @@ def _read_value(
     t = f["type"]
     if t == "string":
         n, pos = read_varint(buf, pos)
-        return buf[pos : pos + n].decode("utf-8"), pos + n
+        end = _bounded(buf, pos, n)
+        return buf[pos:end].decode("utf-8"), end
     if t == "bytes":
         n, pos = read_varint(buf, pos)
-        return bytes(buf[pos : pos + n]), pos + n
+        end = _bounded(buf, pos, n)
+        return bytes(buf[pos:end]), end
     if t == "message":
         n, pos = read_varint(buf, pos)
-        return decode_message(buf[pos : pos + n], f["message"]), pos + n
+        end = _bounded(buf, pos, n)
+        return decode_message(buf[pos:end], f["message"]), end
     if t == "google.protobuf.Timestamp":
         n, pos = read_varint(buf, pos)
+        end = _bounded(buf, pos, n)
         inner = decode_message(
-            buf[pos : pos + n],
+            buf[pos:end],
             {"name": "ts", "fields": [
                 {"name": "seconds", "num": 1, "type": "int64"},
                 {"name": "nanos", "num": 2, "type": "int32"},
@@ -369,12 +386,13 @@ def _read_value(
             + _dt.timedelta(
                 seconds=inner["seconds"], microseconds=inner["nanos"] // 1000
             ),
-            pos + n,
+            end,
         )
     if t == "google.protobuf.Duration":
         n, pos = read_varint(buf, pos)
+        end = _bounded(buf, pos, n)
         inner = decode_message(
-            buf[pos : pos + n],
+            buf[pos:end],
             {"name": "dur", "fields": [
                 {"name": "seconds", "num": 1, "type": "int64"},
                 {"name": "nanos", "num": 2, "type": "int32"},
@@ -384,6 +402,6 @@ def _read_value(
             _dt.timedelta(
                 seconds=inner["seconds"], microseconds=inner["nanos"] // 1000
             ),
-            pos + n,
+            end,
         )
     return _read_scalar(buf, pos, f)

@@ -744,3 +744,100 @@ def test_to_protobuf_col_roundtrips_through_from_protobuf_col(spark):
     ).select("back.id", "back.name", "back.tags")
     got = sorted((r["id"], r["name"], list(r["tags"])) for r in out.collect())
     assert got == sorted((i, f"n{i}", [f"t{i}", "z"]) for i in range(20))
+
+
+# --- malformed-input hardening (untrusted bytes must fail LOUD) ---------------
+
+
+def test_proto_decode_overlength_claims_fail_loud():
+    """Length-delimited fields claiming more bytes than the buffer holds
+    must raise, never silently truncate (Python slices past the end
+    would otherwise return short data and desync the stream)."""
+    from hello_flink_spark.sources.proto_codec import decode_message
+
+    # field 1 wire type 2, claimed length 100, 3 bytes present
+    spec = {"name": "S", "fields": [{"name": "s", "num": 1, "type": "string"}]}
+    with pytest.raises(ValueError, match="exceeds buffer"):
+        decode_message(bytes.fromhex("0a64") + b"abc", spec)
+    # nested message over-claim
+    mspec = {
+        "name": "M",
+        "fields": [{"name": "m", "num": 1, "type": "message",
+                    "message": {"name": "I", "fields": [{"name": "x", "num": 1, "type": "int32"}]}}],
+    }
+    with pytest.raises(ValueError, match="exceeds buffer"):
+        decode_message(bytes.fromhex("0a7f") + bytes.fromhex("0801"), mspec)
+    # unknown-field skip with an over-claimed length
+    with pytest.raises(ValueError, match="exceeds buffer"):
+        decode_message(bytes.fromhex("1a64") + b"ab", spec)
+
+
+def test_avro_decode_malformed_lengths_fail_loud():
+    """Negative or oversized Avro length claims must raise mid-stream
+    (inside containers there is no trailing-bytes backstop)."""
+    from hello_flink_spark.sources.avro_codec import decode_value
+
+    # negative string length: zigzag(-5) = 9 -> 0x09
+    with pytest.raises(ValueError, match="exceeds buffer"):
+        decode_value(b"\x09abcde", '"string"')
+    # bytes length past the buffer: zigzag(1000) -> d0 0f
+    with pytest.raises(ValueError, match="exceeds buffer"):
+        decode_value(b"\xd0\x0fab", '"bytes"')
+    # enum index out of range
+    enum = {"type": "enum", "name": "E", "symbols": ["A", "B"]}
+    with pytest.raises(ValueError, match="enum index"):
+        decode_value(b"\x08", enum)  # zigzag(4) = 8
+    # fixed past the buffer
+    fixed = {"type": "fixed", "name": "F8", "size": 8}
+    with pytest.raises(ValueError, match="exceeds buffer"):
+        decode_value(b"abc", fixed)
+
+
+def test_wire_decoders_fuzz_bounded_failure():
+    """Random bytes under real schemas must either decode or raise a
+    BOUNDED, typed error (ValueError / struct.error / UnicodeDecodeError
+    / OverflowError) — never hang, never crash with anything else.
+    Deterministic LCG fuzz corpus, no test-order dependence."""
+    import struct as _struct
+
+    from hello_flink_spark.sources.avro_codec import decode_value
+    from hello_flink_spark.sources.proto_codec import decode_message
+
+    ok = (ValueError, _struct.error, UnicodeDecodeError, OverflowError)
+    seed = 0x2545F4914F6CDD1D
+    blobs = []
+    x = seed
+    for n in (0, 1, 3, 7, 16, 64, 256):
+        b = bytearray()
+        for _ in range(n):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            b.append((x >> 33) & 0xFF)
+        blobs.append(bytes(b))
+    pspec = {
+        "name": "F",
+        "fields": [
+            {"name": "a", "num": 1, "type": "int64"},
+            {"name": "s", "num": 2, "type": "string"},
+            {"name": "r", "num": 3, "type": "sint32", "repeated": True},
+            {"name": "m", "num": 4, "type": "message",
+             "message": {"name": "I", "fields": [{"name": "x", "num": 1, "type": "bool"}]}},
+        ],
+    }
+    aschema = {
+        "type": "record",
+        "name": "F",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "xs", "type": {"type": "array", "items": "double"}},
+        ],
+    }
+    for blob in blobs:
+        try:
+            decode_message(blob, pspec)
+        except ok:
+            pass
+        try:
+            decode_value(blob, aschema)
+        except ok:
+            pass
