@@ -2826,3 +2826,65 @@ def test_avro_encode_in_stream_to_file_sink(spark, sf_dir, replay_dir, tmp_path_
         .collect()
     }
     assert got == want
+
+
+def test_avro_container_file_stream_source(spark, tmp_path_factory):
+    """read_avro_stream: .avro containers in a directory become
+    micro-batches ([F] filesystem source, streaming mode). Two
+    generations of containers — the older one missing a field — read
+    under the evolved reader schema with maxFilesPerTrigger=1, so
+    evolution resolves PER FILE inside a streaming plan."""
+    from hello_flink_spark.sources.avro_codec import encode_container
+    from hello_flink_spark.sources.formats import read_avro_stream
+
+    v1 = {"type": "record", "name": "D", "fields": [{"name": "id", "type": "long"}]}
+    v2 = {
+        "type": "record",
+        "name": "D",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tag", "type": "string", "default": "old"},
+        ],
+    }
+    d = tmp_path_factory.mktemp("avro_stream_src")
+    (d / "gen1.avro").write_bytes(encode_container([{"id": i} for i in range(5)], v1))
+    (d / "gen2.avro").write_bytes(
+        encode_container([{"id": i, "tag": f"t{i}"} for i in range(5, 8)], v2,
+                         codec="deflate")
+    )
+    stream = read_avro_stream(spark, str(d), reader_schema=v2)
+    assert stream.isStreaming
+    run_to_memory(stream, "t_avro_file_stream", "append")
+    got = sorted((r["id"], r["tag"]) for r in spark.table("t_avro_file_stream").collect())
+    assert got == [(i, "old") for i in range(5)] + [(i, f"t{i}") for i in range(5, 8)]
+
+
+def test_protobuf_delimited_file_stream_source(spark, tmp_path_factory):
+    """read_protobuf_delimited_stream: .pb frame files become
+    micro-batches; written by the batch sink, read back in a streaming
+    plan with an aggregate."""
+    from hello_flink_spark.sources.formats import (
+        read_protobuf_delimited_stream,
+        write_protobuf_delimited,
+    )
+
+    spec = {
+        "name": "E",
+        "fields": [
+            {"name": "k", "num": 1, "type": "string"},
+            {"name": "v", "num": 2, "type": "int64"},
+        ],
+    }
+    d = str(tmp_path_factory.mktemp("pb_stream_src"))
+    df = spark.createDataFrame(
+        [("a" if i % 2 else "b", i) for i in range(40)], "k string, v long"
+    ).repartition(4)
+    write_protobuf_delimited(df, d, spec)
+    stream = read_protobuf_delimited_stream(spark, d, spec)
+    assert stream.isStreaming
+    agg = stream.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    run_to_memory(agg, "t_pb_file_stream", "complete")
+    got = {r["k"]: (r["n"], r["sv"]) for r in spark.table("t_pb_file_stream").collect()}
+    want = {r["k"]: (r["n"], r["sv"]) for r in
+            df.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")).collect()}
+    assert got == want
