@@ -477,6 +477,82 @@ def read_avro(
         )
 
 
+def from_avro_confluent_col(
+    data_col,
+    reader_schema: str | Mapping[str, Any],
+    schemas_by_id: Mapping[int, str | Mapping[str, Any]],
+):
+    """[F] Flink's ``avro-confluent`` format: Kafka values framed with
+    the PUBLIC Confluent Schema Registry wire format — one magic byte
+    ``0x00``, a 4-byte big-endian schema id, then the plain Avro binary
+    body. Each message names its own WRITER schema by id, so a topic
+    can carry multiple schema generations; every body is decoded under
+    its id's schema and resolved to ``reader_schema`` via the spec's
+    Schema Resolution rules (``resolve_value``).
+
+    ``schemas_by_id`` is the registry SNAPSHOT (id → Avro schema) — no
+    live Schema Registry exists in this sandbox, and a real deployment
+    that has one should use the Confluent/spark-avro tooling; the dict
+    keeps the wire framing and multi-generation decode honest offline.
+    Unknown ids and bad magic fail loud."""
+    from pyspark.sql.functions import pandas_udf
+
+    from hello_flink_spark.sources.avro_codec import decode_value, resolve_value
+
+    reader = json.loads(reader_schema) if isinstance(reader_schema, str) else reader_schema
+    spark_type = avro_schema_to_spark(reader)
+    if not isinstance(spark_type, StructType):
+        raise ValueError("from_avro_confluent_col requires a record reader schema")
+    writers = {
+        int(i): (json.loads(s) if isinstance(s, str) else s)
+        for i, s in schemas_by_id.items()
+    }
+
+    def _one(b: bytes) -> dict:
+        if len(b) < 5 or b[0] != 0:
+            raise ValueError(
+                "not Confluent-framed Avro (need magic 0x00 + 4-byte schema id)"
+            )
+        sid = int.from_bytes(b[1:5], "big")
+        writer = writers.get(sid)
+        if writer is None:
+            raise ValueError(f"schema id {sid} not in the provided registry snapshot")
+        return resolve_value(decode_value(b[5:], writer), writer, reader)
+
+    @pandas_udf(spark_type)
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        rows = [None if b is None else _one(bytes(b)) for b in s]
+        return pd.DataFrame(
+            {f.name: [None if r is None else r[f.name] for r in rows]
+             for f in spark_type.fields}
+        )
+
+    return _decode(data_col)
+
+
+def to_avro_confluent_col(data_col, json_schema: str, schema_id: int):
+    """The encode direction of the Confluent framing: magic ``0x00`` +
+    big-endian ``schema_id`` + the Avro binary body (the bytes a Kafka
+    producer registered under that id would send)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from hello_flink_spark.sources.avro_codec import encode_value
+
+    prefix = b"\x00" + int(schema_id).to_bytes(4, "big")
+
+    @pandas_udf(BinaryType())
+    def _encode(pdf: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            [
+                prefix
+                + encode_value({k: _pd_cell(v) for k, v in row.items()}, json_schema)
+                for row in pdf.to_dict("records")
+            ]
+        )
+
+    return _encode(data_col)
+
+
 # binaryFile's fixed schema — streaming sources must declare it up front
 _BINARY_FILE_SCHEMA = (
     "path string, modificationTime timestamp, length long, content binary"

@@ -841,3 +841,104 @@ def test_wire_decoders_fuzz_bounded_failure():
             decode_value(blob, aschema)
         except ok:
             pass
+
+
+# --- Confluent Schema Registry wire framing (the avro-confluent format) -------
+
+
+def test_avro_confluent_framing_multi_generation(spark):
+    """from_avro_confluent_col: magic 0x00 + 4-byte big-endian schema
+    id + Avro body. A mixed-generation payload column (ids 7 and 12,
+    the older schema missing a field) decodes per-message under its
+    id's writer schema and resolves to the reader — the multi-schema
+    Kafka topic shape, offline."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.avro_codec import encode_value
+    from hello_flink_spark.sources.formats import from_avro_confluent_col
+
+    v1 = {"type": "record", "name": "D", "fields": [{"name": "id", "type": "long"}]}
+    v2 = {
+        "type": "record",
+        "name": "D",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tag", "type": "string", "default": "old"},
+        ],
+    }
+
+    def frame(sid, body):
+        return b"\x00" + sid.to_bytes(4, "big") + body
+
+    rows = [(i, frame(7, encode_value({"id": i}, v1))) for i in range(5)] + [
+        (i, frame(12, encode_value({"id": i, "tag": f"t{i}"}, v2)))
+        for i in range(5, 8)
+    ]
+    df = spark.createDataFrame(rows, "n long, payload binary")
+    out = df.select(
+        from_avro_confluent_col(
+            F.col("payload"), v2, {7: v1, 12: json.dumps(v2)}
+        ).alias("rec")
+    ).select("rec.id", "rec.tag")
+    got = sorted((r["id"], r["tag"]) for r in out.collect())
+    assert got == [(i, "old") for i in range(5)] + [(i, f"t{i}") for i in range(5, 8)]
+
+
+def test_avro_confluent_bad_magic_and_unknown_id_fail_loud(spark):
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.avro_codec import encode_value
+    from hello_flink_spark.sources.formats import from_avro_confluent_col
+
+    v1 = {"type": "record", "name": "D", "fields": [{"name": "id", "type": "long"}]}
+    bad_magic = spark.createDataFrame([(b"\x01\x00\x00\x00\x07\x02",)], "payload binary")
+    with pytest.raises(Exception, match="magic"):
+        bad_magic.select(
+            from_avro_confluent_col(F.col("payload"), v1, {7: v1}).alias("r")
+        ).collect()
+    unknown = spark.createDataFrame(
+        [(b"\x00" + (99).to_bytes(4, "big") + encode_value({"id": 1}, v1),)],
+        "payload binary",
+    )
+    with pytest.raises(Exception, match="registry snapshot"):
+        unknown.select(
+            from_avro_confluent_col(F.col("payload"), v1, {7: v1}).alias("r")
+        ).collect()
+
+
+def test_avro_confluent_encode_roundtrip(spark):
+    """to_avro_confluent_col frames with the declared id; the decode
+    side reads it back through the registry snapshot."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.formats import (
+        from_avro_confluent_col,
+        to_avro_confluent_col,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "E",
+        "fields": [
+            {"name": "k", "type": "string"},
+            {"name": "v", "type": "long"},
+        ],
+    }
+    df = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(15)], "k string, v long"
+    ).select(F.struct("k", "v").alias("rec"))
+    enc = df.select(
+        to_avro_confluent_col(F.col("rec"), json.dumps(schema), 42).alias("payload")
+    )
+    first = enc.limit(1).collect()[0]["payload"]
+    assert bytes(first)[:5] == b"\x00" + (42).to_bytes(4, "big")
+    back = enc.select(
+        from_avro_confluent_col(F.col("payload"), schema, {42: schema}).alias("rec")
+    ).select("rec.k", "rec.v")
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == sorted(
+        (f"k{i}", i) for i in range(15)
+    )
