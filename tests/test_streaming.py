@@ -2888,3 +2888,62 @@ def test_protobuf_delimited_file_stream_source(spark, tmp_path_factory):
     want = {r["k"]: (r["n"], r["sv"]) for r in
             df.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")).collect()}
     assert got == want
+
+
+def test_confluent_framed_decode_in_stream(spark, tmp_path_factory):
+    """from_avro_confluent_col inside a streaming plan: a file-replay
+    stream of Confluent-framed payloads carrying TWO schema
+    generations (the Kafka multi-generation topic shape) decodes
+    per-message under its id's writer schema and aggregates to the
+    batch truth."""
+    from hello_flink_spark.sources.avro_codec import encode_value
+    from hello_flink_spark.sources.formats import from_avro_confluent_col
+
+    v1 = {"type": "record", "name": "E",
+          "fields": [{"name": "k", "type": "string"},
+                     {"name": "v", "type": "long"}]}
+    v2 = {"type": "record", "name": "E",
+          "fields": [{"name": "k", "type": "string"},
+                     {"name": "v", "type": "long"},
+                     {"name": "w", "type": "long", "default": 1}]}
+
+    def frame(sid, body):
+        return b"\x00" + sid.to_bytes(4, "big") + body
+
+    rows = [
+        (frame(1, encode_value({"k": "a" if i % 2 else "b", "v": i}, v1)),)
+        for i in range(20)
+    ] + [
+        (frame(2, encode_value({"k": "a", "v": i, "w": 2}, v2)),)
+        for i in range(20, 30)
+    ]
+    d = str(tmp_path_factory.mktemp("confluent_replay"))
+    for part in range(2):
+        spark.createDataFrame(rows[part * 15 : (part + 1) * 15], "payload binary") \
+            .coalesce(1).write.parquet(f"{d}/chunk_{part:02d}")
+
+    stream = (
+        spark.readStream.schema("payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/chunk_*/*.parquet")
+    )
+    dec = stream.select(
+        from_avro_confluent_col(F.col("payload"), v2, {1: v1, 2: v2}).alias("rec")
+    )
+    agg = dec.groupBy(F.col("rec.k").alias("k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rec.v").alias("sv"),
+        F.sum("rec.w").alias("sw"),
+    )
+    run_to_memory(agg, "t_confluent_stream", "complete")
+    got = {r["k"]: (r["n"], r["sv"], r["sw"])
+           for r in spark.table("t_confluent_stream").collect()}
+    want = {}
+    for i in range(20):
+        k = "a" if i % 2 else "b"
+        n, sv, sw = want.get(k, (0, 0, 0))
+        want[k] = (n + 1, sv + i, sw + 1)  # v1 rows take default w=1
+    for i in range(20, 30):
+        n, sv, sw = want.get("a", (0, 0, 0))
+        want["a"] = (n + 1, sv + i, sw + 2)
+    assert got == want
