@@ -284,3 +284,17 @@ def test_avro_resolution_evolution_random_records(sv, dflt):
     want = {k: v for k, v in value.items() if k != schema["fields"][0]["name"]}
     want["zz_new"] = int(dflt)
     assert got == want
+
+
+@SETTINGS
+@given(sv=_avro_record_and_value(), sid=st.integers(0, 2**32 - 1))
+def test_confluent_framing_roundtrip_random_records(sv, sid):
+    """The Confluent wire framing over the full randomized record
+    space: magic 0x00 + big-endian id + Avro body frames and unframes
+    losslessly for any schema id in the 4-byte range."""
+    schema, value = sv
+    body = encode_value(value, schema)
+    framed = b"\x00" + sid.to_bytes(4, "big") + body
+    assert framed[0] == 0
+    assert int.from_bytes(framed[1:5], "big") == sid
+    assert decode_value(framed[5:], schema) == value
