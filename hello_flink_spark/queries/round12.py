@@ -71,6 +71,7 @@ def scan_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hello_flink_spark.sources.formats import from_avro_col
 
     schema_json = _AVRO_DOC_SCHEMA
+    schema_obj = json.loads(schema_json)  # parse once, not per record
 
     @F.pandas_udf("binary")
     def _encode(doc_id: pd.Series, lang: pd.Series, text: pd.Series,
@@ -84,7 +85,7 @@ def scan_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "text": str(x),
                         "n_chars": int(n),
                     },
-                    schema_json,
+                    schema_obj,
                 )
                 for i, l, x, n in zip(doc_id, lang, text, n_chars)
             ]

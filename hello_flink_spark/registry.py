@@ -77,21 +77,6 @@ def _load() -> None:
         importlib.import_module(mod)
 
 
-def is_green(row: object) -> bool:
-    """True iff a CORRECTNESS_r*.json row was green WHEN IT WAS WRITTEN.
-
-    Green means the oracle hash matched, or the row was checked rows-only
-    (``no_oracle``) and the driver actually produced a row count for it.
-    Historical-green is NOT the same as verified-at-current-tier — see
-    ``is_verified``: an R→O promotion upgrades the bar, so an old
-    rows-only green stops counting for the now-O-tier spec.
-    """
-    return isinstance(row, dict) and (
-        row.get("hash_match") is True
-        or (row.get("err") == "no_oracle" and row.get("spark_rows") is not None)
-    )
-
-
 def is_verified(row: object, has_oracle: bool) -> bool:
     """True iff a CORRECTNESS_r*.json row verifies a spec AT ITS CURRENT
     TIER (VERDICT r11 #1: promotion = re-verification).

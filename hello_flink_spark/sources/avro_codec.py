@@ -80,7 +80,11 @@ def read_long(buf: bytes, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             break
         shift += 7
-        if shift > 70:
+        # spec max is 10 bytes: the 10th byte carries shift 63, so any
+        # continuation past it (shift 70) is malformed — reject BEFORE
+        # reading an 11th byte (was off-by-one: shift > 70 let an
+        # 11-byte varint yield a silently wrong 77-bit value)
+        if shift > 63:
             raise ValueError("Avro varint longer than 10 bytes")
     return (acc >> 1) ^ -(acc & 1), pos
 
@@ -100,6 +104,17 @@ def encode_value(value: Any, schema: str | Mapping[str, Any] | list) -> bytes:
 
 def _logical(s: Mapping[str, Any]) -> str | None:
     return s.get("logicalType") if isinstance(s, Mapping) else None
+
+
+def _epoch_for(v: "_dt.datetime") -> "_dt.datetime":
+    """The Unix epoch as a subtractable anchor: tz-aware values anchor
+    to the TRUE epoch (1970-01-01T00:00Z) — using ``tzinfo=v.tzinfo``
+    here would shift every aware instant by its UTC offset (review
+    finding r12); naive values anchor to the naive epoch (treated as
+    already-UTC, matching the decoder's naive-UTC output)."""
+    return _dt.datetime(
+        1970, 1, 1, tzinfo=_dt.timezone.utc if v.tzinfo is not None else None
+    )
 
 
 def _enc(out: io.BytesIO, v: Any, s: Any, named: dict[str, Any]) -> None:
@@ -140,14 +155,14 @@ def _enc(out: io.BytesIO, v: Any, s: Any, named: dict[str, Any]) -> None:
         return
     if lt in ("timestamp-micros", "local-timestamp-micros"):
         if isinstance(v, _dt.datetime):
-            d = v - _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            d = v - _epoch_for(v)
             # integer arithmetic: total_seconds() loses µs past 2^53 ns
             v = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
         write_long(out, int(v))
         return
     if lt in ("timestamp-millis", "local-timestamp-millis"):
         if isinstance(v, _dt.datetime):
-            d = v - _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            d = v - _epoch_for(v)
             v = (d.days * 86_400 + d.seconds) * 1_000 + d.microseconds // 1_000
         write_long(out, int(v))
         return
@@ -246,6 +261,15 @@ def _union_branch_index(v: Any, branches: list, named: dict[str, Any]) -> int:
             if isinstance(v, Mapping) and bt in ("record", "map"):
                 return i
             if isinstance(v, (list, tuple)) and bt == "array":
+                return i
+    # Arrow→pandas coerces nullable INTEGER columns with any null to
+    # float64 (review finding r12): an integral float may stand for an
+    # int/long value. Tried only AFTER the exact-type pass above, so a
+    # true float/double branch always wins when present.
+    if isinstance(v, float) and v.is_integer():
+        for i, b in enumerate(branches):
+            bt = b if isinstance(b, str) else (b.get("type") if isinstance(b, Mapping) else None)
+            if bt in ("int", "long"):
                 return i
     raise ValueError(f"no union branch for {type(v).__name__} in {branches!r}")
 
@@ -475,13 +499,16 @@ def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]
     if t == "null":
         return None, pos
     if t == "boolean":
-        return buf[pos] != 0, pos + 1
+        end = _bounded(buf, pos, 1)
+        return buf[pos] != 0, end
     if t in ("int", "long"):
         return read_long(buf, pos)
     if t == "float":
-        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+        end = _bounded(buf, pos, 4)
+        return struct.unpack_from("<f", buf, pos)[0], end
     if t == "double":
-        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+        end = _bounded(buf, pos, 8)
+        return struct.unpack_from("<d", buf, pos)[0], end
     if t == "bytes":
         n, pos = read_long(buf, pos)
         end = _bounded(buf, pos, n)
@@ -600,8 +627,14 @@ def decode_container(
     while pos < len(blob):
         count, pos = read_long(blob, pos)
         size, pos = read_long(blob, pos)
-        raw = blob[pos : pos + size]
-        pos += size
+        if count < 0:
+            raise ValueError(f"negative container block count {count}")
+        # negative/oversized size would rewind pos (a crafted size of
+        # -18 lands back ON the header sync and loops forever) or
+        # silently truncate — the same fail-loud contract as _bounded
+        end = _bounded(blob, pos, size)
+        raw = blob[pos:end]
+        pos = end
         if codec == "deflate":
             raw = zlib.decompress(raw, wbits=-15)
         elif codec != "null":

@@ -281,12 +281,15 @@ def _avro_py_udf(json_schema: str):
     from hello_flink_spark.sources.avro_codec import decode_value
 
     spark_type = avro_schema_to_spark(json_schema)
+    # parse ONCE at UDF build — passing the raw JSON string would
+    # re-parse the schema per record inside the hot loop (review r12)
+    schema_obj = json.loads(json_schema)
 
     if isinstance(spark_type, StructType):
 
         @pandas_udf(spark_type)
         def _decode(s: pd.Series) -> pd.DataFrame:
-            rows = [None if b is None else decode_value(bytes(b), json_schema) for b in s]
+            rows = [None if b is None else decode_value(bytes(b), schema_obj) for b in s]
             return pd.DataFrame(
                 {f.name: [None if r is None else r[f.name] for r in rows]
                  for f in spark_type.fields}
@@ -297,7 +300,7 @@ def _avro_py_udf(json_schema: str):
         @pandas_udf(spark_type)
         def _decode(s: pd.Series) -> pd.Series:
             return pd.Series(
-                [None if b is None else decode_value(bytes(b), json_schema) for b in s]
+                [None if b is None else decode_value(bytes(b), schema_obj) for b in s]
             )
 
     return _decode
@@ -322,11 +325,19 @@ def from_avro_col(data_col, json_schema: str):
 def _pd_cell(v: Any) -> Any:
     """Normalize one Arrow→pandas cell to the plain-Python shape the
     wire encoders expect: numpy scalars/arrays → Python scalars/lists,
-    recursively through dicts (structs/maps decode to dicts)."""
+    recursively through dicts (structs/maps decode to dicts), and
+    float NaN → None (pandas coerces a nullable NUMERIC column with
+    any null to float64 with NaN sentinels — review finding r12; the
+    sibling integral-float fallback in the Avro union matcher restores
+    the int branch for the surviving values)."""
+    import math
+
     import numpy as np
 
     if isinstance(v, np.generic):
-        return v.item()
+        v = v.item()
+    if isinstance(v, float) and math.isnan(v):
+        return None
     if isinstance(v, np.ndarray):
         return [_pd_cell(x) for x in v]
     if isinstance(v, list):
@@ -360,11 +371,13 @@ def to_avro_col(data_col, json_schema: str):
 
     from hello_flink_spark.sources.avro_codec import encode_value
 
+    schema_obj = json.loads(json_schema)  # parse once, not per record
+
     @pandas_udf(BinaryType())
     def _encode(pdf: pd.DataFrame) -> pd.Series:
         return pd.Series(
             [
-                encode_value({k: _pd_cell(v) for k, v in row.items()}, json_schema)
+                encode_value({k: _pd_cell(v) for k, v in row.items()}, schema_obj)
                 for row in pdf.to_dict("records")
             ]
         )
@@ -417,8 +430,10 @@ def read_avro(
     mixed-generation directories read correctly."""
     import json as _json
 
-    # the DataSource resolves eagerly at .load(), so a plain try/except
-    # is a sound jar probe here (unlike the analysis-deferred from_avro)
+    # the DataSource resolves eagerly at .load(); fall back ONLY on the
+    # datasource-absent error — catching everything would reroute real
+    # jar-path failures (corrupt file, credentials, bad option) into a
+    # driver-LOCAL glob that masks them (review finding r12)
     try:
         r = spark.read.format("avro")
         if reader_schema is not None:
@@ -429,15 +444,19 @@ def read_avro(
                 else _json.dumps(reader_schema),
             )
         return r.load(path)
-    except Exception:  # noqa: BLE001 — datasource absent: Python parser
+    except Exception as exc:  # noqa: BLE001 — inspected, selectively re-raised
+        if "Failed to find data source" not in str(exc):
+            raise
         import glob as _glob
         import os
 
         from hello_flink_spark.sources.avro_codec import decode_container
 
-        # schema from the first container's own metadata (self-describing)
+        # schema from the first container's own metadata (self-describing);
+        # same *.avro filter as the scan — a stray _SUCCESS/.crc/.pb
+        # sibling must not poison inference (review finding r12)
         first = sorted(
-            p for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            p for p in _glob.glob(os.path.join(path, "**", "*.avro"), recursive=True)
             if os.path.isfile(p)
         ) or ([path] if os.path.isfile(path) else [])
         if not first:
@@ -469,9 +488,11 @@ def read_avro(
                     else {f.name: [] for f in spark_type.fields}
                 )
 
+        reader = spark.read.format("binaryFile")
+        if not os.path.isfile(path):
+            reader = reader.option("pathGlobFilter", "*.avro")
         return (
-            spark.read.format("binaryFile")
-            .load(path)
+            reader.load(path)
             .select("content")
             .mapInPandas(_parse, schema=spark_type)
         )
@@ -539,13 +560,14 @@ def to_avro_confluent_col(data_col, json_schema: str, schema_id: int):
     from hello_flink_spark.sources.avro_codec import encode_value
 
     prefix = b"\x00" + int(schema_id).to_bytes(4, "big")
+    schema_obj = json.loads(json_schema) if isinstance(json_schema, str) else json_schema
 
     @pandas_udf(BinaryType())
     def _encode(pdf: pd.DataFrame) -> pd.Series:
         return pd.Series(
             [
                 prefix
-                + encode_value({k: _pd_cell(v) for k, v in row.items()}, json_schema)
+                + encode_value({k: _pd_cell(v) for k, v in row.items()}, schema_obj)
                 for row in pdf.to_dict("records")
             ]
         )
@@ -580,8 +602,9 @@ def read_avro_stream(
     from hello_flink_spark.sources.avro_codec import decode_container
 
     if reader_schema is None:
+        # same *.avro filter the stream scan applies (review r12)
         first = sorted(
-            p for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            p for p in _glob.glob(os.path.join(path, "**", "*.avro"), recursive=True)
             if os.path.isfile(p)
         )
         if not first:

@@ -79,7 +79,9 @@ def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             return acc, pos
         shift += 7
-        if shift > 70:
+        # 10-byte spec max: the 10th byte carries shift 63; reject the
+        # 11th before reading it (was off-by-one at shift > 70)
+        if shift > 63:
             raise ValueError("protobuf varint longer than 10 bytes")
 
 
@@ -176,7 +178,13 @@ def _write_field(out: io.BytesIO, f: Mapping[str, Any], v: Any) -> None:
 
 def _enc_timestamp(v: Any) -> bytes:
     if isinstance(v, _dt.datetime):
-        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        # tz-aware values anchor to the TRUE epoch (1970-01-01T00:00Z);
+        # tzinfo=v.tzinfo would shift aware instants by their UTC
+        # offset (review finding r12). Naive values = already-UTC.
+        epoch = _dt.datetime(
+            1970, 1, 1,
+            tzinfo=_dt.timezone.utc if v.tzinfo is not None else None,
+        )
         delta = v - epoch
         secs, us = delta.days * 86400 + delta.seconds, delta.microseconds
     else:

@@ -942,3 +942,119 @@ def test_avro_confluent_encode_roundtrip(spark):
     assert sorted((r["k"], r["v"]) for r in back.collect()) == sorted(
         (f"k{i}", i) for i in range(15)
     )
+
+
+# --- review-r12 regression pins ----------------------------------------------
+
+
+def test_container_negative_block_size_fails_loud_not_hangs():
+    """A crafted block header (count 0, size -18) used to rewind pos
+    onto the header sync and loop forever; it must raise instead."""
+    from hello_flink_spark.sources.avro_codec import decode_container, encode_container
+
+    good = encode_container([{"a": 1, "b": "x", "c": None}], AVRO_SIMPLE)
+    # append a malformed block: count=0 (0x00), size=-18 (zigzag 0x23)
+    with pytest.raises(ValueError, match="exceeds buffer|negative"):
+        decode_container(good + b"\x00\x23" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="negative container block count"):
+        decode_container(good + b"\x23\x00" + b"\x00" * 16)
+
+
+def test_eleven_byte_varints_rejected_both_codecs():
+    """Spec max is 10 bytes; the 11th used to slip through and yield a
+    silently wrong 77-bit value."""
+    from hello_flink_spark.sources.avro_codec import read_long
+    from hello_flink_spark.sources.proto_codec import read_varint
+
+    eleven = b"\xff" * 10 + b"\x7f"
+    with pytest.raises(ValueError, match="longer than 10 bytes"):
+        read_varint(eleven, 0)
+    with pytest.raises(ValueError, match="longer than 10 bytes"):
+        read_long(eleven, 0)
+    # a FULL legal 10-byte varint still decodes (protobuf -1 int64)
+    ten = b"\xff" * 9 + b"\x01"
+    v, pos = read_varint(ten, 0)
+    assert v == (1 << 64) - 1 and pos == 10
+
+
+def test_tz_aware_timestamps_anchor_to_true_epoch():
+    """Encoding a tz-aware instant must produce its real epoch offset;
+    the old epoch-in-own-tz arithmetic shifted it by the UTC offset."""
+    import datetime as dtm
+
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+    from hello_flink_spark.sources.proto_codec import decode_message, encode_message
+
+    tz5 = dtm.timezone(dtm.timedelta(hours=5))
+    aware = dtm.datetime(2026, 1, 1, 0, 0, 0, tzinfo=tz5)  # == 2025-12-31T19:00Z
+    schema = {"type": "long", "logicalType": "timestamp-micros"}
+    want_us = int(
+        (aware - dtm.datetime(1970, 1, 1, tzinfo=dtm.timezone.utc)).total_seconds()
+    ) * 1_000_000
+    assert decode_value(encode_value(aware, schema), {"type": "long"}) == want_us
+    # decoder returns the naive-UTC instant
+    assert decode_value(encode_value(aware, schema), schema) == dtm.datetime(
+        2025, 12, 31, 19, 0, 0
+    )
+    spec = {"name": "T", "fields": [{"name": "at", "num": 1,
+                                     "type": "google.protobuf.Timestamp"}]}
+    got = decode_message(encode_message({"at": aware}, spec), spec)
+    assert got["at"] == dtm.datetime(2025, 12, 31, 19, 0, 0)
+
+
+def test_encode_cols_handle_nullable_numeric_nulls(spark):
+    """A nullable LONG struct field with any null in the batch arrives
+    from Arrow as float64 + NaN; both encode fallbacks must map NaN to
+    null and integral floats back to the integer branch."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.formats import (
+        from_avro_col,
+        from_protobuf_col,
+        to_avro_col,
+        to_protobuf_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v long"
+    ).select(F.struct("id", "v").alias("rec"))
+    aschema = json.dumps(
+        {"type": "record", "name": "R",
+         "fields": [{"name": "id", "type": "long"},
+                    {"name": "v", "type": ["null", "long"]}]}
+    )
+    back = df.select(
+        from_avro_col(to_avro_col(F.col("rec"), aschema), aschema).alias("b")
+    ).select("b.id", "b.v")
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == [
+        (1, 10), (2, None), (3, 30)
+    ]
+    pspec = {"name": "R", "fields": [{"name": "id", "num": 1, "type": "int64"},
+                                     {"name": "v", "num": 2, "type": "int64"}]}
+    pback = df.select(
+        from_protobuf_col(
+            to_protobuf_col(F.col("rec"), "R", pspec), "R", message_spec=pspec
+        ).alias("b")
+    ).select("b.id", "b.v")
+    # proto3 has no presence for plain int64: null encodes as absent -> 0
+    assert sorted((r["id"], r["v"]) for r in pback.collect()) == [
+        (1, 10), (2, 0), (3, 30)
+    ]
+
+
+def test_read_avro_ignores_stray_non_avro_files(spark, tmp_path):
+    """A _SUCCESS marker (or any non-.avro sibling) must poison neither
+    schema inference nor the scan."""
+    from hello_flink_spark.sources.avro_codec import encode_container
+    from hello_flink_spark.sources.formats import read_avro
+
+    d = tmp_path / "avro_with_stray"
+    d.mkdir()
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / "part-0.avro").write_bytes(
+        encode_container([{"a": 1, "b": "x", "c": None}], AVRO_SIMPLE)
+    )
+    got = read_avro(spark, str(d)).collect()
+    assert [(r["a"], r["b"], r["c"]) for r in got] == [(1, "x", None)]
