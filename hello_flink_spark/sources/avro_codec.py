@@ -14,7 +14,7 @@ ints/longs, little-endian IEEE floats, length-prefixed bytes/strings,
 fields-in-order records, count-prefixed array/map blocks, index-
 prefixed unions — plus the object container file layout (magic
 ``Obj\\x01``, metadata map carrying schema + codec, sync-marker-framed
-blocks; null and deflate codecs).
+blocks; null, deflate, bzip2 and xz codecs).
 
 Division of labour with ``formats.py``:
 
@@ -597,8 +597,22 @@ def encode_container(
     raw = body.getvalue()
     if codec == "deflate":
         raw = zlib.compress(raw)[2:-4]  # raw deflate per spec (no zlib wrap)
+    elif codec == "bzip2":
+        import bz2
+
+        raw = bz2.compress(raw)
+    elif codec == "xz":
+        import lzma
+
+        raw = lzma.compress(raw, format=lzma.FORMAT_XZ)
     elif codec != "null":
-        raise ValueError(f"unsupported Avro codec {codec!r}")
+        # snappy / zstandard are also spec-listed but need packages
+        # absent here (python-snappy, zstandard) — name them honestly
+        raise ValueError(
+            f"unsupported Avro codec {codec!r} (this build supports "
+            "null/deflate/bzip2/xz; snappy and zstandard need their "
+            "external packages)"
+        )
     write_long(out, len(records))
     write_long(out, len(raw))
     out.write(raw)
@@ -611,7 +625,8 @@ def decode_container(
     reader_schema: str | Mapping[str, Any] | list | None = None,
 ) -> tuple[dict[str, Any], list[Any]]:
     """Parse an Avro object container file → (schema, records). Null
-    and deflate codecs (the two every implementation must support).
+    and deflate (the two every implementation must support) plus the
+    stdlib-backed optional spec codecs bzip2 and xz.
     With ``reader_schema``, each record is resolved from the
     container's own (writer) schema to the reader shape per the spec's
     Schema Resolution rules, and the RETURNED schema is the reader's —
@@ -637,8 +652,20 @@ def decode_container(
         pos = end
         if codec == "deflate":
             raw = zlib.decompress(raw, wbits=-15)
+        elif codec == "bzip2":
+            import bz2
+
+            raw = bz2.decompress(raw)
+        elif codec == "xz":
+            import lzma
+
+            raw = lzma.decompress(raw)
         elif codec != "null":
-            raise ValueError(f"unsupported Avro codec {codec!r}")
+            raise ValueError(
+                f"unsupported Avro codec {codec!r} (this build supports "
+                "null/deflate/bzip2/xz; snappy and zstandard need their "
+                "external packages)"
+            )
         bpos = 0
         for _ in range(count):
             v, bpos = _dec(raw, bpos, schema, named={})

@@ -149,7 +149,7 @@ def test_avro_value_roundtrip_random_records(sv):
 
 
 @FAST
-@given(sv=_avro_record_and_value(), codec=st.sampled_from(["null", "deflate"]))
+@given(sv=_avro_record_and_value(), codec=st.sampled_from(["null", "deflate", "bzip2", "xz"]))
 def test_avro_container_roundtrip_random_records(sv, codec):
     schema, value = sv
     records = [value] * 3
