@@ -153,17 +153,22 @@ def _enc(out: io.BytesIO, v: Any, s: Any, named: dict[str, Any]) -> None:
         days = (v - _dt.date(1970, 1, 1)).days if isinstance(v, _dt.date) else int(v)
         write_long(out, days)
         return
-    if lt in ("timestamp-micros", "local-timestamp-micros"):
+    if lt in ("timestamp-micros", "timestamp-millis"):
         if isinstance(v, _dt.datetime):
             d = v - _epoch_for(v)
             # integer arithmetic: total_seconds() loses µs past 2^53 ns
-            v = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+            us = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+            v = us if lt == "timestamp-micros" else us // 1_000
         write_long(out, int(v))
         return
-    if lt in ("timestamp-millis", "local-timestamp-millis"):
+    if lt in ("local-timestamp-micros", "local-timestamp-millis"):
         if isinstance(v, _dt.datetime):
-            d = v - _epoch_for(v)
-            v = (d.days * 86_400 + d.seconds) * 1_000 + d.microseconds // 1_000
+            # local-timestamp stores WALL-CLOCK fields "regardless of
+            # time zone" (spec) — strip tzinfo, never convert to UTC
+            # (review r12: the UTC anchor belongs to timestamp-* only)
+            d = v.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)
+            us = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+            v = us if lt == "local-timestamp-micros" else us // 1_000
         write_long(out, int(v))
         return
     if t == "null":
@@ -226,7 +231,13 @@ def _union_branch_index(v: Any, branches: list, named: dict[str, Any]) -> int:
     """Pick the union branch for a Python value — exact enough for the
     mapper's supported shapes (null + one concrete type is the common
     Kafka-value case; multi-branch picks the first structurally
-    compatible branch)."""
+    compatible branch). A NaN float takes the null branch WHEN ONE
+    EXISTS: through the Arrow→pandas boundary NaN is the null sentinel
+    of a nullable numeric column, and the two are indistinguishable by
+    then (documented at to_avro_col); in a union WITHOUT null, NaN is a
+    genuine IEEE double and encodes as itself."""
+    if isinstance(v, float) and v != v and "null" in branches:
+        return branches.index("null")
     for i, b in enumerate(branches):
         bt = b if isinstance(b, str) else (b.get("type") if isinstance(b, Mapping) else None)
         lt = b.get("logicalType") if isinstance(b, Mapping) else None
@@ -265,8 +276,10 @@ def _union_branch_index(v: Any, branches: list, named: dict[str, Any]) -> int:
     # Arrow→pandas coerces nullable INTEGER columns with any null to
     # float64 (review finding r12): an integral float may stand for an
     # int/long value. Tried only AFTER the exact-type pass above, so a
-    # true float/double branch always wins when present.
-    if isinstance(v, float) and v.is_integer():
+    # true float/double branch always wins when present. Bounded at
+    # 2^53 — float64 cannot represent larger longs exactly, so claiming
+    # the int branch there would silently corrupt (fail loud instead).
+    if isinstance(v, float) and v.is_integer() and abs(v) <= 2**53:
         for i, b in enumerate(branches):
             bt = b if isinstance(b, str) else (b.get("type") if isinstance(b, Mapping) else None)
             if bt in ("int", "long"):
@@ -644,6 +657,14 @@ def decode_container(
         size, pos = read_long(blob, pos)
         if count < 0:
             raise ValueError(f"negative container block count {count}")
+        # progress bound: a crafted huge count over a tiny (or empty)
+        # block otherwise spins the per-record loop unboundedly — a
+        # record consumes >= 0 bytes, so bound count by the block bytes
+        # plus slack for legal zero-byte-record schemas (review r12)
+        if count > size * 8 + 65_536:
+            raise ValueError(
+                f"container block claims {count} records in {size} bytes"
+            )
         # negative/oversized size would rewind pos (a crafted size of
         # -18 lands back ON the header sync and loops forever) or
         # silently truncate — the same fail-loud contract as _bounded

@@ -282,8 +282,9 @@ def _avro_py_udf(json_schema: str):
 
     spark_type = avro_schema_to_spark(json_schema)
     # parse ONCE at UDF build — passing the raw JSON string would
-    # re-parse the schema per record inside the hot loop (review r12)
-    schema_obj = json.loads(json_schema)
+    # re-parse the schema per record inside the hot loop (review r12);
+    # guarded so already-parsed dict schemas keep working
+    schema_obj = json.loads(json_schema) if isinstance(json_schema, str) else json_schema
 
     if isinstance(spark_type, StructType):
 
@@ -322,23 +323,22 @@ def from_avro_col(data_col, json_schema: str):
     return _avro_py_udf(json_schema)(data_col)
 
 
+import numpy as _np  # module scope: _pd_cell runs per cell in encode hot loops
+
+
 def _pd_cell(v: Any) -> Any:
     """Normalize one Arrow→pandas cell to the plain-Python shape the
     wire encoders expect: numpy scalars/arrays → Python scalars/lists,
-    recursively through dicts (structs/maps decode to dicts), and
-    float NaN → None (pandas coerces a nullable NUMERIC column with
-    any null to float64 with NaN sentinels — review finding r12; the
-    sibling integral-float fallback in the Avro union matcher restores
-    the int branch for the surviving values)."""
-    import math
-
-    import numpy as np
-
-    if isinstance(v, np.generic):
+    recursively through dicts (structs/maps decode to dicts). NaN is
+    passed through UNCHANGED — whether a NaN means "null" (pandas'
+    sentinel for a nullable numeric column that held any null) or a
+    genuine IEEE NaN double is decided schema-side: the Avro union
+    matcher maps NaN to the null branch when one exists, and the
+    protobuf encoder skips NaN only for non-float fields — so real
+    NaN doubles survive while coerced int nulls stay null."""
+    if isinstance(v, _np.generic):
         v = v.item()
-    if isinstance(v, float) and math.isnan(v):
-        return None
-    if isinstance(v, np.ndarray):
+    if isinstance(v, _np.ndarray):
         return [_pd_cell(x) for x in v]
     if isinstance(v, list):
         return [_pd_cell(x) for x in v]
@@ -371,7 +371,9 @@ def to_avro_col(data_col, json_schema: str):
 
     from hello_flink_spark.sources.avro_codec import encode_value
 
-    schema_obj = json.loads(json_schema)  # parse once, not per record
+    schema_obj = (  # parse once, not per record; dicts pass through
+        json.loads(json_schema) if isinstance(json_schema, str) else json_schema
+    )
 
     @pandas_udf(BinaryType())
     def _encode(pdf: pd.DataFrame) -> pd.Series:
@@ -445,7 +447,21 @@ def read_avro(
             )
         return r.load(path)
     except Exception as exc:  # noqa: BLE001 — inspected, selectively re-raised
-        if "Failed to find data source" not in str(exc):
+        cond = None
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, probe, None)
+            if fn is not None:
+                try:
+                    cond = fn()
+                except Exception:  # noqa: BLE001
+                    cond = None
+                if cond:
+                    break
+        datasource_absent = cond in (
+            "_LEGACY_ERROR_TEMP_1139",  # Spark 4.x avro text today
+            "DATA_SOURCE_NOT_FOUND",    # the migrated error condition
+        ) or "Failed to find" in str(exc)
+        if not datasource_absent:
             raise
         import glob as _glob
         import os
@@ -453,11 +469,12 @@ def read_avro(
         from hello_flink_spark.sources.avro_codec import decode_container
 
         # schema from the first container's own metadata (self-describing);
-        # same *.avro filter as the scan — a stray _SUCCESS/.crc/.pb
-        # sibling must not poison inference (review finding r12)
+        # skip hidden/metadata files (_SUCCESS, .crc) like Spark's file
+        # index does — but do NOT require an .avro extension, which
+        # would silently drop valid extensionless containers (r12)
         first = sorted(
-            p for p in _glob.glob(os.path.join(path, "**", "*.avro"), recursive=True)
-            if os.path.isfile(p)
+            p for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            if os.path.isfile(p) and not os.path.basename(p)[:1] in ("_", ".")
         ) or ([path] if os.path.isfile(path) else [])
         if not first:
             raise FileNotFoundError(f"no Avro container files under {path!r}")
@@ -488,11 +505,13 @@ def read_avro(
                     else {f.name: [] for f in spark_type.fields}
                 )
 
-        reader = spark.read.format("binaryFile")
-        if not os.path.isfile(path):
-            reader = reader.option("pathGlobFilter", "*.avro")
+        # NO extension filter on the scan: valid containers are often
+        # extensionless, and Spark's file index already skips hidden
+        # files (_SUCCESS, .crc); a non-Avro visible file fails LOUD at
+        # decode (bad magic) rather than silently vanishing (review r12)
         return (
-            reader.load(path)
+            spark.read.format("binaryFile")
+            .load(path)
             .select("content")
             .mapInPandas(_parse, schema=spark_type)
         )

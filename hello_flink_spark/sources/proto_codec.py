@@ -102,6 +102,16 @@ def encode_message(value: Mapping[str, Any], spec: Mapping[str, Any]) -> bytes:
         v = value.get(f["name"])
         if v is None:
             continue
+        # a NaN float on a NON-float field is the Arrow→pandas null
+        # sentinel of a coerced nullable int column — treat as absent
+        # (proto3 default); on double/float fields NaN is a genuine
+        # IEEE value and encodes as itself (review r12)
+        if (
+            isinstance(v, float)
+            and v != v
+            and f["type"] not in ("double", "float")
+        ):
+            continue
         if "map_key" in f:
             entry_spec = _map_entry_spec(f)
             for k, item in v.items():
@@ -178,14 +188,11 @@ def _write_field(out: io.BytesIO, f: Mapping[str, Any], v: Any) -> None:
 
 def _enc_timestamp(v: Any) -> bytes:
     if isinstance(v, _dt.datetime):
-        # tz-aware values anchor to the TRUE epoch (1970-01-01T00:00Z);
-        # tzinfo=v.tzinfo would shift aware instants by their UTC
-        # offset (review finding r12). Naive values = already-UTC.
-        epoch = _dt.datetime(
-            1970, 1, 1,
-            tzinfo=_dt.timezone.utc if v.tzinfo is not None else None,
-        )
-        delta = v - epoch
+        # shared epoch anchor (avro_codec._epoch_for): tz-aware values
+        # anchor to the TRUE epoch 1970-01-01T00:00Z, naive = already-UTC
+        from hello_flink_spark.sources.avro_codec import _epoch_for
+
+        delta = v - _epoch_for(v)
         secs, us = delta.days * 86400 + delta.seconds, delta.microseconds
     else:
         secs, us = int(v), 0

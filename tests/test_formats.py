@@ -1058,3 +1058,106 @@ def test_read_avro_ignores_stray_non_avro_files(spark, tmp_path):
     )
     got = read_avro(spark, str(d)).collect()
     assert [(r["a"], r["b"], r["c"]) for r in got] == [(1, "x", None)]
+
+
+# --- review-r12 second-wave regression pins -----------------------------------
+
+
+def test_genuine_nan_doubles_survive_where_unambiguous():
+    """NaN policy: in a union WITH null, NaN is the pandas null
+    sentinel → null; in a NON-nullable double (or a protobuf
+    double/float field) NaN is a genuine IEEE value and must encode as
+    itself — the first-wave blanket NaN→None broke both."""
+    import math
+
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+    from hello_flink_spark.sources.proto_codec import decode_message, encode_message
+
+    assert math.isnan(decode_value(encode_value(float("nan"), '"double"'), '"double"'))
+    assert decode_value(encode_value(float("nan"), ["null", "double"]), ["null", "double"]) is None
+    spec = {"name": "N", "fields": [{"name": "d", "num": 1, "type": "double"},
+                                    {"name": "i", "num": 2, "type": "int64"}]}
+    got = decode_message(encode_message({"d": float("nan"), "i": float("nan")}, spec), spec)
+    assert math.isnan(got["d"])
+    assert got["i"] == 0  # NaN on an int field = coerced null -> proto3 default
+
+
+def test_container_count_bomb_rejected():
+    """A crafted block claiming millions of records in zero bytes must
+    raise, not spin the per-record loop unboundedly."""
+    from hello_flink_spark.sources.avro_codec import decode_container, encode_container
+    import io
+
+    from hello_flink_spark.sources.avro_codec import write_long
+
+    good = encode_container([{"a": 1, "b": "x", "c": None}], AVRO_SIMPLE)
+    bomb = io.BytesIO()
+    write_long(bomb, 50_000_000)  # count
+    write_long(bomb, 0)           # size
+    with pytest.raises(ValueError, match="claims 50000000 records"):
+        decode_container(good + bomb.getvalue() + b"\x00" * 16)
+
+
+def test_integral_float_fallback_bounded_at_2_53():
+    """A float64-coerced long above 2^53 has already lost precision —
+    claiming the long branch would silently corrupt; it must raise."""
+    from hello_flink_spark.sources.avro_codec import encode_value
+
+    ok = encode_value(float(2**53), ["null", "long"])
+    assert ok  # at the bound: exact, accepted
+    with pytest.raises(ValueError, match="no union branch"):
+        encode_value(float(2**53) * 2, ["null", "long"])
+
+
+def test_local_timestamp_keeps_wall_clock_for_aware_values():
+    """Avro local-timestamp stores wall-clock fields regardless of
+    zone: a tz-aware midnight encodes as midnight, not its UTC
+    instant (the UTC anchor belongs to timestamp-* only)."""
+    import datetime as dtm
+
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+
+    tz5 = dtm.timezone(dtm.timedelta(hours=5))
+    aware = dtm.datetime(2026, 1, 1, 0, 0, 0, tzinfo=tz5)
+    local = {"type": "long", "logicalType": "local-timestamp-micros"}
+    assert decode_value(encode_value(aware, local), local) == dtm.datetime(2026, 1, 1)
+    instant = {"type": "long", "logicalType": "timestamp-micros"}
+    assert decode_value(encode_value(aware, instant), instant) == dtm.datetime(
+        2025, 12, 31, 19, 0, 0
+    )
+
+
+def test_read_avro_reads_extensionless_containers(spark, tmp_path):
+    """Containers without a .avro extension (non-Spark producers) must
+    be read, not silently dropped — only hidden/metadata files are
+    excluded."""
+    from hello_flink_spark.sources.avro_codec import encode_container
+    from hello_flink_spark.sources.formats import read_avro
+
+    d = tmp_path / "avro_extless"
+    d.mkdir()
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / "part-0.avro").write_bytes(
+        encode_container([{"a": 1, "b": "x", "c": None}], AVRO_SIMPLE)
+    )
+    (d / "part-1").write_bytes(
+        encode_container([{"a": 2, "b": "y", "c": 7}], AVRO_SIMPLE)
+    )
+    got = sorted((r["a"], r["b"], r["c"]) for r in read_avro(spark, str(d)).collect())
+    assert got == [(1, "x", None), (2, "y", 7)]
+
+
+def test_to_avro_col_accepts_parsed_dict_schema(spark):
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.formats import from_avro_col, to_avro_col
+
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "k", "type": "string"}]}
+    df = spark.createDataFrame([("a",), ("b",)], "k string").select(
+        F.struct("k").alias("rec")
+    )
+    back = df.select(
+        from_avro_col(to_avro_col(F.col("rec"), schema), schema).alias("b")
+    ).select("b.k")
+    assert sorted(r["k"] for r in back.collect()) == ["a", "b"]
