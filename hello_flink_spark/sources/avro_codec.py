@@ -657,14 +657,6 @@ def decode_container(
         size, pos = read_long(blob, pos)
         if count < 0:
             raise ValueError(f"negative container block count {count}")
-        # progress bound: a crafted huge count over a tiny (or empty)
-        # block otherwise spins the per-record loop unboundedly — a
-        # record consumes >= 0 bytes, so bound count by the block bytes
-        # plus slack for legal zero-byte-record schemas (review r12)
-        if count > size * 8 + 65_536:
-            raise ValueError(
-                f"container block claims {count} records in {size} bytes"
-            )
         # negative/oversized size would rewind pos (a crafted size of
         # -18 lands back ON the header sync and loops forever) or
         # silently truncate — the same fail-loud contract as _bounded
@@ -686,6 +678,18 @@ def decode_container(
                 f"unsupported Avro codec {codec!r} (this build supports "
                 "null/deflate/bzip2/xz; snappy and zstandard need their "
                 "external packages)"
+            )
+        # progress bound: a crafted huge count over a tiny block
+        # otherwise spins the per-record loop for 2^63 iterations — a
+        # record consumes >= 0 DECOMPRESSED bytes, so the bound must be
+        # against the decompressed payload, not the block's compressed
+        # size (deflate easily exceeds 8x on repetitive data, so a
+        # compressed-size bound rejected this codec's own legal output
+        # — advisor r12). Slack covers zero-byte-record schemas.
+        if count > len(raw) * 8 + 65_536:
+            raise ValueError(
+                f"container block claims {count} records in "
+                f"{len(raw)} decompressed bytes"
             )
         bpos = 0
         for _ in range(count):

@@ -335,7 +335,13 @@ def _pd_cell(v: Any) -> Any:
     genuine IEEE NaN double is decided schema-side: the Avro union
     matcher maps NaN to the null branch when one exists, and the
     protobuf encoder skips NaN only for non-float fields — so real
-    NaN doubles survive while coerced int nulls stay null."""
+    NaN doubles survive while coerced int nulls stay null. pd.NaT —
+    the Arrow→pandas null sentinel for TIMESTAMP columns — has no
+    such ambiguity (there is no "real NaT instant"), and it is a
+    datetime subclass so the encoders' float-NaN checks never see it:
+    map it to None here (advisor r12)."""
+    if v is pd.NaT:
+        return None
     if isinstance(v, _np.generic):
         v = v.item()
     if isinstance(v, _np.ndarray):
@@ -613,7 +619,12 @@ def read_avro_stream(
     self-describing, but a STREAM needs its schema before any file
     exists — so the reader schema must either be given or be
     inferable from one file already present. Schema evolution applies
-    per file exactly as in the batch reader."""
+    per file exactly as in the batch reader. File filtering matches
+    the batch reader's contract exactly: hidden/metadata files
+    (``_SUCCESS``, ``.crc``) are skipped, any OTHER extension is read
+    and fails loud on bad magic — an ``*.avro`` glob here silently
+    dropped valid extensionless containers the batch path reads
+    (advisor r12)."""
     import glob as _glob
     import json as _json
     import os
@@ -621,10 +632,10 @@ def read_avro_stream(
     from hello_flink_spark.sources.avro_codec import decode_container
 
     if reader_schema is None:
-        # same *.avro filter the stream scan applies (review r12)
+        # same hidden-file-only filter the stream scan applies (below)
         first = sorted(
-            p for p in _glob.glob(os.path.join(path, "**", "*.avro"), recursive=True)
-            if os.path.isfile(p)
+            p for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            if os.path.isfile(p) and os.path.basename(p)[:1] not in ("_", ".")
         )
         if not first:
             raise FileNotFoundError(
@@ -659,9 +670,11 @@ def read_avro_stream(
             )
 
     return (
+        # no pathGlobFilter: Spark's file index already skips _/.-prefixed
+        # files, which is the batch reader's exact filter — anything else
+        # is parsed and fails loud on bad magic rather than vanishing
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
-        .option("pathGlobFilter", "*.avro")
         .load(path)
         .select("content")
         .mapInPandas(_parse, schema=spark_type)

@@ -1161,3 +1161,68 @@ def test_to_avro_col_accepts_parsed_dict_schema(spark):
         from_avro_col(to_avro_col(F.col("rec"), schema), schema).alias("b")
     ).select("b.k")
     assert sorted(r["k"] for r in back.collect()) == ["a", "b"]
+
+
+# --- advisor-r12 regression pins ----------------------------------------------
+
+
+def test_container_compressed_repetitive_roundtrip():
+    """The count-bomb guard must bound against DECOMPRESSED bytes:
+    deflate exceeds 8x on repetitive data, so a compressed-size bound
+    rejected this codec's own legal write_avro output (advisor r12,
+    reproduced). 100k identical records compress ~1000x; the
+    round-trip must succeed under every compressed codec."""
+    from hello_flink_spark.sources.avro_codec import decode_container, encode_container
+
+    recs = [{"a": 0, "b": "", "c": None}] * 100_000
+    for codec in ("deflate", "bzip2", "xz"):
+        blob = encode_container(recs, AVRO_SIMPLE, codec=codec)
+        # the ratio that broke the old guard: count >> compressed_size*8
+        assert 100_000 > (len(blob) * 8 + 65_536), "fixture no longer repro-shaped"
+        schema, got = decode_container(blob)
+        assert len(got) == 100_000 and got[0] == {"a": 0, "b": "", "c": None}
+
+
+def test_encode_cols_handle_nullable_timestamp_nulls(spark):
+    """A null in a nullable TIMESTAMP struct field arrives from Arrow
+    as pd.NaT — a datetime subclass the float-NaN policy never sees;
+    both encode fallbacks must map it to null, not crash (advisor
+    r12, both crashes reproduced)."""
+    import datetime as dtm
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.formats import (
+        from_avro_col,
+        from_protobuf_col,
+        to_avro_col,
+        to_protobuf_col,
+    )
+
+    t1 = dtm.datetime(2026, 3, 1, 12, 30, 0)
+    df = spark.createDataFrame(
+        [(1, t1), (2, None)], "id long, at timestamp"
+    ).select(F.struct("id", "at").alias("rec"))
+    aschema = json.dumps(
+        {"type": "record", "name": "R",
+         "fields": [{"name": "id", "type": "long"},
+                    {"name": "at", "type": ["null", {
+                        "type": "long", "logicalType": "timestamp-micros"}]}]}
+    )
+    back = df.select(
+        from_avro_col(to_avro_col(F.col("rec"), aschema), aschema).alias("b")
+    ).select("b.id", "b.at")
+    assert sorted(((r["id"], r["at"]) for r in back.collect()),
+                  key=lambda t: t[0]) == [(1, t1), (2, None)]
+    pspec = {"name": "R", "fields": [
+        {"name": "id", "num": 1, "type": "int64"},
+        {"name": "at", "num": 2, "type": "google.protobuf.Timestamp"}]}
+    pback = df.select(
+        from_protobuf_col(
+            to_protobuf_col(F.col("rec"), "R", pspec), "R", message_spec=pspec
+        ).alias("b")
+    ).select("b.id", "b.at")
+    # Timestamp is a MESSAGE field: null encodes as absent -> None
+    assert sorted(((r["id"], r["at"]) for r in pback.collect()),
+                  key=lambda t: t[0]) == [(1, t1), (2, None)]

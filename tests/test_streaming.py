@@ -2859,6 +2859,25 @@ def test_avro_container_file_stream_source(spark, tmp_path_factory):
     assert got == [(i, "old") for i in range(5)] + [(i, f"t{i}") for i in range(5, 8)]
 
 
+def test_avro_stream_reads_extensionless_skips_hidden(spark, tmp_path_factory):
+    """read_avro_stream must match the BATCH reader's file contract:
+    extensionless containers are read, _/.-prefixed metadata files are
+    skipped — the old *.avro glob silently dropped valid extensionless
+    files the batch path reads (advisor r12)."""
+    from hello_flink_spark.sources.avro_codec import encode_container
+    from hello_flink_spark.sources.formats import read_avro_stream
+
+    v1 = {"type": "record", "name": "D", "fields": [{"name": "id", "type": "long"}]}
+    d = tmp_path_factory.mktemp("avro_stream_extless")
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / "part-0").write_bytes(encode_container([{"id": i} for i in range(4)], v1))
+    # schema INFERENCE must also see the extensionless file: no reader_schema
+    stream = read_avro_stream(spark, str(d))
+    run_to_memory(stream, "t_avro_stream_extless", "append")
+    got = sorted(r["id"] for r in spark.table("t_avro_stream_extless").collect())
+    assert got == [0, 1, 2, 3]
+
+
 def test_protobuf_delimited_file_stream_source(spark, tmp_path_factory):
     """read_protobuf_delimited_stream: .pb frame files become
     micro-batches; written by the batch sink, read back in a streaming
