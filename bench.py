@@ -244,6 +244,12 @@ HEADLINE = [
     # the raw-parquet oracle).
     "scan_avro_decode",
     "scan_protobuf_decode",
+    # round-13: wire-format FILE/FRAMING certification (Avro object
+    # container write→read with deflate, protobuf varint-delimited
+    # frame streams, Confluent two-generation framing + resolution).
+    "scan_avro_container",
+    "scan_protobuf_delimited",
+    "scan_avro_confluent",
 ]
 
 

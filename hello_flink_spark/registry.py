@@ -57,6 +57,7 @@ _QUERY_MODULES = [
     "hello_flink_spark.queries.round10",
     "hello_flink_spark.queries.round11",
     "hello_flink_spark.queries.round12",
+    "hello_flink_spark.queries.round13",
 ]
 
 
