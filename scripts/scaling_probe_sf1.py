@@ -110,6 +110,15 @@ PROBES = [
     # lowers the constant).
     ("scan_avro_decode", "documents"),
     ("scan_protobuf_decode", "documents"),
+    # round 13 (VERDICT r12 #3): the six heaviest suite queries that had
+    # no second-decade row — 5 of the 12 most expensive plus the
+    # pagerank trainer.
+    ("sim_ann_ivf_pq_residual", "embeddings"),
+    ("graph_pagerank", "lineitem"),
+    ("pipeline_training_corpus_v2", "documents"),
+    ("dedup_cluster_stats", "documents"),
+    ("dedup_minhash_sql", "documents"),
+    ("dedup_fingerprint_levenshtein", "documents"),
 ]
 
 # Work-unit denominator per op (VERDICT r11 #5): the unit the op's
@@ -142,6 +151,12 @@ OP_UNIT: dict[str, str] = {
     "text_substring_dedup_fp": "char-grams",
     "scan_avro_decode": "text-bytes",
     "scan_protobuf_decode": "text-bytes",
+    "sim_ann_ivf_pq_residual": "embedding-rows",
+    "graph_pagerank": "lineitem-rows",
+    "pipeline_training_corpus_v2": "word-shingles",
+    "dedup_cluster_stats": "word-shingles",
+    "dedup_minhash_sql": "word-shingles",
+    "dedup_fingerprint_levenshtein": "word-shingles",
 }
 
 
@@ -411,6 +426,12 @@ def main() -> None:
         "text_substring_dedup_fp": "the raw twin's shape with xxhash64 fingerprints replacing 32-char gram strings BEFORE the first shuffle — gram volume grows past 10x (replica-tag byte inflation, same denominator as the raw twin) while shuffle bytes per gram drop ~4x",
         "scan_avro_decode": "map-only Arrow encode + pure-Python wire decode, byte-proportional with per-job fixed overhead amortizing across the decade; the one shuffle is the final ~|langs|-group aggregate",
         "scan_protobuf_decode": "same map-only encode/decode shape as the Avro twin (varint wire format), byte-proportional with fixed overhead amortizing; final shuffle is the ~|sources|-group aggregate",
+        "sim_ann_ivf_pq_residual": "same IVFADC shape as sim_ann_ivf_pq with TRUE residual encoding: the Lloyd trainer's per-iteration cost is map-only argmin + a fixed-group agg over the 10x corpus, the probe set is constant (PROBE_ID_MAX ids, all replica-0) and every per-query operand (ADC LUTs, probe buckets) is volume-independent — only the coarse-bucket equi-join scales",
+        "graph_pagerank": "each iteration is ONE join + ONE keyed agg on the src-repartitioned, eagerly-checkpointed edge list (O(edges)); replica-offset custkeys make the distinct (customer, supplier) edge set exactly 10x, iteration count is fixed, and driver state is 1-row scalars",
+        "pipeline_training_corpus_v2": "the fused five-stage plan's dominant term is the df-capped shingle self-join; disjoint replica shingle universes keep per-shingle group sizes constant, so the containment term scales with the shingle volume and no stage grows above its keyed input",
+        "dedup_cluster_stats": "dedup_cluster's large-star/small-star CC to fixed point plus two tiny hash aggs over the label table; DISJOINT shards keep component diameter constant, so round count does not grow and per-round cost is edge-proportional",
+        "dedup_minhash_sql": "df-capped shingle explode → 8 minhash folds (keyed agg) → banded equi-self-join; disjoint replica shingle universes keep per-band bucket sizes constant across the decade, so candidates scale linearly with docs, never pairwise",
+        "dedup_fingerprint_levenshtein": "shingle explode + min-hash fingerprint (keyed agg) → fingerprint-capped equi-join (<=32 per bucket) → Levenshtein only on the capped candidates; bucket sizes stay constant across disjoint shards, so the O(len^2) verify term scales with candidate count, which is linear in docs",
     }
 
     def _reason_block(names):
