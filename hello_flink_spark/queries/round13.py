@@ -1,4 +1,4 @@
-"""Round-13 declared queries (SURVEY §2.22): the wire-format FILE /
+"""Round-13 declared queries (SURVEY §2.23): the wire-format FILE /
 FRAMING layer driven at data scale through the driver's hash gate.
 
 Round 12 certified the COLUMN codecs (``from_avro_col`` /
@@ -37,12 +37,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hello_flink_spark.operators.scale import spread_small_scan
+from hello_flink_spark.queries.sources import _CACHE_ROOT
 from hello_flink_spark.registry import register
 from hello_flink_spark.sources.readers import load_table as t
-
-_CACHE_ROOT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache"
-)
 
 
 def _roundtrip_dir(sf_dir: str, kind: str) -> str:
@@ -201,14 +198,21 @@ def scan_avro_confluent(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the v1-rows-lose-lang rule from the raw parquet, so a
     hash match certifies framing + per-id dispatch + the spec's Schema
     Resolution rules on every row. Encode/decode are zero-shuffle
-    Arrow stages; the union is a plan-level concat of two scans of the
-    same cached fixture, and the only exchange is the final
-    ~|langs|-group aggregate."""
+    Arrow stages (A/B-measured UNSPREAD — see the inline note); the
+    union is a plan-level concat of the two generation branches, and
+    the only exchange is the final ~|langs|-group aggregate."""
     from hello_flink_spark.sources.formats import (
         from_avro_confluent_col,
         to_avro_confluent_col,
     )
 
+    # deliberately UNSPREAD (review r13 raised it; A/B said no): the
+    # two-generation encode is ~5k cheap rows/branch at bench scale,
+    # and spread_small_scan measured 0.965-1.089 s min-of-7 vs
+    # 0.557-0.559 s unspread — the round-robin exchange plus 2x32
+    # Python task launches cost more than the codec work they spread
+    # (same class as multimodal_audio_vad_segments). On a cluster the
+    # scan arrives many-split and the branches parallelize naturally.
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", "n_chars"
     )

@@ -416,6 +416,28 @@ def to_protobuf_col(data_col, message_name: str, message_spec: Mapping[str, Any]
     return _encode(data_col)
 
 
+def _visible_files(root: str) -> list[str]:
+    """The files Spark's file index would list under ``root``: skip any
+    path with a ``_``/``.``-prefixed component AT ANY LEVEL below the
+    root — Spark filters hidden names per listing level, so a
+    ``_spark_metadata/0`` commit log is invisible to the scan even
+    though its basename is plain (review r13: a basename-only filter
+    picked it up and crashed schema inference on bad magic). Sorted
+    for a deterministic first-file choice."""
+    import glob as _glob
+    import os
+
+    out = []
+    for p in _glob.glob(os.path.join(root, "**", "*"), recursive=True):
+        if not os.path.isfile(p):
+            continue
+        rel = os.path.relpath(p, root)
+        if any(part[:1] in ("_", ".") for part in rel.split(os.sep)):
+            continue
+        out.append(p)
+    return sorted(out)
+
+
 def read_avro(
     spark: SparkSession,
     path: str,
@@ -469,19 +491,16 @@ def read_avro(
         ) or "Failed to find" in str(exc)
         if not datasource_absent:
             raise
-        import glob as _glob
         import os
 
         from hello_flink_spark.sources.avro_codec import decode_container
 
         # schema from the first container's own metadata (self-describing);
-        # skip hidden/metadata files (_SUCCESS, .crc) like Spark's file
-        # index does — but do NOT require an .avro extension, which
-        # would silently drop valid extensionless containers (r12)
-        first = sorted(
-            p for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
-            if os.path.isfile(p) and not os.path.basename(p)[:1] in ("_", ".")
-        ) or ([path] if os.path.isfile(path) else [])
+        # skip hidden/metadata paths (_SUCCESS, .crc, _spark_metadata/*)
+        # at EVERY level like Spark's file index does — but do NOT
+        # require an .avro extension, which would silently drop valid
+        # extensionless containers (r12)
+        first = _visible_files(path) or ([path] if os.path.isfile(path) else [])
         if not first:
             raise FileNotFoundError(f"no Avro container files under {path!r}")
         if reader_schema is None:
@@ -625,18 +644,15 @@ def read_avro_stream(
     and fails loud on bad magic — an ``*.avro`` glob here silently
     dropped valid extensionless containers the batch path reads
     (advisor r12)."""
-    import glob as _glob
     import json as _json
-    import os
 
     from hello_flink_spark.sources.avro_codec import decode_container
 
     if reader_schema is None:
-        # same hidden-file-only filter the stream scan applies (below)
-        first = sorted(
-            p for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
-            if os.path.isfile(p) and os.path.basename(p)[:1] not in ("_", ".")
-        )
+        # same per-level hidden-path filter the stream scan applies
+        # (below): _visible_files skips _/.-prefixed COMPONENTS, so a
+        # _spark_metadata/0 commit log cannot poison inference (r13)
+        first = _visible_files(path)
         if not first:
             raise FileNotFoundError(
                 f"no Avro container under {path!r} to infer the stream schema "

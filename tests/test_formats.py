@@ -1226,3 +1226,28 @@ def test_encode_cols_handle_nullable_timestamp_nulls(spark):
     # Timestamp is a MESSAGE field: null encodes as absent -> None
     assert sorted(((r["id"], r["at"]) for r in pback.collect()),
                   key=lambda t: t[0]) == [(1, t1), (2, None)]
+
+
+def test_read_avro_skips_hidden_directory_components(spark, tmp_path):
+    """Spark's file index hides _/.-prefixed names at EVERY path level,
+    so a commit-log file with a PLAIN basename inside a hidden
+    directory (the _spark_metadata/0 / .staging/task-X layout) must
+    poison neither schema inference nor the scan — a basename-only
+    filter globbed it first and crashed on bad magic (review r13).
+    The fixture uses a generic hidden dir name: Spark special-cases
+    the literal `_spark_metadata` as a FileStreamSink log, which is a
+    different (JVM-side) code path from the listing filter under
+    test."""
+    from hello_flink_spark.sources.avro_codec import encode_container
+    from hello_flink_spark.sources.formats import read_avro
+
+    d = tmp_path / "avro_sink_dir"
+    (d / "_commits").mkdir(parents=True)
+    # plain basename, hidden parent; sorts BEFORE part-0 — exactly the
+    # poison ordering
+    (d / "_commits" / "0").write_text('{"commit": 1}')
+    (d / "part-0").write_bytes(
+        encode_container([{"a": 1, "b": "x", "c": None}], AVRO_SIMPLE)
+    )
+    got = read_avro(spark, str(d)).collect()
+    assert [(r["a"], r["b"], r["c"]) for r in got] == [(1, "x", None)]
