@@ -700,10 +700,15 @@ def read_avro_stream(
 def read_protobuf_delimited_stream(
     spark: SparkSession, path: str, message_spec: Mapping[str, Any]
 ) -> DataFrame:
-    """The protobuf frame-stream source in STREAMING mode: new ``.pb``
-    varint length-delimited files landing under ``path`` become
+    """The protobuf frame-stream source in STREAMING mode: new varint
+    length-delimited frame files landing under ``path`` become
     micro-batches (``readStream`` binaryFile + the same frame split as
-    the batch reader; truncated frames fail the batch loud)."""
+    the batch reader; truncated frames fail the batch loud). File
+    filtering matches the batch reader's contract exactly — hidden
+    ``_``/``.``-prefixed paths are skipped by Spark's file index, any
+    other name (extensionless included) is read and fails loud on a
+    bad frame; the old ``*.pb`` glob silently dropped files the batch
+    path reads (same advisor-r12 class as ``read_avro_stream``)."""
     from hello_flink_spark.sources.proto_codec import decode_message, read_varint
 
     spark_type = proto_message_to_spark(message_spec)
@@ -732,9 +737,10 @@ def read_protobuf_delimited_stream(
             )
 
     return (
+        # no pathGlobFilter: match the batch reader (hidden-file skip
+        # comes from Spark's file index; anything else fails loud)
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
-        .option("pathGlobFilter", "*.pb")
         .load(path)
         .select("content")
         .mapInPandas(_parse, schema=spark_type)

@@ -2878,6 +2878,32 @@ def test_avro_stream_reads_extensionless_skips_hidden(spark, tmp_path_factory):
     assert got == [0, 1, 2, 3]
 
 
+def test_protobuf_stream_reads_extensionless_skips_hidden(spark, tmp_path_factory):
+    """read_protobuf_delimited_stream must match the BATCH reader's
+    file contract: extensionless frame files are read, _/.-prefixed
+    metadata files are skipped — the old *.pb glob silently dropped
+    files the batch path reads (same class as the avro-stream advisor
+    finding)."""
+    import io
+
+    from hello_flink_spark.sources.formats import read_protobuf_delimited_stream
+    from hello_flink_spark.sources.proto_codec import encode_message, write_varint
+
+    spec = {"name": "E", "fields": [{"name": "v", "num": 1, "type": "int64"}]}
+    d = tmp_path_factory.mktemp("pb_stream_extless")
+    (d / "_SUCCESS").write_bytes(b"")
+    buf = io.BytesIO()
+    for i in range(5):
+        raw = encode_message({"v": i}, spec)
+        write_varint(buf, len(raw))
+        buf.write(raw)
+    (d / "part-0").write_bytes(buf.getvalue())  # no .pb extension
+    stream = read_protobuf_delimited_stream(spark, str(d), spec)
+    run_to_memory(stream, "t_pb_stream_extless", "append")
+    got = sorted(r["v"] for r in spark.table("t_pb_stream_extless").collect())
+    assert got == [0, 1, 2, 3, 4]
+
+
 def test_protobuf_delimited_file_stream_source(spark, tmp_path_factory):
     """read_protobuf_delimited_stream: .pb frame files become
     micro-batches; written by the batch sink, read back in a streaming
