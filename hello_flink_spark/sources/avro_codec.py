@@ -86,6 +86,12 @@ def read_long(buf: bytes, pos: int) -> tuple[int, int]:
         # 11-byte varint yield a silently wrong 77-bit value)
         if shift > 63:
             raise ValueError("Avro varint longer than 10 bytes")
+    # a 10-byte varint whose 10th byte sets bits past 2^64 would yield
+    # a 65-70-bit value no canonical writer produces (Java masks to 64
+    # bits) — fail loud instead of passing an out-of-int64 long on
+    # (review r13)
+    if acc >> 64:
+        raise ValueError("Avro varint exceeds 64 bits")
     return (acc >> 1) ^ -(acc & 1), pos
 
 
@@ -96,9 +102,46 @@ def _resolve(schema: str | Mapping[str, Any] | list) -> Any:
     return json.loads(schema) if isinstance(schema, str) else schema
 
 
+_PRIMITIVE_NAMES = frozenset(
+    ("null", "boolean", "int", "long", "float", "double", "bytes", "string")
+)
+
+
+def _register_named(s: Any, named: dict[str, Any]) -> None:
+    """Walk a schema ONCE, registering every named definition (record/
+    enum/fixed) so later references resolve even when the DEFINING
+    branch is not visited during value traversal — a null union value
+    left its branch's record definition unregistered, and the later
+    bare-name reference self-recursed to RecursionError (review r13).
+    Registration during value traversal still happens (it is how
+    recursive data would resolve mid-stream) but no longer carries the
+    correctness burden."""
+    if isinstance(s, list):
+        for b in s:
+            _register_named(b, named)
+        return
+    if not isinstance(s, Mapping):
+        return
+    t = s.get("type")
+    if t in ("record", "enum", "fixed") and s.get("name"):
+        named.setdefault(s["name"], s)
+    if t == "record":
+        for f in s.get("fields", ()):
+            _register_named(f.get("type"), named)
+    elif t == "array":
+        _register_named(s.get("items"), named)
+    elif t == "map":
+        _register_named(s.get("values"), named)
+    elif isinstance(t, (Mapping, list)):
+        _register_named(t, named)
+
+
 def encode_value(value: Any, schema: str | Mapping[str, Any] | list) -> bytes:
     out = io.BytesIO()
-    _enc(out, value, _resolve(schema), named={})
+    s = _resolve(schema)
+    named: dict[str, Any] = {}
+    _register_named(s, named)
+    _enc(out, value, s, named=named)
     return out.getvalue()
 
 
@@ -122,6 +165,11 @@ def _enc(out: io.BytesIO, v: Any, s: Any, named: dict[str, Any]) -> None:
         if s in named:  # named-type reference
             _enc(out, v, named[s], named)
             return
+        if s not in _PRIMITIVE_NAMES:
+            # an unknown bare name would fall through every primitive
+            # case to the nested-schema tail call and self-recurse
+            # forever (review r13) — fail loud instead
+            raise ValueError(f"unresolved Avro named-type reference {s!r}")
         t = s
     elif isinstance(s, list):  # union: index then branch value
         idx = _union_branch_index(v, s, named)
@@ -284,6 +332,17 @@ def _union_branch_index(v: Any, branches: list, named: dict[str, Any]) -> int:
             bt = b if isinstance(b, str) else (b.get("type") if isinstance(b, Mapping) else None)
             if bt in ("int", "long"):
                 return i
+    # the mirror image (review r13): a Python int for a float/double
+    # branch — _enc accepts int for BARE float/double schemas, so the
+    # union matcher must too. After the exact pass, so int/long
+    # branches always win when present; int→float is the promotion the
+    # Avro spec itself allows, lossless for doubles up to 2^53 and the
+    # same rounding as the bare-schema path beyond.
+    if isinstance(v, int) and not isinstance(v, bool):
+        for i, b in enumerate(branches):
+            bt = b if isinstance(b, str) else (b.get("type") if isinstance(b, Mapping) else None)
+            if bt in ("float", "double"):
+                return i
     raise ValueError(f"no union branch for {type(v).__name__} in {branches!r}")
 
 
@@ -303,7 +362,10 @@ def decode_value(
     Resolution rules on top (``resolve_value``): the payload is decoded
     with the WRITER schema it was encoded under, then adapted to the
     evolved reader shape — the jar module's schema-evolution read."""
-    v, pos = _dec(payload, 0, _resolve(schema), named={})
+    s = _resolve(schema)
+    named: dict[str, Any] = {}
+    _register_named(s, named)
+    v, pos = _dec(payload, 0, s, named=named)
     if pos != len(payload):
         raise ValueError(f"{len(payload) - pos} trailing bytes after Avro value")
     if reader_schema is not None:
@@ -461,6 +523,10 @@ def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]
     if isinstance(s, str):
         if s in named:
             return _dec(buf, pos, named[s], named)
+        if s not in _PRIMITIVE_NAMES:
+            # same guard as _enc: unknown bare names must not reach the
+            # nested-schema tail call and self-recurse (review r13)
+            raise ValueError(f"unresolved Avro named-type reference {s!r}")
         t = s
     elif isinstance(s, list):  # union
         idx, pos = read_long(buf, pos)
@@ -605,8 +671,11 @@ def encode_container(
         raise ValueError("sync marker must be 16 bytes")
     out.write(sync)  # header sync marker (spec: precedes the blocks)
     body = io.BytesIO()
+    named: dict[str, Any] = {}
+    _register_named(s, named)  # definitions resolve regardless of
+    # which record first exercises a union branch (review r13)
     for r in records:
-        _enc(body, r, s, named={})
+        _enc(body, r, s, named=named)
     raw = body.getvalue()
     if codec == "deflate":
         raw = zlib.compress(raw)[2:-4]  # raw deflate per spec (no zlib wrap)
@@ -649,8 +718,15 @@ def decode_container(
     meta, pos = _dec(blob, 4, _META_SCHEMA, named={})
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    sync = blob[pos : pos + 16]
-    pos += 16
+    # an unchecked 16-byte slice here read a file truncated inside the
+    # header sync as ZERO blocks — a corrupt container decoding to an
+    # empty dataset, the exact silent class _bounded exists for
+    # (review r13)
+    sync_end = _bounded(blob, pos, 16)
+    sync = blob[pos:sync_end]
+    pos = sync_end
+    named: dict[str, Any] = {}
+    _register_named(schema, named)
     records: list[Any] = []
     while pos < len(blob):
         count, pos = read_long(blob, pos)
@@ -693,7 +769,7 @@ def decode_container(
             )
         bpos = 0
         for _ in range(count):
-            v, bpos = _dec(raw, bpos, schema, named={})
+            v, bpos = _dec(raw, bpos, schema, named=named)
             records.append(v)
         if blob[pos : pos + 16] != sync:
             raise ValueError("sync marker mismatch (corrupt container block)")

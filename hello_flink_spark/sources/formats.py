@@ -273,6 +273,74 @@ def _jvm_class_loadable(class_name: str) -> bool:
         return False
 
 
+_UTC_TZ_NAMES = frozenset(("UTC", "Etc/UTC", "GMT", "Z", "+00:00", "GMT0", "UTC0"))
+
+
+def _avro_has_instant(s: Any) -> bool:
+    """True iff the Avro schema contains a timestamp-INSTANT logical
+    type (``timestamp-millis``/``timestamp-micros``). ``local-*``
+    variants are wall-clock (Spark TimestampNTZ) and are session-tz
+    independent, so they do not trigger the UTC contract below."""
+    if isinstance(s, str):
+        try:
+            s = json.loads(s) if s[:1] in "{[\"" else s
+        except ValueError:
+            return False
+    if isinstance(s, list):
+        return any(_avro_has_instant(b) for b in s)
+    if not isinstance(s, Mapping):
+        return False
+    if s.get("logicalType") in ("timestamp-millis", "timestamp-micros"):
+        return True
+    t = s.get("type")
+    if t == "record":
+        return any(_avro_has_instant(f.get("type")) for f in s.get("fields", ()))
+    if t == "array":
+        return _avro_has_instant(s.get("items"))
+    if t == "map":
+        return _avro_has_instant(s.get("values"))
+    if isinstance(t, (Mapping, list)):
+        return _avro_has_instant(t)
+    return False
+
+
+def _proto_has_instant(spec: Mapping[str, Any]) -> bool:
+    """True iff the message spec contains a ``google.protobuf.
+    Timestamp`` field anywhere (Duration is tz-independent)."""
+    for f in spec.get("fields", ()):
+        if f.get("type") == "google.protobuf.Timestamp":
+            return True
+        if f.get("type") == "message" and _proto_has_instant(f.get("message", {})):
+            return True
+    return False
+
+
+def _require_utc_for_instants(has_instant: bool, api: str) -> None:
+    """The pure-Python fallbacks exchange timestamp INSTANTS with Spark
+    as naive datetimes, and Spark interprets a naive value through the
+    pandas boundary as SESSION-timezone wall clock — on a non-UTC
+    session every instant would shift by the zone offset vs the JVM
+    jar path (review r13). Rather than silently corrupt, the fallback
+    requires ``spark.sql.session.timeZone=UTC`` whenever the schema
+    carries an instant type (this engine's ``session.py`` pins UTC;
+    the connector-jar paths handle any session tz)."""
+    if not has_instant:
+        return
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    if tz not in _UTC_TZ_NAMES:
+        raise NotImplementedError(
+            f"{api}: the pure-Python wire-codec fallback exchanges "
+            f"timestamp instants as naive UTC datetimes, which a "
+            f"session timezone of {tz!r} would re-anchor to local wall "
+            "clock (shifting every instant). Set "
+            "spark.sql.session.timeZone=UTC or ship the connector jar "
+            "for timezone-aware JVM decoding."
+        )
+
+
 def _avro_py_udf(json_schema: str):
     """Arrow-batched pandas UDF decoding an Avro-binary column to the
     Spark shape ``avro_schema_to_spark`` declares for the schema."""
@@ -285,6 +353,7 @@ def _avro_py_udf(json_schema: str):
     # re-parse the schema per record inside the hot loop (review r12);
     # guarded so already-parsed dict schemas keep working
     schema_obj = json.loads(json_schema) if isinstance(json_schema, str) else json_schema
+    _require_utc_for_instants(_avro_has_instant(schema_obj), "from_avro_col")
 
     if isinstance(spark_type, StructType):
 
@@ -380,6 +449,7 @@ def to_avro_col(data_col, json_schema: str):
     schema_obj = (  # parse once, not per record; dicts pass through
         json.loads(json_schema) if isinstance(json_schema, str) else json_schema
     )
+    _require_utc_for_instants(_avro_has_instant(schema_obj), "to_avro_col")
 
     @pandas_udf(BinaryType())
     def _encode(pdf: pd.DataFrame) -> pd.Series:
@@ -393,16 +463,39 @@ def to_avro_col(data_col, json_schema: str):
     return _encode(data_col)
 
 
-def to_protobuf_col(data_col, message_name: str, message_spec: Mapping[str, Any]):
+def to_protobuf_col(
+    data_col,
+    message_name: str,
+    message_spec: Mapping[str, Any] | None = None,
+    desc_file_path: str | None = None,
+):
     """[F] ``protobuf`` ENCODE for sinks: the wire-format twin of
-    ``to_avro_col``, driven by the descriptor-shaped ``message_spec``
-    dict (protoc is absent here, so the dict is also the only
-    descriptor source — same contract as ``from_protobuf_col``)."""
+    ``to_avro_col``. With a protoc-compiled descriptor set AND the
+    spark-protobuf jar, uses the JVM ``to_protobuf`` (the mirror of
+    ``from_protobuf_col``'s gate — review r13: this wrapper previously
+    never probed the jar and silently ignored ``message_name``).
+    Otherwise encodes with the pure-Python wire codec driven by the
+    descriptor-shaped ``message_spec`` dict (protoc is absent in this
+    sandbox, so the dict is also the only descriptor source here)."""
     from pyspark.sql.functions import pandas_udf
 
     from hello_flink_spark.sources.proto_codec import encode_message
 
+    if desc_file_path is not None and _jvm_class_loadable(
+        "org.apache.spark.sql.protobuf.utils.ProtobufUtils"
+    ):
+        from pyspark.sql.protobuf.functions import to_protobuf
+
+        return to_protobuf(data_col, message_name, descFilePath=desc_file_path)
+    if message_spec is None:
+        raise NotImplementedError(
+            "spark-protobuf module not available and no message_spec dict "
+            "given; ship org.apache.spark:spark-protobuf_2.13 (+ a protoc "
+            "descriptor set) or pass the descriptor-shaped message_spec "
+            "for the pure-Python wire encoder"
+        )
     spec = dict(message_spec)
+    _require_utc_for_instants(_proto_has_instant(spec), "to_protobuf_col")
 
     @pandas_udf(BinaryType())
     def _encode(pdf: pd.DataFrame) -> pd.Series:
@@ -436,6 +529,31 @@ def _visible_files(root: str) -> list[str]:
             continue
         out.append(p)
     return sorted(out)
+
+
+def _avro_container_parse(schema: Any, spark_type: StructType, resolve: bool):
+    """The container-parse mapInPandas body shared by the batch and
+    streaming Avro readers — one copy, same rationale as
+    ``_proto_frames_parse`` (review r13). ``resolve`` applies the
+    spec's Schema Resolution from each file's own writer schema to
+    ``schema`` (the reader)."""
+    from hello_flink_spark.sources.avro_codec import decode_container
+
+    def _parse(batches):
+        for pdf in batches:
+            out: list[dict] = []
+            for blob in pdf["content"]:
+                _, records = decode_container(
+                    bytes(blob), reader_schema=schema if resolve else None
+                )
+                out.extend(records)
+            yield pd.DataFrame(
+                {f.name: [r[f.name] for r in out] for f in spark_type.fields}
+                if out
+                else {f.name: [] for f in spark_type.fields}
+            )
+
+    return _parse
 
 
 def read_avro(
@@ -515,20 +633,7 @@ def read_avro(
         spark_type = avro_schema_to_spark(schema)
         if not isinstance(spark_type, StructType):
             raise ValueError("read_avro requires a record top-level schema")
-
-        def _parse(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                out: list[dict] = []
-                for blob in pdf["content"]:
-                    _, records = decode_container(bytes(blob), reader_schema=schema if reader_schema is not None else None)
-                    out.extend(records)
-                yield pd.DataFrame(
-                    {f.name: [r[f.name] for r in out] for f in spark_type.fields}
-                    if out
-                    else {f.name: [] for f in spark_type.fields}
-                )
+        _require_utc_for_instants(_avro_has_instant(schema), "read_avro")
 
         # NO extension filter on the scan: valid containers are often
         # extensionless, and Spark's file index already skips hidden
@@ -538,7 +643,10 @@ def read_avro(
             spark.read.format("binaryFile")
             .load(path)
             .select("content")
-            .mapInPandas(_parse, schema=spark_type)
+            .mapInPandas(
+                _avro_container_parse(schema, spark_type, reader_schema is not None),
+                schema=spark_type,
+            )
         )
 
 
@@ -572,6 +680,10 @@ def from_avro_confluent_col(
         int(i): (json.loads(s) if isinstance(s, str) else s)
         for i, s in schemas_by_id.items()
     }
+    _require_utc_for_instants(
+        _avro_has_instant(reader) or any(map(_avro_has_instant, writers.values())),
+        "from_avro_confluent_col",
+    )
 
     def _one(b: bytes) -> dict:
         if len(b) < 5 or b[0] != 0:
@@ -605,6 +717,7 @@ def to_avro_confluent_col(data_col, json_schema: str, schema_id: int):
 
     prefix = b"\x00" + int(schema_id).to_bytes(4, "big")
     schema_obj = json.loads(json_schema) if isinstance(json_schema, str) else json_schema
+    _require_utc_for_instants(_avro_has_instant(schema_obj), "to_avro_confluent_col")
 
     @pandas_udf(BinaryType())
     def _encode(pdf: pd.DataFrame) -> pd.Series:
@@ -669,21 +782,7 @@ def read_avro_stream(
     spark_type = avro_schema_to_spark(schema)
     if not isinstance(spark_type, StructType):
         raise ValueError("read_avro_stream requires a record top-level schema")
-    resolve = reader_schema is not None
-
-    def _parse(batches):
-        for pdf in batches:
-            out: list[dict] = []
-            for blob in pdf["content"]:
-                _, records = decode_container(
-                    bytes(blob), reader_schema=schema if resolve else None
-                )
-                out.extend(records)
-            yield pd.DataFrame(
-                {f.name: [r[f.name] for r in out] for f in spark_type.fields}
-                if out
-                else {f.name: [] for f in spark_type.fields}
-            )
+    _require_utc_for_instants(_avro_has_instant(schema), "read_avro_stream")
 
     return (
         # no pathGlobFilter: Spark's file index already skips _/.-prefixed
@@ -693,26 +792,19 @@ def read_avro_stream(
         .schema(_BINARY_FILE_SCHEMA)
         .load(path)
         .select("content")
-        .mapInPandas(_parse, schema=spark_type)
+        .mapInPandas(
+            _avro_container_parse(schema, spark_type, reader_schema is not None),
+            schema=spark_type,
+        )
     )
 
 
-def read_protobuf_delimited_stream(
-    spark: SparkSession, path: str, message_spec: Mapping[str, Any]
-) -> DataFrame:
-    """The protobuf frame-stream source in STREAMING mode: new varint
-    length-delimited frame files landing under ``path`` become
-    micro-batches (``readStream`` binaryFile + the same frame split as
-    the batch reader; truncated frames fail the batch loud). File
-    filtering matches the batch reader's contract exactly — hidden
-    ``_``/``.``-prefixed paths are skipped by Spark's file index, any
-    other name (extensionless included) is read and fails loud on a
-    bad frame; the old ``*.pb`` glob silently dropped files the batch
-    path reads (same advisor-r12 class as ``read_avro_stream``)."""
+def _proto_frames_parse(spec: Mapping[str, Any], spark_type: StructType):
+    """The varint frame-split + wire-decode mapInPandas body shared by
+    the batch and streaming delimited readers — one copy, so a framing
+    fix can never reach only one of the pair (review r13; the two
+    copies had already drifted once on file filtering)."""
     from hello_flink_spark.sources.proto_codec import decode_message, read_varint
-
-    spark_type = proto_message_to_spark(message_spec)
-    spec = dict(message_spec)
 
     def _parse(batches):
         for pdf in batches:
@@ -736,6 +828,25 @@ def read_protobuf_delimited_stream(
                 else {f.name: [] for f in spark_type.fields}
             )
 
+    return _parse
+
+
+def read_protobuf_delimited_stream(
+    spark: SparkSession, path: str, message_spec: Mapping[str, Any]
+) -> DataFrame:
+    """The protobuf frame-stream source in STREAMING mode: new varint
+    length-delimited frame files landing under ``path`` become
+    micro-batches (``readStream`` binaryFile + the same frame split as
+    the batch reader; truncated frames fail the batch loud). File
+    filtering matches the batch reader's contract exactly — hidden
+    ``_``/``.``-prefixed paths are skipped by Spark's file index, any
+    other name (extensionless included) is read and fails loud on a
+    bad frame; the old ``*.pb`` glob silently dropped files the batch
+    path reads (same advisor-r12 class as ``read_avro_stream``)."""
+    spark_type = proto_message_to_spark(message_spec)
+    spec = dict(message_spec)
+    _require_utc_for_instants(_proto_has_instant(spec), "read_protobuf_delimited_stream")
+
     return (
         # no pathGlobFilter: match the batch reader (hidden-file skip
         # comes from Spark's file index; anything else fails loud)
@@ -743,7 +854,7 @@ def read_protobuf_delimited_stream(
         .schema(_BINARY_FILE_SCHEMA)
         .load(path)
         .select("content")
-        .mapInPandas(_parse, schema=spark_type)
+        .mapInPandas(_proto_frames_parse(spec, spark_type), schema=spark_type)
     )
 
 
@@ -840,6 +951,7 @@ def write_avro(df: DataFrame, path: str, codec: str = "null") -> None:
     from hello_flink_spark.sources.avro_codec import encode_container
 
     schema = spark_type_to_avro(df.schema)
+    _require_utc_for_instants(_avro_has_instant(schema), "write_avro")
     os.makedirs(path, exist_ok=True)
 
     def _write_partition(rows) -> None:
@@ -860,6 +972,7 @@ def _proto_py_udf(message_spec: Mapping[str, Any]):
     from hello_flink_spark.sources.proto_codec import decode_message
 
     spark_type = proto_message_to_spark(message_spec)
+    _require_utc_for_instants(_proto_has_instant(message_spec), "from_protobuf_col")
 
     @pandas_udf(spark_type)
     def _decode(s: pd.Series) -> pd.DataFrame:
@@ -914,40 +1027,15 @@ def read_protobuf_delimited(
     same many-modest-files contract as the jar-free ``read_avro``;
     frames cannot be split WITHIN a file because varint boundaries are
     not seekable. Truncated frames fail loud, never silently drop."""
-    from hello_flink_spark.sources.proto_codec import decode_message, read_varint
-
     spark_type = proto_message_to_spark(message_spec)
     spec = dict(message_spec)
-
-    def _parse(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out: list[dict] = []
-            for blob in pdf["content"]:
-                b = bytes(blob)
-                pos = 0
-                while pos < len(b):
-                    ln, pos = read_varint(b, pos)
-                    end = pos + ln
-                    if end > len(b):
-                        raise ValueError(
-                            f"truncated delimited protobuf frame: need {ln} "
-                            f"bytes at offset {pos}, have {len(b) - pos}"
-                        )
-                    out.append(decode_message(b[pos:end], spec))
-                    pos = end
-            yield pd.DataFrame(
-                {f.name: [r[f.name] for r in out] for f in spark_type.fields}
-                if out
-                else {f.name: [] for f in spark_type.fields}
-            )
+    _require_utc_for_instants(_proto_has_instant(spec), "read_protobuf_delimited")
 
     return (
         spark.read.format("binaryFile")
         .load(path)
         .select("content")
-        .mapInPandas(_parse, schema=spark_type)
+        .mapInPandas(_proto_frames_parse(spec, spark_type), schema=spark_type)
     )
 
 
@@ -966,6 +1054,7 @@ def write_protobuf_delimited(
     from hello_flink_spark.sources.proto_codec import encode_message, write_varint
 
     spec = dict(message_spec)
+    _require_utc_for_instants(_proto_has_instant(spec), "write_protobuf_delimited")
     os.makedirs(path, exist_ok=True)
 
     def _write_partition(rows) -> None:

@@ -77,6 +77,14 @@ def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
+            # the 10th byte carries shift 63: any bit past 2^64 makes a
+            # 65-70-bit value no canonical writer emits (sign-extended
+            # negatives end with a 10th byte of exactly 0x01; Java
+            # masks to 64 bits), and the int32/int64 two's-complement
+            # fold below would then return wrong positives — fail loud
+            # (review r13)
+            if acc >> 64:
+                raise ValueError("protobuf varint exceeds 64 bits")
             return acc, pos
         shift += 7
         # 10-byte spec max: the 10th byte carries shift 63; reject the
@@ -208,8 +216,14 @@ def _enc_timestamp(v: Any) -> bytes:
 
 def _enc_duration(v: Any) -> bytes:
     if isinstance(v, _dt.timedelta):
-        secs = v.days * 86400 + v.seconds
-        nanos = v.microseconds * 1000
+        # the Duration spec requires seconds and nanos to SHARE a sign
+        # (truncation toward zero); Python's timedelta normalization
+        # (days=-1, microseconds=+999999) would otherwise emit the
+        # mixed-sign pair real protobuf consumers reject (review r13)
+        total_us = (v.days * 86400 + v.seconds) * 1_000_000 + v.microseconds
+        sign = -1 if total_us < 0 else 1
+        secs, rem_us = divmod(abs(total_us), 1_000_000)
+        secs, nanos = sign * secs, sign * rem_us * 1000
     else:
         secs, nanos = int(v), 0
     out = io.BytesIO()
@@ -274,8 +288,32 @@ def decode_message(payload: bytes, spec: Mapping[str, Any]) -> dict[str, Any]:
             end = _bounded(payload, pos, n)
             while pos < end:
                 v, pos = _read_scalar(payload, pos, f)
+                # the packed region is its own boundary: an element that
+                # reads past it would silently swallow the NEXT field's
+                # bytes (review r13 — a fixed32 crossing the boundary
+                # consumed the following tag+value and the next field
+                # reverted to its default, no error)
+                if pos > end:
+                    raise ValueError(
+                        f"packed {t} element for field {f['name']!r} "
+                        f"overruns its {n}-byte region"
+                    )
                 out[f["name"]].append(v)
             continue
+        # validate the tag's wire type against the declared field type:
+        # a mismatch (schema drift, corruption) would otherwise be
+        # silently MIS-decoded — e.g. a length-delimited payload read
+        # as a varint yields a garbage number with no error (review
+        # r13). Upstream parsers route mismatches to unknown fields;
+        # this decoder's contract is fail-loud, and a KNOWN field
+        # number changing wire type is a breaking schema change the
+        # pipeline must surface, not mask.
+        expected = _wire_type(t) if t not in _WELL_KNOWN_ENC else _WT_LEN
+        if wt != expected:
+            raise ValueError(
+                f"field {f['name']!r} ({t}) has wire type {wt}, "
+                f"expected {expected}"
+            )
         v, pos = _read_value(payload, pos, f, wt)
         if f.get("repeated"):
             out[f["name"]].append(v)
@@ -355,18 +393,26 @@ def _read_scalar(buf: bytes, pos: int, f: Mapping[str, Any]) -> tuple[Any, int]:
         v, pos = read_varint(buf, pos)
         syms = f.get("symbols")
         return (syms[v] if syms and 0 <= v < len(syms) else str(v)), pos
+    # fixed-width reads validate bounds FIRST so truncation raises the
+    # codec's uniform ValueError, not a bare struct.error (review r13)
     if t == "double":
-        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+        end = _bounded(buf, pos, 8)
+        return struct.unpack_from("<d", buf, pos)[0], end
     if t == "float":
-        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+        end = _bounded(buf, pos, 4)
+        return struct.unpack_from("<f", buf, pos)[0], end
     if t == "fixed64":
-        return _decimal.Decimal(struct.unpack_from("<Q", buf, pos)[0]), pos + 8
+        end = _bounded(buf, pos, 8)
+        return _decimal.Decimal(struct.unpack_from("<Q", buf, pos)[0]), end
     if t == "sfixed64":
-        return struct.unpack_from("<q", buf, pos)[0], pos + 8
+        end = _bounded(buf, pos, 8)
+        return struct.unpack_from("<q", buf, pos)[0], end
     if t == "fixed32":
-        return struct.unpack_from("<I", buf, pos)[0], pos + 4
+        end = _bounded(buf, pos, 4)
+        return struct.unpack_from("<I", buf, pos)[0], end
     if t == "sfixed32":
-        return struct.unpack_from("<i", buf, pos)[0], pos + 4
+        end = _bounded(buf, pos, 4)
+        return struct.unpack_from("<i", buf, pos)[0], end
     raise ValueError(f"not a packed-able scalar: {t!r}")
 
 

@@ -1251,3 +1251,170 @@ def test_read_avro_skips_hidden_directory_components(spark, tmp_path):
     )
     got = read_avro(spark, str(d)).collect()
     assert [(r["a"], r["b"], r["c"]) for r in got] == [(1, "x", None)]
+
+
+# --- review-r13 full-file codec review pins -----------------------------------
+
+
+def test_packed_element_must_not_overrun_its_region():
+    """A packed element reading past its declared region would silently
+    swallow the NEXT field's bytes (fixed32 crossing the boundary
+    consumed the following tag+value; the next field reverted to its
+    default with no error — review r13)."""
+    from hello_flink_spark.sources.proto_codec import decode_message
+
+    spec = {"name": "P", "fields": [
+        {"name": "xs", "num": 1, "type": "fixed32", "repeated": True},
+        {"name": "n", "num": 2, "type": "int32"}]}
+    # field 1 packed, claims 2 bytes; a fixed32 needs 4 -> would cross
+    # into field 2's tag/value (10 05)
+    evil = bytes([0x0A, 0x02, 0x01, 0x00, 0x10, 0x05])
+    with pytest.raises(ValueError, match="overruns"):
+        decode_message(evil, spec)
+
+
+def test_wire_type_mismatch_fails_loud():
+    """A KNOWN field number arriving with the wrong wire type (schema
+    drift/corruption) must raise, not be mis-decoded — a
+    length-delimited payload read as a varint yields a garbage number
+    with no error (review r13)."""
+    from hello_flink_spark.sources.proto_codec import decode_message
+
+    spec = {"name": "M", "fields": [
+        {"name": "n", "num": 1, "type": "int32"},
+        {"name": "s", "num": 2, "type": "string"}]}
+    # field 1 written as wt=2 (len 4, bytes 08 08 08 08), field 2 ok
+    drifted = bytes([0x0A, 0x04, 0x08, 0x08, 0x08, 0x08, 0x12, 0x02]) + b"hi"
+    with pytest.raises(ValueError, match="wire type"):
+        decode_message(drifted, spec)
+
+
+def test_named_type_reference_resolves_across_union_branches():
+    """A named record defined inside a union branch and REFERENCED by a
+    later field must resolve even when the defining branch is never
+    taken by the data (a=null left R unregistered and the bare-name
+    reference self-recursed to RecursionError — review r13). Unknown
+    bare names now also fail loud instead of recursing."""
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+
+    top = {"type": "record", "name": "Top", "fields": [
+        {"name": "a", "type": ["null", {
+            "type": "record", "name": "R",
+            "fields": [{"name": "x", "type": "int"}]}]},
+        {"name": "b", "type": "R"}]}
+    v = {"a": None, "b": {"x": 7}}
+    assert decode_value(encode_value(v, top), top) == v
+    with pytest.raises(ValueError, match="unresolved"):
+        encode_value({"q": 1}, {"type": "record", "name": "T",
+                                "fields": [{"name": "q", "type": "Nope"}]})
+
+
+def test_duration_negative_fraction_same_sign():
+    """protobuf Duration requires seconds and nanos to SHARE a sign;
+    Python timedelta normalization (days=-1, microseconds=+999999)
+    must not leak onto the wire as a mixed-sign pair (review r13)."""
+    import datetime as dtm
+
+    from hello_flink_spark.sources.proto_codec import decode_message, encode_message
+
+    spec = {"name": "D", "fields": [{"name": "d", "num": 1,
+                                     "type": "google.protobuf.Duration"}]}
+    neg = dtm.timedelta(microseconds=-1)
+    blob = encode_message({"d": neg}, spec)
+    # crack the inner message open with a raw seconds/nanos spec
+    inner_spec = {"name": "dur", "fields": [
+        {"name": "seconds", "num": 1, "type": "int64"},
+        {"name": "nanos", "num": 2, "type": "int32"}]}
+    outer = {"name": "D", "fields": [{"name": "d", "num": 1, "type": "message",
+                                      "message": inner_spec}]}
+    inner = decode_message(blob, outer)["d"]
+    assert inner == {"seconds": 0, "nanos": -1000}
+    assert decode_message(blob, spec)["d"] == neg
+
+
+def test_varint_past_64_bits_rejected_both_codecs():
+    """A 10-byte varint whose 10th byte sets bits past 2^64 is a
+    65-70-bit value no canonical writer emits; both codecs must reject
+    it instead of returning a silently-wrong wide integer (review
+    r13). The canonical 10-byte sign-extended form (10th byte 0x01)
+    must still decode."""
+    from hello_flink_spark.sources.avro_codec import read_long
+    from hello_flink_spark.sources.proto_codec import read_varint
+
+    evil = bytes([0xFF] * 9 + [0x7F])
+    with pytest.raises(ValueError, match="64 bits"):
+        read_long(evil, 0)
+    with pytest.raises(ValueError, match="64 bits"):
+        read_varint(evil, 0)
+    legal = bytes([0xFF] * 9 + [0x01])  # two's-complement -1
+    assert read_varint(legal, 0)[0] == (1 << 64) - 1
+    assert read_long(legal, 0)[0] == -(1 << 63)  # zigzag of 2^64-1
+
+
+def test_container_truncated_header_sync_fails_loud():
+    """A container cut inside its 16-byte header sync marker read as
+    ZERO records (unchecked slice + blind pos advance) — a corrupt
+    file decoding to an empty dataset (review r13)."""
+    from hello_flink_spark.sources.avro_codec import decode_container, encode_container
+
+    blob = encode_container([{"a": 1, "b": "x", "c": None}], AVRO_SIMPLE)
+    # find the header end: magic+meta+16-byte sync precede the first
+    # block; truncate 8 bytes into the sync by cutting the whole file
+    # to (its full length - block bytes - 8): easier — rebuild just the
+    # header by encoding ZERO records (header + empty-ish) and cut 8.
+    empty = encode_container([], AVRO_SIMPLE)
+    # empty container = header + one (0, 0) block + sync; cut into the
+    # HEADER sync: header ends 16+2+? ... simplest robust cut: strip
+    # the trailing block (count 0 varint, size 0 varint, sync 16) and
+    # then 8 more bytes, landing inside the header sync marker.
+    truncated = empty[: len(empty) - (1 + 1 + 16) - 8]
+    with pytest.raises(ValueError, match="Avro length|sync"):
+        decode_container(truncated)
+    assert decode_container(blob)[1] == [{"a": 1, "b": "x", "c": None}]
+
+
+def test_int_accepted_for_float_double_union_branch():
+    """_enc accepts a Python int for a bare double schema, so the union
+    matcher must too (it raised 'no union branch for int' — review
+    r13); int/long branches still win when present."""
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+
+    assert encode_value(5, ["null", "double"]) == encode_value(5.0, ["null", "double"])
+    assert decode_value(encode_value(5, ["null", "double"]), ["null", "double"]) == 5.0
+    # exact pass still wins: int prefers the long branch in a mixed
+    # union (complex unions decode to the memberN struct shape)
+    assert decode_value(encode_value(5, ["long", "double"]), ["long", "double"]) == {
+        "member0": 5, "member1": None
+    }
+
+
+def test_python_fallbacks_require_utc_session_for_instants(spark):
+    """The pure-Python paths exchange timestamp INSTANTS as naive UTC
+    datetimes; a non-UTC session tz would re-anchor them to local wall
+    clock (silent shift vs the jar path — review r13). The fallback
+    must fail loud on such sessions, and only when the schema actually
+    carries an instant type."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.formats import from_avro_col, to_protobuf_col
+
+    ts_schema = json.dumps({"type": "record", "name": "T", "fields": [
+        {"name": "at", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}}]})
+    plain_schema = json.dumps({"type": "record", "name": "P", "fields": [
+        {"name": "k", "type": "string"}]})
+    ts_spec = {"name": "T", "fields": [
+        {"name": "at", "num": 1, "type": "google.protobuf.Timestamp"}]}
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        with pytest.raises(NotImplementedError, match="timeZone"):
+            from_avro_col(F.lit(b"").alias("x"), ts_schema)
+        with pytest.raises(NotImplementedError, match="timeZone"):
+            to_protobuf_col(F.struct(F.lit(1).alias("at")), "T", ts_spec)
+        # instant-free schemas stay usable on any session tz
+        from_avro_col(F.lit(b"").alias("x"), plain_schema)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
