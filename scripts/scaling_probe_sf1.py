@@ -119,6 +119,13 @@ PROBES = [
     ("dedup_cluster_stats", "documents"),
     ("dedup_minhash_sql", "documents"),
     ("dedup_fingerprint_levenshtein", "documents"),
+    # round 13 second wave: the FILE/FRAMING round-trip queries — the
+    # container/frame write+parse is byte-proportional map work (one
+    # file per partition, whole-file parse per task), same class as
+    # the r12 decode pair.
+    ("scan_avro_container", "documents"),
+    ("scan_protobuf_delimited", "documents"),
+    ("scan_avro_confluent", "documents"),
 ]
 
 # Work-unit denominator per op (VERDICT r11 #5): the unit the op's
@@ -157,6 +164,9 @@ OP_UNIT: dict[str, str] = {
     "dedup_cluster_stats": "word-shingles",
     "dedup_minhash_sql": "word-shingles",
     "dedup_fingerprint_levenshtein": "word-shingles",
+    "scan_avro_container": "text-bytes",
+    "scan_protobuf_delimited": "text-bytes",
+    "scan_avro_confluent": "text-bytes",
 }
 
 
@@ -432,6 +442,9 @@ def main() -> None:
         "dedup_cluster_stats": "dedup_cluster's large-star/small-star CC to fixed point plus two tiny hash aggs over the label table; DISJOINT shards keep component diameter constant, so round count does not grow and per-round cost is edge-proportional",
         "dedup_minhash_sql": "df-capped shingle explode → 8 minhash folds (keyed agg) → banded equi-self-join; disjoint replica shingle universes keep per-band bucket sizes constant across the decade, so candidates scale linearly with docs, never pairwise",
         "dedup_fingerprint_levenshtein": "shingle explode + min-hash fingerprint (keyed agg) → fingerprint-capped equi-join (<=32 per bucket) → Levenshtein only on the capped candidates; bucket sizes stay constant across disjoint shards, so the O(len^2) verify term scales with candidate count, which is linear in docs",
+        "scan_avro_container": "executor-side container write (one file per partition over the spread scan) + whole-file container parse per task — byte-proportional both directions, deflate cost linear in payload, the only exchange is the ~|langs| aggregate",
+        "scan_protobuf_delimited": "same write→read shape with varint frame split instead of sync-framed blocks — byte-proportional, zero shuffles until the ~|sources| aggregate",
+        "scan_avro_confluent": "map-only two-generation Confluent encode + per-id decode/resolve (no file layer, no spread — A/B-measured; cheap branches), byte-proportional with fixed job overhead amortizing",
     }
 
     def _reason_block(names):
