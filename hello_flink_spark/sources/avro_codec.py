@@ -107,33 +107,69 @@ _PRIMITIVE_NAMES = frozenset(
 )
 
 
-def _register_named(s: Any, named: dict[str, Any]) -> None:
+def _names_for(s: Mapping[str, Any], ns: str | None) -> tuple[list[str], str | None]:
+    """Every name a named definition is referable by, per the spec's
+    "Names" section: the bare name, the FULLNAME, and each alias. A
+    ``name`` containing dots IS a fullname (the ``namespace`` attribute
+    is ignored then); otherwise an explicit ``namespace`` applies, else
+    the ENCLOSING namespace ``ns`` is inherited. Unqualified aliases
+    qualify against the type's own namespace. Returns
+    ``(names, own_namespace)`` so nested definitions inherit the right
+    context. Registering only the bare name mislabelled valid
+    namespaced schemas as "unresolved named-type reference" when data
+    referenced the fullname (advisor r14)."""
+    name = s["name"]
+    if "." in name:
+        own_ns, bare = name.rsplit(".", 1)
+        full = name
+    else:
+        bare = name
+        own_ns = s.get("namespace", ns)
+        full = f"{own_ns}.{bare}" if own_ns else bare
+    names = [bare, full] if full != bare else [bare]
+    for a in s.get("aliases", ()):
+        names.append(a if "." in a else (f"{own_ns}.{a}" if own_ns else a))
+    return names, own_ns
+
+
+def _register_one(s: Mapping[str, Any], named: dict[str, Any], ns: str | None) -> str | None:
+    """Register one named definition under ALL its referable names
+    (bare, fullname, aliases); first definition wins on collision."""
+    names, own_ns = _names_for(s, ns)
+    for n in names:
+        named.setdefault(n, s)
+    return own_ns
+
+
+def _register_named(s: Any, named: dict[str, Any], ns: str | None = None) -> None:
     """Walk a schema ONCE, registering every named definition (record/
     enum/fixed) so later references resolve even when the DEFINING
     branch is not visited during value traversal — a null union value
     left its branch's record definition unregistered, and the later
     bare-name reference self-recursed to RecursionError (review r13).
+    Definitions register under bare name, fullname AND aliases, with
+    nested names inheriting the enclosing namespace (advisor r14).
     Registration during value traversal still happens (it is how
     recursive data would resolve mid-stream) but no longer carries the
     correctness burden."""
     if isinstance(s, list):
         for b in s:
-            _register_named(b, named)
+            _register_named(b, named, ns)
         return
     if not isinstance(s, Mapping):
         return
     t = s.get("type")
     if t in ("record", "enum", "fixed") and s.get("name"):
-        named.setdefault(s["name"], s)
+        ns = _register_one(s, named, ns)
     if t == "record":
         for f in s.get("fields", ()):
-            _register_named(f.get("type"), named)
+            _register_named(f.get("type"), named, ns)
     elif t == "array":
-        _register_named(s.get("items"), named)
+        _register_named(s.get("items"), named, ns)
     elif t == "map":
-        _register_named(s.get("values"), named)
+        _register_named(s.get("values"), named, ns)
     elif isinstance(t, (Mapping, list)):
-        _register_named(t, named)
+        _register_named(t, named, ns)
 
 
 def encode_value(value: Any, schema: str | Mapping[str, Any] | list) -> bytes:
@@ -179,7 +215,7 @@ def _enc(out: io.BytesIO, v: Any, s: Any, named: dict[str, Any]) -> None:
     else:
         t = s["type"]
         if t in ("record", "enum", "fixed") and s.get("name"):
-            named[s["name"]] = s
+            _register_one(s, named, None)
     lt = _logical(s) if isinstance(s, Mapping) else None
     if lt == "decimal":
         unscaled = int(
@@ -287,6 +323,11 @@ def _union_branch_index(v: Any, branches: list, named: dict[str, Any]) -> int:
     if isinstance(v, float) and v != v and "null" in branches:
         return branches.index("null")
     for i, b in enumerate(branches):
+        # a branch may be a named-type REFERENCE ('R' / 'com.x.R') —
+        # resolve it to its definition before matching, else a non-null
+        # value for the referenced branch found no home (advisor r14)
+        if isinstance(b, str) and b in named:
+            b = named[b]
         bt = b if isinstance(b, str) else (b.get("type") if isinstance(b, Mapping) else None)
         lt = b.get("logicalType") if isinstance(b, Mapping) else None
         if v is None and bt == "null":
@@ -551,7 +592,7 @@ def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]
     else:
         t = s["type"]
         if t in ("record", "enum", "fixed") and s.get("name"):
-            named[s["name"]] = s
+            _register_one(s, named, None)
     lt = _logical(s) if isinstance(s, Mapping) else None
     if lt == "decimal":
         if t == "fixed":
@@ -641,6 +682,74 @@ def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]
 
 
 # --- object container files (Avro spec "Object Container Files") ------------
+
+# Per-block decompressed-size cap. The record-count guard below runs on
+# the DECOMPRESSED payload, so without this a tiny crafted block could
+# expand to arbitrary memory before any guard fires (advisor r14 — the
+# r13 hardening moved the only pre-decompression check to after
+# decompression). Avro writers default to ~64 KiB blocks; 1 GiB is far
+# above any legitimate block while bounding a zip bomb to one
+# allocation. Module-level so deployments (and tests) can retune it.
+BLOCK_DECOMPRESS_CAP = 1 << 30
+
+
+def _decompress_block(raw: bytes, codec: str) -> bytes:
+    """Decompress one container block with STREAMING decompressors so
+    the size cap applies while inflating, not after — ``zlib.decompress``
+    and friends materialize the full output before any caller-side
+    check can run. Truncated streams and trailing garbage fail loud,
+    matching the one-shot functions this replaced."""
+    cap = BLOCK_DECOMPRESS_CAP
+
+    def _overflow() -> ValueError:
+        return ValueError(
+            f"container block decompresses past the {cap}-byte cap "
+            "(avro_codec.BLOCK_DECOMPRESS_CAP)"
+        )
+
+    if codec == "null":
+        return raw
+    if codec == "deflate":
+        d = zlib.decompressobj(wbits=-15)
+        out = d.decompress(raw, cap + 1)
+        if len(out) > cap:
+            raise _overflow()
+        out += d.flush()
+        if len(out) > cap:
+            raise _overflow()
+        if not d.eof:
+            raise ValueError("truncated deflate container block")
+        return out
+    if codec == "bzip2":
+        import bz2
+
+        d = bz2.BZ2Decompressor()
+        out = d.decompress(raw, cap + 1)
+        if len(out) > cap:
+            raise _overflow()
+        if not d.eof:
+            raise ValueError("truncated bzip2 container block")
+        if d.unused_data:
+            raise ValueError("trailing bytes after bzip2 container block")
+        return out
+    if codec == "xz":
+        import lzma
+
+        d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+        out = d.decompress(raw, cap + 1)
+        if len(out) > cap:
+            raise _overflow()
+        if not d.eof:
+            raise ValueError("truncated xz container block")
+        if d.unused_data:
+            raise ValueError("trailing bytes after xz container block")
+        return out
+    raise ValueError(
+        f"unsupported Avro codec {codec!r} (this build supports "
+        "null/deflate/bzip2/xz; snappy and zstandard need their "
+        "external packages)"
+    )
+
 
 _MAGIC = b"Obj\x01"
 _META_SCHEMA = {
@@ -737,24 +846,8 @@ def decode_container(
         # -18 lands back ON the header sync and loops forever) or
         # silently truncate — the same fail-loud contract as _bounded
         end = _bounded(blob, pos, size)
-        raw = blob[pos:end]
+        raw = _decompress_block(blob[pos:end], codec)
         pos = end
-        if codec == "deflate":
-            raw = zlib.decompress(raw, wbits=-15)
-        elif codec == "bzip2":
-            import bz2
-
-            raw = bz2.decompress(raw)
-        elif codec == "xz":
-            import lzma
-
-            raw = lzma.decompress(raw)
-        elif codec != "null":
-            raise ValueError(
-                f"unsupported Avro codec {codec!r} (this build supports "
-                "null/deflate/bzip2/xz; snappy and zstandard need their "
-                "external packages)"
-            )
         # progress bound: a crafted huge count over a tiny block
         # otherwise spins the per-record loop for 2^63 iterations — a
         # record consumes >= 0 DECOMPRESSED bytes, so the bound must be

@@ -509,10 +509,33 @@ def to_protobuf_col(
     return _encode(data_col)
 
 
+def _should_filter_out(name: str) -> bool:
+    """Is ``name`` invisible to a Spark binaryFile DATA scan? Mirrors
+    the COMPOSITION Spark applies, verified against the live index
+    (tests/test_formats.py::test_visible_files_matches_spark_file_index):
+    ``HadoopFSUtils.shouldFilterOutPathName`` at listing time (hides
+    ``_``/``.``-prefixed names and in-flight ``*._COPYING_`` copies,
+    keeps ``=``-containing ``_``-names and ``_metadata*``/
+    ``_common_metadata*``), then ``PartitioningAwareFileIndex.
+    isDataPath`` on the data set, which RE-excludes ``_metadata*``
+    (those summary files exist for Parquet's footer reader, never as
+    scan rows). Net effect: hidden iff ``_``-prefixed without ``=``,
+    ``.``-prefixed, or ``*._COPYING_``. Mirroring only the listing
+    filter (as first suggested) would make inference read a
+    ``_metadata`` file the scan never yields — the exact
+    inference-vs-scan disagreement this helper exists to prevent
+    (advisor r14)."""
+    return (
+        (name.startswith("_") and "=" not in name)
+        or name.startswith(".")
+        or name.endswith("._COPYING_")
+    )
+
+
 def _visible_files(root: str) -> list[str]:
-    """The files Spark's file index would list under ``root``: skip any
-    path with a ``_``/``.``-prefixed component AT ANY LEVEL below the
-    root — Spark filters hidden names per listing level, so a
+    """The files Spark's file index would list under ``root``: apply
+    ``_should_filter_out`` to every path component BELOW the root —
+    Spark filters hidden names per listing level, so a
     ``_spark_metadata/0`` commit log is invisible to the scan even
     though its basename is plain (review r13: a basename-only filter
     picked it up and crashed schema inference on bad magic). Sorted
@@ -525,7 +548,7 @@ def _visible_files(root: str) -> list[str]:
         if not os.path.isfile(p):
             continue
         rel = os.path.relpath(p, root)
-        if any(part[:1] in ("_", ".") for part in rel.split(os.sep)):
+        if any(_should_filter_out(part) for part in rel.split(os.sep)):
             continue
         out.append(p)
     return sorted(out)
@@ -997,7 +1020,17 @@ def from_protobuf_col(
     the pure-Python wire codec driven by ``message_spec`` (the
     descriptor-shaped dict ``proto_message_to_spark`` defines, with
     ``num`` field numbers) — protoc is absent from this sandbox, so the
-    dict spec is also the only descriptor source available here."""
+    dict spec is also the only descriptor source available here.
+
+    DOCUMENTED divergence between the two paths (advisor r14): when a
+    KNOWN field number arrives with the WRONG wire type (schema drift,
+    corruption), upstream protobuf — and therefore the jar path —
+    treats it as an unknown field and skips it; the Python codec fails
+    LOUD (``ValueError``), because a known field changing wire type is
+    a breaking schema change a pipeline must surface, not mask. The
+    same drifted payload can thus succeed under the jar and raise here;
+    pick the jar path if silent-skip parity matters more than
+    fail-loud."""
     if desc_file_path is not None and _jvm_class_loadable(
         "org.apache.spark.sql.protobuf.utils.ProtobufUtils"
     ):

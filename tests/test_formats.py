@@ -1418,3 +1418,181 @@ def test_python_fallbacks_require_utc_session_for_instants(spark):
         from_avro_col(F.lit(b"").alias("x"), plain_schema)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+# --- advisor-r14 regression pins ----------------------------------------------
+
+
+def test_avro_fullname_reference_resolves():
+    """A namespaced definition must be referable by its FULLNAME
+    ('com.x.R') as well as its bare name — registering only the bare
+    name mislabelled valid Avro schemas as 'unresolved named-type
+    reference' (advisor r14; before the r13 pre-walk this class hit
+    RecursionError instead)."""
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+
+    schema = {
+        "type": "record",
+        "name": "Top",
+        "namespace": "com.x",
+        "fields": [
+            {"name": "first", "type": ["null", {
+                "type": "record", "name": "R", "namespace": "com.x",
+                "fields": [{"name": "v", "type": "long"}],
+            }]},
+            {"name": "second", "type": ["null", "com.x.R"]},
+        ],
+    }
+    val = {"first": None, "second": {"v": 7}}
+    # the defining branch is NOT exercised by the value (first=None), so
+    # resolution must come from the pre-walk registration
+    assert decode_value(encode_value(val, schema), schema) == val
+
+
+def test_avro_alias_reference_resolves():
+    """Aliases register alongside the name (qualified against the
+    type's own namespace when unqualified), so a reference by alias
+    resolves instead of raising (advisor r14)."""
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+
+    schema = {
+        "type": "record",
+        "name": "Top",
+        "fields": [
+            {"name": "first", "type": {
+                "type": "record", "name": "New", "aliases": ["Old"],
+                "fields": [{"name": "v", "type": "long"}],
+            }},
+            {"name": "second", "type": "Old"},
+        ],
+    }
+    val = {"first": {"v": 1}, "second": {"v": 2}}
+    assert decode_value(encode_value(val, schema), schema) == val
+
+
+def test_avro_enclosing_namespace_inherited():
+    """A nested named type without its own namespace attribute inherits
+    the ENCLOSING namespace (spec 'Names'), so its fullname is
+    'com.x.Inner' and resolvable as such."""
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+
+    schema = {
+        "type": "record",
+        "name": "Top",
+        "namespace": "com.x",
+        "fields": [
+            {"name": "first", "type": {
+                "type": "record", "name": "Inner",
+                "fields": [{"name": "v", "type": "long"}],
+            }},
+            {"name": "second", "type": "com.x.Inner"},
+        ],
+    }
+    val = {"first": {"v": 1}, "second": {"v": 2}}
+    assert decode_value(encode_value(val, schema), schema) == val
+
+
+def test_visible_files_matches_spark_file_index(spark, tmp_path):
+    """_visible_files must equal the set a binaryFile DATA scan yields
+    (advisor r14): '_'-names containing '=' are data, '*._COPYING_' is
+    not, and '_metadata*' — though KEPT by the listing-level
+    shouldFilterOutPathName — is re-excluded by isDataPath before the
+    scan. Pinned directly against the live index, not a re-statement
+    of the rule.
+
+    Two deliberate layout exclusions: no _spark_metadata/ (a dir of
+    that name flips Spark into reading the directory AS a streaming
+    file-sink output — metadata log replaces the listing; pinned
+    separately below), and no root-file + partition-dir mixing (Spark
+    drops rootside files once a partition spec is inferred — a
+    degenerate layout neither reader targets)."""
+    import os
+
+    from hello_flink_spark.sources.formats import _visible_files
+
+    d = tmp_path / "flat_layout"
+    d.mkdir()
+    for n, b in [("plain", b"a"), ("_SUCCESS", b"b"), (".hidden", b"c"),
+                 ("mid._COPYING_", b"d"), ("_metadata", b"e"),
+                 ("_common_metadata.x", b"f"), ("_x=1", b"g"), ("zz.avro", b"h")]:
+        (d / n).write_bytes(b)
+
+    ours = {os.path.relpath(p, d) for p in _visible_files(str(d))}
+    theirs = {
+        os.path.basename(r["path"])
+        for r in spark.read.format("binaryFile").load(str(d)).select("path").collect()
+    }
+    assert ours == theirs
+    assert ours == {"plain", "_x=1", "zz.avro"}
+
+    # partitioned layout: files under k=... dirs are data, hidden names
+    # below a partition dir stay hidden
+    p = tmp_path / "part_layout"
+    (p / "k=1").mkdir(parents=True)
+    (p / "k=2").mkdir()
+    (p / "k=1" / "part-0").write_bytes(b"a")
+    (p / "k=1" / "_hidden").write_bytes(b"b")
+    (p / "k=2" / "part-0").write_bytes(b"c")
+    ours_p = {os.path.relpath(x, p) for x in _visible_files(str(p))}
+    theirs_p = {
+        os.path.relpath(r["path"].removeprefix("file:"), str(p))
+        for r in spark.read.format("binaryFile").load(str(p)).select("path").collect()
+    }
+    assert ours_p == theirs_p == {os.path.join("k=1", "part-0"),
+                                  os.path.join("k=2", "part-0")}
+
+
+def test_visible_files_skips_spark_metadata_dir(tmp_path):
+    """The r13 guarantee stands: a streaming-sink commit log
+    (_spark_metadata/0 — plain basename, hidden PARENT) never reaches
+    schema inference. Unit-pinned because the live index can't see this
+    layout at all: a _spark_metadata dir flips Spark into metadata-log
+    listing for the whole directory."""
+    from hello_flink_spark.sources.formats import _visible_files
+
+    d = tmp_path / "sink_out"
+    (d / "_spark_metadata").mkdir(parents=True)
+    (d / "_spark_metadata" / "0").write_bytes(b"v1")
+    (d / "part-0").write_bytes(b"a")
+    import os
+
+    assert [os.path.relpath(p, d) for p in _visible_files(str(d))] == ["part-0"]
+
+
+def test_container_decompression_bomb_capped(monkeypatch):
+    """A tiny deflate block claiming a huge expansion must fail at the
+    STREAMING cap, never materialize the full output first — the r13
+    count guard runs only after decompression (advisor r14)."""
+    import io
+
+    import hello_flink_spark.sources.avro_codec as ac
+
+    good = ac.encode_container([{"a": 1, "b": "x", "c": None}], AVRO_SIMPLE)
+    # a legit deflate block whose decompressed size exceeds a small cap
+    rows = [{"a": i, "b": "y" * 100, "c": None} for i in range(200)]
+    bomb = ac.encode_container(rows, AVRO_SIMPLE, codec="deflate")
+    monkeypatch.setattr(ac, "BLOCK_DECOMPRESS_CAP", 4096)
+    with pytest.raises(ValueError, match="decompresses past"):
+        ac.decode_container(bomb)
+    # under the cap the same codec path still round-trips
+    small = ac.encode_container(rows[:5], AVRO_SIMPLE, codec="deflate")
+    assert ac.decode_container(small)[1] == rows[:5]
+    assert ac.decode_container(good)[1] == [{"a": 1, "b": "x", "c": None}]
+    del io
+
+
+def test_container_truncated_deflate_fails_loud():
+    """The streaming decompressor must preserve the one-shot function's
+    fail-loud contract on a truncated stream (partial output, no
+    error, was the silent alternative)."""
+    from hello_flink_spark.sources.avro_codec import (
+        decode_container,
+        encode_container,
+    )
+
+    rows = [{"a": i, "b": "z" * 50, "c": i} for i in range(50)]
+    blob = encode_container(rows, AVRO_SIMPLE, codec="deflate")
+    # chop bytes out of the middle of the compressed block body
+    cut = blob[: len(blob) - 40] + blob[len(blob) - 16 :]
+    with pytest.raises(ValueError):
+        decode_container(cut)
