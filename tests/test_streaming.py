@@ -2992,3 +2992,104 @@ def test_confluent_framed_decode_in_stream(spark, tmp_path_factory):
         n, sv, sw = want.get("a", (0, 0, 0))
         want["a"] = (n + 1, sv + i, sw + 2)
     assert got == want
+
+# ---------------------------------------------------------------------------
+# format streaming sources: checkpoint recovery (VERDICT r13 #3)
+# ---------------------------------------------------------------------------
+
+
+def test_avro_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Checkpoint recovery for read_avro_stream (the round-12/13 format
+    file sources had no recovery golden): stop the streaming decode
+    mid-directory, add more containers, restart from the SAME
+    checkpoint — the offset WAL must skip already-committed files, the
+    union of both runs' emissions equals the batch read, and schema
+    evolution keeps resolving per file across the restart."""
+    from hello_flink_spark.sources.avro_codec import encode_container
+    from hello_flink_spark.sources.formats import read_avro, read_avro_stream
+
+    v1 = {"type": "record", "name": "D", "fields": [{"name": "id", "type": "long"}]}
+    v2 = {
+        "type": "record",
+        "name": "D",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tag", "type": "string", "default": "old"},
+        ],
+    }
+    d = tmp_path / "avro_ckpt_src"
+    d.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (d / "chunk_000.avro").write_bytes(
+        encode_container([{"id": i} for i in range(10)], v1)
+    )
+
+    q1 = jobs.to_parquet_sink(read_avro_stream(spark, str(d), reader_schema=v2), out, ckpt)
+    q1.awaitTermination()
+    n_run1 = spark.read.parquet(out).count()
+    assert n_run1 == 10
+
+    # second generation lands AFTER the stop: evolved schema + deflate
+    (d / "chunk_001.avro").write_bytes(
+        encode_container([{"id": i, "tag": f"t{i}"} for i in range(10, 16)], v2,
+                         codec="deflate")
+    )
+    q2 = jobs.to_parquet_sink(read_avro_stream(spark, str(d), reader_schema=v2), out, ckpt)
+    q2.awaitTermination()
+
+    final = sorted((r["id"], r["tag"]) for r in spark.read.parquet(out).collect())
+    assert len(final) == len(set(final)), "duplicate record after recovery"
+    want = sorted(
+        (r["id"], r["tag"])
+        for r in read_avro(spark, str(d), reader_schema=v2).collect()
+    )
+    assert final == want, "recovered stream diverged from the batch read"
+    assert n_run1 < len(final), "nothing was emitted after the restart"
+
+
+def test_protobuf_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Checkpoint recovery for read_protobuf_delimited_stream: same
+    contract as the avro twin — exactly-once file accounting across a
+    stop/restart, union of emissions equals the batch read."""
+    import io
+
+    from hello_flink_spark.sources.formats import (
+        read_protobuf_delimited,
+        read_protobuf_delimited_stream,
+    )
+    from hello_flink_spark.sources.proto_codec import encode_message, write_varint
+
+    spec = {"name": "E", "fields": [{"name": "v", "num": 1, "type": "int64"}]}
+
+    def frames(ids):
+        buf = io.BytesIO()
+        for i in ids:
+            raw = encode_message({"v": i}, spec)
+            write_varint(buf, len(raw))
+            buf.write(raw)
+        return buf.getvalue()
+
+    d = tmp_path / "pb_ckpt_src"
+    d.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (d / "chunk_000.pb").write_bytes(frames(range(8)))
+
+    q1 = jobs.to_parquet_sink(
+        read_protobuf_delimited_stream(spark, str(d), spec), out, ckpt
+    )
+    q1.awaitTermination()
+    n_run1 = spark.read.parquet(out).count()
+    assert n_run1 == 8
+
+    (d / "chunk_001.pb").write_bytes(frames(range(8, 13)))
+    q2 = jobs.to_parquet_sink(
+        read_protobuf_delimited_stream(spark, str(d), spec), out, ckpt
+    )
+    q2.awaitTermination()
+
+    final = sorted(r["v"] for r in spark.read.parquet(out).collect())
+    assert final == sorted(
+        r["v"] for r in read_protobuf_delimited(spark, str(d), spec).collect()
+    ), "recovered stream diverged from the batch read"
+    assert final == list(range(13)), "lost or duplicated frames across restart"
+    assert n_run1 < len(final), "nothing was emitted after the restart"
