@@ -436,6 +436,54 @@ FP_BUCKET_CAP = 32  # max docs per fingerprint bucket before the bucket
 # bucket; fixture max is 19 at sf0.1, so results are unchanged)
 
 
+def _lev_fp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CANDIDATE stage of dedup_fingerprint_levenshtein — fp-capped
+    equi-self-join pairs, before the Levenshtein verify. Factored out so
+    scripts/scaling_probe_sf1.py can count it directly (VERDICT r13 #6:
+    the band-edge op emits its candidate count in the sf1 probe like
+    the multimodal dedup trio, so a fixture/data change that pushes the
+    verify term superlinear is caught by the probe, not the bench
+    gate). Composition identical to the inline form it replaced."""
+    from hello_flink_spark.operators.scale import anti_join_bounded
+    from hello_flink_spark.queries.llm import _shingle_df
+
+    d = t(spark, sf_dir, "documents")
+    # One fingerprint row per doc; materialize once — the hot-bucket
+    # branch and the candidate self-join both consume it, and without
+    # the checkpoint each re-runs the whole shingle pipeline (the same
+    # double-compute anti_join_bounded guards against for its keys).
+    # Repartition WIDE before checkpointing: AQE coalesces the small
+    # aggregate to one partition, the checkpoint freezes that layout,
+    # and every downstream join broadcasts its other side — so the
+    # O(len^2) Levenshtein verify would inherit ONE task (measured:
+    # 10 s of an 11.5 s wall on one core; cost-based coalescing cannot
+    # see per-row CPU weight). 32-wide checkpoint -> 32-wide verify
+    # (measured 0.9 s for the same stage).
+    fp0 = (
+        _shingle_df(d)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("shingle")).alias("fingerprint"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    hot = (
+        fp0.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > FP_BUCKET_CAP)
+        .select("fingerprint")
+    )
+    fp = anti_join_bounded(fp0, hot, "fingerprint")
+    return (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+
 @register(
     "dedup_fingerprint_levenshtein",
     oracle="""
@@ -475,44 +523,8 @@ def dedup_fingerprint_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame
     duplicated boilerplate belongs to dedup_exact, which runs first in
     a real pipeline. Fixture max bucket is 19 (sf0.1) — results
     unchanged."""
-    from hello_flink_spark.operators.scale import anti_join_bounded
-    from hello_flink_spark.queries.llm import _shingle_df
-
     d = t(spark, sf_dir, "documents")
-    # One fingerprint row per doc; materialize once — the hot-bucket
-    # branch and the candidate self-join both consume it, and without
-    # the checkpoint each re-runs the whole shingle pipeline (the same
-    # double-compute anti_join_bounded guards against for its keys).
-    # Repartition WIDE before checkpointing: AQE coalesces the small
-    # aggregate to one partition, the checkpoint freezes that layout,
-    # and every downstream join broadcasts its other side — so the
-    # O(len^2) Levenshtein verify would inherit ONE task (measured:
-    # 10 s of an 11.5 s wall on one core; cost-based coalescing cannot
-    # see per-row CPU weight). 32-wide checkpoint -> 32-wide verify
-    # (measured 0.9 s for the same stage).
-    fp0 = (
-        _shingle_df(d)
-        .groupBy("doc_id")
-        .agg(F.min(F.md5("shingle")).alias("fingerprint"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .localCheckpoint(eager=True)
-    )
-    hot = (
-        fp0.groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .filter(F.col("k") > FP_BUCKET_CAP)
-        .select("fingerprint")
-    )
-    fp = anti_join_bounded(fp0, hot, "fingerprint")
-    cand = (
-        fp.alias("a")
-        .join(
-            fp.alias("b"),
-            (F.col("a.fingerprint") == F.col("b.fingerprint"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
+    cand = _lev_fp_candidates(spark, sf_dir)
     texts = d.select("doc_id", "text")
     lev = F.levenshtein(F.col("da.text"), F.col("db.text"))
     bound = (0.2 * F.greatest(F.length("da.text"), F.length("db.text"))).cast("long")

@@ -128,16 +128,57 @@ def _names_for(s: Mapping[str, Any], ns: str | None) -> tuple[list[str], str | N
         full = f"{own_ns}.{bare}" if own_ns else bare
     names = [bare, full] if full != bare else [bare]
     for a in s.get("aliases", ()):
-        names.append(a if "." in a else (f"{own_ns}.{a}" if own_ns else a))
+        # aliases get the same bare+qualified treatment as names —
+        # qualifying only (review r14) made a bare alias reference fail
+        # in any namespaced schema while the analogous bare NAME worked
+        if "." in a:
+            names.extend((a, a.rsplit(".", 1)[1]))
+        else:
+            names.append(a)
+            if own_ns:
+                names.append(f"{own_ns}.{a}")
     return names, own_ns
 
 
+class _AmbiguousName:
+    """Registry tombstone: two DISTINCT definitions claimed the same
+    shorthand (bare name / bare alias) from different namespaces. A
+    flat registry cannot do the spec's namespace-relative resolution,
+    so resolving such a reference to whichever registered first would
+    be silently wrong (review r14) — the tombstone makes the lookup
+    fail loud instead. Fullnames are unique in a valid schema and are
+    never tombstoned."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+
+def _resolve_named(name: str, named: dict[str, Any]):
+    """Look up a named-type reference: the definition, None if
+    unregistered, ValueError if the shorthand is ambiguous."""
+    v = named.get(name)
+    if isinstance(v, _AmbiguousName):
+        raise ValueError(
+            f"ambiguous Avro named-type reference {name!r}: definitions "
+            "in multiple namespaces share this name — reference it by "
+            "fullname"
+        )
+    return v
+
+
 def _register_one(s: Mapping[str, Any], named: dict[str, Any], ns: str | None) -> str | None:
-    """Register one named definition under ALL its referable names
-    (bare, fullname, aliases); first definition wins on collision."""
+    """Register one named definition under ALL its referable names.
+    First definition wins per key, EXCEPT that a shorthand key claimed
+    by a second distinct definition is tombstoned as ambiguous (the
+    fullname keys of both stay valid)."""
     names, own_ns = _names_for(s, ns)
+    fullnames = {n for n in names if "." in n}
     for n in names:
-        named.setdefault(n, s)
+        cur = named.get(n)
+        if cur is None:
+            named[n] = s
+        elif cur is not s and cur != s and n not in fullnames:
+            named[n] = _AmbiguousName(n)
     return own_ns
 
 
@@ -198,8 +239,9 @@ def _epoch_for(v: "_dt.datetime") -> "_dt.datetime":
 
 def _enc(out: io.BytesIO, v: Any, s: Any, named: dict[str, Any]) -> None:
     if isinstance(s, str):
-        if s in named:  # named-type reference
-            _enc(out, v, named[s], named)
+        defn = _resolve_named(s, named)
+        if defn is not None:  # named-type reference
+            _enc(out, v, defn, named)
             return
         if s not in _PRIMITIVE_NAMES:
             # an unknown bare name would fall through every primitive
@@ -326,8 +368,10 @@ def _union_branch_index(v: Any, branches: list, named: dict[str, Any]) -> int:
         # a branch may be a named-type REFERENCE ('R' / 'com.x.R') —
         # resolve it to its definition before matching, else a non-null
         # value for the referenced branch found no home (advisor r14)
-        if isinstance(b, str) and b in named:
-            b = named[b]
+        if isinstance(b, str):
+            defn = _resolve_named(b, named)
+            if defn is not None:
+                b = defn
         bt = b if isinstance(b, str) else (b.get("type") if isinstance(b, Mapping) else None)
         lt = b.get("logicalType") if isinstance(b, Mapping) else None
         if v is None and bt == "null":
@@ -562,8 +606,9 @@ def _bounded(buf: bytes, pos: int, n: int) -> int:
 
 def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]:
     if isinstance(s, str):
-        if s in named:
-            return _dec(buf, pos, named[s], named)
+        defn = _resolve_named(s, named)
+        if defn is not None:
+            return _dec(buf, pos, defn, named)
         if s not in _PRIMITIVE_NAMES:
             # same guard as _enc: unknown bare names must not reach the
             # nested-schema tail call and self-recurse (review r13)
@@ -693,57 +738,79 @@ def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]
 BLOCK_DECOMPRESS_CAP = 1 << 30
 
 
+def _capped_streams(factory, raw: bytes, cap: int, codec_name: str) -> bytes:
+    """Decompress possibly-CONCATENATED compressed streams (the
+    documented behavior of the one-shot ``bz2.decompress`` /
+    ``lzma.decompress`` this path replaced — parallel compressors like
+    pbzip2 emit such blocks) under ONE shared output cap. Truncated
+    streams fail loud; trailing garbage fails when the next stream's
+    header doesn't parse — the same outcomes as the one-shots."""
+    chunks: list[bytes] = []
+    total = 0
+    data = raw
+    while True:
+        d = factory()
+        out = d.decompress(data, cap + 1 - total)
+        total += len(out)
+        if total > cap:
+            raise _overflow(cap)
+        chunks.append(out)
+        while not d.eof:
+            if d.needs_input:
+                raise ValueError(f"truncated {codec_name} container block")
+            out = d.decompress(b"", cap + 1 - total)
+            total += len(out)
+            if total > cap:
+                raise _overflow(cap)
+            chunks.append(out)
+        data = d.unused_data
+        if not data:
+            return b"".join(chunks)
+
+
+def _overflow(cap: int) -> ValueError:
+    return ValueError(
+        f"container block decompresses past the {cap}-byte cap "
+        "(avro_codec.BLOCK_DECOMPRESS_CAP)"
+    )
+
+
 def _decompress_block(raw: bytes, codec: str) -> bytes:
     """Decompress one container block with STREAMING decompressors so
     the size cap applies while inflating, not after — ``zlib.decompress``
     and friends materialize the full output before any caller-side
     check can run. Truncated streams and trailing garbage fail loud,
-    matching the one-shot functions this replaced."""
+    and concatenated bzip2/xz streams decode fully — matching the
+    one-shot functions this replaced."""
     cap = BLOCK_DECOMPRESS_CAP
-
-    def _overflow() -> ValueError:
-        return ValueError(
-            f"container block decompresses past the {cap}-byte cap "
-            "(avro_codec.BLOCK_DECOMPRESS_CAP)"
-        )
-
     if codec == "null":
         return raw
     if codec == "deflate":
+        # raw deflate has no multi-stream convention (the one-shot
+        # zlib.decompress raised on trailing data) — single stream,
+        # trailing bytes fail loud
         d = zlib.decompressobj(wbits=-15)
         out = d.decompress(raw, cap + 1)
         if len(out) > cap:
-            raise _overflow()
+            raise _overflow(cap)
         out += d.flush()
         if len(out) > cap:
-            raise _overflow()
+            raise _overflow(cap)
         if not d.eof:
             raise ValueError("truncated deflate container block")
+        if d.unused_data:
+            raise ValueError("trailing bytes after deflate container block")
         return out
     if codec == "bzip2":
         import bz2
 
-        d = bz2.BZ2Decompressor()
-        out = d.decompress(raw, cap + 1)
-        if len(out) > cap:
-            raise _overflow()
-        if not d.eof:
-            raise ValueError("truncated bzip2 container block")
-        if d.unused_data:
-            raise ValueError("trailing bytes after bzip2 container block")
-        return out
+        return _capped_streams(bz2.BZ2Decompressor, raw, cap, "bzip2")
     if codec == "xz":
         import lzma
 
-        d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
-        out = d.decompress(raw, cap + 1)
-        if len(out) > cap:
-            raise _overflow()
-        if not d.eof:
-            raise ValueError("truncated xz container block")
-        if d.unused_data:
-            raise ValueError("trailing bytes after xz container block")
-        return out
+        return _capped_streams(
+            lambda: lzma.LZMADecompressor(format=lzma.FORMAT_XZ), raw, cap, "xz"
+        )
     raise ValueError(
         f"unsupported Avro codec {codec!r} (this build supports "
         "null/deflate/bzip2/xz; snappy and zstandard need their "

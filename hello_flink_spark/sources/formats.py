@@ -106,37 +106,47 @@ def avro_schema_to_spark(schema: str | Mapping[str, Any] | list) -> DataType:
     """Map an Avro schema (JSON string or parsed) to a Spark DataType.
 
     Follows spark-avro's ``SchemaConverters.toSqlType`` rules (module
-    docstring). Raises ``ValueError`` on recursive record references
-    and unknown types — fail loud, never guess."""
+    docstring). Named-type REFERENCES ('R' / 'com.x.R' / aliases)
+    resolve through the same pre-walk registry the value codec uses —
+    the r14 codec fix was unreachable from the public read path while
+    this mapper still demanded inline definitions (review r14).
+    Raises ``ValueError`` on recursive record references, ambiguous
+    bare-name references, and unknown types — fail loud, never guess."""
+    from hello_flink_spark.sources.avro_codec import _register_named
+
     if isinstance(schema, str):
         schema = json.loads(schema)
-    return _avro_type(schema, seen=frozenset())
+    named: dict[str, Any] = {}
+    _register_named(schema, named)
+    return _avro_type(schema, seen=frozenset(), named=named)
 
 
-def _avro_type(s: Any, seen: frozenset[str]) -> DataType:
+def _avro_type(s: Any, seen: frozenset[int], named: Mapping[str, Any]) -> DataType:
+    # ``seen`` holds id()s of record definitions on the current path:
+    # identity, not name, so recursion through a reference (the
+    # definition dict is re-entered via the registry) is caught exactly
+    # once whatever name form the reference used
+    from hello_flink_spark.sources.avro_codec import _resolve_named
+
     if isinstance(s, str):
         if s in _AVRO_PRIMITIVES:
             return _AVRO_PRIMITIVES[s]
-        if s in seen:
-            raise ValueError(
-                f"recursive Avro record reference {s!r}: relational "
-                "schemas cannot express recursion (spark-avro refuses too)"
-            )
-        raise ValueError(f"unknown Avro type {s!r} (named-type references "
-                         "require inline definitions in this mapper)")
+        defn = _resolve_named(s, named)  # raises on ambiguous shorthand
+        if defn is not None:
+            return _avro_type(defn, seen, named)
+        raise ValueError(f"unknown Avro type {s!r} (reference to an "
+                         "undefined named type, or an unsupported primitive)")
     if isinstance(s, list):  # union
         branches = [b for b in s if b != "null"]
-        nullable = len(branches) != len(s)
         if not branches:
             return NullType()
         if len(branches) == 1:
-            return _avro_type(branches[0], seen)
+            return _avro_type(branches[0], seen, named)
         # complex union → struct<member0, …> (spark-avro representation);
         # nullability of the members is inherent (one branch set at a time)
-        del nullable
         return StructType(
             [
-                StructField(f"member{i}", _avro_type(b, seen), nullable=True)
+                StructField(f"member{i}", _avro_type(b, seen, named), nullable=True)
                 for i, b in enumerate(branches)
             ]
         )
@@ -154,26 +164,31 @@ def _avro_type(s: Any, seen: frozenset[str]) -> DataType:
             return _AVRO_LOGICAL[key]
         # unknown logical type: per Avro spec, fall through to carrier
     if t == "record":
-        name = s.get("name", "")
-        inner = seen | ({name} if name else frozenset())
+        if id(s) in seen:
+            raise ValueError(
+                f"recursive Avro record reference {s.get('name', '')!r}: "
+                "relational schemas cannot express recursion (spark-avro "
+                "refuses too)"
+            )
+        inner = seen | {id(s)}
         fields = []
         for f in s["fields"]:
-            ftype = _avro_type(f["type"], inner)
+            ftype = _avro_type(f["type"], inner, named)
             nullable = _avro_nullable(f["type"])
             fields.append(StructField(f["name"], ftype, nullable=nullable))
         return StructType(fields)
     if t == "array":
-        item = _avro_type(s["items"], seen)
+        item = _avro_type(s["items"], seen, named)
         return ArrayType(item, containsNull=_avro_nullable(s["items"]))
     if t == "map":
-        val = _avro_type(s["values"], seen)
+        val = _avro_type(s["values"], seen, named)
         return MapType(StringType(), val, valueContainsNull=_avro_nullable(s["values"]))
     if t == "enum":
         return StringType()
     if t == "fixed":
         return BinaryType()
     # {"type": "string"} style wrapping of a primitive / nested schema
-    return _avro_type(t, seen)
+    return _avro_type(t, seen, named)
 
 
 def _avro_nullable(s: Any) -> bool:
@@ -533,13 +548,18 @@ def _should_filter_out(name: str) -> bool:
 
 
 def _visible_files(root: str) -> list[str]:
-    """The files Spark's file index would list under ``root``: apply
-    ``_should_filter_out`` to every path component BELOW the root —
-    Spark filters hidden names per listing level, so a
-    ``_spark_metadata/0`` commit log is invisible to the scan even
-    though its basename is plain (review r13: a basename-only filter
-    picked it up and crashed schema inference on bad magic). Sorted
-    for a deterministic first-file choice."""
+    """The files a binaryFile BATCH scan under ``root`` actually
+    yields: root-level files plus files under partition-style
+    (``name=value``) directory chains — the batch index drops files
+    under PLAIN-named subdirectories entirely once no partition spec
+    covers them (verified against the live index, r14: a layout with
+    ``ok/part-0``, ``_metadata/part-0`` and a root file listed ONLY
+    the root file), and the streaming source refuses such mixed
+    layouts loudly rather than reading them. Every component is also
+    checked hidden-name-wise (``_should_filter_out``), so a
+    ``_spark_metadata/0`` commit log is invisible even though its
+    basename is plain (review r13). Sorted for a deterministic
+    first-file choice."""
     import glob as _glob
     import os
 
@@ -548,7 +568,10 @@ def _visible_files(root: str) -> list[str]:
         if not os.path.isfile(p):
             continue
         rel = os.path.relpath(p, root)
-        if any(_should_filter_out(part) for part in rel.split(os.sep)):
+        parts = rel.split(os.sep)
+        if any("=" not in comp for comp in parts[:-1]):
+            continue  # plain-named subdir: invisible to the scan
+        if any(_should_filter_out(part) for part in parts):
             continue
         out.append(p)
     return sorted(out)

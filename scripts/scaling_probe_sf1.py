@@ -332,6 +332,21 @@ def main() -> None:
         cand[name] = {sf: _n_cand(sigs_fn, sf) for sf in (SRC, DST)}
         print(f"candidates {name}: {cand[name]}")
 
+    # The band-edge text op gets the same accounting (VERDICT r13 #6:
+    # time÷unit 0.86 leaves no headroom, so a fixture/data change that
+    # pushes its O(len²) verify term superlinear must be caught HERE as
+    # a candidate-count jump, not inferred from the bench gate). Unlike
+    # the trio's flat signature set, these fp-capped equi-join pairs
+    # scale ~linearly with docs under disjoint shards — the check is
+    # per-decade growth ≈ the document ratio, never pairwise.
+    from hello_flink_spark.queries.extras import _lev_fp_candidates
+
+    cand["dedup_fingerprint_levenshtein"] = {
+        sf: _lev_fp_candidates(spark, sf).count() for sf in (SRC, DST)
+    }
+    print(f"candidates dedup_fingerprint_levenshtein: "
+          f"{cand['dedup_fingerprint_levenshtein']}")
+
     lines = [
         "# Scaling probe, second decade (generated — scripts/scaling_probe_sf1.py)",
         "",
@@ -389,6 +404,14 @@ def main() -> None:
         "cycles, so the pair term stays flat across the decade — only",
         "decode and the exact collapse scale with rows; on the r9 plan",
         "this number tracked cluster-density² instead.",
+        "dedup_fingerprint_levenshtein (VERDICT r13 #6) reports its",
+        "fp-capped equi-join candidate count in the same table — its",
+        "O(len²) verify is candidate-linear by design (FP_BUCKET_CAP),",
+        "so the healthy decade shape is growth ≈ the document ratio",
+        "(~10x under disjoint shards), NOT flat; a superlinear jump",
+        "here is the regression signal its measured",
+        f"{per_unit['dedup_fingerprint_levenshtein']:.2f} time÷unit row",
+        "has no headroom to absorb.",
         "",
         "| query | sf0.1 candidates | sf1 candidates |",
         "|---|---|---|",

@@ -1596,3 +1596,222 @@ def test_container_truncated_deflate_fails_loud():
     cut = blob[: len(blob) - 40] + blob[len(blob) - 16 :]
     with pytest.raises(ValueError):
         decode_container(cut)
+
+
+# --- review-r14 regression pins (post-advisor full-diff review) ---------------
+
+
+def test_avro_schema_to_spark_resolves_named_references():
+    """The r14 codec fix must reach the PUBLIC read path: the schema
+    mapper resolves named references (bare, fullname, alias) through
+    the same registry the value codec uses, instead of demanding
+    inline definitions (review r14 — from_avro_col/read_avro failed on
+    exactly the schemas the codec fix legitimized)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = {
+        "type": "record",
+        "name": "Top",
+        "namespace": "com.x",
+        "fields": [
+            {"name": "first", "type": {
+                "type": "record", "name": "R", "aliases": ["Old"],
+                "fields": [{"name": "v", "type": "long"}],
+            }},
+            {"name": "by_full", "type": "com.x.R"},
+            {"name": "by_bare", "type": "R"},
+            {"name": "by_alias", "type": "Old"},
+        ],
+    }
+    inner = StructType([StructField("v", LongType(), nullable=False)])
+    got = avro_schema_to_spark(schema)
+    assert [f.dataType for f in got.fields] == [inner] * 4
+
+
+def test_avro_named_reference_end_to_end_read(spark, tmp_path):
+    """A container whose writer schema reuses a type BY REFERENCE (the
+    layout Java-written Avro files commonly have) reads end-to-end."""
+    from hello_flink_spark.sources.avro_codec import encode_container
+    from hello_flink_spark.sources.formats import read_avro
+
+    schema = {
+        "type": "record",
+        "name": "Pair",
+        "namespace": "com.x",
+        "fields": [
+            {"name": "a", "type": {
+                "type": "record", "name": "P", "namespace": "com.x",
+                "fields": [{"name": "v", "type": "long"}],
+            }},
+            {"name": "b", "type": "com.x.P"},
+        ],
+    }
+    d = tmp_path / "avro_named_ref"
+    d.mkdir()
+    rows = [{"a": {"v": i}, "b": {"v": i * 10}} for i in range(4)]
+    (d / "part-0.avro").write_bytes(encode_container(rows, schema))
+    got = sorted(
+        (r["a"]["v"], r["b"]["v"]) for r in read_avro(spark, str(d)).collect()
+    )
+    assert got == [(i, i * 10) for i in range(4)]
+
+
+def test_avro_ambiguous_bare_reference_fails_loud():
+    """Two definitions in DIFFERENT namespaces sharing a bare name: the
+    flat registry cannot do namespace-relative resolution, so a bare
+    reference must raise (resolving to whichever registered first is
+    silently wrong — review r14); the FULLNAME references stay valid."""
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+
+    def schema(second_ref):
+        return {
+            "type": "record",
+            "name": "Top",
+            "fields": [
+                {"name": "f1", "type": {
+                    "type": "record", "name": "R", "namespace": "com.x",
+                    "fields": [{"name": "a", "type": "long"}],
+                }},
+                {"name": "f2", "type": {
+                    "type": "record", "name": "R", "namespace": "com.y",
+                    "fields": [{"name": "b", "type": "string"}],
+                }},
+                {"name": "f3", "type": second_ref},
+            ],
+        }
+
+    ok = schema("com.y.R")
+    val = {"f1": {"a": 1}, "f2": {"b": "x"}, "f3": {"b": "y"}}
+    assert decode_value(encode_value(val, ok), ok) == val
+    with pytest.raises(ValueError, match="ambiguous"):
+        encode_value({"f1": {"a": 1}, "f2": {"b": "x"}, "f3": {"b": "y"}},
+                     schema("R"))
+
+
+def test_avro_bare_alias_resolves_in_namespaced_schema():
+    """Aliases register bare AND qualified, like names — qualifying
+    only made a bare alias reference fail in any namespaced schema
+    while the analogous bare NAME worked (review r14)."""
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+
+    schema = {
+        "type": "record",
+        "name": "Top",
+        "namespace": "com.x",
+        "fields": [
+            {"name": "first", "type": {
+                "type": "record", "name": "New", "aliases": ["Old"],
+                "fields": [{"name": "v", "type": "long"}],
+            }},
+            {"name": "second", "type": "Old"},
+            {"name": "third", "type": "com.x.Old"},
+        ],
+    }
+    val = {"first": {"v": 1}, "second": {"v": 2}, "third": {"v": 3}}
+    assert decode_value(encode_value(val, schema), schema) == val
+
+
+def test_avro_recursion_via_reference_still_refused():
+    """Reference-based recursion (Node -> Node) must still raise the
+    recursive error, now detected by definition identity rather than
+    name equality."""
+    from hello_flink_spark.sources.formats import avro_schema_to_spark as a2s
+
+    rec = {
+        "type": "record",
+        "name": "Node",
+        "namespace": "com.x",
+        "fields": [{"name": "next", "type": ["null", "com.x.Node"]}],
+    }
+    with pytest.raises(ValueError, match="recursive"):
+        a2s(rec)
+
+
+def test_container_deflate_trailing_garbage_fails_loud():
+    """Trailing bytes after a complete deflate stream inside a block
+    must raise like the bzip2/xz branches (and like the one-shot
+    zlib.decompress) — the streaming decompressor left them silently
+    in unused_data (review r14)."""
+    import io
+    import zlib
+
+    from hello_flink_spark.sources.avro_codec import (
+        decode_container,
+        encode_value,
+        write_long,
+    )
+
+    body = io.BytesIO()
+    for i in range(3):
+        body.write(encode_value({"a": i, "b": "x", "c": None}, AVRO_SIMPLE))
+    raw = zlib.compress(body.getvalue())[2:-4] + b"JUNKJUNK"
+    blob = io.BytesIO()
+    blob.write(b"Obj\x01")
+    meta = {"avro.schema": __import__("json").dumps(AVRO_SIMPLE).encode(),
+            "avro.codec": b"deflate"}
+    from hello_flink_spark.sources.avro_codec import _enc
+
+    _enc(blob, meta, {"type": "map", "values": "bytes"}, named={})
+    blob.write(b"\x00" * 16)
+    write_long(blob, 3)
+    write_long(blob, len(raw))
+    blob.write(raw)
+    blob.write(b"\x00" * 16)
+    with pytest.raises(ValueError, match="trailing bytes after deflate"):
+        decode_container(blob.getvalue())
+
+
+def test_container_concatenated_bzip2_streams_decode():
+    """A block body of CONCATENATED bzip2 streams (pbzip2-style output,
+    valid input to the one-shot bz2.decompress this path replaced)
+    must decode fully, not raise on the second stream (review r14)."""
+    import bz2
+    import io
+
+    from hello_flink_spark.sources.avro_codec import (
+        decode_container,
+        encode_value,
+        write_long,
+    )
+
+    half1, half2 = io.BytesIO(), io.BytesIO()
+    rows = [{"a": i, "b": f"s{i}", "c": i} for i in range(6)]
+    for r in rows[:3]:
+        half1.write(encode_value(r, AVRO_SIMPLE))
+    for r in rows[3:]:
+        half2.write(encode_value(r, AVRO_SIMPLE))
+    raw = bz2.compress(half1.getvalue()) + bz2.compress(half2.getvalue())
+    blob = io.BytesIO()
+    blob.write(b"Obj\x01")
+    meta = {"avro.schema": __import__("json").dumps(AVRO_SIMPLE).encode(),
+            "avro.codec": b"bzip2"}
+    from hello_flink_spark.sources.avro_codec import _enc
+
+    _enc(blob, meta, {"type": "map", "values": "bytes"}, named={})
+    blob.write(b"\x00" * 16)
+    write_long(blob, len(rows))
+    write_long(blob, len(raw))
+    blob.write(raw)
+    blob.write(b"\x00" * 16)
+    assert decode_container(blob.getvalue())[1] == rows
+
+
+def test_visible_files_skips_plain_subdirs_like_the_scan(spark, tmp_path):
+    """The batch index drops files under PLAIN-named subdirectories
+    (no partition spec covers them) — _visible_files must too, or
+    inference reads a file the scan never yields (review r14). Pinned
+    against the live index."""
+    import os
+
+    from hello_flink_spark.sources.formats import _visible_files
+
+    d = tmp_path / "plain_subdir_layout"
+    (d / "ok").mkdir(parents=True)
+    (d / "top").write_bytes(b"y")
+    (d / "ok" / "part-0").write_bytes(b"x")
+    ours = {os.path.relpath(p, d) for p in _visible_files(str(d))}
+    theirs = {
+        os.path.relpath(r["path"].removeprefix("file:"), str(d))
+        for r in spark.read.format("binaryFile").load(str(d)).select("path").collect()
+    }
+    assert ours == theirs == {"top"}
