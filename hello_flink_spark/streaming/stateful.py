@@ -15,7 +15,8 @@ the closest 1:1 of Flink's keyed-state API). Probed twice in this
 environment: round 2 (2026-08-13 a.m.) found ``google.protobuf``
 present but broken ("cannot import name 'descriptor'"); the round-3
 re-probe (2026-08-13 p.m.), the round-5 re-probe (2026-08-13), the
-round-6 re-probe and the round-8 re-probe (both 2026-08-14,
+round-6 re-probe, the round-8 re-probe (both 2026-08-14), and the
+round-12, round-13 and round-14 re-probes (2026-08-15/16, all
 unchanged: ``import google`` → ModuleNotFoundError) found NO protobuf
 runtime on the machine
 at all (``import google`` → ModuleNotFoundError;
