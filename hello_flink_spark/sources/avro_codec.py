@@ -107,17 +107,22 @@ _PRIMITIVE_NAMES = frozenset(
 )
 
 
-def _names_for(s: Mapping[str, Any], ns: str | None) -> tuple[list[str], str | None]:
+def _names_for(
+    s: Mapping[str, Any], ns: str | None
+) -> tuple[list[str], set[str], str | None]:
     """Every name a named definition is referable by, per the spec's
     "Names" section: the bare name, the FULLNAME, and each alias. A
     ``name`` containing dots IS a fullname (the ``namespace`` attribute
     is ignored then); otherwise an explicit ``namespace`` applies, else
     the ENCLOSING namespace ``ns`` is inherited. Unqualified aliases
-    qualify against the type's own namespace. Returns
-    ``(names, own_namespace)`` so nested definitions inherit the right
-    context. Registering only the bare name mislabelled valid
-    namespaced schemas as "unresolved named-type reference" when data
-    referenced the fullname (advisor r14)."""
+    qualify against the type's own namespace. Returns ``(names,
+    fullname_subset, own_namespace)`` — the middle set marks which of
+    the names are FULLNAMES (a null-namespace definition's fullname has
+    no dot, so "contains a dot" is not that test — review r14), and the
+    namespace lets nested definitions inherit the right context.
+    Registering only the bare name mislabelled valid namespaced schemas
+    as "unresolved named-type reference" when data referenced the
+    fullname (advisor r14)."""
     name = s["name"]
     if "." in name:
         own_ns, bare = name.rsplit(".", 1)
@@ -127,30 +132,43 @@ def _names_for(s: Mapping[str, Any], ns: str | None) -> tuple[list[str], str | N
         own_ns = s.get("namespace", ns)
         full = f"{own_ns}.{bare}" if own_ns else bare
     names = [bare, full] if full != bare else [bare]
+    fulls = {full}
     for a in s.get("aliases", ()):
         # aliases get the same bare+qualified treatment as names —
         # qualifying only (review r14) made a bare alias reference fail
         # in any namespaced schema while the analogous bare NAME worked
         if "." in a:
             names.extend((a, a.rsplit(".", 1)[1]))
+            fulls.add(a)
         else:
             names.append(a)
             if own_ns:
-                names.append(f"{own_ns}.{a}")
-    return names, own_ns
+                qa = f"{own_ns}.{a}"
+                names.append(qa)
+                fulls.add(qa)
+            else:
+                fulls.add(a)  # no namespace: the alias IS its fullname
+    return names, fulls, own_ns
 
 
 class _AmbiguousName:
     """Registry tombstone: two DISTINCT definitions claimed the same
-    shorthand (bare name / bare alias) from different namespaces. A
-    flat registry cannot do the spec's namespace-relative resolution,
-    so resolving such a reference to whichever registered first would
-    be silently wrong (review r14) — the tombstone makes the lookup
-    fail loud instead. Fullnames are unique in a valid schema and are
-    never tombstoned."""
+    SHORTHAND (bare name / bare alias) — a flat registry cannot do the
+    spec's namespace-relative resolution, so resolving such a reference
+    to whichever registered first would be silently wrong (review r14);
+    the tombstone makes the lookup fail loud instead."""
 
     def __init__(self, name: str):
         self.name = name
+
+
+# registry bookkeeping key (not a legal Avro name): the set of keys
+# currently bound as some definition's FULLNAME — fullname bindings are
+# spec-absolute and win every collision (review r14 second wave: a
+# null-namespace definition's fullname has no dot, so a dotted-key
+# heuristic tombstoned it and made the type unreferenceable by the very
+# fullname the error message recommended)
+_FULLNAME_KEYS = "\x00fullname-keys"
 
 
 def _resolve_named(name: str, named: dict[str, Any]):
@@ -168,17 +186,33 @@ def _resolve_named(name: str, named: dict[str, Any]):
 
 def _register_one(s: Mapping[str, Any], named: dict[str, Any], ns: str | None) -> str | None:
     """Register one named definition under ALL its referable names.
-    First definition wins per key, EXCEPT that a shorthand key claimed
-    by a second distinct definition is tombstoned as ambiguous (the
-    fullname keys of both stay valid)."""
-    names, own_ns = _names_for(s, ns)
-    fullnames = {n for n in names if "." in n}
+
+    Collision rules (review r14, both waves): a key bound as a
+    FULLNAME is spec-absolute — it is never tombstoned and never
+    displaced by another definition's shorthand; a fullname claim
+    displaces a prior shorthand binding; two distinct definitions
+    meeting on a key as SHORTHAND tombstone it (bare references
+    through it fail loud); two distinct definitions claiming the same
+    FULLNAME is invalid Avro (duplicate fullname) and tombstones too."""
+    names, fulls, own_ns = _names_for(s, ns)
+    fullkeys: set[str] = named.setdefault(_FULLNAME_KEYS, set())
     for n in names:
         cur = named.get(n)
-        if cur is None:
-            named[n] = s
-        elif cur is not s and cur != s and n not in fullnames:
-            named[n] = _AmbiguousName(n)
+        is_full = n in fulls
+        if cur is None or cur is s or cur == s:
+            if cur is None:
+                named[n] = s
+            if is_full:
+                fullkeys.add(n)
+            continue
+        # distinct definition already holds the key
+        if n in fullkeys and not is_full:
+            continue  # fullname binding wins; drop our shorthand claim
+        if is_full and n not in fullkeys:
+            named[n] = s  # fullname displaces a shorthand binding
+            fullkeys.add(n)
+            continue
+        named[n] = _AmbiguousName(n)  # shorthand-vs-shorthand (or dup fullname)
     return own_ns
 
 
@@ -454,7 +488,7 @@ def decode_value(
     if pos != len(payload):
         raise ValueError(f"{len(payload) - pos} trailing bytes after Avro value")
     if reader_schema is not None:
-        v = resolve_value(v, schema, reader_schema)
+        v = resolve_value(v, s, _resolve(reader_schema), w_named=named)
     return v
 
 
@@ -493,7 +527,13 @@ def _type_name(s: Any) -> str:
     return s["type"]
 
 
-def resolve_value(v: Any, writer: Any, reader: Any) -> Any:
+def resolve_value(
+    v: Any,
+    writer: Any,
+    reader: Any,
+    w_named: dict[str, Any] | None = None,
+    r_named: dict[str, Any] | None = None,
+) -> Any:
     """Adapt a value decoded under ``writer`` to the ``reader`` schema,
     per the Avro spec's Schema Resolution: primitive promotions
     (int→long→float→double, string↔bytes), record fields matched by
@@ -501,17 +541,44 @@ def resolve_value(v: Any, writer: Any, reader: Any) -> Any:
     declared ``default``, required), enum symbols checked against the
     reader's list (falling back to the reader enum's ``default``),
     nullable-union widening/narrowing in both directions, recursive
-    arrays/maps/records. Multi-branch (complex) union resolution is
+    arrays/maps/records. Named-type REFERENCES on either side resolve
+    through each schema's own registry (review r14: the string-equality
+    shortcut matched two reference strings and skipped resolution
+    entirely — evolved defaults silently missing — and a ref-vs-inline
+    pair spuriously failed). Multi-branch (complex) union resolution is
     REFUSED loudly — the decoded member-struct shape does not preserve
     which branch was written, and relational schema evolution does not
-    produce those unions. Aliases are not implemented (name match
-    only). Fail-loud on any mismatch the spec calls an error."""
+    produce those unions. Reader-side alias matching of RENAMED writer
+    types is not implemented (name match only). Fail-loud on any
+    mismatch the spec calls an error."""
     # JSON-parse only serialized schemas (recursion passes bare
     # type-name strings like "int" through untouched)
     if isinstance(writer, str) and writer[:1] in "{[\"":
         writer = json.loads(writer)
     if isinstance(reader, str) and reader[:1] in "{[\"":
         reader = json.loads(reader)
+    if w_named is None:
+        w_named = {}
+        _register_named(writer, w_named)
+    if r_named is None:
+        r_named = {}
+        _register_named(reader, r_named)
+    # named references resolve BEFORE any type comparison, each through
+    # its own schema's registry
+    if isinstance(writer, str) and writer not in _PRIMITIVE_NAMES:
+        defn = _resolve_named(writer, w_named)
+        if defn is None:
+            raise ValueError(
+                f"unresolved Avro named-type reference {writer!r} in writer schema"
+            )
+        writer = defn
+    if isinstance(reader, str) and reader not in _PRIMITIVE_NAMES:
+        defn = _resolve_named(reader, r_named)
+        if defn is None:
+            raise ValueError(
+                f"unresolved Avro named-type reference {reader!r} in reader schema"
+            )
+        reader = defn
     w_null, w_inner = _nullable_parts(writer)
     r_null, r_inner = _nullable_parts(reader)
     if w_null or r_null:
@@ -519,7 +586,7 @@ def resolve_value(v: Any, writer: Any, reader: Any) -> Any:
             if not r_null:
                 raise ValueError("writer null with non-nullable reader schema")
             return None
-        return resolve_value(v, w_inner, r_inner)
+        return resolve_value(v, w_inner, r_inner, w_named, r_named)
     if _type_name(writer) == "union" or _type_name(reader) == "union":
         raise ValueError(
             "complex (multi-branch) union resolution is not supported by "
@@ -546,7 +613,9 @@ def resolve_value(v: Any, writer: Any, reader: Any) -> Any:
         for rf in reader["fields"]:
             name = rf["name"]
             if name in w_fields:
-                out[name] = resolve_value(v[name], w_fields[name]["type"], rf["type"])
+                out[name] = resolve_value(
+                    v[name], w_fields[name]["type"], rf["type"], w_named, r_named
+                )
             elif "default" in rf:
                 out[name] = _default_value(rf["default"], rf["type"])
             else:
@@ -566,10 +635,13 @@ def resolve_value(v: Any, writer: Any, reader: Any) -> Any:
             raise ValueError("fixed size mismatch between writer and reader")
         return v
     if wt == rt == "array":
-        return [resolve_value(x, writer["items"], reader["items"]) for x in v]
+        return [
+            resolve_value(x, writer["items"], reader["items"], w_named, r_named)
+            for x in v
+        ]
     if wt == rt == "map":
         return {
-            k: resolve_value(x, writer["values"], reader["values"])
+            k: resolve_value(x, writer["values"], reader["values"], w_named, r_named)
             for k, x in v.items()
         }
     raise ValueError(f"cannot resolve writer type {wt!r} to reader type {rt!r}")
@@ -743,22 +815,43 @@ def _capped_streams(factory, raw: bytes, cap: int, codec_name: str) -> bytes:
     documented behavior of the one-shot ``bz2.decompress`` /
     ``lzma.decompress`` this path replaced — parallel compressors like
     pbzip2 emit such blocks) under ONE shared output cap. Truncated
-    streams fail loud; trailing garbage fails when the next stream's
-    header doesn't parse — the same outcomes as the one-shots."""
+    FIRST streams fail loud as truncation; anything wrong after a
+    complete stream — an unparseable header, a short tail — is
+    TRAILING BYTES, reported as the same ValueError class the one-shot
+    path raised (review r14 second wave: the raw OSError/LZMAError
+    escaped for bzip2, and a short xz tail was misdiagnosed as a
+    truncated block)."""
     chunks: list[bytes] = []
     total = 0
     data = raw
+    first = True
+
+    def _trailing() -> ValueError:
+        return ValueError(f"trailing bytes after {codec_name} container block")
+
     while True:
         d = factory()
-        out = d.decompress(data, cap + 1 - total)
+        try:
+            out = d.decompress(data, cap + 1 - total)
+        except Exception as exc:  # noqa: BLE001 — OSError (bz2) / LZMAError
+            if first:
+                raise
+            raise _trailing() from exc
         total += len(out)
         if total > cap:
             raise _overflow(cap)
         chunks.append(out)
         while not d.eof:
             if d.needs_input:
-                raise ValueError(f"truncated {codec_name} container block")
-            out = d.decompress(b"", cap + 1 - total)
+                if first:
+                    raise ValueError(f"truncated {codec_name} container block")
+                raise _trailing()
+            try:
+                out = d.decompress(b"", cap + 1 - total)
+            except Exception as exc:  # noqa: BLE001
+                if first:
+                    raise
+                raise _trailing() from exc
             total += len(out)
             if total > cap:
                 raise _overflow(cap)
@@ -766,6 +859,7 @@ def _capped_streams(factory, raw: bytes, cap: int, codec_name: str) -> bytes:
         data = d.unused_data
         if not data:
             return b"".join(chunks)
+        first = False
 
 
 def _overflow(cap: int) -> ValueError:
@@ -936,6 +1030,10 @@ def decode_container(
         pos += 16
     if reader_schema is not None:
         reader = _resolve(reader_schema)
-        records = [resolve_value(v, schema, reader) for v in records]
+        r_named: dict[str, Any] = {}
+        _register_named(reader, r_named)  # once, not per record
+        records = [
+            resolve_value(v, schema, reader, named, r_named) for v in records
+        ]
         return reader, records
     return schema, records

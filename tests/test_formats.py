@@ -1815,3 +1815,106 @@ def test_visible_files_skips_plain_subdirs_like_the_scan(spark, tmp_path):
         for r in spark.read.format("binaryFile").load(str(d)).select("path").collect()
     }
     assert ours == theirs == {"top"}
+
+
+def test_resolve_value_resolves_named_references():
+    """Schema Resolution must resolve references on BOTH sides (review
+    r14 second wave): ref-vs-ref matched as equal strings and skipped
+    resolution (evolved defaults silently missing); ref-vs-inline
+    spuriously failed. Both directions pinned, end-to-end through the
+    container evolution read."""
+    from hello_flink_spark.sources.avro_codec import (
+        decode_container,
+        encode_container,
+    )
+
+    writer = {
+        "type": "record", "name": "Pair", "namespace": "com.x",
+        "fields": [
+            {"name": "a", "type": {
+                "type": "record", "name": "P", "namespace": "com.x",
+                "fields": [{"name": "v", "type": "long"}],
+            }},
+            {"name": "b", "type": "com.x.P"},
+        ],
+    }
+    # reader evolves P with a defaulted field; field b REFERENCES it,
+    # field a spells it inline — both must resolve
+    evolved_p = {
+        "type": "record", "name": "P", "namespace": "com.x",
+        "fields": [{"name": "v", "type": "long"},
+                   {"name": "w", "type": "long", "default": 9}],
+    }
+    reader = {
+        "type": "record", "name": "Pair", "namespace": "com.x",
+        "fields": [{"name": "a", "type": evolved_p},
+                   {"name": "b", "type": "com.x.P"}],
+    }
+    blob = encode_container([{"a": {"v": 1}, "b": {"v": 2}}], writer)
+    _, got = decode_container(blob, reader_schema=reader)
+    assert got == [{"a": {"v": 1, "w": 9}, "b": {"v": 2, "w": 9}}]
+
+
+def test_null_namespace_fullname_never_tombstoned():
+    """A null-namespace definition's FULLNAME has no dot; the dotted-key
+    heuristic tombstoned it on collision with another namespace's bare
+    shorthand, making the type unreferenceable by the very fullname the
+    error recommended (review r14 second wave). Fullname bindings win
+    every collision; bare-vs-bare shorthand still tombstones."""
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+
+    schema = {
+        "type": "record", "name": "Top",
+        "fields": [
+            {"name": "f1", "type": {
+                # null-namespace R: its fullname IS "R"
+                "type": "record", "name": "R",
+                "fields": [{"name": "a", "type": "long"}],
+            }},
+            {"name": "f2", "type": {
+                "type": "record", "name": "R", "namespace": "com.x",
+                "fields": [{"name": "b", "type": "string"}],
+            }},
+            {"name": "f3", "type": "R"},        # fullname of the first
+            {"name": "f4", "type": "com.x.R"},  # fullname of the second
+        ],
+    }
+    val = {"f1": {"a": 1}, "f2": {"b": "x"}, "f3": {"a": 2}, "f4": {"b": "y"}}
+    assert decode_value(encode_value(val, schema), schema) == val
+
+
+def test_container_bzip2_xz_trailing_garbage_is_valueerror():
+    """Trailing garbage after a complete bzip2/xz stream must raise the
+    codec layer's ValueError trailing-bytes contract — not the raw
+    OSError/LZMAError from the next header parse, and not a misleading
+    'truncated' diagnosis for a short tail (review r14 second wave)."""
+    import bz2
+    import io
+    import lzma
+
+    from hello_flink_spark.sources.avro_codec import (
+        _enc,
+        decode_container,
+        encode_value,
+        write_long,
+    )
+
+    def container(codec, raw):
+        blob = io.BytesIO()
+        blob.write(b"Obj\x01")
+        meta = {"avro.schema": __import__("json").dumps(AVRO_SIMPLE).encode(),
+                "avro.codec": codec.encode()}
+        _enc(blob, meta, {"type": "map", "values": "bytes"}, named={})
+        blob.write(b"\x00" * 16)
+        write_long(blob, 1)
+        write_long(blob, len(raw))
+        blob.write(raw)
+        blob.write(b"\x00" * 16)
+        return blob.getvalue()
+
+    body = encode_value({"a": 1, "b": "x", "c": None}, AVRO_SIMPLE)
+    for codec, compress in (("bzip2", bz2.compress),
+                            ("xz", lambda b: lzma.compress(b, format=lzma.FORMAT_XZ))):
+        for tail in (b"JUNK", b"JUNKJUNKJUNKJUNKJUNKJUNKJUNKJUNK"):
+            with pytest.raises(ValueError, match=f"trailing bytes after {codec}"):
+                decode_container(container(codec, compress(body) + tail))
