@@ -298,3 +298,119 @@ def test_confluent_framing_roundtrip_random_records(sv, sid):
     assert framed[0] == 0
     assert int.from_bytes(framed[1:5], "big") == sid
     assert decode_value(framed[5:], schema) == value
+
+
+# --- named-reference registry properties (r14) ---------------------------------
+
+
+@st.composite
+def _avro_named_ref_schema_and_value(draw):
+    """A record defining a named inner type — random enclosing/explicit
+    namespace, optional aliases — then REFERENCING it again by a
+    randomly chosen referable name (bare, fullname, alias, qualified
+    alias), each occurrence optionally inside a nullable union whose
+    null branch may be the one taken. Exercises the registration walk,
+    enclosing-namespace inheritance, alias qualification and the
+    union-branch reference resolution together."""
+    top_ns = draw(st.sampled_from([None, "org.z"]))
+    inner_ns = draw(st.sampled_from([None, "com.x", "a.b.c"]))
+    alias = draw(st.sampled_from([None, "Old", "legacy.Old"]))
+    leaf_schema, leaf_strat = draw(st.sampled_from(_AVRO_PRIMS))
+
+    inner = {
+        "type": "record",
+        "name": "Inner",
+        "fields": [{"name": "x", "type": leaf_schema}],
+    }
+    if inner_ns:
+        inner["namespace"] = inner_ns
+    if alias:
+        inner["aliases"] = [alias]
+
+    own_ns = inner_ns or top_ns  # spec: enclosing namespace inherited
+    refs = ["Inner", f"{own_ns}.Inner" if own_ns else "Inner"]
+    if alias:
+        if "." in alias:
+            refs += [alias, alias.rsplit(".", 1)[1]]
+        else:
+            refs.append(alias)
+            if own_ns:
+                refs.append(f"{own_ns}.{alias}")
+    ref = draw(st.sampled_from(refs))
+
+    def inner_val():
+        return {"x": draw(leaf_strat)}
+
+    fields, value = [], {}
+    def_nullable = draw(st.booleans())
+    fields.append({"name": "d", "type": ["null", inner] if def_nullable else inner})
+    value["d"] = (
+        None if def_nullable and draw(st.booleans()) else inner_val()
+    )
+    ref_nullable = draw(st.booleans())
+    fields.append({"name": "r", "type": ["null", ref] if ref_nullable else ref})
+    value["r"] = None if ref_nullable and draw(st.booleans()) else inner_val()
+
+    schema = {"type": "record", "name": "Top", "fields": fields}
+    if top_ns:
+        schema["namespace"] = top_ns
+    return schema, value
+
+
+@SETTINGS
+@given(sv=_avro_named_ref_schema_and_value())
+def test_avro_named_reference_roundtrip_random(sv):
+    schema, value = sv
+    assert decode_value(encode_value(value, schema), schema) == value
+
+
+@SETTINGS
+@given(sv=_avro_named_ref_schema_and_value())
+def test_avro_named_reference_schema_maps_and_containers_roundtrip(sv):
+    """The Spark schema mapper accepts every reference form the codec
+    accepts (the r14 public-surface gap class), and the container
+    layer round-trips the same schemas."""
+    from pyspark.sql.types import StructType
+
+    from hello_flink_spark.sources.formats import avro_schema_to_spark
+
+    schema, value = sv
+    spark_type = avro_schema_to_spark(schema)
+    assert isinstance(spark_type, StructType)
+    assert [f.name for f in spark_type.fields] == ["d", "r"]
+    _, got = decode_container(encode_container([value] * 2, schema))
+    assert got == [value] * 2
+
+
+@SETTINGS
+@given(sv=_avro_named_ref_schema_and_value(), dflt=I64)
+def test_avro_named_reference_resolution_random(sv, dflt):
+    """Schema Resolution over reference-using schemas (the r14
+    second-wave gap): the reader adds a defaulted long INSIDE the named
+    definition; every decoded occurrence — inline definition and
+    reference alike, through null unions — carries the default."""
+    from hello_flink_spark.sources.avro_codec import resolve_value
+
+    schema, value = sv
+
+    def evolve(node):
+        if isinstance(node, list):
+            return [evolve(b) for b in node]
+        if isinstance(node, dict) and node.get("name") == "Inner":
+            return {
+                **node,
+                "fields": node["fields"]
+                + [{"name": "zz", "type": "long", "default": int(dflt)}],
+            }
+        if isinstance(node, dict) and node.get("type") == "record":
+            return {**node, "fields": [
+                {**f, "type": evolve(f["type"])} for f in node["fields"]
+            ]}
+        return node
+
+    reader = evolve(schema)
+    got = resolve_value(value, schema, reader)
+    want = {
+        k: (v if v is None else {**v, "zz": int(dflt)}) for k, v in value.items()
+    }
+    assert got == want
