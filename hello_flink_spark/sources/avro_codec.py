@@ -109,111 +109,75 @@ _PRIMITIVE_NAMES = frozenset(
 
 def _names_for(
     s: Mapping[str, Any], ns: str | None
-) -> tuple[list[str], set[str], str | None]:
-    """Every name a named definition is referable by, per the spec's
-    "Names" section: the bare name, the FULLNAME, and each alias. A
+) -> tuple[list[str], str | None]:
+    """The FULLNAME keys one named definition registers under, per the
+    spec's "Names" section: its fullname plus each alias's fullname. A
     ``name`` containing dots IS a fullname (the ``namespace`` attribute
     is ignored then); otherwise an explicit ``namespace`` applies, else
-    the ENCLOSING namespace ``ns`` is inherited. Unqualified aliases
-    qualify against the type's own namespace. Returns ``(names,
-    fullname_subset, own_namespace)`` — the middle set marks which of
-    the names are FULLNAMES (a null-namespace definition's fullname has
-    no dot, so "contains a dot" is not that test — review r14), and the
-    namespace lets nested definitions inherit the right context.
-    Registering only the bare name mislabelled valid namespaced schemas
-    as "unresolved named-type reference" when data referenced the
-    fullname (advisor r14)."""
+    the ENCLOSING namespace ``ns`` is inherited; a null-namespace
+    definition's fullname is its bare name. Unqualified aliases qualify
+    against the type's own namespace. Returns ``(fullnames,
+    own_namespace)`` so nested definitions inherit the right context.
+
+    FULLNAMES ONLY — no bare shorthand keys. Three review waves
+    (advisor r14 + two follow-ups) showed every flat-registry shorthand
+    scheme is wrong somewhere (cross-namespace shadowing, tombstone
+    displacement, inherited-namespace mislabeling); the spec's actual
+    rule is that an undotted REFERENCE is qualified by the namespace of
+    the enclosing definition at LOOKUP time, which `_resolve_named`
+    now implements — so the registry needs only the unique fullnames."""
     name = s["name"]
     if "." in name:
-        own_ns, bare = name.rsplit(".", 1)
+        own_ns = name.rsplit(".", 1)[0]
         full = name
     else:
-        bare = name
         own_ns = s.get("namespace", ns)
-        full = f"{own_ns}.{bare}" if own_ns else bare
-    names = [bare, full] if full != bare else [bare]
-    fulls = {full}
+        full = f"{own_ns}.{name}" if own_ns else name
+    fullnames = [full]
     for a in s.get("aliases", ()):
-        # aliases get the same bare+qualified treatment as names —
-        # qualifying only (review r14) made a bare alias reference fail
-        # in any namespaced schema while the analogous bare NAME worked
-        if "." in a:
-            names.extend((a, a.rsplit(".", 1)[1]))
-            fulls.add(a)
-        else:
-            names.append(a)
-            if own_ns:
-                qa = f"{own_ns}.{a}"
-                names.append(qa)
-                fulls.add(qa)
-            else:
-                fulls.add(a)  # no namespace: the alias IS its fullname
-    return names, fulls, own_ns
+        fullnames.append(a if "." in a else (f"{own_ns}.{a}" if own_ns else a))
+    return fullnames, own_ns
 
 
-class _AmbiguousName:
-    """Registry tombstone: two DISTINCT definitions claimed the same
-    SHORTHAND (bare name / bare alias) — a flat registry cannot do the
-    spec's namespace-relative resolution, so resolving such a reference
-    to whichever registered first would be silently wrong (review r14);
-    the tombstone makes the lookup fail loud instead."""
-
-    def __init__(self, name: str):
-        self.name = name
-
-
-# registry bookkeeping key (not a legal Avro name): the set of keys
-# currently bound as some definition's FULLNAME — fullname bindings are
-# spec-absolute and win every collision (review r14 second wave: a
-# null-namespace definition's fullname has no dot, so a dotted-key
-# heuristic tombstoned it and made the type unreferenceable by the very
-# fullname the error message recommended)
-_FULLNAME_KEYS = "\x00fullname-keys"
-
-
-def _resolve_named(name: str, named: dict[str, Any]):
-    """Look up a named-type reference: the definition, None if
-    unregistered, ValueError if the shorthand is ambiguous."""
-    v = named.get(name)
-    if isinstance(v, _AmbiguousName):
-        raise ValueError(
-            f"ambiguous Avro named-type reference {name!r}: definitions "
-            "in multiple namespaces share this name — reference it by "
-            "fullname"
-        )
-    return v
+def _resolve_named(name: str, named: Mapping[str, Any], ns: str | None):
+    """Resolve a named-type reference per the spec's Names rules: a
+    dotted name is a fullname (absolute); an undotted name is qualified
+    by the ENCLOSING definition's namespace ``ns`` first, falling back
+    to the null-namespace fullname (the only other legal candidate —
+    if the ns-qualified type existed the reference would have found
+    it). Returns the definition or None if unregistered. Deterministic
+    by construction: fullnames are unique in a valid schema, so there
+    is no ambiguity left to tombstone (review r14 third wave — the
+    prior shorthand-key scheme mislabeled inherited-namespace
+    definitions and let traversal overwrite tombstones)."""
+    if "." in name:
+        return named.get(name)
+    if ns:
+        v = named.get(f"{ns}.{name}")
+        if v is not None:
+            return v
+    return named.get(name)
 
 
 def _register_one(s: Mapping[str, Any], named: dict[str, Any], ns: str | None) -> str | None:
-    """Register one named definition under ALL its referable names.
-
-    Collision rules (review r14, both waves): a key bound as a
-    FULLNAME is spec-absolute — it is never tombstoned and never
-    displaced by another definition's shorthand; a fullname claim
-    displaces a prior shorthand binding; two distinct definitions
-    meeting on a key as SHORTHAND tombstone it (bare references
-    through it fail loud); two distinct definitions claiming the same
-    FULLNAME is invalid Avro (duplicate fullname) and tombstones too."""
-    names, fulls, own_ns = _names_for(s, ns)
-    fullkeys: set[str] = named.setdefault(_FULLNAME_KEYS, set())
-    for n in names:
-        cur = named.get(n)
-        is_full = n in fulls
-        if cur is None or cur is s or cur == s:
-            if cur is None:
-                named[n] = s
-            if is_full:
-                fullkeys.add(n)
-            continue
-        # distinct definition already holds the key
-        if n in fullkeys and not is_full:
-            continue  # fullname binding wins; drop our shorthand claim
-        if is_full and n not in fullkeys:
-            named[n] = s  # fullname displaces a shorthand binding
-            fullkeys.add(n)
-            continue
-        named[n] = _AmbiguousName(n)  # shorthand-vs-shorthand (or dup fullname)
+    """Register one named definition under its fullname keys (name +
+    aliases). First definition wins per key — duplicate fullnames are
+    invalid Avro, and references through them resolve to the first
+    definition exactly as before."""
+    fullnames, own_ns = _names_for(s, ns)
+    for n in fullnames:
+        named.setdefault(n, s)
     return own_ns
+
+
+def _own_ns(s: Mapping[str, Any], ns: str | None) -> str | None:
+    """The namespace a named definition's CHILDREN resolve references
+    in: from a dotted name, else the explicit ``namespace`` attribute,
+    else inherited from the enclosing definition."""
+    name = s.get("name", "")
+    if "." in name:
+        return name.rsplit(".", 1)[0]
+    return s.get("namespace", ns)
 
 
 def _register_named(s: Any, named: dict[str, Any], ns: str | None = None) -> None:
@@ -271,11 +235,13 @@ def _epoch_for(v: "_dt.datetime") -> "_dt.datetime":
     )
 
 
-def _enc(out: io.BytesIO, v: Any, s: Any, named: dict[str, Any]) -> None:
+def _enc(
+    out: io.BytesIO, v: Any, s: Any, named: dict[str, Any], ns: str | None = None
+) -> None:
     if isinstance(s, str):
-        defn = _resolve_named(s, named)
+        defn = _resolve_named(s, named, ns)
         if defn is not None:  # named-type reference
-            _enc(out, v, defn, named)
+            _enc(out, v, defn, named, ns)
             return
         if s not in _PRIMITIVE_NAMES:
             # an unknown bare name would fall through every primitive
@@ -284,14 +250,15 @@ def _enc(out: io.BytesIO, v: Any, s: Any, named: dict[str, Any]) -> None:
             raise ValueError(f"unresolved Avro named-type reference {s!r}")
         t = s
     elif isinstance(s, list):  # union: index then branch value
-        idx = _union_branch_index(v, s, named)
+        idx = _union_branch_index(v, s, named, ns)
         write_long(out, idx)
-        _enc(out, v, s[idx], named)
+        _enc(out, v, s[idx], named, ns)
         return
     else:
         t = s["type"]
-        if t in ("record", "enum", "fixed") and s.get("name"):
-            _register_one(s, named, None)
+        # no traversal-time registration: the entry-point pre-walk is
+        # complete, and re-registering with a guessed namespace context
+        # corrupted the registry (review r14 third wave)
     lt = _logical(s) if isinstance(s, Mapping) else None
     if lt == "decimal":
         unscaled = int(
@@ -355,8 +322,9 @@ def _enc(out: io.BytesIO, v: Any, s: Any, named: dict[str, Any]) -> None:
         out.write(raw)
         return
     if t == "record":
+        fns = _own_ns(s, ns)
         for f in s["fields"]:
-            _enc(out, v[f["name"]], f["type"], named)
+            _enc(out, v[f["name"]], f["type"], named, fns)
         return
     if t == "enum":
         write_long(out, s["symbols"].index(v))
@@ -370,7 +338,7 @@ def _enc(out: io.BytesIO, v: Any, s: Any, named: dict[str, Any]) -> None:
         if v:
             write_long(out, len(v))
             for item in v:
-                _enc(out, item, s["items"], named)
+                _enc(out, item, s["items"], named, ns)
         write_long(out, 0)
         return
     if t == "map":
@@ -380,14 +348,16 @@ def _enc(out: io.BytesIO, v: Any, s: Any, named: dict[str, Any]) -> None:
                 raw = k.encode("utf-8")
                 write_long(out, len(raw))
                 out.write(raw)
-                _enc(out, item, s["values"], named)
+                _enc(out, item, s["values"], named, ns)
         write_long(out, 0)
         return
     # {"type": <nested schema>} wrapping
-    _enc(out, v, t, named)
+    _enc(out, v, t, named, ns)
 
 
-def _union_branch_index(v: Any, branches: list, named: dict[str, Any]) -> int:
+def _union_branch_index(
+    v: Any, branches: list, named: dict[str, Any], ns: str | None = None
+) -> int:
     """Pick the union branch for a Python value — exact enough for the
     mapper's supported shapes (null + one concrete type is the common
     Kafka-value case; multi-branch picks the first structurally
@@ -403,7 +373,7 @@ def _union_branch_index(v: Any, branches: list, named: dict[str, Any]) -> int:
         # resolve it to its definition before matching, else a non-null
         # value for the referenced branch found no home (advisor r14)
         if isinstance(b, str):
-            defn = _resolve_named(b, named)
+            defn = _resolve_named(b, named, ns)
             if defn is not None:
                 b = defn
         bt = b if isinstance(b, str) else (b.get("type") if isinstance(b, Mapping) else None)
@@ -533,6 +503,8 @@ def resolve_value(
     reader: Any,
     w_named: dict[str, Any] | None = None,
     r_named: dict[str, Any] | None = None,
+    w_ns: str | None = None,
+    r_ns: str | None = None,
 ) -> Any:
     """Adapt a value decoded under ``writer`` to the ``reader`` schema,
     per the Avro spec's Schema Resolution: primitive promotions
@@ -564,16 +536,16 @@ def resolve_value(
         r_named = {}
         _register_named(reader, r_named)
     # named references resolve BEFORE any type comparison, each through
-    # its own schema's registry
+    # its own schema's registry in its own enclosing-namespace context
     if isinstance(writer, str) and writer not in _PRIMITIVE_NAMES:
-        defn = _resolve_named(writer, w_named)
+        defn = _resolve_named(writer, w_named, w_ns)
         if defn is None:
             raise ValueError(
                 f"unresolved Avro named-type reference {writer!r} in writer schema"
             )
         writer = defn
     if isinstance(reader, str) and reader not in _PRIMITIVE_NAMES:
-        defn = _resolve_named(reader, r_named)
+        defn = _resolve_named(reader, r_named, r_ns)
         if defn is None:
             raise ValueError(
                 f"unresolved Avro named-type reference {reader!r} in reader schema"
@@ -586,7 +558,7 @@ def resolve_value(
             if not r_null:
                 raise ValueError("writer null with non-nullable reader schema")
             return None
-        return resolve_value(v, w_inner, r_inner, w_named, r_named)
+        return resolve_value(v, w_inner, r_inner, w_named, r_named, w_ns, r_ns)
     if _type_name(writer) == "union" or _type_name(reader) == "union":
         raise ValueError(
             "complex (multi-branch) union resolution is not supported by "
@@ -608,13 +580,15 @@ def resolve_value(
     if (wt, rt) in _PROMOTIONS:
         return _PROMOTIONS[(wt, rt)](v)
     if wt == rt == "record":
+        w_fns, r_fns = _own_ns(writer, w_ns), _own_ns(reader, r_ns)
         w_fields = {f["name"]: f for f in writer["fields"]}
         out: dict[str, Any] = {}
         for rf in reader["fields"]:
             name = rf["name"]
             if name in w_fields:
                 out[name] = resolve_value(
-                    v[name], w_fields[name]["type"], rf["type"], w_named, r_named
+                    v[name], w_fields[name]["type"], rf["type"],
+                    w_named, r_named, w_fns, r_fns,
                 )
             elif "default" in rf:
                 out[name] = _default_value(rf["default"], rf["type"])
@@ -636,12 +610,16 @@ def resolve_value(
         return v
     if wt == rt == "array":
         return [
-            resolve_value(x, writer["items"], reader["items"], w_named, r_named)
+            resolve_value(
+                x, writer["items"], reader["items"], w_named, r_named, w_ns, r_ns
+            )
             for x in v
         ]
     if wt == rt == "map":
         return {
-            k: resolve_value(x, writer["values"], reader["values"], w_named, r_named)
+            k: resolve_value(
+                x, writer["values"], reader["values"], w_named, r_named, w_ns, r_ns
+            )
             for k, x in v.items()
         }
     raise ValueError(f"cannot resolve writer type {wt!r} to reader type {rt!r}")
@@ -676,11 +654,13 @@ def _bounded(buf: bytes, pos: int, n: int) -> int:
     return end
 
 
-def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]:
+def _dec(
+    buf: bytes, pos: int, s: Any, named: dict[str, Any], ns: str | None = None
+) -> tuple[Any, int]:
     if isinstance(s, str):
-        defn = _resolve_named(s, named)
+        defn = _resolve_named(s, named, ns)
         if defn is not None:
-            return _dec(buf, pos, defn, named)
+            return _dec(buf, pos, defn, named, ns)
         if s not in _PRIMITIVE_NAMES:
             # same guard as _enc: unknown bare names must not reach the
             # nested-schema tail call and self-recurse (review r13)
@@ -692,12 +672,12 @@ def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]
             raise ValueError(f"union index {idx} out of range")
         branches = [b for b in s if b != "null"]
         if len(branches) <= 1:  # nullable simple union → value or None
-            return _dec(buf, pos, s[idx], named)
+            return _dec(buf, pos, s[idx], named, ns)
         # complex union → struct<member0..> with one member set
         if s[idx] == "null":
             v, member = None, None
         else:
-            v, pos = _dec(buf, pos, s[idx], named)
+            v, pos = _dec(buf, pos, s[idx], named, ns)
             member = branches.index(s[idx])
         return (
             {
@@ -708,8 +688,7 @@ def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]
         )
     else:
         t = s["type"]
-        if t in ("record", "enum", "fixed") and s.get("name"):
-            _register_one(s, named, None)
+        # no traversal-time registration (see _enc)
     lt = _logical(s) if isinstance(s, Mapping) else None
     if lt == "decimal":
         if t == "fixed":
@@ -755,9 +734,10 @@ def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]
         end = _bounded(buf, pos, n)
         return buf[pos:end].decode("utf-8"), end
     if t == "record":
+        fns = _own_ns(s, ns)
         rec: dict[str, Any] = {}
         for f in s["fields"]:
-            rec[f["name"]], pos = _dec(buf, pos, f["type"], named)
+            rec[f["name"]], pos = _dec(buf, pos, f["type"], named, fns)
         return rec, pos
     if t == "enum":
         idx, pos = read_long(buf, pos)
@@ -778,7 +758,7 @@ def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]
                 count = -count
                 _, pos = read_long(buf, pos)
             for _ in range(count):
-                v, pos = _dec(buf, pos, s["items"], named)
+                v, pos = _dec(buf, pos, s["items"], named, ns)
                 items.append(v)
     if t == "map":
         m: dict[str, Any] = {}
@@ -794,8 +774,8 @@ def _dec(buf: bytes, pos: int, s: Any, named: dict[str, Any]) -> tuple[Any, int]
                 kend = _bounded(buf, pos, n)
                 k = buf[pos:kend].decode("utf-8")
                 pos = kend
-                m[k], pos = _dec(buf, pos, s["values"], named)
-    return _dec(buf, pos, t, named)  # {"type": <nested>} wrapping
+                m[k], pos = _dec(buf, pos, s["values"], named, ns)
+    return _dec(buf, pos, t, named, ns)  # {"type": <nested>} wrapping
 
 
 # --- object container files (Avro spec "Object Container Files") ------------

@@ -121,19 +121,23 @@ def avro_schema_to_spark(schema: str | Mapping[str, Any] | list) -> DataType:
     return _avro_type(schema, seen=frozenset(), named=named)
 
 
-def _avro_type(s: Any, seen: frozenset[int], named: Mapping[str, Any]) -> DataType:
+def _avro_type(
+    s: Any, seen: frozenset[int], named: Mapping[str, Any], ns: str | None = None
+) -> DataType:
     # ``seen`` holds id()s of record definitions on the current path:
     # identity, not name, so recursion through a reference (the
     # definition dict is re-entered via the registry) is caught exactly
-    # once whatever name form the reference used
-    from hello_flink_spark.sources.avro_codec import _resolve_named
+    # once whatever name form the reference used; ``ns`` is the
+    # enclosing definition's namespace, the context undotted references
+    # qualify against (spec Names rules)
+    from hello_flink_spark.sources.avro_codec import _own_ns, _resolve_named
 
     if isinstance(s, str):
         if s in _AVRO_PRIMITIVES:
             return _AVRO_PRIMITIVES[s]
-        defn = _resolve_named(s, named)  # raises on ambiguous shorthand
+        defn = _resolve_named(s, named, ns)
         if defn is not None:
-            return _avro_type(defn, seen, named)
+            return _avro_type(defn, seen, named, ns)
         raise ValueError(f"unknown Avro type {s!r} (reference to an "
                          "undefined named type, or an unsupported primitive)")
     if isinstance(s, list):  # union
@@ -141,12 +145,14 @@ def _avro_type(s: Any, seen: frozenset[int], named: Mapping[str, Any]) -> DataTy
         if not branches:
             return NullType()
         if len(branches) == 1:
-            return _avro_type(branches[0], seen, named)
+            return _avro_type(branches[0], seen, named, ns)
         # complex union → struct<member0, …> (spark-avro representation);
         # nullability of the members is inherent (one branch set at a time)
         return StructType(
             [
-                StructField(f"member{i}", _avro_type(b, seen, named), nullable=True)
+                StructField(
+                    f"member{i}", _avro_type(b, seen, named, ns), nullable=True
+                )
                 for i, b in enumerate(branches)
             ]
         )
@@ -171,24 +177,25 @@ def _avro_type(s: Any, seen: frozenset[int], named: Mapping[str, Any]) -> DataTy
                 "refuses too)"
             )
         inner = seen | {id(s)}
+        fns = _own_ns(s, ns)
         fields = []
         for f in s["fields"]:
-            ftype = _avro_type(f["type"], inner, named)
+            ftype = _avro_type(f["type"], inner, named, fns)
             nullable = _avro_nullable(f["type"])
             fields.append(StructField(f["name"], ftype, nullable=nullable))
         return StructType(fields)
     if t == "array":
-        item = _avro_type(s["items"], seen, named)
+        item = _avro_type(s["items"], seen, named, ns)
         return ArrayType(item, containsNull=_avro_nullable(s["items"]))
     if t == "map":
-        val = _avro_type(s["values"], seen, named)
+        val = _avro_type(s["values"], seen, named, ns)
         return MapType(StringType(), val, valueContainsNull=_avro_nullable(s["values"]))
     if t == "enum":
         return StringType()
     if t == "fixed":
         return BinaryType()
     # {"type": "string"} style wrapping of a primitive / nested schema
-    return _avro_type(t, seen, named)
+    return _avro_type(t, seen, named, ns)
 
 
 def _avro_nullable(s: Any) -> bool:
@@ -722,10 +729,21 @@ def from_avro_confluent_col(
     spark_type = avro_schema_to_spark(reader)
     if not isinstance(spark_type, StructType):
         raise ValueError("from_avro_confluent_col requires a record reader schema")
+    from hello_flink_spark.sources.avro_codec import _register_named
+
     writers = {
         int(i): (json.loads(s) if isinstance(s, str) else s)
         for i, s in schemas_by_id.items()
     }
+    # registries built ONCE here, not per record in the hot decode loop
+    # (review r14: the default-argument path walked both schemas per
+    # Kafka message)
+    r_named: dict[str, Any] = {}
+    _register_named(reader, r_named)
+    w_regs: dict[int, dict[str, Any]] = {}
+    for sid, w in writers.items():
+        w_regs[sid] = {}
+        _register_named(w, w_regs[sid])
     _require_utc_for_instants(
         _avro_has_instant(reader) or any(map(_avro_has_instant, writers.values())),
         "from_avro_confluent_col",
@@ -740,7 +758,9 @@ def from_avro_confluent_col(
         writer = writers.get(sid)
         if writer is None:
             raise ValueError(f"schema id {sid} not in the provided registry snapshot")
-        return resolve_value(decode_value(b[5:], writer), writer, reader)
+        return resolve_value(
+            decode_value(b[5:], writer), writer, reader, w_regs[sid], r_named
+        )
 
     @pandas_udf(spark_type)
     def _decode(s: pd.Series) -> pd.DataFrame:

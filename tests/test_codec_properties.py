@@ -328,14 +328,22 @@ def _avro_named_ref_schema_and_value(draw):
         inner["aliases"] = [alias]
 
     own_ns = inner_ns or top_ns  # spec: enclosing namespace inherited
-    refs = ["Inner", f"{own_ns}.Inner" if own_ns else "Inner"]
+    # VALID reference forms from Top's context, per the spec's Names
+    # rules (an undotted reference qualifies against the ENCLOSING
+    # definition's namespace — here Top's): the fullname always works;
+    # bare forms only when Inner's namespace is the inherited/null one
+    # (an undotted ref physically cannot reach a type in a DIFFERENT
+    # explicit namespace — that schema is invalid Avro)
+    refs = [f"{own_ns}.Inner" if own_ns else "Inner"]
+    if inner_ns is None:
+        refs.append("Inner")
     if alias:
         if "." in alias:
-            refs += [alias, alias.rsplit(".", 1)[1]]
+            refs.append(alias)  # dotted alias is absolute
         else:
-            refs.append(alias)
-            if own_ns:
-                refs.append(f"{own_ns}.{alias}")
+            refs.append(f"{own_ns}.{alias}" if own_ns else alias)
+            if inner_ns is None:
+                refs.append(alias)
     ref = draw(st.sampled_from(refs))
 
     def inner_val():

@@ -1657,10 +1657,12 @@ def test_avro_named_reference_end_to_end_read(spark, tmp_path):
 
 
 def test_avro_ambiguous_bare_reference_fails_loud():
-    """Two definitions in DIFFERENT namespaces sharing a bare name: the
-    flat registry cannot do namespace-relative resolution, so a bare
-    reference must raise (resolving to whichever registered first is
-    silently wrong — review r14); the FULLNAME references stay valid."""
+    """Two definitions in DIFFERENT explicit namespaces sharing a bare
+    name: an undotted reference qualifies against the ENCLOSING
+    definition's namespace (spec Names rules, implemented r14 third
+    wave), so from null-namespace Top it reaches NEITHER — it must
+    raise unresolved, never silently pick whichever registered first;
+    the FULLNAME references stay valid."""
     from hello_flink_spark.sources.avro_codec import decode_value, encode_value
 
     def schema(second_ref):
@@ -1683,7 +1685,7 @@ def test_avro_ambiguous_bare_reference_fails_loud():
     ok = schema("com.y.R")
     val = {"f1": {"a": 1}, "f2": {"b": "x"}, "f3": {"b": "y"}}
     assert decode_value(encode_value(val, ok), ok) == val
-    with pytest.raises(ValueError, match="ambiguous"):
+    with pytest.raises(ValueError, match="unresolved"):
         encode_value({"f1": {"a": 1}, "f2": {"b": "x"}, "f3": {"b": "y"}},
                      schema("R"))
 
@@ -1856,11 +1858,11 @@ def test_resolve_value_resolves_named_references():
 
 
 def test_null_namespace_fullname_never_tombstoned():
-    """A null-namespace definition's FULLNAME has no dot; the dotted-key
-    heuristic tombstoned it on collision with another namespace's bare
-    shorthand, making the type unreferenceable by the very fullname the
-    error recommended (review r14 second wave). Fullname bindings win
-    every collision; bare-vs-bare shorthand still tombstones."""
+    """A null-namespace definition's FULLNAME is its bare name. From a
+    null-namespace context, an undotted reference 'R' must reach it —
+    the earlier shorthand-key schemes variously tombstoned or displaced
+    this binding (review r14 second/third waves); under the spec's
+    Names rules it is simply the fullname lookup."""
     from hello_flink_spark.sources.avro_codec import decode_value, encode_value
 
     schema = {
@@ -1918,3 +1920,34 @@ def test_container_bzip2_xz_trailing_garbage_is_valueerror():
         for tail in (b"JUNK", b"JUNKJUNKJUNKJUNKJUNKJUNKJUNKJUNK"):
             with pytest.raises(ValueError, match=f"trailing bytes after {codec}"):
                 decode_container(container(codec, compress(body) + tail))
+
+
+def test_bare_reference_resolves_namespace_relative():
+    """The r14 third-wave repro: Top (namespace org.z) defines Inner
+    twice — one inheriting org.z, one explicitly com.x — and a bare
+    reference 'Inner'. Spec Names rules: the undotted reference
+    qualifies against the ENCLOSING namespace, so it deterministically
+    means org.z.Inner (the inherited one). The flat-shorthand registry
+    either tombstoned this (fail on valid schema) or, after traversal
+    re-registration, silently resolved it wrong."""
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+
+    schema = {
+        "type": "record",
+        "name": "Top",
+        "namespace": "org.z",
+        "fields": [
+            {"name": "f1", "type": {
+                "type": "record", "name": "Inner",  # inherits org.z
+                "fields": [{"name": "a", "type": "long"}],
+            }},
+            {"name": "f2", "type": {
+                "type": "record", "name": "Inner", "namespace": "com.x",
+                "fields": [{"name": "b", "type": "string"}],
+            }},
+            {"name": "f3", "type": "Inner"},      # = org.z.Inner
+            {"name": "f4", "type": "com.x.Inner"},
+        ],
+    }
+    val = {"f1": {"a": 1}, "f2": {"b": "x"}, "f3": {"a": 2}, "f4": {"b": "y"}}
+    assert decode_value(encode_value(val, schema), schema) == val
