@@ -107,6 +107,16 @@ _PRIMITIVE_NAMES = frozenset(
 )
 
 
+def _own_ns(s: Mapping[str, Any], ns: str | None) -> str | None:
+    """The namespace a named definition's CHILDREN resolve references
+    in: from a dotted name, else the explicit ``namespace`` attribute,
+    else inherited from the enclosing definition."""
+    name = s.get("name", "")
+    if "." in name:
+        return name.rsplit(".", 1)[0]
+    return s.get("namespace", ns)
+
+
 def _names_for(
     s: Mapping[str, Any], ns: str | None
 ) -> tuple[list[str], str | None]:
@@ -125,31 +135,33 @@ def _names_for(
     displacement, inherited-namespace mislabeling); the spec's actual
     rule is that an undotted REFERENCE is qualified by the namespace of
     the enclosing definition at LOOKUP time, which `_resolve_named`
-    now implements — so the registry needs only the unique fullnames."""
+    implements — so the registry needs only the unique fullnames."""
     name = s["name"]
-    if "." in name:
-        own_ns = name.rsplit(".", 1)[0]
-        full = name
-    else:
-        own_ns = s.get("namespace", ns)
-        full = f"{own_ns}.{name}" if own_ns else name
+    own_ns = _own_ns(s, ns)
+    bare = name.rsplit(".", 1)[1] if "." in name else name
+    full = f"{own_ns}.{bare}" if own_ns else bare
     fullnames = [full]
     for a in s.get("aliases", ()):
         fullnames.append(a if "." in a else (f"{own_ns}.{a}" if own_ns else a))
     return fullnames, own_ns
 
 
-def _resolve_named(name: str, named: Mapping[str, Any], ns: str | None):
+def _resolve_named(
+    name: str, named: Mapping[str, Any], ns: str | None
+) -> tuple[Any, str | None] | None:
     """Resolve a named-type reference per the spec's Names rules: a
     dotted name is a fullname (absolute); an undotted name is qualified
     by the ENCLOSING definition's namespace ``ns`` first, falling back
     to the null-namespace fullname (the only other legal candidate —
     if the ns-qualified type existed the reference would have found
-    it). Returns the definition or None if unregistered. Deterministic
-    by construction: fullnames are unique in a valid schema, so there
-    is no ambiguity left to tombstone (review r14 third wave — the
-    prior shorthand-key scheme mislabeled inherited-namespace
-    definitions and let traversal overwrite tombstones)."""
+    it). Returns ``(definition, defining_namespace)`` or None if
+    unregistered — the DEFINING namespace rides along because the
+    definition's own internal bare references must resolve in ITS
+    context, not the referencing one (review r14 fourth wave: a
+    cross-namespace fullname reference re-entered an
+    inherited-namespace record with the caller's namespace and its
+    sibling bare refs went unresolved or, worse, resolved to a
+    same-named type of the caller's namespace)."""
     if "." in name:
         return named.get(name)
     if ns:
@@ -160,37 +172,36 @@ def _resolve_named(name: str, named: Mapping[str, Any], ns: str | None):
 
 
 def _register_one(s: Mapping[str, Any], named: dict[str, Any], ns: str | None) -> str | None:
-    """Register one named definition under its fullname keys (name +
-    aliases). First definition wins per key — duplicate fullnames are
-    invalid Avro, and references through them resolve to the first
-    definition exactly as before."""
+    """Register one named definition as ``(definition, own_namespace)``
+    under its fullname keys (name + aliases). A key claimed by a
+    DISTINCT second definition is a duplicate fullname — invalid Avro —
+    and fails loud here rather than silently resolving references to
+    whichever registered first (review r14 fourth wave)."""
     fullnames, own_ns = _names_for(s, ns)
     for n in fullnames:
-        named.setdefault(n, s)
+        cur = named.get(n)
+        if cur is None:
+            named[n] = (s, own_ns)
+        elif cur[0] is not s and cur[0] != s:
+            raise ValueError(
+                f"duplicate Avro fullname {n!r}: two distinct definitions "
+                "claim it (invalid schema)"
+            )
     return own_ns
 
 
-def _own_ns(s: Mapping[str, Any], ns: str | None) -> str | None:
-    """The namespace a named definition's CHILDREN resolve references
-    in: from a dotted name, else the explicit ``namespace`` attribute,
-    else inherited from the enclosing definition."""
-    name = s.get("name", "")
-    if "." in name:
-        return name.rsplit(".", 1)[0]
-    return s.get("namespace", ns)
-
-
 def _register_named(s: Any, named: dict[str, Any], ns: str | None = None) -> None:
-    """Walk a schema ONCE, registering every named definition (record/
-    enum/fixed) so later references resolve even when the DEFINING
-    branch is not visited during value traversal — a null union value
-    left its branch's record definition unregistered, and the later
-    bare-name reference self-recursed to RecursionError (review r13).
-    Definitions register under bare name, fullname AND aliases, with
-    nested names inheriting the enclosing namespace (advisor r14).
-    Registration during value traversal still happens (it is how
-    recursive data would resolve mid-stream) but no longer carries the
-    correctness burden."""
+    """Walk a schema ONCE at every entry point, registering every named
+    definition (record/enum/fixed) as ``(definition, own_namespace)``
+    under its FULLNAME keys (name + aliases), nested names inheriting
+    the enclosing namespace. This pre-walk is the ONLY registration —
+    references resolve even when the defining branch is never visited
+    during value traversal (a null union value left its branch's record
+    unregistered and the later reference self-recursed, review r13),
+    and traversal-time re-registration is gone (it guessed the
+    namespace context and corrupted the registry, review r14 third
+    wave). Undotted references qualify against the enclosing
+    definition's namespace at LOOKUP time (``_resolve_named``)."""
     if isinstance(s, list):
         for b in s:
             _register_named(b, named, ns)
@@ -239,9 +250,13 @@ def _enc(
     out: io.BytesIO, v: Any, s: Any, named: dict[str, Any], ns: str | None = None
 ) -> None:
     if isinstance(s, str):
-        defn = _resolve_named(s, named, ns)
-        if defn is not None:  # named-type reference
-            _enc(out, v, defn, named, ns)
+        hit = _resolve_named(s, named, ns)
+        if hit is not None:  # named-type reference
+            defn, dns = hit
+            # recurse in the DEFINING namespace: the definition's own
+            # internal bare references resolve in its context, not the
+            # referencing one (review r14 fourth wave)
+            _enc(out, v, defn, named, dns)
             return
         if s not in _PRIMITIVE_NAMES:
             # an unknown bare name would fall through every primitive
@@ -373,9 +388,9 @@ def _union_branch_index(
         # resolve it to its definition before matching, else a non-null
         # value for the referenced branch found no home (advisor r14)
         if isinstance(b, str):
-            defn = _resolve_named(b, named, ns)
-            if defn is not None:
-                b = defn
+            hit = _resolve_named(b, named, ns)
+            if hit is not None:
+                b = hit[0]
         bt = b if isinstance(b, str) else (b.get("type") if isinstance(b, Mapping) else None)
         lt = b.get("logicalType") if isinstance(b, Mapping) else None
         if v is None and bt == "null":
@@ -439,6 +454,7 @@ def decode_value(
     payload: bytes,
     schema: str | Mapping[str, Any] | list,
     reader_schema: str | Mapping[str, Any] | list | None = None,
+    named: dict[str, Any] | None = None,
 ) -> Any:
     """Decode one Avro-binary value to the SPARK-ROW shape that
     ``formats.avro_schema_to_spark`` declares for the same schema:
@@ -452,8 +468,11 @@ def decode_value(
     with the WRITER schema it was encoded under, then adapted to the
     evolved reader shape — the jar module's schema-evolution read."""
     s = _resolve(schema)
-    named: dict[str, Any] = {}
-    _register_named(s, named)
+    if named is None:
+        # per-call walk; hot loops (the Confluent decode UDF) pass a
+        # registry prebuilt once at UDF construction (review r14)
+        named = {}
+        _register_named(s, named)
     v, pos = _dec(payload, 0, s, named=named)
     if pos != len(payload):
         raise ValueError(f"{len(payload) - pos} trailing bytes after Avro value")
@@ -538,19 +557,19 @@ def resolve_value(
     # named references resolve BEFORE any type comparison, each through
     # its own schema's registry in its own enclosing-namespace context
     if isinstance(writer, str) and writer not in _PRIMITIVE_NAMES:
-        defn = _resolve_named(writer, w_named, w_ns)
-        if defn is None:
+        hit = _resolve_named(writer, w_named, w_ns)
+        if hit is None:
             raise ValueError(
                 f"unresolved Avro named-type reference {writer!r} in writer schema"
             )
-        writer = defn
+        writer, w_ns = hit
     if isinstance(reader, str) and reader not in _PRIMITIVE_NAMES:
-        defn = _resolve_named(reader, r_named, r_ns)
-        if defn is None:
+        hit = _resolve_named(reader, r_named, r_ns)
+        if hit is None:
             raise ValueError(
                 f"unresolved Avro named-type reference {reader!r} in reader schema"
             )
-        reader = defn
+        reader, r_ns = hit
     w_null, w_inner = _nullable_parts(writer)
     r_null, r_inner = _nullable_parts(reader)
     if w_null or r_null:
@@ -658,9 +677,10 @@ def _dec(
     buf: bytes, pos: int, s: Any, named: dict[str, Any], ns: str | None = None
 ) -> tuple[Any, int]:
     if isinstance(s, str):
-        defn = _resolve_named(s, named, ns)
-        if defn is not None:
-            return _dec(buf, pos, defn, named, ns)
+        hit = _resolve_named(s, named, ns)
+        if hit is not None:
+            defn, dns = hit
+            return _dec(buf, pos, defn, named, dns)
         if s not in _PRIMITIVE_NAMES:
             # same guard as _enc: unknown bare names must not reach the
             # nested-schema tail call and self-recurse (review r13)

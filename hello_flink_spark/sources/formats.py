@@ -135,9 +135,10 @@ def _avro_type(
     if isinstance(s, str):
         if s in _AVRO_PRIMITIVES:
             return _AVRO_PRIMITIVES[s]
-        defn = _resolve_named(s, named, ns)
-        if defn is not None:
-            return _avro_type(defn, seen, named, ns)
+        hit = _resolve_named(s, named, ns)
+        if hit is not None:
+            defn, dns = hit
+            return _avro_type(defn, seen, named, dns)
         raise ValueError(f"unknown Avro type {s!r} (reference to an "
                          "undefined named type, or an unsupported primitive)")
     if isinstance(s, list):  # union
@@ -759,7 +760,8 @@ def from_avro_confluent_col(
         if writer is None:
             raise ValueError(f"schema id {sid} not in the provided registry snapshot")
         return resolve_value(
-            decode_value(b[5:], writer), writer, reader, w_regs[sid], r_named
+            decode_value(b[5:], writer, named=w_regs[sid]),
+            writer, reader, w_regs[sid], r_named,
         )
 
     @pandas_udf(spark_type)

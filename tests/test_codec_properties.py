@@ -317,10 +317,20 @@ def _avro_named_ref_schema_and_value(draw):
     alias = draw(st.sampled_from([None, "Old", "legacy.Old"]))
     leaf_schema, leaf_strat = draw(st.sampled_from(_AVRO_PRIMS))
 
+    # Inner defines a nested named Leaf (inheriting Inner's namespace)
+    # and references it BARE — so any cross-namespace re-entry into
+    # Inner must resolve that bare ref in Inner's DEFINING namespace
+    # (the r14 fourth-wave shape), not the referencing context's
     inner = {
         "type": "record",
         "name": "Inner",
-        "fields": [{"name": "x", "type": leaf_schema}],
+        "fields": [
+            {"name": "x", "type": {
+                "type": "record", "name": "Leaf",
+                "fields": [{"name": "y", "type": leaf_schema}],
+            }},
+            {"name": "x2", "type": "Leaf"},
+        ],
     }
     if inner_ns:
         inner["namespace"] = inner_ns
@@ -328,26 +338,30 @@ def _avro_named_ref_schema_and_value(draw):
         inner["aliases"] = [alias]
 
     own_ns = inner_ns or top_ns  # spec: enclosing namespace inherited
-    # VALID reference forms from Top's context, per the spec's Names
-    # rules (an undotted reference qualifies against the ENCLOSING
-    # definition's namespace — here Top's): the fullname always works;
-    # bare forms only when Inner's namespace is the inherited/null one
-    # (an undotted ref physically cannot reach a type in a DIFFERENT
-    # explicit namespace — that schema is invalid Avro)
+    # the reference lives inside a Mid wrapper with its own (random)
+    # namespace — the reference context is MID's namespace, so a
+    # cross-namespace fullname reference exercises the re-entry path
+    mid_ns = draw(st.sampled_from([None, "com.mid"]))
+    ctx = mid_ns or top_ns
+    # VALID reference forms from Mid's context, per the spec's Names
+    # rules: the fullname always works; bare forms only when the
+    # context qualification (or the null-namespace fallback) lands on
+    # Inner's fullname — an undotted ref physically cannot reach a type
+    # in a DIFFERENT explicit namespace (that schema is invalid Avro)
     refs = [f"{own_ns}.Inner" if own_ns else "Inner"]
-    if inner_ns is None:
+    if own_ns == ctx or own_ns is None:
         refs.append("Inner")
     if alias:
         if "." in alias:
             refs.append(alias)  # dotted alias is absolute
         else:
             refs.append(f"{own_ns}.{alias}" if own_ns else alias)
-            if inner_ns is None:
+            if own_ns == ctx or own_ns is None:
                 refs.append(alias)
     ref = draw(st.sampled_from(refs))
 
     def inner_val():
-        return {"x": draw(leaf_strat)}
+        return {"x": {"y": draw(leaf_strat)}, "x2": {"y": draw(leaf_strat)}}
 
     fields, value = [], {}
     def_nullable = draw(st.booleans())
@@ -356,8 +370,17 @@ def _avro_named_ref_schema_and_value(draw):
         None if def_nullable and draw(st.booleans()) else inner_val()
     )
     ref_nullable = draw(st.booleans())
-    fields.append({"name": "r", "type": ["null", ref] if ref_nullable else ref})
-    value["r"] = None if ref_nullable and draw(st.booleans()) else inner_val()
+    mid = {
+        "type": "record",
+        "name": "Mid",
+        "fields": [{"name": "w", "type": ["null", ref] if ref_nullable else ref}],
+    }
+    if mid_ns:
+        mid["namespace"] = mid_ns
+    fields.append({"name": "r", "type": mid})
+    value["r"] = {
+        "w": None if ref_nullable and draw(st.booleans()) else inner_val()
+    }
 
     schema = {"type": "record", "name": "Top", "fields": fields}
     if top_ns:
@@ -418,7 +441,13 @@ def test_avro_named_reference_resolution_random(sv, dflt):
 
     reader = evolve(schema)
     got = resolve_value(value, schema, reader)
-    want = {
-        k: (v if v is None else {**v, "zz": int(dflt)}) for k, v in value.items()
-    }
-    assert got == want
+
+    def want_of(name, v):
+        if v is None:
+            return None
+        if name == "d":
+            return {**v, "zz": int(dflt)}
+        # r: the Mid wrapper — the default lands on the Inner inside w
+        return {"w": None if v["w"] is None else {**v["w"], "zz": int(dflt)}}
+
+    assert got == {k: want_of(k, v) for k, v in value.items()}

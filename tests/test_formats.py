@@ -1951,3 +1951,81 @@ def test_bare_reference_resolves_namespace_relative():
     }
     val = {"f1": {"a": 1}, "f2": {"b": "x"}, "f3": {"a": 2}, "f4": {"b": "y"}}
     assert decode_value(encode_value(val, schema), schema) == val
+
+
+def test_cross_namespace_reentry_uses_defining_namespace():
+    """Review r14 fourth wave: a definition re-entered via a
+    cross-namespace fullname reference must resolve ITS internal bare
+    references in its DEFINING namespace, not the referencing one. Top
+    (org.z) defines Leaf and Inner (both inheriting org.z; Inner
+    references 'Leaf' bare); Mid (com.a) references 'org.z.Inner' — and
+    a com.a.Leaf with a DIFFERENT shape exists, so resolving in the
+    caller's namespace would not just fail but silently pick the wrong
+    type. Pinned through the codec, the Spark mapper and schema
+    resolution."""
+    from pyspark.sql.types import StructType
+
+    from hello_flink_spark.sources.avro_codec import (
+        decode_value,
+        encode_value,
+        resolve_value,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "Top",
+        "namespace": "org.z",
+        "fields": [
+            {"name": "leaf0", "type": {
+                "type": "record", "name": "Leaf",  # org.z.Leaf (inherited)
+                "fields": [{"name": "y", "type": "long"}],
+            }},
+            {"name": "shadow", "type": {
+                "type": "record", "name": "Leaf", "namespace": "com.a",
+                "fields": [{"name": "z", "type": "string"}],  # different shape
+            }},
+            {"name": "inner0", "type": {
+                "type": "record", "name": "Inner",  # org.z.Inner (inherited)
+                "fields": [{"name": "l", "type": "Leaf"}],  # = org.z.Leaf
+            }},
+            {"name": "mid", "type": {
+                "type": "record", "name": "Mid", "namespace": "com.a",
+                "fields": [{"name": "w", "type": "org.z.Inner"}],
+            }},
+        ],
+    }
+    val = {
+        "leaf0": {"y": 1},
+        "shadow": {"z": "s"},
+        "inner0": {"l": {"y": 2}},
+        "mid": {"w": {"l": {"y": 3}}},  # re-entry: Inner's bare Leaf ref
+    }
+    assert decode_value(encode_value(val, schema), schema) == val
+    spark_type = avro_schema_to_spark(schema)
+    assert isinstance(spark_type, StructType)
+    # mid.w.l must be the org.z.Leaf shape (long y), not com.a.Leaf
+    assert spark_type["mid"].dataType["w"].dataType["l"].dataType.fieldNames() == ["y"]
+    assert resolve_value(val, schema, schema) == val
+
+
+def test_duplicate_fullname_fails_loud():
+    """Two DISTINCT definitions claiming one fullname is invalid Avro —
+    references through it must fail at registration, never silently
+    resolve to whichever registered first (review r14 fourth wave)."""
+    from hello_flink_spark.sources.avro_codec import encode_value
+
+    schema = {
+        "type": "record", "name": "Top", "namespace": "org.z",
+        "fields": [
+            {"name": "f1", "type": {
+                "type": "record", "name": "R",
+                "fields": [{"name": "a", "type": "long"}],
+            }},
+            {"name": "f2", "type": {
+                "type": "record", "name": "R",
+                "fields": [{"name": "b", "type": "string"}],
+            }},
+        ],
+    }
+    with pytest.raises(ValueError, match="duplicate Avro fullname"):
+        encode_value({"f1": {"a": 1}, "f2": {"b": "x"}}, schema)
