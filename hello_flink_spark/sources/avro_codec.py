@@ -146,6 +146,9 @@ def _names_for(
     return fullnames, own_ns
 
 
+_NAME_KEY, _ALIAS_KEY = False, True  # registry entry provenance flags
+
+
 def _resolve_named(
     name: str, named: Mapping[str, Any], ns: str | None
 ) -> tuple[Any, str | None] | None:
@@ -172,21 +175,30 @@ def _resolve_named(
 
 
 def _register_one(s: Mapping[str, Any], named: dict[str, Any], ns: str | None) -> str | None:
-    """Register one named definition as ``(definition, own_namespace)``
-    under its fullname keys (name + aliases). A key claimed by a
-    DISTINCT second definition is a duplicate fullname — invalid Avro —
-    and fails loud here rather than silently resolving references to
-    whichever registered first (review r14 fourth wave)."""
+    """Register one named definition as ``(definition, own_namespace,
+    is_alias_entry)`` under its fullname keys. Two DISTINCT definitions
+    claiming the same NAME fullname is a duplicate — invalid Avro — and
+    fails loud (review r14 fourth wave). ALIAS keys are a leniency (the
+    spec uses aliases for schema resolution, not references; Java Avro
+    keeps them out of the name table entirely), so they never
+    participate in the duplicate check: a name claim always displaces
+    an alias-held key, an alias claim never displaces anything — a
+    spec-legal schema where one type's alias collides with another
+    type's name must keep working, with the NAME winning
+    deterministically whatever the registration order (review r14
+    fifth wave)."""
     fullnames, own_ns = _names_for(s, ns)
-    for n in fullnames:
-        cur = named.get(n)
-        if cur is None:
-            named[n] = (s, own_ns)
-        elif cur[0] is not s and cur[0] != s:
-            raise ValueError(
-                f"duplicate Avro fullname {n!r}: two distinct definitions "
-                "claim it (invalid schema)"
-            )
+    name_key, alias_keys = fullnames[0], fullnames[1:]
+    cur = named.get(name_key)
+    if cur is None or cur[2] is _ALIAS_KEY:
+        named[name_key] = (s, own_ns, _NAME_KEY)
+    elif cur[0] is not s and cur[0] != s:
+        raise ValueError(
+            f"duplicate Avro fullname {name_key!r}: two distinct "
+            "definitions claim it (invalid schema)"
+        )
+    for n in alias_keys:
+        named.setdefault(n, (s, own_ns, _ALIAS_KEY))
     return own_ns
 
 
@@ -252,7 +264,7 @@ def _enc(
     if isinstance(s, str):
         hit = _resolve_named(s, named, ns)
         if hit is not None:  # named-type reference
-            defn, dns = hit
+            defn, dns = hit[0], hit[1]
             # recurse in the DEFINING namespace: the definition's own
             # internal bare references resolve in its context, not the
             # referencing one (review r14 fourth wave)
@@ -265,9 +277,21 @@ def _enc(
             raise ValueError(f"unresolved Avro named-type reference {s!r}")
         t = s
     elif isinstance(s, list):  # union: index then branch value
-        idx = _union_branch_index(v, s, named, ns)
+        # resolve reference branches ONCE — both the matcher and the
+        # branch encode use the resolved form, and the encode recurses
+        # in the branch's DEFINING namespace (review r14 fifth wave:
+        # match-then-re-resolve paid two lookups per value)
+        rb: list[tuple[Any, str | None]] = []
+        for b in s:
+            if isinstance(b, str):
+                hit = _resolve_named(b, named, ns)
+                if hit is not None:
+                    rb.append((hit[0], hit[1]))
+                    continue
+            rb.append((b, ns))
+        idx = _union_branch_index(v, [x[0] for x in rb], named, ns)
         write_long(out, idx)
-        _enc(out, v, s[idx], named, ns)
+        _enc(out, v, rb[idx][0], named, rb[idx][1])
         return
     else:
         t = s["type"]
@@ -384,13 +408,10 @@ def _union_branch_index(
     if isinstance(v, float) and v != v and "null" in branches:
         return branches.index("null")
     for i, b in enumerate(branches):
-        # a branch may be a named-type REFERENCE ('R' / 'com.x.R') —
-        # resolve it to its definition before matching, else a non-null
-        # value for the referenced branch found no home (advisor r14)
-        if isinstance(b, str):
-            hit = _resolve_named(b, named, ns)
-            if hit is not None:
-                b = hit[0]
+        # named-type reference branches arrive PRE-RESOLVED from _enc's
+        # union prologue (single resolution point, review r14 fifth
+        # wave); an unresolved string here is a primitive or fails in
+        # the branch encode
         bt = b if isinstance(b, str) else (b.get("type") if isinstance(b, Mapping) else None)
         lt = b.get("logicalType") if isinstance(b, Mapping) else None
         if v is None and bt == "null":
@@ -562,14 +583,14 @@ def resolve_value(
             raise ValueError(
                 f"unresolved Avro named-type reference {writer!r} in writer schema"
             )
-        writer, w_ns = hit
+        writer, w_ns = hit[0], hit[1]
     if isinstance(reader, str) and reader not in _PRIMITIVE_NAMES:
         hit = _resolve_named(reader, r_named, r_ns)
         if hit is None:
             raise ValueError(
                 f"unresolved Avro named-type reference {reader!r} in reader schema"
             )
-        reader, r_ns = hit
+        reader, r_ns = hit[0], hit[1]
     w_null, w_inner = _nullable_parts(writer)
     r_null, r_inner = _nullable_parts(reader)
     if w_null or r_null:
@@ -679,7 +700,7 @@ def _dec(
     if isinstance(s, str):
         hit = _resolve_named(s, named, ns)
         if hit is not None:
-            defn, dns = hit
+            defn, dns = hit[0], hit[1]
             return _dec(buf, pos, defn, named, dns)
         if s not in _PRIMITIVE_NAMES:
             # same guard as _enc: unknown bare names must not reach the

@@ -137,7 +137,7 @@ def _avro_type(
             return _AVRO_PRIMITIVES[s]
         hit = _resolve_named(s, named, ns)
         if hit is not None:
-            defn, dns = hit
+            defn, dns = hit[0], hit[1]
             return _avro_type(defn, seen, named, dns)
         raise ValueError(f"unknown Avro type {s!r} (reference to an "
                          "undefined named type, or an unsupported primitive)")
@@ -736,15 +736,22 @@ def from_avro_confluent_col(
         int(i): (json.loads(s) if isinstance(s, str) else s)
         for i, s in schemas_by_id.items()
     }
-    # registries built ONCE here, not per record in the hot decode loop
-    # (review r14: the default-argument path walked both schemas per
-    # Kafka message)
+    # reader registry built ONCE; writer registries built LAZILY per
+    # schema id on first sight and cached — eager registration of the
+    # whole snapshot let one bad schema under an id that never appears
+    # on the wire abort the entire topic (review r14 fifth wave), and
+    # per-record building walked the schema per Kafka message (fourth)
     r_named: dict[str, Any] = {}
     _register_named(reader, r_named)
     w_regs: dict[int, dict[str, Any]] = {}
-    for sid, w in writers.items():
-        w_regs[sid] = {}
-        _register_named(w, w_regs[sid])
+
+    def _w_reg(sid: int, writer) -> dict[str, Any]:
+        reg = w_regs.get(sid)
+        if reg is None:
+            reg = {}
+            _register_named(writer, reg)
+            w_regs[sid] = reg
+        return reg
     _require_utc_for_instants(
         _avro_has_instant(reader) or any(map(_avro_has_instant, writers.values())),
         "from_avro_confluent_col",
@@ -759,9 +766,10 @@ def from_avro_confluent_col(
         writer = writers.get(sid)
         if writer is None:
             raise ValueError(f"schema id {sid} not in the provided registry snapshot")
+        reg = _w_reg(sid, writer)
         return resolve_value(
-            decode_value(b[5:], writer, named=w_regs[sid]),
-            writer, reader, w_regs[sid], r_named,
+            decode_value(b[5:], writer, named=reg),
+            writer, reader, reg, r_named,
         )
 
     @pandas_udf(spark_type)

@@ -2029,3 +2029,64 @@ def test_duplicate_fullname_fails_loud():
     }
     with pytest.raises(ValueError, match="duplicate Avro fullname"):
         encode_value({"f1": {"a": 1}, "f2": {"b": "x"}}, schema)
+
+
+def test_alias_colliding_with_name_keeps_working():
+    """Spec-legal schema: record B carries alias 'A' while a DISTINCT
+    record is legitimately NAMED A in the same namespace (the standard
+    renamed-type pattern next to its replacement). Registration must
+    not raise duplicate-fullname (aliases are leniency, not name
+    claims), and a reference 'A' resolves to the NAMED type whatever
+    the definition order (review r14 fifth wave)."""
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+
+    def schema(order):
+        b = {"type": "record", "name": "B", "aliases": ["A"],
+             "fields": [{"name": "vb", "type": "long"}]}
+        a = {"type": "record", "name": "A",
+             "fields": [{"name": "va", "type": "string"}]}
+        first, second = (b, a) if order == "alias_first" else (a, b)
+        return {
+            "type": "record", "name": "Top", "namespace": "org.z",
+            "fields": [
+                {"name": "f1", "type": first},
+                {"name": "f2", "type": second},
+                {"name": "f3", "type": "A"},  # the NAME wins
+            ],
+        }
+
+    for order in ("alias_first", "name_first"):
+        s = schema(order)
+        val_f1 = {"vb": 1} if order == "alias_first" else {"va": "x"}
+        val_f2 = {"va": "x"} if order == "alias_first" else {"vb": 1}
+        val = {"f1": val_f1, "f2": val_f2, "f3": {"va": "y"}}
+        assert decode_value(encode_value(val, s), s) == val, order
+
+
+def test_confluent_bad_unused_schema_id_does_not_abort(spark):
+    """A stale entry in the registry snapshot whose schema fails
+    registration (duplicate fullname) must not abort decoding of
+    messages that never reference that id — writer registries build
+    lazily per schema id on first sight (review r14 fifth wave)."""
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.avro_codec import encode_value
+    from hello_flink_spark.sources.formats import from_avro_confluent_col
+
+    good = {"type": "record", "name": "E",
+            "fields": [{"name": "k", "type": "string"}]}
+    bad = {"type": "record", "name": "T", "fields": [
+        {"name": "f1", "type": {"type": "record", "name": "R",
+                                "fields": [{"name": "a", "type": "long"}]}},
+        {"name": "f2", "type": {"type": "record", "name": "R",
+                                "fields": [{"name": "b", "type": "string"}]}},
+    ]}
+    rows = [
+        (b"\x00" + (1).to_bytes(4, "big") + encode_value({"k": f"k{i}"}, good),)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "payload binary")
+    dec = df.select(
+        from_avro_confluent_col(F.col("payload"), good, {1: good, 7: bad}).alias("r")
+    )
+    assert sorted(r["r"]["k"] for r in dec.collect()) == [f"k{i}" for i in range(4)]
