@@ -128,6 +128,25 @@ def iter_correctness_rows(repo_root: Path | None = None):
             yield rnd, name, row
 
 
+# VERDICT r14 ("What's wrong" #1 / "Next round" #1): CHANGED code
+# outranks merely-STALE code for driver-window slots. Each entry is
+# ``(query_name, reverify_before_round)``: the query ranks at the head
+# of the rotation — after never-verified names, before the
+# staleness-ordered rest — until the driver hash-greens it in a round
+# >= ``reverify_before_round``; the pin then self-clears and the
+# ordering returns to pure last-green staleness. Round 15 pins the five
+# format queries whose Avro/protobuf codec internals (named-type
+# resolution, ``_visible_files``, streaming block decompression) were
+# rewritten in round 14 after their last driver green (r12/r13).
+_ROTATION_HEAD: tuple[tuple[str, int], ...] = (
+    ("scan_avro_decode", 15),
+    ("scan_protobuf_decode", 15),
+    ("scan_avro_container", 15),
+    ("scan_protobuf_delimited", 15),
+    ("scan_avro_confluent", 15),
+)
+
+
 def _driver_verified_rounds() -> dict[str, int]:
     """Latest round in which the driver's correctness gate saw each query.
 
@@ -155,9 +174,21 @@ def all_specs() -> dict[str, QuerySpec]:
     _load()
     verified = _driver_verified_rounds()
     order = list(_REGISTRY)
-    ranked = sorted(
-        order, key=lambda n: (verified.get(n, -1), order.index(n))
-    )
+    # Active (not yet self-cleared) rotation-head pins, in pin order.
+    head_rank = {
+        name: i
+        for i, (name, before) in enumerate(_ROTATION_HEAD)
+        if name in _REGISTRY and verified.get(name, -1) < before
+    }
+
+    def key(n: str) -> tuple[int, int, int]:
+        if n not in verified:
+            return (0, 0, order.index(n))  # never-verified: always first
+        if n in head_rank:
+            return (1, head_rank[n], 0)  # changed-code re-verify pins
+        return (2, verified[n], order.index(n))  # least-recently-green
+
+    ranked = sorted(order, key=key)
     return {name: _REGISTRY[name] for name in ranked}
 
 

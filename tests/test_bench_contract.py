@@ -96,6 +96,53 @@ def test_correctness_window_prioritizes_unverified():
         )
 
 
+def test_rotation_head_pins_changed_code_first():
+    """VERDICT r14 #1: changed code outranks merely-stale code. While a
+    ``_ROTATION_HEAD`` pin is active (the named query has no driver
+    hash-green at or after its ``reverify_before_round``), the query must
+    rank directly after the never-verified names and before the
+    staleness-ordered rest; once the driver re-greens it, the pin
+    self-clears and the name rejoins pure last-green ordering. Both arms
+    are asserted so the pin can never ossify into a permanent bypass of
+    the rotation."""
+    sys.path.insert(0, str(REPO))
+    from hello_flink_spark import registry
+    from hello_flink_spark.registry import (
+        _ROTATION_HEAD,
+        _driver_verified_rounds,
+        all_specs,
+    )
+
+    specs = all_specs()
+    order = list(specs)
+    verified = _driver_verified_rounds()
+    n_unverified = sum(1 for n in order if n not in verified)
+    for i, (name, before) in enumerate(_ROTATION_HEAD):
+        assert name in specs, f"rotation-head pin names unknown query {name}"
+        if verified.get(name, -1) < before:
+            # active pin: right after the unverified block, in pin order
+            active_before = sum(
+                1
+                for pname, pbefore in _ROTATION_HEAD[:i]
+                if verified.get(pname, -1) < pbefore
+            )
+            assert order.index(name) == n_unverified + active_before, (
+                f"active rotation-head pin {name} ranked "
+                f"{order.index(name)}, expected {n_unverified + active_before}"
+            )
+        else:
+            # cleared pin: must NOT outrank a staler query
+            my_round = verified[name]
+            staler = [
+                n for n in order if n not in verified or verified[n] < my_round
+            ]
+            worst = max((order.index(n) for n in staler), default=-1)
+            assert order.index(name) > worst, (
+                f"cleared rotation-head pin {name} (green r{my_round}) still "
+                f"outranks staler queries"
+            )
+
+
 def test_promotion_requires_driver_rehash():
     """Promotion-reverification invariant (VERDICT r11 #8): an O-tier
     spec whose driver history holds ONLY rows-only (``no_oracle``)
