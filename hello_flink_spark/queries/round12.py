@@ -67,11 +67,13 @@ def scan_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle aggregates the raw parquet, so the driver's hash gate
     certifies encode→decode identity on every row. Zero shuffles
     until the final ~|langs|-group aggregate."""
-    from hello_flink_spark.sources.avro_codec import encode_value
+    from hello_flink_spark.sources.avro_codec import _register_named, encode_value
     from hello_flink_spark.sources.formats import from_avro_col
 
     schema_json = _AVRO_DOC_SCHEMA
     schema_obj = json.loads(schema_json)  # parse once, not per record
+    _named: dict = {}  # one registry walk, not one per record (advisor r14)
+    _register_named(schema_obj, _named)
 
     @F.pandas_udf("binary")
     def _encode(doc_id: pd.Series, lang: pd.Series, text: pd.Series,
@@ -86,6 +88,7 @@ def scan_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_chars": int(n),
                     },
                     schema_obj,
+                    named=_named,
                 )
                 for i, l, x, n in zip(doc_id, lang, text, n_chars)
             ]

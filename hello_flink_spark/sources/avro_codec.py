@@ -154,10 +154,13 @@ def _resolve_named(
 ) -> tuple[Any, str | None] | None:
     """Resolve a named-type reference per the spec's Names rules: a
     dotted name is a fullname (absolute); an undotted name is qualified
-    by the ENCLOSING definition's namespace ``ns`` first, falling back
-    to the null-namespace fullname (the only other legal candidate —
-    if the ns-qualified type existed the reference would have found
-    it). Returns ``(definition, defining_namespace)`` or None if
+    by the ENCLOSING definition's namespace ``ns`` — and ONLY that. No
+    null-namespace fallback: the spec (and Java Avro's parser) rejects
+    an undotted reference inside a non-null namespace that names a
+    null-namespace type, and accepting it here would embed a schema in
+    ``encode_container`` output that other Avro implementations cannot
+    read (advisor r14). Callers fail loud on the resulting None.
+    Returns ``(definition, defining_namespace)`` or None if
     unregistered — the DEFINING namespace rides along because the
     definition's own internal bare references must resolve in ITS
     context, not the referencing one (review r14 fourth wave: a
@@ -168,9 +171,7 @@ def _resolve_named(
     if "." in name:
         return named.get(name)
     if ns:
-        v = named.get(f"{ns}.{name}")
-        if v is not None:
-            return v
+        return named.get(f"{ns}.{name}")
     return named.get(name)
 
 
@@ -234,11 +235,19 @@ def _register_named(s: Any, named: dict[str, Any], ns: str | None = None) -> Non
         _register_named(t, named, ns)
 
 
-def encode_value(value: Any, schema: str | Mapping[str, Any] | list) -> bytes:
+def encode_value(
+    value: Any,
+    schema: str | Mapping[str, Any] | list,
+    named: dict[str, Any] | None = None,
+) -> bytes:
     out = io.BytesIO()
     s = _resolve(schema)
-    named: dict[str, Any] = {}
-    _register_named(s, named)
+    if named is None:
+        # per-call walk; hot loops (the encode UDFs) pass a registry
+        # prebuilt once at UDF construction (advisor r14 — decode_value
+        # grew the same parameter one wave earlier)
+        named = {}
+        _register_named(s, named)
     _enc(out, value, s, named=named)
     return out.getvalue()
 
@@ -838,10 +847,14 @@ def _capped_streams(factory, raw: bytes, cap: int, codec_name: str) -> bytes:
     pbzip2 emit such blocks) under ONE shared output cap. Truncated
     FIRST streams fail loud as truncation; anything wrong after a
     complete stream — an unparseable header, a short tail — is
-    TRAILING BYTES, reported as the same ValueError class the one-shot
-    path raised (review r14 second wave: the raw OSError/LZMAError
-    escaped for bzip2, and a short xz tail was misdiagnosed as a
-    truncated block)."""
+    TRAILING BYTES, raised as ValueError. That is DELIBERATELY
+    STRICTER than the stdlib one-shot functions, which silently ignore
+    invalid leftover data after a complete stream (advisor r14:
+    post-stream garbage in an Avro block is corruption, not padding) —
+    pinned by test_container_bzip2_xz_trailing_garbage_is_valueerror.
+    What IS normalized to ValueError: the raw OSError/LZMAError that
+    escaped for bzip2 mid-concatenation, and a short xz tail formerly
+    misdiagnosed as a truncated block (review r14 second wave)."""
     chunks: list[bytes] = []
     total = 0
     data = raw

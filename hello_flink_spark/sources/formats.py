@@ -369,7 +369,7 @@ def _avro_py_udf(json_schema: str):
     Spark shape ``avro_schema_to_spark`` declares for the schema."""
     from pyspark.sql.functions import pandas_udf
 
-    from hello_flink_spark.sources.avro_codec import decode_value
+    from hello_flink_spark.sources.avro_codec import _register_named, decode_value
 
     spark_type = avro_schema_to_spark(json_schema)
     # parse ONCE at UDF build — passing the raw JSON string would
@@ -377,12 +377,20 @@ def _avro_py_udf(json_schema: str):
     # guarded so already-parsed dict schemas keep working
     schema_obj = json.loads(json_schema) if isinstance(json_schema, str) else json_schema
     _require_utc_for_instants(_avro_has_instant(schema_obj), "from_avro_col")
+    # prebuild the named-type registry ONCE at UDF construction — without
+    # it decode_value re-walks the whole schema per record (advisor r14:
+    # the exact per-record walk the Confluent path already eliminated)
+    named: dict[str, Any] = {}
+    _register_named(schema_obj, named)
 
     if isinstance(spark_type, StructType):
 
         @pandas_udf(spark_type)
         def _decode(s: pd.Series) -> pd.DataFrame:
-            rows = [None if b is None else decode_value(bytes(b), schema_obj) for b in s]
+            rows = [
+                None if b is None else decode_value(bytes(b), schema_obj, named=named)
+                for b in s
+            ]
             return pd.DataFrame(
                 {f.name: [None if r is None else r[f.name] for r in rows]
                  for f in spark_type.fields}
@@ -393,7 +401,10 @@ def _avro_py_udf(json_schema: str):
         @pandas_udf(spark_type)
         def _decode(s: pd.Series) -> pd.Series:
             return pd.Series(
-                [None if b is None else decode_value(bytes(b), schema_obj) for b in s]
+                [
+                    None if b is None else decode_value(bytes(b), schema_obj, named=named)
+                    for b in s
+                ]
             )
 
     return _decode
@@ -467,18 +478,24 @@ def to_avro_col(data_col, json_schema: str):
 
         return to_avro(data_col, json_schema)
 
-    from hello_flink_spark.sources.avro_codec import encode_value
+    from hello_flink_spark.sources.avro_codec import _register_named, encode_value
 
     schema_obj = (  # parse once, not per record; dicts pass through
         json.loads(json_schema) if isinstance(json_schema, str) else json_schema
     )
     _require_utc_for_instants(_avro_has_instant(schema_obj), "to_avro_col")
+    # prebuilt named-type registry: one schema walk at UDF construction,
+    # not one per record in the encode hot loop (advisor r14)
+    named: dict[str, Any] = {}
+    _register_named(schema_obj, named)
 
     @pandas_udf(BinaryType())
     def _encode(pdf: pd.DataFrame) -> pd.Series:
         return pd.Series(
             [
-                encode_value({k: _pd_cell(v) for k, v in row.items()}, schema_obj)
+                encode_value(
+                    {k: _pd_cell(v) for k, v in row.items()}, schema_obj, named=named
+                )
                 for row in pdf.to_dict("records")
             ]
         )
@@ -789,18 +806,22 @@ def to_avro_confluent_col(data_col, json_schema: str, schema_id: int):
     producer registered under that id would send)."""
     from pyspark.sql.functions import pandas_udf
 
-    from hello_flink_spark.sources.avro_codec import encode_value
+    from hello_flink_spark.sources.avro_codec import _register_named, encode_value
 
     prefix = b"\x00" + int(schema_id).to_bytes(4, "big")
     schema_obj = json.loads(json_schema) if isinstance(json_schema, str) else json_schema
     _require_utc_for_instants(_avro_has_instant(schema_obj), "to_avro_confluent_col")
+    named: dict[str, Any] = {}  # one schema walk, not one per record (advisor r14)
+    _register_named(schema_obj, named)
 
     @pandas_udf(BinaryType())
     def _encode(pdf: pd.DataFrame) -> pd.Series:
         return pd.Series(
             [
                 prefix
-                + encode_value({k: _pd_cell(v) for k, v in row.items()}, schema_obj)
+                + encode_value(
+                    {k: _pd_cell(v) for k, v in row.items()}, schema_obj, named=named
+                )
                 for row in pdf.to_dict("records")
             ]
         )

@@ -12,7 +12,7 @@ import datetime as dt
 import io
 from decimal import Decimal
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from hello_flink_spark.sources.avro_codec import (
@@ -344,20 +344,27 @@ def _avro_named_ref_schema_and_value(draw):
     mid_ns = draw(st.sampled_from([None, "com.mid"]))
     ctx = mid_ns or top_ns
     # VALID reference forms from Mid's context, per the spec's Names
-    # rules: the fullname always works; bare forms only when the
-    # context qualification (or the null-namespace fallback) lands on
-    # Inner's fullname — an undotted ref physically cannot reach a type
-    # in a DIFFERENT explicit namespace (that schema is invalid Avro)
-    refs = [f"{own_ns}.Inner" if own_ns else "Inner"]
-    if own_ns == ctx or own_ns is None:
+    # rules: a dotted fullname always works; bare forms ONLY when the
+    # context qualification lands on Inner's fullname (own_ns == ctx,
+    # including the both-None case). A null-namespace type has an
+    # UNDOTTED fullname, so it is unreachable from any non-null context
+    # except via a dotted alias — the r15 strictness fix dropped the
+    # null-namespace fallback that used to accept those schemas (Java
+    # Avro rejects them; see test_avro_null_namespace_ref_rejected)
+    refs = []
+    if own_ns:
+        refs.append(f"{own_ns}.Inner")
+    if own_ns == ctx:
         refs.append("Inner")
     if alias:
         if "." in alias:
             refs.append(alias)  # dotted alias is absolute
         else:
-            refs.append(f"{own_ns}.{alias}" if own_ns else alias)
-            if own_ns == ctx or own_ns is None:
+            if own_ns:
+                refs.append(f"{own_ns}.{alias}")
+            if own_ns == ctx:
                 refs.append(alias)
+    assume(refs)  # no spec-legal way to reference Inner from this context
     ref = draw(st.sampled_from(refs))
 
     def inner_val():

@@ -1309,6 +1309,44 @@ def test_named_type_reference_resolves_across_union_branches():
                                 "fields": [{"name": "q", "type": "Nope"}]})
 
 
+def test_avro_null_namespace_ref_rejected_from_non_null_context():
+    """An UNDOTTED reference inside a non-null namespace resolves ONLY
+    to ``ns.name`` — there is no null-namespace fallback (advisor r14:
+    the spec and Java Avro's parser reject these schemas, and accepting
+    one embeds an unreadable-elsewhere writer schema in
+    ``encode_container`` output). A null-namespace type's fullname is
+    undotted, so it is unreachable from a non-null context; all three
+    public surfaces (encode, decode, the Spark schema mapper) fail loud
+    rather than guess. The same schema WITH a null reference context
+    keeps working — the strictness cut exactly the invalid case."""
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+    from hello_flink_spark.sources.formats import avro_schema_to_spark
+
+    def top(mid_ns: str | None):
+        mid = {"type": "record", "name": "Mid",
+               "fields": [{"name": "w", "type": "Inner"}]}
+        if mid_ns:
+            mid["namespace"] = mid_ns
+        return {"type": "record", "name": "Top", "fields": [
+            {"name": "d", "type": {
+                "type": "record", "name": "Inner",  # null namespace
+                "fields": [{"name": "x", "type": "int"}]}},
+            {"name": "r", "type": mid}]}
+
+    v = {"d": {"x": 1}, "r": {"w": {"x": 2}}}
+    bad = top("com.mid")
+    with pytest.raises(ValueError, match="unresolved"):
+        encode_value(v, bad)
+    with pytest.raises(ValueError, match="unresolved|unknown"):
+        # decode needs bytes; any payload works — resolution fails first
+        decode_value(b"\x02\x02\x04", bad)
+    with pytest.raises(ValueError, match="unknown Avro type"):
+        avro_schema_to_spark(bad)
+    good = top(None)  # null context: bare ref IS the fullname
+    assert decode_value(encode_value(v, good), good) == v
+    avro_schema_to_spark(good)
+
+
 def test_duration_negative_fraction_same_sign():
     """protobuf Duration requires seconds and nanos to SHARE a sign;
     Python timedelta normalization (days=-1, microseconds=+999999)
