@@ -257,6 +257,14 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--repeat", type=int, default=3, help="timed runs per query (min)")
     parser.add_argument("--queries", nargs="*", default=None, help="subset of query names")
+    parser.add_argument(
+        "--runs-log",
+        default=None,
+        help="also write EVERY raw per-run timing (not just the min) as "
+        "JSON to this path — settlement/flapper-watch provenance "
+        "(BASELINE.md round-14 provenance block: archives live under "
+        "docs/bench_logs/)",
+    )
     args = parser.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -309,6 +317,7 @@ def main() -> int:
         errors["__warmup__"] = f"{type(exc).__name__}: {exc}"[:300]
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
         runs = []
         try:
@@ -320,6 +329,15 @@ def main() -> int:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
         timings[name] = round(min(runs), 3)
+        all_runs[name] = [round(r, 3) for r in runs]
+    if args.runs_log:
+        try:
+            with open(args.runs_log, "w") as fh:
+                json.dump(
+                    {"sf": sf, "repeat": args.repeat, "runs": all_runs}, fh, indent=1
+                )
+        except OSError as exc:
+            errors["__runs_log__"] = f"{type(exc).__name__}: {exc}"[:300]
 
     result = {
         "metric": "headline_query_suite_wall_sec",

@@ -3098,6 +3098,60 @@ def test_protobuf_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
 # state schema evolution across checkpoints (VERDICT r13 #4, SEMANTICS §13)
 # ---------------------------------------------------------------------------
 
+def _make_evolved_ewma():
+    """The evolved EWMA processor: v1 logic against a state schema with
+    one appended defaulted field, adapted by padding writes /
+    truncating reads (the shape a real upgrade ships). A FACTORY, not
+    module-level definitions: cloudpickle ships nested functions and
+    classes by VALUE, while module-level ones pickle by qualified name
+    and executors cannot import ``test_streaming``. Two goldens drive
+    it: the rejection golden (old checkpoint must refuse it loud) and
+    the upgrade-recipe golden (fresh-checkpoint reprocess must converge
+    to the batch shadow, VERDICT r14 #5)."""
+    from functools import partial
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ext_state = (
+        "ewma double, n long, buf_ts array<long>, buf_eid array<long>, "
+        "buf_val array<double>, scale double"
+    )
+
+    class _PaddedState:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):  # timers, watermark, hasTimedOut...
+            return getattr(self._inner, name)
+
+        @property
+        def exists(self):
+            return self._inner.exists
+
+        @property
+        def get(self):
+            return tuple(self._inner.get)[:5]
+
+        def update(self, t):
+            self._inner.update(tuple(t) + (1.0,))
+
+    def _ewma_v2(tzv, key, pdfs, state):
+        yield from stateful._ewma(tzv, key, pdfs, _PaddedState(state))
+
+    def evolved(stream, delay: str = WM):
+        tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
+        return stream.withWatermark("ts", delay).groupBy(
+            "user_id"
+        ).applyInPandasWithState(
+            partial(_ewma_v2, tz),
+            outputStructType="user_id long, n_events long, ewma_value double",
+            stateStructType=ext_state,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+
+    return evolved
+
 
 def test_state_schema_evolution_rejected_across_checkpoint(spark, tmp_path):
     """[F] savepoint state evolution has NO Spark equivalent for
@@ -3109,10 +3163,7 @@ def test_state_schema_evolution_rejected_across_checkpoint(spark, tmp_path):
     checkpoint reprocessing the bounded source with the evolved
     processor — must complete and match the uninterrupted v1 run.
     Documented as the upgrade-path delta in docs/SEMANTICS.md §13."""
-    from functools import partial
-
     from pyspark.errors import StreamingQueryException
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
     src = str(tmp_path / "replay")
     events = spark.range(40).select(
@@ -3161,47 +3212,7 @@ def test_state_schema_evolution_rejected_across_checkpoint(spark, tmp_path):
     )
     land_chunk(3)
 
-    # the evolved processor: v1 logic against a state schema with one
-    # appended defaulted field, adapted by padding writes / truncating
-    # reads (the shape a real upgrade would ship)
-    EXT_STATE = (
-        "ewma double, n long, buf_ts array<long>, buf_eid array<long>, "
-        "buf_val array<double>, scale double"
-    )
-
-    class _PaddedState:
-        def __init__(self, inner):
-            self._inner = inner
-
-        def __getattr__(self, name):  # timers, watermark, hasTimedOut...
-            return getattr(self._inner, name)
-
-        @property
-        def exists(self):
-            return self._inner.exists
-
-        @property
-        def get(self):
-            return tuple(self._inner.get)[:5]
-
-        def update(self, t):
-            self._inner.update(tuple(t) + (1.0,))
-
-    tz = spark.conf.get("spark.sql.session.timeZone")
-
-    def ewma_v2(tzv, key, pdfs, state):
-        yield from stateful._ewma(tzv, key, pdfs, _PaddedState(state))
-
-    def evolved(stream):
-        return stream.withWatermark("ts", "30 minutes").groupBy(
-            "user_id"
-        ).applyInPandasWithState(
-            partial(ewma_v2, tz),
-            outputStructType="user_id long, n_events long, ewma_value double",
-            stateStructType=EXT_STATE,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
+    evolved = _make_evolved_ewma()  # shared evolved processor
 
     # 1) resume over the OLD checkpoint: rejected loud, no silent remap
     with pytest.raises(
@@ -3241,3 +3252,35 @@ def test_state_schema_evolution_rejected_across_checkpoint(spark, tmp_path):
     assert final_per_user(out2) == final_per_user(out1), (
         "evolved fresh-checkpoint run diverged from the v1 shadow"
     )
+
+
+def test_state_evolution_upgrade_recipe_matches_batch_shadow(
+    spark, sf_dir, ooo_flush_replay_dir
+):
+    """The documented upgrade path WORKS, not only the unsupported one
+    fails (VERDICT r14 #5): after a state-tuple extension the
+    operational recipe — fresh checkpoint, reprocess the source with
+    the evolved processor — must converge to the declared BATCH shadow
+    (`events_value_ewma`) bit-for-bit on the real fixture, driven over
+    the out-of-order-within-delay replay so the reorder buffer is
+    exercised under the widened state schema too. Same comparison as
+    the v1 golden (test_stateful_ewma_equals_batch_shadow): the
+    upgrade recipe loses nothing relative to an uninterrupted run."""
+    run_to_memory(
+        _make_evolved_ewma()(_stream(spark, ooo_flush_replay_dir)),
+        "t_ewma_v2",
+        "update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        spark.table("t_ewma_v2")
+        .filter(F.col("user_id") >= 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    got = {r.user_id: (r.n_events, round(r.ewma_value, 6)) for r in final.collect()}
+    want = {
+        r.user_id: (r.n_events, r.ewma_value)
+        for r in get_spec("events_value_ewma").fn(spark, sf_dir).collect()
+    }
+    assert got == want, "upgrade-recipe run diverged from the batch shadow"
