@@ -276,10 +276,31 @@ def build_sf1(spark) -> dict[str, int]:
 
 
 def main() -> None:
+    import argparse
+
     from pyspark.sql import functions as F
 
     from hello_flink_spark.registry import all_specs
     from hello_flink_spark.session import get_spark
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="targeted re-probe of the named ops after a code change "
+        "(VERDICT r14 #7: re-run the probe only for ops whose code "
+        "changed). Measures just these and APPENDS a dated addendum "
+        "block to docs/SCALING_SF1.md — the authoritative full table "
+        "is only regenerated by a no-flags run.",
+    )
+    args = parser.parse_args()
+    probes = PROBES
+    if args.only is not None:
+        unknown = [n for n in args.only if n not in dict(PROBES)]
+        if unknown:
+            raise SystemExit(f"--only names not in the probe set: {unknown}")
+        probes = [(n, t) for n, t in PROBES if n in args.only]
 
     spark = get_spark("scaling-probe-sf1")
     specs = all_specs()
@@ -294,7 +315,7 @@ def main() -> None:
 
     rows: dict[str, dict[str, float]] = {}
     for sf in (SRC, DST):
-        for name, _ in PROBES:
+        for name, _ in probes:
             runs = []
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -302,6 +323,40 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
             rows.setdefault(name, {})[sf] = min(runs)
             print(f"{sf} {name}: {min(runs):.3f}s")
+
+    if args.only is not None:
+        # dated addendum, never a full-report rewrite: regenerating the
+        # table from a subset run would drop every unprobed op's row
+        import datetime as _dt
+
+        lines = [
+            "",
+            f"## Targeted re-probe ({', '.join(sorted(rows))}) — "
+            f"{_dt.date.today().isoformat()}",
+            "",
+            "Code-change re-probe (VERDICT r14 #7: re-run only for ops",
+            "whose code changed); same protocol as the table above",
+            "(min-of-3, disjoint-shard sf1, work-unit denominators",
+            "re-measured this run). The full table remains the",
+            "authoritative record for all other ops.",
+            "",
+            "| query | sf0.1 s | sf1 s | time ratio | work unit | unit ratio | time÷unit |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for name, _ in probes:
+            a, b = rows[name][SRC], rows[name][DST]
+            ratio = b / a if a else float("inf")
+            u = OP_UNIT[name]
+            ua, ub = units[SRC][u], units[DST][u]
+            ur = ub / ua if ua else float("inf")
+            lines.append(
+                f"| {name} | {a:.3f} | {b:.3f} | {ratio:.1f}x "
+                f"| {u} ({ua:,} → {ub:,}) | {ur:.1f}x | {ratio / ur:.2f} |"
+            )
+        out = Path(__file__).resolve().parent.parent / "docs" / "SCALING_SF1.md"
+        out.write_text(out.read_text().rstrip("\n") + "\n" + "\n".join(lines) + "\n")
+        print(f"appended targeted addendum to {out}")
+        return
 
     # Candidate-pair accounting for the multimodal dedup trio (VERDICT
     # r09 #6): the band join's directed candidate count per sf, from

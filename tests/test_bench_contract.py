@@ -143,6 +143,24 @@ def test_rotation_head_pins_changed_code_first():
             )
 
 
+def test_scaling_probe_only_flag_rejects_unknown_names_before_spark():
+    """The sf1 probe's targeted mode (--only, VERDICT r14 #7 tooling)
+    must reject names outside the probe set BEFORE building a Spark
+    session or the sf1 dataset — a typo'd op name failing after a
+    multi-minute sf1 build would burn the probe budget for nothing."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "scaling_probe_sf1.py"),
+         "--only", "definitely_not_a_probe"],
+        capture_output=True,
+        text=True,
+        timeout=60,  # pre-Spark exit: any Spark start would blow this
+    )
+    assert proc.returncode != 0
+    assert "not in the probe set" in (proc.stderr + proc.stdout)
+
+
 def test_promotion_requires_driver_rehash():
     """Promotion-reverification invariant (VERDICT r11 #8): an O-tier
     spec whose driver history holds ONLY rows-only (``no_oracle``)
