@@ -720,6 +720,66 @@ def test_to_avro_col_roundtrips_through_from_avro_col(spark):
     )
 
 
+def test_avro_col_named_reference_roundtrips_on_executors(spark):
+    """The encode/decode UDF pair with a NAMED-TYPE-REFERENCE schema,
+    executed on real executors (round 15): the prebuilt named-type
+    registry is captured in the pandas-UDF closures and cloudpickled to
+    workers — shared definition references inside the (schema, registry)
+    pair must survive that trip, or reference resolution breaks exactly
+    where the sf0.01 gate (flat fixture schemas) cannot see it. The
+    schema defines `Pt` once inside a namespace and references it again
+    undotted from the same namespace plus dotted from the top record."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.formats import from_avro_col, to_avro_col
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "Seg",
+            "namespace": "com.geo",
+            "fields": [
+                {"name": "a", "type": {
+                    "type": "record", "name": "Pt",
+                    "fields": [
+                        {"name": "x", "type": "double"},
+                        {"name": "y", "type": "double"},
+                    ]}},
+                {"name": "b", "type": "Pt"},  # undotted, same namespace
+                {"name": "c", "type": ["null", "com.geo.Pt"]},  # dotted
+            ],
+        }
+    )
+    rows = [
+        ((float(i), i + 0.5), (i - 0.5, float(-i)),
+         None if i % 3 == 0 else (i * 2.0, i * 3.0))
+        for i in range(20)
+    ]
+    pt = "struct<x double, y double>"
+    df = spark.createDataFrame(rows, f"a {pt}, b {pt}, c {pt}").select(
+        F.struct("a", "b", "c").alias("rec")
+    )
+    out = df.select(
+        from_avro_col(to_avro_col(F.col("rec"), schema), schema).alias("back")
+    )
+    got = sorted(
+        (
+            (r["back"]["a"]["x"], r["back"]["a"]["y"]),
+            (r["back"]["b"]["x"], r["back"]["b"]["y"]),
+            None if r["back"]["c"] is None
+            else (r["back"]["c"]["x"], r["back"]["c"]["y"]),
+        )
+        for r in out.collect()
+    )
+    assert got == sorted(
+        ((a, b, None if c is None else (float(c[0]), float(c[1]))))
+        for a, b, c in ((tuple(map(float, a)), tuple(map(float, b)), c)
+                        for a, b, c in rows)
+    )
+
+
 def test_to_protobuf_col_roundtrips_through_from_protobuf_col(spark):
     from pyspark.sql import functions as F
 
