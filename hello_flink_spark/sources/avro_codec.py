@@ -297,6 +297,15 @@ def _enc(
                 if hit is not None:
                     rb.append((hit[0], hit[1]))
                     continue
+                if b not in _PRIMITIVE_NAMES:
+                    # same fail-loud contract as the non-union reference
+                    # path above — without this an invalid schema's
+                    # unresolved branch silently rides along and every
+                    # null value under it encodes fine (review r15: the
+                    # exact bypass the strictness fix claimed to close)
+                    raise ValueError(
+                        f"unresolved Avro named-type reference {b!r} in union"
+                    )
             rb.append((b, ns))
         idx = _union_branch_index(v, [x[0] for x in rb], named, ns)
         write_long(out, idx)

@@ -170,7 +170,7 @@ OP_UNIT: dict[str, str] = {
 }
 
 
-def measure_units(spark) -> dict[str, dict[str, int]]:
+def measure_units(spark, needed: set[str] | None = None) -> dict[str, dict[str, int]]:
     """Measure every distinct work-unit denominator at both SFs.
 
     char-grams = Σ max(len(text)−31, 0) over gram-eligible docs (the
@@ -178,38 +178,72 @@ def measure_units(spark) -> dict[str, dict[str, int]]:
     count scales identically token-for-token); text-bytes = Σ
     len(text) (the byte-proportional fold/hash ops); *-rows = input
     row counts (ops whose per-row work is constant by construction).
+
+    ``needed`` (targeted --only runs) restricts measurement to the
+    units the selected probes actually report — the full no-flags run
+    measures all of them.
     """
     from pyspark.sql import functions as F
 
     from hello_flink_spark.sources.readers import load_table
 
+    def _want(u: str) -> bool:
+        return needed is None or u in needed
+
+    text_units = ("text-bytes", "word-shingles", "char-grams")
+
     def _one(sf: str) -> dict[str, int]:
-        d = load_table(spark, sf, "documents")
-        agg = d.agg(
-            F.sum(F.length("text")).alias("bytes"),
-            F.sum(F.size(F.split("text", " "))).alias("tokens"),
-            F.sum(
-                F.when(F.length("text") >= 32, F.length("text") - 31).otherwise(0)
-            ).alias("grams"),
-        ).collect()[0]
-        return {
-            "text-bytes": int(agg["bytes"] or 0),
-            "word-shingles": int(agg["tokens"] or 0),
-            "char-grams": int(agg["grams"] or 0),
-            "document-rows": d.count(),
-            "orders-rows": load_table(spark, sf, "orders").count(),
-            "lineitem-rows": load_table(spark, sf, "lineitem").count(),
-            "embedding-rows": load_table(spark, sf, "embeddings").count(),
-            "event-rows": load_table(spark, sf, "events").count(),
-        }
+        out: dict[str, int] = {}
+        if any(_want(u) for u in text_units):
+            d = load_table(spark, sf, "documents")
+            agg = d.agg(
+                F.sum(F.length("text")).alias("bytes"),
+                F.sum(F.size(F.split("text", " "))).alias("tokens"),
+                F.sum(
+                    F.when(F.length("text") >= 32, F.length("text") - 31).otherwise(0)
+                ).alias("grams"),
+            ).collect()[0]
+            out["text-bytes"] = int(agg["bytes"] or 0)
+            out["word-shingles"] = int(agg["tokens"] or 0)
+            out["char-grams"] = int(agg["grams"] or 0)
+        for unit, table in (
+            ("document-rows", "documents"),
+            ("orders-rows", "orders"),
+            ("lineitem-rows", "lineitem"),
+            ("embedding-rows", "embeddings"),
+            ("event-rows", "events"),
+        ):
+            if _want(unit):
+                out[unit] = load_table(spark, sf, table).count()
+        return out
 
     return {sf: _one(sf) for sf in (SRC, DST)}
 
 
-def build_sf1(spark) -> dict[str, int]:
+def build_sf1(spark, reuse: bool = False) -> dict[str, int]:
     from pyspark.sql import functions as F
 
     from hello_flink_spark.sources.readers import load_table
+
+    if reuse:
+        # Targeted --only runs reuse an existing count-verified shard:
+        # every table must hold exactly REPLICAS x its sf0.1 rows.
+        # Building only the selected probes' driving tables instead
+        # would BREAK any probe whose query reads a second scaled table
+        # (review r15 weighed both); full no-flags runs always rebuild
+        # so the authoritative report never rides a stale generator.
+        try:
+            sizes = {}
+            for t in ("documents", "orders", "lineitem", "embeddings", "events"):
+                want = load_table(spark, SRC, t).count() * REPLICAS
+                got = spark.read.parquet(f"{DST}/{t}.parquet").count()
+                if got != want:
+                    raise ValueError(f"{t}: {got} != {want}")
+                sizes[t] = got
+            print("sf1 shard reused (count-verified 10x of sf0.1)")
+            return sizes
+        except Exception as exc:  # noqa: BLE001 — missing/stale: rebuild
+            print(f"sf1 shard not reusable ({exc}); rebuilding")
 
     sizes = {}
     ks = spark.range(REPLICAS).select(F.col("id").alias("k"))
@@ -297,6 +331,11 @@ def main() -> None:
     args = parser.parse_args()
     probes = PROBES
     if args.only is not None:
+        if not args.only:
+            # a bare --only would pay the full multi-minute sf1 build,
+            # time nothing, and append an empty addendum block to the
+            # tracked report (review r15)
+            raise SystemExit("--only requires at least one probe name")
         unknown = [n for n in args.only if n not in dict(PROBES)]
         if unknown:
             raise SystemExit(f"--only names not in the probe set: {unknown}")
@@ -307,10 +346,13 @@ def main() -> None:
     noop = F.pandas_udf(lambda s: s, "long")
     spark.range(1000).select(noop("id").alias("id")).collect()
 
-    sizes = build_sf1(spark)
+    sizes = build_sf1(spark, reuse=args.only is not None)
     print("sf1 sizes:", sizes)
 
-    units = measure_units(spark)
+    units = measure_units(
+        spark,
+        needed=None if args.only is None else {OP_UNIT[n] for n, _ in probes},
+    )
     print("work units:", units)
 
     rows: dict[str, dict[str, float]] = {}
@@ -324,6 +366,28 @@ def main() -> None:
             rows.setdefault(name, {})[sf] = min(runs)
             print(f"{sf} {name}: {min(runs):.3f}s")
 
+    def probe_row(name: str, table: str) -> tuple[str, float, float, float]:
+        """ONE formatter for both the authoritative table and the
+        targeted addendum (review r15: two hand-kept copies had
+        already drifted in column sets). Returns the markdown row plus
+        (time ratio, unit ratio, time÷unit)."""
+        a, b = rows[name][SRC], rows[name][DST]
+        ratio = b / a if a else float("inf")
+        u = OP_UNIT[name]
+        ua, ub = units[SRC][u], units[DST][u]
+        ur = ub / ua if ua else float("inf")
+        per = ratio / ur if ur else float("inf")
+        line = (
+            f"| {name} | {table} | {a:.3f} | {b:.3f} | {ratio:.1f}x "
+            f"| {u} ({ua:,} → {ub:,}) | {ur:.1f}x | {per:.2f} |"
+        )
+        return line, ratio, ur, per
+
+    PROBE_HEADER = [
+        "| query | driving input | sf0.1 s | sf1 s | time ratio | work unit | unit ratio | time÷unit |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+
     if args.only is not None:
         # dated addendum, never a full-report rewrite: regenerating the
         # table from a subset run would drop every unprobed op's row
@@ -335,24 +399,15 @@ def main() -> None:
             f"{_dt.date.today().isoformat()}",
             "",
             "Code-change re-probe (VERDICT r14 #7: re-run only for ops",
-            "whose code changed); same protocol as the table above",
-            "(min-of-3, disjoint-shard sf1, work-unit denominators",
-            "re-measured this run). The full table remains the",
-            "authoritative record for all other ops.",
+            "whose code changed); same protocol and columns as the full",
+            "table above (min-of-3, disjoint-shard sf1, work-unit",
+            "denominators re-measured this run). The full table remains",
+            "the authoritative record for all other ops.",
             "",
-            "| query | sf0.1 s | sf1 s | time ratio | work unit | unit ratio | time÷unit |",
-            "|---|---|---|---|---|---|---|",
+            *PROBE_HEADER,
         ]
-        for name, _ in probes:
-            a, b = rows[name][SRC], rows[name][DST]
-            ratio = b / a if a else float("inf")
-            u = OP_UNIT[name]
-            ua, ub = units[SRC][u], units[DST][u]
-            ur = ub / ua if ua else float("inf")
-            lines.append(
-                f"| {name} | {a:.3f} | {b:.3f} | {ratio:.1f}x "
-                f"| {u} ({ua:,} → {ub:,}) | {ur:.1f}x | {ratio / ur:.2f} |"
-            )
+        for name, table in probes:
+            lines.append(probe_row(name, table)[0])
         out = Path(__file__).resolve().parent.parent / "docs" / "SCALING_SF1.md"
         out.write_text(out.read_text().rstrip("\n") + "\n" + "\n".join(lines) + "\n")
         print(f"appended targeted addendum to {out}")
@@ -430,25 +485,17 @@ def main() -> None:
         "means the op is linear-or-better in its own work, whatever the",
         "raw time ratio reads.",
         "",
-        "| query | driving input | sf0.1 s | sf1 s | time ratio | work unit | unit ratio | time÷unit |",
-        "|---|---|---|---|---|---|---|---|",
+        *PROBE_HEADER,
     ]
     worst = 0.0
     per_unit: dict[str, float] = {}
     unit_ratio: dict[str, float] = {}
     for name, table in PROBES:
-        a, b = rows[name][SRC], rows[name][DST]
-        ratio = b / a if a else float("inf")
+        line, ratio, ur, per = probe_row(name, table)
         worst = max(worst, ratio)
-        u = OP_UNIT[name]
-        ua, ub = units[SRC][u], units[DST][u]
-        ur = ub / ua if ua else float("inf")
         unit_ratio[name] = ur
-        per_unit[name] = ratio / ur if ur else float("inf")
-        lines.append(
-            f"| {name} | {table} | {a:.3f} | {b:.3f} | {ratio:.1f}x "
-            f"| {u} ({ua:,} → {ub:,}) | {ur:.1f}x | {per_unit[name]:.2f} |"
-        )
+        per_unit[name] = per
+        lines.append(line)
     lines += [
         "",
         "Candidate-pair accounting for the multimodal dedup trio (the",

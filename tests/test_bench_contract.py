@@ -119,12 +119,22 @@ def test_rotation_head_pins_changed_code_first():
     n_unverified = sum(1 for n in order if n not in verified)
     for i, (name, before) in enumerate(_ROTATION_HEAD):
         assert name in specs, f"rotation-head pin names unknown query {name}"
-        if verified.get(name, -1) < before:
+        if name not in verified:
+            # never-verified pinned query: the pin is vacuous — the
+            # query already ranks inside the stronger never-verified
+            # block (review r15: asserting the head-block position here
+            # would falsely fail for a pinned just-promoted query, the
+            # exact query a future round is most likely to pin)
+            assert order.index(name) < n_unverified, (
+                f"never-verified pin {name} ranked outside the "
+                f"unverified block"
+            )
+        elif verified[name] < before:
             # active pin: right after the unverified block, in pin order
             active_before = sum(
                 1
                 for pname, pbefore in _ROTATION_HEAD[:i]
-                if verified.get(pname, -1) < pbefore
+                if pname in verified and verified[pname] < pbefore
             )
             assert order.index(name) == n_unverified + active_before, (
                 f"active rotation-head pin {name} ranked "
@@ -159,6 +169,17 @@ def test_scaling_probe_only_flag_rejects_unknown_names_before_spark():
     )
     assert proc.returncode != 0
     assert "not in the probe set" in (proc.stderr + proc.stdout)
+    # a BARE --only must reject too — it would otherwise pay the full
+    # sf1 build, time nothing, and append an empty addendum (review r15)
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "scaling_probe_sf1.py"),
+         "--only"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode != 0
+    assert "at least one probe name" in (proc.stderr + proc.stdout)
 
 
 def test_promotion_requires_driver_rehash():

@@ -1406,6 +1406,26 @@ def test_avro_null_namespace_ref_rejected_from_non_null_context():
     assert decode_value(encode_value(v, good), good) == v
     avro_schema_to_spark(good)
 
+    # the UNION shape (review r15): an unresolvable reference BRANCH
+    # must reject at encode even when the value taken is the null
+    # branch — without the union-prologue guard every null row encoded
+    # fine and the invalid schema rode into container output
+    def top_union(mid_ns):
+        t = top(mid_ns)
+        t["fields"][1]["type"]["fields"][0]["type"] = ["null", "Inner"]
+        return t
+
+    vu = {"d": {"x": 1}, "r": {"w": None}}
+    with pytest.raises(ValueError, match="unresolved.*union"):
+        encode_value(vu, top_union("com.mid"))
+    with pytest.raises(ValueError, match="unknown Avro type"):
+        avro_schema_to_spark(top_union("com.mid"))
+    gu = top_union(None)
+    assert decode_value(encode_value(vu, gu), gu) == vu
+    assert decode_value(
+        encode_value({"d": {"x": 1}, "r": {"w": {"x": 5}}}, gu), gu
+    ) == {"d": {"x": 1}, "r": {"w": {"x": 5}}}
+
 
 def test_duration_negative_fraction_same_sign():
     """protobuf Duration requires seconds and nanos to SHARE a sign;
