@@ -1409,7 +1409,11 @@ def test_avro_null_namespace_ref_rejected_from_non_null_context():
     # the UNION shape (review r15): an unresolvable reference BRANCH
     # must reject at encode even when the value taken is the null
     # branch — without the union-prologue guard every null row encoded
-    # fine and the invalid schema rode into container output
+    # fine and the invalid schema rode into container output. (Decode
+    # stays resolution-site-strict by design: reading a null union
+    # index never touches the other branch, so only values that REACH
+    # the bad reference raise — the encode-side guard is what keeps
+    # such schemas out of container output in the first place.)
     def top_union(mid_ns):
         t = top(mid_ns)
         t["fields"][1]["type"]["fields"][0]["type"] = ["null", "Inner"]
