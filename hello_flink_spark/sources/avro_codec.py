@@ -962,6 +962,39 @@ _META_SCHEMA = {
 }
 
 
+def _validate_refs(s: Any, named: Mapping[str, Any], ns: str | None = None) -> None:
+    """Walk a schema once and fail loud on ANY named-type reference
+    that does not resolve — the schema-level form of the value codecs'
+    resolution-site strictness. The container writer needs this
+    (review r15 second pass): the per-value guards never run for an
+    EMPTY record list (or an empty Spark partition writing its own
+    container file), so without this walk an invalid schema rides into
+    ``avro.schema`` metadata that other Avro implementations cannot
+    parse. Same traversal/namespace rules as ``_register_named``."""
+    if isinstance(s, list):
+        for b in s:
+            _validate_refs(b, named, ns)
+        return
+    if isinstance(s, str):
+        if s not in _PRIMITIVE_NAMES and _resolve_named(s, named, ns) is None:
+            raise ValueError(f"unresolved Avro named-type reference {s!r}")
+        return
+    if not isinstance(s, Mapping):
+        return
+    t = s.get("type")
+    if t in ("record", "enum", "fixed") and s.get("name"):
+        ns = _own_ns(s, ns)
+    if t == "record":
+        for f in s.get("fields", ()):
+            _validate_refs(f.get("type"), named, ns)
+    elif t == "array":
+        _validate_refs(s.get("items"), named, ns)
+    elif t == "map":
+        _validate_refs(s.get("values"), named, ns)
+    elif isinstance(t, (Mapping, list)):
+        _validate_refs(t, named, ns)
+
+
 def encode_container(
     records: list[Any],
     schema: str | Mapping[str, Any] | list,
@@ -987,6 +1020,8 @@ def encode_container(
     named: dict[str, Any] = {}
     _register_named(s, named)  # definitions resolve regardless of
     # which record first exercises a union branch (review r13)
+    _validate_refs(s, named)  # even with ZERO records: the schema is
+    # about to be embedded as this file's writer schema (review r15)
     for r in records:
         _enc(body, r, s, named=named)
     raw = body.getvalue()

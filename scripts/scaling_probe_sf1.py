@@ -48,6 +48,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SRC = "/root/testdata/sf0.1"
 DST = str(Path(__file__).resolve().parent.parent / ".scratch" / "sf1")
 REPLICAS = 10
+# Bump whenever build_sf1's replication scheme changes in ANY way (key
+# offsets, the replica token tag, column handling): the --only reuse
+# path accepts an existing shard only if its marker matches, because a
+# count-preserving generator change would otherwise ride into addendum
+# numbers silently (review r15 second pass).
+SF1_GENERATOR_VERSION = 1
+_MARKER = f"{DST}/_generator_version.json"
 PROBES = [
     ("dedup_containment", "documents"),
     ("dedup_ngram_jaccard", "documents"),
@@ -226,13 +233,23 @@ def build_sf1(spark, reuse: bool = False) -> dict[str, int]:
     from hello_flink_spark.sources.readers import load_table
 
     if reuse:
-        # Targeted --only runs reuse an existing count-verified shard:
-        # every table must hold exactly REPLICAS x its sf0.1 rows.
-        # Building only the selected probes' driving tables instead
-        # would BREAK any probe whose query reads a second scaled table
-        # (review r15 weighed both); full no-flags runs always rebuild
-        # so the authoritative report never rides a stale generator.
+        # Targeted --only runs reuse an existing shard only when BOTH
+        # checks pass: the generator-version marker matches (a
+        # count-preserving replication-scheme change must invalidate
+        # the shard — review r15 second pass) and every table holds
+        # exactly REPLICAS x its sf0.1 rows. Building only the selected
+        # probes' driving tables instead would BREAK any probe whose
+        # query reads a second scaled table (weighed and rejected);
+        # full no-flags runs always rebuild.
         try:
+            import json as _json
+
+            marker = _json.loads(Path(_MARKER).read_text())
+            if marker.get("generator_version") != SF1_GENERATOR_VERSION:
+                raise ValueError(
+                    f"generator version {marker.get('generator_version')} "
+                    f"!= {SF1_GENERATOR_VERSION}"
+                )
             sizes = {}
             for t in ("documents", "orders", "lineitem", "embeddings", "events"):
                 want = load_table(spark, SRC, t).count() * REPLICAS
@@ -240,7 +257,10 @@ def build_sf1(spark, reuse: bool = False) -> dict[str, int]:
                 if got != want:
                     raise ValueError(f"{t}: {got} != {want}")
                 sizes[t] = got
-            print("sf1 shard reused (count-verified 10x of sf0.1)")
+            print(
+                "sf1 shard reused (generator-version match + "
+                "count-verified 10x of sf0.1)"
+            )
             return sizes
         except Exception as exc:  # noqa: BLE001 — missing/stale: rebuild
             print(f"sf1 shard not reusable ({exc}); rebuilding")
@@ -306,6 +326,15 @@ def build_sf1(spark, reuse: bool = False) -> dict[str, int]:
     )
     scaled_ev.write.mode("overwrite").parquet(f"{DST}/events.parquet")
     sizes["events"] = spark.read.parquet(f"{DST}/events.parquet").count()
+
+    # stamp the shard with the generator version LAST — a build that
+    # dies mid-way leaves no marker, so the reuse path rebuilds
+    import json as _json
+
+    Path(_MARKER).parent.mkdir(parents=True, exist_ok=True)
+    Path(_MARKER).write_text(
+        _json.dumps({"generator_version": SF1_GENERATOR_VERSION})
+    )
     return sizes
 
 
@@ -320,7 +349,8 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--only",
-        nargs="*",
+        nargs="+",  # argparse itself rejects a bare --only (review r15
+        # second pass: the hand-rolled emptiness guard re-implemented this)
         default=None,
         help="targeted re-probe of the named ops after a code change "
         "(VERDICT r14 #7: re-run the probe only for ops whose code "
@@ -331,11 +361,6 @@ def main() -> None:
     args = parser.parse_args()
     probes = PROBES
     if args.only is not None:
-        if not args.only:
-            # a bare --only would pay the full multi-minute sf1 build,
-            # time nothing, and append an empty addendum block to the
-            # tracked report (review r15)
-            raise SystemExit("--only requires at least one probe name")
         unknown = [n for n in args.only if n not in dict(PROBES)]
         if unknown:
             raise SystemExit(f"--only names not in the probe set: {unknown}")

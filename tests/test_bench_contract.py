@@ -170,7 +170,8 @@ def test_scaling_probe_only_flag_rejects_unknown_names_before_spark():
     assert proc.returncode != 0
     assert "not in the probe set" in (proc.stderr + proc.stdout)
     # a BARE --only must reject too — it would otherwise pay the full
-    # sf1 build, time nothing, and append an empty addendum (review r15)
+    # sf1 build, time nothing, and append an empty addendum (review
+    # r15; now argparse nargs='+' itself rejects it at parse time)
     proc = subprocess.run(
         [sys.executable, str(REPO / "scripts" / "scaling_probe_sf1.py"),
          "--only"],
@@ -179,7 +180,7 @@ def test_scaling_probe_only_flag_rejects_unknown_names_before_spark():
         timeout=60,
     )
     assert proc.returncode != 0
-    assert "at least one probe name" in (proc.stderr + proc.stdout)
+    assert "at least one argument" in (proc.stderr + proc.stdout)
 
 
 def test_promotion_requires_driver_rehash():

@@ -1424,6 +1424,17 @@ def test_avro_null_namespace_ref_rejected_from_non_null_context():
         encode_value(vu, top_union("com.mid"))
     with pytest.raises(ValueError, match="unknown Avro type"):
         avro_schema_to_spark(top_union("com.mid"))
+    # the CONTAINER writer validates at SCHEMA level (review r15 second
+    # pass): with ZERO records no per-value guard ever runs, yet the
+    # schema is embedded as the file's writer schema — an empty Spark
+    # partition writing its own container file is the production shape
+    from hello_flink_spark.sources.avro_codec import encode_container
+
+    with pytest.raises(ValueError, match="unresolved"):
+        encode_container([], top_union("com.mid"))
+    with pytest.raises(ValueError, match="unresolved"):
+        encode_container([], bad)
+    assert encode_container([], top_union(None))  # valid schema: fine
     gu = top_union(None)
     assert decode_value(encode_value(vu, gu), gu) == vu
     assert decode_value(
