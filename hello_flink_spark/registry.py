@@ -134,16 +134,14 @@ def iter_correctness_rows(repo_root: Path | None = None):
 # of the rotation — after never-verified names, before the
 # staleness-ordered rest — until the driver hash-greens it in a round
 # >= ``reverify_before_round``; the pin then self-clears and the
-# ordering returns to pure last-green staleness. Round 15 pins the five
-# format queries whose Avro/protobuf codec internals (named-type
-# resolution, ``_visible_files``, streaming block decompression) were
-# rewritten in round 14 after their last driver green (r12/r13).
+# ordering returns to pure last-green staleness. Round 15's five
+# format pins all hash-greened in CORRECTNESS_r15 and self-cleared.
+# Round 16 pins ``scan_avro_container`` alone: the advisor-r15 fix
+# extended ``_validate_refs`` (mapping-wrapped named references) inside
+# ``encode_container``, which sits on that query's write path — the
+# other format queries never call the container writer.
 _ROTATION_HEAD: tuple[tuple[str, int], ...] = (
-    ("scan_avro_decode", 15),
-    ("scan_protobuf_decode", 15),
-    ("scan_avro_container", 15),
-    ("scan_protobuf_delimited", 15),
-    ("scan_avro_confluent", 15),
+    ("scan_avro_container", 16),
 )
 
 

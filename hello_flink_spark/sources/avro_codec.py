@@ -993,6 +993,14 @@ def _validate_refs(s: Any, named: Mapping[str, Any], ns: str | None = None) -> N
         _validate_refs(s.get("values"), named, ns)
     elif isinstance(t, (Mapping, list)):
         _validate_refs(t, named, ns)
+    elif isinstance(t, str) and t not in ("enum", "fixed"):
+        # mapping-WRAPPED named reference ({"type": "SomeName"}) — a
+        # form _enc/_dec accept via the nested-schema tail call, so the
+        # schema walk must chase it too or an empty container embeds an
+        # unresolvable writer schema (advisor r15). The string branch
+        # above exempts primitives; enum/fixed here are definitions,
+        # not references ("record" never reaches this elif).
+        _validate_refs(t, named, ns)
 
 
 def encode_container(

@@ -1442,6 +1442,53 @@ def test_avro_null_namespace_ref_rejected_from_non_null_context():
     ) == {"d": {"x": 1}, "r": {"w": {"x": 5}}}
 
 
+def test_empty_container_rejects_mapping_wrapped_unresolved_ref():
+    """The mapping-WRAPPED reference form ``{"type": "SomeName"}`` is
+    accepted by _enc/_dec via the nested-schema tail call, so the
+    schema-level walk behind ``encode_container`` must chase it too
+    (advisor r15): with ZERO records no per-value guard runs, and
+    before the fix ``encode_container([], ...)`` embedded the
+    unresolvable writer schema while ``encode_value`` on the same
+    schema raised. Valid-schema controls: a wrapped ref to a REAL
+    definition still round-trips, and wrapped enum/fixed DEFINITIONS
+    are not mistaken for references."""
+    from hello_flink_spark.sources.avro_codec import (
+        decode_value,
+        encode_container,
+        encode_value,
+    )
+
+    bad = {"type": "record", "name": "Top", "fields": [
+        {"name": "f", "type": {"type": "Nope"}}]}
+    with pytest.raises(ValueError, match="unresolved"):
+        encode_value({"f": 1}, bad)  # value path already rejected
+    with pytest.raises(ValueError, match="unresolved"):
+        encode_container([], bad)  # the r15 escape: now rejected too
+
+    good = {"type": "record", "name": "Top", "fields": [
+        {"name": "inner", "type": {"type": "record", "name": "Inner",
+                                   "fields": [{"name": "x",
+                                               "type": "long"}]}},
+        {"name": "again", "type": {"type": "Inner"}}]}
+    v = {"inner": {"x": 1}, "again": {"x": 2}}
+    assert decode_value(encode_value(v, good), good) == v
+    assert encode_container([], good)
+    assert encode_container([v], good)
+
+    # wrapped enum/fixed definitions must stay definitions, and an
+    # undotted wrapped ref must resolve against the ENCLOSING namespace
+    defs = {"type": "record", "name": "E", "namespace": "com.ns",
+            "fields": [
+                {"name": "c", "type": {"type": "enum", "name": "Color",
+                                       "symbols": ["R", "G"]}},
+                {"name": "fx", "type": {"type": "fixed", "name": "F4",
+                                        "size": 4}},
+                {"name": "c2", "type": {"type": "Color"}}]}
+    assert encode_container([], defs)
+    ve = {"c": "R", "fx": b"\x01\x02\x03\x04", "c2": "G"}
+    assert decode_value(encode_value(ve, defs), defs) == ve
+
+
 def test_duration_negative_fraction_same_sign():
     """protobuf Duration requires seconds and nanos to SHARE a sign;
     Python timedelta normalization (days=-1, microseconds=+999999)
