@@ -3284,3 +3284,95 @@ def test_state_evolution_upgrade_recipe_matches_batch_shadow(
         for r in get_spec("events_value_ewma").fn(spark, sf_dir).collect()
     }
     assert got == want, "upgrade-recipe run diverged from the batch shadow"
+
+
+def _make_evolved_session_funnel():
+    """The evolved session-funnel processor: v1 logic against a state
+    schema with one appended defaulted LIST field, adapted by padding
+    writes / truncating reads. The r15 recipe golden proved the
+    fresh-checkpoint upgrade path for a SCALAR-tuple extension
+    (`stateful_value_ewma` + `scale double`); this factory extends a
+    state that already carries LIST columns (the three reorder-buffer
+    arrays) with ANOTHER list (`tags array<string>`, default []) — the
+    session/funnel state-machine shape VERDICT r15 #5 asked to cover.
+    A FACTORY for the same reason as `_make_evolved_ewma`: cloudpickle
+    ships nested definitions by value; module-level ones pickle by
+    qualified name and executors cannot import ``test_streaming``."""
+    from functools import partial
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ext_state = (
+        "start long, last long, fv long, fc long, fp long, "
+        "buf_ts array<long>, buf_eid array<long>, buf_et array<string>, "
+        "tags array<string>"
+    )
+
+    class _PaddedState:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):  # remove, timers, watermark...
+            return getattr(self._inner, name)
+
+        @property
+        def exists(self):
+            return self._inner.exists
+
+        @property
+        def get(self):
+            return tuple(self._inner.get)[:8]
+
+        def update(self, t):
+            self._inner.update(tuple(t) + ([],))
+
+    def _funnel_v2(tzv, key, pdfs, state):
+        yield from stateful._session_funnel(tzv, key, pdfs, _PaddedState(state))
+
+    def evolved(stream, delay: str = WM):
+        tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
+        return stream.withWatermark("ts", delay).groupBy(
+            "user_id"
+        ).applyInPandasWithState(
+            partial(_funnel_v2, tz),
+            outputStructType=(
+                "user_id long, session_start timestamp, reached_stage int"
+            ),
+            stateStructType=ext_state,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+
+    return evolved
+
+
+def test_state_evolution_upgrade_recipe_list_state_matches_batch_shadow(
+    spark, sf_dir, ooo_flush_replay_dir
+):
+    """The upgrade recipe proven for scalar-tuple state (r15, EWMA)
+    holds for a LIST-bearing session state machine too (VERDICT r15
+    #5): after appending a defaulted `array<string>` field to
+    `stateful_session_funnel`'s state, the fresh-checkpoint reprocess
+    over the out-of-order-within-delay replay must aggregate to the
+    batch shadow's (`events_session_funnel`) four counters exactly —
+    the same comparison as the v1 golden, so the recipe loses nothing
+    (no double-emitted session, no dropped reordered row) relative to
+    an uninterrupted run."""
+    d, info = ooo_flush_replay_dir
+    run_to_memory(
+        _make_evolved_session_funnel()(replay.read_stream(spark, d)),
+        "t_sfunnel_v2",
+        "append",
+    )
+    rows = spark.table("t_sfunnel_v2").filter(F.col("user_id") >= 0).collect()
+    keys = [(r.user_id, r.session_start) for r in rows]
+    assert len(keys) == len(set(keys)), "a session emitted twice"
+    got = {
+        "n_sessions": len(rows),
+        "sessions_view": sum(1 for r in rows if r.reached_stage >= 1),
+        "sessions_view_click": sum(1 for r in rows if r.reached_stage >= 2),
+        "sessions_full_funnel": sum(1 for r in rows if r.reached_stage >= 3),
+    }
+    want = get_spec("events_session_funnel").fn(spark, sf_dir).collect()[0].asDict()
+    assert info["n_deferred"] > 0
+    assert got == want, f"upgrade-recipe funnel diverged: {got} != {want}"
