@@ -3098,6 +3098,38 @@ def test_protobuf_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
 # state schema evolution across checkpoints (VERDICT r13 #4, SEMANTICS §13)
 # ---------------------------------------------------------------------------
 
+def _make_padded_state_cls(keep: int, pad):
+    """A GroupState adapter presenting a v1 state view over a WIDENED
+    state schema: reads truncate to the first ``keep`` fields, writes
+    append the defaulted ``pad`` tail — the shape a real state-schema
+    upgrade ships. Returned as a DYNAMIC class (created at call time)
+    so cloudpickle serializes it by VALUE inside the shipped processor
+    closures; a module-level class would pickle by qualified name and
+    executors cannot import ``test_streaming``. Shared by every
+    state-evolution golden (scalar-tuple EWMA r15, list-bearing session
+    funnel r16)."""
+
+    class _PaddedState:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):  # remove, timers, watermark...
+            return getattr(self._inner, name)
+
+        @property
+        def exists(self):
+            return self._inner.exists
+
+        @property
+        def get(self):
+            return tuple(self._inner.get)[:keep]
+
+        def update(self, t):
+            self._inner.update(tuple(t) + (pad,))
+
+    return _PaddedState
+
+
 def _make_evolved_ewma():
     """The evolved EWMA processor: v1 logic against a state schema with
     one appended defaulted field, adapted by padding writes /
@@ -3116,24 +3148,7 @@ def _make_evolved_ewma():
         "ewma double, n long, buf_ts array<long>, buf_eid array<long>, "
         "buf_val array<double>, scale double"
     )
-
-    class _PaddedState:
-        def __init__(self, inner):
-            self._inner = inner
-
-        def __getattr__(self, name):  # timers, watermark, hasTimedOut...
-            return getattr(self._inner, name)
-
-        @property
-        def exists(self):
-            return self._inner.exists
-
-        @property
-        def get(self):
-            return tuple(self._inner.get)[:5]
-
-        def update(self, t):
-            self._inner.update(tuple(t) + (1.0,))
+    _PaddedState = _make_padded_state_cls(keep=5, pad=1.0)
 
     def _ewma_v2(tzv, key, pdfs, state):
         yield from stateful._ewma(tzv, key, pdfs, _PaddedState(state))
@@ -3307,24 +3322,7 @@ def _make_evolved_session_funnel():
         "buf_ts array<long>, buf_eid array<long>, buf_et array<string>, "
         "tags array<string>"
     )
-
-    class _PaddedState:
-        def __init__(self, inner):
-            self._inner = inner
-
-        def __getattr__(self, name):  # remove, timers, watermark...
-            return getattr(self._inner, name)
-
-        @property
-        def exists(self):
-            return self._inner.exists
-
-        @property
-        def get(self):
-            return tuple(self._inner.get)[:8]
-
-        def update(self, t):
-            self._inner.update(tuple(t) + ([],))
+    _PaddedState = _make_padded_state_cls(keep=8, pad=[])
 
     def _funnel_v2(tzv, key, pdfs, state):
         yield from stateful._session_funnel(tzv, key, pdfs, _PaddedState(state))
