@@ -314,53 +314,75 @@ def test_broadcast_hints_are_bounded():
     )
 
 
-# Driver-side .collect() allowed only where the collected frame is
-# bounded by CONSTRUCTION (a scalar, k rows, or dim rows — never a
-# frame that grows with the corpus). Keys are package-relative paths;
-# values are the audited site count per file (counts, not line
-# numbers, so unrelated edits don't churn the whitelist).
+# Driver-side materialization (.collect / .toPandas / .toLocalIterator)
+# allowed only where the materialized frame is bounded by CONSTRUCTION
+# (a scalar, k rows, or dim rows — never a frame that grows with the
+# corpus). Keys are (package-relative path, dotted enclosing-function
+# stack, method); values are the audited site count — function-scoped
+# keys so a bounded site in one function cannot mask a new unbounded
+# one elsewhere in the same file, counts (not line numbers) so
+# unrelated edits don't churn the whitelist.
 COLLECT_SITES_OK = {
+    # oracle gate comparator: materializes the sf0.01 verification
+    # frames — harness path, bounded by the gate's own scale factor.
+    ("oracle.py", "compare", "toPandas"): 1,
     # kmeans trainer: k seed rows, 1-row inertia scalar per iteration,
-    # k x dim centroid rows; power-iteration: dim-row vector twice.
-    "queries/round6.py": 5,
+    # k x dim centroid rows.
+    ("queries/round6.py", "kmeans_detail", "collect"): 3,
+    # power-iteration: dim-row vector, twice (init + per-iteration).
+    ("queries/round6.py", "power_iteration_detail", "collect"): 2,
     # pagerank convergence check: 1-row L1-residual scalar per iteration.
-    "queries/round6b.py": 1,
+    ("queries/round6b.py", "pagerank_detail", "collect"): 1,
     # PQ trainer: k x dim codebook rows per subspace (constant), twice
     # (init + refined).
-    "queries/round7.py": 2,
+    ("queries/round7.py", "pq_train_frame", "collect"): 2,
     # BPE trainer: exactly one argmax-pair row per merge iteration.
-    "queries/round9.py": 1,
+    ("queries/round9.py", "text_bpe_train_merges", "collect"): 1,
     # checkpoint-recovery test replay: late-id list of the bounded
     # replay fixture (test harness path, not a data-scale operator).
-    "streaming/replay.py": 1,
+    ("streaming/replay.py", "chunk_events", "collect"): 1,
 }
 
 
 def test_collect_sites_are_audited_bounded():
-    """Source-level audit: every .collect() call site in the package
-    must be covered by COLLECT_SITES_OK's per-file count. Converts the
-    judge's per-round manual audit (VERDICT r15 "Performance": 10
-    sites, all bounded iterative-trainer state) into a standing guard:
-    a NEW collect site fails here until it is proven bounded by
+    """Source-level audit: every driver-side materialization call site
+    in the package (.collect(), .toPandas(), .toLocalIterator()) must
+    be covered by COLLECT_SITES_OK's (file, function, method) count.
+    Converts the judge's per-round manual audit (VERDICT r15
+    "Performance": 10 sites, all bounded iterative-trainer state) into
+    a standing guard: a NEW materialization site — or one moved to a
+    different function — fails here until it is proven bounded by
     construction and the whitelist is deliberately updated."""
     import ast
     from pathlib import Path
 
+    methods = {"collect", "toPandas", "toLocalIterator"}
     pkg = Path(__file__).resolve().parent.parent / "hello_flink_spark"
-    found: dict[str, int] = {}
+    found: dict[tuple[str, str, str], int] = {}
+
+    def scan(node, rel, stack):
+        for child in ast.iter_child_nodes(node):
+            child_stack = stack
+            if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                child_stack = stack + [child.name]
+            if (
+                isinstance(child, ast.Call)
+                and isinstance(child.func, ast.Attribute)
+                and child.func.attr in methods
+            ):
+                key = (rel, ".".join(stack) or "<module>", child.func.attr)
+                found[key] = found.get(key, 0) + 1
+            scan(child, rel, child_stack)
+
     for py in sorted(pkg.rglob("*.py")):
         rel = py.relative_to(pkg).as_posix()
-        for node in ast.walk(ast.parse(py.read_text())):
-            if (
-                isinstance(node, ast.Call)
-                and isinstance(node.func, ast.Attribute)
-                and node.func.attr == "collect"
-            ):
-                found[rel] = found.get(rel, 0) + 1
+        scan(ast.parse(py.read_text()), rel, [])
+
     assert found == COLLECT_SITES_OK, (
-        "Driver-side .collect() sites changed — every site must be bounded "
-        "by construction (scalar / k rows / dim rows, never corpus-scale); "
-        "prove the bound, document it, and update COLLECT_SITES_OK:\n"
+        "Driver-side materialization sites changed — every site must be "
+        "bounded by construction (scalar / k rows / dim rows, never "
+        "corpus-scale); prove the bound, document it, and update "
+        "COLLECT_SITES_OK:\n"
         f"found {found}\nwhitelist {COLLECT_SITES_OK}"
     )
 
