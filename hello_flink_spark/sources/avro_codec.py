@@ -516,7 +516,18 @@ def decode_value(
     if pos != len(payload):
         raise ValueError(f"{len(payload) - pos} trailing bytes after Avro value")
     if reader_schema is not None:
-        v = resolve_value(v, s, _resolve(reader_schema), w_named=named)
+        # validate the reader schema's references up front (review r16):
+        # resolve_value fails loud only on the branches this value
+        # takes, so a dangling ref in an untaken union branch would
+        # otherwise ride along — same contract as the writer side. The
+        # registry is also passed down so nested references resolve
+        # once, not per site. This path is not a hot loop (per-row UDFs
+        # decode writer-only with a prebuilt registry).
+        r = _resolve(reader_schema)
+        r_named: dict[str, Any] = {}
+        _register_named(r, r_named)
+        _validate_refs(r, r_named)
+        v = resolve_value(v, s, r, w_named=named, r_named=r_named)
     return v
 
 
@@ -1083,6 +1094,12 @@ def decode_container(
     pos = sync_end
     named: dict[str, Any] = {}
     _register_named(schema, named)
+    # a FOREIGN container's embedded writer schema gets the same
+    # schema-level walk the writer side runs (review r16): with ZERO
+    # records no per-value guard ever fires, so without this a corrupt
+    # file's dangling reference decodes to a silently-bogus
+    # (schema, []) instead of failing loud.
+    _validate_refs(schema, named)
     records: list[Any] = []
     while pos < len(blob):
         count, pos = read_long(blob, pos)
@@ -1118,6 +1135,11 @@ def decode_container(
         reader = _resolve(reader_schema)
         r_named: dict[str, Any] = {}
         _register_named(reader, r_named)  # once, not per record
+        # same empty-container escape on the reader side (review r16):
+        # resolve_value never runs over zero records, so the reader
+        # schema must be validated at file level or an unresolvable
+        # reader ref is handed back as the dataset's schema.
+        _validate_refs(reader, r_named)
         records = [
             resolve_value(v, schema, reader, named, r_named) for v in records
         ]

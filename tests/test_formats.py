@@ -1489,6 +1489,94 @@ def test_empty_container_rejects_mapping_wrapped_unresolved_ref():
     assert decode_value(encode_value(ve, defs), defs) == ve
 
 
+def test_decode_container_rejects_unresolved_refs_even_when_empty():
+    """Decode-side twin of the r15/r16 encode escape (review r16): with
+    ZERO records no per-value guard runs, so (a) a FOREIGN container
+    whose embedded writer schema has a dangling reference decoded to a
+    silently-bogus (schema, []) and (b) an unresolvable READER schema
+    was handed back as the dataset's schema. Both now fail loud at
+    file level; valid-schema controls round-trip."""
+    import io
+    import json as _json
+
+    from hello_flink_spark.sources.avro_codec import (
+        _META_SCHEMA,
+        _enc,
+        decode_container,
+        encode_container,
+    )
+
+    good = {"type": "record", "name": "Top", "fields": [
+        {"name": "f", "type": "long"}]}
+    bad_ref = {"type": "record", "name": "Top", "fields": [
+        {"name": "f", "type": "Nope"}]}
+    bad_wrapped = {"type": "record", "name": "Top", "fields": [
+        {"name": "f", "type": {"type": "Nope"}}]}
+
+    # (a) handcraft a foreign empty container embedding the invalid
+    # writer schema (encode_container itself now refuses to write one):
+    # magic, meta map with avro.schema/avro.codec, header sync, one
+    # empty block (count 0, size 0), sync.
+    def foreign_empty(writer_schema):
+        out = io.BytesIO()
+        out.write(b"Obj\x01")
+        meta = {
+            "avro.schema": _json.dumps(writer_schema).encode("utf-8"),
+            "avro.codec": b"null",
+        }
+        _enc(out, meta, _META_SCHEMA, named={})
+        sync = b"\x00" * 16
+        out.write(sync)
+        out.write(b"\x00\x00")  # varint 0 count, varint 0 size
+        out.write(sync)
+        return out.getvalue()
+
+    assert decode_container(foreign_empty(good)) == (good, [])
+    for bad in (bad_ref, bad_wrapped):
+        with pytest.raises(ValueError, match="unresolved"):
+            decode_container(foreign_empty(bad))
+
+    # (b) reader-schema validation on an EMPTY container
+    empty = encode_container([], good)
+    reader_ok = {"type": "record", "name": "Top", "fields": [
+        {"name": "f", "type": "long"},
+        {"name": "g", "type": "long", "default": 7}]}
+    assert decode_container(empty, reader_schema=reader_ok) == (reader_ok, [])
+    for bad in (bad_ref, bad_wrapped):
+        with pytest.raises(ValueError, match="unresolved"):
+            decode_container(empty, reader_schema=bad)
+
+    # control: resolution over real records still works after the walk
+    one = encode_container([{"f": 1}], good)
+    schema, records = decode_container(one, reader_schema=reader_ok)
+    assert (schema, records) == (reader_ok, [{"f": 1, "g": 7}])
+
+
+def test_decode_value_rejects_unresolved_ref_in_untaken_reader_branch():
+    """decode_value's reader path resolved only the union branch the
+    value TAKES, so a dangling reference in the untaken branch rode
+    along silently (review r16) — the decode-side mirror of the r15
+    union-branch encode bypass. Now the reader schema is walked once up
+    front; a valid nullable-union reader still resolves both ways."""
+    from hello_flink_spark.sources.avro_codec import decode_value, encode_value
+
+    writer = {"type": "record", "name": "Top", "fields": [
+        {"name": "f", "type": ["null", "long"]}]}
+    reader_bad = {"type": "record", "name": "Top", "fields": [
+        {"name": "f", "type": ["null", "long"]},
+        {"name": "g", "type": ["null", "Nope"], "default": None}]}
+    reader_ok = {"type": "record", "name": "Top", "fields": [
+        {"name": "f", "type": ["null", "long"]},
+        {"name": "g", "type": ["null", "long"], "default": None}]}
+
+    blob = encode_value({"f": None}, writer)  # null branch: guards never
+    # touch reader field g during resolution
+    assert decode_value(blob, writer, reader_schema=reader_ok) == {
+        "f": None, "g": None}
+    with pytest.raises(ValueError, match="unresolved"):
+        decode_value(blob, writer, reader_schema=reader_bad)
+
+
 def test_duration_negative_fraction_same_sign():
     """protobuf Duration requires seconds and nanos to SHARE a sign;
     Python timedelta normalization (days=-1, microseconds=+999999)
