@@ -280,6 +280,27 @@ BROADCAST_HINT_OK = {
 }
 
 
+def _package_asts():
+    """One parse pass over the package for all source-level audits in
+    this module (review r16: the broadcast and materialization guards
+    each re-globbed and re-parsed the whole tree). Yields
+    (relative posix path, module stem, parsed AST) per source file."""
+    import ast
+    from pathlib import Path
+
+    global _PACKAGE_ASTS
+    if _PACKAGE_ASTS is None:
+        pkg = Path(__file__).resolve().parent.parent / "hello_flink_spark"
+        _PACKAGE_ASTS = tuple(
+            (py.relative_to(pkg).as_posix(), py.stem, ast.parse(py.read_text()))
+            for py in sorted(pkg.rglob("*.py"))
+        )
+    return _PACKAGE_ASTS
+
+
+_PACKAGE_ASTS = None
+
+
 def test_broadcast_hints_are_bounded():
     """Source-level audit: every F.broadcast(...) call site in the
     package must appear in BROADCAST_HINT_OK with a stated bound.
@@ -288,12 +309,9 @@ def test_broadcast_hints_are_bounded():
     text_tfidf_sql / text_keyword_extract all force-broadcast sets
     that grow with the corpus) from ever recurring."""
     import ast
-    from pathlib import Path
 
-    pkg = Path(__file__).resolve().parent.parent / "hello_flink_spark"
     violations = []
-    for py in sorted(pkg.rglob("*.py")):
-        tree = ast.parse(py.read_text())
+    for rel, stem, tree in _package_asts():
         for node in ast.walk(tree):
             if (
                 isinstance(node, ast.Call)
@@ -303,9 +321,9 @@ def test_broadcast_hints_are_bounded():
                 and node.func.value.id == "F"
             ):
                 arg_src = ast.unparse(node.args[0]) if node.args else "<?>"
-                key = (py.stem, arg_src)
+                key = (stem, arg_src)
                 if key not in BROADCAST_HINT_OK:
-                    violations.append(f"{py.name}:{node.lineno} F.broadcast({arg_src})")
+                    violations.append(f"{rel}:{node.lineno} F.broadcast({arg_src})")
     assert not violations, (
         "Unclassified F.broadcast hint(s) — prove the side is bounded by "
         "construction (1-row scalar / constant dim / code-constant cap) and "
@@ -354,10 +372,8 @@ def test_collect_sites_are_audited_bounded():
     different function — fails here until it is proven bounded by
     construction and the whitelist is deliberately updated."""
     import ast
-    from pathlib import Path
 
     methods = {"collect", "toPandas", "toLocalIterator"}
-    pkg = Path(__file__).resolve().parent.parent / "hello_flink_spark"
     found: dict[tuple[str, str, str], int] = {}
 
     def scan(node, rel, stack):
@@ -374,9 +390,8 @@ def test_collect_sites_are_audited_bounded():
                 found[key] = found.get(key, 0) + 1
             scan(child, rel, child_stack)
 
-    for py in sorted(pkg.rglob("*.py")):
-        rel = py.relative_to(pkg).as_posix()
-        scan(ast.parse(py.read_text()), rel, [])
+    for rel, _stem, tree in _package_asts():
+        scan(tree, rel, [])
 
     assert found == COLLECT_SITES_OK, (
         "Driver-side materialization sites changed — every site must be "

@@ -2256,6 +2256,25 @@ def test_cep_not_next_equals_batch_shadow(spark, sf_dir, replay_dir):
     assert n_all > len(got), "not_next guard is vacuous on this fixture"
 
 
+def _assert_funnel_matches_shadow(spark, sf_dir, info, table, label=""):
+    """Shared verification for the session-funnel goldens (v1 and the
+    upgrade-recipe twin): no double-emitted session key, the four
+    batch-shadow counters match `events_session_funnel` exactly, and
+    the replay actually exercised the reorder buffer."""
+    rows = spark.table(table).filter(F.col("user_id") >= 0).collect()
+    keys = [(r.user_id, r.session_start) for r in rows]
+    assert len(keys) == len(set(keys)), "a session emitted twice"
+    got = {
+        "n_sessions": len(rows),
+        "sessions_view": sum(1 for r in rows if r.reached_stage >= 1),
+        "sessions_view_click": sum(1 for r in rows if r.reached_stage >= 2),
+        "sessions_full_funnel": sum(1 for r in rows if r.reached_stage >= 3),
+    }
+    want = get_spec("events_session_funnel").fn(spark, sf_dir).collect()[0].asDict()
+    assert info["n_deferred"] > 0
+    assert got == want, f"{label}{got} != {want}"
+
+
 def test_stateful_session_funnel_equals_batch_shadow(spark, sf_dir, ooo_flush_replay_dir):
     """stateful_session_funnel: every closed session's emitted
     (session_start, reached_stage) row, aggregated, must equal the
@@ -2270,18 +2289,7 @@ def test_stateful_session_funnel_equals_batch_shadow(spark, sf_dir, ooo_flush_re
         "t_sfunnel",
         "append",
     )
-    rows = spark.table("t_sfunnel").filter(F.col("user_id") >= 0).collect()
-    keys = [(r.user_id, r.session_start) for r in rows]
-    assert len(keys) == len(set(keys)), "a session emitted twice"
-    got = {
-        "n_sessions": len(rows),
-        "sessions_view": sum(1 for r in rows if r.reached_stage >= 1),
-        "sessions_view_click": sum(1 for r in rows if r.reached_stage >= 2),
-        "sessions_full_funnel": sum(1 for r in rows if r.reached_stage >= 3),
-    }
-    want = get_spec("events_session_funnel").fn(spark, sf_dir).collect()[0].asDict()
-    assert info["n_deferred"] > 0
-    assert got == want, f"{got} != {want}"
+    _assert_funnel_matches_shadow(spark, sf_dir, info, "t_sfunnel")
 
 
 def test_cep_rel_guard_timeout_side_output(spark, sf_dir, replay_dir):
@@ -3362,15 +3370,6 @@ def test_state_evolution_upgrade_recipe_list_state_matches_batch_shadow(
         "t_sfunnel_v2",
         "append",
     )
-    rows = spark.table("t_sfunnel_v2").filter(F.col("user_id") >= 0).collect()
-    keys = [(r.user_id, r.session_start) for r in rows]
-    assert len(keys) == len(set(keys)), "a session emitted twice"
-    got = {
-        "n_sessions": len(rows),
-        "sessions_view": sum(1 for r in rows if r.reached_stage >= 1),
-        "sessions_view_click": sum(1 for r in rows if r.reached_stage >= 2),
-        "sessions_full_funnel": sum(1 for r in rows if r.reached_stage >= 3),
-    }
-    want = get_spec("events_session_funnel").fn(spark, sf_dir).collect()[0].asDict()
-    assert info["n_deferred"] > 0
-    assert got == want, f"upgrade-recipe funnel diverged: {got} != {want}"
+    _assert_funnel_matches_shadow(
+        spark, sf_dir, info, "t_sfunnel_v2", label="upgrade-recipe funnel diverged: "
+    )
