@@ -136,12 +136,25 @@ def iter_correctness_rows(repo_root: Path | None = None):
 # >= ``reverify_before_round``; the pin then self-clears and the
 # ordering returns to pure last-green staleness. Round 15's five
 # format pins all hash-greened in CORRECTNESS_r15 and self-cleared.
-# Round 16 pins ``scan_avro_container`` alone: the advisor-r15 fix
-# extended ``_validate_refs`` (mapping-wrapped named references) inside
-# ``encode_container``, which sits on that query's write path — the
-# other format queries never call the container writer.
+# Round 16 pinned ``scan_avro_container`` alone (hash-greened in
+# CORRECTNESS_r16, self-cleared): the advisor-r15 fix extended
+# ``_validate_refs`` (mapping-wrapped named references) inside
+# ``encode_container``, on that query's WRITE path — and the same
+# round's second review wave added ``_validate_refs`` to
+# ``decode_container``'s embedded writer/reader schemas, which sits on
+# the same query's READ path (advisor r17: the pin covered both
+# changes, not just the write-side one the original comment named; no
+# other registered query touches ``decode_container``).
+# Round 17 pins the two column-codec queries: advisor-r17 added
+# ``_validate_refs`` at the four Avro column-UDF construction sites
+# (``from_avro_col``/``to_avro_col``/``from_avro_confluent_col``'s
+# reader+per-id writers/``to_avro_confluent_col``), which sit on
+# ``scan_avro_decode``'s and ``scan_avro_confluent``'s decode/encode
+# paths; ``scan_avro_container`` goes through ``decode_container``,
+# untouched this round.
 _ROTATION_HEAD: tuple[tuple[str, int], ...] = (
-    ("scan_avro_container", 16),
+    ("scan_avro_decode", 17),
+    ("scan_avro_confluent", 17),
 )
 
 

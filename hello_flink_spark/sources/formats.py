@@ -369,7 +369,11 @@ def _avro_py_udf(json_schema: str):
     Spark shape ``avro_schema_to_spark`` declares for the schema."""
     from pyspark.sql.functions import pandas_udf
 
-    from hello_flink_spark.sources.avro_codec import _register_named, decode_value
+    from hello_flink_spark.sources.avro_codec import (
+        _register_named,
+        _validate_refs,
+        decode_value,
+    )
 
     spark_type = avro_schema_to_spark(json_schema)
     # parse ONCE at UDF build — passing the raw JSON string would
@@ -382,6 +386,14 @@ def _avro_py_udf(json_schema: str):
     # the exact per-record walk the Confluent path already eliminated)
     named: dict[str, Any] = {}
     _register_named(schema_obj, named)
+    # reject dangling named-type references at CONSTRUCTION, not first
+    # decode (advisor r17): per-value resolution only fails on branches
+    # the data takes, so an unresolvable reference in an untaken union
+    # branch would otherwise ride along silently. Today this is
+    # defense-in-depth — ``avro_schema_to_spark`` above walks every
+    # position and already raises — but the contract belongs to the
+    # decode path itself, not to the type mapper's traversal choices.
+    _validate_refs(schema_obj, named)
 
     if isinstance(spark_type, StructType):
 
@@ -478,7 +490,11 @@ def to_avro_col(data_col, json_schema: str):
 
         return to_avro(data_col, json_schema)
 
-    from hello_flink_spark.sources.avro_codec import _register_named, encode_value
+    from hello_flink_spark.sources.avro_codec import (
+        _register_named,
+        _validate_refs,
+        encode_value,
+    )
 
     schema_obj = (  # parse once, not per record; dicts pass through
         json.loads(json_schema) if isinstance(json_schema, str) else json_schema
@@ -488,6 +504,14 @@ def to_avro_col(data_col, json_schema: str):
     # not one per record in the encode hot loop (advisor r14)
     named: dict[str, Any] = {}
     _register_named(schema_obj, named)
+    # REAL escape without this (advisor r17, reproduced): the encode
+    # schema never passes through ``avro_schema_to_spark`` (the UDF
+    # returns BinaryType), and the per-record union matcher resolves
+    # only the branches it inspects — a dangling reference nested
+    # inside an untaken branch's record, or any schema over a
+    # zero-row partition, encoded silently. Same zero-record class
+    # ``encode_container`` closed in r15/r16.
+    _validate_refs(schema_obj, named)
 
     @pandas_udf(BinaryType())
     def _encode(pdf: pd.DataFrame) -> pd.Series:
@@ -747,7 +771,7 @@ def from_avro_confluent_col(
     spark_type = avro_schema_to_spark(reader)
     if not isinstance(spark_type, StructType):
         raise ValueError("from_avro_confluent_col requires a record reader schema")
-    from hello_flink_spark.sources.avro_codec import _register_named
+    from hello_flink_spark.sources.avro_codec import _register_named, _validate_refs
 
     writers = {
         int(i): (json.loads(s) if isinstance(s, str) else s)
@@ -760,6 +784,11 @@ def from_avro_confluent_col(
     # per-record building walked the schema per Kafka message (fourth)
     r_named: dict[str, Any] = {}
     _register_named(reader, r_named)
+    # reader references validated once at construction (advisor r17;
+    # defense-in-depth — ``avro_schema_to_spark`` above already walks
+    # and rejects, but this path calls ``resolve_value`` directly, so
+    # the guarantee must not hang off the type mapper's traversal)
+    _validate_refs(reader, r_named)
     w_regs: dict[int, dict[str, Any]] = {}
 
     def _w_reg(sid: int, writer) -> dict[str, Any]:
@@ -767,6 +796,17 @@ def from_avro_confluent_col(
         if reg is None:
             reg = {}
             _register_named(writer, reg)
+            # REAL escape without this (advisor r17, reproduced):
+            # writer schemas never pass through the type mapper (only
+            # the reader shapes the output column), and this UDF calls
+            # ``decode_value(..., named=reg)`` + ``resolve_value``
+            # directly — both fail loud only on branches a message
+            # takes, so id N's dangling reference in an untaken union
+            # branch decoded silently. Validated once per schema id at
+            # first sight, cached with the registry — zero per-message
+            # cost, and a bad id still only aborts when it appears on
+            # the wire (preserving the r14 lazy-registration contract).
+            _validate_refs(writer, reg)
             w_regs[sid] = reg
         return reg
     _require_utc_for_instants(
@@ -806,13 +846,22 @@ def to_avro_confluent_col(data_col, json_schema: str, schema_id: int):
     producer registered under that id would send)."""
     from pyspark.sql.functions import pandas_udf
 
-    from hello_flink_spark.sources.avro_codec import _register_named, encode_value
+    from hello_flink_spark.sources.avro_codec import (
+        _register_named,
+        _validate_refs,
+        encode_value,
+    )
 
     prefix = b"\x00" + int(schema_id).to_bytes(4, "big")
     schema_obj = json.loads(json_schema) if isinstance(json_schema, str) else json_schema
     _require_utc_for_instants(_avro_has_instant(schema_obj), "to_avro_confluent_col")
     named: dict[str, Any] = {}  # one schema walk, not one per record (advisor r14)
     _register_named(schema_obj, named)
+    # same REAL encode-side escape as ``to_avro_col`` (advisor r17):
+    # no type-mapper walk guards this schema, and a producer claiming
+    # ``schema_id`` for bytes whose schema other Avro implementations
+    # cannot even parse is wrong-by-contract from the first message
+    _validate_refs(schema_obj, named)
 
     @pandas_udf(BinaryType())
     def _encode(pdf: pd.DataFrame) -> pd.Series:

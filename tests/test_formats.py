@@ -1577,6 +1577,108 @@ def test_decode_value_rejects_unresolved_ref_in_untaken_reader_branch():
         decode_value(blob, writer, reader_schema=reader_bad)
 
 
+def test_avro_column_udfs_reject_unresolved_refs_at_construction(spark):
+    """The four Avro COLUMN-UDF constructors validate named-type
+    references when the UDF is built, not when a record first takes
+    the broken branch (advisor r17). The encode side is the real
+    escape (reproduced pre-fix): ``to_avro_col`` /
+    ``to_avro_confluent_col`` never pass the schema through
+    ``avro_schema_to_spark`` (their output is BinaryType), and the
+    per-record union matcher resolves only the branches it inspects —
+    a dangling reference NESTED inside an untaken branch's record (or
+    any bad schema over a zero-row partition) encoded silently. The
+    decode side (``from_avro_col``) is contract-pinning: the type
+    mapper already walks and rejects today, but the guarantee now
+    lives on the codec path itself. Valid wrapped-reference controls
+    round-trip through both directions."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.formats import (
+        from_avro_col,
+        to_avro_col,
+        to_avro_confluent_col,
+    )
+
+    # the pre-fix encode escape shape: the union matcher sees the Inner
+    # DEFINITION (resolvable as a branch) and never descends into its
+    # dangling field when the value takes the null branch
+    nested_bad = {"type": "record", "name": "N", "fields": [
+        {"name": "x", "type": ["null", {"type": "record", "name": "Inner",
+                                        "fields": [{"name": "y",
+                                                    "type": "Nope"}]}]}]}
+    df = spark.createDataFrame([(1,)], "v long")
+    struct_col = F.struct(F.lit(None).cast("struct<y:long>").alias("x"))
+    with pytest.raises(ValueError, match="unresolved"):
+        df.select(to_avro_col(struct_col, json.dumps(nested_bad)))
+    with pytest.raises(ValueError, match="unresolved"):
+        df.select(to_avro_confluent_col(struct_col, json.dumps(nested_bad), 5))
+    with pytest.raises(ValueError, match="unknown Avro type|unresolved"):
+        df.select(from_avro_col(F.lit(b"\x00").cast("binary"),
+                                json.dumps(nested_bad)))
+
+    # valid control: a mapping-WRAPPED reference to a real definition
+    # builds, encodes, and decodes back through the public columns
+    good = {"type": "record", "name": "G", "fields": [
+        {"name": "d", "type": {"type": "record", "name": "D2",
+                               "fields": [{"name": "x", "type": "long"}]}},
+        {"name": "a", "type": {"type": "D2"}}]}
+    rec = F.struct(
+        F.struct(F.col("v").alias("x")).alias("d"),
+        F.struct((F.col("v") * 2).alias("x")).alias("a"),
+    )
+    src = spark.createDataFrame([(i,) for i in range(4)], "v long")
+    enc = src.select(to_avro_col(rec, json.dumps(good)).alias("payload"))
+    back = enc.select(from_avro_col(F.col("payload"), json.dumps(good)).alias("r"))
+    got = sorted((r["r"]["d"]["x"], r["r"]["a"]["x"]) for r in back.collect())
+    assert got == [(i, 2 * i) for i in range(4)]
+
+
+def test_confluent_dangling_writer_ref_fails_at_first_sight(spark):
+    """Writer schemas in the Confluent registry snapshot never pass
+    through the type mapper (only the READER shapes the output
+    column), and the decode UDF calls ``decode_value``/``resolve_value``
+    with prebuilt registries — so before the r17 fix a writer schema
+    whose untaken union branch held a dangling reference decoded its
+    messages SILENTLY (reproduced). Now ``_w_reg`` validates each
+    writer once at first sight on the wire; an id that never appears
+    still doesn't abort the topic (the r14 lazy contract), and valid
+    ids keep decoding."""
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.sources.avro_codec import encode_value
+    from hello_flink_spark.sources.formats import from_avro_confluent_col
+
+    good = {"type": "record", "name": "D", "fields": [
+        {"name": "f", "type": ["null", "long"]}]}
+    bad_writer = {"type": "record", "name": "D", "fields": [
+        {"name": "f", "type": ["null", "Nope"]}]}
+
+    def frame(sid, body):
+        return b"\x00" + sid.to_bytes(4, "big") + body
+
+    null_body = encode_value({"f": None}, good)  # same bytes either
+    # writer would claim for the null branch: union index 0
+    on_wire = spark.createDataFrame(
+        [(frame(9, null_body),)], "payload binary")
+    with pytest.raises(Exception, match="unresolved"):
+        on_wire.select(
+            from_avro_confluent_col(F.col("payload"), good,
+                                    {9: bad_writer}).alias("r")
+        ).collect()
+
+    # lazy contract: the SAME dangling-ref schema under an id that
+    # never appears on the wire must not abort other ids' messages
+    ok_wire = spark.createDataFrame(
+        [(frame(1, encode_value({"f": i}, good)),) for i in range(3)],
+        "payload binary")
+    dec = ok_wire.select(
+        from_avro_confluent_col(F.col("payload"), good,
+                                {1: good, 9: bad_writer}).alias("r"))
+    assert sorted(r["r"]["f"] for r in dec.collect()) == [0, 1, 2]
+
+
 def test_duration_negative_fraction_same_sign():
     """protobuf Duration requires seconds and nanos to SHARE a sign;
     Python timedelta normalization (days=-1, microseconds=+999999)
