@@ -370,7 +370,17 @@ def test_collect_sites_are_audited_bounded():
     "Performance": 10 sites, all bounded iterative-trainer state) into
     a standing guard: a NEW materialization site — or one moved to a
     different function — fails here until it is proven bounded by
-    construction and the whitelist is deliberately updated."""
+    construction and the whitelist is deliberately updated.
+
+    Matching is NAME-based, not type-based (advisor r17): ANY
+    attribute call named collect/toPandas/toLocalIterator counts, so a
+    non-DataFrame call like ``gc.collect()`` in package code would
+    also demand a whitelist entry. That is the intended fail-closed
+    trade — an AST pass cannot resolve receiver types, and a spurious
+    entry costs one documented line, while a missed DataFrame site
+    costs an unbounded driver materialization. Class names join the
+    dotted stack so methods key as ``Class.method``, distinct from a
+    same-named module-level function."""
     import ast
 
     methods = {"collect", "toPandas", "toLocalIterator"}
@@ -379,7 +389,8 @@ def test_collect_sites_are_audited_bounded():
     def scan(node, rel, stack):
         for child in ast.iter_child_nodes(node):
             child_stack = stack
-            if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                  ast.ClassDef)):
                 child_stack = stack + [child.name]
             if (
                 isinstance(child, ast.Call)

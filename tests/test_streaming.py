@@ -1166,29 +1166,32 @@ def test_stateful_markov_reorders_within_delay(spark, sf_dir, ooo_flush_replay_d
     assert got == want
 
 
-def test_burst_detector_equals_batch_shadow(spark, sf_dir, flush_replay_dir):
-    """stateful_burst_detector: the final per-user running max must
-    equal the batch shadow's rolling-24h maximum for every user, and
-    the >= 6 cohort must match events_bot_burst exactly."""
-    run_to_memory(
-        stateful.stateful_burst_detector(_stream(spark, flush_replay_dir)),
-        "t_burst",
-        "update",
-    )
-    emitted = spark.table("t_burst").filter(F.col("user_id") >= 0)
-    got = {
+def _burst_final_per_user(spark, table: str) -> dict:
+    """Final per-user running max from an emitted update-mode burst
+    table (sentinel flush keys excluded)."""
+    return {
         r.user_id: r.max_burst_24h
-        for r in emitted.groupBy("user_id")
+        for r in spark.table(table)
+        .filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
         .agg(F.max("max_burst_24h").alias("max_burst_24h"))
         .collect()
     }
+
+
+def _burst_batch_shadow(spark, sf_dir) -> dict:
+    """The batch RANGE-frame shadow: per-user maximum rolling-24 h
+    event count over floored epoch seconds — the arithmetic
+    stateful_burst_detector carries incrementally. Shared by the
+    in-order, out-of-order and upgrade-recipe burst goldens (one
+    definition, so the three can never drift apart)."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("s")
         .rangeBetween(-86399, Window.currentRow)
     )
-    want = {
+    return {
         r.user_id: r.m
         for r in e.select(
             "user_id", F.floor(F.col("ts").cast("double")).cast("long").alias("s")
@@ -1198,6 +1201,19 @@ def test_burst_detector_equals_batch_shadow(spark, sf_dir, flush_replay_dir):
         .agg(F.max("c").alias("m"))
         .collect()
     }
+
+
+def test_burst_detector_equals_batch_shadow(spark, sf_dir, flush_replay_dir):
+    """stateful_burst_detector: the final per-user running max must
+    equal the batch shadow's rolling-24h maximum for every user, and
+    the >= 6 cohort must match events_bot_burst exactly."""
+    run_to_memory(
+        stateful.stateful_burst_detector(_stream(spark, flush_replay_dir)),
+        "t_burst",
+        "update",
+    )
+    got = _burst_final_per_user(spark, "t_burst")
+    want = _burst_batch_shadow(spark, sf_dir)
     assert got == want
     from hello_flink_spark.registry import get_spec
 
@@ -1219,30 +1235,8 @@ def test_burst_detector_reorders_within_delay(spark, sf_dir, ooo_flush_replay_di
         "t_burst_ooo",
         "update",
     )
-    got = {
-        r.user_id: r.max_burst_24h
-        for r in spark.table("t_burst_ooo")
-        .filter(F.col("user_id") >= 0)
-        .groupBy("user_id")
-        .agg(F.max("max_burst_24h").alias("max_burst_24h"))
-        .collect()
-    }
-    e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("s")
-        .rangeBetween(-86399, Window.currentRow)
-    )
-    want = {
-        r.user_id: r.m
-        for r in e.select(
-            "user_id", F.floor(F.col("ts").cast("double")).cast("long").alias("s")
-        )
-        .withColumn("c", F.count(F.lit(1)).over(w))
-        .groupBy("user_id")
-        .agg(F.max("c").alias("m"))
-        .collect()
-    }
+    got = _burst_final_per_user(spark, "t_burst_ooo")
+    want = _burst_batch_shadow(spark, sf_dir)
     assert info["n_deferred"] > 0
     assert got == want
 
@@ -3115,7 +3109,7 @@ def _make_padded_state_cls(keep: int, pad):
     closures; a module-level class would pickle by qualified name and
     executors cannot import ``test_streaming``. Shared by every
     state-evolution golden (scalar-tuple EWMA r15, list-bearing session
-    funnel r16)."""
+    funnel r16, map-bearing burst detector r17)."""
 
     class _PaddedState:
         def __init__(self, inner):
@@ -3373,3 +3367,71 @@ def test_state_evolution_upgrade_recipe_list_state_matches_batch_shadow(
     _assert_funnel_matches_shadow(
         spark, sf_dir, info, "t_sfunnel_v2", label="upgrade-recipe funnel diverged: "
     )
+
+
+def _make_evolved_burst():
+    """The evolved burst-detector processor: v1 logic against a state
+    schema with one appended defaulted MAP column (``meta
+    map<string,long>``, default {}) — the MapState-style dict
+    container VERDICT r16 #5 named as the one state shape the recipe
+    goldens had not yet covered. ``stateful_burst_detector`` is the
+    natural host: its state already encodes a (second → count) map
+    (the ``secs``/``cnts`` parallel arrays), and the appended field is
+    a genuine Spark ``MapType`` state column, so the golden proves
+    both that the recipe holds over map-bearing state AND that a map
+    column itself survives the pad/truncate adapter across
+    micro-batches. A FACTORY for the same reason as
+    ``_make_evolved_ewma``: cloudpickle ships nested definitions by
+    value; module-level ones pickle by qualified name and executors
+    cannot import ``test_streaming``."""
+    from functools import partial
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ext_state = (
+        "secs array<long>, cnts array<long>, max_burst long, "
+        "buf_ts array<long>, meta map<string,long>"
+    )
+    _PaddedState = _make_padded_state_cls(keep=4, pad={})
+
+    def _burst_v2(tzv, key, pdfs, state):
+        yield from stateful._burst(tzv, key, pdfs, _PaddedState(state))
+
+    def evolved(stream, delay: str = WM):
+        tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
+        return stream.withWatermark("ts", delay).groupBy(
+            "user_id"
+        ).applyInPandasWithState(
+            partial(_burst_v2, tz),
+            outputStructType="user_id long, max_burst_24h long",
+            stateStructType=ext_state,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+
+    return evolved
+
+
+def test_state_evolution_upgrade_recipe_map_state_matches_batch_shadow(
+    spark, sf_dir, ooo_flush_replay_dir
+):
+    """The upgrade recipe proven for scalar-tuple (r15, EWMA) and
+    list-bearing (r16, session funnel) state holds for a MAP-bearing
+    state machine with an appended ``map<string,long>`` column too
+    (VERDICT r16 #5 — the last state-container shape): the
+    fresh-checkpoint reprocess of `stateful_burst_detector` under the
+    widened schema, driven over the out-of-order-within-delay replay
+    so the reorder buffer works under the new schema as well, must
+    reach the same final per-user rolling-24 h maximum as the batch
+    RANGE-frame shadow — the identical comparison the v1 goldens make,
+    so the recipe loses nothing relative to an uninterrupted run."""
+    d, info = ooo_flush_replay_dir
+    run_to_memory(
+        _make_evolved_burst()(replay.read_stream(spark, d)),
+        "t_burst_v2",
+        "update",
+    )
+    got = _burst_final_per_user(spark, "t_burst_v2")
+    want = _burst_batch_shadow(spark, sf_dir)
+    assert info["n_deferred"] > 0
+    assert got == want, "upgrade-recipe burst run diverged from the batch shadow"
