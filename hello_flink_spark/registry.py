@@ -142,10 +142,10 @@ def iter_correctness_rows(repo_root: Path | None = None):
 # ``encode_container``, on that query's WRITE path — and the same
 # round's second review wave added ``_validate_refs`` to
 # ``decode_container``'s embedded writer/reader schemas, which sits on
-# the same query's READ path (advisor r17: the pin covered both
+# the same query's READ path (advisor r16: the pin covered both
 # changes, not just the write-side one the original comment named; no
 # other registered query touches ``decode_container``).
-# Round 17 pins the two column-codec queries: advisor-r17 added
+# Round 17 pins the two column-codec queries: advisor-r16 added
 # ``_validate_refs`` at the four Avro column-UDF construction sites
 # (``from_avro_col``/``to_avro_col``/``from_avro_confluent_col``'s
 # reader+per-id writers/``to_avro_confluent_col``), which sit on

@@ -387,7 +387,7 @@ def _avro_py_udf(json_schema: str):
     named: dict[str, Any] = {}
     _register_named(schema_obj, named)
     # reject dangling named-type references at CONSTRUCTION, not first
-    # decode (advisor r17): per-value resolution only fails on branches
+    # decode (advisor r16): per-value resolution only fails on branches
     # the data takes, so an unresolvable reference in an untaken union
     # branch would otherwise ride along silently. Today this is
     # defense-in-depth — ``avro_schema_to_spark`` above walks every
@@ -504,7 +504,7 @@ def to_avro_col(data_col, json_schema: str):
     # not one per record in the encode hot loop (advisor r14)
     named: dict[str, Any] = {}
     _register_named(schema_obj, named)
-    # REAL escape without this (advisor r17, reproduced): the encode
+    # REAL escape without this (advisor r16, reproduced): the encode
     # schema never passes through ``avro_schema_to_spark`` (the UDF
     # returns BinaryType), and the per-record union matcher resolves
     # only the branches it inspects — a dangling reference nested
@@ -784,7 +784,7 @@ def from_avro_confluent_col(
     # per-record building walked the schema per Kafka message (fourth)
     r_named: dict[str, Any] = {}
     _register_named(reader, r_named)
-    # reader references validated once at construction (advisor r17;
+    # reader references validated once at construction (advisor r16;
     # defense-in-depth — ``avro_schema_to_spark`` above already walks
     # and rejects, but this path calls ``resolve_value`` directly, so
     # the guarantee must not hang off the type mapper's traversal)
@@ -796,7 +796,7 @@ def from_avro_confluent_col(
         if reg is None:
             reg = {}
             _register_named(writer, reg)
-            # REAL escape without this (advisor r17, reproduced):
+            # REAL escape without this (advisor r16, reproduced):
             # writer schemas never pass through the type mapper (only
             # the reader shapes the output column), and this UDF calls
             # ``decode_value(..., named=reg)`` + ``resolve_value``
@@ -857,7 +857,7 @@ def to_avro_confluent_col(data_col, json_schema: str, schema_id: int):
     _require_utc_for_instants(_avro_has_instant(schema_obj), "to_avro_confluent_col")
     named: dict[str, Any] = {}  # one schema walk, not one per record (advisor r14)
     _register_named(schema_obj, named)
-    # same REAL encode-side escape as ``to_avro_col`` (advisor r17):
+    # same REAL encode-side escape as ``to_avro_col`` (advisor r16):
     # no type-mapper walk guards this schema, and a producer claiming
     # ``schema_id`` for bytes whose schema other Avro implementations
     # cannot even parse is wrong-by-contract from the first message

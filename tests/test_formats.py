@@ -1580,7 +1580,7 @@ def test_decode_value_rejects_unresolved_ref_in_untaken_reader_branch():
 def test_avro_column_udfs_reject_unresolved_refs_at_construction(spark):
     """The four Avro COLUMN-UDF constructors validate named-type
     references when the UDF is built, not when a record first takes
-    the broken branch (advisor r17). The encode side is the real
+    the broken branch (advisor r16). The encode side is the real
     escape (reproduced pre-fix): ``to_avro_col`` /
     ``to_avro_confluent_col`` never pass the schema through
     ``avro_schema_to_spark`` (their output is BinaryType), and the

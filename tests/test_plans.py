@@ -372,7 +372,7 @@ def test_collect_sites_are_audited_bounded():
     different function — fails here until it is proven bounded by
     construction and the whitelist is deliberately updated.
 
-    Matching is NAME-based, not type-based (advisor r17): ANY
+    Matching is NAME-based, not type-based (advisor r16): ANY
     attribute call named collect/toPandas/toLocalIterator counts, so a
     non-DataFrame call like ``gc.collect()`` in package code would
     also demand a whitelist entry. That is the intended fail-closed
