@@ -421,6 +421,27 @@ def test_avro_named_reference_schema_maps_and_containers_roundtrip(sv):
 
 
 @SETTINGS
+@given(sv=_avro_named_ref_schema_and_value())
+def test_avro_validator_accepts_every_mapper_accepted_schema(sv):
+    """Consistency property behind the r17 construction-time guards:
+    ``_validate_refs`` must accept every schema the type mapper
+    accepts, over the full named-reference space (random namespaces,
+    aliases, qualified forms, unions) — otherwise adding the validator
+    to the column-UDF constructors could reject a previously-working
+    decode schema. Checks the ACCEPT direction only; the REJECT
+    direction (dangling references at every constructor) is pinned by
+    the deterministic goldens in test_formats.py."""
+    from hello_flink_spark.sources.avro_codec import _register_named, _validate_refs
+    from hello_flink_spark.sources.formats import avro_schema_to_spark
+
+    schema, _ = sv
+    avro_schema_to_spark(schema)  # generator emits only mapper-legal forms
+    named: dict = {}
+    _register_named(schema, named)
+    _validate_refs(schema, named)  # must never raise where the mapper passed
+
+
+@SETTINGS
 @given(sv=_avro_named_ref_schema_and_value(), dflt=I64)
 def test_avro_named_reference_resolution_random(sv, dflt):
     """Schema Resolution over reference-using schemas (the r14
