@@ -5,8 +5,12 @@
    comparator from hello_flink_spark.oracle);
 3. bench.py JSON emit parse check (driver t3) — without timing runs.
 
-Run: python scripts/preflight.py            # full gate (~1-2 min)
-     python scripts/preflight.py q1 q2 ...  # subset of queries
+Run: python scripts/preflight.py              # full gate (~1-2 min)
+     python scripts/preflight.py q1 q2 ...    # subset of queries
+     python scripts/preflight.py --window 50  # the prospective driver
+                                              # window head (first N of
+                                              # registry.all_specs(),
+                                              # pins + staleness order)
 Exits non-zero on any failure.
 """
 
@@ -28,7 +32,20 @@ def main() -> int:
     from hello_flink_spark.oracle import run_all
     from hello_flink_spark.session import get_spark
 
-    names = sys.argv[1:] or None
+    args = sys.argv[1:]
+    if args and args[0] == "--window":
+        # mirror the PROSPECTIVE driver window: the first N names of
+        # the rotation ordering (pins + staleness), exactly what the
+        # driver will evaluate next round — replaces the per-round
+        # manual "compute the window head" step (round-17 protocol).
+        from hello_flink_spark.registry import all_specs
+
+        n = int(args[1]) if len(args) > 1 else 50
+        names = list(all_specs())[:n]
+        print(f"[window] mirroring the first {len(names)} rotation "
+              f"slots, head: {names[:4]}", flush=True)
+    else:
+        names = args or None
     spark = get_spark("preflight")
 
     rows = E.entry(spark).collect()
