@@ -51,6 +51,21 @@ def _cosine(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+_DOT_SQL = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """Spark-SQL text twin of ``_cosine`` — the IDENTICAL expression
+    tree (zip_with/aggregate fold, dot / (sqrt·sqrt)), for use inside
+    higher-order-function lambdas where Column helpers cannot reach
+    (round-17: ivf_nearest_buckets' per-row centroid fold)."""
+    return (
+        f"({_DOT_SQL.format(a=a, b=b)}"
+        f" / (sqrt({_DOT_SQL.format(a=a, b=a)})"
+        f" * sqrt({_DOT_SQL.format(a=b, b=b)})))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -528,19 +543,41 @@ def ivf_nearest_buckets(
     centroids: DataFrame, side: DataFrame, id_col: str, n: int
 ) -> DataFrame:
     """Nearest-n coarse buckets by rounded cosine (id tiebreak): one
-    broadcast of the constant-size centroid table x one corpus scan."""
-    scored = side.crossJoin(F.broadcast(centroids)).select(
+    broadcast of the constant-size centroid table x one corpus scan.
+
+    Round-17 shape (guide §2.4 "remove shuffles outright"): the old
+    plan crossJoined each side row against the C-row centroid table
+    (C× row blow-up WITH the vec payload attached) and ranked with a
+    Window partitioned by ``id_col`` — a full shuffle of the C×
+    exploded corpus, the single data-scale exchange of the IVF family.
+    Now the centroid table collapses JVM-side to ONE row carrying the
+    whole codebook as an array (still broadcast, same bytes), and the
+    top-n fold is a per-row array_sort over C structs — map-only, no
+    blow-up, no exchange. The comparator replays the Window order
+    exactly — (c_sim DESC, c_id ASC) with Spark's NaN-largest
+    comparison semantics — so results are bit-identical, ties
+    included."""
+    cents = centroids.agg(
+        F.collect_list(F.struct("c_id", "c_vec")).alias("cents")
+    )
+    scored = side.crossJoin(F.broadcast(cents)).select(
         id_col,
         "vec",
-        "c_id",
-        F.round(_cosine(F.col("vec"), F.col("c_vec")), 6).alias("c_sim"),
+        F.expr(
+            "slice(array_sort("
+            "  transform(cents, c -> struct("
+            f"    round({_cosine_sql('vec', 'c.c_vec')}, 6) AS c_sim,"
+            "     c.c_id AS c_id)),"
+            "  (l, r) -> CASE WHEN l.c_sim > r.c_sim THEN -1"
+            "                 WHEN l.c_sim < r.c_sim THEN 1"
+            "                 WHEN l.c_id < r.c_id THEN -1"
+            "                 WHEN l.c_id > r.c_id THEN 1 ELSE 0 END),"
+            f" 1, {int(n)})"
+        ).alias("top"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n)
-        .select(id_col, "vec", F.col("c_id").alias("bucket"))
-    )
+    return scored.select(
+        id_col, "vec", F.explode("top").alias("t")
+    ).select(id_col, "vec", F.col("t.c_id").alias("bucket"))
 
 
 @register(

