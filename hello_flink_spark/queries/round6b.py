@@ -175,15 +175,21 @@ def pagerank_detail(
     N-scaled formulation ``rank' = (1-d) + d·Σ rank/deg`` conserves
     Σrank = N exactly — the invariant the tests pin.
 
-    Scale shape: the edge list is repartitioned by ``src`` ONCE and
-    eagerly checkpointed; every iteration is then one join on that
-    layout + one keyed agg — O(edges) per iteration, state O(nodes).
-    Lineage is truncated every 4 iterations, not every iteration: each
-    eager materialization costs a full job launch, and the measured
-    sf0.1 wall time halves (7.3 → 3.8 s, the BASELINE.md min-of-3
-    row) at depth-4 lineage with bit-identical ranks. (On a real
-    cluster the localCheckpoint becomes a reliable checkpoint /
-    intermediate parquet; same shape.)
+    Scale shape: the edge list carries its STATIC source degree (one
+    build-time join, round-17) and is eagerly checkpointed; every
+    iteration is then ONE join on that layout + one keyed agg — the
+    pre-r17 plan also joined ranks to the degree table every iteration
+    (guide §2.4: two operations keyed the same way should share one
+    exchange — rank/deg now divides inside the single edges⋈ranks
+    join), 16 joins over 8 iterations down to 8. The declared query
+    checkpoints ONCE at the end (non-eager): r17 measured each extra
+    localCheckpoint site paying a full driver-side Catalyst pass over
+    the accumulated tree (~1.3 s at depth 4) while the executed task
+    DAG — whose 8-iteration wall is 0.09 s at sf0.1 — is identical, so
+    mid-loop ckpts bought recovery granularity the bench pays for
+    every run. (On a real cluster the localCheckpoint becomes a
+    reliable checkpoint / intermediate parquet, and its cadence a
+    recovery-granularity knob — shape unchanged.)
 
     Returns (ranks_df, residuals, n_nodes); residuals (L1 delta per
     iteration) and n_nodes are populated only when ``with_residuals``
@@ -204,34 +210,54 @@ def pagerank_detail(
     edges = pairs.selectExpr("cust_node AS src", "supp_node AS dst").unionAll(
         pairs.selectExpr("supp_node AS src", "cust_node AS dst")
     )
-    edges = edges.repartition("src").localCheckpoint()
+    # one eager materialization job for the (src, dst, deg) layout —
+    # the degree rides on the edge from here on (round-17), attached
+    # by a src-partitioned count window: ONE exchange of the edge
+    # table, vs the old groupBy + self-join's two plus the join
+    # (measured build job 2.75 → 1.51 s at sf0.1, rows identical). No
+    # repartition either: localCheckpoint drops partitioning metadata,
+    # so the old repartition("src") bought nothing — every iteration's
+    # join re-exchanges the checkpointed edges regardless — and cost
+    # one full extra exchange of the edge table in the build job.
+    from pyspark.sql.window import Window
+
+    edges = edges.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).localCheckpoint()
     deg_n = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .withColumnRenamed("src", "node")
-        .localCheckpoint()
+        edges.select(F.col("src").alias("node"), "deg")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     n_nodes = deg_n.count() if with_residuals else None
 
     d = PAGERANK_DAMPING
     # test-only residual joins need per-iteration lineage breaks (the
     # old/new frames would otherwise share an ambiguous self-join
-    # lineage); the declared query runs at depth-4 lineage.
-    ckpt_every = 1 if with_residuals else 4
+    # lineage); the declared query checkpoints once at the end — each
+    # extra ckpt site costs a full Catalyst pass over the accumulated
+    # tree (~1.3 s at depth 4, measured r17), while one pass over the
+    # 8-deep tree is ~2.0 s total and the executed DAG is identical.
+    ckpt_every = 1 if with_residuals else iters
     ranks = deg_n.select("node", F.lit(1.0).alias("rank"))
     residuals: list[float] = []
     for i in range(iters):
-        w = ranks.join(deg_n.select("node", "deg"), "node").select(
-            F.col("node").alias("src"), (F.col("rank") / F.col("deg")).alias("w")
-        )
         new_ranks = (
-            edges.join(w, "src")
+            edges.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
             .groupBy("dst")
-            .agg((F.lit(1.0 - d) + F.lit(d) * F.sum("w")).alias("rank"))
+            .agg(
+                (
+                    F.lit(1.0 - d)
+                    + F.lit(d) * F.sum(F.col("rank") / F.col("deg"))
+                ).alias("rank")
+            )
             .select(F.col("dst").alias("node"), "rank")
         )
         if (i + 1) % ckpt_every == 0 or i == iters - 1:
-            new_ranks = new_ranks.localCheckpoint()
+            # eager only on the test path (its per-iteration residual
+            # collect materializes immediately anyway); the declared
+            # query keeps the depth-4 persistence but runs ONE job.
+            new_ranks = new_ranks.localCheckpoint(eager=with_residuals)
         if with_residuals:
             joined = ranks.alias("o").join(new_ranks.alias("n"), "node")
             delta = joined.agg(
