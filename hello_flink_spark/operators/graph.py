@@ -97,9 +97,13 @@ def connected_components(
     of stars rooted at each component minimum). Deterministic — safe
     for hash-compared declared queries.
     """
+    # non-eager: the _checksum action right below is the first
+    # materialization and persists the checkpoint in the SAME job —
+    # one job launch saved per round vs eager=True (round-17,
+    # guide §1.2 "fewer passes"), identical caching afterwards.
     cur = _canonical(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nodes = cur.select(F.col("u").alias("node")).union(
         cur.select(F.col("v").alias("node"))
     ).distinct()
@@ -113,7 +117,7 @@ def connected_components(
         # sf0.1 the wall time is unchanged (per-round checkpoint +
         # convergence action dominate); the saved shuffles are
         # edge-set-sized, which is what matters at 100 TB.
-        nxt = _small_star(_large_star(_symmetric(cur))).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(_symmetric(cur))).localCheckpoint(eager=False)
         nxt_sig = _checksum(nxt)
         cur = nxt
         if nxt_sig == sig:

@@ -586,6 +586,9 @@ def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hello_flink_spark.queries.llm import _shingle_df
 
     sh = _shingle_df(d)
+    # round-17: materialize the signature table once — the band
+    # builder and BOTH verify sides (ha, hb) consume it, and each
+    # previously recomputed the whole shingle+minhash pipeline
     hashed = (
         sh.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_SQL_K - 1))))
         .groupBy("doc_id", "seed")
@@ -594,6 +597,7 @@ def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))), 1, 16)
             ).alias("mh")
         )
+        .localCheckpoint()
     )
     bands = (
         hashed.withColumn("band", (F.col("seed") / 2).cast("long"))
@@ -604,15 +608,24 @@ def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band_val")
         )
     )
+    # candidates: one exchange of the band table (group on the band
+    # signature, emit in-group ordered pairs) instead of the pre-r17
+    # two-shuffle self-join; candidate set identical (distinct pairs
+    # sharing >= 1 band either way)
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bands.groupBy("band", "band_val")
+        .agg(F.expr("array_sort(collect_list(doc_id))").alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ds) - 1),"
+                    " i -> transform(slice(ds, i + 1, size(ds) - i),"
+                    " y -> struct(element_at(ds, i) AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     return (

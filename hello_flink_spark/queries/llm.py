@@ -115,13 +115,22 @@ NGRAM_SHINGLES_SQL = f"""
 """
 
 
-def _shingle_df(d: DataFrame) -> DataFrame:
+def _shingle_df(d: DataFrame, checkpoint: bool = False) -> DataFrame:
     """Distinct (doc_id, 3-gram shingle) pairs, document-frequency-capped.
 
     Guards the index range for docs with < 3 tokens: ``sequence(1, 0)``
     in Spark is the DESCENDING [1, 0], which would drive element_at out
     of bounds — such docs legitimately have zero shingles (matching
     DuckDB's empty generate_series(1, 0)).
+
+    ``checkpoint=True`` (round-17, guide §5 caching): materialize the
+    distinct shingle frame once (eager localCheckpoint) BEFORE the
+    hot-list aggregation — callers that consume the capped frame more
+    than once (self-join sides, per-doc sizes) plus the hot-list probe
+    otherwise each recompute the scan+explode+distinct subtree (4
+    copies in dedup_ngram_jaccard's pre-r17 plan, zero ReusedExchange
+    in the initial plan). Single-consumer callers should leave it off
+    — the extra materialization job buys nothing there.
     """
     toks = d.select("doc_id", _tokens().alias("tokens"))
     idx = F.when(
@@ -141,6 +150,8 @@ def _shingle_df(d: DataFrame) -> DataFrame:
             )
         ).alias("shingle"),
     ).distinct()
+    if checkpoint:
+        shingles = shingles.localCheckpoint()
     # df-cap via hot-list anti-join: the hot list (shingles above the
     # cap) is boilerplate-sized in practice, so it broadcasts and the
     # filter is map-side — but the bound is enforced, not assumed:
@@ -156,6 +167,35 @@ def _shingle_df(d: DataFrame) -> DataFrame:
         .select("shingle")
     )
     return anti_join_bounded(shingles, hot, "shingle")
+
+
+def _shingle_pairs(shingles: DataFrame) -> DataFrame:
+    """Shared-shingle pair counts (doc_a < doc_b, both_cnt) via ONE
+    exchange of the shingle table (round-17, guide §2.3/§2.4): group
+    by shingle, emit the in-group ordered pairs with an array fold —
+    the group is df-capped at SHINGLE_DF_CAP docs, so the per-group
+    fan-out is bounded at k(k-1)/2 ≤ 1225 — then hash-aggregate by
+    pair with map-side combine. Replaces the a⋈b self-join on
+    shingle, which shuffled the shingle table TWICE and joined;
+    pair output is identical row-for-row (verified at sf0.1), the
+    same rows the self-join's equi-match would emit."""
+    grp = (
+        shingles.groupBy("shingle")
+        .agg(F.expr("array_sort(collect_list(doc_id))").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = grp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ds) - 1),"
+                " i -> transform(slice(ds, i + 1, size(ds) - i),"
+                " y -> struct(element_at(ds, i) AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("both_cnt")
+    )
 
 
 @register(
@@ -182,7 +222,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     never meet — no all-pairs), then |A∩B| / |A∪B| >= 0.5 over the
     df-capped shingle sets (SHINGLE_DF_CAP bounds the k² pair blow-up
     from hot boilerplate shingles). This IS the scalable shape: shuffle
-    on shingle, combine-side distinct, residual skew handled by AQE."""
+    on shingle, combine-side distinct, residual skew handled by AQE.
+    Round-17: the shingle frame materializes once (checkpoint=True —
+    the sizes agg and both former self-join sides each recomputed the
+    scan+explode+distinct subtree, zero ReusedExchange in the initial
+    plan) and the pair counts come from the grouped single-shuffle
+    enumeration (_shingle_pairs) instead of the two-shuffle self-join;
+    output identical row-for-row."""
     from hello_flink_spark.operators.scale import spread_small_scan
 
     # r12: the map-side shingle explode should use every core when the
@@ -190,19 +236,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window, parity elsewhere — the shingle shuffle dominates here,
     # so the gain is smaller than the substring-dedup pair's).
     d = spread_small_scan(t(spark, sf_dir, "documents"))
-    shingles = _shingle_df(d)
+    shingles = _shingle_df(d, checkpoint=True)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("both_cnt"))
-    )
+    inter = _shingle_pairs(shingles)
     jac = F.col("both_cnt").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("both_cnt"))
     return (
         inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -992,9 +1028,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BENCH_ID_MAX — broadcastable forever); the corpus side is one
     df-capped shingle scan (shared _shingle_df helper, so hot
     boilerplate shingles can't go quadratic). Equi-join on shingle +
-    two hash aggs — no all-pairs anywhere."""
+    two hash aggs — no all-pairs anywhere. Round-17: the shingle frame
+    materializes once (checkpoint=True) — the bench filter (twice:
+    bsizes + the join side) and the train filter each recomputed the
+    scan+explode+distinct subtree before."""
     d = t(spark, sf_dir, "documents")
-    shingles = _shingle_df(d)
+    shingles = _shingle_df(d, checkpoint=True)
     bench_pred = (F.col("doc_id") % 101 == 0) & (F.col("doc_id") < BENCH_ID_MAX)
     bench = shingles.filter(bench_pred)
     train = shingles.filter(~bench_pred)

@@ -581,23 +581,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a larger one, which symmetric Jaccard misses (a ⊂ b with |b|≫|a|
     has low Jaccard but containment ≈ 1). Same sub-quadratic
     shingle-equi-join skeleton as dedup_ngram_jaccard, different
-    denominator."""
-    from hello_flink_spark.queries.llm import _shingle_df
+    denominator — and the same round-17 shape: the shingle frame
+    materializes once and the pair counts come from the grouped
+    single-shuffle enumeration (_shingle_pairs) instead of the
+    two-shuffle self-join; output identical row-for-row."""
+    from hello_flink_spark.queries.llm import _shingle_df, _shingle_pairs
 
     d = t(spark, sf_dir, "documents")
-    shingles = _shingle_df(d)
+    shingles = _shingle_df(d, checkpoint=True)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("both_cnt"))
-    )
+    inter = _shingle_pairs(shingles)
     containment = F.col("both_cnt").cast("double") / F.least(
         F.col("sa.n"), F.col("sb.n")
     )
@@ -1855,11 +1848,16 @@ def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop (df-capped shingle equi-join, larger doc_id of each ≥0.8 pair
     dropped) → source-balanced mixture (broadcast min-quota) →
     per-source token-budget batch packing → per-(source, batch)
-    rollup. Five conceptual stages, zero intermediate
-    materializations: Catalyst sees one tree, fuses the scans, and
-    every shuffle is keyed (content hash, shingle, source) — the
-    composition argument for operators as DataFrame combinators."""
-    from hello_flink_spark.queries.llm import _shingle_df
+    rollup. Five conceptual stages; every shuffle is keyed (content
+    hash, shingle, source) — the composition argument for operators as
+    DataFrame combinators. Round-17: the exact-dedup survivors (f2)
+    and their capped shingle set each materialize ONCE — the pre-r17
+    single-tree plan recomputed the scan + percentile band + hash
+    window four times (once per shingle self-join side, sizes, and the
+    anti-join base; zero ReusedExchange in the initial plan) — and the
+    containment pair stage uses the grouped single-shuffle enumeration
+    (_shingle_pairs) instead of the two-shuffle self-join."""
+    from hello_flink_spark.queries.llm import _shingle_df, _shingle_pairs
 
     d = t(spark, sf_dir, "documents")
     bounds = d.agg(
@@ -1874,24 +1872,19 @@ def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_best = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy(
         F.col("n_chars").desc(), "doc_id"
     )
+    # round-17: materialize the exact-deduped survivors once — the
+    # shingle subtree and the f3 anti-join below both consume f2, and
+    # each previously recomputed the scan + percentile band + hash
+    # window (the pre-r17 plan carried 4 copies of that subtree)
     f2 = (
         f1.withColumn("rn", F.row_number().over(w_best))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .localCheckpoint()
     )
-    shingles = _shingle_df(f2.select("doc_id", "text"))
+    shingles = _shingle_df(f2.select("doc_id", "text"), checkpoint=True)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("both_cnt"))
-    )
+    inter = _shingle_pairs(shingles)
     containment = F.col("both_cnt").cast("double") / F.least(
         F.col("sa.n"), F.col("sb.n")
     )
