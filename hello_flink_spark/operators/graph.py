@@ -141,15 +141,36 @@ def connected_components(
 def copurchase_edges(lineitem: DataFrame, min_cooccur: int = 2) -> DataFrame:
     """Part co-purchase edge set: undirected (pa < pb) pairs of parts
     sharing >= ``min_cooccur`` orders. The one edge definition shared
-    by graph_triangle_count, graph_degree_stats and their oracles —
-    a co-occurrence self-join on l_orderkey (the only data-scale
-    shuffle) reduced by a keyed count."""
-    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    by graph_triangle_count, graph_degree_stats and their oracles.
+
+    Round-17 shape (guide §2.3/§2.4): group the lineitem scan by order
+    ONCE and emit the in-basket ordered pairs with an array fold —
+    baskets are a handful of lines, so the per-group fan-out is
+    basket² — then hash-aggregate by pair. The previous self-join on
+    l_orderkey shuffled the (ok, part) table TWICE and joined; pair
+    multiset is identical (the sorted index enumeration with the
+    strict pa < pb filter replicates the join's duplicate-line
+    semantics exactly — verified row-for-row)."""
+    baskets = (
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+        )
+        .groupBy("ok")
+        .agg(F.expr("array_sort(collect_list(p))").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(sequence(1, size(ds) - 1),"
+                " i -> transform(slice(ds, i + 1, size(ds) - i),"
+                " y -> struct(element_at(ds, i) AS pa, y AS pb)))),"
+                " s -> s.pa < s.pb)"
+            )
+        ).alias("s")
+    ).select("s.pa", "s.pb")
     return (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
+        pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("cooccur"))
         .filter(F.col("cooccur") >= min_cooccur)
         .select("pa", "pb")

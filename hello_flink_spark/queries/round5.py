@@ -1469,23 +1469,32 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing together in
-    ≥ 3 orders (the frequent-itemset candidate pass). The self-join is
-    keyed on l_orderkey, so the fan-out per key is bounded by BASKET
-    SIZE squared (a handful of lines per order), never corpus²; the
-    pair counts hash-aggregate with map-side combine."""
+    ≥ 3 orders (the frequent-itemset candidate pass). The fan-out per
+    order is bounded by BASKET SIZE squared (a handful of lines per
+    order), never corpus²; the pair counts hash-aggregate with
+    map-side combine. Round-17: one grouped exchange of the lineitem
+    projection (group by order, emit in-basket ordered pairs) instead
+    of the previous two-shuffle self-join on l_orderkey — pair
+    multiset identical (sorted index enumeration + strict < filter
+    replicates the join's duplicate-line semantics)."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("array_sort(collect_list(l_partkey))").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(sequence(1, size(ds) - 1),"
+                " i -> transform(slice(ds, i + 1, size(ds) - i),"
+                " y -> struct(element_at(ds, i) AS part_a, y AS part_b)))),"
+                " s -> s.part_a < s.part_b)"
+            )
+        ).alias("s")
+    ).select("s.part_a", "s.part_b")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("cooccur"))
         .filter(F.col("cooccur") >= 3)
     )

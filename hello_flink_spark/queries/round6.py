@@ -1526,25 +1526,31 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap matrix: Jaccard similarity of the user sets
     behind every event-type pair (segment-overlap / cannibalization
-    analysis). One distinct pass builds (type, user); the self-join
-    shuffles on user_id ONCE — per-user fan-out is bounded by the
-    event-type alphabet squared, so the join output is O(users ×
-    |types|²), linear in users. Type pairs with empty intersection are
-    absent by construction (inner join) in both engines."""
+    analysis). One distinct pass builds (type, user) — materialized
+    once (round-17; the sizes agg and the pair stage shared no
+    exchange before) — then ONE grouped exchange on user_id emits each
+    user's in-group ordered type pairs (fan-out bounded by the
+    event-type alphabet squared, so the pair output is O(users ×
+    |types|²), linear in users; the pre-r17 self-join shuffled the
+    distinct table twice). Type pairs with empty intersection are
+    absent by construction in both engines."""
     e = t(spark, sf_dir, "events")
-    tu = e.select("event_type", "user_id").distinct()
+    tu = e.select("event_type", "user_id").distinct().localCheckpoint()
     sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     inter = (
-        tu.alias("a")
-        .join(
-            tu.alias("b"),
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
+        tu.groupBy("user_id")
+        .agg(F.expr("array_sort(collect_list(event_type))").alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ds) - 1),"
+                    " i -> transform(slice(ds, i + 1, size(ds) - i),"
+                    " y -> struct(element_at(ds, i) AS type_a, y AS type_b))))"
+                )
+            ).alias("s")
         )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
+        .groupBy(F.col("s.type_a").alias("type_a"), F.col("s.type_b").alias("type_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))

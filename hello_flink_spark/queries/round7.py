@@ -261,7 +261,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hello_flink_spark.operators.graph import copurchase_edges
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = copurchase_edges(li, TRIANGLE_MIN_COOCCUR)
+    # round-17: materialize the edge set once — deg, the orientation
+    # join and the n_edges count each recomputed the whole basket
+    # pipeline before (the pre-r17 plan carried 8 copies of it,
+    # 88 Exchange refs -> 28)
+    edges = copurchase_edges(li, TRIANGLE_MIN_COOCCUR).localCheckpoint()
     deg = (
         edges.select(F.explode(F.array("pa", "pb")).alias("v"))
         .groupBy("v")
@@ -274,11 +278,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower_is_a = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
     )
+    # materialized once too: both wedge arms and the closing semi-join
+    # consume the oriented set (3 recomputes of the two degree joins
+    # before)
     oriented = e2.select(
         F.when(lower_is_a, F.col("pa")).otherwise(F.col("pb")).alias("src"),
         F.when(lower_is_a, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
         F.when(lower_is_a, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
-    )
+    ).localCheckpoint()
     a1 = oriented.select(
         F.col("src"), F.col("dst").alias("v"), F.col("ddeg").alias("dv")
     )

@@ -330,10 +330,11 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     set as graph_triangle_count: parts sharing >= 2 orders) — the
     first thing a graph pipeline inspects before choosing algorithms
     (hub skew decides orientation strategies, salting, partitioning).
-    Plan: the co-occurrence self-join builds edges (shuffle on
-    l_orderkey), one explode + keyed count for degrees, one hash agg
-    for the histogram — each stage partial-aggregated map-side; no
-    step is quadratic in any vertex's degree."""
+    Plan: the grouped basket pass builds edges (one exchange on
+    l_orderkey — round-17 copurchase_edges shape), one explode + keyed
+    count for degrees, one hash agg for the histogram — each stage
+    partial-aggregated map-side; no step is quadratic in any vertex's
+    degree."""
     from hello_flink_spark.operators.graph import copurchase_edges
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
