@@ -87,7 +87,8 @@ def _checksum(canon: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "u", dst: str = "v"
+    edges: DataFrame, src: str = "u", dst: str = "v",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Label every endpoint of ``edges`` with its component's minimum
     node id. Returns columns ``(node, label)``.
@@ -96,14 +97,23 @@ def connected_components(
     canonical edge set unchanged (at that point the graph is a forest
     of stars rooted at each component minimum). Deterministic — safe
     for hash-compared declared queries.
+
+    ``assume_canonical=True`` (round-17, guide §2.4): skip the
+    greatest/least swap AND the distinct exchange when the caller
+    guarantees ``src > dst`` per row with no duplicate edges — true of
+    the dedup pair generators, whose (doc_a < doc_b) pair sets come
+    out of a keyed aggregation (pass src=the larger column). The
+    entry materialization is then map-only instead of paying a full
+    edge-set shuffle.
     """
     # non-eager: the _checksum action right below is the first
     # materialization and persists the checkpoint in the SAME job —
     # one job launch saved per round vs eager=True (round-17,
     # guide §1.2 "fewer passes"), identical caching afterwards.
-    cur = _canonical(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=False)
+    named = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    cur = (named if assume_canonical else _canonical(named)).localCheckpoint(
+        eager=False
+    )
     nodes = cur.select(F.col("u").alias("node")).union(
         cur.select(F.col("v").alias("node"))
     ).distinct()

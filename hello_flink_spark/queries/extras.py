@@ -1059,7 +1059,12 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hello_flink_spark.queries.llm import dedup_ngram_jaccard
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    # pairs come out of the keyed similarity aggregation with
+    # doc_a < doc_b, one row per pair — already canonical for CC with
+    # src=doc_b (the larger endpoint), so the entry shuffle is skipped
+    labels = connected_components(
+        pairs, src="doc_b", dst="doc_a", assume_canonical=True
+    )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

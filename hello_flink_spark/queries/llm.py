@@ -51,6 +51,21 @@ def _cosine(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _cosine_prenormed(a, b, na, nb):
+    """``_cosine`` with the two norms hoisted to per-ROW columns
+    (round-17, guide §1.2 per-task work): in a probe × corpus join the
+    full form re-folds both self-dot-products for every PAIR — 3
+    zip_with/aggregate folds per pair; precomputing sqrt(dot(a,a)) once
+    per probe and sqrt(dot(b,b)) once per corpus row leaves ONE fold on
+    the pair path. Bit-identical: same IEEE ops in the same order
+    (dot / (na * nb)), just evaluated earlier."""
+    return _dot(a, b) / (na * nb)
+
+
+def _norm_col(v):
+    return F.sqrt(_dot(v, v))
+
+
 _DOT_SQL = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 
@@ -420,15 +435,24 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.filter(
         (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < PROBE_ID_MAX)
     ).select(
-        F.col("vec_id").alias("probe_id"), _as_double(F.col("embedding")).alias("pvec")
-    )
-    cands = e.select(F.col("vec_id").alias("cand_id"), _as_double(F.col("embedding")).alias("cvec"))
+        F.col("vec_id").alias("probe_id"),
+        _as_double(F.col("embedding")).alias("pvec"),
+    ).withColumn("pn", _norm_col(F.col("pvec")))
+    cands = e.select(
+        F.col("vec_id").alias("cand_id"),
+        _as_double(F.col("embedding")).alias("cvec"),
+    ).withColumn("cn", _norm_col(F.col("cvec")))
     return (
         cands.join(F.broadcast(probes), F.col("cand_id") > F.col("probe_id"))
         .select(
             "probe_id",
             "cand_id",
-            F.round(_cosine(F.col("pvec"), F.col("cvec")), 6).alias("cos_sim"),
+            F.round(
+                _cosine_prenormed(
+                    F.col("pvec"), F.col("cvec"), F.col("pn"), F.col("cn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
 
@@ -464,15 +488,24 @@ def sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < PROBE_ID_MAX)
     ).select(
-        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qvec")
-    )
-    cands = e.select(F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cvec"))
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qvec"),
+    ).withColumn("qn", _norm_col(F.col("qvec")))
+    cands = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cvec"),
+    ).withColumn("cn", _norm_col(F.col("cvec")))
     scored = cands.join(
         F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(_cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        F.round(
+            _cosine_prenormed(
+                F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -855,9 +888,21 @@ def text_tfidf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     the math exactly."""
     d = t(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(_tokens()).alias("word"))
-    doc_len = words.groupBy("doc_id").agg(F.count("*").alias("n"))
-    tfs = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
-    dfs = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # r17 (guide §2.3 "aggregate before you shuffle"): the word-instance
+    # stream previously fed THREE independent aggregations (doc_len,
+    # tfs, dfs), each re-running the scan + explode and each shuffling
+    # the full instance stream by a different key. Both doc_len and dfs
+    # are derivable from tfs — n = SUM(cnt) per doc, df = row count per
+    # word (tfs rows are distinct (doc_id, word) by construction) — so
+    # the corpus is exploded ONCE and only the (doc, word)-scale table
+    # is re-keyed. tfs feeds three consumers: materialize it once.
+    tfs = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    doc_len = tfs.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    dfs = tfs.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     # corpus size stays IN the plan (1-row agg broadcast-cross-joined),
     # so the whole query is one job with no eager driver-side action.
     n_total = d.agg(F.count("*").cast("double").alias("n_docs"))

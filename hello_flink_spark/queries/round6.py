@@ -1252,6 +1252,10 @@ def pipeline_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("tk")
     )
+    # r17 (guide §2.4/§5): the bigram-instance frame fed FOUR subtrees
+    # (cb, cu, vocab, the scored probe side), each of which re-ran the
+    # documents scan + split + explode in the fused plan (zero
+    # ReusedExchange) — materialize it once.
     bi = (
         toks.filter(F.size("tk") >= 2)
         .select(
@@ -1264,23 +1268,44 @@ def pipeline_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("tk", F.col("i")).alias("w1"),
             F.element_at("tk", F.col("i") + 1).alias("w2"),
         )
+        .localCheckpoint()
     )
     cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     cu = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = bi.agg(F.countDistinct("w1").cast("double").alias("v"))
+    # COUNT(DISTINCT w1) over bi == the row count of cu (guide §1.2:
+    # an existing aggregate already holds the answer — the old plan
+    # paid a third full-corpus aggregation for this scalar).
+    vocab = cu.agg(F.count(F.lit(1)).cast("double").alias("v"))
     logp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
-    scored = (
-        bi.join(cb, ["w1", "w2"])
-        .join(cu, "w1")
+    # Pair-level score table: join the two count tables on w1 at
+    # DISTINCT-PAIR scale and attach the broadcast scalar there, so the
+    # instance-scale bi stream is exchanged ONCE (by (w1, w2)) instead
+    # of twice (by (w1, w2), then the joined stream again by w1).
+    pv = (
+        cb.join(cu, "w1")
         .crossJoin(F.broadcast(vocab))
+        .select("w1", "w2", logp.alias("lp"))
+    )
+    # n_tok piggybacks on the score aggregate: rows per doc in bi are
+    # exactly size(tk) - 1 and both pv-side joins are key-complete
+    # many-to-one, so COUNT(*) + 1 == size(tk) — this replaces the old
+    # third documents scan + per-doc join for n_tok further down.
+    # Consumed twice (the p10 scalar and the filter pass): checkpoint
+    # the per-doc frame instead of running the scoring join twice.
+    scored = (
+        bi.join(pv, ["w1", "w2"])
         .groupBy("doc_id")
-        .agg(F.round(F.avg(logp), 6).alias("lm"))
+        .agg(
+            F.round(F.avg("lp"), 6).alias("lm"),
+            (F.count(F.lit(1)) + 1).alias("n_tok"),
+        )
+        .localCheckpoint()
     )
     cut = scored.agg(F.expr("percentile(lm, 0.10)").alias("p10"))
     f1 = (
         scored.crossJoin(F.broadcast(cut))
         .filter(F.col("lm") >= F.col("p10"))
-        .select("doc_id", "lm")
+        .select("doc_id", "lm", "n_tok")
     )
     sh = (
         d.select("doc_id", "source", F.split(F.lower(F.trim(F.col("text"))), " ").alias("tokens"))
@@ -1303,6 +1328,9 @@ def pipeline_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         .distinct()
+        # consumed by boiler AND the boiler_docs probe: one
+        # materialization instead of two scan+explode+distinct passes
+        .localCheckpoint()
     )
     boiler = (
         sh.groupBy("shingle")
@@ -1322,10 +1350,12 @@ def pipeline_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     f2 = f1.join(boiler_docs, "doc_id", "left_anti")
-    langd = (
-        f2.join(d.select("doc_id", "lang"), "doc_id")
-        .join(toks.select("doc_id", F.size("tk").alias("n_tok")), "doc_id")
-    )
+    # n_tok already rides on f1 (see scored), so the language attach is
+    # ONE join — the old second per-doc join re-ran toks (a fourth
+    # documents scan + split) just to recover size(tk). Consumed twice
+    # (quota scalar + the ranked balance pass): materialize the tiny
+    # per-doc frame once.
+    langd = f2.join(d.select("doc_id", "lang"), "doc_id").localCheckpoint()
     quota = (
         langd.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -347,22 +347,32 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 2000, the PROBE_ID_MAX scaling contract) and broadcast; corpus
     side one scan with JVM array lambdas; threshold applied on the
     ROUNDED cosine so both engines cut at the identical value."""
-    from hello_flink_spark.queries.llm import PROBE_ID_MAX, _as_double, _cosine
+    from hello_flink_spark.queries.llm import (
+        PROBE_ID_MAX,
+        _as_double,
+        _cosine_prenormed,
+        _norm_col,
+    )
 
     e = t(spark, sf_dir, "embeddings")
     probes = e.filter((F.col("vec_id") % 77 == 0) & (F.col("vec_id") < PROBE_ID_MAX)).select(
         F.col("vec_id").alias("probe_id"), _as_double(F.col("embedding")).alias("pvec")
-    )
+    ).withColumn("pn", _norm_col(F.col("pvec")))
     cands = e.select(
         F.col("vec_id").alias("cand_id"), _as_double(F.col("embedding")).alias("cvec")
-    )
+    ).withColumn("cn", _norm_col(F.col("cvec")))
     # probe side bounded by PROBE_ID_MAX constant -> broadcast-safe
     return (
         cands.join(F.broadcast(probes), F.col("cand_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "cand_id",
-            F.round(_cosine(F.col("pvec"), F.col("cvec")), 6).alias("cos_sim"),
+            F.round(
+                _cosine_prenormed(
+                    F.col("pvec"), F.col("cvec"), F.col("pn"), F.col("cn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= RANGE_SEARCH_MIN_COS)
     )

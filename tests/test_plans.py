@@ -232,6 +232,8 @@ BROADCAST_HINT_OK = {
     ("llm", "queries"): "query set capped by PROBE_ID_MAX constant",
     ("llm", "recall"): "per-query recall rows — bounded by query cap",
     ("llm", "centroids"): "IVF centroid table — C=16 constant",
+    ("llm", "cents"): "1-row collapsed IVF codebook — the same C=16 constant "
+    "centroid table folded into one array row (ivf_nearest_buckets r17)",
     ("llm", "n_total"): "1-row corpus-count scalar",
     ("llm", "bsizes.alias('bs')"): "bench-slice shingle sizes — BENCH_ID cap",
     ("extras", "total"): "1-row aggregate scalar",
