@@ -484,6 +484,29 @@ def pq_codebook_sql(books: dict) -> str:
     )
 
 
+def pq_codes_col(books: dict, vec_col: str = "vec"):
+    """``array<int>`` PQ code word for a FULL vector as one map-only
+    expression against the folded codebook literal — the round-17
+    replacement (guide §2.4) for the groupBy(vec_id) pivot of the
+    exploded per-subspace assignment plus the data-scale join that
+    re-attached it to the bucket table: the codes are a pure function
+    of (vec, codebook), so each row computes its own 8-code array
+    in the projection that already carries the vector. Exact replay of
+    ``pq_train_frame.assign``'s math and tie-break — same slice, same
+    zip_with/aggregate fold (IEEE order identical), same
+    struct-array_min (lowest code wins on equal err2)."""
+    cvs = pq_codebook_sql(books)
+    return F.expr(
+        f"transform(sequence(0, {PQ_SUBS - 1}), s -> "
+        f" array_min(transform(sequence(0, {PQ_K - 1}),"
+        f"  c -> struct("
+        f"   aggregate(zip_with(slice({vec_col}, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+        f"             {cvs}[s][c], (a, b) -> (a - b) * (a - b)),"
+        f"             0D, (q, x) -> q + x) AS err2,"
+        f"   c AS code))).code)"
+    )
+
+
 def pq_train_frame(
     spark: SparkSession, vecs, iters: int = PQ_ITERS, seed_min: int = 0
 ):

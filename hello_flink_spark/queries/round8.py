@@ -93,8 +93,10 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape (all bounded-state, no all-pairs):
     1. ``pq_train`` — per-iteration MAP-ONLY argmin + one keyed agg
        (unchanged); its codebook (1024 doubles) is the only driver
-       state. Corpus codes = one groupBy(vec_id) pivot of the final
-       assignment (8 small ints per vector — the RAM-resident index).
+       state. Corpus codes are computed MAP-ONLY per bucket-assigned
+       row from the folded codebook literal (``pq_codes_col``,
+       round-17 — formerly a groupBy(vec_id) pivot + data-scale join;
+       8 small ints per vector — the RAM-resident index).
     2. Coarse quantizer — the shared first-C centroid broadcast
        (``ivf_nearest_buckets``): corpus → 1 bucket, probes → NPROBE
        buckets. Probes are a constant-size set (PROBE_ID_MAX bound).
@@ -136,15 +138,11 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         PQ_SUBDIM,
         PQ_SUBS,
         pq_codebook_sql,
+        pq_codes_col,
         pq_train,
     )
 
-    books, assigned = pq_train(spark, sf_dir)
-    codes = assigned.groupBy("vec_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)"
-        ).alias("codes")
-    )
+    books, _assigned = pq_train(spark, sf_dir)
 
     centroids, vecs = ivf_centroids_and_vecs(spark, sf_dir)
     assign_b = ivf_nearest_buckets(centroids, vecs, "vec_id", 1)
@@ -192,16 +190,22 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # r17 (guide §2.4): the candidate code table is MAP-ONLY — each
+    # bucket-assigned row computes its own 8-code array from the folded
+    # codebook literal (pq_codes_col, bit-identical argmin replay),
+    # replacing the groupBy(vec_id) pivot of the exploded assignment
+    # plus the data-scale codes⋈buckets join (two shuffles of the
+    # corpus removed; the scoring bucket join below stays the only
+    # data-scale exchange).
+    coded = assign_b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "bucket",
+        pq_codes_col(books, "vec").alias("codes"),
+    )
     cand = (
         probes.select("query_id", "bucket")
         .join(F.broadcast(luts), "query_id")
-        .join(
-            assign_b.select(F.col("vec_id").alias("neighbor_id"), "bucket").join(
-                codes.select(F.col("vec_id").alias("neighbor_id"), "codes"),
-                "neighbor_id",
-            ),
-            "bucket",
-        )
+        .join(coded, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     scored = cand.select(

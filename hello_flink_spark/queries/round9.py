@@ -881,6 +881,15 @@ def sim_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     books, assigned = pq_train_frame(
         spark, res.select("vec_id", "vec"), seed_min=PQ_K
     )
+    # codes via the groupBy(vec_id) pivot of the final assignment over
+    # the trainer's CHECKPOINTED exploded table — measured FASTER here
+    # than the sibling query's map-only pq_codes_col rewrite (r17
+    # B/A/B/A min-of-3s: 5.67 vs 6.84 s at sf0.1): the map-only code
+    # path must REBUILD the residual frame (embeddings scan + coarse
+    # argmin + broadcast centroid join + zip_with subtract) before it
+    # can fold codes, while this pivot reuses the checkpoint the
+    # trainer already materialized; the two shuffles it pays move
+    # 8-int rows (linear, never wide).
     codes = assigned.groupBy("vec_id").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)"
@@ -2949,8 +2958,36 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python) → per-source hash agg with map-side partials. ONE data-
     scale shuffle (the tiny per-source partials); at 100 TB the encode
     is embarrassingly parallel per input split."""
-    words = _bpe_words(t(spark, sf_dir, "documents"))
-    top = _bpe_top_pairs(words, BPE_APPLY_K)
+    # r17 (guide §2.3 "aggregate before you shuffle" / §1.2 per-task
+    # work): the 12-merge replace fold ran once per word OCCURRENCE and
+    # the fit sweep exploded character pairs per occurrence; a Zipf
+    # corpus repeats words heavily, so both passes now run at DISTINCT
+    # (source, word) scale — one instance-scale shuffle builds the
+    # weighted vocab (wn = occurrences), the fit weights pair counts by
+    # wn (identical integer counts, identical top-K order), the fold
+    # runs once per distinct word, and the per-source sums weight each
+    # word's exact integer contributions by wn (sums of ints reordered —
+    # bit-identical; the one double division happens after, unchanged).
+    # Two consumers (fit + encode): materialize the vocab once.
+    wc = (
+        _bpe_words(t(spark, sf_dir, "documents"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .localCheckpoint()
+    )
+    top = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+            "wn",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wn").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(BPE_APPLY_K)
+    )
     # rank-ordered merge array: struct sort on (-cnt, pair) == the
     # oracle's ROW_NUMBER order; {BPE_APPLY_K} elements — broadcast-bounded
     marr = top.agg(
@@ -2959,12 +2996,13 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             " s -> s.pair)"
         ).alias("ms")
     )
-    folded = words.crossJoin(F.broadcast(marr)).withColumn(
+    folded = wc.crossJoin(F.broadcast(marr)).withColumn(
         "cur",
         F.expr("aggregate(ms, w, (acc, p) -> replace(acc, p, concat(chr(1), chr(1))))"),
     )
     per = folded.select(
         "source",
+        "wn",
         F.length("w").alias("nch"),
         (
             F.length("w")
@@ -2975,10 +3013,14 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ntok"),
     )
     return per.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.sum("nch").alias("n_chars"),
-        F.sum("ntok").alias("n_tokens"),
-        F.round(F.sum("nch").cast("double") / F.sum("ntok"), 6).alias("compression"),
+        F.sum("wn").alias("n_words"),
+        F.sum(F.col("nch") * F.col("wn")).alias("n_chars"),
+        F.sum(F.col("ntok") * F.col("wn")).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("nch") * F.col("wn")).cast("double")
+            / F.sum(F.col("ntok") * F.col("wn")),
+            6,
+        ).alias("compression"),
     )
 
 
