@@ -139,13 +139,17 @@ def _shingle_df(d: DataFrame, checkpoint: bool = False) -> DataFrame:
     DuckDB's empty generate_series(1, 0)).
 
     ``checkpoint=True`` (round-17, guide §5 caching): materialize the
-    distinct shingle frame once (eager localCheckpoint) BEFORE the
-    hot-list aggregation — callers that consume the capped frame more
-    than once (self-join sides, per-doc sizes) plus the hot-list probe
-    otherwise each recompute the scan+explode+distinct subtree (4
-    copies in dedup_ngram_jaccard's pre-r17 plan, zero ReusedExchange
-    in the initial plan). Single-consumer callers should leave it off
-    — the extra materialization job buys nothing there.
+    distinct shingle frame once BEFORE the hot-list aggregation —
+    callers that consume the capped frame more than once (self-join
+    sides, per-doc sizes) plus the hot-list probe otherwise each
+    recompute the scan+explode+distinct subtree (4 copies in
+    dedup_ngram_jaccard's pre-r17 plan, zero ReusedExchange in the
+    initial plan). NON-eager: the hot-list probe job right below is
+    the first action and persists the checkpoint as a side effect —
+    one blocking job launch saved per query vs eager=True (guide §1.2
+    "fewer passes"), identical caching afterwards. Single-consumer
+    callers should leave it off — the materialization buys nothing
+    there.
     """
     toks = d.select("doc_id", _tokens().alias("tokens"))
     idx = F.when(
@@ -166,7 +170,7 @@ def _shingle_df(d: DataFrame, checkpoint: bool = False) -> DataFrame:
         ).alias("shingle"),
     ).distinct()
     if checkpoint:
-        shingles = shingles.localCheckpoint()
+        shingles = shingles.localCheckpoint(eager=False)
     # df-cap via hot-list anti-join: the hot list (shingles above the
     # cap) is boilerplate-sized in practice, so it broadcasts and the
     # filter is map-side — but the bound is enforced, not assumed:
