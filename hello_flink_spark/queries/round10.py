@@ -598,7 +598,21 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    pdg = grams.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("n_pos"))
+    # r17 (guide §2.4 "share one exchange"): partition the gram stream
+    # by gram ONCE — hashpartitioning(gram) satisfies the clustered
+    # distribution of BOTH the (gram, doc_id) aggregate and the
+    # count window partitioned by gram, so the old plan's two
+    # instance-scale exchanges (partial-agged shuffle by (gram,
+    # doc_id), then a re-shuffle of the collapsed set by gram) fuse
+    # into one. Map-side partial aggregation is lost, but a 32-char
+    # gram almost never repeats within one document, so the partials
+    # collapsed next to nothing — the bytes moved are ~identical and
+    # one full exchange of the collapsed table disappears.
+    pdg = (
+        grams.repartition("gram")
+        .groupBy("gram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_pos"))
+    )
     from pyspark.sql.window import Window
 
     flagged = pdg.withColumn(

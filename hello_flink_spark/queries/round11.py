@@ -96,7 +96,17 @@ def text_substring_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     )
-    pdg = grams.groupBy("fp", "doc_id").agg(F.count(F.lit(1)).alias("n_pos"))
+    # r17 (guide §2.4, same change as the raw twin): one
+    # repartition(fp) feeds both the (fp, doc_id) aggregate and the
+    # count window — hashpartitioning(fp) satisfies both distributions,
+    # fusing the two instance-scale exchanges into one (map-side
+    # partials collapsed next to nothing: a 32-char gram rarely
+    # repeats within a document).
+    pdg = (
+        grams.repartition("fp")
+        .groupBy("fp", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_pos"))
+    )
     flagged = pdg.withColumn(
         "n_docs", F.count(F.lit(1)).over(Window.partitionBy("fp"))
     )
