@@ -128,9 +128,13 @@ def banded_candidates(
             F.col("hub.rep_id").alias("hub_id"),
             F.col("hub.sig").alias("hub_sig"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n_hot = hot.count()  # exact and cheap: hot is checkpointed
+    # this count is the FIRST action on the chain: with the non-eager
+    # checkpoints above (r17, guide §1.2 "fewer passes") it
+    # materializes hot AND every upstream checkpoint (reps, the
+    # caller's sig frame) in ONE job instead of one blocking job each
+    n_hot = hot.count()
     LAST_BAND_METRICS["capped_buckets"] = n_hot
     if n_hot:
         logger.warning(
@@ -195,7 +199,7 @@ def min_rep_dedup(
     reps = (
         sigs.groupBy("sig")
         .agg(F.min(id_col).alias("rep_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cand = banded_candidates(
         reps, bands_per_word=bands_per_word, bits_per_band=bits_per_band, cap=cap

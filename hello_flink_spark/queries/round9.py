@@ -212,7 +212,7 @@ def _phash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `sub`)
     hashes = payload.mapInPandas(
         _phash_decode, schema="doc_id long, phash long"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     return hashes.withColumn("sig", F.array("phash"))
 
 
@@ -2347,7 +2347,7 @@ def _afp_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "0L, (acc, v) -> acc + v)"
             ).alias("afp"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return fps.withColumn("sig", F.array("afp"))
 
@@ -2587,7 +2587,7 @@ def _vdup_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["fhash"],
             ).alias("sig"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 
