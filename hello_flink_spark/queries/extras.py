@@ -597,7 +597,13 @@ def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))), 1, 16)
             ).alias("mh")
         )
-        .localCheckpoint()
+        # EAGER on purpose (r17 measured): three consumers (band
+        # builder + both verify sides) land in CONCURRENT stages of the
+        # final job — with a lazy checkpoint they race-recompute the
+        # md5 minhash pipeline before the persist fills (B/A/B/A
+        # min-of-3s 3.38 -> 3.91 s lazy); the blocking build job is
+        # cheaper than the duplicated compute.
+        .localCheckpoint(eager=True)
     )
     bands = (
         hashed.withColumn("band", (F.col("seed") / 2).cast("long"))

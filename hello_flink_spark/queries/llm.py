@@ -903,7 +903,7 @@ def text_tfidf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfs = (
         words.groupBy("doc_id", "word")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     doc_len = tfs.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
     dfs = tfs.groupBy("word").agg(F.count(F.lit(1)).alias("df"))

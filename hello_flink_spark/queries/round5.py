@@ -1889,7 +1889,7 @@ def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         f1.withColumn("rn", F.row_number().over(w_best))
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     shingles = _shingle_df(f2.select("doc_id", "text"), checkpoint=True)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

@@ -1268,7 +1268,7 @@ def pipeline_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("tk", F.col("i")).alias("w1"),
             F.element_at("tk", F.col("i") + 1).alias("w2"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     cu = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
@@ -1299,7 +1299,7 @@ def pipeline_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 6).alias("lm"),
             (F.count(F.lit(1)) + 1).alias("n_tok"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cut = scored.agg(F.expr("percentile(lm, 0.10)").alias("p10"))
     f1 = (
@@ -1330,7 +1330,7 @@ def pipeline_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # consumed by boiler AND the boiler_docs probe: one
         # materialization instead of two scan+explode+distinct passes
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     boiler = (
         sh.groupBy("shingle")
@@ -1355,7 +1355,7 @@ def pipeline_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documents scan + split) just to recover size(tk). Consumed twice
     # (quota scalar + the ranked balance pass): materialize the tiny
     # per-doc frame once.
-    langd = f2.join(d.select("doc_id", "lang"), "doc_id").localCheckpoint()
+    langd = f2.join(d.select("doc_id", "lang"), "doc_id").localCheckpoint(eager=False)
     quota = (
         langd.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1565,7 +1565,7 @@ def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct table twice). Type pairs with empty intersection are
     absent by construction in both engines."""
     e = t(spark, sf_dir, "events")
-    tu = e.select("event_type", "user_id").distinct().localCheckpoint()
+    tu = e.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
     sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         tu.groupBy("user_id")

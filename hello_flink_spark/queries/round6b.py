@@ -223,7 +223,7 @@ def pagerank_detail(
 
     edges = edges.withColumn(
         "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     deg_n = (
         edges.select(F.col("src").alias("node"), "deg")
         .distinct()

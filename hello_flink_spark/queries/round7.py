@@ -265,7 +265,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join and the n_edges count each recomputed the whole basket
     # pipeline before (the pre-r17 plan carried 8 copies of it,
     # 88 Exchange refs -> 28)
-    edges = copurchase_edges(li, TRIANGLE_MIN_COOCCUR).localCheckpoint()
+    edges = copurchase_edges(li, TRIANGLE_MIN_COOCCUR).localCheckpoint(eager=False)
     deg = (
         edges.select(F.explode(F.array("pa", "pb")).alias("v"))
         .groupBy("v")
@@ -285,7 +285,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lower_is_a, F.col("pa")).otherwise(F.col("pb")).alias("src"),
         F.when(lower_is_a, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
         F.when(lower_is_a, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     a1 = oriented.select(
         F.col("src"), F.col("dst").alias("v"), F.col("ddeg").alias("dv")
     )

@@ -2973,7 +2973,7 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bpe_words(t(spark, sf_dir, "documents"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("wn"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     top = (
         wc.filter(F.length("w") >= 2)
