@@ -155,6 +155,42 @@ def iter_correctness_rows(repo_root: Path | None = None):
 _ROTATION_HEAD: tuple[tuple[str, int], ...] = (
     ("scan_avro_decode", 17),
     ("scan_avro_confluent", 17),
+    # Round-17 OPTIMIZATION pins (reverify_before_round=18): every
+    # declared query whose executed code path changed in the r17
+    # optimization round — plan rewrites with oracle-identical results,
+    # each already verified against the sf0.01+sf0.1 oracle (or
+    # row-identity + invariant tests for R-tier) before landing; the
+    # pin routes them through the driver's own gate promptly, per the
+    # r14 changed-code-outranks-stale policy. O-tier first, then the
+    # R-tier rows-only set.
+    ("dedup_ngram_jaccard", 18),
+    ("dedup_containment", 18),
+    ("dedup_minhash_sql", 18),
+    ("dedup_cluster", 18),
+    ("dedup_cluster_stats", 18),
+    ("text_decontaminate", 18),
+    ("pipeline_training_corpus_v2", 18),
+    ("pipeline_training_corpus_v3", 18),
+    ("orders_basket_pairs", 18),
+    ("events_user_overlap_jaccard", 18),
+    ("graph_triangle_count", 18),
+    ("graph_degree_stats", 18),
+    ("sim_cosine_pairs", 18),
+    ("sim_knn", 18),
+    ("sim_range_search", 18),
+    ("sim_ann_ivf", 18),
+    ("text_tfidf_sql", 18),
+    ("text_substring_dedup", 18),
+    ("text_substring_dedup_fp", 18),
+    ("text_bpe_apply", 18),
+    ("multimodal_dedup_phash", 18),
+    ("multimodal_video_dedup_framehash", 18),
+    ("multimodal_audio_dedup_fingerprint", 18),
+    ("agg_pq_quantize", 18),
+    ("sim_ann_ivf_pq", 18),
+    ("sim_ann_ivf_pq_residual", 18),
+    ("text_bpe_train_merges", 18),
+    ("graph_pagerank", 18),
 )
 
 
