@@ -248,6 +248,100 @@ def test_connected_components_match_union_find(spark, edges):
     assert _cc_spark(spark, real) == _cc_union_find(real)
 
 
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda es: any(u != v for u, v in es))
+)
+@SETTINGS
+def test_connected_components_assume_canonical_identical(spark, edges):
+    """r17 optimization guard: on an already-canonical edge set
+    (u > v, distinct — the dedup pair-generator contract),
+    ``assume_canonical=True`` (which skips the greatest/least swap and
+    the distinct exchange) must label every node identically to the
+    default path."""
+    canon = sorted({(max(u, v), min(u, v)) for u, v in edges if u != v})
+    got_default = _cc_spark(spark, canon)
+    from hello_flink_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(canon, "u long, v long")
+    got_fast = {
+        r.node: r.label
+        for r in connected_components(df, assume_canonical=True).collect()
+    }
+    assert got_fast == got_default
+
+
+def test_pq_codes_col_matches_assignment_pivot(spark):
+    """r17 optimization guard: the map-only per-row code expression
+    (``pq_codes_col``, used by sim_ann_ivf_pq's candidate side) must
+    reproduce the trainer's own assignment — the groupBy(vec_id) pivot
+    of ``assigned`` — code-for-code, tie-breaks included."""
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.queries.llm import _as_double
+    from hello_flink_spark.queries.round7 import pq_codes_col, pq_train
+    from hello_flink_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    books, assigned = pq_train(spark, sf)
+    pivot = {
+        r.vec_id: list(r.codes)
+        for r in assigned.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(sub, code))),"
+                " x -> x.code)"
+            ).alias("codes")
+        )
+        .collect()
+    }
+    vecs = load_table(spark, sf, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    direct = {
+        r.vec_id: list(r.codes)
+        for r in vecs.select(
+            "vec_id", pq_codes_col(books, "vec").alias("codes")
+        ).collect()
+    }
+    assert direct == pivot and len(direct) > 0
+
+
+def test_shingle_pairs_match_self_join(spark):
+    """r17 optimization guard: the grouped single-shuffle pair
+    enumeration (``_shingle_pairs``) must emit exactly the rows the
+    replaced a⋈b self-join on shingle produced — same (doc_a < doc_b)
+    pairs, same both_cnt multiset semantics."""
+    from pyspark.sql import functions as F
+
+    from hello_flink_spark.queries.llm import _shingle_df, _shingle_pairs
+    from hello_flink_spark.sources.readers import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = _shingle_df(d).localCheckpoint()
+    got = {
+        (r.doc_a, r.doc_b): r.both_cnt for r in _shingle_pairs(sh).collect()
+    }
+    a, b = sh.alias("a"), sh.alias("b")
+    ref = {
+        (r.doc_a, r.doc_b): r.both_cnt
+        for r in a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+        .collect()
+    }
+    assert got == ref and len(got) > 0
+
+
 def test_approx_quantiles_within_rank_error(spark):
     """agg_approx_quantile_merge invariant: each approximate quantile
     must land within epsilon = 1/accuracy RANK error of the exact
