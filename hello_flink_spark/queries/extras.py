@@ -586,9 +586,6 @@ def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hello_flink_spark.queries.llm import _shingle_df
 
     sh = _shingle_df(d)
-    # round-17: materialize the signature table once — the band
-    # builder and BOTH verify sides (ha, hb) consume it, and each
-    # previously recomputed the whole shingle+minhash pipeline
     hashed = (
         sh.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_SQL_K - 1))))
         .groupBy("doc_id", "seed")
@@ -597,23 +594,39 @@ def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))), 1, 16)
             ).alias("mh")
         )
-        # EAGER on purpose (r17 measured): three consumers (band
-        # builder + both verify sides) land in CONCURRENT stages of the
-        # final job — with a lazy checkpoint they race-recompute the
-        # md5 minhash pipeline before the persist fills (B/A/B/A
-        # min-of-3s 3.38 -> 3.91 s lazy); the blocking build job is
-        # cheaper than the duplicated compute.
+    )
+    # round-17 (guide §2.3/§2.4): pivot the 8 per-(doc, seed) rows into
+    # ONE seed-ordered signature array per doc and materialize THAT —
+    # the band keys are then a map-only projection of the array
+    # (replacing the second (doc, band)-keyed aggregation of the
+    # signature table), the two verify sides join one row per doc
+    # instead of eight, and the signature-agreement estimate is a
+    # zip_with fold instead of a join-then-regroup of 8-way pair rows.
+    # EAGER on purpose (r17 measured for the pre-pivot shape, same
+    # race: band builder + both verify sides land in CONCURRENT stages
+    # of the final job and would re-run the md5 pipeline before a lazy
+    # persist fills); the checkpointed table is 1 row per doc.
+    sigs = (
+        hashed.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"
+            ).alias("sig")
+        )
         .localCheckpoint(eager=True)
     )
-    bands = (
-        hashed.withColumn("band", (F.col("seed") / 2).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                "|", F.array_sort(F.collect_list(F.concat_ws(":", F.col("seed"), F.col("mh"))))
-            ).alias("band_val")
-        )
-    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {MINHASH_SQL_K // 2 - 1}),"
+                " b -> struct(CAST(b AS BIGINT) AS band,"
+                " concat(CAST(b * 2 AS STRING), ':', sig[b * 2], '|',"
+                "        CAST(b * 2 + 1 AS STRING), ':', sig[b * 2 + 1])"
+                " AS band_val))"
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.band").alias("band"), F.col("x.band_val").alias("band_val"))
     # candidates: one exchange of the band table (group on the band
     # signature, emit in-group ordered pairs) instead of the pre-r17
     # two-shuffle self-join; candidate set identical (distinct pairs
@@ -634,17 +647,23 @@ def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    # verify: one row per side per pair; the seed-aligned agreement
+    # count is a zip_with over the two ordered signature arrays —
+    # identical to the old 8-way join + regroup (mh values per (doc,
+    # seed) are the same strings, compared at the same seed alignment)
     return (
-        cand.join(hashed.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
-        .join(
-            hashed.alias("hb"),
-            (F.col("doc_b") == F.col("hb.doc_id")) & (F.col("hb.seed") == F.col("ha.seed")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
+        cand.join(sigs.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
             F.round(
-                F.sum(F.when(F.col("ha.mh") == F.col("hb.mh"), 1).otherwise(0)) / 8.0, 3
-            ).alias("est_jaccard")
+                F.expr(
+                    "size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y), v -> v))"
+                )
+                / 8.0,
+                3,
+            ).alias("est_jaccard"),
         )
     )
 
