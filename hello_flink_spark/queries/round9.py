@@ -867,33 +867,39 @@ def sim_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train_frame,
     )
 
+    from hello_flink_spark.queries.round7 import pq_codes_col
+
     centroids, vecs = ivf_centroids_and_vecs(spark, sf_dir)
     assign_b = ivf_nearest_buckets(centroids, vecs, "vec_id", 1)
-    # 1. residuals: x - q_c(x), one broadcast join vs the C-row table
-    res = assign_b.join(
-        F.broadcast(centroids), F.col("bucket") == F.col("c_id")
-    ).select(
-        "vec_id",
-        "bucket",
-        F.expr("zip_with(vec, c_vec, (a, b) -> a - b)").alias("vec"),
+    # 1. residuals: x - q_c(x), one broadcast join vs the C-row table.
+    # Round-18 (guide §2.4/§5): the residual frame is THE shared
+    # intermediate of this query — the trainer consumes it (exploded
+    # per subspace) and the scoring side needs (vec_id, bucket,
+    # residual) for candidate codes — so it materializes ONCE here
+    # (non-eager: the trainer's seed collect is the first action and
+    # fills it in the same job). The r17 shape recomputed the coarse
+    # assignment (embeddings scan + 16-cosine argmin fold) a second
+    # time on the candidate path and attached pivoted codes through a
+    # vec_id-keyed aggregation + data-scale join; with the residual
+    # checkpointed, candidate codes fold MAP-ONLY over it
+    # (pq_codes_col) exactly like the raw sibling — the objection that
+    # made r17 revert this rewrite (the codes branch had to REBUILD
+    # the residual frame) no longer applies. Trainer input is the same
+    # rows in the same scan partitions (its internal round-robin
+    # repartition normalizes order before hashing), so the learned
+    # codebook stays bit-identical.
+    res = (
+        assign_b.join(F.broadcast(centroids), F.col("bucket") == F.col("c_id"))
+        .select(
+            "vec_id",
+            "bucket",
+            F.expr("zip_with(vec, c_vec, (a, b) -> a - b)").alias("vec"),
+        )
+        .localCheckpoint(eager=False)
     )
     # 2. PQ on residuals (seed_min=PQ_K: centroid residuals are zero)
-    books, assigned = pq_train_frame(
+    books, _assigned = pq_train_frame(
         spark, res.select("vec_id", "vec"), seed_min=PQ_K
-    )
-    # codes via the groupBy(vec_id) pivot of the final assignment over
-    # the trainer's CHECKPOINTED exploded table — measured FASTER here
-    # than the sibling query's map-only pq_codes_col rewrite (r17
-    # B/A/B/A min-of-3s: 5.67 vs 6.84 s at sf0.1): the map-only code
-    # path must REBUILD the residual frame (embeddings scan + coarse
-    # argmin + broadcast centroid join + zip_with subtract) before it
-    # can fold codes, while this pivot reuses the checkpoint the
-    # trainer already materialized; the two shuffles it pays move
-    # 8-int rows (linear, never wide).
-    codes = assigned.groupBy("vec_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)"
-        ).alias("codes")
     )
 
     probes = ivf_nearest_buckets(
@@ -941,10 +947,17 @@ def sim_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # 4. scoring: candidates x their bucket's per-query LUTs
+    # 4. scoring: candidates x their bucket's per-query LUTs. Codes
+    # ride in the same map-only projection of the checkpointed
+    # residual frame that already carries the bucket (round-18) — the
+    # broadcast LUT join is the only join left on the candidate path;
+    # the window below holds the single data-scale exchange.
     cand = (
-        assign_b.select(F.col("vec_id").alias("neighbor_id"), "bucket")
-        .join(codes.select(F.col("vec_id").alias("neighbor_id"), "codes"), "neighbor_id")
+        res.select(
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            pq_codes_col(books, "vec").alias("codes"),
+        )
         .join(F.broadcast(luts), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )

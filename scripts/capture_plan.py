@@ -26,7 +26,9 @@ def main() -> int:
     spark = get_spark("hello-flink-spark-plan-capture")
     specs = all_specs()
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r17"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r18"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
