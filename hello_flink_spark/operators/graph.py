@@ -114,9 +114,6 @@ def connected_components(
     cur = (named if assume_canonical else _canonical(named)).localCheckpoint(
         eager=False
     )
-    nodes = cur.select(F.col("u").alias("node")).union(
-        cur.select(F.col("v").alias("node"))
-    ).distinct()
 
     sig = _checksum(cur)
     for _ in range(MAX_ROUNDS):
@@ -138,14 +135,27 @@ def connected_components(
             f"connected_components did not converge in {MAX_ROUNDS} rounds"
         )
 
-    # converged: every edge is (leaf > root); roots label themselves.
-    leaf_labels = cur.groupBy("u").agg(F.min("v").alias("lbl"))
-    return (
-        nodes.join(leaf_labels, nodes.node == leaf_labels.u, "left")
-        .select(
-            "node", F.coalesce(F.col("lbl"), F.col("node")).alias("label")
-        )
+    # Converged: the edge set is a min-rooted star forest (Kiveris et
+    # al. Theorem 1 — every non-root carries exactly one edge to its
+    # component minimum, and every edge's v-side IS a root), so the
+    # edge set is already the label map. Round-18 (guide §2.4): read
+    # the labels off it directly — non-roots from the per-u aggregate,
+    # roots from the distinct label set — instead of re-deriving the
+    # node universe from the ENTRY edge set (a distinct over 2× the
+    # input edges) and LEFT-joining the labels back. Node sets agree
+    # because every round preserves each component's node set (entry
+    # components have ≥ 2 nodes, so the star forest keeps them all).
+    # The groupBy(u) stays as a safety net against a non-star fixed
+    # point (it would surface as duplicate u rows); equality with the
+    # old nodes-join formula is pinned by the union-find property test
+    # on random graphs (tests/test_properties.py).
+    leaf_labels = cur.groupBy("u").agg(F.min("v").alias("label"))
+    roots = (
+        cur.select(F.col("v").alias("node"))  # v-side = roots (star forest)
+        .distinct()
+        .select("node", F.col("node").alias("label"))
     )
+    return leaf_labels.select(F.col("u").alias("node"), "label").union(roots)
 
 
 def copurchase_edges(lineitem: DataFrame, min_cooccur: int = 2) -> DataFrame:

@@ -630,21 +630,31 @@ def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates: one exchange of the band table (group on the band
     # signature, emit in-group ordered pairs) instead of the pre-r17
     # two-shuffle self-join; candidate set identical (distinct pairs
-    # sharing >= 1 band either way)
+    # sharing >= 1 band either way). Round-18 (ADVICE r17, guide §2.5):
+    # band buckets are UNBOUNDED on duplicate-heavy corpora, and the
+    # r17 flatten() built the whole k(k-1)/2 pair array in ONE
+    # projection row — O(k²) memory in a single task for a hot bucket.
+    # The enumeration now streams through two Generates (posexplode
+    # the group, then explode each element's strictly-later tail slice):
+    # per-row state is one O(k) slice, never the O(k²) pair set, and
+    # pair rows stream straight into the distinct's map-side partial.
+    # Same pair set row-for-row (ds is sorted & duplicate-free, so
+    # (ds[i], ds[j≥i+1]) enumerates exactly the doc_a < doc_b pairs).
+    # A capped-enumeration + band-keyed-self-join-fallback variant
+    # (banded_dedup's cap protocol) was measured at +25% on the benched
+    # query (the grp subtree double-computes under two consumers) and
+    # rejected; the residual hot-bucket COMPUTE skew (one task owns a
+    # bucket's pair stream) is the same trade the self-join had on the
+    # build side, now without its second shuffle.
     cand = (
         bands.groupBy("band", "band_val")
         .agg(F.expr("array_sort(collect_list(doc_id))").alias("ds"))
         .filter(F.size("ds") >= 2)
+        .select(F.posexplode("ds").alias("i", "doc_a"), F.col("ds"))
         .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, size(ds) - 1),"
-                    " i -> transform(slice(ds, i + 1, size(ds) - i),"
-                    " y -> struct(element_at(ds, i) AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
+            "doc_a",
+            F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias("doc_b"),
         )
-        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     # verify: one row per side per pair; the seed-aligned agreement
