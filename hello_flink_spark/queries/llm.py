@@ -1087,8 +1087,16 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = shingles.filter(bench_pred)
     train = shingles.filter(~bench_pred)
     bsizes = bench.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Round-18 (guide §3.1, VERDICT r17 #7): the bench side is
+    # CONSTANT-bounded by construction (≤ BENCH_ID_MAX/101 docs of
+    # df-capped shingles — broadcastable at any scale factor), but it
+    # filters a checkpointed frame whose size Catalyst can't estimate,
+    # so the planner won't broadcast on its own. The explicit hint
+    # removes the train-side instance-scale exchange: the corpus
+    # shuffles once (the bench_id/train_id aggregation), never on
+    # shingle.
     joined = (
-        bench.alias("b")
+        F.broadcast(bench.alias("b"))
         .join(train.alias("a"), F.col("a.shingle") == F.col("b.shingle"))
         .groupBy(
             F.col("b.doc_id").alias("bench_id"), F.col("a.doc_id").alias("train_id")

@@ -1907,8 +1907,17 @@ def pipeline_training_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `drops` is corpus-dependent (near-dup id set grows with the data):
     # no broadcast hint — the anti-join shuffles on doc_id and AQE may
     # still broadcast at runtime when the set is actually small.
-    f3 = f2.join(drops, "doc_id", "left_anti").select(
-        "doc_id", "source", "n_chars"
+    # Round-18 (guide §5, the corpus_v3 treatment): materialize the
+    # containment survivors ONCE — the quota branch (counts -> min) and
+    # the f4 ranking path both consume f3, and each previously
+    # recomputed the whole pair-enumeration + sizes-join + anti-join
+    # subtree (the r17 after-plan still carried 52 Exchange refs, most
+    # of them this duplication). Non-eager: the quota broadcast build
+    # is the first action and fills the checkpoint.
+    f3 = (
+        f2.join(drops, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .localCheckpoint(eager=False)
     )
     counts = f3.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     quota = counts.agg(F.min("n").alias("q"))
