@@ -304,8 +304,19 @@ def main() -> int:
     # in a single query zeroed the whole round's JSON); errors are reported
     # per-query below instead.
     errors: dict[str, str] = {}
+    # Machine-era calibration (round-18, VERDICT r17 #3, additions-only):
+    # identical suites have measured 31-82 s on this machine across
+    # rounds, so round-over-round totals are dominated by machine-era
+    # drift. Record the wall time of work the bench ALREADY does
+    # untimed — the cold warm-up flagship (JVM+codegen startup era) and
+    # one extra warm flagship run (steady-state era) — so a later
+    # comparison can divide the drift out. Neither touches the timed
+    # region: query timings below are byte-identical methodology.
+    calib_cold = calib_warm = None
     try:
+        t_c = time.perf_counter()
         specs["flagship_pricing_summary"].fn(spark, sf_dir).collect()
+        calib_cold = round(time.perf_counter() - t_c, 3)
         for table in TABLES:
             # full-column scan into the noop sink: count() prunes to zero
             # columns and leaves data pages cold (dedup_exact's first read
@@ -313,6 +324,9 @@ def main() -> int:
             load_table(spark, sf_dir, table).write.mode("overwrite").format("noop").save()
         noop = F.pandas_udf(lambda s: s, "long")
         spark.range(1000).select(noop("id").alias("id")).collect()
+        t_w = time.perf_counter()
+        specs["flagship_pricing_summary"].fn(spark, sf_dir).collect()
+        calib_warm = round(time.perf_counter() - t_w, 3)
     except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
         errors["__warmup__"] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -346,6 +360,10 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+    if calib_cold is not None:
+        result["calib_sec"] = calib_cold
+    if calib_warm is not None:
+        result["calib_warm_sec"] = calib_warm
     if errors:
         result["errors"] = errors
     # Reporting contract (VERDICT r07 #1): the driver keeps only a
@@ -377,7 +395,7 @@ def summary_line(result: dict) -> dict:
     never by the number of queries — the driver's tail capture can
     always parse it whatever the suite grows to.
     """
-    return {
+    out = {
         "metric": result["metric"],
         "value": result["value"],
         "unit": result["unit"],
@@ -386,6 +404,12 @@ def summary_line(result: dict) -> dict:
         "n_errors": len(result.get("errors", {})),
         "detail": "bench_results.json",
     }
+    # calibration fields (round-18): two bounded floats — the byte
+    # budget stays suite-size-independent.
+    for k in ("calib_sec", "calib_warm_sec"):
+        if k in result:
+            out[k] = result[k]
+    return out
 
 
 if __name__ == "__main__":

@@ -73,12 +73,20 @@ def test_summary_line_byte_budget():
         "sf": 0.001,
         "queries": {f"q{i}": 99999.999 for i in range(10_000)},
         "errors": {f"q{i}": "x" * 300 for i in range(500)},
+        "calib_sec": 99999.999,
+        "calib_warm_sec": 99999.999,
     }
     line = json.dumps(summary_line(fat))
     assert len(line) < 1_500, f"summary line {len(line)} B breaks the tail-capture contract"
     parsed = json.loads(line)
     assert parsed["n_queries"] == 10_000 and parsed["n_errors"] == 500
     assert parsed["metric"] == fat["metric"] and parsed["value"] == fat["value"]
+    # the r18 calibration fields ride along as two bounded floats
+    assert parsed["calib_sec"] == fat["calib_sec"]
+    assert parsed["calib_warm_sec"] == fat["calib_warm_sec"]
+    # and a pre-r18 result without them still summarizes cleanly
+    fat2 = {k: v for k, v in fat.items() if not k.startswith("calib")}
+    assert "calib_sec" not in summary_line(fat2)
 
 
 def test_entry_module_contract():
