@@ -1255,7 +1255,9 @@ def pipeline_training_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r17 (guide §2.4/§5): the bigram-instance frame fed FOUR subtrees
     # (cb, cu, vocab, the scored probe side), each of which re-ran the
     # documents scan + split + explode in the fused plan (zero
-    # ReusedExchange) — materialize it once.
+    # ReusedExchange) — materialize it up front (lazy checkpoint:
+    # concurrent first-job consumers may race the persist and
+    # recompute a bounded suffix — results unaffected, ADVICE r17).
     bi = (
         toks.filter(F.size("tk") >= 2)
         .select(
@@ -1556,9 +1558,12 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap matrix: Jaccard similarity of the user sets
     behind every event-type pair (segment-overlap / cannibalization
-    analysis). One distinct pass builds (type, user) — materialized
-    once (round-17; the sizes agg and the pair stage shared no
-    exchange before) — then ONE grouped exchange on user_id emits each
+    analysis). One distinct pass builds (type, user) — materialized up
+    front (round-17; lazy checkpoint, so first-job consumers landing
+    in concurrent stages may race the persist and recompute a bounded
+    suffix — results unaffected, and the sizes agg and the pair stage
+    shared no exchange at all before) — then ONE grouped exchange on
+    user_id emits each
     user's in-group ordered type pairs (fan-out bounded by the
     event-type alphabet squared, so the pair output is O(users ×
     |types|²), linear in users; the pre-r17 self-join shuffled the

@@ -215,10 +215,14 @@ def pagerank_detail(
     # by a src-partitioned count window: ONE exchange of the edge
     # table, vs the old groupBy + self-join's two plus the join
     # (measured build job 2.75 → 1.51 s at sf0.1, rows identical). No
-    # repartition either: localCheckpoint drops partitioning metadata,
-    # so the old repartition("src") bought nothing — every iteration's
-    # join re-exchanges the checkpointed edges regardless — and cost
-    # one full extra exchange of the edge table in the build job.
+    # repartition either — but for the RIGHT reason (ADVICE r17):
+    # localCheckpoint PRESERVES the executed plan's outputPartitioning
+    # in the LogicalRDD, so a pre-checkpoint repartition("src") WOULD
+    # let iteration joins skip re-exchanging edges; it is redundant
+    # here only because the count window's Exchange below already
+    # establishes hashpartitioning(src) before the checkpoint. If the
+    # window ever goes away, the explicit repartition must come back
+    # or every iteration pays a fresh edge-table exchange.
     from pyspark.sql.window import Window
 
     edges = edges.withColumn(

@@ -261,10 +261,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hello_flink_spark.operators.graph import copurchase_edges
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # round-17: materialize the edge set once — deg, the orientation
-    # join and the n_edges count each recomputed the whole basket
-    # pipeline before (the pre-r17 plan carried 8 copies of it,
-    # 88 Exchange refs -> 28)
+    # round-17: materialize the edge set up front — deg, the
+    # orientation join and the n_edges count each recomputed the whole
+    # basket pipeline before (the pre-r17 plan carried 8 copies of it,
+    # 88 Exchange refs -> 28). Lazy checkpoint: consumers in the first
+    # job's concurrent stages may race the persist and recompute a
+    # bounded suffix (ADVICE r17) — results unaffected either way.
     edges = copurchase_edges(li, TRIANGLE_MIN_COOCCUR).localCheckpoint(eager=False)
     deg = (
         edges.select(F.explode(F.array("pa", "pb")).alias("v"))
@@ -278,9 +280,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower_is_a = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
     )
-    # materialized once too: both wedge arms and the closing semi-join
-    # consume the oriented set (3 recomputes of the two degree joins
-    # before)
+    # materialized up front too (same lazy-persist caveat): both wedge
+    # arms and the closing semi-join consume the oriented set (3
+    # recomputes of the two degree joins before)
     oriented = e2.select(
         F.when(lower_is_a, F.col("pa")).otherwise(F.col("pb")).alias("src"),
         F.when(lower_is_a, F.col("pb")).otherwise(F.col("pa")).alias("dst"),

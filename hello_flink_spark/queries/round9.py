@@ -2981,7 +2981,9 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs once per distinct word, and the per-source sums weight each
     # word's exact integer contributions by wn (sums of ints reordered —
     # bit-identical; the one double division happens after, unchanged).
-    # Two consumers (fit + encode): materialize the vocab once.
+    # Two consumers (fit + encode): materialize the vocab up front
+    # (lazy checkpoint — concurrent first-job consumers may race the
+    # persist and recompute a bounded suffix; results unaffected).
     wc = (
         _bpe_words(t(spark, sf_dir, "documents"))
         .groupBy("source", "w")
@@ -3162,6 +3164,14 @@ def data_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 BPE_TRAIN_ITERS = 8  # merge iterations (vocab budget)
+BPE_TRAIN_MAX_VOCAB = 5_000_000  # distinct-word bound for the fused
+# single-task trainer (ADVICE r17): the merge loop runs over the
+# DISTINCT-word histogram inside one Python worker, so its state is
+# vocab-scale by contract — Zipf-bounded, NOT corpus-scale. 5 M
+# distinct words (~hundreds of MB of token lists) is far above any
+# natural-language vocabulary; a corpus that exceeds it (adversarial
+# unique-token streams) fails loudly here instead of OOMing the
+# worker silently.
 
 
 @register("text_bpe_train_merges", tags=("iterative", "rows_only"))
@@ -3203,6 +3213,14 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             for w, c in zip(pdf["w"], pdf["cnt"]):
                 counts[w] = counts.get(w, 0) + int(c)
+            if len(counts) > BPE_TRAIN_MAX_VOCAB:
+                raise ValueError(
+                    f"BPE trainer vocabulary exceeded the "
+                    f"{BPE_TRAIN_MAX_VOCAB}-word single-task bound "
+                    f"({len(counts)} distinct words) — the fused merge "
+                    f"loop's state contract is vocab-scale, not "
+                    f"corpus-scale"
+                )
         vocab = [(list(w), c) for w, c in counts.items()]
         merges: list[tuple[int, str, str, str, int]] = []
         for it in range(1, BPE_TRAIN_ITERS + 1):
