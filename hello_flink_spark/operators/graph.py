@@ -171,6 +171,12 @@ def copurchase_edges(lineitem: DataFrame, min_cooccur: int = 2) -> DataFrame:
     multiset is identical (the sorted index enumeration with the
     strict pa < pb filter replicates the join's duplicate-line
     semantics exactly — verified row-for-row)."""
+    # Round-18 note: spreading the (order, part) feed before the
+    # basket aggregation (the minhash r18 treatment) was tried and
+    # measured WORSE at sf1 (graph_triangle_count c32 7.4 -> 10.0 s):
+    # the collect_list partials cannot map-side-combine across the
+    # round-robin spread the way minhash's md5 min() can, so the
+    # added exchange buys no parallel work. Reverted.
     baskets = (
         lineitem.select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")

@@ -582,9 +582,17 @@ def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate. Every stage is a hash aggregate or equi-join with
     map-side combine — linear in corpus size plus banded pair output.
     """
-    d = t(spark, sf_dir, "documents")
+    from hello_flink_spark.operators.scale import spread_small_scan
     from hello_flink_spark.queries.llm import _shingle_df
 
+    # round-18 (guide §2.5 input skew / §6 split sizing): spread the
+    # narrow document feed before the shingle explode + 8-seed md5 map
+    # stage — the same r12 fix dedup_ngram_jaccard carries. A modest
+    # corpus parquet arrives as ONE split, serializing the query's
+    # dominant CPU stage (md5 of every (seed, shingle)) on one core at
+    # ANY core count: the round-18 sf1 core probe measured c8/c32 =
+    # 0.98 on this query before the spread. No-op on many-split scans.
+    d = spread_small_scan(t(spark, sf_dir, "documents"))
     sh = _shingle_df(d)
     hashed = (
         sh.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_SQL_K - 1))))
