@@ -712,9 +712,18 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     so decoder, pooling, edge-block, and re-encode bugs all
     hash-fail."""
     d = t(spark, sf_dir, "documents")
+    from hello_flink_spark.operators.scale import spread_small_scan
     from hello_flink_spark.queries.llm import _png_encode_batches
 
-    payload = d.select("doc_id").mapInPandas(
+    # round-18 (guide §2.5/§4): spread the id feed — the documents
+    # parquet arrives as ONE split on modest corpora, serializing the
+    # heaviest decode chain of the tier (decode→pool→re-encode→
+    # re-decode) at any core count. sf1 probe: 4.74 → 1.38 s at c32;
+    # sf0.1 neutral (0.82-0.86 both arms, min-of-7). The earlier Arrow
+    # batch-size "sensitivity" (bs 2000 −17%) was a symptom of this
+    # serial stage — post-spread it is flat (≤3%), so the session
+    # default batch size stands.
+    payload = spread_small_scan(d.select("doc_id")).mapInPandas(
         _png_encode_batches, schema="doc_id long, payload binary"
     )
     return payload.mapInPandas(
@@ -1103,7 +1112,12 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars per clip cross the Arrow boundary. With external blobs
     the same plan reads a binaryFile source partitioned by size."""
     d = t(spark, sf_dir, "documents")
-    payload = d.select("doc_id").mapInPandas(
+    from hello_flink_spark.operators.scale import spread_small_scan
+
+    # round-18 (guide §2.5/§4): spread the id feed — one-split scans
+    # serialized the WAV encode+decode at any core count (sf1 probe:
+    # 3.16 → 1.33 s at c32; sf0.1 neutral at 0.80-0.87 min-of-7).
+    payload = spread_small_scan(d.select("doc_id")).mapInPandas(
         _wav_encode_batches, schema="doc_id long, payload binary"
     )
     mom = payload.mapInPandas(
@@ -1205,7 +1219,13 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     so decoder, pooling, tail-sample, and re-encode bugs all
     hash-fail."""
     d = t(spark, sf_dir, "documents")
-    payload = d.select("doc_id").mapInPandas(
+    from hello_flink_spark.operators.scale import spread_small_scan
+
+    # round-18 (guide §2.5/§4): spread the id feed — the decimate
+    # round-trip is the audio tier's heaviest chain and ran on the
+    # scan's single split (sf0.1 min-of-7 0.86-0.98 → 0.74-0.77;
+    # sf1 1.21 s at c32 vs the unspread stats twin's pre-fix 3.16).
+    payload = spread_small_scan(d.select("doc_id")).mapInPandas(
         _wav_encode_batches, schema="doc_id long, payload binary"
     )
     return payload.mapInPandas(
