@@ -76,14 +76,64 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
-def _checksum(canon: DataFrame) -> tuple[int, int]:
-    # bit_xor, not sum: order-insensitive over the distinct edge set and
-    # cannot overflow (ANSI mode rejects a plain sum of 64-bit hashes).
-    row = canon.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+def _checksum(canon: DataFrame) -> tuple[int, int, bool]:
+    """(edge count, order-insensitive hash, is_star_forest) in ONE job.
+
+    bit_xor, not sum: order-insensitive over the distinct edge set and
+    cannot overflow (ANSI mode rejects a plain sum of 64-bit hashes).
+    The hash rides the u-side rows of the endpoint explode, so the
+    global xor still covers each edge exactly once.
+
+    The star test (round-18, guide §1.2 "fewer passes"): a canonical
+    edge set is a min-rooted star forest iff every u carries exactly
+    one edge and no node is both a u and a v — and every star forest
+    is a FIXED POINT of the large-star/small-star round (direct
+    computation: large_star maps each leaf back to its root,
+    small_star reproduces the same edges). Detecting that here lets
+    the loop stop WITHOUT paying the confirming round the
+    sig-equality check needs — on near-dup pair graphs (tiny star
+    components) that is the entire final round. Costs one node-keyed
+    aggregation inside the existing per-round job; saves 4-5
+    edge-scale exchanges whenever it fires.
+    """
+    ex = canon.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("node"),
+                    F.lit(1).alias("deg_u"),
+                    F.lit(0).alias("deg_v"),
+                    F.xxhash64("u", "v").alias("eh"),
+                ),
+                F.struct(
+                    F.col("v").alias("node"),
+                    F.lit(0).alias("deg_u"),
+                    F.lit(1).alias("deg_v"),
+                    F.lit(None).cast("long").alias("eh"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    per = ex.groupBy("node").agg(
+        F.sum("deg_u").alias("du"),
+        F.max("deg_v").alias("hv"),
+        F.coalesce(F.bit_xor("eh"), F.lit(0)).alias("hx"),
+    )
+    row = per.agg(
+        F.coalesce(F.sum("du"), F.lit(0)).alias("n"),
+        F.coalesce(F.bit_xor("hx"), F.lit(0)).alias("h"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("du") > 1)
+                    | ((F.col("du") >= 1) & (F.col("hv") >= 1)),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("viol"),
     ).head()
-    return int(row["n"]), int(row["h"])
+    return int(row["n"]), int(row["h"]), int(row["viol"]) == 0
 
 
 def connected_components(
@@ -116,24 +166,32 @@ def connected_components(
     )
 
     sig = _checksum(cur)
-    for _ in range(MAX_ROUNDS):
-        # _small_star's output is already canonical (every emitted edge
-        # is (x, y) with x > y, self-loops filtered, distinct applied),
-        # so the round needs NO extra _canonical pass: 2 aggregations +
-        # 2 joins + 2 distincts per round, down from 4 distincts. At
-        # sf0.1 the wall time is unchanged (per-round checkpoint +
-        # convergence action dominate); the saved shuffles are
-        # edge-set-sized, which is what matters at 100 TB.
-        nxt = _small_star(_large_star(_symmetric(cur))).localCheckpoint(eager=False)
-        nxt_sig = _checksum(nxt)
-        cur = nxt
-        if nxt_sig == sig:
-            break
-        sig = nxt_sig
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {MAX_ROUNDS} rounds"
-        )
+    if not sig[2]:  # entry already a star forest ⇒ zero rounds needed
+        for _ in range(MAX_ROUNDS):
+            # _small_star's output is already canonical (every emitted
+            # edge is (x, y) with x > y, self-loops filtered, distinct
+            # applied), so the round needs NO extra _canonical pass: 2
+            # aggregations + 2 joins + 2 distincts per round, down from
+            # 4 distincts. At sf0.1 the wall time is unchanged
+            # (per-round checkpoint + convergence action dominate); the
+            # saved shuffles are edge-set-sized, which is what matters
+            # at 100 TB.
+            nxt = _small_star(_large_star(_symmetric(cur))).localCheckpoint(
+                eager=False
+            )
+            nxt_sig = _checksum(nxt)
+            cur = nxt
+            # star forest ⇒ fixed point ⇒ stop WITHOUT the confirming
+            # round; the sig-equality arm stays as the general
+            # fallback (theory says it only fires on star forests too,
+            # so behavior is unchanged where the fast exit misses).
+            if nxt_sig[2] or nxt_sig[:2] == sig[:2]:
+                break
+            sig = nxt_sig
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {MAX_ROUNDS} rounds"
+            )
 
     # Converged: the edge set is a min-rooted star forest (Kiveris et
     # al. Theorem 1 — every non-root carries exactly one edge to its
