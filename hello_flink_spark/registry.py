@@ -153,23 +153,38 @@ def iter_correctness_rows(repo_root: Path | None = None):
 # paths; ``scan_avro_container`` goes through ``decode_container``,
 # untouched this round.
 _ROTATION_HEAD: tuple[tuple[str, int], ...] = (
+    # Round-18 OPTIMIZATION pins (reverify_before_round=19): every
+    # declared query whose executed code path changed in the r18
+    # optimization round — plan/shape rewrites with oracle-identical
+    # results, each verified against the sf0.01+sf0.1 oracle (or
+    # property/invariant tests for R-tier) before landing; the pin
+    # routes them through the driver's own gate promptly, per the r14
+    # changed-code-outranks-stale policy. O-tier first. The CC early
+    # exit + exit-stage rewrite (operators/graph.py) covers the
+    # cluster pair and dedup_semantic_clusters; the minhash entry
+    # covers the streamed pair enumeration + the spread feed; the
+    # multimodal trio gained the spread on their decode feeds;
+    # text_bpe_train_merges gained only a loud vocab-bound guard
+    # (error path), pinned anyway because its task code changed.
+    ("dedup_minhash_sql", 19),
+    ("dedup_cluster", 19),
+    ("dedup_cluster_stats", 19),
+    ("pipeline_training_corpus_v2", 19),
+    ("text_decontaminate", 19),
+    ("multimodal_resize", 19),
+    ("multimodal_audio_stats", 19),
+    ("multimodal_audio_resample", 19),
+    ("sim_ann_ivf_pq_residual", 19),
+    ("dedup_semantic_clusters", 19),
+    ("text_bpe_train_merges", 19),
+    # Round-17 pins (reverify_before_round=18) for names NOT re-changed
+    # in r18 — they self-clear on their r18 hash-green. The original
+    # codec pins (scan_avro_*, before=17) stay for the record below
+    # them; names re-changed in r18 moved into the block above.
     ("scan_avro_decode", 17),
     ("scan_avro_confluent", 17),
-    # Round-17 OPTIMIZATION pins (reverify_before_round=18): every
-    # declared query whose executed code path changed in the r17
-    # optimization round — plan rewrites with oracle-identical results,
-    # each already verified against the sf0.01+sf0.1 oracle (or
-    # row-identity + invariant tests for R-tier) before landing; the
-    # pin routes them through the driver's own gate promptly, per the
-    # r14 changed-code-outranks-stale policy. O-tier first, then the
-    # R-tier rows-only set.
     ("dedup_ngram_jaccard", 18),
     ("dedup_containment", 18),
-    ("dedup_minhash_sql", 18),
-    ("dedup_cluster", 18),
-    ("dedup_cluster_stats", 18),
-    ("text_decontaminate", 18),
-    ("pipeline_training_corpus_v2", 18),
     ("pipeline_training_corpus_v3", 18),
     ("orders_basket_pairs", 18),
     ("events_user_overlap_jaccard", 18),
@@ -188,8 +203,6 @@ _ROTATION_HEAD: tuple[tuple[str, int], ...] = (
     ("multimodal_audio_dedup_fingerprint", 18),
     ("agg_pq_quantize", 18),
     ("sim_ann_ivf_pq", 18),
-    ("sim_ann_ivf_pq_residual", 18),
-    ("text_bpe_train_merges", 18),
     ("graph_pagerank", 18),
 )
 
