@@ -311,7 +311,12 @@ def main() -> int:
     # untimed — the cold warm-up flagship (JVM+codegen startup era) and
     # one extra warm flagship run (steady-state era) — so a later
     # comparison can divide the drift out. Neither touches the timed
-    # region: query timings below are byte-identical methodology.
+    # region; the one material delta vs pre-r18 runs is that the
+    # warm-up now executes the flagship twice instead of once (the
+    # extra run adds no NEW warm-state class — the flagship's tables,
+    # plan and codegen were already warmed by the cold run + the
+    # table scans — so any bias on the first timed query is
+    # third-order; review r18).
     calib_cold = calib_warm = None
     try:
         t_c = time.perf_counter()

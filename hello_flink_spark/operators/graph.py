@@ -76,13 +76,22 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
-def _checksum(canon: DataFrame) -> tuple[int, int, bool]:
+STAR_TEST_ROUNDS = 3  # rounds that pay the node-keyed star test: the
+# early-exit saves a whole confirming round (4-5 edge-scale exchanges)
+# but the test itself costs one node-keyed exchange of 2|E| endpoint
+# rows PER round it runs in — a net loss on high-diameter graphs that
+# take many rounds (review r18). Near-dup pair graphs converge in 1-2
+# rounds, so the test runs exactly where it wins; deeper graphs fall
+# back to the pre-r18 shuffle-free checksum + sig-equality exit.
+
+
+def _checksum(canon: DataFrame, star_test: bool = True) -> tuple[int, int, bool]:
     """(edge count, order-insensitive hash, is_star_forest) in ONE job.
 
     bit_xor, not sum: order-insensitive over the distinct edge set and
     cannot overflow (ANSI mode rejects a plain sum of 64-bit hashes).
-    The hash rides the u-side rows of the endpoint explode, so the
-    global xor still covers each edge exactly once.
+    With ``star_test=False`` this is the pre-r18 shuffle-free global
+    aggregate and the star flag is reported False (unknown).
 
     The star test (round-18, guide §1.2 "fewer passes"): a canonical
     edge set is a min-rooted star forest iff every u carries exactly
@@ -91,11 +100,16 @@ def _checksum(canon: DataFrame) -> tuple[int, int, bool]:
     computation: large_star maps each leaf back to its root,
     small_star reproduces the same edges). Detecting that here lets
     the loop stop WITHOUT paying the confirming round the
-    sig-equality check needs — on near-dup pair graphs (tiny star
-    components) that is the entire final round. Costs one node-keyed
-    aggregation inside the existing per-round job; saves 4-5
-    edge-scale exchanges whenever it fires.
+    sig-equality check needs. The hash rides the u-side rows of the
+    endpoint explode, so the global xor covers each edge exactly once
+    — byte-equal to the star_test=False hash.
     """
+    if not star_test:
+        row = canon.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).head()
+        return int(row["n"]), int(row["h"]), False
     ex = canon.select(
         F.explode(
             F.array(
@@ -167,7 +181,7 @@ def connected_components(
 
     sig = _checksum(cur)
     if not sig[2]:  # entry already a star forest ⇒ zero rounds needed
-        for _ in range(MAX_ROUNDS):
+        for rnd in range(MAX_ROUNDS):
             # _small_star's output is already canonical (every emitted
             # edge is (x, y) with x > y, self-loops filtered, distinct
             # applied), so the round needs NO extra _canonical pass: 2
@@ -179,12 +193,16 @@ def connected_components(
             nxt = _small_star(_large_star(_symmetric(cur))).localCheckpoint(
                 eager=False
             )
-            nxt_sig = _checksum(nxt)
+            nxt_sig = _checksum(nxt, star_test=rnd < STAR_TEST_ROUNDS)
             cur = nxt
             # star forest ⇒ fixed point ⇒ stop WITHOUT the confirming
-            # round; the sig-equality arm stays as the general
-            # fallback (theory says it only fires on star forests too,
-            # so behavior is unchanged where the fast exit misses).
+            # round. The sig-equality arm is the pre-r18 exit for the
+            # rounds past STAR_TEST_ROUNDS: by Kiveris Thm 1 a
+            # sig-equal (unchanged) set IS a star forest, so the label
+            # stage below remains valid on that arm too — the residual
+            # reliance on the theorem (a 64-bit count+xor collision
+            # between DIFFERENT consecutive sets would mislabel) is
+            # exactly the exposure the pre-r18 code had.
             if nxt_sig[2] or nxt_sig[:2] == sig[:2]:
                 break
             sig = nxt_sig
@@ -203,10 +221,14 @@ def connected_components(
     # input edges) and LEFT-joining the labels back. Node sets agree
     # because every round preserves each component's node set (entry
     # components have ≥ 2 nodes, so the star forest keeps them all).
-    # The groupBy(u) stays as a safety net against a non-star fixed
-    # point (it would surface as duplicate u rows); equality with the
-    # old nodes-join formula is pinned by the union-find property test
-    # on random graphs (tests/test_properties.py).
+    # The groupBy(u) collapses any duplicate-u rows to the min (on a
+    # true star forest each u already has exactly one edge, so it is a
+    # no-op pass-through, NOT a detector — review r18); correctness
+    # rests on the loop exiting only at a star forest (the explicit
+    # test, or sig-equality which implies it by Kiveris Thm 1), and
+    # equality with the old nodes-join formula is pinned by the
+    # union-find property test on random graphs
+    # (tests/test_properties.py).
     leaf_labels = cur.groupBy("u").agg(F.min("v").alias("label"))
     roots = (
         cur.select(F.col("v").alias("node"))  # v-side = roots (star forest)

@@ -167,6 +167,7 @@ _ROTATION_HEAD: tuple[tuple[str, int], ...] = (
     # text_bpe_train_merges gained only a loud vocab-bound guard
     # (error path), pinned anyway because its task code changed.
     ("dedup_minhash_sql", 19),
+    ("dedup_minhash_error", 19),  # consumes dedup_minhash_sql's plan
     ("dedup_cluster", 19),
     ("dedup_cluster_stats", 19),
     ("pipeline_training_corpus_v2", 19),

@@ -236,9 +236,11 @@ BROADCAST_HINT_OK = {
     "centroid table folded into one array row (ivf_nearest_buckets r17)",
     ("llm", "n_total"): "1-row corpus-count scalar",
     ("llm", "bsizes.alias('bs')"): "bench-slice shingle sizes — BENCH_ID cap",
-    ("llm", "bench.alias('b')"): "bench-slice shingle rows — constant-bounded "
-    "by BENCH_ID_MAX/101 docs of df-capped shingles (text_decontaminate r18: "
-    "pins the bounded side; the planner was broadcasting the TRAIN side)",
+    ("llm", "bench"): "bench-slice shingle rows (text_decontaminate r18: pins "
+    "the bounded side — the planner was broadcasting the TRAIN side) — "
+    "broadcast only after a LIMIT-bounded count proves the row set under "
+    "HOT_BROADCAST_MAX; hint-free AQE failover otherwise (doc count is "
+    "BENCH_ID_MAX-constant but shingle rows scale with document length)",
     ("extras", "total"): "1-row aggregate scalar",
     ("extras", "cent"): "centroid table — constant k",
     ("extras", "probes"): "probe set capped by constant",
